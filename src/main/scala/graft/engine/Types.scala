@@ -1,0 +1,124 @@
+package graft.engine
+
+import org.apache.spark.sql.types._
+
+/** Pure type-system layer of the engine (no SparkSession needed).
+  *
+  * Re-expresses the reference's source/target type translation and
+  * cast-safety lattice (see `/root/reference/dbimport/util.py:79-143`)
+  * in terms of both the reference's string-typed domain (for exact
+  * contract parity, pinned by the ported case tables in
+  * `tests/test_util.py`) and Spark's `DataType` algebra (for use inside
+  * the engine).
+  */
+object Types {
+
+  /** Source-side type domain after normalization — the reference
+    * collapses pandas/numpy dtype names into 4 values plus passthrough
+    * (`util.py:87-104`). Note: its "decimal" means *floating point*.
+    */
+  sealed trait SourceType { def name: String }
+  case object Text extends SourceType { val name = "text" }
+  case object Number extends SourceType { val name = "number" }
+  case object DecimalSrc extends SourceType { val name = "decimal" }
+  case object DatetimeSrc extends SourceType { val name = "datetime" }
+  /** Passthrough for anything outside the 4-value domain (e.g. "bool"). */
+  final case class Other(name: String) extends SourceType
+
+  /** F3 — dtype-name normalization (`util.py:87-104`). */
+  def translateDtype(name: String): String = {
+    val n = name.toLowerCase
+    if (n == "object" || n.startsWith("str")) "text"
+    else if (
+      n.startsWith("int") || n.startsWith("uint") ||
+      n.startsWith("longlong") || n.startsWith("ulonglong")
+    ) "number"
+    else if (n.startsWith("float")) "decimal"
+    else if (n.startsWith("datetime")) "datetime"
+    else name
+  }
+
+  /** Spark-native variant of F3: map a Spark `DataType` into the
+    * reference's 4-value source domain (SURVEY §1.2 table).
+    */
+  def sourceTypeOf(dt: DataType): SourceType = dt match {
+    case StringType | _: VarcharType | _: CharType     => Text
+    case ByteType | ShortType | IntegerType | LongType => Number
+    case FloatType | DoubleType                        => DecimalSrc
+    case TimestampType | TimestampNTZType              => DatetimeSrc
+    case other                                         => Other(other.simpleString)
+  }
+
+  private val DecimalPattern =
+    "^(decimal|numeric)\\((\\d+)\\s*,\\s*(\\d+)\\)$".r
+
+  /** F4 — cast-safety predicate (`util.py:107-132`).
+    *
+    * Returns false (implicit/safe) only for:
+    *   - text  → any type containing "char" or "text"
+    *   - number → int | decimal* | numeric*
+    *   - decimal → float, or decimal/numeric(p,s) with s > 0
+    *   - datetime → any type containing "datetime" (not date/time)
+    * Everything else requires an explicit cast (true).
+    */
+  def isCastExplicit(src: String, dst: String): Boolean = src match {
+    case "text" =>
+      !(dst.contains("char") || dst.contains("text"))
+    case "number" =>
+      !(dst == "int" || dst.startsWith("decimal") || dst.startsWith("numeric"))
+    case "decimal" =>
+      if (dst == "float") false
+      else
+        DecimalPattern.findFirstMatchIn(dst) match {
+          case Some(m) if m.group(3).toInt > 0 => false
+          case _                               => true
+        }
+    case "datetime" =>
+      !dst.contains("datetime")
+    case _ => true
+  }
+
+  /** Spark-native cast-safety over `DataType` pairs: true when the cast
+    * from `src` to `dst` may lose information and so should be surfaced
+    * to the user (the reference's yellow-cell warning,
+    * `window.py:413-414`). Modeled on `Cast.canUpCast` semantics.
+    */
+  def isCastExplicit(src: DataType, dst: DataType): Boolean =
+    (sourceTypeOf(src), dst) match {
+      case (Text, StringType | _: VarcharType | _: CharType) => false
+      case (Number, ByteType | ShortType | IntegerType | LongType) => false
+      case (Number, _: DecimalType) => false
+      case (DecimalSrc, FloatType | DoubleType) => false
+      case (DecimalSrc, d: DecimalType) if d.scale > 0 => false
+      case (DatetimeSrc, TimestampType | TimestampNTZType) => false
+      case _ => true
+    }
+
+  /** F1 — SQL Server delimited identifier (`util.py:135-143`): wrap in
+    * brackets, double any `]`; None when the input exceeds 128 chars.
+    */
+  def quoteName(s: String): Option[String] =
+    if (s.length > 128) None
+    else Some("[" + s.replace("]", "]]") + "]")
+
+  /** F2 — `schema.table`, or bare table when schema is empty/null
+    * (`util.py:79-84`).
+    */
+  def qualifyName(schema: String, table: String): String =
+    if (schema == null || schema.isEmpty) table else schema + "." + table
+
+  /** Render a catalog column type the way the reference's catalog scan
+    * does (`util.py:63-74`): `type`, `type(n)` for char-ish, or
+    * `type(p, s)` for decimal/numeric.
+    */
+  def renderCatalogType(
+      typeName: String,
+      columnSize: Option[Int],
+      decimalDigits: Option[Int]
+  ): String =
+    if (typeName.contains("char"))
+      s"$typeName(${columnSize.getOrElse(0)})"
+    else if (typeName == "decimal" || typeName == "numeric")
+      s"$typeName(${columnSize.getOrElse(0)}, ${decimalDigits.getOrElse(0)})"
+    else typeName
+}
