@@ -1,0 +1,129 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** One catalog row, the analogue of an `INFORMATION_SCHEMA.COLUMNS`
+  * record (`/root/reference/dbimport/util.py:31-76`).
+  */
+final case class ColumnMeta(
+    table: String,
+    column: String,
+    ordinal: Int,
+    dataType: DataType
+) {
+  /** The reference's string rendering of a catalog type (`util.py:63-74`). */
+  def rendered: String = dataType match {
+    case d: DecimalType => Types.renderCatalogType("decimal", Some(d.precision), Some(d.scale))
+    case v: VarcharType => Types.renderCatalogType("varchar", Some(v.length), None)
+    case c: CharType    => Types.renderCatalogType("char", Some(c.length), None)
+    case other          => other.simpleString
+  }
+}
+
+/** Table registry over a directory of parquet tables, standing in for
+  * the reference's ODBC catalog round-trips (S3-S6):
+  *
+  *   - S3 source enumeration  — `pyodbc.dataSources()` (`window.py:201`)
+  *     → [[listTables]]
+  *   - S4 catalog column scan — `get_column_metadata` (`util.py:31-76`)
+  *     → [[allColumns]] / [[columnsDf]]
+  *   - S5 primary-key scan    — `_get_pk` (`importer.py:149-155`)
+  *     → [[primaryKey]] (Spark has no PK concept; a sidecar map carries
+  *     key metadata beside the data, defaulted for the test corpus)
+  *   - S6 table column scan   — `_get_cols` (`importer.py:157-163`)
+  *     → [[columns]]
+  *
+  * Schema metadata is driver-side by nature (it is per-table, not
+  * per-row) — mirroring the reference, where catalog scans are small
+  * metadata queries, cached per source (`window.py:211-216`).
+  */
+final class Catalog(
+    spark: SparkSession,
+    dir: String,
+    pkOverrides: Map[String, Seq[String]] = Map.empty
+) {
+
+  private val pks: Map[String, Seq[String]] = Catalog.defaultPks ++ pkOverrides
+
+  /** S3 — enumerate tables (one parquet file/dir per table). */
+  def listTables: Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.list()).getOrElse(Array.empty[String]).toSeq
+      .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
+  }
+
+  /** Load one table. */
+  def table(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[String, StructType]
+
+  def schemaOf(name: String): StructType =
+    schemaCache.getOrElseUpdate(name, table(name).schema)
+
+  /** S6 — ordered column metadata of one table (`_get_cols`). */
+  def columns(name: String): Seq[ColumnMeta] =
+    schemaOf(name).fields.zipWithIndex.toSeq.map { case (f, i) =>
+      ColumnMeta(name, f.name, i + 1, f.dataType)
+    }
+
+  /** S4 + O1 — full catalog scan, ordered by table then ordinal
+    * position like the reference's
+    * `order by table_schema, table_name, ordinal_position`
+    * (`util.py:45-47`).
+    */
+  def allColumns: Seq[ColumnMeta] =
+    listTables.flatMap(columns)
+
+  /** S4 as a relation, so the catalog scan is queryable/joinable. */
+  def columnsDf: DataFrame = {
+    val rows = allColumns.map(m =>
+      Row(m.table, m.column, m.ordinal, m.rendered))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("table_name", StringType, nullable = false),
+        StructField("column_name", StringType, nullable = false),
+        StructField("ordinal_position", IntegerType, nullable = false),
+        StructField("data_type", StringType, nullable = false)
+      ))
+    )
+  }
+
+  /** S5 — primary-key columns in ordinal order. */
+  def primaryKey(name: String): Seq[String] =
+    pks.getOrElse(name, Nil)
+
+  /** Build an [[Importer]] with catalog-resolved PK metadata, the
+    * analogue of `Importer.__init__`'s catalog round-trip
+    * (`importer.py:95-98`).
+    */
+  def importer(
+      tableName: String,
+      data: DataFrame,
+      joinOn: Option[Seq[String]] = None,
+      subset: Option[Seq[String]] = None
+  ): Importer =
+    new Importer(table(tableName), data, table = tableName,
+      tablePk = primaryKey(tableName), joinOn = joinOn, subset = subset)
+}
+
+object Catalog {
+  /** PK sidecar for the driver-generated test corpus (TESTDATA.md) —
+    * the stand-in for `information_schema.key_column_usage`.
+    */
+  val defaultPks: Map[String, Seq[String]] = Map(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey"),
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "events" -> Seq("event_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id")
+  )
+}

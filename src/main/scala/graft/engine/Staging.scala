@@ -1,0 +1,135 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Staging layer (S7/S8) — the Spark re-expression of the reference's
+  * temp-table lifecycle (`/root/reference/dbimport/importer.py:263-291`):
+  * drop-if-exists, `LIMIT 0` schema clone, chunked bulk insert.
+  *
+  * In Spark the staging area is a temp view (zero-copy, lineage-backed)
+  * rather than a server-side temp table; the chunked `executemany` with
+  * per-chunk commit becomes partition-granular parallel writes, where
+  * the partition count plays the chunk role.
+  */
+object Staging {
+
+  /** The reference's bulk-insert chunk size (`importer.py:14`). */
+  val ChunkSize: Int = 5000
+
+  /** O2 — `LIMIT 0` schema clone (`importer.py:48,50`): an empty frame
+    * with the target's (selected) columns, used as staging DDL.
+    */
+  def emptyClone(df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    val base = if (cols.isEmpty) df else df.select(cols.map(col): _*)
+    base.limit(0)
+  }
+
+  /** S7 — create/replace the staging relation as a temp view, the
+    * idempotent analogue of drop-temp + create-temp
+    * (`importer.py:263-291`).
+    */
+  def stage(df: DataFrame, name: String): Unit =
+    df.createOrReplaceTempView(name)
+
+  /** Drop the staging view if it exists (`_drop_temp_table`,
+    * `importer.py:263-266`).
+    */
+  def unstage(df: DataFrame, name: String): Unit =
+    df.sparkSession.catalog.dropTempView(name): Unit
+
+  /** F6 — chunk partitioner (`importer.py:254`:
+    * `np.arange(len(data)) // 5000`). Spark has no global row order, so
+    * the contract becomes "groups of at most `chunkSize` rows": ids are
+    * assigned per partition from `spark_partition_id`, keeping the
+    * computation fully distributed (no global sort, no collect).
+    */
+  def withChunkId(df: DataFrame, chunkSize: Int = ChunkSize): DataFrame = {
+    // monotonically_increasing_id packs (partition id << 33 | local
+    // offset); the local offset is contiguous per partition, so
+    // offset / chunkSize is a stable per-partition chunk number.
+    val mid = monotonically_increasing_id()
+    df.withColumn("chunk_id",
+      shiftleft(shiftright(mid, 33), 31) + floor((mid.bitwiseAND((1L << 33) - 1)) / chunkSize))
+  }
+
+  /** S8 — batched sink: write with a bounded number of rows per task,
+    * the analogue of chunked `executemany` + per-chunk commit
+    * (`importer.py:253-261`). `maxRecordsPerFile` bounds file (chunk)
+    * size without forcing a shuffle of the input.
+    */
+  def writeBatched(
+      df: DataFrame,
+      path: String,
+      chunkSize: Int = ChunkSize,
+      mode: SaveMode = SaveMode.Overwrite
+  ): Unit =
+    df.write
+      .mode(mode)
+      .option("maxRecordsPerFile", chunkSize.toLong)
+      .parquet(path)
+}
+
+/** Dialect-specific SQL codegen for the JDBC pushdown path — the
+  * reference's UPDATE/DDL statement generators re-expressed so a JDBC
+  * sink could run the same set-based update server-side. There is no
+  * live database in this environment, so this layer is pinned by
+  * text-level tests only (SURVEY §7.5).
+  */
+object SqlGen {
+
+  /** V2 — known dialects (`importer.py:15,66-70`). */
+  val KnownDialects: Set[String] = Set("mssql", "sqlite")
+
+  def requireDialect(dialect: String): Unit =
+    if (!KnownDialects.contains(dialect))
+      throw new IllegalArgumentException(
+        "unsupported dialect, use available: " +
+          KnownDialects.toSeq.sorted.map(d => s"'$d'").mkString(", "))
+
+  private def q(name: String): String =
+    Types.quoteName(name).getOrElse(
+      throw new IllegalArgumentException(s"identifier too long: $name"))
+
+  /** J1 — mssql `UPDATE … FROM target INNER JOIN temp`
+    * (`importer.py:313-330`).
+    */
+  def updateMssql(
+      schema: String, table: String, temp: String,
+      joinOn: Seq[String], subset: Seq[String]
+  ): String = {
+    val cond = joinOn.map(c => s"a.${q(c)} = b.${q(c)}").mkString(" and ")
+    val sets = subset.map(c => s"a.${q(c)} = b.${q(c)}").mkString(", ")
+    s"update a set $sets from ${q(schema)}.${q(table)} as a " +
+      s"inner join $temp as b on $cond"
+  }
+
+  /** J2 — sqlite correlated-subquery UPDATE with EXISTS guard
+    * (`importer.py:331-354`); semantically identical to J1 given
+    * unique keys (Catalyst would decorrelate this shape into the same
+    * left-semi join plan).
+    */
+  def updateSqlite(
+      table: String, temp: String,
+      joinOn: Seq[String], subset: Seq[String]
+  ): String = {
+    val cond = joinOn.map(c => s"$table.$c = $temp.$c").mkString(" and ")
+    val sets = subset
+      .map(c => s"$c = (select $c from $temp where $cond)")
+      .mkString(", ")
+    s"update $table set $sets where exists (select * from $temp where $cond)"
+  }
+
+  /** S7 — staging DDL (`importer.py:41-51`). */
+  def createTempTable(
+      dialect: String, table: String, temp: String, cols: Seq[String]
+  ): String = {
+    requireDialect(dialect)
+    dialect match {
+      case "mssql" =>
+        s"select top 0 ${cols.map(q).mkString(", ")} into $temp from $table"
+      case "sqlite" =>
+        s"create temp table $temp as select ${cols.mkString(", ")} from $table limit 0"
+    }
+  }
+}

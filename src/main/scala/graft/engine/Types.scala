@@ -81,18 +81,16 @@ object Types {
   /** Spark-native cast-safety over `DataType` pairs: true when the cast
     * from `src` to `dst` may lose information and so should be surfaced
     * to the user (the reference's yellow-cell warning,
-    * `window.py:413-414`). Modeled on `Cast.canUpCast` semantics.
+    * `window.py:413-414`).
+    *
+    * Unlike the reference's coarse 4-value lattice (which collapses all
+    * integers into "number"), this matches on the concrete source
+    * `DataType` via `Cast.canUpCast`, so lossy narrowing casts such as
+    * `LongType -> ByteType`, `LongType -> DecimalType(3,0)` and
+    * `DoubleType -> FloatType` are correctly reported as explicit.
     */
   def isCastExplicit(src: DataType, dst: DataType): Boolean =
-    (sourceTypeOf(src), dst) match {
-      case (Text, StringType | _: VarcharType | _: CharType) => false
-      case (Number, ByteType | ShortType | IntegerType | LongType) => false
-      case (Number, _: DecimalType) => false
-      case (DecimalSrc, FloatType | DoubleType) => false
-      case (DecimalSrc, d: DecimalType) if d.scale > 0 => false
-      case (DatetimeSrc, TimestampType | TimestampNTZType) => false
-      case _ => true
-    }
+    !org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(src, dst)
 
   /** F1 — SQL Server delimited identifier (`util.py:135-143`): wrap in
     * brackets, double any `]`; None when the input exceeds 128 chars.
@@ -109,16 +107,22 @@ object Types {
 
   /** Render a catalog column type the way the reference's catalog scan
     * does (`util.py:63-74`): `type`, `type(n)` for char-ish, or
-    * `type(p, s)` for decimal/numeric.
+    * `type(p, s)` for decimal/numeric. Sized types with missing size
+    * metadata throw (the reference would raise on a NULL size too) so a
+    * bad catalog row is surfaced instead of rendered as `char(0)`.
     */
   def renderCatalogType(
       typeName: String,
       columnSize: Option[Int],
       decimalDigits: Option[Int]
-  ): String =
+  ): String = {
+    def size(o: Option[Int], what: String): Int = o.getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog metadata for sized type '$typeName' is missing $what"))
     if (typeName.contains("char"))
-      s"$typeName(${columnSize.getOrElse(0)})"
+      s"$typeName(${size(columnSize, "column size")})"
     else if (typeName == "decimal" || typeName == "numeric")
-      s"$typeName(${columnSize.getOrElse(0)}, ${decimalDigits.getOrElse(0)})"
+      s"$typeName(${size(columnSize, "precision")}, ${size(decimalDigits, "scale")})"
     else typeName
+  }
 }

@@ -97,12 +97,19 @@ class TypesSpec extends AnyFunSuite {
     assert(Types.sourceTypeOf(BooleanType) == Types.Other("boolean"))
   }
 
-  test("isCastExplicit over Spark DataType pairs mirrors the lattice") {
+  test("isCastExplicit over Spark DataType pairs is precision-aware") {
     assert(!Types.isCastExplicit(StringType, StringType))
     assert(Types.isCastExplicit(StringType, LongType))
-    assert(!Types.isCastExplicit(LongType, DecimalType(10, 5)))
-    assert(!Types.isCastExplicit(DoubleType, FloatType))
-    assert(!Types.isCastExplicit(DoubleType, DecimalType(10, 1)))
+    // Decimal(25,5) can hold every Long; Decimal(10,5) cannot.
+    assert(!Types.isCastExplicit(LongType, DecimalType(25, 5)))
+    assert(Types.isCastExplicit(LongType, DecimalType(10, 5)))
+    // Narrowing numeric casts may lose information → explicit.
+    assert(Types.isCastExplicit(DoubleType, FloatType))
+    assert(Types.isCastExplicit(LongType, ByteType))
+    assert(!Types.isCastExplicit(FloatType, DoubleType))
+    assert(!Types.isCastExplicit(IntegerType, LongType))
+    // Fractional → decimal can lose precision → explicit.
+    assert(Types.isCastExplicit(DoubleType, DecimalType(10, 1)))
     assert(Types.isCastExplicit(DoubleType, DecimalType(10, 0)))
     assert(!Types.isCastExplicit(TimestampType, TimestampType))
     assert(Types.isCastExplicit(TimestampType, DateType))
@@ -114,5 +121,13 @@ class TypesSpec extends AnyFunSuite {
       Types.renderCatalogType("decimal", Some(10), Some(2)) == "decimal(10, 2)"
     )
     assert(Types.renderCatalogType("int", Some(10), None) == "int")
+    assert(Types.renderCatalogType("int", None, None) == "int")
+    // Missing size metadata on a sized type surfaces the bad catalog row.
+    intercept[IllegalArgumentException] {
+      Types.renderCatalogType("varchar", None, None)
+    }
+    intercept[IllegalArgumentException] {
+      Types.renderCatalogType("decimal", Some(10), None)
+    }
   }
 }
