@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
+import graft.ops.{EventOps, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -116,7 +117,25 @@ object SparkEntry {
     // S4/S6/O1 — catalog column scan as a relation (no SQL oracle: the
     // catalog is engine-side metadata; driver records rows-only)
     "catalog_columns" -> ((s, dir) =>
-      new Catalog(s, dir).columnsDf)
+      new Catalog(s, dir).columnsDf),
+
+    // --- aggregation / join / set-op / top-k extensions (§2.4-2.6) ---
+    "q1_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
+    "q5_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
+    "rollup_agg" -> ((s, dir) => Relational.rollupAgg(s, dir)),
+    "cube_agg" -> ((s, dir) => Relational.cubeAgg(s, dir)),
+    "set_intersect" -> ((s, dir) => Relational.setIntersect(s, dir)),
+    "set_except" -> ((s, dir) => Relational.setExcept(s, dir)),
+    "set_union" -> ((s, dir) => Relational.setUnion(s, dir)),
+    "top_orders" -> ((s, dir) => Relational.topOrders(s, dir)),
+    "top_per_group" -> ((s, dir) => Relational.topPerGroup(s, dir)),
+
+    // --- events: windows, sessionization, JSON (§2.6/§2.7) ---
+    "events_window_rank" -> ((s, dir) => EventOps.windowRank(s, dir)),
+    "events_tumbling" -> ((s, dir) => EventOps.tumblingAgg(s, dir)),
+    "events_sessionize" -> ((s, dir) => EventOps.sessionize(s, dir)),
+    "events_session_stats" -> ((s, dir) => EventOps.sessionStats(s, dir)),
+    "events_json" -> ((s, dir) => EventOps.jsonExtract(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -174,6 +193,117 @@ object SparkEntry {
     "distinct_first" ->
       """SELECT l_returnflag, min(l_orderkey) AS first_key
         |FROM lineitem
-        |GROUP BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag""".stripMargin,
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q5_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "rollup_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "cube_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "set_intersect" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        |INTERSECT
+        |SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "set_except" ->
+      """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        |EXCEPT
+        |SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+    "set_union" ->
+      """SELECT DISTINCT o_orderkey FROM (
+        |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders WHERE o_orderstatus = 'O'
+        |)""".stripMargin,
+    "top_orders" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "top_per_group" ->
+      """SELECT p_brand, p_partkey, p_retailprice, rk FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC, p_partkey) AS INTEGER) AS rk
+        |  FROM part
+        |) WHERE rk <= 3""".stripMargin,
+    "events_window_rank" ->
+      """SELECT event_id, user_id, value,
+        |  CAST(row_number() OVER w AS INTEGER) AS rn,
+        |  lag(value) OVER w AS prev_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)""".stripMargin,
+    "events_tumbling" ->
+      """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |  event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+    "events_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |         WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |)
+        |SELECT user_id, event_id,
+        |  CAST(sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |FROM g""".stripMargin,
+    "events_session_stats" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |         WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sess AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CAST(sum(new_s) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
+        |FROM sess
+        |GROUP BY user_id, session_id""".stripMargin,
+    "events_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin
   )
 }

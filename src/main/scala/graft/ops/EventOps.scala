@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Operators over the `events` stream table (SURVEY §2.6 extension
+  * surface): ranking/analytic windows, tumbling time windows,
+  * sessionization, JSON extraction.
+  *
+  * The parquet fixture stores `ts` as TIMESTAMP(NANOS), which Spark has
+  * no type for — the session reads it as Long nanoseconds
+  * (`spark.sql.legacy.parquet.nanosAsLong=true`) and [[load]] derives
+  * both a µs timestamp and a µs epoch long. All ordering and window
+  * arithmetic uses the µs values so results are reproducible against
+  * engines that keep full ns precision (oracles truncate identically).
+  */
+object EventOps {
+
+  /** Scan + ns→µs normalization. `ts DIV 1000` is exact integer
+    * division on the ns long (doubles would lose precision above 2^53).
+    */
+  def load(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts_us", expr("ts DIV 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+
+  private def userWindow =
+    Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+
+  /** Ranking + analytic window functions per user: row_number, rank
+    * over value, lag of value. One shuffle on user_id; windows within
+    * a user evaluate partition-locally (scale: user cardinality grows
+    * with data, so partitions stay bounded).
+    */
+  def windowRank(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir)
+    ev.select(
+      col("event_id"), col("user_id"), col("value"),
+      row_number().over(userWindow).as("rn"),
+      lag("value", 1).over(userWindow).as("prev_value"))
+  }
+
+  /** Tumbling 1-hour windows via the built-in `window()` operator:
+    * count + exact (decimal-summed) value total per (window, type).
+    */
+  def tumblingAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir)
+    ev.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("hour_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Sessionization: a new session starts after a >30-minute gap in a
+    * user's event stream; session ids are per-user running counts.
+    * Two window passes over the same (user_id) partitioning — Catalyst
+    * reuses the single shuffle/sort.
+    */
+  private def sessionized(s: SparkSession, dir: String, gapMinutes: Int): DataFrame = {
+    val ev = load(s, dir)
+    val gapUs = gapMinutes * 60L * 1000000L
+    val newSession = when(
+      col("ts_us") - lag("ts_us", 1).over(userWindow) > gapUs, 1
+    ).otherwise(
+      when(lag("ts_us", 1).over(userWindow).isNull, 1).otherwise(0))
+    ev.select(
+        col("user_id"), col("event_id"), col("ts_us"),
+        newSession.as("new_s"))
+      .select(
+        col("user_id"), col("event_id"), col("ts_us"),
+        sum("new_s").over(
+          userWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("session_id"))
+  }
+
+  def sessionize(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    sessionized(s, dir, gapMinutes).drop("ts_us")
+
+  /** Session-level rollup built on [[sessionize]]: events per session
+    * and session bounds in epoch µs.
+    */
+  def sessionStats(s: SparkSession, dir: String, gapMinutes: Int = 30): DataFrame =
+    sessionized(s, dir, gapMinutes)
+      .groupBy("user_id", "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        min("ts_us").as("session_start_us"),
+        max("ts_us").as("session_end_us"))
+
+  /** JSON extraction from the `props` payload column. */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    load(s, dir).select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+}

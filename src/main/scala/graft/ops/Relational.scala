@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational/aggregation extension surface (SURVEY §2.4-§2.6): grouped
+  * and hierarchical aggregation, multi-way dimension joins, set
+  * operations, distributed top-k.
+  *
+  * Determinism note: double aggregation is order-dependent under
+  * shuffle, so every double sum here goes through an exact
+  * decimal(18,6) accumulator and is cast back to double — the same
+  * value on any partitioning, any cluster size, and in the DuckDB
+  * oracles (see BASELINE.md / tools/check.py).
+  */
+object Relational {
+
+  /** Exact, partitioning-independent sum of a double expression. */
+  def sumd(c: Column): Column =
+    sum(c.cast(DecimalType(18, 6))).cast("double")
+
+  /** Exact mean: decimal sum over long count (double division). */
+  def avgd(c: Column): Column =
+    sumd(c) / count(lit(1))
+
+  private def rd(s: SparkSession, dir: String, t: String): DataFrame =
+    s.read.parquet(s"$dir/$t.parquet")
+
+  /** TPC-H Q1-shaped pricing summary: grouped aggregation with derived
+    * measures. Partial (map-side) aggregation makes this a single
+    * shuffle of 4-ish groups regardless of input size.
+    */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_extendedprice")).as("sum_base_price"),
+        sumd(disc).as("sum_disc_price"),
+        sumd(disc * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        avgd(col("l_quantity")).as("avg_qty"),
+        avgd(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+  }
+
+  /** TPC-H Q5-shaped multi-hop dimension join: revenue per nation for
+    * one region. The dimension chain (region → nation → supplier) is
+    * broadcast — at 100 TB only the fact tables (orders, lineitem)
+    * shuffle, and the region filter prunes before the join.
+    */
+  def revenueByNation(s: SparkSession, dir: String, region: String = "ASIA"): DataFrame = {
+    val li = rd(s, dir, "lineitem")
+    val ord = rd(s, dir, "orders")
+    val cust = rd(s, dir, "customer")
+    val sup = broadcast(rd(s, dir, "supplier"))
+    val nat = broadcast(rd(s, dir, "nation"))
+    val reg = broadcast(rd(s, dir, "region").filter(col("r_name") === region))
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nat, col("c_nationkey") === col("n_nationkey"))
+      .join(reg, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(sumd(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  /** Hierarchical aggregation: ROLLUP over (returnflag, linestatus). */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+
+  /** CUBE over (returnflag, linestatus). */
+  def cubeAgg(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+
+  private def statusKeys(s: SparkSession, dir: String, status: String): DataFrame =
+    rd(s, dir, "orders").filter(col("o_orderstatus") === status)
+      .select("o_orderkey")
+
+  private def urgentKeys(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey")
+
+  /** Set ops over order-key partitions (INTERSECT/EXCEPT/UNION are
+    * hash-partitioned distinct joins in Spark — fully distributed).
+    */
+  def setIntersect(s: SparkSession, dir: String): DataFrame =
+    statusKeys(s, dir, "F").intersect(urgentKeys(s, dir))
+
+  def setExcept(s: SparkSession, dir: String): DataFrame =
+    statusKeys(s, dir, "F").except(urgentKeys(s, dir))
+
+  def setUnion(s: SparkSession, dir: String): DataFrame =
+    statusKeys(s, dir, "F").union(statusKeys(s, dir, "O")).distinct()
+
+  /** Distributed top-k: `orderBy().limit()` compiles to
+    * TakeOrderedAndProject — per-partition heaps + a k-row driver
+    * merge, never a global sort. Ties broken by key for determinism.
+    */
+  def topOrders(s: SparkSession, dir: String, k: Int = 100): DataFrame =
+    rd(s, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(k)
+      .select("o_orderkey", "o_totalprice")
+
+  /** Grouped top-k via ranking window: 3 most expensive parts per
+    * brand. The window shuffles once on the group key; no global sort.
+    */
+  def topPerGroup(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("p_brand")
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+    rd(s, dir, "part")
+      .select(col("p_brand"), col("p_partkey"), col("p_retailprice"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+}
