@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
-import graft.ops.{EventOps, Relational}
+import graft.ops.{Dedup, EventOps, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -135,7 +135,29 @@ object SparkEntry {
     "events_tumbling" -> ((s, dir) => EventOps.tumblingAgg(s, dir)),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(s, dir)),
     "events_session_stats" -> ((s, dir) => EventOps.sessionStats(s, dir)),
-    "events_json" -> ((s, dir) => EventOps.jsonExtract(s, dir))
+    "events_json" -> ((s, dir) => EventOps.jsonExtract(s, dir)),
+
+    // --- LLM-pipeline: deduplication over documents ---
+    "dedup_exact" -> ((s, dir) => Dedup.exactGroups(s, dir)),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(s, dir)),
+    // SimHash pairs: signature semantics aren't portable SQL (xxhash64)
+    // → rows-only check; pinned by DedupSpec instead
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+
+    // --- LLM-pipeline: text analysis over documents ---
+    "text_tokens" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
+    "text_quality" -> ((s, dir) => TextOps.qualityScores(s, dir)),
+    "text_langid" -> ((s, dir) => TextOps.langId(s, dir)),
+    "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(s, dir)),
+
+    // --- LLM-pipeline: similarity search over embeddings ---
+    "sim_norms" -> ((s, dir) => Similarity.norms(s, dir)),
+    "sim_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
+    // ANN path: LSH bucketing is engine-specific → rows-only; recall
+    // vs the brute-force baseline is pinned in SimilaritySpec
+    "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(s, dir)),
+    "sim_near_dup" -> ((s, dir) => Similarity.cosineNearDupPairs(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -304,6 +326,121 @@ object SparkEntry {
     "events_json" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+    "dedup_exact" ->
+      """SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keep_id
+        |FROM documents
+        |GROUP BY md5(text)""".stripMargin,
+    "dedup_ngram_jaccard" -> jaccardOracle(0.5),
+    // The LSH result is exact w.h.p. after verification, so it is
+    // pinned against the same exact-Jaccard oracle at its threshold.
+    "dedup_minhash_lsh" -> jaccardOracle(0.8),
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INTEGER) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS re_tokens
+        |FROM documents""".stripMargin,
+    "text_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars,
+        |  CAST(len(toks) AS INTEGER) AS n_tokens,
+        |  (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+        |  CAST(len(list_filter(toks, x -> x IN ('a','the','of','and'))) AS INTEGER) AS stop_cnt,
+        |  len(list_filter(toks, x -> x IN ('a','the','of','and'))) / CAST(len(toks) AS DOUBLE) AS stop_ratio,
+        |  (len(toks) >= 20 AND len(toks) <= 1000 AND
+        |   len(list_filter(toks, x -> x IN ('a','the','of','and'))) / CAST(len(toks) AS DOUBLE) >= 0.01) AS keep
+        |FROM t""".stripMargin,
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), sc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','is'))) AS INTEGER) AS en_score,
+        |    CAST(len(list_filter(toks, x -> x IN ('der','die','das','und','ist'))) AS INTEGER) AS de_score,
+        |    CAST(len(list_filter(toks, x -> x IN ('le','la','les','et','est'))) AS INTEGER) AS fr_score,
+        |    CAST(len(list_filter(toks, x -> x IN ('el','los','las','y','es'))) AS INTEGER) AS es_score
+        |  FROM t
+        |)
+        |SELECT doc_id, lang AS lang_label,
+        |  en_score, de_score, fr_score, es_score,
+        |  CASE
+        |    WHEN en_score >= de_score AND en_score >= fr_score
+        |         AND en_score >= es_score AND en_score > 0 THEN 'en'
+        |    WHEN de_score >= fr_score AND de_score >= es_score
+        |         AND de_score > 0 THEN 'de'
+        |    WHEN fr_score >= es_score AND fr_score > 0 THEN 'fr'
+        |    WHEN es_score > 0 THEN 'es'
+        |    ELSE 'und' END AS lang_pred
+        |FROM sc""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+    "sim_norms" ->
+      """SELECT vec_id,
+        |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2
+        |FROM embeddings""".stripMargin,
+    "sim_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+        |), sc AS (
+        |  SELECT query_id, vec_id,
+        |    list_dot_product(v, qv) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS score
+        |  FROM e, q WHERE vec_id <> query_id
+        |)
+        |SELECT query_id, vec_id, score, rk FROM (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
+        |  FROM sc
+        |) WHERE rk <= 10""".stripMargin,
+    // Embedding near-dup at cosine >= 0.9: exact all-pairs oracle (the
+    // corpus has no such pairs — both sides must agree on empty).
+    "sim_near_dup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |  list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) /
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9""".stripMargin
   )
+
+  /** Exact word-trigram Jaccard pairs at a threshold — shared oracle
+    * for the exact and LSH dedup paths.
+    */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 3
+       |), sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+       |      for i in range(1, len(t) - 1)])) AS shingle
+       |  FROM toks
+       |), cnt AS (
+       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+       |), inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, i / (ca.n + cb.n - i) AS jaccard
+       |FROM inter
+       |JOIN cnt ca ON ca.doc_id = doc_a
+       |JOIN cnt cb ON cb.doc_id = doc_b
+       |WHERE i / (ca.n + cb.n - i) >= $threshold""".stripMargin
 }

@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`
+  * vectors). Two paths:
+  *
+  *   - brute-force cosine top-k against a (small, broadcast) query
+  *     set — the exactness baseline; cost O(|queries| · N), never
+  *     N × N
+  *   - hyperplane-LSH bucketed ANN — the 100 TB path: deterministic
+  *     signed random projections (hash-derived, no RNG state) bucket
+  *     the corpus, candidates come from bucket joins only
+  *
+  * Vector math uses `zip_with` + `aggregate` (sequential fold →
+  * deterministic, engine-reproducible sums) in double precision.
+  */
+object Similarity {
+
+  /** Scan with float→double promotion (exact) for stable arithmetic. */
+  def load(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("label"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
+
+  /** Sequential-fold dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** Per-vector L2 norm (the fixture's vectors are unit-normalized —
+    * this also serves as the multimodal-column arithmetic smoke).
+    */
+  def norms(s: SparkSession, dir: String): DataFrame =
+    load(s, dir).select(col("vec_id"), l2norm(col("v")).as("l2"))
+
+  /** Brute-force cosine top-k: the first `numQueries` vectors are the
+    * query set (broadcast); every corpus vector is scored against each
+    * query in one pass; per-query top-k via ranking window over the
+    * (tiny) query partition count.
+    */
+  def cosineTopK(
+      s: SparkSession, dir: String,
+      numQueries: Int = 5, k: Int = 10
+  ): DataFrame = {
+    val emb = load(s, dir)
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("score"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.select(col("query_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Signed-random-projection bit for one hyperplane: sign of Σ_d
+    * c(p,d)·v[d] with deterministic ±1 coefficients derived from
+    * xxhash64(plane, dim) — reproducible on any cluster, no RNG state.
+    */
+  private def planeBit(plane: Int, v: Column): Column = {
+    val proj = aggregate(
+      zip_with(v, sequence(lit(0), size(v) - 1),
+        (x, i) => x * when(xxhash64(lit(plane), i).bitwiseAND(1L) === 1L,
+          lit(1.0)).otherwise(lit(-1.0))),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj > 0, lit(1L << plane)).otherwise(lit(0L))
+  }
+
+  /** Hyperplane-LSH signature: `numPlanes` sign bits packed in a long.
+    * `emb` must have columns (vec_id, v: array<double>).
+    */
+  def lshSignaturesDf(emb: DataFrame, numPlanes: Int = 16): DataFrame = {
+    val sig = (0 until numPlanes).map(p => planeBit(p, col("v")))
+      .reduce((a, b) => a.bitwiseOR(b))
+    emb.select(col("vec_id"), col("v"), sig.as("sig"))
+  }
+
+  def lshSignatures(s: SparkSession, dir: String, numPlanes: Int = 16): DataFrame =
+    lshSignaturesDf(load(s, dir), numPlanes)
+
+  /** ANN top-k via LSH bucketing: candidates for a query are corpus
+    * vectors sharing at least one signature band (pigeonhole over
+    * `numBands` bands), scored exactly, ranked per query. Recall vs
+    * the brute-force baseline is pinned in SimilaritySpec.
+    */
+  def annTopK(
+      s: SparkSession, dir: String,
+      numQueries: Int = 5, k: Int = 10,
+      numPlanes: Int = 16, numBands: Int = 4
+  ): DataFrame = {
+    val width = numPlanes / numBands
+    val sigs = lshSignatures(s, dir, numPlanes)
+    val bandStructs = (0 until numBands).map { bnd =>
+      val key = shiftright(col("sig"), bnd * width)
+        .bitwiseAND((1L << width) - 1)
+      struct(lit(bnd).as("band"), key.as("key"))
+    }
+    val banded = sigs.select(col("vec_id"), col("v"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("v"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val q = banded.filter(col("vec_id") < numQueries)
+      .toDF("query_id", "qv", "band", "key")
+    val cand = banded.join(broadcast(q), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+      .dropDuplicates("query_id", "vec_id")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    cand.select(col("query_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("score"))
+      .select(col("query_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
+  /** Embedding near-duplicate pairs above a cosine threshold, via LSH
+    * banding + exact verification (same shape as MinHash-LSH dedup).
+    */
+  def cosineNearDupPairs(
+      s: SparkSession, dir: String, threshold: Double = 0.9,
+      numPlanes: Int = 16, numBands: Int = 4
+  ): DataFrame =
+    cosineNearDupPairsDf(load(s, dir), threshold, numPlanes, numBands)
+
+  /** DataFrame-level variant for testing with planted vectors. */
+  def cosineNearDupPairsDf(
+      emb: DataFrame, threshold: Double,
+      numPlanes: Int = 16, numBands: Int = 4
+  ): DataFrame = {
+    val width = numPlanes / numBands
+    val sigs = lshSignaturesDf(emb, numPlanes)
+    val bandStructs = (0 until numBands).map { bnd =>
+      val key = shiftright(col("sig"), bnd * width)
+        .bitwiseAND((1L << width) - 1)
+      struct(lit(bnd).as("band"), key.as("key"))
+    }
+    val banded = sigs.select(col("vec_id"), col("v"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("vec_id"), col("v"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.toDF("vec_a", "va", "band", "key")
+    val b = banded.toDF("vec_b", "vb", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col("vec_a") < col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("va"), col("vb")).as("score"))
+      .filter(col("score") >= threshold)
+  }
+}

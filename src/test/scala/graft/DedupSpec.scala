@@ -1,0 +1,89 @@
+package graft
+
+import graft.ops.{Dedup, Similarity, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Pins the dedup/similarity operators that have no SQL oracle
+  * (SimHash, ANN-LSH) and cross-checks the LSH paths against their
+  * exact counterparts on the real fixture.
+  */
+class DedupSpec extends SparkSpec {
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("MinHash-LSH finds exactly the exact-Jaccard pairs (recall 1.0)") {
+    val exact = pairs(Dedup.ngramJaccardPairs(spark, sf(), threshold = 0.8))
+    val lsh = pairs(Dedup.minhashLshPairs(spark, sf(), threshold = 0.8))
+    assert(exact.nonEmpty, "fixture should contain planted near-dups")
+    assert(lsh == exact)
+  }
+
+  test("SimHash pairs at distance<=3 cover the high-Jaccard planted dups") {
+    val sim = Dedup.simhashPairs(spark, sf(), maxDist = 3)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = pairs(Dedup.ngramJaccardPairs(spark, sf(), threshold = 0.9))
+    assert(planted.nonEmpty)
+    // token-multiset SimHash approximates shingle Jaccard, not exactly:
+    // most (not all) 0.9+ shingle pairs collapse to distance <= 3
+    val covered = planted.intersect(sim).size.toDouble / planted.size
+    assert(covered >= 0.7, s"covered $covered of ${planted.size}")
+  }
+
+  test("SimHash signature is partitioning-independent") {
+    val a = Dedup.simhashSignatures(spark, sf())
+      .orderBy("doc_id").limit(5).collect().toSeq
+    val b = Dedup.simhashSignatures(spark, sf())
+      .repartition(7).orderBy("doc_id").limit(5).collect().toSeq
+    assert(a == b)
+  }
+
+  test("ANN-LSH top-k recall vs brute force is usable (>= 0.5 here)") {
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = key(Similarity.cosineTopK(spark, sf(), numQueries = 5, k = 10))
+    val ann = key(Similarity.annTopK(spark, sf(), numQueries = 5, k = 10))
+    assert(exact.size == 50)
+    val recall = ann.intersect(exact).size.toDouble / exact.size
+    // random unit vectors have no cluster structure — the worst case
+    // for LSH — so recall is modest, but must beat chance (~ k/N =
+    // 0.02) by over an order of magnitude
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("near-dup LSH verification finds planted embedding dups") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // plant: vec 100 is vec 1 with one coordinate nudged
+    val dim = 8
+    val base = (0 until dim).map(i => math.sin(i + 1).abs + 0.1)
+    val near = base.updated(0, base.head * 1.01)
+    val far = (0 until dim).map(i => math.cos(3 * i + 2))
+    val rows = Seq(
+      Row(1L, base.toArray), Row(100L, near.toArray), Row(7L, far.toArray))
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("v", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    val emb = spark.createDataFrame(rows.asJava, schema)
+    val found = Similarity.cosineNearDupPairsDf(emb, threshold = 0.99)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == Set((1L, 100L)))
+  }
+
+  test("exact dedup groups: all-unique corpus yields one group per doc") {
+    val g = Dedup.exactGroups(spark, sf())
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    assert(g.count() == docs)
+    assert(g.filter(col("n") > 1).isEmpty)
+  }
+
+  test("fingerprint is whitespace-normalization invariant") {
+    val fps = TextOps.fingerprints(spark, sf()).limit(1).collect()
+    assert(fps.head.getString(1).matches("[0-9a-f]{32}"))
+  }
+}
