@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
-import graft.ops.{Dedup, EventOps, Relational, Similarity, TextOps}
+import graft.ops.{Dedup, EventOps, Multimodal, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -157,7 +157,15 @@ object SparkEntry {
     // ANN path: LSH bucketing is engine-specific → rows-only; recall
     // vs the brute-force baseline is pinned in SimilaritySpec
     "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(s, dir)),
-    "sim_near_dup" -> ((s, dir) => Similarity.cosineNearDupPairs(s, dir))
+    "sim_near_dup" -> ((s, dir) => Similarity.cosineNearDupPairs(s, dir)),
+
+    // --- LLM-pipeline: multimodal binary columns ---
+    "mm_payload_meta" -> ((s, dir) => Multimodal.payloadMeta(s, dir)),
+    // decoded features / frame sampling: stub codec is engine-side →
+    // rows-only checks; plumbing pinned by MultimodalSpec
+    "mm_features" -> ((s, dir) => Multimodal.featureSummary(s, dir)),
+    "mm_frames" -> ((s, dir) => Multimodal.sampledFrames(s, dir)
+      .select("media_id", "frame_idx", "frame_bytes"))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -404,6 +412,13 @@ object SparkEntry {
         |      PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
         |  FROM sc
         |) WHERE rk <= 10""".stripMargin,
+    "mm_payload_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS media_type,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents""".stripMargin,
     // Embedding near-dup at cosine >= 0.9: exact all-pairs oracle (the
     // corpus has no such pairs — both sides must agree on empty).
     "sim_near_dup" ->

@@ -1,0 +1,181 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: media payloads travel as opaque
+  * `binary` columns beside typed metadata, and per-record decode /
+  * feature-extract / thumbnail / frame-sample run as partition-local
+  * batch transforms over a typed `Dataset` (`mapPartitions`) — the
+  * Scala analogue of arrow-batched Python UDFs: one iterator per
+  * partition, codec state amortized across the batch, no per-row
+  * driver involvement.
+  *
+  * There are no media codecs in this environment, so [[FakeCodec]] is
+  * an explicitly-marked STUB: a deterministic stand-in that interprets
+  * payload bytes as pixels. The Spark-side contract — schema,
+  * partitioning, batch shape, feature layout — is real and tested;
+  * swapping in a real codec changes only the inside of
+  * [[FakeCodec.decode]].
+  *
+  * Scale: feature extraction is embarrassingly parallel (narrow,
+  * partition-local); payload bytes never shuffle — only the extracted
+  * (small) features do. At 100 TB the payload column stays in parquet
+  * and is column-pruned away by every query that doesn't need it.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      media_type: String, // "image" | "audio" | "video"
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Int,
+      mean_byte: Double,
+      histogram: Array[Long],   // 16-bin byte-value histogram
+      thumbnail: Array[Byte])   // 4x4 average-pooled "pixels"
+
+  /** STUB codec — deterministic fake in place of a real image/audio
+    * decoder (none available offline). `decode` treats the payload as
+    * a row-major grayscale pixel buffer of the declared dimensions.
+    */
+  object FakeCodec {
+    /** STUB: a real implementation would parse an image container;
+      * this one validates lengths and passes bytes through.
+      */
+    def decode(payload: Array[Byte], width: Int, height: Int): Array[Byte] = {
+      require(width * height <= payload.length,
+        s"payload too short for ${width}x$height")
+      java.util.Arrays.copyOf(payload, width * height)
+    }
+
+    /** Average-pool a grayscale buffer down to `side`×`side`. */
+    def thumbnail(px: Array[Byte], w: Int, h: Int, side: Int = 4): Array[Byte] = {
+      val out = new Array[Byte](side * side)
+      var ty = 0
+      while (ty < side) {
+        var tx = 0
+        while (tx < side) {
+          val x0 = tx * w / side; val x1 = math.max(x0 + 1, (tx + 1) * w / side)
+          val y0 = ty * h / side; val y1 = math.max(y0 + 1, (ty + 1) * h / side)
+          var sum = 0L; var n = 0
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += px(y * w + x) & 0xff; n += 1; x += 1 }
+            y += 1
+          }
+          out(ty * side + tx) = (sum / math.max(n, 1)).toByte
+          tx += 1
+        }
+        ty += 1
+      }
+      out
+    }
+
+    /** Frame-sample a "video" payload: every `stride`-th frame's first
+      * pixel row — a stand-in for keyframe extraction.
+      */
+    def sampleFrames(
+        payload: Array[Byte], frameBytes: Int, stride: Int
+    ): Seq[Array[Byte]] = {
+      val frames = payload.length / math.max(frameBytes, 1)
+      (0 until frames by stride).map { f =>
+        java.util.Arrays.copyOfRange(
+          payload, f * frameBytes, f * frameBytes + frameBytes)
+      }
+    }
+  }
+
+  /** Build a deterministic media table from the documents fixture:
+    * payload = UTF-8 text bytes (an opaque deterministic byte source),
+    * dimensions derived from the payload length. Stands in for a real
+    * image/audio parquet table.
+    */
+  def mediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)]
+      .map { case (id, text, _) =>
+        val payload = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val w = math.max(4, math.min(64, math.sqrt(payload.length.toDouble).toInt))
+        val h = math.max(1, payload.length / w)
+        val mt = (id % 3) match {
+          case 0 => "image"; case 1 => "audio"; case _ => "video"
+        }
+        MediaRecord(id, mt, w, h, payload)
+      }
+  }
+
+  /** Partition-local batched feature extraction: decode (stub),
+    * histogram, mean, thumbnail. The `mapPartitions` shape mirrors an
+    * arrow-batched UDF: per-partition setup happens once, rows stream
+    * through an iterator.
+    */
+  def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec "setup" would go here (amortized state)
+      it.map { m =>
+        val px = FakeCodec.decode(m.payload, m.width, m.height)
+        val hist = new Array[Long](16)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) {
+          val b = px(i) & 0xff
+          hist(b >> 4) += 1
+          sum += b
+          i += 1
+        }
+        MediaFeatures(
+          m.media_id, m.media_type, m.payload.length,
+          if (px.isEmpty) 0.0 else sum.toDouble / px.length,
+          hist,
+          FakeCodec.thumbnail(px, m.width, m.height))
+      }
+    }
+  }
+
+  /** Feature relation registered as a query: payload-level facts that
+    * an external oracle can recompute (byte length + content hash),
+    * plus the decoded mean — proof the binary column round-trips.
+    */
+  def featureSummary(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(mediaTable(s, dir)).toDF()
+      .select(col("media_id"), col("media_type"), col("n_bytes"),
+        col("mean_byte"))
+
+  /** Payload metadata relation (fully oracle-able): id, declared type,
+    * byte length, md5 of the payload.
+    */
+  def payloadMeta(s: SparkSession, dir: String): DataFrame =
+    mediaTable(s, dir).toDF()
+      .select(col("media_id"), col("media_type"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("payload_md5"))
+
+  /** Frame sampling for "video" rows: explode sampled frames with
+    * their index — the flatMap (UDTF-shaped) variant of the batch
+    * transform.
+    */
+  def sampledFrames(s: SparkSession, dir: String, stride: Int = 4): DataFrame = {
+    import s.implicits._
+    mediaTable(s, dir)
+      .filter(_.media_type == "video")
+      .flatMap { m =>
+        val frameBytes = math.max(m.width, 1)
+        FakeCodec.sampleFrames(m.payload, frameBytes, stride)
+          .zipWithIndex.map { case (frame, idx) =>
+            (m.media_id, idx, frame.length, frame)
+          }
+      }
+      .toDF("media_id", "frame_idx", "frame_bytes", "frame")
+  }
+}

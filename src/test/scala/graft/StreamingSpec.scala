@@ -1,0 +1,73 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minutes: Long): java.sql.Timestamp =
+    new java.sql.Timestamp(1700000000000L + minutes * 60000L)
+
+  test("stateful sessionization closes on gap and on watermark timeout") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    // user 1: two events 10 min apart (one session), then a 60-min gap
+    // (second session) — the first session closes in-batch
+    input.addData(
+      Event(1, 1L, ts(0), "view", 1.0),
+      Event(2, 1L, ts(10), "click", 1.0),
+      Event(3, 1L, ts(70), "view", 1.0))
+    query.processAllAvailable()
+
+    val afterBatch1 = spark.table("sessions").as[Session].collect()
+    assert(afterBatch1.toSet == Set(
+      Session(1L, ts(0).getTime * 1000, ts(10).getTime * 1000, 2)))
+
+    // advance the watermark far past user 1's open session → timeout
+    // emits it without any further user-1 events
+    input.addData(Event(9, 2L, ts(500), "view", 1.0))
+    query.processAllAvailable()
+    input.addData(Event(10, 2L, ts(501), "view", 1.0))
+    query.processAllAvailable()
+
+    val all = spark.table("sessions").as[Session].collect()
+    query.stop()
+    assert(all.toSet.contains(
+      Session(1L, ts(70).getTime * 1000, ts(70).getTime * 1000, 1)))
+  }
+
+  test("watermarked windowed counts aggregate incrementally") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val counts = EventStreams.windowedCounts(
+      input.toDS().toDF().withColumnRenamed("ts", "ts"))
+    val query = counts.writeStream.format("memory").queryName("wins")
+      .outputMode("append").start()
+
+    input.addData(
+      Event(1, 1L, ts(0), "view", 1.0),
+      Event(2, 2L, ts(5), "view", 1.0),
+      Event(3, 3L, ts(20), "click", 1.0))
+    query.processAllAvailable()
+    // push watermark (2h) past the first hour to finalize its windows
+    input.addData(Event(4, 4L, ts(300), "view", 1.0))
+    query.processAllAvailable()
+    input.addData(Event(5, 5L, ts(301), "view", 1.0))
+    query.processAllAvailable()
+
+    val rows = spark.table("wins")
+      .select("event_type", "n").as[(String, Long)].collect().toSet
+    query.stop()
+    assert(rows.contains(("view", 2L)))
+    assert(rows.contains(("click", 1L)))
+  }
+}
