@@ -124,6 +124,10 @@ object SparkEntry {
     "q5_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "rollup_agg" -> ((s, dir) => Relational.rollupAgg(s, dir)),
     "cube_agg" -> ((s, dir) => Relational.cubeAgg(s, dir)),
+    "grouping_sets" -> ((s, dir) => Relational.groupingSetsAgg(s, dir)),
+    "dedup_counts" -> ((s, dir) => Relational.dedupCounts(s, dir)),
+    // HLL estimate is engine-specific → rows-only
+    "dedup_approx" -> ((s, dir) => Relational.dedupApprox(s, dir)),
     "set_intersect" -> ((s, dir) => Relational.setIntersect(s, dir)),
     "set_except" -> ((s, dir) => Relational.setExcept(s, dir)),
     "set_union" -> ((s, dir) => Relational.setUnion(s, dir)),
@@ -133,6 +137,7 @@ object SparkEntry {
     // --- events: windows, sessionization, JSON (§2.6/§2.7) ---
     "events_window_rank" -> ((s, dir) => EventOps.windowRank(s, dir)),
     "events_tumbling" -> ((s, dir) => EventOps.tumblingAgg(s, dir)),
+    "events_sliding" -> ((s, dir) => EventOps.slidingAgg(s, dir)),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(s, dir)),
     "events_session_stats" -> ((s, dir) => EventOps.sessionStats(s, dir)),
     "events_json" -> ((s, dir) => EventOps.jsonExtract(s, dir)),
@@ -256,6 +261,29 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+    "dedup_counts" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_unique
+        |FROM documents""".stripMargin,
+    "events_sliding" ->
+      """WITH x AS (
+        |  SELECT CAST(time_bucket(INTERVAL '30 minutes',
+        |    make_timestamp(epoch_ns(ts) // 1000)) AS TIMESTAMP) AS s0,
+        |    event_type, value
+        |  FROM events
+        |), w AS (
+        |  SELECT s0 AS win_start, event_type, value FROM x
+        |  UNION ALL
+        |  SELECT s0 - INTERVAL '30 minutes', event_type, value FROM x
+        |)
+        |SELECT win_start, event_type, count(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY win_start, event_type""".stripMargin,
     "set_intersect" ->
       """SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F'
         |INTERSECT

@@ -91,6 +91,20 @@ object EventOps {
         min("ts_us").as("session_start_us"),
         max("ts_us").as("session_end_us"))
 
+  /** Sliding 1-hour windows every 30 minutes: each event contributes
+    * to two overlapping windows (epoch-aligned starts).
+    */
+  def slidingAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir)
+    ev.groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("win_start"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
   /** JSON extraction from the `props` payload column. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
     load(s, dir).select(

@@ -80,6 +80,29 @@ object Relational {
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
 
+  /** Explicit GROUPING SETS: per-flag and per-status marginals in one
+    * pass (one shuffle; the expand operator replicates map-side).
+    */
+  def groupingSetsAgg(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem")
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
+
+  /** Cardinality profile of the documents table: exact distinct vs
+    * HyperLogLog approximation (`approx_count_distinct`) — the
+    * constant-memory path for 100 TB-scale distinct counting.
+    */
+  def dedupCounts(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents").agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("text")).as("n_unique"))
+
+  def dedupApprox(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents").agg(
+      approx_count_distinct(col("text")).as("n_approx"))
+
   private def statusKeys(s: SparkSession, dir: String, status: String): DataFrame =
     rd(s, dir, "orders").filter(col("o_orderstatus") === status)
       .select("o_orderkey")

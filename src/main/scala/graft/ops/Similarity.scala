@@ -62,26 +62,30 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
-  /** Signed-random-projection bit for one hyperplane: sign of Σ_d
-    * c(p,d)·v[d] with deterministic ±1 coefficients derived from
+  /** Hyperplane-LSH signature: `numPlanes` sign bits packed in a long,
+    * with deterministic ±1 coefficients derived from
     * xxhash64(plane, dim) — reproducible on any cluster, no RNG state.
-    */
-  private def planeBit(plane: Int, v: Column): Column = {
-    val proj = aggregate(
-      zip_with(v, sequence(lit(0), size(v) - 1),
-        (x, i) => x * when(xxhash64(lit(plane), i).bitwiseAND(1L) === 1L,
-          lit(1.0)).otherwise(lit(-1.0))),
-      lit(0.0), (acc, x) => acc + x)
-    when(proj > 0, lit(1L << plane)).otherwise(lit(0L))
-  }
-
-  /** Hyperplane-LSH signature: `numPlanes` sign bits packed in a long.
     * `emb` must have columns (vec_id, v: array<double>).
+    *
+    * Implementation: posexplode to (vec_id, dim, x) rows and compute
+    * all plane projections as one codegen'd hash aggregation — Spark's
+    * array higher-order functions are interpreted (CodegenFallback),
+    * so a per-plane `aggregate(zip_with(...))` chain was ~10x slower.
     */
   def lshSignaturesDf(emb: DataFrame, numPlanes: Int = 16): DataFrame = {
-    val sig = (0 until numPlanes).map(p => planeBit(p, col("v")))
+    val exploded = emb.select(col("vec_id"), col("v"),
+      posexplode(col("v")).as(Seq("dim", "x")))
+    val projs = (0 until numPlanes).map { p =>
+      sum(col("x") *
+        when(xxhash64(lit(p), col("dim")).bitwiseAND(1L) === 1L, lit(1.0))
+          .otherwise(lit(-1.0))).as(s"p$p")
+    }
+    val sums = exploded.groupBy("vec_id")
+      .agg(first(col("v")).as("v"), projs: _*)
+    val sig = (0 until numPlanes)
+      .map(p => when(col(s"p$p") > 0, lit(1L << p)).otherwise(0L))
       .reduce((a, b) => a.bitwiseOR(b))
-    emb.select(col("vec_id"), col("v"), sig.as("sig"))
+    sums.select(col("vec_id"), col("v"), sig.as("sig"))
   }
 
   def lshSignatures(s: SparkSession, dir: String, numPlanes: Int = 16): DataFrame =
