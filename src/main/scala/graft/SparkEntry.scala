@@ -141,6 +141,7 @@ object SparkEntry {
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(s, dir)),
     "events_session_stats" -> ((s, dir) => EventOps.sessionStats(s, dir)),
     "events_json" -> ((s, dir) => EventOps.jsonExtract(s, dir)),
+    "events_asof" -> ((s, dir) => EventOps.asofLastPurchase(s, dir)),
 
     // --- LLM-pipeline: deduplication over documents ---
     "dedup_exact" -> ((s, dir) => Dedup.exactGroups(s, dir)),
@@ -363,6 +364,18 @@ object SparkEntry {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events""".stripMargin,
+    "events_asof" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+        |), p AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us,
+        |    arg_max(value, event_id) AS pval
+        |  FROM events WHERE event_type = 'purchase'
+        |  GROUP BY 1, 2
+        |)
+        |SELECT e.event_id, e.user_id, p.pval AS last_purchase_value
+        |FROM e ASOF LEFT JOIN p
+        |  ON e.user_id = p.user_id AND e.ts_us >= p.ts_us""".stripMargin,
     "dedup_exact" ->
       """SELECT md5(text) AS fp, count(*) AS n, min(doc_id) AS keep_id
         |FROM documents

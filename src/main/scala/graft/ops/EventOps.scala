@@ -110,4 +110,36 @@ object EventOps {
     load(s, dir).select(
       col("event_id"),
       get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** As-of join: every event takes the value of its user's most recent
+    * 'purchase' event at or before its own timestamp (inclusive).
+    *
+    * Spark has no native as-of join; rather than a per-row range probe
+    * this composes built-ins: tag both streams, union, and carry the
+    * last non-null purchase value forward with a running window —
+    * one shuffle on user_id, linear in events, no range explosion.
+    * Purchases are deduplicated to one per (user, µs) with a
+    * deterministic arg-max so ties are well-defined (DuckDB's native
+    * ASOF JOIN pins the oracle).
+    */
+  def asofLastPurchase(s: SparkSession, dir: String): DataFrame = {
+    val ev = load(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts_us")
+      .agg(max_by(col("value"), col("event_id")).as("pval"))
+      .select(col("user_id"), col("ts_us"),
+        lit(null).cast("long").as("event_id"), col("pval"),
+        lit(0).as("side"))
+    val lefts = ev.select(col("user_id"), col("ts_us"), col("event_id"),
+      lit(null).cast("double").as("pval"), lit(1).as("side"))
+    // side orders purchases before events at equal ts_us → ">=" semantics
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lefts.union(purchases)
+      .withColumn("last_purchase_value",
+        last(col("pval"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id"), col("user_id"), col("last_purchase_value"))
+  }
 }

@@ -25,14 +25,22 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
-  /** Sequential-fold dot product of two double arrays. */
+  /** Sequential-fold dot product of two double arrays (built-in HOF
+    * formulation — interpreted; kept as the portable fallback and the
+    * reference semantics for [[graft.plans.CosineSimilarity]]).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity via the engine's native codegen'd expression
+    * (registered by [[graft.plans.GraftExtensions]]); bit-identical to
+    * `dot(a,b) / (l2norm(a) * l2norm(b))` but a single fused primitive
+    * loop instead of interpreted higher-order functions.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (l2norm(a) * l2norm(b))
+    call_function("cosine_sim", a, b)
 
   /** Per-vector L2 norm (the fixture's vectors are unit-normalized —
     * this also serves as the multimodal-column arithmetic smoke).
