@@ -163,6 +163,7 @@ object SparkEntry {
     // ANN path: LSH bucketing is engine-specific → rows-only; recall
     // vs the brute-force baseline is pinned in SimilaritySpec
     "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(s, dir)),
+    "sim_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "sim_near_dup" -> ((s, dir) => Similarity.cosineNearDupPairs(s, dir)),
 
     // --- LLM-pipeline: multimodal binary columns ---

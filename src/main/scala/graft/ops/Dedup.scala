@@ -77,8 +77,8 @@ object Dedup {
     // shuffle, one aggregation. (An earlier formulation materialized a
     // distinct candidate-pair set and re-joined both shingle sets; at
     // sf0.1 that meant re-expanding every pair by ~80 shingles twice —
-    // 40x slower for identical results.)
-    val sh = shingles(s, dir, n)
+    // 40x slower for identical results.) Cached: three consumers.
+    val sh = shingles(s, dir, n).cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("doc_a", "sh_a")
     val b = sh.toDF("doc_b", "sh_b")
@@ -93,20 +93,21 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Exact Jaccard for a given candidate-pair set: count shared
-    * shingles per pair (join through the shingle key), then compare
-    * against each side's distinct-shingle count.
+  /** Exact Jaccard for a given candidate-pair set: expand each pair by
+    * the left side's shingles, then probe the right side on the
+    * composite (doc, shingle) key — the shingle equality lives in the
+    * join condition, never in a post-join filter, so the intermediate
+    * is |cand| × |shingles per doc| and nothing quadratic.
     */
   private def jaccardOfCandidates(
       sh: DataFrame, cand: DataFrame, threshold: Double
   ): DataFrame = {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("doc_a", "sh_a")
-    val b = sh.toDF("doc_b", "sh_b")
+    val b2 = sh.toDF("doc_b2", "sh_b")
     val inter = cand
       .join(a, "doc_a")
-      .join(b, "doc_b")
-      .filter(col("sh_a") === col("sh_b"))
+      .join(b2, col("doc_b") === col("doc_b2") && col("sh_a") === col("sh_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     inter
       .join(cnt.toDF("doc_a", "na"), "doc_a")
@@ -143,7 +144,16 @@ object Dedup {
       threshold: Double = 0.8, n: Int = 3,
       numHashes: Int = 32, rowsPerBand: Int = 2
   ): DataFrame = {
-    val sh = shingles(s, dir, n)
+    // At 100 TB scale pass maxDocFreq to [[shingles]] here: signatures
+    // built from near-universal shingles collapse docs into the same
+    // band buckets and the bucket join degenerates. This corpus has no
+    // hot shingles (max df 2% of docs), so the cut would only add a
+    // scan.
+    //
+    // The shingle set feeds four consumers (signatures, both sides of
+    // the verification join, the size counts) — cache it so the
+    // scan+split+explode+distinct lineage runs once, not four times.
+    val sh = shingles(s, dir, n).cache()
     val sigs = minhashSignatures(sh, numHashes)
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
@@ -205,11 +215,14 @@ object Dedup {
         col("ck.chunk").as("chunk"), col("ck.key").as("key"))
     val a = banded.toDF("doc_a", "sig_a", "chunk", "key")
     val b = banded.toDF("doc_b", "sig_b", "chunk", "key")
+    // hamming filter BEFORE distinct: bit_count is a codegen'd per-row
+    // op, while distinct is a shuffle — filtering first shrinks the
+    // shuffle from every bucket collision to only true near-pairs
     a.join(b, Seq("chunk", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxDist)
+      .distinct()
   }
 }

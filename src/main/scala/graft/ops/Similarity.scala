@@ -135,6 +135,49 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** IVF-style ANN top-k: partition the corpus into `numCells` cells
+    * around deterministic seed centroids (the first `numCells`
+    * vectors), assign every vector to its nearest centroid in one
+    * broadcast pass, and probe only the `nprobe` nearest cells per
+    * query — the coarse-quantizer shape that scales: candidate cost
+    * drops from O(N) to O(N · nprobe / numCells) per query, and the
+    * assignment is a narrow map over the corpus (no shuffle of
+    * vectors; only the small centroid set is broadcast).
+    */
+  def ivfTopK(
+      s: SparkSession, dir: String,
+      numQueries: Int = 5, k: Int = 10,
+      numCells: Int = 16, nprobe: Int = 4
+  ): DataFrame = {
+    val emb = load(s, dir)
+    val cents = emb.filter(col("vec_id") < numCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    def nearestCells(in: DataFrame, idCol: String, vCol: String, top: Int) = {
+      val w = Window.partitionBy(idCol)
+        .orderBy(col("__cs").desc, col("cell"))
+      in.join(broadcast(cents))
+        .withColumn("__cs", cosine(col(vCol), col("cv")))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= top)
+        .drop("__cs", "__rn", "cv")
+    }
+    val assigned = nearestCells(emb.select(col("vec_id"), col("v")),
+      "vec_id", "v", 1)
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = nearestCells(q, "query_id", "qv", nprobe)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    probes.join(assigned, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("v"), col("qv")).as("score"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, via LSH
     * banding + exact verification (same shape as MinHash-LSH dedup).
     */

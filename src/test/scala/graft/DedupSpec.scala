@@ -54,6 +54,21 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("IVF ANN top-k recall beats chance and is deterministic") {
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = key(Similarity.cosineTopK(spark, sf(), numQueries = 5, k = 10))
+    val ivf1 = key(Similarity.ivfTopK(spark, sf(), numQueries = 5, k = 10))
+    val ivf2 = key(Similarity.ivfTopK(spark, sf(), numQueries = 5, k = 10))
+    assert(ivf1 == ivf2)
+    val recall = ivf1.intersect(exact).size.toDouble / exact.size
+    // nprobe/numCells = 1/4 of the corpus probed; random vectors have
+    // no cluster structure, so expect recall near the probed fraction,
+    // far above chance (k/N = 0.02)
+    assert(recall >= 0.2, s"recall $recall")
+  }
+
   test("near-dup LSH verification finds planted embedding dups") {
     import scala.jdk.CollectionConverters._
     import org.apache.spark.sql.Row
