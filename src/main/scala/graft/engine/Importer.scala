@@ -223,10 +223,21 @@ final class Importer private (
   }
 
   /** E2 `run(update=True)` analogue: produce the merged relation and
-    * the affected-row count. V11 (`importer.py:294-295`) degenerates
-    * here — there is exactly one action.
+    * the affected-row count.
     */
   def merge(): MergeResult = MergeResult(updated, rowCountUpdated)
+
+  /** Full `run` contract (`importer.py:293-310`): V11 requires at
+    * least one action; `insert` mirrors the reference's declared-but-
+    * unimplemented row-insertion path (`importer.py:361-362`).
+    */
+  def run(update: Boolean = true, insert: Boolean = false): MergeResult = {
+    if (!update && !insert)
+      throw new IllegalArgumentException("at least one action must be performed")
+    if (insert)
+      throw new UnsupportedOperationException("insert is not implemented")
+    merge()
+  }
 }
 
 object Importer {

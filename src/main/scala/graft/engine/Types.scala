@@ -105,6 +105,21 @@ object Types {
   def qualifyName(schema: String, table: String): String =
     if (schema == null || schema.isEmpty) table else schema + "." + table
 
+  /** F5 — user-message normalization (`util.py:20-24`): uppercase the
+    * first character, append '.' unless the text already ends in '.'
+    * or '!', left-justify to 30 chars (the reference pads so stacked
+    * GUI message lines align). Empty input becomes a padded ".".
+    */
+  def normalizeMessage(message: String): String = {
+    val capped =
+      if (message.isEmpty) message
+      else message.substring(0, 1).toUpperCase + message.substring(1)
+    val punctuated =
+      if (capped.endsWith(".") || capped.endsWith("!")) capped
+      else capped + "."
+    punctuated.padTo(30, ' ')
+  }
+
   /** Render a catalog column type the way the reference's catalog scan
     * does (`util.py:63-74`): `type`, `type(n)` for char-ish, or
     * `type(p, s)` for decimal/numeric. Sized types with missing size

@@ -259,6 +259,22 @@ class ImporterSpec extends SparkSpec {
     assert(res.rowCountUpdated > 0 && res.rowCountUpdated <= li.count())
   }
 
+  /** `run` contract (`importer.py:293-310,361-362`): V11 and the
+    * declared-but-unimplemented insert path.
+    */
+  test("V11/run: no action rejected; insert unimplemented") {
+    val delta = df(Seq(Row("ID000001", "Apple", 15, 20.0)))
+    val imp = new Importer(groceries, delta, tablePk = Seq("id"))
+    val e = intercept[IllegalArgumentException] {
+      imp.run(update = false, insert = false)
+    }
+    assert(e.getMessage == "at least one action must be performed")
+    intercept[UnsupportedOperationException] {
+      imp.run(update = true, insert = true)
+    }
+    assert(imp.run(update = true).rowCountUpdated == 1L)
+  }
+
   /** The merge plan must broadcast the delta side — the 100 TB-safe
     * shape: no shuffle of the target.
     */

@@ -115,6 +115,17 @@ class TypesSpec extends AnyFunSuite {
     assert(Types.isCastExplicit(TimestampType, DateType))
   }
 
+  test("normalizeMessage (util.py:20-24)") {
+    assert(Types.normalizeMessage("hello") == "Hello.".padTo(30, ' '))
+    assert(Types.normalizeMessage("done!") == "Done!".padTo(30, ' '))
+    assert(Types.normalizeMessage("ok.") == "Ok.".padTo(30, ' '))
+    // '?' is NOT terminal punctuation in the reference
+    assert(Types.normalizeMessage("what?") == "What?.".padTo(30, ' '))
+    assert(Types.normalizeMessage("") == ".".padTo(30, ' '))
+    val long = "x" * 40
+    assert(Types.normalizeMessage(long) == "X" + "x" * 39 + ".")
+  }
+
   test("renderCatalogType (util.py:63-74)") {
     assert(Types.renderCatalogType("varchar", Some(10), None) == "varchar(10)")
     assert(
