@@ -124,6 +124,10 @@ object SparkEntry {
     "q5_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "rollup_agg" -> ((s, dir) => Relational.rollupAgg(s, dir)),
     "cube_agg" -> ((s, dir) => Relational.cubeAgg(s, dir)),
+    "q6_selective" -> ((s, dir) => Relational.selectiveRevenue(s, dir)),
+    "q3_shipping" -> ((s, dir) => Relational.shippingPriority(s, dir)),
+    "string_funcs" -> ((s, dir) => Relational.stringFuncs(s, dir)),
+    "date_funcs" -> ((s, dir) => Relational.dateFuncs(s, dir)),
     "grouping_sets" -> ((s, dir) => Relational.groupingSetsAgg(s, dir)),
     "dedup_counts" -> ((s, dir) => Relational.dedupCounts(s, dir)),
     // HLL estimate is engine-specific → rows-only
@@ -263,6 +267,39 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "q6_selective" ->
+      """SELECT
+        |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount BETWEEN 0.02 AND 0.08
+        |  AND l_quantity < 24""".stripMargin,
+    "q3_shipping" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+    "string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_upper,
+        |  substring(p_name, 1, 5) AS name_head,
+        |  concat_ws('/', p_brand, p_type) AS brand_type,
+        |  p_name LIKE '%red%' AS is_red,
+        |  CAST(length(p_name) AS INTEGER) AS name_len
+        |FROM part""".stripMargin,
+    "date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS INTEGER) AS y,
+        |  CAST(month(o_orderdate) AS INTEGER) AS m,
+        |  CAST(day(o_orderdate) AS INTEGER) AS d,
+        |  CAST(o_orderdate AS DATE) + 30 AS due_date,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INTEGER) AS age_days
+        |FROM orders""".stripMargin,
     "grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty

@@ -133,6 +133,77 @@ object Relational {
       .limit(k)
       .select("o_orderkey", "o_totalprice")
 
+  /** TPC-H Q6-shaped selective revenue: a tight filter band on date,
+    * discount and quantity — the predicate-pushdown showcase (all
+    * three predicates reach the parquet scan).
+    */
+  def selectiveRevenue(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.02, 0.08) &&
+        col("l_quantity") < 24)
+      .agg(sumd(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q3-shaped shipping priority: segment-filtered customer ⋈
+    * orders ⋈ lineitem, revenue per order.
+    */
+  def shippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val cust = rd(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val ord = rd(s, dir, "orders")
+    val li = rd(s, dir, "lineitem")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sumd(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"))
+  }
+
+  /** String-function surface over part: case mapping, substring,
+    * concat, LIKE classes, length.
+    */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_upper"),
+      substring(col("p_name"), 1, 5).as("name_head"),
+      concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+      col("p_name").like("%red%").as("is_red"),
+      length(col("p_name")).as("name_len"))
+
+  /** Date/time-function surface over orders: calendar decomposition
+    * and day arithmetic.
+    */
+  def dateFuncs(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "orders").select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).as("y"),
+      month(col("o_orderdate")).as("m"),
+      dayofmonth(col("o_orderdate")).as("d"),
+      date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+      datediff(lit("2026-01-01").cast("date"),
+        col("o_orderdate").cast("date")).as("age_days"))
+
+  /** Skew-mitigating salted join: replicate the small side `salt`
+    * ways and scatter the big side's hot keys across the replicas
+    * with a deterministic content-derived salt — each (key, salt)
+    * shuffle partition carries ~1/salt of a hot key's rows. Result is
+    * identical to the plain join (pinned in RelationalSpec); use when
+    * one key dominates and AQE's skew split isn't available.
+    */
+  def saltedJoin(
+      big: DataFrame, small: DataFrame, key: String, salt: Int
+  ): DataFrame = {
+    val saltCol = pmod(xxhash64(big.columns.map(col).toIndexedSeq: _*),
+      lit(salt)).cast("int")
+    val bigS = big.withColumn("__salt", saltCol)
+    val smallS = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    bigS.join(smallS, Seq(key, "__salt")).drop("__salt")
+  }
+
   /** Grouped top-k via ranking window: 3 most expensive parts per
     * brand. The window shuffles once on the group key; no global sort.
     */

@@ -1,0 +1,39 @@
+package graft
+
+import graft.ops.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends SparkSpec {
+
+  test("saltedJoin equals the plain join on a skewed key") {
+    // lineitem ⋈ orders on orderkey: orderkey repeats up to ~12x and
+    // serves as the 'hot key' stand-in
+    val li = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
+    val ord = spark.read.parquet(s"${sf()}/orders.parquet")
+      .select("o_orderkey", "o_totalprice")
+    val plain = li.join(ord, "o_orderkey")
+      .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,6)")),
+        sum(col("o_totalprice").cast("decimal(18,6)"))).head()
+    val salted = Relational.saltedJoin(li, ord, "o_orderkey", salt = 8)
+      .agg(count(lit(1)), sum(col("l_quantity").cast("decimal(18,6)")),
+        sum(col("o_totalprice").cast("decimal(18,6)"))).head()
+    assert(plain == salted)
+  }
+
+  test("q6 predicates reach the parquet scan (pushdown)") {
+    val df = Relational.selectiveRevenue(spark, sf())
+    val scan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(scan.contains("PushedFilters"), scan)
+    assert(scan.contains("GreaterThanOrEqual(l_shipdate"), scan)
+    assert(scan.contains("LessThan(l_quantity,24.0)"), scan)
+    assert(df.head().getLong(1) > 0)
+  }
+
+  test("q3 broadcasts the filtered dimension, not the facts") {
+    val plan = Relational.shippingPriority(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+}
