@@ -116,16 +116,23 @@ object Similarity {
         .bitwiseAND((1L << width) - 1)
       struct(lit(bnd).as("band"), key.as("key"))
     }
-    val banded = sigs.select(col("vec_id"), col("v"),
+    // band on ids only: the distinct shuffles 16-byte pairs, never the
+    // vectors — those re-attach afterward via joins against the
+    // (comparatively tiny) vector table
+    val banded = sigs.select(col("vec_id"),
         explode(array(bandStructs: _*)).as("bk"))
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id"),
         col("bk.band").as("band"), col("bk.key").as("key"))
     val q = banded.filter(col("vec_id") < numQueries)
-      .toDF("query_id", "qv", "band", "key")
-    val cand = banded.join(broadcast(q), Seq("band", "key"))
+      .toDF("query_id", "band", "key")
+    val candIds = banded.join(broadcast(q), Seq("band", "key"))
       .filter(col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
-      .dropDuplicates("query_id", "vec_id")
+      .select("query_id", "vec_id").distinct()
+    val emb = sigs.select(col("vec_id"), col("v"))
+    val cand = candIds
+      .join(emb, "vec_id")
+      .join(broadcast(emb.filter(col("vec_id") < numQueries)
+        .toDF("query_id", "qv")), "query_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id"))
     cand.select(col("query_id"), col("vec_id"),
@@ -199,15 +206,22 @@ object Similarity {
         .bitwiseAND((1L << width) - 1)
       struct(lit(bnd).as("band"), key.as("key"))
     }
-    val banded = sigs.select(col("vec_id"), col("v"),
+    // id-only banding + distinct, vectors re-attached post-dedup (see
+    // annTopK) — the candidate shuffle carries 16-byte pairs, not
+    // kilobyte arrays
+    val banded = sigs.select(col("vec_id"),
         explode(array(bandStructs: _*)).as("bk"))
-      .select(col("vec_id"), col("v"),
+      .select(col("vec_id"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.toDF("vec_a", "va", "band", "key")
-    val b = banded.toDF("vec_b", "vb", "band", "key")
-    a.join(b, Seq("band", "key"))
+    val a = banded.toDF("vec_a", "band", "key")
+    val b = banded.toDF("vec_b", "band", "key")
+    val candIds = a.join(b, Seq("band", "key"))
       .filter(col("vec_a") < col("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
+      .select("vec_a", "vec_b").distinct()
+    val vecs = sigs.select(col("vec_id"), col("v"))
+    candIds
+      .join(vecs.toDF("vec_a", "va"), "vec_a")
+      .join(vecs.toDF("vec_b", "vb"), "vec_b")
       .select(col("vec_a"), col("vec_b"),
         cosine(col("va"), col("vb")).as("score"))
       .filter(col("score") >= threshold)
