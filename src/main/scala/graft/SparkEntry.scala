@@ -124,6 +124,7 @@ object SparkEntry {
     "q5_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "rollup_agg" -> ((s, dir) => Relational.rollupAgg(s, dir)),
     "cube_agg" -> ((s, dir) => Relational.cubeAgg(s, dir)),
+    "percentiles" -> ((s, dir) => Relational.pricePercentiles(s, dir)),
     "q6_selective" -> ((s, dir) => Relational.selectiveRevenue(s, dir)),
     "q3_shipping" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "string_funcs" -> ((s, dir) => Relational.stringFuncs(s, dir)),
@@ -267,6 +268,12 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.9) AS p90
+        |FROM orders
+        |GROUP BY o_orderstatus""".stripMargin,
     "q6_selective" ->
       """SELECT
         |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

@@ -186,6 +186,17 @@ object Relational {
       datediff(lit("2026-01-01").cast("date"),
         col("o_orderdate").cast("date")).as("age_days"))
 
+  /** Exact interpolated percentiles per group (`percentile` is the
+    * exact sort-based aggregate; `approx_percentile` is the sketching
+    * alternative for 100 TB inputs where an exact sort is wasteful).
+    */
+  def pricePercentiles(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.9)").as("p90"))
+
   /** Skew-mitigating salted join: replicate the small side `salt`
     * ways and scatter the big side's hot keys across the replicas
     * with a deterministic content-derived salt — each (key, salt)

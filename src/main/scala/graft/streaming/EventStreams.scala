@@ -43,6 +43,16 @@ object EventStreams {
     s.readStream.schema(schema).parquet(eventsDir)
   }
 
+  /** Streaming deduplication: drop repeated event ids within the
+    * watermark horizon — the incremental form of exact dedup, with
+    * state bounded by the watermark (old keys are evicted, so state
+    * is O(events per horizon), not O(stream history)).
+    */
+  def dedupStream(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Watermarked tumbling-window counts per event type: late events
     * beyond 2 hours are dropped, on-time ones aggregate incrementally
     * with partial (map-side) combine per micro-batch.

@@ -43,6 +43,29 @@ class StreamingSpec extends SparkSpec {
       Session(1L, ts(70).getTime * 1000, ts(70).getTime * 1000, 1)))
   }
 
+  test("streaming dedup drops repeated ids within the watermark") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[Event]
+    val query = EventStreams.dedupStream(input.toDS().toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+
+    input.addData(
+      Event(1, 1L, ts(0), "view", 1.0),
+      Event(1, 1L, ts(1), "view", 1.0), // duplicate id, same batch
+      Event(2, 1L, ts(2), "click", 1.0))
+    query.processAllAvailable()
+    input.addData(Event(1, 1L, ts(3), "view", 1.0)) // dup across batches
+    query.processAllAvailable()
+
+    val ids = spark.table("dedup").select("event_id")
+      .as[Long].collect().sorted.toSeq
+    query.stop()
+    assert(ids == Seq(1L, 2L))
+  }
+
   test("watermarked windowed counts aggregate incrementally") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
