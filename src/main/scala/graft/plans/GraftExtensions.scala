@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
+    ext.injectFunction(GraftExtensions.dotProduct)
   }
 }
 
@@ -24,6 +25,15 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "cosine_sim takes exactly 2 arguments")
       CosineSimilarity(children.head, children(1))
+    }
+  )
+
+  val dotProduct: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("dot_product"),
+    new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "dot_product takes exactly 2 arguments")
+      DotProduct(children.head, children(1))
     }
   )
 }
