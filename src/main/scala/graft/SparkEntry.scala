@@ -114,8 +114,8 @@ object SparkEntry {
       rd(s, dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(min("l_orderkey").as("first_key"))),
-    // S4/S6/O1 — catalog column scan as a relation (no SQL oracle: the
-    // catalog is engine-side metadata; driver records rows-only)
+    // S4/S6/O1 — catalog column scan as a relation, oracled against
+    // DuckDB's information_schema over the same parquet views
     "catalog_columns" -> ((s, dir) =>
       new Catalog(s, dir).columnsDf),
 
@@ -125,6 +125,10 @@ object SparkEntry {
     "rollup_agg" -> ((s, dir) => Relational.rollupAgg(s, dir)),
     "cube_agg" -> ((s, dir) => Relational.cubeAgg(s, dir)),
     "percentiles" -> ((s, dir) => Relational.pricePercentiles(s, dir)),
+    // t-digest sketch estimates are engine-specific → rows-only;
+    // RelationalSpec pins them against the exact values
+    "percentiles_approx" -> ((s, dir) =>
+      Relational.approxPricePercentiles(s, dir)),
     "q6_selective" -> ((s, dir) => Relational.selectiveRevenue(s, dir)),
     "q3_shipping" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "string_funcs" -> ((s, dir) => Relational.stringFuncs(s, dir)),
@@ -150,8 +154,13 @@ object SparkEntry {
 
     // --- LLM-pipeline: deduplication over documents ---
     "dedup_exact" -> ((s, dir) => Dedup.exactGroups(s, dir)),
-    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(s, dir)),
-    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLshPairs(s, dir)),
+    // skew guard active: shingles in >10% of docs are cut before the
+    // candidate join — result-neutral here (corpus max df is 2%), a
+    // must at 100 TB
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(s, dir, maxDocFreq = Some(0.1))),
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(s, dir, maxDocFreq = Some(0.1))),
     // SimHash pairs: signature semantics aren't portable SQL (xxhash64)
     // → rows-only check; pinned by DedupSpec instead
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
@@ -165,8 +174,10 @@ object SparkEntry {
     // --- LLM-pipeline: similarity search over embeddings ---
     "sim_norms" -> ((s, dir) => Similarity.norms(s, dir)),
     "sim_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
-    // ANN path: LSH bucketing is engine-specific → rows-only; recall
-    // vs the brute-force baseline is pinned in SimilaritySpec
+    // ANN paths: fully oracled — the md5-derived LSH coefficients and
+    // the IVF centroid math are computable in plain SQL, so DuckDB
+    // reproduces signatures, candidates, scores, and ranks end-to-end;
+    // recall vs the brute-force baseline is pinned in SimilaritySpec
     "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(s, dir)),
     "sim_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "sim_near_dup" -> ((s, dir) => Similarity.cosineNearDupPairs(s, dir)),
@@ -477,6 +488,101 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    // Catalog scan vs DuckDB's information_schema over the same
+    // parquet views, normalizing type renderings to Spark's
+    // simpleString. Two genuine divergences: parquet TIMESTAMP(NS)
+    // (events.ts) is read as long by the engine
+    // (spark.sql.legacy.parquet.nanosAsLong) while DuckDB coerces it
+    // to TIMESTAMP — mapped explicitly; and parquet timestamps not
+    // adjusted to UTC are TIMESTAMP_NTZ to Spark, plain TIMESTAMP to
+    // DuckDB.
+    "catalog_columns" ->
+      """SELECT table_name, column_name,
+        |  CAST(ordinal_position AS INTEGER) AS ordinal_position,
+        |  CASE WHEN table_name = 'events' AND column_name = 'ts' THEN 'bigint'
+        |    WHEN data_type = 'BIGINT' THEN 'bigint'
+        |    WHEN data_type = 'INTEGER' THEN 'int'
+        |    WHEN data_type = 'DOUBLE' THEN 'double'
+        |    WHEN data_type = 'FLOAT' THEN 'float'
+        |    WHEN data_type = 'VARCHAR' THEN 'string'
+        |    WHEN data_type = 'BLOB' THEN 'binary'
+        |    WHEN data_type = 'DATE' THEN 'date'
+        |    WHEN data_type = 'TIMESTAMP' THEN 'timestamp_ntz'
+        |    WHEN data_type = 'TIMESTAMP WITH TIME ZONE' THEN 'timestamp'
+        |    WHEN data_type = 'FLOAT[]' THEN 'array<float>'
+        |    WHEN data_type = 'DOUBLE[]' THEN 'array<double>'
+        |    ELSE lower(data_type) END AS data_type
+        |FROM information_schema.columns""".stripMargin,
+    // Full cross-engine pin of the LSH ANN pipeline: the ±1 hyperplane
+    // coefficients are md5-byte-0-parity (md5 hex char 2 is byte 0's
+    // low nibble), so DuckDB rebuilds the exact signatures, bands,
+    // candidate sets, scores, and ranks.
+    "sim_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), dims AS (
+        |  SELECT len(v) AS nd FROM e LIMIT 1
+        |), coef AS (
+        |  SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || ',' || d::VARCHAR), 2, 1)
+        |                      IN ('1','3','5','7','9','b','d','f')
+        |                 THEN 1.0 ELSE -1.0 END ORDER BY d) AS cl
+        |  FROM (SELECT p, unnest(range(nd)) AS d FROM range(16) t(p), dims)
+        |  GROUP BY p
+        |), sigb AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN list_dot_product(v, cl) > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS s
+        |  FROM e, coef GROUP BY vec_id
+        |), banded AS (
+        |  SELECT vec_id, b AS band, (s >> CAST(b * 4 AS INTEGER)) & 15 AS key
+        |  FROM sigb, range(4) t(b)
+        |), cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, a.vec_id
+        |  FROM banded a JOIN banded q USING (band, key)
+        |  WHERE q.vec_id < 5 AND a.vec_id <> q.vec_id
+        |), sc AS (
+        |  SELECT query_id, c.vec_id,
+        |    list_dot_product(av.v, qv.v) /
+        |      (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS score
+        |  FROM cand c JOIN e av ON av.vec_id = c.vec_id JOIN e qv ON qv.vec_id = c.query_id
+        |)
+        |SELECT query_id, vec_id, score, rk FROM (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
+        |  FROM sc
+        |) WHERE rk <= 10""".stripMargin,
+    // Full cross-engine pin of the IVF pipeline: centroids are the
+    // first 16 vectors, assignment/probing is pure cosine math.
+    "sim_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), c AS (
+        |  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16
+        |), ac AS (
+        |  SELECT vec_id, cell,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY
+        |      list_dot_product(v, cv) /
+        |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |      cell) AS rn
+        |  FROM e, c
+        |), assigned AS (
+        |  SELECT vec_id, cell FROM ac WHERE rn = 1
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cell FROM ac WHERE rn <= 4 AND vec_id < 5
+        |), cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id
+        |  FROM probes p JOIN assigned a USING (cell)
+        |  WHERE a.vec_id <> p.query_id
+        |), sc AS (
+        |  SELECT query_id, cd.vec_id,
+        |    list_dot_product(av.v, qv.v) /
+        |      (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(qv.v, qv.v))) AS score
+        |  FROM cand cd JOIN e av ON av.vec_id = cd.vec_id JOIN e qv ON qv.vec_id = cd.query_id
+        |)
+        |SELECT query_id, vec_id, score, rk FROM (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
+        |  FROM sc
+        |) WHERE rk <= 10""".stripMargin,
     "sim_norms" ->
       """SELECT vec_id,
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2

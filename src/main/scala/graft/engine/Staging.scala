@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Staging layer (S7/S8) — the Spark re-expression of the reference's
@@ -44,14 +44,19 @@ object Staging {
     * assigned per partition from `spark_partition_id`, keeping the
     * computation fully distributed (no global sort, no collect).
     */
-  def withChunkId(df: DataFrame, chunkSize: Int = ChunkSize): DataFrame = {
-    // monotonically_increasing_id packs (partition id << 33 | local
-    // offset); the local offset is contiguous per partition, so
-    // offset / chunkSize is a stable per-partition chunk number.
-    val mid = monotonically_increasing_id()
+  def withChunkId(df: DataFrame, chunkSize: Int = ChunkSize): DataFrame =
     df.withColumn("chunk_id",
-      shiftleft(shiftright(mid, 33), 31) + floor((mid.bitwiseAND((1L << 33) - 1)) / chunkSize))
-  }
+      chunkIdFor(monotonically_increasing_id(), chunkSize))
+
+  /** Chunk id from a monotonically_increasing_id value: the partition
+    * id keeps its bit-33 position (the local chunk number is at most
+    * the 33-bit local offset, so re-packing at any lower bit could
+    * collide across partitions for small chunk sizes — pinned by
+    * StagingSpec's boundary case).
+    */
+  private[graft] def chunkIdFor(mid: Column, chunkSize: Int): Column =
+    shiftleft(shiftright(mid, 33), 33) +
+      floor((mid.bitwiseAND((1L << 33) - 1)) / chunkSize)
 
   /** S8 — batched sink: write with a bounded number of rows per task,
     * the analogue of chunked `executemany` + per-chunk commit

@@ -55,12 +55,17 @@ object Dedup {
       case None => base
       case Some(f) =>
         // document-frequency cut: drop near-universal shingles that
-        // would blow up the candidate join (skew guard at scale)
+        // would blow up the candidate join (skew guard at scale). The
+        // broadcast side is the DROPPED hot-shingle set — tiny by
+        // definition (shingles in > f of all docs), and it shrinks as
+        // the corpus grows; broadcasting the keep set would OOM exactly
+        // at the scale the guard exists for.
         val total = docs(s, dir).count()
-        val keep = base.groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= (f * total).toLong)
+        val hot = base.groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") > (f * total).toLong)
           .select("shingle")
-        base.join(broadcast(keep), "shingle").select("doc_id", "shingle")
+        base.join(broadcast(hot), Seq("shingle"), "left_anti")
+          .select("doc_id", "shingle")
     }
   }
 
@@ -71,14 +76,21 @@ object Dedup {
     */
   def ngramJaccardPairs(
       s: SparkSession, dir: String,
-      threshold: Double = 0.5, n: Int = 3
+      threshold: Double = 0.5, n: Int = 3,
+      maxDocFreq: Option[Double] = None
   ): DataFrame = {
     // Intersections come straight off the shingle-key join — one
     // shuffle, one aggregation. (An earlier formulation materialized a
     // distinct candidate-pair set and re-joined both shingle sets; at
     // sf0.1 that meant re-expanding every pair by ~80 shingles twice —
     // 40x slower for identical results.) Cached: three consumers.
-    val sh = shingles(s, dir, n).cache()
+    // Shingles are xxhash64'd to longs before the join: set sizes and
+    // intersections are preserved w.h.p. (64-bit collisions over
+    // millions of distinct shingles are ~2^-40), and the hot self-join
+    // shuffles+sorts 8-byte keys instead of ~25-char strings.
+    val sh = shingles(s, dir, n, maxDocFreq)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .cache()
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("doc_a", "sh_a")
     val b = sh.toDF("doc_b", "sh_b")
@@ -145,18 +157,24 @@ object Dedup {
   def minhashLshPairs(
       s: SparkSession, dir: String,
       threshold: Double = 0.8, n: Int = 3,
-      numHashes: Int = 32, rowsPerBand: Int = 2
+      numHashes: Int = 32, rowsPerBand: Int = 2,
+      maxDocFreq: Option[Double] = None
   ): DataFrame = {
-    // At 100 TB scale pass maxDocFreq to [[shingles]] here: signatures
-    // built from near-universal shingles collapse docs into the same
-    // band buckets and the bucket join degenerates. This corpus has no
-    // hot shingles (max df 2% of docs), so the cut would only add a
-    // scan.
+    // maxDocFreq is the skew guard: signatures built from
+    // near-universal shingles collapse docs into the same band buckets
+    // and the bucket join degenerates — cut them before signing. (This
+    // corpus has no hot shingles — max df 2% of docs — so any cut
+    // above that is provably result-neutral here; at 100 TB it is a
+    // must.)
     //
     // The shingle set feeds four consumers (signatures, both sides of
     // the verification join, the size counts) — cache it so the
     // scan+split+explode+distinct lineage runs once, not four times.
-    val sh = shingles(s, dir, n).cache()
+    // Hashed to longs as in [[ngramJaccardPairs]] (and the minhash
+    // seeds then hash longs, not strings — cheaper still).
+    val sh = shingles(s, dir, n, maxDocFreq)
+      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
+      .cache()
     val sigs = minhashSignatures(sh, numHashes)
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>

@@ -197,6 +197,23 @@ object Relational {
         expr("percentile(o_totalprice, 0.5)").as("p50"),
         expr("percentile(o_totalprice, 0.9)").as("p90"))
 
+  /** Approximate percentiles per group — the 100 TB path. `percentile`
+    * buffers a per-group value-count map that grows with the input (an
+    * OOM at billions of rows per group); `approx_percentile` keeps a
+    * constant-memory quantile sketch with bounded relative error
+    * instead. Estimates are engine-specific → rows-only driver check;
+    * RelationalSpec pins the estimates against the exact values at
+    * fixture scale.
+    */
+  def approxPricePercentiles(
+      s: SparkSession, dir: String, accuracy: Int = 10000
+  ): DataFrame =
+    rd(s, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr(s"approx_percentile(o_totalprice, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(o_totalprice, 0.9, $accuracy)").as("p90"))
+
   /** Skew-mitigating salted join: replicate the small side `salt`
     * ways and scatter the big side's hot keys across the replicas
     * with a deterministic content-derived salt — each (key, salt)

@@ -5,17 +5,22 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`Array[Float]`
-  * vectors). Two paths:
+  * vectors). Three paths:
   *
   *   - brute-force cosine top-k against a (small, broadcast) query
   *     set — the exactness baseline; cost O(|queries| · N), never
   *     N × N
   *   - hyperplane-LSH bucketed ANN — the 100 TB path: deterministic
-  *     signed random projections (hash-derived, no RNG state) bucket
+  *     signed random projections (md5-derived, no RNG state) bucket
   *     the corpus, candidates come from bucket joins only
+  *   - IVF coarse quantization — centroid cells probed per query
   *
-  * Vector math uses `zip_with` + `aggregate` (sequential fold →
-  * deterministic, engine-reproducible sums) in double precision.
+  * Vector math uses the engine's native codegen'd expressions
+  * ([[graft.plans.DotProduct]] / [[graft.plans.CosineSimilarity]]);
+  * the built-in `zip_with` + `aggregate` formulation is kept as the
+  * portable fallback and reference semantics — both accumulate
+  * sequentially left-to-right, so results are bit-identical (pinned by
+  * PlansSpec and the cross-engine oracles).
   */
 object Similarity {
 
@@ -25,11 +30,19 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("v"))
 
-  /** Sequential-fold dot product of two double arrays (built-in HOF
-    * formulation — interpreted; kept as the portable fallback and the
-    * reference semantics for [[graft.plans.CosineSimilarity]]).
+  /** Sequential-fold dot product via the engine's native codegen'd
+    * expression (registered by [[graft.plans.GraftExtensions]]) —
+    * bit-identical to [[dotHof]], which it replaces in every hot loop.
     */
   def dot(a: Column, b: Column): Column =
+    call_function("dot_product", a, b)
+
+  /** Built-in higher-order-function formulation of the dot product
+    * (interpreted — Spark HOFs are CodegenFallback): the portable
+    * fallback and the reference semantics for
+    * [[graft.plans.DotProduct]]; parity is pinned by PlansSpec.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
@@ -70,30 +83,39 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
-  /** Hyperplane-LSH signature: `numPlanes` sign bits packed in a long,
-    * with deterministic ±1 coefficients derived from
-    * xxhash64(plane, dim) — reproducible on any cluster, no RNG state.
+  /** Deterministic ±1 hyperplane coefficients derived from
+    * md5("plane,dim") byte-0 parity — reproducible on any cluster (no
+    * RNG state) AND computable in plain SQL (`substr(md5(..), 2, 1)`
+    * parity), which is what lets the whole LSH pipeline be pinned by a
+    * cross-engine DuckDB oracle.
+    */
+  private[graft] def planeCoefs(numPlanes: Int, dims: Int): IndexedSeq[Seq[Double]] =
+    (0 until numPlanes).map { p =>
+      (0 until dims).map { d =>
+        val bytes = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$p,$d".getBytes("UTF-8"))
+        if ((bytes(0) & 1) == 1) 1.0 else -1.0
+      }
+    }
+
+  /** Hyperplane-LSH signature: `numPlanes` sign bits packed in a long.
+    * Each plane projection is one native [[dot]] against the plane's
+    * coefficient vector inlined as a literal — a narrow, codegen'd
+    * projection with zero shuffle. (An earlier formulation posexploded
+    * to (vec, dim) rows and hash-aggregated per-plane sums: an extra
+    * N×dims-row Exchange that this shape does not need; a per-plane
+    * `aggregate(zip_with(...))` chain was ~10x slower still.)
     * `emb` must have columns (vec_id, v: array<double>).
-    *
-    * Implementation: posexplode to (vec_id, dim, x) rows and compute
-    * all plane projections as one codegen'd hash aggregation — Spark's
-    * array higher-order functions are interpreted (CodegenFallback),
-    * so a per-plane `aggregate(zip_with(...))` chain was ~10x slower.
     */
   def lshSignaturesDf(emb: DataFrame, numPlanes: Int = 16): DataFrame = {
-    val exploded = emb.select(col("vec_id"), col("v"),
-      posexplode(col("v")).as(Seq("dim", "x")))
-    val projs = (0 until numPlanes).map { p =>
-      sum(col("x") *
-        when(xxhash64(lit(p), col("dim")).bitwiseAND(1L) === 1L, lit(1.0))
-          .otherwise(lit(-1.0))).as(s"p$p")
-    }
-    val sums = exploded.groupBy("vec_id")
-      .agg(first(col("v")).as("v"), projs: _*)
+    val dims = emb.select(size(col("v"))).take(1)
+      .headOption.map(_.getInt(0)).getOrElse(1)
+    val coefs = planeCoefs(numPlanes, dims)
     val sig = (0 until numPlanes)
-      .map(p => when(col(s"p$p") > 0, lit(1L << p)).otherwise(0L))
+      .map(p => when(dot(col("v"), typedLit(coefs(p))) > 0, lit(1L << p))
+        .otherwise(0L))
       .reduce((a, b) => a.bitwiseOR(b))
-    sums.select(col("vec_id"), col("v"), sig.as("sig"))
+    emb.select(col("vec_id"), col("v"), sig.as("sig"))
   }
 
   def lshSignatures(s: SparkSession, dir: String, numPlanes: Int = 16): DataFrame =
@@ -102,7 +124,10 @@ object Similarity {
   /** ANN top-k via LSH bucketing: candidates for a query are corpus
     * vectors sharing at least one signature band (pigeonhole over
     * `numBands` bands), scored exactly, ranked per query. Recall vs
-    * the brute-force baseline is pinned in SimilaritySpec.
+    * the brute-force baseline is pinned in SimilaritySpec; the full
+    * pipeline (signatures → bands → candidates → scores → ranks) is
+    * pinned by a cross-engine DuckDB oracle (the md5-derived
+    * coefficients are computable in plain SQL).
     */
   def annTopK(
       s: SparkSession, dir: String,
@@ -142,14 +167,40 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Per-row nearest-cell assignment against a driver-resident centroid
+    * set (in real IVF the centroids are the k-means output — small and
+    * driver-side by construction; here the first `numCells` vectors).
+    * The centroids are inlined as literals, so the `top` nearest cells
+    * per row come from one projection computing all cell cosines plus a
+    * per-row sort of a `numCells`-element array — a narrow map with
+    * ZERO Exchange (pinned by SimilaritySpec), where the previous
+    * formulation joined every vector against the broadcast centroids
+    * and ranked via `Window.partitionBy` — a full shuffle of
+    * `numCells`× the corpus vector volume for an argmax needing none.
+    * Ordering matches the oracle: cosine desc, cell asc on ties.
+    */
+  private[graft] def assignCells(
+      in: DataFrame, vCol: String,
+      cents: Seq[(Long, Seq[Double])], top: Int
+  ): DataFrame = {
+    val scored = cents.map { case (cellId, cv) =>
+      // negated score: natural ascending struct sort = score desc
+      struct((-cosine(col(vCol), typedLit(cv))).as("ncs"),
+        lit(cellId).as("cell"))
+    }
+    val topCells = slice(array_sort(array(scored: _*)), 1, top)
+    in.select(in.columns.map(col) :+ explode(topCells).as("__c"): _*)
+      .withColumn("cell", col("__c.cell")).drop("__c")
+  }
+
   /** IVF-style ANN top-k: partition the corpus into `numCells` cells
     * around deterministic seed centroids (the first `numCells`
-    * vectors), assign every vector to its nearest centroid in one
-    * broadcast pass, and probe only the `nprobe` nearest cells per
-    * query — the coarse-quantizer shape that scales: candidate cost
-    * drops from O(N) to O(N · nprobe / numCells) per query, and the
-    * assignment is a narrow map over the corpus (no shuffle of
-    * vectors; only the small centroid set is broadcast).
+    * vectors), assign every vector to its nearest centroid via a
+    * narrow projection (see [[assignCells]] — no shuffle of vectors),
+    * and probe only the `nprobe` nearest cells per query — the
+    * coarse-quantizer shape that scales: candidate cost drops from
+    * O(N) to O(N · nprobe / numCells) per query. Pinned end-to-end by
+    * a cross-engine DuckDB oracle.
     */
   def ivfTopK(
       s: SparkSession, dir: String,
@@ -157,22 +208,17 @@ object Similarity {
       numCells: Int = 16, nprobe: Int = 4
   ): DataFrame = {
     val emb = load(s, dir)
-    val cents = emb.filter(col("vec_id") < numCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"))
-    def nearestCells(in: DataFrame, idCol: String, vCol: String, top: Int) = {
-      val w = Window.partitionBy(idCol)
-        .orderBy(col("__cs").desc, col("cell"))
-      in.join(broadcast(cents))
-        .withColumn("__cs", cosine(col(vCol), col("cv")))
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") <= top)
-        .drop("__cs", "__rn", "cv")
-    }
-    val assigned = nearestCells(emb.select(col("vec_id"), col("v")),
-      "vec_id", "v", 1)
+    val cents: Seq[(Long, Seq[Double])] =
+      emb.filter(col("vec_id") < numCells)
+        .select(col("vec_id").cast("long"), col("v"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+    val assigned = assignCells(
+      emb.select(col("vec_id"), col("v")), "v", cents, 1)
     val q = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val probes = nearestCells(q, "query_id", "qv", nprobe)
+    val probes = assignCells(q, "qv", cents, nprobe)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id"))
     probes.join(assigned, "cell")

@@ -21,7 +21,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * shared DuckDB oracle). Length-mismatched arrays yield null — the
   * same result as the `zip_with` formulation (whose null padding nulls
   * the whole sum) — so malformed input never silently scores a common
-  * prefix.
+  * prefix; a null ELEMENT likewise yields null, matching `zip_with`'s
+  * null propagation. Both pinned by PlansSpec.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -52,13 +53,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val n = x.numElements()
       var dot = 0.0; var na = 0.0; var nb = 0.0
       var i = 0
-      while (i < n) {
-        val xi = x.getDouble(i); val yi = y.getDouble(i)
-        dot += xi * yi; na += xi * xi; nb += yi * yi
-        i += 1
+      var sawNull = false
+      while (i < n && !sawNull) {
+        if (x.isNullAt(i) || y.isNullAt(i)) sawNull = true
+        else {
+          val xi = x.getDouble(i); val yi = y.getDouble(i)
+          dot += xi * yi; na += xi * xi; nb += yi * yi
+          i += 1
+        }
       }
-      val denom = math.sqrt(na) * math.sqrt(nb)
-      if (denom == 0.0) null else dot / denom
+      if (sawNull) null
+      else {
+        val denom = math.sqrt(na) * math.sqrt(nb)
+        if (denom == 0.0) null else dot / denom
+      }
     }
   }
 
@@ -78,16 +86,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |} else {
          |  int $n = $a.numElements();
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    double $xi = $a.getDouble($i);
-         |    double $yi = $b.getDouble($i);
-         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      double $xi = $a.getDouble($i);
+         |      double $yi = $b.getDouble($i);
+         |      $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |    }
          |  }
-         |  double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
-         |  if ($denom == 0.0) {
-         |    ${ev.isNull} = true;
-         |  } else {
-         |    ${ev.value} = $dot / $denom;
+         |  if (!${ev.isNull}) {
+         |    double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb);
+         |    if ($denom == 0.0) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      ${ev.value} = $dot / $denom;
+         |    }
          |  }
          |}
        """.stripMargin

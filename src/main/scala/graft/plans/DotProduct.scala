@@ -19,7 +19,9 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * DuckDB's `list_dot_product`, which is what lets the LSH signature
   * pipeline be pinned by a cross-engine oracle (sign bits are
   * comparisons of these sums against zero). Length-mismatched inputs
-  * yield null, matching `zip_with`'s null padding.
+  * yield null, matching `zip_with`'s null padding; a null ELEMENT also
+  * yields null (the `zip_with` product of a null element is null and
+  * nulls the whole aggregate sum) — both pinned by PlansSpec.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -46,12 +48,16 @@ case class DotProduct(left: Expression, right: Expression)
     else {
       var dot = 0.0
       var i = 0
+      var sawNull = false
       val n = x.numElements()
-      while (i < n) {
-        dot += x.getDouble(i) * y.getDouble(i)
-        i += 1
+      while (i < n && !sawNull) {
+        if (x.isNullAt(i) || y.isNullAt(i)) sawNull = true
+        else {
+          dot += x.getDouble(i) * y.getDouble(i)
+          i += 1
+        }
       }
-      dot
+      if (sawNull) null else dot
     }
   }
 
@@ -66,10 +72,16 @@ case class DotProduct(left: Expression, right: Expression)
          |} else {
          |  int $n = $a.numElements();
          |  double $dot = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
-         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) {
+         |      ${ev.isNull} = true;
+         |    } else {
+         |      $dot += $a.getDouble($i) * $b.getDouble($i);
+         |    }
          |  }
-         |  ${ev.value} = $dot;
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot;
+         |  }
          |}
        """.stripMargin
     })

@@ -76,7 +76,12 @@ object EventStreams {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes * 60L * 1000000L
 
-    def toUs(t: java.sql.Timestamp): Long = t.getTime * 1000L
+    // true microseconds: getTime is ms-truncated, getNanos carries the
+    // full sub-second fraction — ms*1000 plus the sub-ms µs remainder
+    // (matching the batch path's µs precision; a ms truncation here
+    // diverged session bounds for sub-ms gaps)
+    def toUs(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
 
     events
       .withWatermark("ts", s"$gapMinutes minutes")

@@ -37,6 +37,82 @@ class PlansSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("dot_product is bit-identical to the HOF formulation") {
+    val emb = Similarity.load(spark, sf()).limit(50)
+    val q = emb.select(col("v").as("qv")).limit(1)
+    val both = emb.crossJoin(broadcast(q)).select(
+      Similarity.dot(col("v"), col("qv")).as("native"),
+      Similarity.dotHof(col("v"), col("qv")).as("hof"))
+    assert(both.filter(col("native") =!= col("hof")).isEmpty)
+  }
+
+  test("dot_product is callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d").head()
+    assert(r.getDouble(0) == 11.0)
+  }
+
+  // Null semantics, interpreted (eval) path: the expressions are built
+  // and evaluated directly, bypassing codegen and the optimizer's
+  // constant folding of foldable projections.
+  test("eval path: length mismatch, null element, zero norm all yield null") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    import graft.plans.{CosineSimilarity, DotProduct}
+    def arr(xs: Any*): Literal =
+      Literal.create(xs, ArrayType(DoubleType, containsNull = true))
+    // baseline: well-formed input evaluates
+    assert(DotProduct(arr(1.0, 2.0), arr(3.0, 4.0)).eval(null) == 11.0)
+    assert(CosineSimilarity(arr(1.0, 0.0), arr(1.0, 0.0)).eval(null) == 1.0)
+    // length mismatch
+    assert(DotProduct(arr(1.0), arr(1.0, 2.0)).eval(null) == null)
+    assert(CosineSimilarity(arr(1.0), arr(1.0, 2.0)).eval(null) == null)
+    // null element (zip_with semantics: null product nulls the sum)
+    assert(DotProduct(arr(1.0, null), arr(1.0, 2.0)).eval(null) == null)
+    assert(CosineSimilarity(arr(1.0, null), arr(1.0, 2.0)).eval(null) == null)
+    // zero norm
+    assert(CosineSimilarity(arr(0.0, 0.0), arr(1.0, 2.0)).eval(null) == null)
+  }
+
+  // Null semantics, codegen path: inputs are derived from a range
+  // column so they are non-foldable — the optimizer cannot constant-
+  // fold them, forcing evaluation inside whole-stage codegen.
+  test("codegen path: length mismatch, null element, zero norm all yield null") {
+    def run(mk: org.apache.spark.sql.Column): Option[Double] = {
+      val r = spark.range(1).select(mk.as("x")).head()
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    val live = col("id").cast("double") // 0.0, non-foldable
+    // baseline: well-formed input evaluates
+    assert(run(Similarity.dot(
+      array(live + 1.0, lit(2.0)), array(lit(3.0), lit(4.0)))).contains(11.0))
+    // length mismatch
+    assert(run(Similarity.dot(
+      array(live + 1.0), array(lit(1.0), lit(2.0)))).isEmpty)
+    assert(run(Similarity.cosine(
+      array(live + 1.0), array(lit(1.0), lit(2.0)))).isEmpty)
+    // null element
+    assert(run(Similarity.dot(
+      array(when(col("id") < 0, 1.0), lit(2.0)),
+      array(lit(1.0), lit(2.0)))).isEmpty)
+    assert(run(Similarity.cosine(
+      array(when(col("id") < 0, 1.0), lit(2.0)),
+      array(lit(1.0), lit(2.0)))).isEmpty)
+    // zero norm
+    assert(run(Similarity.cosine(
+      array(live, live), array(lit(1.0), lit(2.0)))).isEmpty)
+  }
+
+  test("dot_product participates in whole-stage codegen") {
+    val emb = Similarity.load(spark, sf()).limit(10)
+    val q = emb.select(col("v").as("qv")).limit(1)
+    val df = emb.crossJoin(broadcast(q))
+      .select(Similarity.dot(col("v"), col("qv")).as("s"))
+    df.collect() // finalize the adaptive plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[dotproduct.*"), plan)
+  }
+
   test("cosine_sim participates in whole-stage codegen") {
     val emb = Similarity.load(spark, sf()).limit(10)
     val q = emb.select(col("v").as("qv")).limit(1)

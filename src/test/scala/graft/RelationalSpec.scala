@@ -21,6 +21,20 @@ class RelationalSpec extends SparkSpec {
     assert(plain == salted)
   }
 
+  test("approx percentiles track the exact ones at fixture scale") {
+    val exact = Relational.pricePercentiles(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val approx = Relational.approxPricePercentiles(spark, sf()).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(approx.keySet == exact.keySet)
+    // the sketch guarantees rank error <= 1/accuracy; at fixture scale
+    // the estimate must land within 2% of the exact value
+    exact.foreach { case (k, (p50, p90)) =>
+      assert(math.abs(approx(k)._1 - p50) / p50 <= 0.02, s"$k p50")
+      assert(math.abs(approx(k)._2 - p90) / p90 <= 0.02, s"$k p90")
+    }
+  }
+
   test("q6 predicates reach the parquet scan (pushdown)") {
     val df = Relational.selectiveRevenue(spark, sf())
     val scan = df.queryExecution.explainString(

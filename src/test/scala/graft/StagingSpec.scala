@@ -30,6 +30,17 @@ class StagingSpec extends SparkSpec {
     assert(counts.agg(max(col("count"))).head.getLong(0) <= 1000L)
   }
 
+  test("F6: chunk ids never collide across partitions (bit-width boundary)") {
+    import spark.implicits._
+    // partition 1 / offset 0 vs partition 0 / offset 2^31, chunkSize 1:
+    // packing the partition id below bit 33 (as an earlier revision did
+    // at bit 31) makes these two collide
+    val mids = Seq(1L << 33, 1L << 31).toDF("mid")
+    val ids = mids.select(Staging.chunkIdFor(col("mid"), 1).as("cid"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(ids.distinct.size == 2, ids.toString)
+  }
+
   test("S8 scale path: bucketed tables join without any Exchange") {
     Seq("orders_bkt", "delta_bkt").foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")

@@ -43,6 +43,32 @@ class StreamingSpec extends SparkSpec {
       Session(1L, ts(70).getTime * 1000, ts(70).getTime * 1000, 1)))
   }
 
+  test("sessionization carries true microsecond bounds (sub-ms gaps)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // second event 123456 µs after the first — the session end must
+    // carry the µs remainder (a ms-truncating conversion reads ...123000)
+    val t1 = new java.sql.Timestamp(ts(0).getTime)
+    t1.setNanos(123456000)
+
+    val input = MemoryStream[Event]
+    val query = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("us_sessions")
+      .outputMode("append").start()
+
+    input.addData(
+      Event(1, 1L, ts(0), "view", 1.0),
+      Event(2, 1L, t1, "view", 1.0),
+      Event(3, 1L, ts(70), "view", 1.0)) // closes the first session
+    query.processAllAvailable()
+
+    val got = spark.table("us_sessions").as[Session].collect().toSet
+    query.stop()
+    assert(got == Set(Session(1L,
+      ts(0).getTime * 1000, ts(0).getTime * 1000 + 123456, 2)))
+  }
+
   test("streaming dedup drops repeated ids within the watermark") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
