@@ -157,4 +157,29 @@ object SqlGen {
         s"create temp table $temp as select ${cols.mkString(", ")} from $table limit 0"
     }
   }
+
+  /** S7 — idempotent staging teardown (`importer.py:41-45`). */
+  def dropTempTable(dialect: String, temp: String): String = {
+    requireDialect(dialect)
+    dialect match {
+      case "mssql" =>
+        s"if object_id('tempdb.dbo.$temp') is not null drop table $temp"
+      case "sqlite" =>
+        s"drop table if exists temp.$temp"
+    }
+  }
+
+  /** S8 — staged bulk-insert statement (`importer.py:270,284-288`):
+    * `insert into <temp> (<cols>) values (?, …)`; identifiers quoted
+    * on mssql, bare on sqlite, like the reference.
+    */
+  def insertInto(dialect: String, temp: String, cols: Seq[String]): String = {
+    requireDialect(dialect)
+    val names = dialect match {
+      case "mssql"  => cols.map(q)
+      case "sqlite" => cols
+    }
+    s"insert into $temp (${names.mkString(", ")}) " +
+      s"values (${cols.map(_ => "?").mkString(", ")})"
+  }
 }

@@ -1,0 +1,144 @@
+package graft
+
+import java.lang.reflect.{InvocationHandler, Method, Proxy}
+import java.sql.{Connection, PreparedStatement, Statement}
+
+import scala.collection.mutable
+
+import graft.engine.{Importer, JdbcMergeSink, MergeResult, MergeSpec,
+  ParquetMergeSink, SqlGen}
+import org.apache.spark.sql.functions._
+
+/** Pins the S9 write-back sinks. There is no live database offline, so
+  * the JDBC sink's statement/batch protocol is recorded through
+  * dynamic-proxy fakes of the java.sql interfaces and asserted at
+  * SQL-text / batch-boundary level — the exact lifecycle of
+  * `importer.py:293-359` (drop, create, chunked fill with per-chunk
+  * commit, set-based update, drop).
+  */
+class MergeSinkSpec extends SparkSpec {
+
+  /** Recording java.sql fakes: every call lands in `log` in order. */
+  private class Recorder {
+    val log: mutable.Buffer[String] = mutable.Buffer[String]()
+    private def handler: InvocationHandler = new InvocationHandler {
+      override def invoke(
+          proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+        m.getName match {
+          case "execute" =>
+            log += s"execute:${args(0)}"; java.lang.Boolean.FALSE
+          case "executeUpdate" =>
+            log += s"executeUpdate:${args(0)}"; Integer.valueOf(7)
+          case "prepareStatement" =>
+            log += s"prepare:${args(0)}"; ps
+          case "createStatement" => stmt
+          case "setObject" =>
+            log += s"set:${args(0)}=${args(1)}"; null
+          case "addBatch" => log += "addBatch"; null
+          case "executeBatch" => log += "executeBatch"; Array.empty[Int]
+          case "commit" => log += "commit"; null
+          case "close" => null
+          case _ => null
+        }
+    }
+    private def proxy[T](cls: Class[T]): T =
+      Proxy.newProxyInstance(getClass.getClassLoader, Array(cls), handler)
+        .asInstanceOf[T]
+    lazy val ps: PreparedStatement = proxy(classOf[PreparedStatement])
+    lazy val stmt: Statement = proxy(classOf[Statement])
+    lazy val conn: Connection = proxy(classOf[Connection])
+  }
+
+  private def deltaDf = {
+    import spark.implicits._
+    Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 50.0))
+      .toDF("o_orderkey", "o_totalprice")
+  }
+
+  test("JdbcMergeSink(mssql): full lifecycle, chunk boundaries, per-chunk commit") {
+    val rec = new Recorder
+    val sink = new JdbcMergeSink("mssql", () => rec.conn, chunkSize = 2)
+    val spec = MergeSpec("orders", Seq("o_orderkey"), Seq("o_totalprice"))
+    val affected =
+      sink.write(MergeResult(deltaDf, 0L), deltaDf, spec)
+    assert(affected == 7L) // the fake's cur.rowcount analogue
+
+    val drop = SqlGen.dropTempTable("mssql", "#dbimport")
+    val create = SqlGen.createTempTable(
+      "mssql", "[dbo].[orders]", "#dbimport",
+      Seq("o_orderkey", "o_totalprice"))
+    val insert = SqlGen.insertInto(
+      "mssql", "#dbimport", Seq("o_orderkey", "o_totalprice"))
+    val update = SqlGen.updateMssql(
+      "dbo", "orders", "#dbimport", Seq("o_orderkey"), Seq("o_totalprice"))
+
+    // statement order: drop, create, prepare, …fill…, update, drop
+    val stmts = rec.log.filter(e =>
+      e.startsWith("execute:") || e.startsWith("prepare:") ||
+        e.startsWith("executeUpdate:"))
+    assert(stmts == Seq(
+      s"execute:$drop", s"execute:$create", s"prepare:$insert",
+      s"executeUpdate:$update", s"execute:$drop"), stmts.toString)
+
+    // 5 rows at chunkSize 2 → executeBatch after rows 2, 4, 5; a commit
+    // follows each chunk plus one after the update (importer.py:258-261,
+    // :355-357)
+    val fill = rec.log.filter(e => e == "addBatch" || e == "executeBatch")
+    assert(fill == Seq("addBatch", "addBatch", "executeBatch",
+      "addBatch", "addBatch", "executeBatch",
+      "addBatch", "executeBatch"), fill.toString)
+    assert(rec.log.count(_ == "commit") == 4)
+    // every row binds both columns positionally
+    assert(rec.log.count(_.startsWith("set:1=")) == 5)
+    assert(rec.log.count(_.startsWith("set:2=")) == 5)
+  }
+
+  test("JdbcMergeSink(sqlite): dialect-correct staging and update text") {
+    val rec = new Recorder
+    val sink = new JdbcMergeSink("sqlite", () => rec.conn, chunkSize = 100)
+    val spec = MergeSpec("orders", Seq("o_orderkey"), Seq("o_totalprice"))
+    sink.write(MergeResult(deltaDf, 0L), deltaDf, spec)
+    val update = SqlGen.updateSqlite(
+      "orders", "temp.dbimport", Seq("o_orderkey"), Seq("o_totalprice"))
+    assert(rec.log.contains(s"executeUpdate:$update"), rec.log.toString)
+    assert(rec.log.contains(
+      "prepare:insert into dbimport (o_orderkey, o_totalprice) values (?, ?)"))
+    // one chunk (5 < 100): one executeBatch for the fill
+    assert(rec.log.count(_ == "executeBatch") == 1)
+  }
+
+  test("JdbcMergeSink binds nulls as JDBC nulls") {
+    import spark.implicits._
+    val rec = new Recorder
+    val sink = new JdbcMergeSink("sqlite", () => rec.conn)
+    val withNull = Seq((1L, Some(10.0)), (2L, None))
+      .toDF("o_orderkey", "o_totalprice")
+    sink.write(MergeResult(withNull, 0L), withNull,
+      MergeSpec("orders", Seq("o_orderkey"), Seq("o_totalprice")))
+    assert(rec.log.contains("set:2=null"), rec.log.toString)
+  }
+
+  test("ParquetMergeSink round-trips the merged relation and the count") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("merge_sink").toString + "/orders"
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val delta = orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"),
+        (col("o_totalprice") * 2).as("o_totalprice"))
+    val merge = Importer.merge(orders, delta,
+      joinOn = Seq("o_orderkey"), subset = Seq("o_totalprice"))
+    val sink = new ParquetMergeSink(dir, chunkSize = 500)
+    val affected = sink.write(merge, delta,
+      MergeSpec("orders", Seq("o_orderkey"), Seq("o_totalprice")))
+    assert(affected == delta.count())
+    val back = spark.read.parquet(dir)
+    assert(back.schema.fieldNames.toSeq == orders.schema.fieldNames.toSeq)
+    assert(back.count() == orders.count())
+    // the write-back carries the merge effect, not the original values
+    val changed = back.join(orders.select(col("o_orderkey"),
+        col("o_totalprice").as("orig")), "o_orderkey")
+      .filter(col("o_totalprice") =!= col("orig"))
+    assert(changed.count() == delta.count())
+  }
+}
