@@ -1,15 +1,14 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** Source layer (SURVEY §2.1): the reference reads an Excel workbook —
   * every sheet into an untyped frame, then infers types
-  * (`window.py:294-311`, S1/S2). Spark-side, a "workbook" is a
-  * directory of named tables; sheets map to per-table DataFrames and
-  * type inference maps to reader schema inference. No Excel codec
-  * exists offline, so the bundled formats are parquet/CSV/JSON — the
-  * workbook abstraction is format-agnostic.
+  * (`window.py:294-311`, S1/S2). Spark-side, a "workbook" is either a
+  * real `.xlsx` file (read by the engine's own codec-free [[Xlsx]]
+  * parser) or a directory of named tables; sheets map to per-table
+  * DataFrames and type inference maps to reader schema inference.
   */
 object Sources {
 
@@ -32,16 +31,52 @@ object Sources {
   def readJson(s: SparkSession, path: String): DataFrame =
     s.read.json(path)
 
-  /** S1 — workbook scan: every table ("sheet") in the directory, keyed
-    * by name — the analogue of `pd.read_excel(fp, sheet_name=None)`.
+  /** S1 — workbook scan: every table ("sheet") keyed by name — the
+    * analogue of `pd.read_excel(fp, sheet_name=None)`
+    * (`window.py:296`). A `.xlsx` path is read natively by [[Xlsx]];
+    * a directory is treated as a workbook of parquet tables.
     */
   def workbook(s: SparkSession, dir: String): Map[String, DataFrame] = {
     val d = new java.io.File(dir)
-    Option(d.list()).getOrElse(Array.empty[String]).toSeq
+    if (d.isFile && dir.toLowerCase.endsWith(".xlsx")) readXlsx(s, dir)
+    else Option(d.list()).getOrElse(Array.empty[String]).toSeq
       .filter(_.endsWith(".parquet"))
       .map(f => f.stripSuffix(".parquet") ->
         s.read.parquet(s"$dir/$f"))
       .toMap
+  }
+
+  /** S1 + S2 — every sheet of an xlsx workbook as a typed DataFrame
+    * (first row = header, column types inferred per
+    * [[Xlsx.inferType]], the `convert_dtypes` analogue,
+    * `window.py:303-304`). Workbook order is preserved. The parse is
+    * driver-side by nature — xlsx is a single unsplittable zip and the
+    * reference loads it into GUI memory; it is the small-side input
+    * path (user deltas/dimensions), while bulk data enters as parquet.
+    */
+  def readXlsx(s: SparkSession, path: String): Map[String, DataFrame] = {
+    val sheets = Xlsx.readSheets(path).map { case (name, grid) =>
+      name -> sheetDf(s, grid)
+    }
+    scala.collection.immutable.ListMap(sheets: _*)
+  }
+
+  private def sheetDf(
+      s: SparkSession, grid: Vector[Vector[Option[Xlsx.Cell]]]
+  ): DataFrame = {
+    if (grid.isEmpty) return s.emptyDataFrame
+    val width = grid.map(_.length).max
+    val names = Xlsx.headerNames(grid.head, width)
+    val data = grid.tail.map(r => (0 until width).map(i => r.lift(i).flatten))
+    val types = (0 until width).map(i => Xlsx.inferType(data.map(_(i))))
+    val schema = StructType(names.zip(types).map { case (n, t) =>
+      StructField(n, t, nullable = true)
+    })
+    val rows: java.util.List[Row] = new java.util.ArrayList[Row]
+    data.foreach { r =>
+      rows.add(Row.fromSeq((0 until width).map(i => Xlsx.convert(r(i), types(i)))))
+    }
+    s.createDataFrame(rows, schema)
   }
 
   /** S3 — source enumeration: the names a workbook offers (the

@@ -39,6 +39,127 @@ class SourcesSpec extends SparkSpec {
     assert(df.schema("id").dataType == LongType)
   }
 
+  /** Hand-built xlsx via java.util.zip — no writer library, so the
+    * reader is pinned against the file format itself, not a codec's
+    * idea of it.
+    */
+  private def writeXlsx(entries: (String, String)*): String = {
+    val f = java.nio.file.Files.createTempFile("wb", ".xlsx")
+    val zos = new java.util.zip.ZipOutputStream(
+      java.nio.file.Files.newOutputStream(f))
+    try entries.foreach { case (name, content) =>
+      zos.putNextEntry(new java.util.zip.ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
+      zos.closeEntry()
+    } finally zos.close()
+    f.toString
+  }
+
+  private def sampleXlsx(): String = writeXlsx(
+    "[Content_Types].xml" ->
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"/>""",
+    "xl/workbook.xml" ->
+      """<?xml version="1.0"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |  <sheets>
+        |    <sheet name="items" sheetId="1" r:id="rId1"/>
+        |    <sheet name="flags" sheetId="2" r:id="rId2"/>
+        |  </sheets>
+        |</workbook>""".stripMargin,
+    "xl/_rels/workbook.xml.rels" ->
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |  <Relationship Id="rId1" Type="w" Target="worksheets/sheet1.xml"/>
+        |  <Relationship Id="rId2" Type="w" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin,
+    "xl/sharedStrings.xml" ->
+      """<?xml version="1.0"?>
+        |<sst count="4" uniqueCount="4">
+        |  <si><t>id</t></si>
+        |  <si><t>name</t></si>
+        |  <si><r><t>Ap</t></r><r><t>ple</t></r></si>
+        |  <si><t>Pear &amp; Co</t></si>
+        |</sst>""".stripMargin,
+    // row 3 has a gap at B (blank name); C4 carries an inline string;
+    // the qty cell in row 4 omits its r= reference (sequential
+    // placement); id values exercise Long vs Double inference
+    "xl/worksheets/sheet1.xml" ->
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row r="1">
+        |      <c r="A1" t="s"><v>0</v></c>
+        |      <c r="B1" t="s"><v>1</v></c>
+        |      <c r="C1" t="str"><v>qty</v></c>
+        |      <c r="D1" t="inlineStr"><is><t>price</t></is></c>
+        |    </row>
+        |    <row r="2">
+        |      <c r="A2"><v>1</v></c>
+        |      <c r="B2" t="s"><v>2</v></c>
+        |      <c r="C2"><v>5</v></c>
+        |      <c r="D2"><v>10.5</v></c>
+        |    </row>
+        |    <row r="3">
+        |      <c r="A3"><v>90000000000</v></c>
+        |      <c r="C3"><v>4</v></c>
+        |      <c r="D3"><v>9</v></c>
+        |    </row>
+        |    <row r="4">
+        |      <c r="A4"><v>3</v></c>
+        |      <c r="B4" t="s"><v>3</v></c>
+        |      <c><v>7</v></c>
+        |      <c r="D4"><v>2.5E2</v></c>
+        |    </row>
+        |  </sheetData>
+        |</worksheet>""".stripMargin,
+    "xl/worksheets/sheet2.xml" ->
+      """<?xml version="1.0"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |  <sheetData>
+        |    <row r="1"><c r="A1" t="inlineStr"><is><t>k</t></is></c>
+        |      <c r="B1" t="inlineStr"><is><t>ok</t></is></c></row>
+        |    <row r="2"><c r="A2"><v>1</v></c><c r="B2" t="b"><v>1</v></c></row>
+        |    <row r="3"><c r="A3"><v>2</v></c><c r="B3" t="b"><v>0</v></c></row>
+        |  </sheetData>
+        |</worksheet>""".stripMargin
+  )
+
+  test("S1: xlsx reader loads every sheet in workbook order") {
+    val wb = Sources.readXlsx(spark, sampleXlsx())
+    assert(wb.keys.toSeq == Seq("items", "flags"))
+    assert(wb("items").count() == 3)
+    assert(wb("flags").count() == 2)
+  }
+
+  test("S1+S2: xlsx cell types, shared/inline strings, gaps, inference") {
+    val items = Sources.readXlsx(spark, sampleXlsx())("items")
+    assert(items.schema.fieldNames.toSeq == Seq("id", "name", "qty", "price"))
+    // id stays integral across the >2^31 value; price mixes 10.5/9/2.5E2
+    assert(items.schema("id").dataType == LongType)
+    assert(items.schema("name").dataType == StringType)
+    assert(items.schema("qty").dataType == LongType)
+    assert(items.schema("price").dataType == DoubleType)
+    val rows = items.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 3L, 90000000000L))
+    // rich-run shared string, r-less sequential cell, scientific notation
+    assert(rows(0).getString(1) == "Apple" && rows(0).getLong(2) == 5L)
+    assert(rows(1).getString(1) == "Pear & Co" && rows(1).getLong(2) == 7L)
+    assert(rows(1).getDouble(3) == 250.0)
+    // the gap cell (row 3, column B) is null
+    assert(rows(2).isNullAt(1) && rows(2).getLong(2) == 4L)
+  }
+
+  test("S1+S2: xlsx boolean column inference and workbook dispatch") {
+    val path = sampleXlsx()
+    // workbook() dispatches on the .xlsx suffix (window.py:294-311)
+    val wb = Sources.workbook(spark, path)
+    val flags = wb("flags")
+    assert(flags.schema("ok").dataType == BooleanType)
+    assert(flags.orderBy("k").collect().map(_.getBoolean(1)).toSeq ==
+      Seq(true, false))
+  }
+
   test("S2: JSON-lines read infers nested types") {
     val dir = java.nio.file.Files.createTempDirectory("json_src")
     val f = dir.resolve("t.json")
