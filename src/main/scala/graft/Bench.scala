@@ -1,10 +1,37 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Release every cached plan AND its storage before the next timed
+    * region. `clearCache()` drops the CacheManager entries but
+    * unpersists asynchronously — block removal then lands on the NEXT
+    * query's clock (measured: a ~1.5 s query read 23 s in-sequence
+    * whenever it followed the dedup queries' caches). The follow-up
+    * blocking unpersist of any still-registered RDD makes the release
+    * synchronous, so each query starts from a storage-quiet executor.
+    */
+  private def clearCaches(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case '\n' | '\r'   => " "
+      case c if c < ' '  => ""
+      case c             => c.toString
+    } + "\""
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // optional comma-separated subset for isolated probes
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,25 +51,38 @@ object Bench {
     // projections, billing narrow per-row queries a bare scan); reps
     // with per-query min filter out the host's CPU-steal bursts —
     // a min is contamination-proof, a mean is not
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        // each rep runs cold w.r.t. the DF cache: some query plans
-        // .cache() shared sub-lineages, and a second rep reusing the
-        // first's materialization would measure cache-read, not the
-        // query
-        spark.catalog.clearCache()
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results: Map[String, Either[String, Double]] =
+      selected.map { case (name, fn) =>
+        // a failed rep records its error, never a time: a query that
+        // throws fast must not contribute a flattering near-zero min
+        var lastErr: String = "no reps ran"
+        val times = (1 to reps).flatMap { _ =>
+          clearCaches(spark)
+          val t0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch {
+            case e: Throwable =>
+              lastErr = (e.getClass.getName + ": " +
+                String.valueOf(e.getMessage)).take(300)
+              None
+          }
+        }
+        name -> (if (times.nonEmpty) Right(times.min) else Left(lastErr))
       }
-      name -> times.min
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val failed = results.collect { case (k, Left(e)) => k -> e }
+    val qs = ok.map { case (k, v) => s"${jsonStr(k)}:$v" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = failed.map { case (k, e) => s"${jsonStr(k)}:${jsonStr(e)}" }
+      .mkString("{", ",", "}")
+    val total = if (ok.nonEmpty) ok.values.sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    // a query that never succeeded is a broken query, not a fast one
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

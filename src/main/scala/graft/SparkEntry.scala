@@ -177,7 +177,7 @@ object SparkEntry {
     // ANN paths: fully oracled — the md5-derived LSH coefficients and
     // the IVF centroid math are computable in plain SQL, so DuckDB
     // reproduces signatures, candidates, scores, and ranks end-to-end;
-    // recall vs the brute-force baseline is pinned in SimilaritySpec
+    // recall vs the brute-force baseline is pinned in DedupSpec
     "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(s, dir)),
     "sim_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "sim_near_dup" -> ((s, dir) => Similarity.cosineNearDupPairs(s, dir)),
@@ -550,20 +550,67 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
         |  FROM sc
         |) WHERE rk <= 10""".stripMargin,
-    // Full cross-engine pin of the IVF pipeline: centroids are the
-    // first 16 vectors, assignment/probing is pure cosine math.
+    // Full cross-engine pin of the IVF pipeline: centroids seed from
+    // the first 16 vectors and are refined by two Lloyd iterations,
+    // unrolled here with the engine's exact arithmetic — per-cell
+    // means are DECIMAL(27,12)-mediated (exact, order-independent
+    // sums) so the refined centroids are bit-identical across engines;
+    // emptied cells keep their previous centroid (the coalesce).
     "sim_ann_ivf" ->
       """WITH e AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |), c AS (
+        |), dims AS (
+        |  SELECT unnest(range(1, len(v) + 1)) AS d FROM (SELECT v FROM e LIMIT 1)
+        |), c0 AS (
         |  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16
+        |), a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c0.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(v, cv) /
+        |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+        |          DESC NULLS LAST,
+        |        cell) AS rn
+        |    FROM e, c0
+        |  ) WHERE rn = 1
+        |), m1 AS (
+        |  SELECT cell, d,
+        |    CAST(SUM(CAST(e.v[d] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
+        |  FROM a1, e, dims WHERE a1.vec_id = e.vec_id
+        |  GROUP BY cell, d
+        |), g1 AS (
+        |  SELECT cell, list(m ORDER BY d) AS cv FROM m1 GROUP BY cell
+        |), c1 AS (
+        |  SELECT c0.cell, coalesce(g1.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN g1 USING (cell)
+        |), a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c1.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(v, cv) /
+        |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+        |          DESC NULLS LAST,
+        |        cell) AS rn
+        |    FROM e, c1
+        |  ) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT cell, d,
+        |    CAST(SUM(CAST(e.v[d] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
+        |  FROM a2, e, dims WHERE a2.vec_id = e.vec_id
+        |  GROUP BY cell, d
+        |), g2 AS (
+        |  SELECT cell, list(m ORDER BY d) AS cv FROM m2 GROUP BY cell
+        |), c2 AS (
+        |  SELECT c1.cell, coalesce(g2.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN g2 USING (cell)
         |), ac AS (
         |  SELECT vec_id, cell,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY
         |      list_dot_product(v, cv) /
-        |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+        |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+        |        DESC NULLS LAST,
         |      cell) AS rn
-        |  FROM e, c
+        |  FROM e, c2
         |), assigned AS (
         |  SELECT vec_id, cell FROM ac WHERE rn = 1
         |), probes AS (

@@ -110,6 +110,109 @@ final class Catalog(
       tablePk = primaryKey(tableName), joinOn = joinOn, subset = subset)
 }
 
+/** S3/S5/S6 against a live database: enumeration through JDBC
+  * `DatabaseMetaData` — the direct analogue of the reference's
+  * `pyodbc.dataSources()` source listing (`window.py:201`) and its
+  * catalog round-trips (`util.py:31-76`, `importer.py:149-163`).
+  * Mirrors [[Catalog]]'s surface over a connection factory instead of
+  * a parquet directory. Like [[JdbcMergeSink]], the connection is
+  * injected so the metadata protocol is pinned offline by proxy-backed
+  * fakes (JdbcCatalogSpec); there is no live DSN in this environment.
+  *
+  * Metadata volumes are per-table, not per-row — driver-side by
+  * nature, same as the reference's cached catalog scans
+  * (`window.py:211-216`).
+  */
+final class JdbcCatalog(
+    connect: () => java.sql.Connection,
+    catalog: Option[String] = None,
+    schemaPattern: Option[String] = None
+) {
+
+  private def withConn[A](f: java.sql.DatabaseMetaData => A): A = {
+    val conn = connect()
+    try f(conn.getMetaData)
+    finally conn.close()
+  }
+
+  /** S3 — table enumeration via `getTables`, sorted like
+    * [[Catalog.listTables]] (O1).
+    */
+  def listTables: Seq[String] = withConn { md =>
+    val rs = md.getTables(
+      catalog.orNull, schemaPattern.orNull, "%", Array("TABLE"))
+    val out = scala.collection.mutable.Buffer.empty[String]
+    try while (rs.next()) out += rs.getString("TABLE_NAME")
+    finally rs.close()
+    out.toSeq.sorted
+  }
+
+  /** S6 — ordered column metadata via `getColumns` (`_get_cols`,
+    * `importer.py:157-163`); JDBC type codes map back to Spark types
+    * (the inverse of [[JdbcMergeSink.sqlTypesFor]]).
+    */
+  def columns(table: String): Seq[ColumnMeta] = withConn { md =>
+    val rs = md.getColumns(catalog.orNull, schemaPattern.orNull, table, "%")
+    val out = scala.collection.mutable.Buffer.empty[ColumnMeta]
+    try while (rs.next()) out += ColumnMeta(
+      table,
+      rs.getString("COLUMN_NAME"),
+      rs.getInt("ORDINAL_POSITION"),
+      JdbcCatalog.toDataType(
+        rs.getInt("DATA_TYPE"),
+        rs.getInt("COLUMN_SIZE"),
+        rs.getInt("DECIMAL_DIGITS")))
+    finally rs.close()
+    out.sortBy(_.ordinal).toSeq
+  }
+
+  /** S4 + O1 — full catalog scan ordered by table then ordinal, the
+    * `order by table_schema, table_name, ordinal_position` contract
+    * (`util.py:45-47`).
+    */
+  def allColumns: Seq[ColumnMeta] = listTables.flatMap(columns)
+
+  /** S5 — primary-key columns in key order via `getPrimaryKeys`
+    * (`_get_pk`, `importer.py:149-155`).
+    */
+  def primaryKey(table: String): Seq[String] = withConn { md =>
+    val rs = md.getPrimaryKeys(catalog.orNull, schemaPattern.orNull, table)
+    val out = scala.collection.mutable.Buffer.empty[(Short, String)]
+    try while (rs.next())
+      out += ((rs.getShort("KEY_SEQ"), rs.getString("COLUMN_NAME")))
+    finally rs.close()
+    out.sortBy(_._1).map(_._2).toSeq
+  }
+}
+
+object JdbcCatalog {
+  /** `java.sql.Types` code → Spark type (catalog rendering follows
+    * [[ColumnMeta.rendered]], matching `translate_dtype`'s table,
+    * `util.py:63-74`).
+    */
+  private[graft] def toDataType(
+      sqlType: Int, size: Int, scale: Int): DataType = {
+    import java.sql.Types._
+    sqlType match {
+      case BIGINT                      => LongType
+      case INTEGER                     => IntegerType
+      case SMALLINT                    => ShortType
+      case TINYINT                     => ByteType
+      case DOUBLE | FLOAT              => DoubleType
+      case REAL                        => FloatType
+      case BOOLEAN | BIT               => BooleanType
+      case DECIMAL | NUMERIC           => DecimalType(size, scale)
+      case DATE                        => DateType
+      case TIMESTAMP                   => TimestampNTZType
+      case TIMESTAMP_WITH_TIMEZONE     => TimestampType
+      case VARBINARY | BINARY | LONGVARBINARY => BinaryType
+      case CHAR                        => CharType(size)
+      case VARCHAR if size > 0 && size < Int.MaxValue => VarcharType(size)
+      case _                           => StringType
+    }
+  }
+}
+
 object Catalog {
   /** PK sidecar for the driver-generated test corpus (TESTDATA.md) —
     * the stand-in for `information_schema.key_column_usage`.

@@ -4,6 +4,7 @@ import java.sql.{Connection, PreparedStatement}
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
 
 /** What a merge updates and on which keys — the sink-facing slice of
   * the [[Importer]] contract (table name, join keys, update subset),
@@ -23,8 +24,9 @@ final case class MergeSpec(
   * itself is the lazily-planned [[Importer.updated]] relation and a
   * MergeSink is the terminal operator that materializes the effect —
   * either by rewriting the table in the lake ([[ParquetMergeSink]]) or
-  * by pushing the UPDATE to the origin database ([[JdbcMergeSink]]).
-  * Returns the affected-row count (A4, `cur.rowcount` analogue).
+  * by pushing the UPDATE to the origin database ([[JdbcMergeSink]] /
+  * [[JdbcParallelMergeSink]]). Returns the affected-row count (A4,
+  * `cur.rowcount` analogue).
   */
 trait MergeSink {
   def write(merge: MergeResult, delta: DataFrame, spec: MergeSpec): Long
@@ -59,9 +61,15 @@ final class ParquetMergeSink(
   * `temp.dbimport`); the delta therefore streams through the driver
   * via `toLocalIterator` (partition-at-a-time, never a full collect) —
   * the delta is the small side by construction (a user-supplied update
-  * set). For a globally-visible staging table, the per-partition
-  * parallel form (`df.write.jdbc` into staging, then the same UPDATE)
-  * is the drop-in alternative.
+  * set). When the delta is large, [[JdbcParallelMergeSink]] is the
+  * scale form: per-partition parallel inserts into a globally-visible
+  * staging table, then the same UPDATE.
+  *
+  * Transactions are explicit: autocommit is disabled for the
+  * lifecycle (JDBC connections default to `autoCommit=true`, where
+  * `commit()` throws on spec-compliant drivers; the reference relies
+  * on pyodbc's `autocommit=False` default, which JDBC does not share)
+  * and restored before the connection is returned.
   *
   * The connection is injected (`connect`), so the statement/batch
   * protocol is pinned offline by proxy-backed fakes in MergeSinkSpec;
@@ -78,69 +86,191 @@ final class JdbcMergeSink(
   private val temp: String =
     if (dialect == "mssql") "#dbimport" else "dbimport"
 
-  private def q(n: String): String =
-    Types.quoteName(n).getOrElse(
-      throw new IllegalArgumentException(s"identifier too long: $n"))
-
-  /** Quoted qualified target, `importer.py:274-276`. */
-  private def qualified(spec: MergeSpec): String = dialect match {
-    case "mssql" => s"${q(spec.schema.getOrElse("dbo"))}.${q(spec.table)}"
-    case _       => spec.table
+  override def write(
+      merge: MergeResult, delta: DataFrame, spec: MergeSpec): Long = {
+    val cols = spec.joinOn ++ spec.subset
+    val projected = delta.select(cols.map(col): _*)
+    val sqlTypes = JdbcMergeSink.sqlTypesFor(projected.schema)
+    val conn = connect()
+    try {
+      val prevAuto = conn.getAutoCommit
+      conn.setAutoCommit(false)
+      try {
+        val st = conn.createStatement()
+        try {
+          // drop → create → fill → update → drop (importer.py:301-310)
+          st.execute(SqlGen.dropTempTable(dialect, temp))
+          st.execute(SqlGen.createTempTable(
+            dialect, JdbcMergeSink.qualified(dialect, spec), temp, cols))
+          val ps = conn.prepareStatement(
+            SqlGen.insertInto(dialect, temp, cols))
+          try JdbcMergeSink.insertBatches(ps,
+            projected.toLocalIterator(),
+            sqlTypes, chunkSize, () => conn.commit())
+          finally ps.close()
+          val update = JdbcMergeSink.updateSql(
+            dialect, spec, if (dialect == "mssql") temp else s"temp.$temp")
+          val affected = st.executeUpdate(update).toLong
+          conn.commit()
+          st.execute(SqlGen.dropTempTable(dialect, temp))
+          affected
+        } finally st.close()
+      } finally conn.setAutoCommit(prevAuto)
+    } finally conn.close()
   }
+}
+
+/** S9 scale form — the parallel variant documented against
+  * [[JdbcMergeSink]]: the delta never touches the driver. Each Spark
+  * partition opens its own connection and bulk-inserts its rows into a
+  * GLOBALLY-VISIBLE staging table (the `df.write.jdbc` shape: one
+  * writer per partition, chunked batches, per-chunk commit), then one
+  * set-based UPDATE joins staging into the target and staging is
+  * dropped. Insert throughput scales with the partition count, bounded
+  * only by what the target database admits.
+  *
+  * `connect` must be serializable (it is shipped to executors) and
+  * must produce a new connection per call — the usual
+  * DriverManager-from-URL factory satisfies both.
+  */
+final class JdbcParallelMergeSink(
+    dialect: String,
+    connect: () => Connection,
+    chunkSize: Int = Staging.ChunkSize,
+    staging: String = "dbimport_stage"
+) extends MergeSink {
+  SqlGen.requireDialect(dialect)
 
   override def write(
       merge: MergeResult, delta: DataFrame, spec: MergeSpec): Long = {
     val cols = spec.joinOn ++ spec.subset
-    val conn = connect()
+    val projected = delta.select(cols.map(col): _*)
+    val sqlTypes = JdbcMergeSink.sqlTypesFor(projected.schema)
+    // locals so the foreachPartition closure captures values, not
+    // `this` (the sink itself is not serializable, and need not be)
+    val (dia, stage, cs, cf) = (dialect, staging, chunkSize, connect)
+    val insertSql = SqlGen.insertInto(dia, stage, cols)
+
+    val driverConn = connect()
     try {
-      val st = conn.createStatement()
+      val prevAuto = driverConn.getAutoCommit
+      driverConn.setAutoCommit(false)
       try {
-        // drop → create → fill → update → drop (importer.py:301-310)
-        st.execute(SqlGen.dropTempTable(dialect, temp))
-        st.execute(
-          SqlGen.createTempTable(dialect, qualified(spec), temp, cols))
-        val ps = conn.prepareStatement(
-          SqlGen.insertInto(dialect, temp, cols))
-        try JdbcMergeSink.insertBatches(ps,
-          delta.select(cols.map(col): _*).toLocalIterator(),
-          cols.size, chunkSize, () => conn.commit())
-        finally ps.close()
-        val update = dialect match {
-          case "mssql" => SqlGen.updateMssql(
-            spec.schema.getOrElse("dbo"), spec.table, temp,
-            spec.joinOn, spec.subset)
-          case _ => SqlGen.updateSqlite(
-            spec.table, s"temp.$temp", spec.joinOn, spec.subset)
-        }
-        val affected = st.executeUpdate(update).toLong
-        conn.commit()
-        st.execute(SqlGen.dropTempTable(dialect, temp))
-        affected
-      } finally st.close()
-    } finally conn.close()
+        val st = driverConn.createStatement()
+        try {
+          st.execute(SqlGen.dropStagingTable(dia, stage))
+          st.execute(SqlGen.createStagingTable(
+            dia, JdbcMergeSink.qualified(dia, spec), stage, cols))
+          driverConn.commit()
+
+          projected.foreachPartition { (rows: Iterator[Row]) =>
+            if (rows.hasNext) {
+              val c = cf()
+              try {
+                val prev = c.getAutoCommit
+                c.setAutoCommit(false)
+                try {
+                  val ps = c.prepareStatement(insertSql)
+                  try {
+                    JdbcMergeSink.insertBatches(
+                      ps, new JdbcMergeSink.RowIt(rows),
+                      sqlTypes, cs, () => c.commit()): Unit
+                  } finally ps.close()
+                } finally c.setAutoCommit(prev)
+              } finally c.close()
+            }
+          }
+
+          val affected = st.executeUpdate(
+            JdbcMergeSink.updateSql(dia, spec, stage)).toLong
+          driverConn.commit()
+          st.execute(SqlGen.dropStagingTable(dia, stage))
+          driverConn.commit()
+          affected
+        } finally st.close()
+      } finally driverConn.setAutoCommit(prevAuto)
+    } finally driverConn.close()
   }
 }
 
 object JdbcMergeSink {
 
+  /** Quoted qualified target, `importer.py:274-276`. */
+  private[engine] def qualified(dialect: String, spec: MergeSpec): String = {
+    def q(n: String): String = Types.quoteName(n).getOrElse(
+      throw new IllegalArgumentException(s"identifier too long: $n"))
+    dialect match {
+      case "mssql" => s"${q(spec.schema.getOrElse("dbo"))}.${q(spec.table)}"
+      case _       => spec.table
+    }
+  }
+
+  /** The dialect's set-based UPDATE against a filled staging table
+    * (`importer.py:313-354`).
+    */
+  private[engine] def updateSql(
+      dialect: String, spec: MergeSpec, stagingRef: String): String =
+    dialect match {
+      case "mssql" => SqlGen.updateMssql(
+        spec.schema.getOrElse("dbo"), spec.table, stagingRef,
+        spec.joinOn, spec.subset)
+      case _ => SqlGen.updateSqlite(
+        spec.table, stagingRef, spec.joinOn, spec.subset)
+    }
+
+  /** `java.sql.Types` code per column, derived from the DataFrame
+    * schema — typed null binding (`setNull` with a real type code)
+    * because the JDBC spec lets drivers reject an untyped
+    * `setObject(i, null)`.
+    */
+  private[graft] def sqlTypesFor(schema: StructType): Array[Int] =
+    schema.fields.map(f => f.dataType match {
+      case LongType                         => java.sql.Types.BIGINT
+      case IntegerType                      => java.sql.Types.INTEGER
+      case ShortType                        => java.sql.Types.SMALLINT
+      case ByteType                         => java.sql.Types.TINYINT
+      case DoubleType                       => java.sql.Types.DOUBLE
+      case FloatType                        => java.sql.Types.FLOAT
+      case BooleanType                      => java.sql.Types.BOOLEAN
+      case StringType                       => java.sql.Types.VARCHAR
+      case _: DecimalType                   => java.sql.Types.DECIMAL
+      case DateType                         => java.sql.Types.DATE
+      case TimestampType | TimestampNTZType => java.sql.Types.TIMESTAMP
+      case BinaryType                       => java.sql.Types.VARBINARY
+      case _                                => java.sql.Types.NULL
+    })
+
+  /** Scala→Java iterator bridge that is itself serializable-free (used
+    * inside executor closures where scala-jdk converters would drag in
+    * wrappers).
+    */
+  private[engine] final class RowIt(it: Iterator[Row])
+      extends java.util.Iterator[Row] {
+    override def hasNext: Boolean = it.hasNext
+    override def next(): Row = it.next()
+  }
+
   /** Chunked `executemany` analogue (`importer.py:253-261`): bind each
     * row positionally, `executeBatch` + commit every `chunkSize` rows
     * and once more for the remainder. Null-safe: Spark nulls bind as
-    * JDBC NULLs via `setObject(i, null)` (the reference's
-    * `where(pd.notnull(chunk), None)`). Package-visible so the batch
-    * boundaries are pinned offline by MergeSinkSpec.
+    * TYPED JDBC nulls (`setNull` with the schema-derived type code —
+    * the reference's `where(pd.notnull(chunk), None)`, made
+    * driver-portable). Package-visible so the batch boundaries are
+    * pinned offline by MergeSinkSpec.
     */
   private[graft] def insertBatches(
       ps: PreparedStatement, rows: java.util.Iterator[Row],
-      width: Int, chunkSize: Int, commit: () => Unit): Long = {
+      sqlTypes: Array[Int], chunkSize: Int, commit: () => Unit): Long = {
     require(chunkSize > 0, "chunkSize must be positive")
+    val width = sqlTypes.length
     var total = 0L
     var inBatch = 0
     while (rows.hasNext) {
       val r = rows.next()
       var i = 0
       while (i < width) {
-        ps.setObject(i + 1, r.get(i))
+        if (r.isNullAt(i)) ps.setNull(i + 1, sqlTypes(i))
+        else ps.setObject(i + 1, r.get(i))
         i += 1
       }
       ps.addBatch()

@@ -169,6 +169,34 @@ object SqlGen {
     }
   }
 
+  /** S7 scale variant — globally-visible staging DDL for the parallel
+    * sink: unlike [[createTempTable]], the table must be reachable
+    * from every writer connection, so it is a regular table (mssql `#`
+    * temp tables and sqlite `temp.` tables are session-scoped).
+    */
+  def createStagingTable(
+      dialect: String, table: String, staging: String, cols: Seq[String]
+  ): String = {
+    requireDialect(dialect)
+    dialect match {
+      case "mssql" =>
+        s"select top 0 ${cols.map(q).mkString(", ")} into $staging from $table"
+      case "sqlite" =>
+        s"create table $staging as select ${cols.mkString(", ")} from $table limit 0"
+    }
+  }
+
+  /** Idempotent teardown of the globally-visible staging table. */
+  def dropStagingTable(dialect: String, staging: String): String = {
+    requireDialect(dialect)
+    dialect match {
+      case "mssql" =>
+        s"if object_id('$staging') is not null drop table $staging"
+      case "sqlite" =>
+        s"drop table if exists $staging"
+    }
+  }
+
   /** S8 — staged bulk-insert statement (`importer.py:270,284-288`):
     * `insert into <temp> (<cols>) values (?, …)`; identifiers quoted
     * on mssql, bare on sqlite, like the reference.

@@ -22,9 +22,10 @@ import org.apache.spark.sql.functions._
   * content-derived keys. Nothing is all-pairs: candidate generation is
   * always a co-grouped join on a shingle/band/bucket key, so cost is
   * O(sum of bucket sizes squared) not O(n²) — the standard LSH shape
-  * that survives 100 TB. Frequent-shingle skew can be bounded with
-  * [[Dedup.shingles]]' `maxDocFreq` (drops shingles present in more
-  * than a fraction of docs — a no-op at test scale, a must at 100 TB).
+  * that survives 100 TB. Frequent-shingle skew is bounded with
+  * [[Dedup.hashedShingles]]' `maxDocFreq` (drops shingles present in
+  * more than a fraction of docs — result-neutral at test scale, a must
+  * at 100 TB; contract pinned by DedupSpec).
   */
 object Dedup {
 
@@ -39,33 +40,63 @@ object Dedup {
       .groupBy(md5(col("text").cast("binary")).as("fp"))
       .agg(count(lit(1)).as("n"), min("doc_id").as("keep_id"))
 
-  /** Distinct word n-gram (shingle) set per document. */
-  def shingles(
-      s: SparkSession, dir: String, n: Int = 3,
-      maxDocFreq: Option[Double] = None
-  ): DataFrame = {
-    val base = docs(s, dir)
+  /** Distinct word n-gram (shingle) set per document, string-keyed —
+    * the reference semantics (and what the DuckDB oracles compute).
+    * The hot paths use [[hashedShingles]] instead.
+    */
+  def shingles(s: SparkSession, dir: String, n: Int = 3): DataFrame =
+    docs(s, dir)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"
       )).as("shingle"))
       .distinct()
+
+  /** The hot-path shingle relation: xxhash64'd to longs BEFORE the
+    * distinct (set sizes and intersections are preserved w.h.p. —
+    * 64-bit collisions over millions of distinct shingles are ~2^-40 —
+    * and every downstream shuffle/sort moves 8-byte keys instead of
+    * ~25-char strings), with the document-frequency skew guard applied
+    * on the hashed keys, and CACHED — the scan+split+explode+distinct
+    * lineage runs exactly once, feeding the guard's own df-aggregation
+    * AND every downstream consumer (signatures, both verification-join
+    * sides, the size counts). An earlier formulation guarded on the
+    * un-cached string relation: the whole lineage materialized twice
+    * (once for the hot-set aggregation, once for the main path) before
+    * the cache ever saw it.
+    *
+    * The guard (`maxDocFreq`): drop shingles present in more than
+    * `f`·(total docs) documents — near-universal boilerplate that
+    * would blow up any candidate join. The broadcast side is the
+    * DROPPED hot-shingle set — tiny by definition, and it shrinks as
+    * the corpus grows; broadcasting the keep set would OOM exactly at
+    * the scale the guard exists for. Contract pinned by DedupSpec's
+    * planted-hot-shingle case: cuts candidates, preserves every pair
+    * at threshold on the surviving (non-hot) shingle sets.
+    */
+  private[graft] def hashedShingles(
+      docsDf: DataFrame, n: Int, maxDocFreq: Option[Double]
+  ): DataFrame = {
+    val base = docsDf
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) - $n), i -> concat_ws(' ', slice(toks, i + 1, $n)))"
+      )).as("s"))
+      .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
+      .distinct()
     maxDocFreq match {
-      case None => base
+      case None => base.cache()
       case Some(f) =>
-        // document-frequency cut: drop near-universal shingles that
-        // would blow up the candidate join (skew guard at scale). The
-        // broadcast side is the DROPPED hot-shingle set — tiny by
-        // definition (shingles in > f of all docs), and it shrinks as
-        // the corpus grows; broadcasting the keep set would OOM exactly
-        // at the scale the guard exists for.
-        val total = docs(s, dir).count()
-        val hot = base.groupBy("shingle").agg(count(lit(1)).as("df"))
+        val b = base.cache()
+        val total = docsDf.count()
+        val hot = b.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > (f * total).toLong)
           .select("shingle")
-        base.join(broadcast(hot), Seq("shingle"), "left_anti")
+        b.join(broadcast(hot), Seq("shingle"), "left_anti")
           .select("doc_id", "shingle")
+          .cache()
     }
   }
 
@@ -78,19 +109,22 @@ object Dedup {
       s: SparkSession, dir: String,
       threshold: Double = 0.5, n: Int = 3,
       maxDocFreq: Option[Double] = None
+  ): DataFrame =
+    ngramJaccardPairsDf(docs(s, dir), threshold, n, maxDocFreq)
+
+  /** DataFrame-level variant (spec corpora with planted hot shingles). */
+  private[graft] def ngramJaccardPairsDf(
+      docsDf: DataFrame,
+      threshold: Double = 0.5, n: Int = 3,
+      maxDocFreq: Option[Double] = None
   ): DataFrame = {
     // Intersections come straight off the shingle-key join — one
     // shuffle, one aggregation. (An earlier formulation materialized a
     // distinct candidate-pair set and re-joined both shingle sets; at
     // sf0.1 that meant re-expanding every pair by ~80 shingles twice —
-    // 40x slower for identical results.) Cached: three consumers.
-    // Shingles are xxhash64'd to longs before the join: set sizes and
-    // intersections are preserved w.h.p. (64-bit collisions over
-    // millions of distinct shingles are ~2^-40), and the hot self-join
-    // shuffles+sorts 8-byte keys instead of ~25-char strings.
-    val sh = shingles(s, dir, n, maxDocFreq)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .cache()
+    // 40x slower for identical results.) [[hashedShingles]] is cached:
+    // three consumers here.
+    val sh = hashedShingles(docsDf, n, maxDocFreq)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("doc_a", "sh_a")
     val b = sh.toDF("doc_b", "sh_b")
@@ -159,22 +193,30 @@ object Dedup {
       threshold: Double = 0.8, n: Int = 3,
       numHashes: Int = 32, rowsPerBand: Int = 2,
       maxDocFreq: Option[Double] = None
+  ): DataFrame =
+    minhashLshPairsDf(docs(s, dir), threshold, n, numHashes, rowsPerBand,
+      maxDocFreq)
+
+  /** DataFrame-level variant (spec corpora with planted hot shingles). */
+  private[graft] def minhashLshPairsDf(
+      docsDf: DataFrame,
+      threshold: Double = 0.8, n: Int = 3,
+      numHashes: Int = 32, rowsPerBand: Int = 2,
+      maxDocFreq: Option[Double] = None
   ): DataFrame = {
     // maxDocFreq is the skew guard: signatures built from
     // near-universal shingles collapse docs into the same band buckets
-    // and the bucket join degenerates — cut them before signing. (This
-    // corpus has no hot shingles — max df 2% of docs — so any cut
-    // above that is provably result-neutral here; at 100 TB it is a
-    // must.)
+    // and the bucket join degenerates — cut them before signing. (The
+    // bench corpus has no hot shingles — max df 2% of docs — so any
+    // cut above that is provably result-neutral there; at 100 TB it is
+    // a must. The guard's effect is pinned by DedupSpec's planted-hot-
+    // shingle corpus.)
     //
     // The shingle set feeds four consumers (signatures, both sides of
-    // the verification join, the size counts) — cache it so the
-    // scan+split+explode+distinct lineage runs once, not four times.
-    // Hashed to longs as in [[ngramJaccardPairs]] (and the minhash
-    // seeds then hash longs, not strings — cheaper still).
-    val sh = shingles(s, dir, n, maxDocFreq)
-      .select(col("doc_id"), xxhash64(col("shingle")).as("shingle"))
-      .cache()
+    // the verification join, the size counts) — [[hashedShingles]] is
+    // cached so the scan+split+explode+distinct lineage runs once, not
+    // four times (and the minhash seeds hash longs, not strings).
+    val sh = hashedShingles(docsDf, n, maxDocFreq)
     val sigs = minhashSignatures(sh, numHashes)
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>

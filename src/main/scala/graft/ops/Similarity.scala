@@ -124,7 +124,7 @@ object Similarity {
   /** ANN top-k via LSH bucketing: candidates for a query are corpus
     * vectors sharing at least one signature band (pigeonhole over
     * `numBands` bands), scored exactly, ranked per query. Recall vs
-    * the brute-force baseline is pinned in SimilaritySpec; the full
+    * the brute-force baseline is pinned in DedupSpec; the full
     * pipeline (signatures → bands → candidates → scores → ranks) is
     * pinned by a cross-engine DuckDB oracle (the md5-derived
     * coefficients are computable in plain SQL).
@@ -173,7 +173,7 @@ object Similarity {
     * The centroids are inlined as literals, so the `top` nearest cells
     * per row come from one projection computing all cell cosines plus a
     * per-row sort of a `numCells`-element array — a narrow map with
-    * ZERO Exchange (pinned by SimilaritySpec), where the previous
+    * ZERO Exchange (pinned by DedupSpec), where the previous
     * formulation joined every vector against the broadcast centroids
     * and ranked via `Window.partitionBy` — a full shuffle of
     * `numCells`× the corpus vector volume for an argmax needing none.
@@ -184,8 +184,14 @@ object Similarity {
       cents: Seq[(Long, Seq[Double])], top: Int
   ): DataFrame = {
     val scored = cents.map { case (cellId, cv) =>
-      // negated score: natural ascending struct sort = score desc
-      struct((-cosine(col(vCol), typedLit(cv))).as("ncs"),
+      // negated score: natural ascending struct sort = score desc. A
+      // zero-norm vector (or centroid) makes the cosine null — Spark's
+      // ascending struct sort would put the null FIRST (an arbitrary
+      // "nearest" cell) while the oracle's ORDER BY … DESC NULLS LAST
+      // puts it last; coalescing to +Inf pins the degenerate case to
+      // "worst" on both engines.
+      struct(coalesce(-cosine(col(vCol), typedLit(cv)),
+          lit(Double.PositiveInfinity)).as("ncs"),
         lit(cellId).as("cell"))
     }
     val topCells = slice(array_sort(array(scored: _*)), 1, top)
@@ -193,29 +199,65 @@ object Similarity {
       .withColumn("cell", col("__c.cell")).drop("__c")
   }
 
+  /** One deterministic Lloyd (k-means) iteration: assign every vector
+    * to its nearest centroid (narrow projection, zero Exchange), then
+    * recompute each centroid as its cell's per-dimension mean. The
+    * mean is DECIMAL(27,12)-mediated — decimal sums are exact and
+    * therefore partition-order-independent, so the refined centroids
+    * are bit-reproducible on any cluster AND in the DuckDB oracle
+    * (`CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) / count`). An
+    * emptied cell keeps its previous centroid (same rule in the
+    * oracle's `coalesce`). Driver cost is `numCells × dims` collected
+    * rows per iteration — centroids are driver-resident by
+    * construction.
+    */
+  private def lloydStep(
+      emb: DataFrame, cents: Seq[(Long, Seq[Double])]
+  ): Seq[(Long, Seq[Double])] = {
+    val assigned = assignCells(emb, "v", cents, 1)
+    val means = assigned
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("cell", "dim")
+      .agg((sum(col("x").cast("decimal(27,12)")).cast("double") /
+        count(lit(1))).as("m"))
+      .collect()
+    val byCell: Map[Long, Seq[Double]] = means.groupBy(_.getLong(0))
+      .map { case (c, rows) =>
+        c -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+    cents.map { case (id, old) => (id, byCell.getOrElse(id, old)) }
+  }
+
   /** IVF-style ANN top-k: partition the corpus into `numCells` cells
-    * around deterministic seed centroids (the first `numCells`
-    * vectors), assign every vector to its nearest centroid via a
-    * narrow projection (see [[assignCells]] — no shuffle of vectors),
-    * and probe only the `nprobe` nearest cells per query — the
-    * coarse-quantizer shape that scales: candidate cost drops from
-    * O(N) to O(N · nprobe / numCells) per query. Pinned end-to-end by
-    * a cross-engine DuckDB oracle.
+    * around deterministic centroids — seeded from the first `numCells`
+    * vectors, then refined by `lloydIters` deterministic k-means
+    * iterations (see [[lloydStep]]) so cell balance is data-driven
+    * rather than corpus-order-driven — assign every vector to its
+    * nearest centroid via a narrow projection (see [[assignCells]] —
+    * no shuffle of vectors), and probe only the `nprobe` nearest cells
+    * per query — the coarse-quantizer shape that scales: candidate
+    * cost drops from O(N) to O(N · nprobe / numCells) per query.
+    * Pinned end-to-end by a cross-engine DuckDB oracle (the Lloyd
+    * iterations are unrolled in SQL with the same decimal-mediated
+    * means).
     */
   def ivfTopK(
       s: SparkSession, dir: String,
       numQueries: Int = 5, k: Int = 10,
-      numCells: Int = 16, nprobe: Int = 4
+      numCells: Int = 16, nprobe: Int = 4,
+      lloydIters: Int = 2
   ): DataFrame = {
-    val emb = load(s, dir)
-    val cents: Seq[(Long, Seq[Double])] =
+    // cached: seeds collect + one assignment per Lloyd iteration + the
+    // final assignment + the query side all re-read it
+    val emb = load(s, dir).select(col("vec_id"), col("v")).cache()
+    val seeds: Seq[(Long, Seq[Double])] =
       emb.filter(col("vec_id") < numCells)
         .select(col("vec_id").cast("long"), col("v"))
         .collect().toSeq
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
         .sortBy(_._1)
-    val assigned = assignCells(
-      emb.select(col("vec_id"), col("v")), "v", cents, 1)
+    val cents = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydStep(emb, c))
+    val assigned = assignCells(emb, "v", cents, 1)
     val q = emb.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
     val probes = assignCells(q, "qv", cents, nprobe)

@@ -20,6 +20,51 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("skew guard: planted hot shingle cuts candidates, preserves true pairs") {
+    import spark.implicits._
+    // boilerplate header in 10 of 24 docs (42% > the 20% cut): its 3
+    // trigrams are the only shingles shared across unrelated docs
+    val header = "terms of service apply here"
+    def body(i: Int) = (0 until 12).map(j => s"d${i}w$j").mkString(" ")
+    val background = (0 until 20).map { i =>
+      (i.toLong, if (i < 8) s"$header ${body(i)}" else body(i))
+    }
+    val planted = Seq(
+      // true pair WITH the hot header: must survive the cut on the
+      // strength of its non-hot shingles alone
+      (100L, s"$header shared alpha beta gamma delta epsilon zeta"),
+      (101L, s"$header shared alpha beta gamma delta epsilon zeta"),
+      (102L, "quiet unique omega psi chi phi upsilon tau"),
+      (103L, "quiet unique omega psi chi phi upsilon tau"))
+    val docsDf = (background ++ planted).toDF("doc_id", "text")
+
+    def candidates(maxDf: Option[Double]): Long = {
+      val sh = Dedup.hashedShingles(docsDf, 3, maxDf)
+      val c = sh.toDF("doc_a", "sh")
+        .join(sh.toDF("doc_b", "sh2"),
+          col("sh") === col("sh2") && col("doc_a") < col("doc_b"))
+        .select("doc_a", "doc_b").distinct().count()
+      sh.unpersist(); c
+    }
+    // (a) the guard cuts the candidate set: C(10,2)=45 pairs share the
+    // header (one of them, (100,101), is also a true pair) plus the
+    // headerless true pair (102,103) = 46 unguarded; only the 2 true
+    // pairs survive the cut
+    assert(candidates(None) == 46L)
+    assert(candidates(Some(0.2)) == 2L)
+
+    // (b) every pair at threshold on its non-hot shingles is preserved
+    // — including the pair whose docs carry the hot header
+    val expect = Set((100L, 101L), (102L, 103L))
+    assert(pairs(Dedup.ngramJaccardPairsDf(docsDf, threshold = 0.8,
+      maxDocFreq = Some(0.2))) == expect)
+    assert(pairs(Dedup.minhashLshPairsDf(docsDf, threshold = 0.8,
+      maxDocFreq = Some(0.2))) == expect)
+    // and the guard is result-neutral at this threshold: hot-only
+    // overlap (3 of ~23 shingles) sits far below 0.8 unguarded too
+    assert(pairs(Dedup.ngramJaccardPairsDf(docsDf, threshold = 0.8)) == expect)
+  }
+
   test("SimHash pairs at distance<=3 cover the high-Jaccard planted dups") {
     val sim = Dedup.simhashPairs(spark, sf(), maxDist = 3)
       .select("doc_a", "doc_b").collect()
@@ -64,10 +109,11 @@ class DedupSpec extends SparkSpec {
     val ivf2 = key(Similarity.ivfTopK(spark, sf(), numQueries = 5, k = 10))
     assert(ivf1 == ivf2)
     val recall = ivf1.intersect(exact).size.toDouble / exact.size
-    // nprobe/numCells = 1/4 of the corpus probed; random vectors have
-    // no cluster structure, so expect recall near the probed fraction,
-    // far above chance (k/N = 0.02)
-    assert(recall >= 0.2, s"recall $recall")
+    // with data-driven (Lloyd-refined) centroids, nprobe=4 of 16 cells
+    // captures most true neighbors even on unclustered random vectors:
+    // measured 0.84 on this fixture (deterministic — fixed seeds, fixed
+    // corpus), up from ~0.2 with corpus-order seed centroids
+    assert(recall >= 0.8, s"recall $recall")
   }
 
   test("IVF cell assignment is a narrow projection (zero Exchange) and exact") {

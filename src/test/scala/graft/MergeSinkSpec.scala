@@ -5,8 +5,8 @@ import java.sql.{Connection, PreparedStatement, Statement}
 
 import scala.collection.mutable
 
-import graft.engine.{Importer, JdbcMergeSink, MergeResult, MergeSpec,
-  ParquetMergeSink, SqlGen}
+import graft.engine.{Importer, JdbcMergeSink, JdbcParallelMergeSink,
+  MergeResult, MergeSpec, ParquetMergeSink, SqlGen}
 import org.apache.spark.sql.functions._
 
 /** Pins the S9 write-back sinks. There is no live database offline, so
@@ -34,9 +34,14 @@ class MergeSinkSpec extends SparkSpec {
           case "createStatement" => stmt
           case "setObject" =>
             log += s"set:${args(0)}=${args(1)}"; null
+          case "setNull" =>
+            log += s"setNull:${args(0)}:${args(1)}"; null
           case "addBatch" => log += "addBatch"; null
           case "executeBatch" => log += "executeBatch"; Array.empty[Int]
           case "commit" => log += "commit"; null
+          case "getAutoCommit" => java.lang.Boolean.TRUE
+          case "setAutoCommit" =>
+            log += s"setAutoCommit:${args(0)}"; null
           case "close" => null
           case _ => null
         }
@@ -91,6 +96,9 @@ class MergeSinkSpec extends SparkSpec {
     // every row binds both columns positionally
     assert(rec.log.count(_.startsWith("set:1=")) == 5)
     assert(rec.log.count(_.startsWith("set:2=")) == 5)
+    // explicit transactions: autocommit off for the lifecycle, restored
+    assert(rec.log.take(1) == Seq("setAutoCommit:false"))
+    assert(rec.log.last == "setAutoCommit:true")
   }
 
   test("JdbcMergeSink(sqlite): dialect-correct staging and update text") {
@@ -107,7 +115,7 @@ class MergeSinkSpec extends SparkSpec {
     assert(rec.log.count(_ == "executeBatch") == 1)
   }
 
-  test("JdbcMergeSink binds nulls as JDBC nulls") {
+  test("JdbcMergeSink binds nulls as TYPED JDBC nulls") {
     import spark.implicits._
     val rec = new Recorder
     val sink = new JdbcMergeSink("sqlite", () => rec.conn)
@@ -115,7 +123,90 @@ class MergeSinkSpec extends SparkSpec {
       .toDF("o_orderkey", "o_totalprice")
     sink.write(MergeResult(withNull, 0L), withNull,
       MergeSpec("orders", Seq("o_orderkey"), Seq("o_totalprice")))
-    assert(rec.log.contains("set:2=null"), rec.log.toString)
+    // setNull with the schema-derived code (DOUBLE = 8), never an
+    // untyped setObject(i, null)
+    assert(rec.log.contains(s"setNull:2:${java.sql.Types.DOUBLE}"),
+      rec.log.toString)
+    assert(!rec.log.exists(_.startsWith("set:2=null")), rec.log.toString)
+  }
+
+  test("JdbcParallelMergeSink: per-partition batches into global staging, one UPDATE") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    ParallelFakeDb.reset()
+    val delta = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0), (4L, 40.0), (5L, 50.0))
+      .toDF("o_orderkey", "o_totalprice").repartition(2)
+    val sink = new JdbcParallelMergeSink(
+      "mssql", () => ParallelFakeDb.connect(), chunkSize = 2)
+    val affected = sink.write(MergeResult(delta, 0L), delta,
+      MergeSpec("orders", Seq("o_orderkey"), Seq("o_totalprice")))
+    assert(affected == 4L) // the fake's rowcount
+    val log = ParallelFakeDb.log.asScala.toList
+    val connIds = log.map(_.takeWhile(_ != ':')).distinct
+
+    // the driver connection (first opened) runs DDL + UPDATE; each
+    // non-empty partition opened its own writer connection
+    val writers = connIds.filter(_ != "c1")
+    assert(writers.size == 2, s"writers=$writers log=$log")
+
+    // global (non-#) staging DDL on the driver conn, before any insert
+    val create = SqlGen.createStagingTable("mssql", "[dbo].[orders]",
+      "dbimport_stage", Seq("o_orderkey", "o_totalprice"))
+    assert(log.indexOf(s"c1:execute:$create") >= 0)
+    assert(log.indexOf(s"c1:execute:$create") <
+      log.indexWhere(_.endsWith(":addBatch")))
+
+    // every writer disables autocommit, prepares the same insert, and
+    // respects the chunk boundary (never >chunkSize addBatch per batch)
+    val insert = SqlGen.insertInto("mssql", "dbimport_stage",
+      Seq("o_orderkey", "o_totalprice"))
+    writers.foreach { c =>
+      assert(log.contains(s"$c:setAutoCommit:false"))
+      assert(log.contains(s"$c:prepare:$insert"))
+      val fill = log.filter(e => e == s"$c:addBatch" || e == s"$c:executeBatch")
+      var run = 0
+      fill.foreach {
+        case e if e.endsWith(":addBatch") => run += 1; assert(run <= 2)
+        case _                            => run = 0
+      }
+      assert(fill.nonEmpty && fill.last == s"$c:executeBatch")
+      // per-writer: one executeBatch (and one commit) per chunk
+      val nRows = fill.count(_.endsWith(":addBatch"))
+      val nBatches = fill.count(_.endsWith(":executeBatch"))
+      assert(nBatches == (nRows + 1) / 2)
+      assert(log.count(_ == s"$c:commit") == nBatches)
+    }
+    // all 5 delta rows travel through the writers, none via the driver
+    assert(log.count(_.endsWith(":addBatch")) == 5)
+    assert(!log.exists(_.startsWith("c1:addBatch")))
+
+    // one set-based UPDATE on the driver, staging dropped before+after
+    val update = SqlGen.updateMssql("dbo", "orders", "dbimport_stage",
+      Seq("o_orderkey"), Seq("o_totalprice"))
+    assert(log.count(_ == s"c1:executeUpdate:$update") == 1)
+    val drop = SqlGen.dropStagingTable("mssql", "dbimport_stage")
+    assert(log.count(_ == s"c1:execute:$drop") == 2)
+    // UPDATE happens after every writer finished
+    assert(log.indexOf(s"c1:executeUpdate:$update") >
+      log.lastIndexWhere(_.endsWith(":executeBatch")))
+  }
+
+  test("JdbcParallelMergeSink(sqlite): plain-table staging text") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    ParallelFakeDb.reset()
+    val delta = Seq((1L, 1.0), (2L, 2.0)).toDF("o_orderkey", "o_totalprice")
+    new JdbcParallelMergeSink("sqlite", () => ParallelFakeDb.connect())
+      .write(MergeResult(delta, 0L), delta,
+        MergeSpec("orders", Seq("o_orderkey"), Seq("o_totalprice")))
+    val log = ParallelFakeDb.log.asScala.toList
+    // sqlite staging is a regular table (temp.* is session-scoped and
+    // invisible to the writer connections)
+    assert(log.contains("c1:execute:create table dbimport_stage as " +
+      "select o_orderkey, o_totalprice from orders limit 0"))
+    val update = SqlGen.updateSqlite("orders", "dbimport_stage",
+      Seq("o_orderkey"), Seq("o_totalprice"))
+    assert(log.count(_ == s"c1:executeUpdate:$update") == 1)
   }
 
   test("ParquetMergeSink round-trips the merged relation and the count") {
@@ -140,5 +231,53 @@ class MergeSinkSpec extends SparkSpec {
         col("o_totalprice").as("orig")), "o_orderkey")
       .filter(col("o_totalprice") =!= col("orig"))
     assert(changed.count() == delta.count())
+  }
+}
+
+/** JVM-shared recording fake for the parallel sink: executor closures
+  * connect through this object (local-mode executors share the JVM, so
+  * the recordings are visible to the spec). Every log entry is tagged
+  * with its connection id — c1 is always the driver (opened before the
+  * foreachPartition action runs).
+  */
+object ParallelFakeDb {
+  val log: java.util.List[String] =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[String]())
+  private val ids = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def reset(): Unit = { log.clear(); ids.set(0) }
+
+  private def mk[T](cls: Class[T], h: InvocationHandler): T =
+    Proxy.newProxyInstance(getClass.getClassLoader, Array[Class[_]](cls), h)
+      .asInstanceOf[T]
+
+  def connect(): Connection = {
+    val id = ids.incrementAndGet()
+    val handler: InvocationHandler = new InvocationHandler {
+      override def invoke(
+          proxy: AnyRef, m: Method, args: Array[AnyRef]): AnyRef =
+        m.getName match {
+          case "execute" =>
+            log.add(s"c$id:execute:${args(0)}"); java.lang.Boolean.FALSE
+          case "executeUpdate" =>
+            log.add(s"c$id:executeUpdate:${args(0)}"); Integer.valueOf(4)
+          case "prepareStatement" =>
+            log.add(s"c$id:prepare:${args(0)}")
+            mk(classOf[PreparedStatement], this)
+          case "createStatement" => mk(classOf[Statement], this)
+          case "setObject"       => log.add(s"c$id:set"); null
+          case "setNull" => log.add(s"c$id:setNull:${args(1)}"); null
+          case "addBatch" => log.add(s"c$id:addBatch"); null
+          case "executeBatch" =>
+            log.add(s"c$id:executeBatch"); Array.empty[Int]
+          case "commit"        => log.add(s"c$id:commit"); null
+          case "getAutoCommit" => java.lang.Boolean.TRUE
+          case "setAutoCommit" =>
+            log.add(s"c$id:setAutoCommit:${args(0)}"); null
+          case "close" => null
+          case _       => null
+        }
+    }
+    mk(classOf[Connection], handler)
   }
 }
