@@ -23,8 +23,13 @@ import org.apache.spark.sql.types._
   * Cell semantics covered: shared strings (`t="s"`), formula-cached
   * strings (`t="str"`), inline strings (`t="inlineStr"`), booleans
   * (`t="b"`), numbers (`t="n"` / untyped), blanks (no `<v>`), error
-  * cells (`t="e"` → null), sparse rows (gap refs pad with nulls), and
-  * cells without an `r` reference (sequential placement).
+  * cells (`t="e"` → null), sparse rows (gap refs pad with nulls),
+  * cells without an `r` reference (sequential placement), ISO date
+  * cells (`t="d"`), and serial date/datetime cells (numeric cells
+  * whose `xl/styles.xml` number format is a date format — built-in
+  * ids per ECMA-376 §18.8.30 or a custom `formatCode` with date
+  * letters), which surface as date/timestamp columns like
+  * `pd.read_excel`'s datetime handling.
   *
   * Scale note: xlsx is inherently a driver-side format — a single zip
   * that cannot be split, holding at most ~10⁶ rows by spec. It is the
@@ -36,9 +41,26 @@ import org.apache.spark.sql.types._
 object Xlsx {
 
   /** One parsed cell: `kind` is 's' (string), 'n' (number, raw text
-    * preserved for lossless Long/Double inference) or 'b' (boolean).
+    * preserved for lossless Long/Double inference), 'b' (boolean) or
+    * 'd' (date/datetime, ISO-8601 text — produced when a numeric cell
+    * carries a date number format, mirroring `pd.read_excel`'s
+    * datetime columns).
     */
   final case class Cell(kind: Char, text: String)
+
+  private val IsoFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
+
+  /** Excel 1900-system serial → local datetime (day 0 = 1899-12-30,
+    * which also absorbs the historical 1900 leap-year bug for serials
+    * ≥ 61; fraction = time of day, rounded to the second).
+    */
+  private[graft] def serialToDateTime(serial: Double): java.time.LocalDateTime = {
+    val days = math.floor(serial).toLong
+    val secs = math.round((serial - days) * 86400.0)
+    java.time.LocalDate.of(1899, 12, 30).plusDays(days)
+      .atStartOfDay.plusSeconds(secs)
+  }
 
   /** 0-based column index of an A1-style reference ("B7" → 1). */
   private[graft] def colIndex(ref: String): Int = {
@@ -133,14 +155,61 @@ object Xlsx {
     out.result()
   }
 
+  /** Built-in date/time number-format ids (ECMA-376 §18.8.30). */
+  private val BuiltinDateFmts: Set[Int] =
+    ((14 to 22) ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)).toSet
+
+  /** Is a custom format code a date/time format? Strip quoted
+    * literals, bracketed sections ([Red], [$-409]) and escapes, then
+    * look for date letters — a numeric format like `#,##0.00` has
+    * none.
+    */
+  private[graft] def isDateFormat(code: String): Boolean = {
+    val cleaned = code
+      .replaceAll("\"[^\"]*\"", "")
+      .replaceAll("\\[[^\\]]*\\]", "")
+      .replaceAll("\\\\.", "")
+    cleaned.exists(c => "ymdhs".contains(Character.toLowerCase(c)))
+  }
+
+  /** `xl/styles.xml` → per-`cellXfs`-index "is a date style" flags. */
+  private def parseStyles(r: XMLStreamReader): IndexedSeq[Boolean] = {
+    val custom = mutable.Map.empty[Int, Boolean]
+    val xfs = mutable.Buffer.empty[Boolean]
+    var inCellXfs = false
+    while (r.hasNext) {
+      r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "numFmt" =>
+            val id = Option(r.getAttributeValue(null, "numFmtId"))
+            val code = Option(r.getAttributeValue(null, "formatCode"))
+            for (i <- id; c <- code) custom(i.toInt) = isDateFormat(c)
+          case "cellXfs" => inCellXfs = true
+          case "xf" if inCellXfs =>
+            val fmt = Option(r.getAttributeValue(null, "numFmtId"))
+              .map(_.toInt).getOrElse(0)
+            xfs += (BuiltinDateFmts.contains(fmt) ||
+              custom.getOrElse(fmt, false))
+          case _ =>
+        }
+        case XMLStreamConstants.END_ELEMENT =>
+          if (r.getLocalName == "cellXfs") inCellXfs = false
+        case _ =>
+      }
+    }
+    xfs.toIndexedSeq
+  }
+
   /** One worksheet's `sheetData` as a row-major cell grid. */
   private def parseSheet(
-      r: XMLStreamReader, shared: IndexedSeq[String]
+      r: XMLStreamReader, shared: IndexedSeq[String],
+      dateStyles: IndexedSeq[Boolean]
   ): Vector[Vector[Option[Cell]]] = {
     val rows = new VectorBuilder[Vector[Option[Cell]]]
     var row: mutable.ArrayBuffer[Option[Cell]] = null
     var cellCol = -1
     var cellType = "n"
+    var cellDateStyle = false
     var sawValue = false
     var capture = false
     val text = new java.lang.StringBuilder
@@ -154,7 +223,19 @@ object Xlsx {
           case "b" =>
             Some(Cell('b', if (text.toString.trim == "1") "true" else "false"))
           case "e" => None
-          case _   => Some(Cell('n', text.toString.trim))
+          case "d" =>
+            // ISO-8601 cell (rare but in-spec); normalize to our form
+            val t = text.toString.trim
+            val norm =
+              if (t.length >= 19) t.take(19)
+              else if (t.length == 10) t + "T00:00:00"
+              else t
+            Some(Cell('d', norm))
+          case _ =>
+            val t = text.toString.trim
+            if (cellDateStyle)
+              Some(Cell('d', IsoFmt.format(serialToDateTime(t.toDouble))))
+            else Some(Cell('n', t))
         }
       while (row.length < cellCol) row += None
       if (cellCol < row.length) row(cellCol) = cell else row += cell
@@ -168,6 +249,8 @@ object Xlsx {
             val ref = r.getAttributeValue(null, "r")
             cellCol = if (ref != null) colIndex(ref) else row.length
             cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+            cellDateStyle = Option(r.getAttributeValue(null, "s"))
+              .flatMap(s => dateStyles.lift(s.toInt)).getOrElse(false)
             sawValue = false
             text.setLength(0)
           case "v" => capture = true
@@ -202,12 +285,14 @@ object Xlsx {
         .getOrElse(Seq.empty)
       val shared = withXml(zip, "xl/sharedStrings.xml")(parseSharedStrings)
         .getOrElse(Vector.empty)
+      val dateStyles = withXml(zip, "xl/styles.xml")(parseStyles)
+        .getOrElse(IndexedSeq.empty)
       sheets.map { case (name, rid) =>
         val target = rels.getOrElse(rid, "")
         val part =
           if (target.startsWith("/")) target.substring(1)
           else "xl/" + target
-        val grid = withXml(zip, part)(parseSheet(_, shared))
+        val grid = withXml(zip, part)(parseSheet(_, shared, dateStyles))
           .getOrElse(Vector.empty)
         name -> grid
       }
@@ -228,7 +313,12 @@ object Xlsx {
     val present = cells.flatten
     if (present.isEmpty) StringType
     else if (present.forall(_.kind == 'b')) BooleanType
-    else if (present.forall(_.kind == 'n')) {
+    else if (present.forall(_.kind == 'd')) {
+      // pure-midnight columns are dates, anything with a time of day
+      // is a (zone-less) timestamp — pandas' date vs datetime split
+      if (present.forall(_.text.endsWith("T00:00:00"))) DateType
+      else TimestampNTZType
+    } else if (present.forall(_.kind == 'n')) {
       if (present.forall(c => isLong(c.text))) LongType else DoubleType
     } else StringType
   }
@@ -237,10 +327,12 @@ object Xlsx {
     cell match {
       case None => null
       case Some(c) => dt match {
-        case LongType    => c.text.toLong
-        case DoubleType  => c.text.toDouble
-        case BooleanType => c.text.toBoolean
-        case _           => c.text
+        case LongType         => c.text.toLong
+        case DoubleType       => c.text.toDouble
+        case BooleanType      => c.text.toBoolean
+        case DateType         => java.sql.Date.valueOf(c.text.take(10))
+        case TimestampNTZType => java.time.LocalDateTime.parse(c.text, IsoFmt)
+        case _                => c.text
       }
     }
 

@@ -160,6 +160,115 @@ class SourcesSpec extends SparkSpec {
       Seq(true, false))
   }
 
+  test("S1+S2: date-styled numeric cells become date/timestamp columns") {
+    // serial 45000 = 2023-03-15 (1900 system, day 0 = 1899-12-30);
+    // styles: xf 0 = General, xf 1 = built-in 14 (m/d/yyyy),
+    // xf 2 = custom datetime format
+    val path = writeXlsx(
+      "xl/workbook.xml" ->
+        """<?xml version="1.0"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |  <sheets><sheet name="dated" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |  <Relationship Id="rId1" Type="w" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/styles.xml" ->
+        """<?xml version="1.0"?>
+          |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |  <numFmts count="1">
+          |    <numFmt numFmtId="164" formatCode="yyyy-mm-dd hh:mm:ss"/>
+          |  </numFmts>
+          |  <cellXfs count="3">
+          |    <xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/>
+          |  </cellXfs>
+          |</styleSheet>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?>
+          |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |  <sheetData>
+          |    <row r="1">
+          |      <c r="A1" t="inlineStr"><is><t>id</t></is></c>
+          |      <c r="B1" t="inlineStr"><is><t>day</t></is></c>
+          |      <c r="C1" t="inlineStr"><is><t>at</t></is></c>
+          |    </row>
+          |    <row r="2">
+          |      <c r="A2"><v>1</v></c>
+          |      <c r="B2" s="1"><v>45000</v></c>
+          |      <c r="C2" s="2"><v>45000.5</v></c>
+          |    </row>
+          |    <row r="3">
+          |      <c r="A3"><v>2</v></c>
+          |      <c r="B3" s="1"><v>45001</v></c>
+          |      <c r="C3" s="2"><v>45000.25</v></c>
+          |    </row>
+          |  </sheetData>
+          |</worksheet>""".stripMargin)
+    val df = Sources.readXlsx(spark, path)("dated")
+    // integral serials under a date format → DateType; fractional → NTZ
+    assert(df.schema("day").dataType == DateType)
+    assert(df.schema("at").dataType == TimestampNTZType)
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getDate(1).toString == "2023-03-15")
+    assert(rows(0).getAs[java.time.LocalDateTime](2).toString == "2023-03-15T12:00")
+    assert(rows(1).getDate(1).toString == "2023-03-16")
+    assert(rows(1).getAs[java.time.LocalDateTime](2).toString == "2023-03-15T06:00")
+  }
+
+  test("E1 end-to-end: xlsx sheet -> Importer merge -> ParquetMergeSink") {
+    // the reference's whole GUI workflow (window.py:294-311 load,
+    // :453-502 import) minus the GUI: a user workbook updates a table
+    import graft.engine.{Catalog, Importer, MergeSpec, ParquetMergeSink}
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val keys = orders.select("o_orderkey").orderBy("o_orderkey")
+      .limit(3).collect().map(_.getLong(0))
+    val sheetRows = keys.zipWithIndex.map { case (k, i) =>
+      s"""<row r="${i + 2}"><c r="A${i + 2}"><v>$k</v></c>
+         |<c r="B${i + 2}"><v>${1000.5 + i}</v></c></row>""".stripMargin
+    }.mkString("\n")
+    val path = writeXlsx(
+      "xl/workbook.xml" ->
+        """<?xml version="1.0"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |  <sheets><sheet name="updates" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |  <Relationship Id="rId1" Type="w" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        s"""<?xml version="1.0"?>
+           |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+           |  <sheetData>
+           |    <row r="1"><c r="A1" t="inlineStr"><is><t>o_orderkey</t></is></c>
+           |      <c r="B1" t="inlineStr"><is><t>o_totalprice</t></is></c></row>
+           |    $sheetRows
+           |  </sheetData>
+           |</worksheet>""".stripMargin)
+    val sheet = Sources.workbook(spark, path)("updates")
+    assert(sheet.schema("o_orderkey").dataType == LongType)
+    val merge = Importer.merge(orders, sheet,
+      joinOn = Seq("o_orderkey"), subset = Seq("o_totalprice"),
+      tablePk = Catalog.defaultPks("orders"))
+    val out = java.nio.file.Files
+      .createTempDirectory("e1_sink").toString + "/orders"
+    val affected = new ParquetMergeSink(out).write(merge, sheet,
+      MergeSpec("orders", Seq("o_orderkey"), Seq("o_totalprice")))
+    assert(affected == keys.length.toLong)
+    val back = spark.read.parquet(out)
+    assert(back.count() == orders.count())
+    val updated = back
+      .filter(org.apache.spark.sql.functions.col("o_orderkey").isin(keys: _*))
+      .orderBy("o_orderkey").collect()
+      .map(r => r.getAs[Double]("o_totalprice"))
+    assert(updated.toSeq == keys.indices.map(i => 1000.5 + i))
+  }
+
   test("S2: JSON-lines read infers nested types") {
     val dir = java.nio.file.Files.createTempDirectory("json_src")
     val f = dir.resolve("t.json")
