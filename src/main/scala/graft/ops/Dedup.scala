@@ -281,7 +281,9 @@ object Dedup {
   def simhashPairs(
       s: SparkSession, dir: String, maxDist: Int = 3
   ): DataFrame = {
-    val sigs = simhashSignatures(s, dir)
+    // cached: both chunk-join sides consume the signatures — uncached,
+    // each side re-runs the 64-bit-sum aggregation over every token
+    val sigs = simhashSignatures(s, dir).cache()
     val chunks = maxDist + 1
     val width = 64 / chunks
     val chunkStructs = (0 until chunks).map { c =>

@@ -135,7 +135,10 @@ object Similarity {
       numPlanes: Int = 16, numBands: Int = 4
   ): DataFrame = {
     val width = numPlanes / numBands
-    val sigs = lshSignatures(s, dir, numPlanes)
+    // cached: the signature relation feeds both bucket-join sides, the
+    // candidate re-attach AND the query side — uncached, each consumer
+    // re-runs the scan + numPlanes native dot products
+    val sigs = lshSignatures(s, dir, numPlanes).cache()
     val bandStructs = (0 until numBands).map { bnd =>
       val key = shiftright(col("sig"), bnd * width)
         .bitwiseAND((1L << width) - 1)
@@ -288,7 +291,9 @@ object Similarity {
       numPlanes: Int = 16, numBands: Int = 4
   ): DataFrame = {
     val width = numPlanes / numBands
-    val sigs = lshSignaturesDf(emb, numPlanes)
+    // cached for the same reason as in [[annTopK]]: both band-join
+    // sides and both vector re-attach joins consume this relation
+    val sigs = lshSignaturesDf(emb, numPlanes).cache()
     val bandStructs = (0 until numBands).map { bnd =>
       val key = shiftright(col("sig"), bnd * width)
         .bitwiseAND((1L << width) - 1)

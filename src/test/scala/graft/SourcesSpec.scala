@@ -269,6 +269,16 @@ class SourcesSpec extends SparkSpec {
     assert(updated.toSeq == keys.indices.map(i => 1000.5 + i))
   }
 
+  test("xlsx primitives: A1 column refs and 1900-system date serials") {
+    import graft.sources.Xlsx
+    assert(Seq("A1", "Z9", "AA1", "AB77", "BA2", "AAA1")
+      .map(Xlsx.colIndex) == Seq(0, 25, 26, 27, 52, 702))
+    assert(Xlsx.serialToDateTime(45000.0).toString == "2023-03-15T00:00")
+    assert(Xlsx.serialToDateTime(45000.75).toString == "2023-03-15T18:00")
+    // day 61 = 1900-03-01: first serial unaffected by the 1900 leap bug
+    assert(Xlsx.serialToDateTime(61.0).toString == "1900-03-01T00:00")
+  }
+
   test("S2: JSON-lines read infers nested types") {
     val dir = java.nio.file.Files.createTempDirectory("json_src")
     val f = dir.resolve("t.json")
