@@ -52,4 +52,40 @@ class PropsSpec extends AnyFunSuite {
       assert(Types.isCastExplicit(src, "varchar(10)"))
     }
   }
+
+  test("xlsx colIndex: inverse of bijective base-26 rendering") {
+    import graft.sources.Xlsx
+    def ref(i: Int): String = {
+      var n = i + 1
+      val sb = new StringBuilder
+      while (n > 0) {
+        sb.insert(0, ('A' + (n - 1) % 26).toChar); n = (n - 1) / 26
+      }
+      sb.toString
+    }
+    samples(Gen.chooseNum(0, 16383)).foreach { i =>
+      assert(Xlsx.colIndex(ref(i) + "1") == i, ref(i))
+    }
+  }
+
+  test("xlsx serialToDateTime: day arithmetic and time fractions") {
+    import graft.sources.Xlsx
+    samples(Gen.chooseNum(61, 60000)).foreach { d =>
+      val whole = Xlsx.serialToDateTime(d.toDouble)
+      assert(whole.toLocalTime == java.time.LocalTime.MIDNIGHT)
+      assert(Xlsx.serialToDateTime(d + 1.0) == whole.plusDays(1))
+      assert(Xlsx.serialToDateTime(d + 0.5) == whole.plusHours(12))
+    }
+  }
+
+  test("xlsx inferType: any string cell forces StringType; integral-only stays Long") {
+    import graft.sources.Xlsx
+    import org.apache.spark.sql.types._
+    val longs = samples(Gen.chooseNum(-1000000L, 1000000L), 50)
+      .map(v => Some(Xlsx.Cell('n', v.toString)))
+    assert(Xlsx.inferType(longs) == LongType)
+    assert(Xlsx.inferType(longs :+ Some(Xlsx.Cell('n', "1.5"))) == DoubleType)
+    assert(Xlsx.inferType(longs :+ Some(Xlsx.Cell('s', "x"))) == StringType)
+    assert(Xlsx.inferType(longs :+ None) == LongType) // nulls don't demote
+  }
 }
