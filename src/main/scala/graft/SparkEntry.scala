@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
-import graft.ops.{Dedup, EventOps, Multimodal, Relational, Similarity, TextOps}
+import graft.ops.{Dedup, EventOps, MediaHeaders, Multimodal, Relational,
+  Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -188,7 +189,13 @@ object SparkEntry {
     // rows-only checks; plumbing pinned by MultimodalSpec
     "mm_features" -> ((s, dir) => Multimodal.featureSummary(s, dir)),
     "mm_frames" -> ((s, dir) => Multimodal.sampledFrames(s, dir)
-      .select("media_id", "frame_idx", "frame_bytes"))
+      .select("media_id", "frame_idx", "frame_bytes")),
+    // REAL container sniffing (PNG/BMP/GIF/JPEG/WAV headers, no codec
+    // needed) — on this fixture every payload is arbitrary text bytes,
+    // so the oracle pins the no-false-positive contract: all rows
+    // sniff as 'unknown' with header fields -1
+    "mm_headers" -> ((s, dir) =>
+      MediaHeaders.inventory(Multimodal.mediaTable(s, dir)))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -651,6 +658,12 @@ object SparkEntry {
         |      PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
         |  FROM sc
         |) WHERE rk <= 10""".stripMargin,
+    "mm_headers" ->
+      """SELECT doc_id AS media_id, 'unknown' AS format,
+        |  -1 AS width, -1 AS height, -1 AS channels,
+        |  -1 AS sample_rate, -1 AS bit_depth,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
+        |FROM documents""".stripMargin,
     "mm_payload_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
