@@ -133,7 +133,10 @@ object Dedup {
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("doc_a", "sh_a")
     val b = sh.toDF("doc_b", "sh_b")
-    val inter = a
+    // shuffle-hash over sort-merge: equal-size sides on an 8-byte key
+    // whose matches explode into pairs — two full sorts buy nothing
+    // here, and hash join streams the probe side
+    val inter = a.hint("shuffle_hash")
       .join(b, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
     inter
