@@ -201,7 +201,15 @@ object JdbcCatalog {
       case DOUBLE | FLOAT              => DoubleType
       case REAL                        => FloatType
       case BOOLEAN | BIT               => BooleanType
-      case DECIMAL | NUMERIC           => DecimalType(size, scale)
+      case DECIMAL | NUMERIC           =>
+        // drivers report out-of-domain shapes (Oracle NUMBER: precision
+        // 0 = unspecified, scale up to 127 or negative; ODBC bridges:
+        // precision > 38) — DecimalType would throw and abort the whole
+        // catalog scan, so clamp into Spark's domain; precision < 1
+        // means the driver told us nothing usable → StringType
+        val p = math.min(size, DecimalType.MAX_PRECISION)
+        if (p < 1) StringType
+        else DecimalType(p, math.min(math.max(scale, 0), p))
       case DATE                        => DateType
       case TIMESTAMP                   => TimestampNTZType
       case TIMESTAMP_WITH_TIMEZONE     => TimestampType

@@ -3,7 +3,7 @@ package graft.engine
 import java.sql.{Connection, PreparedStatement}
 
 import org.apache.spark.sql.{DataFrame, Row}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, spark_partition_id}
 import org.apache.spark.sql.types._
 
 /** What a merge updates and on which keys — the sink-facing slice of
@@ -93,9 +93,7 @@ final class JdbcMergeSink(
     val sqlTypes = JdbcMergeSink.sqlTypesFor(projected.schema)
     val conn = connect()
     try {
-      val prevAuto = conn.getAutoCommit
-      conn.setAutoCommit(false)
-      try {
+      JdbcMergeSink.inTransaction(conn) {
         val st = conn.createStatement()
         try {
           // drop → create → fill → update → drop (importer.py:301-310)
@@ -115,7 +113,7 @@ final class JdbcMergeSink(
           st.execute(SqlGen.dropTempTable(dialect, temp))
           affected
         } finally st.close()
-      } finally conn.setAutoCommit(prevAuto)
+      }
     } finally conn.close()
   }
 }
@@ -145,41 +143,60 @@ final class JdbcParallelMergeSink(
       merge: MergeResult, delta: DataFrame, spec: MergeSpec): Long = {
     val cols = spec.joinOn ++ spec.subset
     val projected = delta.select(cols.map(col): _*)
-    val sqlTypes = JdbcMergeSink.sqlTypesFor(projected.schema)
+    val sqlTypes = JdbcMergeSink.sqlTypesFor(projected.schema) :+
+      java.sql.Types.INTEGER
     // locals so the foreachPartition closure captures values, not
     // `this` (the sink itself is not serializable, and need not be)
     val (dia, stage, cs, cf) = (dialect, staging, chunkSize, connect)
-    val insertSql = SqlGen.insertInto(dia, stage, cols)
+    val insertSql = SqlGen.insertInto(
+      dia, stage, cols :+ JdbcParallelMergeSink.PartCol)
+    val deleteSql = SqlGen.deleteByPart(
+      dia, stage, JdbcParallelMergeSink.PartCol)
 
     val driverConn = connect()
     try {
-      val prevAuto = driverConn.getAutoCommit
-      driverConn.setAutoCommit(false)
-      try {
+      JdbcMergeSink.inTransaction(driverConn) {
         val st = driverConn.createStatement()
         try {
           st.execute(SqlGen.dropStagingTable(dia, stage))
           st.execute(SqlGen.createStagingTable(
             dia, JdbcMergeSink.qualified(dia, spec), stage, cols))
+          st.execute(SqlGen.addPartColumn(
+            dia, stage, JdbcParallelMergeSink.PartCol))
           driverConn.commit()
 
-          projected.foreachPartition { (rows: Iterator[Row]) =>
-            if (rows.hasNext) {
-              val c = cf()
-              try {
-                val prev = c.getAutoCommit
-                c.setAutoCommit(false)
+          // Idempotence under task retry / speculation: each writer
+          // stamps its rows with its partition id and runs
+          // delete-own-slice → insert → ONE commit, atomically. A
+          // failed attempt leaves nothing (rolled back); a committed
+          // attempt that re-runs (speculation, stage retry) first
+          // reclaims its own committed rows, so the final staging
+          // content is exactly one copy per partition regardless of
+          // how many attempts ran or in what order they committed.
+          projected
+            .withColumn(JdbcParallelMergeSink.PartCol, spark_partition_id())
+            .foreachPartition { (rows: Iterator[Row]) =>
+              if (rows.hasNext) {
+                val pid = org.apache.spark.TaskContext.getPartitionId()
+                val c = cf()
                 try {
-                  val ps = c.prepareStatement(insertSql)
-                  try {
-                    JdbcMergeSink.insertBatches(
+                  JdbcMergeSink.inTransaction(c) {
+                    val del = c.prepareStatement(deleteSql)
+                    try { del.setInt(1, pid); del.executeUpdate(): Unit }
+                    finally del.close()
+                    val ps = c.prepareStatement(insertSql)
+                    // per-chunk executeBatch flushes bound memory; the
+                    // commit callback is a no-op so the whole partition
+                    // stays one transaction
+                    try JdbcMergeSink.insertBatches(
                       ps, new JdbcMergeSink.RowIt(rows),
-                      sqlTypes, cs, () => c.commit()): Unit
-                  } finally ps.close()
-                } finally c.setAutoCommit(prev)
-              } finally c.close()
+                      sqlTypes, cs, () => ()): Unit
+                    finally ps.close()
+                    c.commit()
+                  }
+                } finally c.close()
+              }
             }
-          }
 
           val affected = st.executeUpdate(
             JdbcMergeSink.updateSql(dia, spec, stage)).toLong
@@ -188,12 +205,35 @@ final class JdbcParallelMergeSink(
           driverConn.commit()
           affected
         } finally st.close()
-      } finally driverConn.setAutoCommit(prevAuto)
+      }
     } finally driverConn.close()
   }
 }
 
+object JdbcParallelMergeSink {
+  /** Writer-ownership column stamped into staging by each partition. */
+  val PartCol: String = "_graft_part"
+}
+
 object JdbcMergeSink {
+
+  /** Explicit-transaction bracket: autocommit off for `body`, restored
+    * after. On failure the pending work is ROLLED BACK before the
+    * restore — per the JDBC spec, `setAutoCommit(true)` during an
+    * active transaction commits it, so restoring first would silently
+    * commit a failed write's partial effects.
+    */
+  private[engine] def inTransaction[A](conn: Connection)(body: => A): A = {
+    val prevAuto = conn.getAutoCommit
+    conn.setAutoCommit(false)
+    try body
+    catch {
+      case t: Throwable =>
+        try conn.rollback()
+        catch { case s: java.sql.SQLException => t.addSuppressed(s) }
+        throw t
+    } finally conn.setAutoCommit(prevAuto)
+  }
 
   /** Quoted qualified target, `importer.py:274-276`. */
   private[engine] def qualified(dialect: String, spec: MergeSpec): String = {

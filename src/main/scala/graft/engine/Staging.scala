@@ -197,6 +197,28 @@ object SqlGen {
     }
   }
 
+  /** Writer-ownership column for the parallel sink: each partition
+    * stamps its rows so a retried/speculative task can reclaim (delete
+    * and rewrite) exactly its own slice of staging.
+    */
+  def addPartColumn(dialect: String, staging: String, colName: String): String = {
+    requireDialect(dialect)
+    dialect match {
+      case "mssql"  => s"alter table $staging add ${q(colName)} int not null"
+      case "sqlite" => s"alter table $staging add column $colName integer"
+    }
+  }
+
+  /** Parameterized reclaim of one partition's staged rows. */
+  def deleteByPart(dialect: String, staging: String, colName: String): String = {
+    requireDialect(dialect)
+    val c = dialect match {
+      case "mssql"  => q(colName)
+      case "sqlite" => colName
+    }
+    s"delete from $staging where $c = ?"
+  }
+
   /** S8 — staged bulk-insert statement (`importer.py:270,284-288`):
     * `insert into <temp> (<cols>) values (?, …)`; identifiers quoted
     * on mssql, bare on sqlite, like the reference.

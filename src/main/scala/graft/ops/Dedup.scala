@@ -3,6 +3,27 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** Release handle for the relations an operator caches internally.
+  * [[Dedup.hashedShingles]] (and the banded/signature relations in the
+  * LSH paths) return results built ON TOP of a cached base, so
+  * `result.unpersist()` on the caller side is a no-op on the
+  * underlying storage. Operators register every `.cache()` here;
+  * `release()` unpersists them all. Callers that don't pass a scope
+  * get today's semantics: caches live until
+  * `spark.catalog.clearCache()` (which Bench runs between queries).
+  */
+final class CacheScope {
+  private val tracked = scala.collection.mutable.Buffer.empty[DataFrame]
+  private[graft] def cache(df: DataFrame): DataFrame = synchronized {
+    tracked += df
+    df.cache()
+  }
+  def release(blocking: Boolean = false): Unit = synchronized {
+    tracked.foreach(_.unpersist(blocking))
+    tracked.clear()
+  }
+}
+
 /** Deduplication operators over the `documents` table — the core of a
   * large-scale training-data pipeline. Four families:
   *
@@ -76,7 +97,8 @@ object Dedup {
     * at threshold on the surviving (non-hot) shingle sets.
     */
   private[graft] def hashedShingles(
-      docsDf: DataFrame, n: Int, maxDocFreq: Option[Double]
+      docsDf: DataFrame, n: Int, maxDocFreq: Option[Double],
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     val base = docsDf
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
@@ -87,7 +109,7 @@ object Dedup {
       .select(col("doc_id"), xxhash64(col("s")).as("shingle"))
       .distinct()
     maxDocFreq match {
-      case None => base.cache()
+      case None => scope.cache(base)
       case Some(f) =>
         // cache the PRE-guard relation only: the guard itself is a
         // map-side anti-join against a broadcast hot set whose
@@ -95,7 +117,7 @@ object Dedup {
         // (ReusedExchange) across every consumer — caching the guarded
         // output too would buy nothing but a second 400k-row cache
         // write (measured ~1-2 s at sf0.1)
-        val b = base.cache()
+        val b = scope.cache(base)
         val total = docsDf.count()
         val hot = b.groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > (f * total).toLong)
@@ -113,15 +135,17 @@ object Dedup {
   def ngramJaccardPairs(
       s: SparkSession, dir: String,
       threshold: Double = 0.5, n: Int = 3,
-      maxDocFreq: Option[Double] = None
+      maxDocFreq: Option[Double] = None,
+      scope: CacheScope = new CacheScope
   ): DataFrame =
-    ngramJaccardPairsDf(docs(s, dir), threshold, n, maxDocFreq)
+    ngramJaccardPairsDf(docs(s, dir), threshold, n, maxDocFreq, scope)
 
   /** DataFrame-level variant (spec corpora with planted hot shingles). */
   private[graft] def ngramJaccardPairsDf(
       docsDf: DataFrame,
       threshold: Double = 0.5, n: Int = 3,
-      maxDocFreq: Option[Double] = None
+      maxDocFreq: Option[Double] = None,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     // Intersections come straight off the shingle-key join — one
     // shuffle, one aggregation. (An earlier formulation materialized a
@@ -129,7 +153,7 @@ object Dedup {
     // sf0.1 that meant re-expanding every pair by ~80 shingles twice —
     // 40x slower for identical results.) [[hashedShingles]] is cached:
     // three consumers here.
-    val sh = hashedShingles(docsDf, n, maxDocFreq)
+    val sh = hashedShingles(docsDf, n, maxDocFreq, scope)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("doc_a", "sh_a")
     val b = sh.toDF("doc_b", "sh_b")
@@ -205,17 +229,19 @@ object Dedup {
       s: SparkSession, dir: String,
       threshold: Double = 0.8, n: Int = 3,
       numHashes: Int = 32, rowsPerBand: Int = 2,
-      maxDocFreq: Option[Double] = None
+      maxDocFreq: Option[Double] = None,
+      scope: CacheScope = new CacheScope
   ): DataFrame =
     minhashLshPairsDf(docs(s, dir), threshold, n, numHashes, rowsPerBand,
-      maxDocFreq)
+      maxDocFreq, scope)
 
   /** DataFrame-level variant (spec corpora with planted hot shingles). */
   private[graft] def minhashLshPairsDf(
       docsDf: DataFrame,
       threshold: Double = 0.8, n: Int = 3,
       numHashes: Int = 32, rowsPerBand: Int = 2,
-      maxDocFreq: Option[Double] = None
+      maxDocFreq: Option[Double] = None,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     // maxDocFreq is the skew guard: signatures built from
     // near-universal shingles collapse docs into the same band buckets
@@ -229,7 +255,7 @@ object Dedup {
     // the verification join, the size counts) — [[hashedShingles]] is
     // cached so the scan+split+explode+distinct lineage runs once, not
     // four times (and the minhash seeds hash longs, not strings).
-    val sh = hashedShingles(docsDf, n, maxDocFreq)
+    val sh = hashedShingles(docsDf, n, maxDocFreq, scope)
     val sigs = minhashSignatures(sh, numHashes)
     val numBands = numHashes / rowsPerBand
     val bandStructs = (0 until numBands).map { b =>
@@ -243,10 +269,9 @@ object Dedup {
     // self-join — uncached, each side re-runs the 32-aggregate
     // signature groupBy (measured ~1.5 s/side at sf0.1); cached it is
     // one materialization of numBands compact rows per doc
-    val bands = sigs.select(col("doc_id"),
+    val bands = scope.cache(sigs.select(col("doc_id"),
       explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      .cache()
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key")))
     val a = bands.toDF("doc_a", "band", "key")
     val b = bands.toDF("doc_b", "band", "key")
     val cand = a.join(b, Seq("band", "key"))
@@ -282,11 +307,12 @@ object Dedup {
     * values (never all-pairs), then verify with bit_count.
     */
   def simhashPairs(
-      s: SparkSession, dir: String, maxDist: Int = 3
+      s: SparkSession, dir: String, maxDist: Int = 3,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     // cached: both chunk-join sides consume the signatures — uncached,
     // each side re-runs the 64-bit-sum aggregation over every token
-    val sigs = simhashSignatures(s, dir).cache()
+    val sigs = scope.cache(simhashSignatures(s, dir))
     val chunks = maxDist + 1
     val width = 64 / chunks
     val chunkStructs = (0 until chunks).map { c =>

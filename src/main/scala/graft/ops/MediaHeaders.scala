@@ -88,6 +88,11 @@ object MediaHeaders {
         return Some(MediaHeader("jpeg", be16(b, i + 7), be16(b, i + 5),
           u8(b, i + 9), -1, u8(b, i + 4)))
       }
+      // SOS (FF DA) starts entropy-coded data, where FF xx pairs are
+      // bit-stream bytes, not markers — a garbage length skip landing
+      // past SOS could mis-read an unlucky FF Cx as a frame header.
+      // No SOF seen before the scan means the header is unparseable.
+      if (marker == 0xda) return None
       // skip this segment: length field includes itself, not the marker
       if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
       else i += 2 + be16(b, i + 2)
@@ -103,16 +108,22 @@ object MediaHeaders {
     if (b.length < 12 || !startsWith(b, 'R'.toInt, 'I'.toInt, 'F'.toInt, 'F'.toInt) ||
       !(u8(b, 8) == 'W' && u8(b, 9) == 'A' && u8(b, 10) == 'V' && u8(b, 11) == 'E'))
       return None
-    var i = 12
+    // cursor is a Long and the chunk size is read UNSIGNED: a crafted
+    // RIFF blob with size 0xFFFFFFF8 (-8 signed) would otherwise make
+    // the word-aligned advance 0 (infinite loop on an executor thread)
+    // or step the cursor backwards into an AIOOBE — inventory() sniffs
+    // untrusted corpus bytes, so the walk must terminate on any input
+    var i = 12L
     while (i + 8 <= b.length) {
-      val size = le32(b, i + 4)
-      if (u8(b, i) == 'f' && u8(b, i + 1) == 'm' && u8(b, i + 2) == 't' &&
-        u8(b, i + 3) == ' ' && i + 8 + 16 <= b.length) {
-        val d = i + 8
+      val p = i.toInt
+      val size = le32(b, p + 4) & 0xffffffffL
+      if (u8(b, p) == 'f' && u8(b, p + 1) == 'm' && u8(b, p + 2) == 't' &&
+        u8(b, p + 3) == ' ' && i + 8 + 16 <= b.length) {
+        val d = p + 8
         return Some(MediaHeader("wav", -1, -1,
           le16(b, d + 2), le32(b, d + 4), le16(b, d + 14)))
       }
-      i += 8 + size + (size & 1) // chunks are word-aligned
+      i += 8L + size + (size & 1L) // chunks are word-aligned
     }
     None
   }

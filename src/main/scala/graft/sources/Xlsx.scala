@@ -51,15 +51,21 @@ object Xlsx {
   private val IsoFmt =
     java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss")
 
-  /** Excel 1900-system serial → local datetime (day 0 = 1899-12-30,
+  /** Excel serial → local datetime. 1900 system: day 0 = 1899-12-30,
     * which also absorbs the historical 1900 leap-year bug for serials
-    * ≥ 61; fraction = time of day, rounded to the second).
+    * ≥ 61. 1904 system (`<workbookPr date1904="1"/>`, legacy Mac
+    * Excel): day 0 = 1904-01-01 — without honoring the flag every date
+    * cell in such a workbook lands 4 years and 1 day early, silently.
+    * Fraction = time of day, rounded to the second.
     */
-  private[graft] def serialToDateTime(serial: Double): java.time.LocalDateTime = {
+  private[graft] def serialToDateTime(
+      serial: Double, date1904: Boolean = false): java.time.LocalDateTime = {
     val days = math.floor(serial).toLong
     val secs = math.round((serial - days) * 86400.0)
-    java.time.LocalDate.of(1899, 12, 30).plusDays(days)
-      .atStartOfDay.plusSeconds(secs)
+    val epoch =
+      if (date1904) java.time.LocalDate.of(1904, 1, 1)
+      else java.time.LocalDate.of(1899, 12, 30)
+    epoch.plusDays(days).atStartOfDay.plusSeconds(secs)
   }
 
   /** 0-based column index of an A1-style reference ("B7" → 1). */
@@ -104,24 +110,32 @@ object Xlsx {
     m.toMap
   }
 
-  /** `xl/workbook.xml`: (sheet name, relationship id) in file order. */
-  private def parseWorkbook(r: XMLStreamReader): Seq[(String, String)] = {
+  /** `xl/workbook.xml`: (sheet name, relationship id) in file order,
+    * plus the workbook's date system (`workbookPr date1904`).
+    */
+  private def parseWorkbook(
+      r: XMLStreamReader): (Seq[(String, String)], Boolean) = {
     val out = mutable.Buffer.empty[(String, String)]
+    var date1904 = false
     while (r.hasNext) {
-      if (r.next() == XMLStreamConstants.START_ELEMENT &&
-        r.getLocalName == "sheet") {
-        val name = r.getAttributeValue(null, "name")
-        // r:id is namespace-qualified; match by local name
-        var rid: String = null
-        var i = 0
-        while (i < r.getAttributeCount) {
-          if (r.getAttributeLocalName(i) == "id") rid = r.getAttributeValue(i)
-          i += 1
-        }
-        if (name != null && rid != null) out += ((name, rid))
+      if (r.next() == XMLStreamConstants.START_ELEMENT) r.getLocalName match {
+        case "workbookPr" =>
+          val v = r.getAttributeValue(null, "date1904")
+          date1904 = v == "1" || v == "true"
+        case "sheet" =>
+          val name = r.getAttributeValue(null, "name")
+          // r:id is namespace-qualified; match by local name
+          var rid: String = null
+          var i = 0
+          while (i < r.getAttributeCount) {
+            if (r.getAttributeLocalName(i) == "id") rid = r.getAttributeValue(i)
+            i += 1
+          }
+          if (name != null && rid != null) out += ((name, rid))
+        case _ =>
       }
     }
-    out.toSeq
+    (out.toSeq, date1904)
   }
 
   /** `xl/sharedStrings.xml`: one concatenated string per `<si>` (rich
@@ -203,7 +217,7 @@ object Xlsx {
   /** One worksheet's `sheetData` as a row-major cell grid. */
   private def parseSheet(
       r: XMLStreamReader, shared: IndexedSeq[String],
-      dateStyles: IndexedSeq[Boolean]
+      dateStyles: IndexedSeq[Boolean], date1904: Boolean
   ): Vector[Vector[Option[Cell]]] = {
     val rows = new VectorBuilder[Vector[Option[Cell]]]
     var row: mutable.ArrayBuffer[Option[Cell]] = null
@@ -234,7 +248,7 @@ object Xlsx {
           case _ =>
             val t = text.toString.trim
             if (cellDateStyle)
-              Some(Cell('d', IsoFmt.format(serialToDateTime(t.toDouble))))
+              Some(Cell('d', IsoFmt.format(serialToDateTime(t.toDouble, date1904))))
             else Some(Cell('n', t))
         }
       while (row.length < cellCol) row += None
@@ -281,8 +295,8 @@ object Xlsx {
     try {
       val rels = withXml(zip, "xl/_rels/workbook.xml.rels")(parseRels)
         .getOrElse(Map.empty)
-      val sheets = withXml(zip, "xl/workbook.xml")(parseWorkbook)
-        .getOrElse(Seq.empty)
+      val (sheets, date1904) = withXml(zip, "xl/workbook.xml")(parseWorkbook)
+        .getOrElse((Seq.empty, false))
       val shared = withXml(zip, "xl/sharedStrings.xml")(parseSharedStrings)
         .getOrElse(Vector.empty)
       val dateStyles = withXml(zip, "xl/styles.xml")(parseStyles)
@@ -292,7 +306,7 @@ object Xlsx {
         val part =
           if (target.startsWith("/")) target.substring(1)
           else "xl/" + target
-        val grid = withXml(zip, part)(parseSheet(_, shared, dateStyles))
+        val grid = withXml(zip, part)(parseSheet(_, shared, dateStyles, date1904))
           .getOrElse(Vector.empty)
         name -> grid
       }

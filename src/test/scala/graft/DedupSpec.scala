@@ -39,12 +39,15 @@ class DedupSpec extends SparkSpec {
     val docsDf = (background ++ planted).toDF("doc_id", "text")
 
     def candidates(maxDf: Option[Double]): Long = {
-      val sh = Dedup.hashedShingles(docsDf, 3, maxDf)
+      // the guarded relation sits ON TOP of the internally-cached base,
+      // so releasing goes through the CacheScope, not df.unpersist()
+      val scope = new graft.ops.CacheScope
+      val sh = Dedup.hashedShingles(docsDf, 3, maxDf, scope)
       val c = sh.toDF("doc_a", "sh")
         .join(sh.toDF("doc_b", "sh2"),
           col("sh") === col("sh2") && col("doc_a") < col("doc_b"))
         .select("doc_a", "doc_b").distinct().count()
-      sh.unpersist(); c
+      scope.release(blocking = true); c
     }
     // (a) the guard cuts the candidate set: C(10,2)=45 pairs share the
     // header (one of them, (100,101), is also a true pair) plus the

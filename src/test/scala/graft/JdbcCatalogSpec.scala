@@ -117,6 +117,20 @@ class JdbcCatalogSpec extends AnyFunSuite {
     assert(cat.primaryKey("lineitem") == Seq("l_orderkey", "l_linenumber"))
   }
 
+  test("out-of-domain driver decimals clamp instead of aborting the scan") {
+    import graft.engine.JdbcCatalog.toDataType
+    import java.sql.Types.NUMERIC
+    // Oracle NUMBER with unspecified precision reports 0 → unusable
+    assert(toDataType(NUMERIC, 0, 0) == StringType)
+    // ODBC bridges report precision > 38 → clamp to Spark's max
+    assert(toDataType(NUMERIC, 77, 4) == DecimalType(38, 4))
+    // scale > precision and negative scale both clamp into [0, p]
+    assert(toDataType(NUMERIC, 10, 40) == DecimalType(10, 10))
+    assert(toDataType(NUMERIC, 10, -84) == DecimalType(10, 0))
+    // in-domain shapes pass through untouched
+    assert(toDataType(NUMERIC, 12, 2) == DecimalType(12, 2))
+  }
+
   test("each metadata call opens and closes exactly one connection") {
     opened.set(0); closed.set(0)
     val c = cat

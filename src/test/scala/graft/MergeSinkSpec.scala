@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 class MergeSinkSpec extends SparkSpec {
 
   /** Recording java.sql fakes: every call lands in `log` in order. */
-  private class Recorder {
+  private class Recorder(failUpdate: Boolean = false) {
     val log: mutable.Buffer[String] = mutable.Buffer[String]()
     private def handler: InvocationHandler = new InvocationHandler {
       override def invoke(
@@ -28,7 +28,10 @@ class MergeSinkSpec extends SparkSpec {
           case "execute" =>
             log += s"execute:${args(0)}"; java.lang.Boolean.FALSE
           case "executeUpdate" =>
-            log += s"executeUpdate:${args(0)}"; Integer.valueOf(7)
+            log += s"executeUpdate:${args(0)}"
+            if (failUpdate) throw new java.sql.SQLException("injected")
+            Integer.valueOf(7)
+          case "rollback" => log += "rollback"; null
           case "prepareStatement" =>
             log += s"prepare:${args(0)}"; ps
           case "createStatement" => stmt
@@ -115,6 +118,22 @@ class MergeSinkSpec extends SparkSpec {
     assert(rec.log.count(_ == "executeBatch") == 1)
   }
 
+  test("JdbcMergeSink rolls back BEFORE restoring autocommit on failure") {
+    // per JDBC, setAutoCommit(true) mid-transaction COMMITS pending
+    // work — a failed write must roll back first or its partial
+    // inserts silently commit
+    val rec = new Recorder(failUpdate = true)
+    val sink = new JdbcMergeSink("sqlite", () => rec.conn)
+    val spec = MergeSpec("orders", Seq("o_orderkey"), Seq("o_totalprice"))
+    intercept[java.sql.SQLException] {
+      sink.write(MergeResult(deltaDf, 0L), deltaDf, spec)
+    }
+    val rb = rec.log.indexOf("rollback")
+    val restore = rec.log.lastIndexOf("setAutoCommit:true")
+    assert(rb >= 0, rec.log.toString)
+    assert(restore > rb, rec.log.toString)
+  }
+
   test("JdbcMergeSink binds nulls as TYPED JDBC nulls") {
     import spark.implicits._
     val rec = new Recorder
@@ -149,20 +168,30 @@ class MergeSinkSpec extends SparkSpec {
     val writers = connIds.filter(_ != "c1")
     assert(writers.size == 2, s"writers=$writers log=$log")
 
-    // global (non-#) staging DDL on the driver conn, before any insert
+    // global (non-#) staging DDL on the driver conn (clone + ownership
+    // column), before any insert
     val create = SqlGen.createStagingTable("mssql", "[dbo].[orders]",
       "dbimport_stage", Seq("o_orderkey", "o_totalprice"))
+    val alter = SqlGen.addPartColumn(
+      "mssql", "dbimport_stage", JdbcParallelMergeSink.PartCol)
     assert(log.indexOf(s"c1:execute:$create") >= 0)
+    assert(log.indexOf(s"c1:execute:$alter") >
+      log.indexOf(s"c1:execute:$create"))
     assert(log.indexOf(s"c1:execute:$create") <
       log.indexWhere(_.endsWith(":addBatch")))
 
-    // every writer disables autocommit, prepares the same insert, and
-    // respects the chunk boundary (never >chunkSize addBatch per batch)
+    // every writer disables autocommit, reclaims its own staging slice
+    // (idempotence under retry/speculation), prepares the same insert,
+    // respects the chunk boundary (never >chunkSize addBatch per batch),
+    // and commits ONCE — the whole partition is a single transaction
     val insert = SqlGen.insertInto("mssql", "dbimport_stage",
-      Seq("o_orderkey", "o_totalprice"))
+      Seq("o_orderkey", "o_totalprice", JdbcParallelMergeSink.PartCol))
+    val delete = SqlGen.deleteByPart(
+      "mssql", "dbimport_stage", JdbcParallelMergeSink.PartCol)
     writers.foreach { c =>
       assert(log.contains(s"$c:setAutoCommit:false"))
-      assert(log.contains(s"$c:prepare:$insert"))
+      assert(log.indexOf(s"$c:prepare:$delete") <
+        log.indexOf(s"$c:prepare:$insert"), s"$c reclaims before insert")
       val fill = log.filter(e => e == s"$c:addBatch" || e == s"$c:executeBatch")
       var run = 0
       fill.foreach {
@@ -170,11 +199,12 @@ class MergeSinkSpec extends SparkSpec {
         case _                            => run = 0
       }
       assert(fill.nonEmpty && fill.last == s"$c:executeBatch")
-      // per-writer: one executeBatch (and one commit) per chunk
+      // executeBatch still flushes per chunk (bounded batch memory)…
       val nRows = fill.count(_.endsWith(":addBatch"))
       val nBatches = fill.count(_.endsWith(":executeBatch"))
       assert(nBatches == (nRows + 1) / 2)
-      assert(log.count(_ == s"$c:commit") == nBatches)
+      // …but exactly one commit makes delete+insert atomic per attempt
+      assert(log.count(_ == s"$c:commit") == 1)
     }
     // all 5 delta rows travel through the writers, none via the driver
     assert(log.count(_.endsWith(":addBatch")) == 5)
@@ -260,7 +290,11 @@ object ParallelFakeDb {
           case "execute" =>
             log.add(s"c$id:execute:${args(0)}"); java.lang.Boolean.FALSE
           case "executeUpdate" =>
-            log.add(s"c$id:executeUpdate:${args(0)}"); Integer.valueOf(4)
+            // PreparedStatement.executeUpdate() (the writers' delete)
+            // is no-arg; Statement.executeUpdate(sql) carries the text
+            if (args == null) log.add(s"c$id:executeUpdate")
+            else log.add(s"c$id:executeUpdate:${args(0)}")
+            Integer.valueOf(4)
           case "prepareStatement" =>
             log.add(s"c$id:prepare:${args(0)}")
             mk(classOf[PreparedStatement], this)

@@ -104,6 +104,30 @@ class MultimodalSpec extends SparkSpec {
     assert(MediaHeaders.sniff(Array.empty[Byte]).isEmpty)
   }
 
+  test("adversarial containers: WAV walk terminates, JPEG stops at SOS") {
+    import graft.ops.MediaHeaders
+    // a crafted RIFF chunk with size 0xFFFFFFF8 (-8 as a signed int):
+    // read signed, the word-aligned advance is 0 and the walk spins
+    // forever on an executor thread; read unsigned it steps past the
+    // end and the sniff returns cleanly
+    val evilWav = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(0xfffffff8) ++
+      "fmt ".getBytes ++ le32(16) ++ new Array[Byte](16)
+    assert(MediaHeaders.sniff(evilWav).isEmpty)
+    // size -9 (odd): signed arithmetic would step the cursor BACKWARDS
+    val evilWav2 = "RIFF".getBytes ++ le32(36) ++ "WAVE".getBytes ++
+      "junk".getBytes ++ le32(0xfffffff7) ++ new Array[Byte](24)
+    assert(MediaHeaders.sniff(evilWav2).isEmpty)
+    // JPEG whose entropy-coded data (after SOS) contains an FF C0 pair:
+    // the segment walk must stop at SOS instead of mis-reading scan
+    // bytes as a frame header
+    val sosJpeg = Array[Byte](0xff.toByte, 0xd8.toByte) ++
+      Array[Byte](0xff.toByte, 0xda.toByte) ++ be16(4) ++ le16(0) ++
+      Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(11) ++
+      Array[Byte](8) ++ be16(666) ++ be16(666) ++ Array[Byte](3)
+    assert(MediaHeaders.sniff(sosJpeg).isEmpty)
+  }
+
   test("media inventory is a narrow pass emitting header facts per blob") {
     import graft.ops.{MediaHeaders, Multimodal}
     import spark.implicits._

@@ -277,6 +277,51 @@ class SourcesSpec extends SparkSpec {
     assert(Xlsx.serialToDateTime(45000.75).toString == "2023-03-15T18:00")
     // day 61 = 1900-03-01: first serial unaffected by the 1900 leap bug
     assert(Xlsx.serialToDateTime(61.0).toString == "1900-03-01T00:00")
+    // 1904 system: day 0 = 1904-01-01, and (1904 being a real leap
+    // year) day 61 is plain arithmetic — no leap-bug discontinuity
+    assert(Xlsx.serialToDateTime(0.0, date1904 = true).toString ==
+      "1904-01-01T00:00")
+    assert(Xlsx.serialToDateTime(61.0, date1904 = true).toString ==
+      "1904-03-02T00:00")
+    // the documented 1462-day offset between the two systems
+    for (s <- Seq(61.0, 1000.25, 45000.75))
+      assert(Xlsx.serialToDateTime(s, date1904 = true) ==
+        Xlsx.serialToDateTime(s + 1462.0))
+  }
+
+  test("S1: workbookPr date1904 shifts every serial date cell") {
+    val path = writeXlsx(
+      "xl/workbook.xml" ->
+        """<?xml version="1.0"?>
+          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+          |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+          |  <workbookPr date1904="1"/>
+          |  <sheets><sheet name="mac" sheetId="1" r:id="rId1"/></sheets>
+          |</workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |  <Relationship Id="rId1" Type="w" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/styles.xml" ->
+        """<?xml version="1.0"?>
+          |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |  <cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs>
+          |</styleSheet>""".stripMargin,
+      "xl/worksheets/sheet1.xml" ->
+        """<?xml version="1.0"?>
+          |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+          |  <sheetData>
+          |    <row r="1"><c r="A1" t="inlineStr"><is><t>day</t></is></c></row>
+          |    <row r="2"><c r="A2" s="1"><v>45000</v></c></row>
+          |  </sheetData>
+          |</worksheet>""".stripMargin)
+    val df = Sources.readXlsx(spark, path)("mac")
+    assert(df.schema("day").dataType == DateType)
+    // 45000 in the 1904 system = 45000 + 1462 in the 1900 system:
+    // 2023-03-15 shifted 4 years and a day — the silent misdate a
+    // reader that ignores the flag would produce
+    assert(df.collect().head.getDate(0).toString == "2027-03-16")
   }
 
   test("S2: JSON-lines read infers nested types") {
