@@ -162,8 +162,14 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(s, dir, maxDocFreq = Some(0.1))),
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(s, dir, maxDocFreq = Some(0.1))),
-    // SimHash pairs: signature semantics aren't portable SQL (xxhash64)
-    // → rows-only check; pinned by DedupSpec instead
+    // pairs → connected components (large-star/small-star) → canonical
+    // keep-set; the last mile of a dedup pipeline
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(s, dir, maxDocFreq = Some(0.1))),
+    // SimHash pairs: md5-derived token bits, so the full pipeline
+    // (bits → signed sums → signature → hamming pairs) has a DuckDB
+    // oracle; the pigeonhole banding is complete at maxDist=3, so the
+    // oracle computes all-pairs hamming directly
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
 
     // --- LLM-pipeline: text analysis over documents ---
@@ -447,6 +453,35 @@ object SparkEntry {
     // The LSH result is exact w.h.p. after verification, so it is
     // pinned against the same exact-Jaccard oracle at its threshold.
     "dedup_minhash_lsh" -> jaccardOracle(0.8),
+    "dedup_clusters" -> clusterOracle(0.8),
+    // Full SimHash pin: bit i of a token's hash = bit (i%4) of md5 hex
+    // nibble (i/16)*4 + 3-(i%16)/4 (the engine's four 16-bit
+    // big-endian conv chunks, re-derived here by nibble); banding is
+    // pigeonhole-complete at maxDist 3, so all-pairs hamming IS the
+    // operator's result set
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents
+        |), th AS (
+        |  SELECT doc_id, md5(tok) AS m FROM toks
+        |), bs AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN ((strpos('0123456789abcdef',
+        |        substr(m, CAST((i // 16) * 4 + 3 - (i % 16) // 4 + 1 AS INTEGER), 1)) - 1)
+        |        >> CAST(i % 4 AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END AS v
+        |  FROM th, range(64) t(i)
+        |), sums AS (
+        |  SELECT doc_id, i, sum(v) AS s FROM bs GROUP BY 1, 2
+        |), sb AS (
+        |  SELECT doc_id, i, CASE WHEN s > 0 THEN 1 ELSE 0 END AS sbit FROM sums
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(sum(CASE WHEN a.sbit <> b.sbit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+        |FROM sb a JOIN sb b ON a.i = b.i AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |HAVING sum(CASE WHEN a.sbit <> b.sbit THEN 1 ELSE 0 END) <= 3""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         |  CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INTEGER) AS ws_tokens,
@@ -685,29 +720,63 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9""".stripMargin
   )
 
+  /** Shared CTE list (no WITH keyword) computing exact word-trigram
+    * Jaccard: toks → sh → cnt → inter.
+    */
+  private val jaccardCtes: String =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+      |  FROM documents
+      |  WHERE len(regexp_split_to_array(lower(text), '\s+')) >= 3
+      |), sh AS (
+      |  SELECT doc_id,
+      |    unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |      for i in range(1, len(t) - 1)])) AS shingle
+      |  FROM toks
+      |), cnt AS (
+      |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)""".stripMargin
+
   /** Exact word-trigram Jaccard pairs at a threshold — shared oracle
     * for the exact and LSH dedup paths.
     */
   private def jaccardOracle(threshold: Double): String =
-    s"""WITH toks AS (
-       |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
-       |  FROM documents
-       |  WHERE len(regexp_split_to_array(lower(text), '\\s+')) >= 3
-       |), sh AS (
-       |  SELECT doc_id,
-       |    unnest(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
-       |      for i in range(1, len(t) - 1)])) AS shingle
-       |  FROM toks
-       |), cnt AS (
-       |  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
-       |), inter AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2
-       |)
+    s"""WITH $jaccardCtes
        |SELECT doc_a, doc_b, i / (ca.n + cb.n - i) AS jaccard
        |FROM inter
        |JOIN cnt ca ON ca.doc_id = doc_a
        |JOIN cnt cb ON cb.doc_id = doc_b
        |WHERE i / (ca.n + cb.n - i) >= $threshold""".stripMargin
+
+  /** Cluster resolution oracle: the same exact-Jaccard pair set, then
+    * a recursive transitive closure — component = min reachable id,
+    * every corpus doc padded in as its own singleton.
+    */
+  private def clusterOracle(threshold: Double): String =
+    s"""WITH RECURSIVE $jaccardCtes, pairs AS (
+       |  SELECT doc_a, doc_b
+       |  FROM inter
+       |  JOIN cnt ca ON ca.doc_id = doc_a
+       |  JOIN cnt cb ON cb.doc_id = doc_b
+       |  WHERE i / (ca.n + cb.n - i) >= $threshold
+       |), edges AS (
+       |  SELECT doc_a AS u, doc_b AS v FROM pairs
+       |  UNION
+       |  SELECT doc_b, doc_a FROM pairs
+       |), reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+       |), comp AS (
+       |  SELECT u AS doc_id, least(u, min(v)) AS component_id
+       |  FROM reach WHERE v <> u GROUP BY u
+       |)
+       |SELECT d.doc_id,
+       |  coalesce(c.component_id, d.doc_id) AS component_id,
+       |  coalesce(c.component_id, d.doc_id) = d.doc_id AS keep
+       |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin
 }

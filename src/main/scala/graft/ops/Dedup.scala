@@ -280,15 +280,124 @@ object Dedup {
     jaccardOfCandidates(sh, cand, threshold)
   }
 
-  /** 64-bit SimHash signature per document from token xxhash64 bits:
-    * bit i of the signature is set iff the sum over tokens of
-    * (+1 if bit i of xxhash64(token) else -1) is positive.
+  /** Duplicate-cluster resolution — the last mile of dedup: near-dup
+    * PAIRS become clusters and a canonical keep-set. Pairs come from
+    * the verified MinHash-LSH path at `threshold`; connected
+    * components collapse transitive chains (A~B, B~C → one cluster
+    * even when A~C itself is below threshold); the representative is
+    * the minimum doc id (the reference's keep-one-row-per-key update
+    * semantics, `importer.py:321-330`, lifted to clusters).
+    *
+    * Output: one row per corpus document — (doc_id, component_id,
+    * keep) where component_id is the cluster minimum and keep marks
+    * the representative (singletons keep themselves). `corpus MINUS
+    * keep=false` is the deduplicated training set.
+    */
+  def duplicateClusters(
+      s: SparkSession, dir: String,
+      threshold: Double = 0.8, n: Int = 3,
+      maxDocFreq: Option[Double] = None,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = minhashLshPairsDf(d, threshold, n, 32, 2, maxDocFreq, scope)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val comp = connectedComponents(pairs)
+    d.select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("doc_id")).as("component_id"))
+      .withColumn("keep", col("doc_id") === col("component_id"))
+  }
+
+  /** Connected components over an undirected pair set via alternating
+    * large-star / small-star (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014): converges in O(log n) rounds,
+    * and every step is a groupBy/join on id keys — no driver-resident
+    * graph, no label table the size of the corpus shipped anywhere.
+    * That is the 100 TB shape; naive label propagation would need
+    * O(diameter) rounds and an adversarial dup-chain makes diameter
+    * linear.
+    *
+    * Each round is localCheckpoint'ed: iterative plans otherwise grow
+    * lineage without bound (re-planning cost, stack depth). On a real
+    * cluster this would be `checkpoint` into the reliable store;
+    * local-mode block storage is the same contract.
+    *
+    * Returns (doc_id, component_id) for every node present in `pairs`
+    * — component_id is the component's minimum id. Singletons (docs in
+    * no pair) are absent; callers pad with a left join.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+    // canonical directed form: big → small, no self-loops, distinct
+    val init = pairs
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    var edges = init.localCheckpoint(true)
+    var prev: Option[(Long, Long)] = None
+    var converged = false
+    var iters = 0
+    while (!converged && iters < 50) {
+      // large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mL = sym.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val large = sym.filter(col("v") > col("u")).join(mL, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: every (now strictly smaller) neighbor and u itself
+      // link to the minimum of u's smaller neighborhood
+      val mS = large.groupBy("u").agg(min("v").as("m"))
+      val small = large.join(mS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      val next = small.localCheckpoint(true)
+      // fixpoint test: (count, content hash) of the distinct edge set —
+      // equal signatures on consecutive rounds = star forest reached.
+      // bit_xor, not sum: order-independent AND overflow-free (ANSI
+      // mode makes a long-sum of 64-bit hashes throw)
+      val sigRow = next
+        .select(xxhash64(col("u"), col("v")).as("h"))
+        .agg(count(lit(1)).as("c"), expr("bit_xor(h)").as("h"))
+        .collect()(0)
+      val cur = (sigRow.getLong(0),
+        if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
+      converged = prev.contains(cur)
+      prev = Some(cur)
+      edges.unpersist()
+      edges = next
+      iters += 1
+    }
+    // at the fixpoint every edge points a node at its component root
+    edges.groupBy("u").agg(min("v").as("component_id"))
+      .select(col("u").as("doc_id"), col("component_id"))
+  }
+
+  /** 64-bit SimHash signature per document: bit i of the signature is
+    * set iff the sum over token occurrences of (+1 if bit i of the
+    * token's hash else -1) is positive.
+    *
+    * The per-token bit source is the first 64 bits of md5(token) —
+    * md5 is bit-identical across engines, so the whole pipeline
+    * (bits → signed sums → signature → hamming pairs) is reproducible
+    * in portable SQL and `dedup_simhash` carries a full DuckDB oracle.
+    * The 64-bit value is assembled nibble-exactly from the hex text in
+    * four 16-bit chunks (`conv` of 4 hex chars each, chunk j shifted
+    * to bits 16j..16j+15), the same layout the oracle re-derives with
+    * strpos-based nibble parsing.
     */
   def simhashSignatures(s: SparkSession, dir: String): DataFrame = {
+    val m = md5(col("tok"))
+    val h = (0 until 4)
+      .map(j => shiftleft(
+        conv(substring(m, j * 4 + 1, 4), 16, 10).cast("long"), j * 16))
+      .reduce((x, y) => x.bitwiseOR(y))
     val toks = docs(s, dir)
       .select(col("doc_id"),
         explode(split(lower(col("text")), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("h", h)
     val bitSums = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1L) === 1L, 1)
         .otherwise(-1)).as(s"b$i")

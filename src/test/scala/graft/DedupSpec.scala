@@ -68,6 +68,40 @@ class DedupSpec extends SparkSpec {
     assert(pairs(Dedup.ngramJaccardPairsDf(docsDf, threshold = 0.8)) == expect)
   }
 
+  test("connected components: chains and triangles collapse to the min id") {
+    import spark.implicits._
+    // a 6-node chain (forces multiple large/small-star rounds — naive
+    // one-hop propagation would need 5), a triangle, and a lone pair
+    val edgeDf = Seq(
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+      (4L, 3L), (4L, 5L), (3L, 5L),
+      (100L, 101L)).toDF("u", "v")
+    val comp = Dedup.connectedComponents(edgeDf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L, 15L -> 10L,
+      4L -> 3L, 5L -> 3L, 101L -> 100L))
+  }
+
+  test("duplicate clusters: every doc labeled, one min-id representative per cluster") {
+    val cl = Dedup.duplicateClusters(spark, sf(), maxDocFreq = Some(0.1))
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    assert(cl.count() == docs)
+    val comp = cl.select("doc_id", "component_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // cluster labels agree with the pair relation they were built from
+    val lshPairs = Dedup.minhashLshPairs(spark, sf(), maxDocFreq = Some(0.1))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(lshPairs.nonEmpty)
+    lshPairs.foreach { case (a, b) => assert(comp(a) == comp(b)) }
+    // the representative is the component minimum, and keep marks
+    // exactly one doc per component
+    val byComp = comp.groupBy(_._2)
+    byComp.foreach { case (c, ms) => assert(ms.keys.min == c) }
+    assert(cl.filter(col("keep")).count() == byComp.size.toLong)
+  }
+
   test("SimHash pairs at distance<=3 cover the high-Jaccard planted dups") {
     val sim = Dedup.simhashPairs(spark, sf(), maxDist = 3)
       .select("doc_a", "doc_b").collect()
