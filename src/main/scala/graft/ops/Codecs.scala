@@ -1,0 +1,239 @@
+package graft.ops
+
+/** REAL (non-stub) pixel/PCM decode for the container formats whose
+  * codecs are pure JDK territory — no external library involved:
+  *
+  *   - BMP: uncompressed 24/32-bit BITMAPINFOHEADER — pixel rows are
+  *     plain offsets (4-byte-aligned rows, bottom-up unless height is
+  *     negative).
+  *   - PNG: IDAT inflate via `java.util.zip.Inflater` (in the JDK) +
+  *     the five scanline unfilter types (None/Sub/Up/Average/Paeth),
+  *     8-bit depth, color types 0/2/4/6, non-interlaced.
+  *   - WAV: PCM sample extraction (8/16-bit, any channel count,
+  *     mono-mixed) from the RIFF `fmt `/`data` chunks.
+  *
+  * Everything decodes to one normalized surface — an unsigned-byte
+  * grayscale buffer (images: BT.601 integer luma; audio: 16-bit
+  * samples quantized to bytes) — so the downstream feature pipeline
+  * (histogram/mean/thumbnail in [[Multimodal]]) is format-agnostic.
+  * Only formats needing an entropy decoder (JPEG) or LZW (GIF) remain
+  * behind [[Multimodal.FakeCodec]]'s declared stub.
+  *
+  * Pinned by MultimodalSpec against hand-assembled container bytes
+  * (known pixels → hand-applied filters → deflate → decode must
+  * return the originals bit-exactly).
+  */
+object Codecs {
+
+  /** One decoded payload: images are (width × height) grayscale;
+    * audio is (n_frames × 1) quantized samples.
+    */
+  final case class Decoded(
+      kind: String, width: Int, height: Int, gray: Array[Byte])
+
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def be32(b: Array[Byte], i: Int): Int =
+    (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+  private def le32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** BT.601 integer luma — the standard RGB→gray weighting. */
+  private def luma(r: Int, g: Int, b: Int): Byte =
+    ((299 * r + 587 * g + 114 * b) / 1000).toByte
+
+  /** Uncompressed 24/32-bit BMP → grayscale. Rows are padded to 4
+    * bytes and stored bottom-up unless the height field is negative
+    * (top-down); pixels are BGR(A) order.
+    */
+  private[graft] def bmp(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 54 || b(0) != 'B' || b(1) != 'M') return None
+    val dataOff = le32(b, 10)
+    val w = le32(b, 18)
+    val hRaw = le32(b, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    val bpp = le16(b, 28)
+    val compression = le32(b, 30)
+    if (compression != 0 || (bpp != 24 && bpp != 32) || w <= 0 || h <= 0)
+      return None
+    val bytesPp = bpp / 8
+    val rowSize = ((w * bytesPp + 3) / 4) * 4
+    if (dataOff < 0 || dataOff.toLong + rowSize.toLong * h > b.length)
+      return None
+    val gray = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val sy = if (topDown) y else h - 1 - y
+      val base = dataOff + sy * rowSize
+      var x = 0
+      while (x < w) {
+        val p = base + x * bytesPp
+        gray(y * w + x) = luma(u8(b, p + 2), u8(b, p + 1), u8(b, p))
+        x += 1
+      }
+      y += 1
+    }
+    Some(Decoded("bmp", w, h, gray))
+  }
+
+  private def paeth(a: Int, bb: Int, c: Int): Int = {
+    val p = a + bb - c
+    val pa = math.abs(p - a); val pb = math.abs(p - bb); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+  }
+
+  /** PNG → grayscale: chunk walk, concatenated-IDAT inflate, per-
+    * scanline unfilter, channel collapse. 8-bit depth, color types
+    * 0 (gray) / 2 (rgb) / 4 (gray+alpha) / 6 (rgba), non-interlaced;
+    * palette (3) and interlaced images are out of scope → None.
+    */
+  private[graft] def png(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 33) return None
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if (u8(b, i) != sig(i)) return None; i += 1 }
+    // IHDR is always the first chunk
+    if (be32(b, 8) != 13 || !chunkTypeIs(b, 12, "IHDR")) return None
+    val w = be32(b, 16); val h = be32(b, 20)
+    val bitDepth = u8(b, 24); val colorType = u8(b, 25)
+    val interlace = u8(b, 28)
+    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+    val channels = colorType match {
+      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    // gather IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var p = 33 // first chunk after IHDR (8 sig + 25 IHDR)
+    var done = false
+    while (!done && p + 8 <= b.length) {
+      val len = be32(b, p)
+      if (len < 0 || p + 12L + len > b.length) return None
+      if (chunkTypeIs(b, p + 4, "IDAT")) idat.write(b, p + 8, len)
+      else if (chunkTypeIs(b, p + 4, "IEND")) done = true
+      p += 12 + len
+    }
+    val comp = idat.toByteArray
+    if (comp.isEmpty) return None
+    // inflate to exactly h * (1 filter byte + w*channels)
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(comp)
+      var off = 0
+      while (off < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        off += n
+      }
+      if (off != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // unfilter in place into a filter-byte-free pixel buffer
+    val px = new Array[Byte](h * stride)
+    val bpp = channels // bytes per pixel at depth 8
+    var y = 0
+    while (y < h) {
+      val f = u8(raw, y * (1 + stride))
+      val rowIn = y * (1 + stride) + 1
+      val rowOut = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = u8(raw, rowIn + x)
+        val a = if (x >= bpp) u8(px, rowOut + x - bpp) else 0
+        val up = if (y > 0) u8(px, rowOut - stride + x) else 0
+        val c = if (x >= bpp && y > 0) u8(px, rowOut - stride + x - bpp) else 0
+        val v = f match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + up
+          case 3 => cur + (a + up) / 2
+          case 4 => cur + paeth(a, up, c)
+          case _ => return None
+        }
+        px(rowOut + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    // collapse channels to gray (alpha ignored)
+    val gray = new Array[Byte](w * h)
+    var j = 0
+    while (j < w * h) {
+      val o = j * channels
+      gray(j) =
+        if (channels >= 3) luma(u8(px, o), u8(px, o + 1), u8(px, o + 2))
+        else px(o)
+      j += 1
+    }
+    Some(Decoded("png", w, h, gray))
+  }
+
+  private def chunkTypeIs(b: Array[Byte], off: Int, t: String): Boolean =
+    off + 4 <= b.length &&
+      b(off) == t.charAt(0).toByte && b(off + 1) == t.charAt(1).toByte &&
+      b(off + 2) == t.charAt(2).toByte && b(off + 3) == t.charAt(3).toByte
+
+  /** WAV PCM → mono-mixed quantized samples: 16-bit LE signed samples
+    * map to unsigned bytes via (s + 32768) >> 8; 8-bit samples are
+    * already unsigned. Channels average per frame. Chunk sizes read
+    * UNSIGNED with a Long cursor (same adversarial-input contract as
+    * [[MediaHeaders]]).
+    */
+  private[graft] def wav(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
+      return None
+    var channels = 0; var bits = 0; var fmtOk = false
+    var dataOff = -1; var dataLen = 0
+    var i = 12L
+    while (i + 8 <= b.length) {
+      val p = i.toInt
+      val size = le32(b, p + 4) & 0xffffffffL
+      if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' '
+        && i + 8 + 16 <= b.length) {
+        val d = p + 8
+        fmtOk = le16(b, d) == 1 // PCM only
+        channels = le16(b, d + 2)
+        bits = le16(b, d + 14)
+      } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' &&
+        b(p + 3) == 'a') {
+        dataOff = p + 8
+        dataLen = math.min(size, (b.length - dataOff).toLong).toInt
+      }
+      i += 8L + size + (size & 1L)
+    }
+    if (!fmtOk || channels <= 0 || (bits != 8 && bits != 16) || dataOff < 0)
+      return None
+    val bytesPerSample = bits / 8
+    val frameBytes = channels * bytesPerSample
+    val frames = dataLen / frameBytes
+    if (frames <= 0) return None
+    val gray = new Array[Byte](frames)
+    var f = 0
+    while (f < frames) {
+      var sum = 0L
+      var ch = 0
+      while (ch < channels) {
+        val o = dataOff + f * frameBytes + ch * bytesPerSample
+        sum += (if (bits == 16) (le16(b, o).toShort.toInt + 32768) >> 8
+                else u8(b, o))
+        ch += 1
+      }
+      gray(f) = (sum / channels).toByte
+      f += 1
+    }
+    Some(Decoded("wav", frames, 1, gray))
+  }
+
+  /** Decode a payload with the real JDK-only codecs; None = format
+    * unrecognized or outside the decodable subset (callers fall back
+    * to [[Multimodal.FakeCodec]]).
+    */
+  def decode(payload: Array[Byte]): Option[Decoded] =
+    if (payload == null || payload.length < 2) None
+    else png(payload).orElse(bmp(payload)).orElse(wav(payload))
+}

@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * partition, codec state amortized across the batch, no per-row
   * driver involvement.
   *
-  * There are no media codecs in this environment, so [[FakeCodec]] is
-  * an explicitly-marked STUB: a deterministic stand-in that interprets
-  * payload bytes as pixels. The Spark-side contract — schema,
-  * partitioning, batch shape, feature layout — is real and tested;
-  * swapping in a real codec changes only the inside of
-  * [[FakeCodec.decode]].
+  * Decode is real wherever the JDK suffices: [[Codecs]] turns
+  * PNG (Inflater + unfilter), uncompressed BMP, and PCM WAV payloads
+  * into actual pixels/samples. Only formats needing an entropy/LZW
+  * decoder (JPEG, GIF) and unrecognized bytes fall back to
+  * [[FakeCodec]] — an explicitly-marked STUB that interprets payload
+  * bytes as pixels. The Spark-side contract — schema, partitioning,
+  * batch shape, feature layout — is identical on both paths; the
+  * `decoder` column says which one produced each row.
   *
   * Scale: feature extraction is embarrassingly parallel (narrow,
   * partition-local); payload bytes never shuffle — only the extracted
@@ -36,14 +38,18 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long,
       media_type: String,
+      decoder: String,          // "png"|"bmp"|"wav" (real) | "stub"
       n_bytes: Int,
       mean_byte: Double,
       histogram: Array[Long],   // 16-bin byte-value histogram
       thumbnail: Array[Byte])   // 4x4 average-pooled "pixels"
 
-  /** STUB codec — deterministic fake in place of a real image/audio
-    * decoder (none available offline). `decode` treats the payload as
-    * a row-major grayscale pixel buffer of the declared dimensions.
+  /** STUB codec — deterministic fake for the formats whose decode
+    * needs an entropy/LZW decoder we don't reimplement (JPEG, GIF)
+    * and for unrecognized bytes. PNG/BMP/WAV payloads never reach it:
+    * [[Codecs]] decodes those for real (JDK-only — Inflater + plain
+    * offsets). `decode` treats the payload as a row-major grayscale
+    * pixel buffer of the declared dimensions.
     */
   object FakeCodec {
     /** STUB: a real implementation would parse an image container;
@@ -124,7 +130,13 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition codec "setup" would go here (amortized state)
       it.map { m =>
-        val px = FakeCodec.decode(m.payload, m.width, m.height)
+        // real JDK-only decode for PNG/BMP/WAV; declared stub otherwise
+        val (dec, w, h, px) = Codecs.decode(m.payload) match {
+          case Some(d) => (d.kind, d.width, d.height, d.gray)
+          case None =>
+            ("stub", m.width, m.height,
+              FakeCodec.decode(m.payload, m.width, m.height))
+        }
         val hist = new Array[Long](16)
         var sum = 0L
         var i = 0
@@ -135,10 +147,10 @@ object Multimodal {
           i += 1
         }
         MediaFeatures(
-          m.media_id, m.media_type, m.payload.length,
+          m.media_id, m.media_type, dec, m.payload.length,
           if (px.isEmpty) 0.0 else sum.toDouble / px.length,
           hist,
-          FakeCodec.thumbnail(px, m.width, m.height))
+          FakeCodec.thumbnail(px, w, h))
       }
     }
   }
@@ -149,8 +161,8 @@ object Multimodal {
     */
   def featureSummary(s: SparkSession, dir: String): DataFrame =
     extractFeatures(mediaTable(s, dir)).toDF()
-      .select(col("media_id"), col("media_type"), col("n_bytes"),
-        col("mean_byte"))
+      .select(col("media_id"), col("media_type"), col("decoder"),
+        col("n_bytes"), col("mean_byte"))
 
   /** Payload metadata relation (fully oracle-able): id, declared type,
     * byte length, md5 of the payload.

@@ -32,8 +32,8 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("media_id").limit(5).collect().toSeq
     val b = Multimodal.extractFeatures(
         Multimodal.mediaTable(spark, sf()).repartition(7))
-      .toDF().select(col("media_id"), col("media_type"), col("n_bytes"),
-        col("mean_byte"))
+      .toDF().select(col("media_id"), col("media_type"), col("decoder"),
+        col("n_bytes"), col("mean_byte"))
       .orderBy("media_id").limit(5).collect().toSeq
     assert(a == b)
   }
@@ -102,6 +102,139 @@ class MultimodalSpec extends SparkSpec {
     // arbitrary bytes (the text-payload fixture) sniff as nothing
     assert(MediaHeaders.sniff("not a media file".getBytes).isEmpty)
     assert(MediaHeaders.sniff(Array.empty[Byte]).isEmpty)
+  }
+
+  // ---- REAL decode (graft.ops.Codecs, JDK-only) ---------------------
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end(); out.toByteArray
+  }
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] =
+    be32(data.length) ++ typ.getBytes ++ data ++ be32(0) // CRC unchecked
+
+  private def pngFile(
+      w: Int, h: Int, colorType: Int, raw: Array[Byte]): Array[Byte] =
+    Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      pngChunk("IHDR", be32(w) ++ be32(h) ++
+        Array[Byte](8, colorType.toByte, 0, 0, 0)) ++
+      pngChunk("IDAT", deflate(raw)) ++
+      pngChunk("IEND", Array.empty[Byte])
+
+  test("PNG decode: all five filter types invert bit-exactly") {
+    import graft.ops.Codecs
+    // 4x5 grayscale (colorType 0, bpp 1): known pixels, one scanline
+    // per filter type, filters applied FORWARD here by hand — the
+    // decoder must invert them back to exactly these values
+    val px = Array(
+       10,  60,  60, 200,
+       13,  60, 190, 201,
+       40,  93, 190, 231,
+      255,   0, 128,  17,
+       90, 190,   7,  77).map(_.toByte)
+    val w = 4
+    def p(y: Int, x: Int): Int = px(y * w + x) & 0xff
+    val raw = new java.io.ByteArrayOutputStream()
+    // y=0: None
+    raw.write(0); (0 until w).foreach(x => raw.write(p(0, x)))
+    // y=1: Sub — cur - left
+    raw.write(1); (0 until w).foreach(x =>
+      raw.write((p(1, x) - (if (x > 0) p(1, x - 1) else 0)) & 0xff))
+    // y=2: Up — cur - above
+    raw.write(2); (0 until w).foreach(x => raw.write((p(2, x) - p(1, x)) & 0xff))
+    // y=3: Average — cur - floor((left + above)/2)
+    raw.write(3); (0 until w).foreach(x =>
+      raw.write((p(3, x) - ((if (x > 0) p(3, x - 1) else 0) + p(2, x)) / 2) & 0xff))
+    // y=4: Paeth
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val pr = a + b - c
+      val pa = math.abs(pr - a); val pb = math.abs(pr - b); val pc = math.abs(pr - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    raw.write(4); (0 until w).foreach { x =>
+      val a = if (x > 0) p(4, x - 1) else 0
+      val c = if (x > 0) p(3, x - 1) else 0
+      raw.write((p(4, x) - paeth(a, p(3, x), c)) & 0xff)
+    }
+    val dec = Codecs.png(pngFile(w, 5, 0, raw.toByteArray)).get
+    assert(dec.kind == "png" && dec.width == w && dec.height == 5)
+    assert(dec.gray.toSeq == px.toSeq)
+  }
+
+  test("PNG decode: RGB collapses to BT.601 luma; palette/interlace rejected") {
+    import graft.ops.Codecs
+    // 2x1 RGB (colorType 2): red and mid-gray, filter None
+    val raw = Array[Byte](0, 255.toByte, 0, 0, 100, 100, 100)
+    val dec = Codecs.png(pngFile(2, 1, 2, raw)).get
+    assert(dec.gray.toSeq == Seq((299 * 255 / 1000).toByte, 100.toByte))
+    // palette color type is out of the decodable subset
+    assert(Codecs.png(pngFile(2, 1, 3, raw)).isEmpty)
+    // truncated IDAT must fail cleanly, not throw
+    val trunc = pngFile(64, 64, 0, Array.fill[Byte](8)(1))
+    assert(Codecs.png(trunc).isEmpty)
+  }
+
+  test("BMP decode: bottom-up rows, 4-byte padding, BGR order") {
+    import graft.ops.Codecs
+    // 3x2 24-bit: rows are 9 bytes padded to 12, stored bottom-up.
+    // logical top row: red, green, blue; bottom row: white, black, gray
+    def bgr(b: Int, g: Int, r: Int) = Array[Byte](b.toByte, g.toByte, r.toByte)
+    // the file stores the logical BOTTOM row first (bottom-up layout)
+    val fileRow0 = bgr(255, 255, 255) ++ bgr(0, 0, 0) ++ bgr(128, 128, 128) ++
+      Array[Byte](0, 0, 0) // logical bottom: white, black, gray
+    val fileRow1 = bgr(0, 0, 255) ++ bgr(0, 255, 0) ++ bgr(255, 0, 0) ++
+      Array[Byte](0, 0, 0) // logical top: red, green, blue
+    val data = fileRow0 ++ fileRow1
+    val hdr = "BM".getBytes ++ le32(54 + data.length) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(3) ++ le32(2) ++ le16(1) ++ le16(24) ++ le32(0) ++
+      new Array[Byte](20)
+    val dec = Codecs.bmp(hdr ++ data).get
+    assert(dec.width == 3 && dec.height == 2)
+    def luma(r: Int, g: Int, b: Int) = ((299 * r + 587 * g + 114 * b) / 1000).toByte
+    // decoded top-down: row 0 = file's LAST stored row
+    assert(dec.gray.toSeq == Seq(
+      luma(255, 0, 0), luma(0, 255, 0), luma(0, 0, 255),
+      255.toByte, 0.toByte, 128.toByte))
+  }
+
+  test("WAV decode: 16-bit stereo PCM mono-mixes and quantizes") {
+    import graft.ops.Codecs
+    // 3 frames of L/R 16-bit samples with known values
+    val samples = Seq[(Int, Int)]((0, 0), (32767, 32767), (-32768, 0))
+    val data = samples.flatMap { case (l, r) => le16(l & 0xffff) ++ le16(r & 0xffff) }.toArray
+    val wav = "RIFF".getBytes ++ le32(36 + data.length) ++ "WAVE".getBytes ++
+      "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(2) ++ le32(8000) ++
+      le32(8000 * 4) ++ le16(4) ++ le16(16) ++
+      "data".getBytes ++ le32(data.length) ++ data
+    val dec = Codecs.wav(wav).get
+    assert(dec.kind == "wav" && dec.width == 3 && dec.height == 1)
+    // (s + 32768) >> 8 per channel, averaged: (128,128)->128,
+    // (255,255)->255, (0,128)->64
+    assert(dec.gray.toSeq == Seq(128.toByte, 255.toByte, 64.toByte))
+  }
+
+  test("extractFeatures uses real codecs for PNG/BMP/WAV, stub otherwise") {
+    import graft.ops.{Codecs, Multimodal}
+    import spark.implicits._
+    // uniform 4x5 gray-50 PNG: mean must be exactly 50 — a REAL decode,
+    // not the stub's text-bytes reinterpretation
+    val raw = new java.io.ByteArrayOutputStream()
+    (0 until 5).foreach { _ => raw.write(0); (0 until 4).foreach(_ => raw.write(50)) }
+    val pngPayload = pngFile(4, 5, 0, raw.toByteArray)
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "image", 4, 5, pngPayload),
+      Multimodal.MediaRecord(2L, "image", 4, 1, "plain text bytes".getBytes)).toDS()
+    val f = Multimodal.extractFeatures(rows).collect().sortBy(_.media_id)
+    assert(f(0).decoder == "png" && f(0).mean_byte == 50.0)
+    assert(f(0).thumbnail.forall(_ == 50.toByte))
+    assert(f(1).decoder == "stub")
+    // sanity: the real decoders agree between direct call and pipeline
+    assert(Codecs.decode(pngPayload).get.gray.forall(_ == 50.toByte))
   }
 
   test("adversarial containers: WAV walk terminates, JPEG stops at SOS") {
