@@ -532,17 +532,15 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // Catalog scan vs DuckDB's information_schema over the same
     // parquet views, normalizing type renderings to Spark's
-    // simpleString. Two genuine divergences: parquet TIMESTAMP(NS)
-    // (events.ts) is read as long by the engine
-    // (spark.sql.legacy.parquet.nanosAsLong) while DuckDB coerces it
-    // to TIMESTAMP — mapped explicitly; and parquet timestamps not
+    // simpleString. One genuine divergence: parquet timestamps not
     // adjusted to UTC are TIMESTAMP_NTZ to Spark, plain TIMESTAMP to
-    // DuckDB.
+    // DuckDB. (events.ts — parquet TIMESTAMP(NANOS) — needs no
+    // carve-out: the source layer normalizes it to timestamp_ntz from
+    // the file footer, and DuckDB coerces ns→µs the same way.)
     "catalog_columns" ->
       """SELECT table_name, column_name,
         |  CAST(ordinal_position AS INTEGER) AS ordinal_position,
-        |  CASE WHEN table_name = 'events' AND column_name = 'ts' THEN 'bigint'
-        |    WHEN data_type = 'BIGINT' THEN 'bigint'
+        |  CASE WHEN data_type = 'BIGINT' THEN 'bigint'
         |    WHEN data_type = 'INTEGER' THEN 'int'
         |    WHEN data_type = 'DOUBLE' THEN 'double'
         |    WHEN data_type = 'FLOAT' THEN 'float'

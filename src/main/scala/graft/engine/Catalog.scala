@@ -53,9 +53,13 @@ final class Catalog(
       .filter(_.endsWith(".parquet")).map(_.stripSuffix(".parquet")).sorted
   }
 
-  /** Load one table. */
+  /** Load one table through the source layer: parquet TIMESTAMP(NANOS)
+    * columns surface as `timestamp_ntz` (not the nanosAsLong
+    * workaround's raw Long), so the catalog reports what the data
+    * means, not how the engine stores it in flight.
+    */
   def table(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    graft.sources.Sources.readTable(spark, dir, name)
 
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[String, StructType]

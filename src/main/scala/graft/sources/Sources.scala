@@ -84,4 +84,54 @@ object Sources {
     */
   def listSources(s: SparkSession, dir: String): Seq[String] =
     workbook(s, dir).keys.toSeq.sorted
+
+  /** Columns stored as parquet TIMESTAMP(NANOS) — a type Spark doesn't
+    * have, surfaced as raw Long under
+    * `spark.sql.legacy.parquet.nanosAsLong`. Detected from the parquet
+    * FOOTER (one driver-side metadata read per table, the same class
+    * of work as a catalog scan), not guessed from column names.
+    */
+  def nanosTimestampColumns(s: SparkSession, path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val f = new java.io.File(path)
+    val dataFile =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .filter(x => x.isFile && x.getName.endsWith(".parquet"))
+          .sortBy(_.getName).headOption.map(_.getPath)
+      else Some(path)
+    dataFile.toSeq.flatMap { df =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(df),
+        s.sparkContext.hadoopConfiguration)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
+        .collect {
+          case field if field.isPrimitive &&
+            (field.asPrimitiveType().getLogicalTypeAnnotation match {
+              case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                t.getUnit == LogicalTypeAnnotation.TimeUnit.NANOS
+              case _ => false
+            }) => field.getName
+        }
+      finally r.close()
+    }
+  }
+
+  /** S1/S2 — typed parquet table read with source-layer normalization:
+    * TIMESTAMP(NANOS) columns become `timestamp_ntz` at the scan
+    * (exact integer ns→µs division, then a UTC-session cast — the
+    * wall-clock value parquet stored). Downstream consumers (and the
+    * catalog) then see a timestamp, not a workaround's raw Long.
+    */
+  def readTable(s: SparkSession, dir: String, table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    val path = s"$dir/$table.parquet"
+    val raw = s.read.parquet(path)
+    nanosTimestampColumns(s, path).foldLeft(raw) { (df, c) =>
+      df.withColumn(c,
+        timestamp_micros(expr(s"`$c` DIV 1000")).cast("timestamp_ntz"))
+    }
+  }
 }

@@ -324,6 +324,31 @@ class SourcesSpec extends SparkSpec {
     assert(df.collect().head.getDate(0).toString == "2027-03-16")
   }
 
+  test("source layer normalizes parquet TIMESTAMP(NANOS) to timestamp_ntz") {
+    import graft.sources.Sources
+    // detection comes from the parquet footer, not column names
+    assert(Sources.nanosTimestampColumns(spark, s"${sf()}/events.parquet")
+      == Seq("ts"))
+    assert(Sources.nanosTimestampColumns(spark, s"${sf()}/orders.parquet")
+      .isEmpty)
+    val ev = Sources.readTable(spark, sf(), "events")
+    assert(ev.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    // value parity with the raw ns-long DIV 1000 derivation
+    val rawNs = spark.read.parquet(s"${sf()}/events.parquet")
+      .orderBy("event_id").select("ts").head().getLong(0)
+    val norm = ev.orderBy("event_id").select("ts").head()
+      .getAs[java.time.LocalDateTime](0)
+    val us = rawNs / 1000
+    assert(norm == java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L),
+      Math.floorMod(us, 1000000L).toInt * 1000,
+      java.time.ZoneOffset.UTC))
+    // untouched columns pass through identically
+    val o = Sources.readTable(spark, sf(), "orders")
+    assert(o.schema == spark.read.parquet(s"${sf()}/orders.parquet").schema)
+  }
+
   test("S2: JSON-lines read infers nested types") {
     val dir = java.nio.file.Files.createTempDirectory("json_src")
     val f = dir.resolve("t.json")
