@@ -25,6 +25,27 @@ object Bench {
       case c             => c.toString
     } + "\""
 
+  /** The committed reference run this run adjudicates itself against
+    * (BASELINE.md's canary rule): (sf basename, per-query quiet secs).
+    * Parsed leniently from our own single-line JSON format; None when
+    * the artifact is absent (fresh checkout subsets, CI sandboxes).
+    */
+  private def loadReference(path: String): Option[(String, Map[String, Double])] =
+    try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+        java.nio.charset.StandardCharsets.UTF_8)
+      for {
+        qm <- """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        sfm <- """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+      } yield {
+        val pairs = """"([^"]+)":([-0-9.eE+]+)""".r
+          .findAllMatchIn(qm.group(1))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        (sfm.group(1).split('/').last, pairs)
+      }
+    } catch { case _: Throwable => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -80,7 +101,27 @@ object Bench {
     val errs = failed.map { case (k, e) => s"${jsonStr(k)}:${jsonStr(e)}" }
       .mkString("{", ",", "}")
     val total = if (ok.nonEmpty) ok.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Self-adjudication (BASELINE.md canary rule): this host suffers
+    // multi-minute CPU-steal bursts, so any historically-sub-2 s query
+    // reading >=10x its committed quiet value marks the RUN as
+    // externally loaded — not a regression. Emitting the verdict in
+    // the JSON lets a single-shot driver run carry its own rejection.
+    // Only adjudicates at the reference's scale factor; "admissible"
+    // is null when no comparable reference exists.
+    val refPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_REF", "bench/BENCH_r05_run4_raw.json")
+    val verdict = loadReference(refPath) match {
+      case Some((refSf, refQ))
+          if sfDir.split('/').last == refSf && only.isEmpty =>
+        val flags = ok.toSeq.flatMap { case (k, v) =>
+          refQ.get(k).filter(_ < 2.0).map(r => k -> v / r)
+        }.filter(_._2 >= 10.0).sortBy(-_._2)
+        val fl = flags.map { case (k, r) => s"${jsonStr(k)}:${"%.1f".format(r)}" }
+          .mkString("{", ",", "}")
+        s""","canary_flags":$fl,"admissible":${flags.isEmpty}"""
+      case _ => ""","admissible":null"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs$verdict,"sf":"$sfDir"}""")
     spark.stop()
     // a query that never succeeded is a broken query, not a fast one
     if (failed.nonEmpty) sys.exit(1)
