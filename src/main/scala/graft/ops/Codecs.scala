@@ -229,6 +229,44 @@ object Codecs {
     Some(Decoded("wav", frames, 1, gray))
   }
 
+  /** Uncompressed-AVI frame extraction: walk the RIFF tree to the
+    * `movi` LIST and return every `##db` chunk's bytes (uncompressed
+    * DIB frames — the only AVI codec that IS no codec). Compressed
+    * streams (`##dc`) are behind [[Multimodal.FakeCodec]]'s stub like
+    * JPEG. Chunk sizes unsigned, Long cursor (untrusted input).
+    */
+  private[graft] def aviFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] = {
+    if (b == null || b.length < 12 || b(0) != 'R' || b(1) != 'I' ||
+      b(2) != 'F' || b(3) != 'F' || b(8) != 'A' || b(9) != 'V' ||
+      b(10) != 'I' || b(11) != ' ')
+      return None
+    val frames = Vector.newBuilder[Array[Byte]]
+    var found = false
+    var i = 12L
+    while (i + 12 <= b.length) {
+      val p = i.toInt
+      val size = le32(b, p + 4) & 0xffffffffL
+      if (b(p) == 'L' && b(p + 1) == 'I' && b(p + 2) == 'S' &&
+        b(p + 3) == 'T' && b(p + 8) == 'm' && b(p + 9) == 'o' &&
+        b(p + 10) == 'v' && b(p + 11) == 'i') {
+        found = true
+        val end = math.min(i + 8 + size, b.length.toLong)
+        var c = i + 12
+        while (c + 8 <= end) {
+          val cp = c.toInt
+          val cs = le32(b, cp + 4) & 0xffffffffL
+          // '##db' = uncompressed DIB frame of stream ##
+          if (b(cp + 2) == 'd' && b(cp + 3) == 'b' &&
+            c + 8 + cs <= end && cs <= Int.MaxValue)
+            frames += java.util.Arrays.copyOfRange(b, cp + 8, cp + 8 + cs.toInt)
+          c += 8L + cs + (cs & 1L)
+        }
+      }
+      i += 8L + size + (size & 1L)
+    }
+    if (found) Some(frames.result()) else None
+  }
+
   /** Decode a payload with the real JDK-only codecs; None = format
     * unrecognized or outside the decodable subset (callers fall back
     * to [[Multimodal.FakeCodec]]).

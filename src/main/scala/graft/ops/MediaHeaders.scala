@@ -128,11 +128,48 @@ object MediaHeaders {
     None
   }
 
-  /** Sniff a payload against every known container, cheapest first. */
+  /** AVI: RIFF form `AVI `; the `avih` main header (inside the `hdrl`
+    * LIST) carries width/height as LE32 at data offsets 32/36. Chunk
+    * sizes read unsigned with a Long cursor, like [[wav]].
+    */
+  private def avi(b: Array[Byte]): Option[MediaHeader] = {
+    if (b.length < 12 || !startsWith(b, 'R'.toInt, 'I'.toInt, 'F'.toInt, 'F'.toInt) ||
+      !(u8(b, 8) == 'A' && u8(b, 9) == 'V' && u8(b, 10) == 'I' && u8(b, 11) == ' '))
+      return None
+    var i = 12L
+    while (i + 12 <= b.length) {
+      val p = i.toInt
+      val size = le32(b, p + 4) & 0xffffffffL
+      if (u8(b, p) == 'L' && u8(b, p + 1) == 'I' && u8(b, p + 2) == 'S' &&
+        u8(b, p + 3) == 'T' && u8(b, p + 8) == 'h' && u8(b, p + 9) == 'd' &&
+        u8(b, p + 10) == 'r' && u8(b, p + 11) == 'l') {
+        // children of hdrl: find the avih chunk
+        val end = math.min(i + 8 + size, b.length.toLong)
+        var c = i + 12
+        while (c + 8 <= end) {
+          val cp = c.toInt
+          val cs = le32(b, cp + 4) & 0xffffffffL
+          if (u8(b, cp) == 'a' && u8(b, cp + 1) == 'v' && u8(b, cp + 2) == 'i' &&
+            u8(b, cp + 3) == 'h' && c + 8 + 40 <= end) {
+            val d = cp + 8
+            return Some(MediaHeader("avi", le32(b, d + 32), le32(b, d + 36),
+              -1, -1, -1))
+          }
+          c += 8L + cs + (cs & 1L)
+        }
+      }
+      i += 8L + size + (size & 1L)
+    }
+    None
+  }
+
+  /** Sniff a payload against every known container, cheapest first.
+    * AVI before WAV: both are RIFF forms, discriminated by form type.
+    */
   def sniff(payload: Array[Byte]): Option[MediaHeader] =
     if (payload == null) None
     else png(payload).orElse(bmp(payload)).orElse(gif(payload))
-      .orElse(wav(payload)).orElse(jpeg(payload))
+      .orElse(avi(payload)).orElse(wav(payload)).orElse(jpeg(payload))
 
   /** Corpus-wide media inventory over any (id, payload) pair: format +
     * header metadata per blob, `unknown` for unrecognized bytes. A

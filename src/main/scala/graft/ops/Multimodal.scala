@@ -177,16 +177,27 @@ object Multimodal {
     * their index — the flatMap (UDTF-shaped) variant of the batch
     * transform.
     */
-  def sampledFrames(s: SparkSession, dir: String, stride: Int = 4): DataFrame = {
-    import s.implicits._
-    mediaTable(s, dir)
+  def sampledFrames(s: SparkSession, dir: String, stride: Int = 4): DataFrame =
+    sampledFramesDs(mediaTable(s, dir), stride)
+
+  /** Dataset-level variant (spec corpora with real AVI payloads). */
+  private[graft] def sampledFramesDs(
+      media: Dataset[MediaRecord], stride: Int = 4): DataFrame = {
+    import media.sparkSession.implicits._
+    media
       .filter(_.media_type == "video")
       .flatMap { m =>
-        val frameBytes = math.max(m.width, 1)
-        FakeCodec.sampleFrames(m.payload, frameBytes, stride)
-          .zipWithIndex.map { case (frame, idx) =>
-            (m.media_id, idx, frame.length, frame)
+        // REAL frame walk for uncompressed AVI (RIFF movi '##db'
+        // chunks, JDK-parseable); stub slicing for everything else
+        val frames = Codecs.aviFrames(m.payload)
+          .map(all => (0 until all.length by stride).map(all(_)))
+          .getOrElse {
+            val frameBytes = math.max(m.width, 1)
+            FakeCodec.sampleFrames(m.payload, frameBytes, stride)
           }
+        frames.zipWithIndex.map { case (frame, idx) =>
+          (m.media_id, idx, frame.length, frame)
+        }
       }
       .toDF("media_id", "frame_idx", "frame_bytes", "frame")
   }

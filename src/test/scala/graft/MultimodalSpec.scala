@@ -218,6 +218,65 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.gray.toSeq == Seq(128.toByte, 255.toByte, 64.toByte))
   }
 
+  private def aviChunk(fourcc: String, data: Array[Byte]): Array[Byte] =
+    fourcc.getBytes ++ le32(data.length) ++ data ++
+      (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+
+  private def aviList(listType: String, children: Array[Byte]): Array[Byte] =
+    "LIST".getBytes ++ le32(4 + children.length) ++ listType.getBytes ++ children
+
+  private def aviFile(w: Int, h: Int, frames: Seq[Array[Byte]]): Array[Byte] = {
+    // avih: 14 LE32 fields; dwTotalFrames at +16, dwWidth/+32, dwHeight/+36
+    val avih = new Array[Byte](56)
+    Array.copy(le32(frames.length), 0, avih, 16, 4)
+    Array.copy(le32(w), 0, avih, 32, 4)
+    Array.copy(le32(h), 0, avih, 36, 4)
+    val hdrl = aviList("hdrl", aviChunk("avih", avih))
+    val movi = aviList("movi",
+      frames.map(f => aviChunk("00db", f)).reduce(_ ++ _))
+    val body = "AVI ".getBytes ++ hdrl ++ movi
+    "RIFF".getBytes ++ le32(body.length) ++ body
+  }
+
+  test("AVI: header sniff + real uncompressed-frame extraction with stride") {
+    import graft.ops.{Codecs, MediaHeaders}
+    val frames = (0 until 5).map(i => Array.fill[Byte](6)((10 * i + 1).toByte))
+    val avi = aviFile(3, 2, frames)
+    // sniffed as avi (not wav — both are RIFF forms), with avih dims
+    val hdr = MediaHeaders.sniff(avi).get
+    assert(hdr.format == "avi" && hdr.width == 3 && hdr.height == 2)
+    // the movi walk returns every 00db frame bit-exactly
+    val all = Codecs.aviFrames(avi).get
+    assert(all.length == 5)
+    assert(all.zip(frames).forall { case (a, e) => a.sameElements(e) })
+    // non-AVI RIFF (plain WAV) and junk both decline
+    assert(Codecs.aviFrames(wavBytes(8000, 1, 16)).isEmpty)
+    assert(Codecs.aviFrames("junk bytes".getBytes).isEmpty)
+  }
+
+  test("sampledFrames walks real AVI payloads, stub-slices the rest") {
+    import graft.ops.Multimodal
+    import spark.implicits._
+    val frames = (0 until 5).map(i => Array.fill[Byte](6)((10 * i + 1).toByte))
+    val avi = aviFile(3, 2, frames)
+    val rows = Seq(
+      Multimodal.MediaRecord(1L, "video", 3, 2, avi),
+      Multimodal.MediaRecord(2L, "video", 4, 1, "sixteen text bytes!!".getBytes),
+      Multimodal.MediaRecord(3L, "image", 4, 1, avi)).toDS()
+    val out = Multimodal.sampledFramesDs(rows, stride = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]]("frame")))
+    // AVI row: real frames 0 and 4 (stride 4), bit-exact
+    val aviRows = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(aviRows.length == 2)
+    assert(aviRows(0)._3.sameElements(frames(0)))
+    assert(aviRows(1)._3.sameElements(frames(4)))
+    // non-AVI video row still goes through the stub slicer
+    assert(out.count(_._1 == 2L) == 2) // 20 bytes / width 4 = 5 frames, stride 4
+    // non-video rows are filtered regardless of payload
+    assert(!out.exists(_._1 == 3L))
+  }
+
   test("extractFeatures uses real codecs for PNG/BMP/WAV, stub otherwise") {
     import graft.ops.{Codecs, Multimodal}
     import spark.implicits._
