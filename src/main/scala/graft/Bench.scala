@@ -66,7 +66,12 @@ object Bench {
     // FS init, codegen/classloading, parquet reader warmup) before the
     // timed loop, so the first query isn't charged ~35s of JVM setup
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    // warm the parquet reader on whichever table the dir offers —
+    // partial corpora (scale-evidence dirs) carry only documents/
+    // embeddings, not the full TPC-H set
+    Option(new java.io.File(sfDir).list()).getOrElse(Array.empty[String])
+      .filter(_.endsWith(".parquet")).sorted.headOption
+      .foreach(t => spark.read.parquet(s"$sfDir/$t").count())
     // noop sink: materializes every row of every column the query
     // produces (count() would let Catalyst prune unreferenced
     // projections, billing narrow per-row queries a bare scan); reps

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence corpus generator: a deterministic N× blow-up of the
+  * documents/embeddings tables, used to measure how the heavy dedup /
+  * ANN paths grow with corpus size (bench/SCALE_r06.json).
+  *
+  * Construction and what it models:
+  *   - documents: N vocabulary-disjoint shards — every copy k prefixes
+  *     each token with `s{k}x`, so shard k's shingles never collide
+  *     with shard j's. Per-shard document-frequency distribution,
+  *     planted near-dup pairs, and doc-length mix are exactly the
+  *     source corpus's; totals scale linearly BY CONSTRUCTION. This
+  *     isolates the engine's scaling (shuffle width, partition counts,
+  *     join fan-out) from corpus-statistics drift. A real N× crawl
+  *     also grows the SHARED-shingle mass, which the exact-Jaccard
+  *     baseline's candidate join inherits super-linearly — that is a
+  *     property of the data, documented in Dedup's scaladoc; the LSH
+  *     paths bound it by banding either way.
+  *   - embeddings: N× fresh deterministic pseudo-random vectors
+  *     (xxhash64(vec_id, dim) mapped to [-1, 1]) — structureless like
+  *     the source's random unit vectors, and NOT near-duplicates of
+  *     one another, so sim_near_dup's pair count stays degenerate-free
+  *     at any N (copying vectors verbatim would plant C(N,2) exact
+  *     dups per vector and measure an adversarial corpus, not scale).
+  *
+  * Usage: runMain graft.ScaleGen [srcDir] [outDir] [copies]
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val out = args.lift(1).getOrElse("/tmp/scale10x")
+    val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$src/documents.parquet")
+    val scaledDocs = (0 until copies).map { k =>
+      docs.select(
+        (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), "\\s+"),
+          t => concat(lit(s"s${k}x"), t))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ union _)
+    scaledDocs.repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    val nVec = spark.read.parquet(s"$src/embeddings.parquet").count()
+    val dims = 64
+    val scaledEmb = spark.range(nVec * copies)
+      .select(col("id").as("vec_id"))
+      .select(col("vec_id"),
+        transform(sequence(lit(0), lit(dims - 1)),
+          d => (xxhash64(col("vec_id"), d).cast("double") /
+            lit(9.223372036854776e18)).cast("float")).as("embedding"),
+        lit(0).as("label"))
+    scaledEmb.repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    println(s"""{"docs":${scaledDocs.count()},"vecs":${nVec * copies},"out":"$out"}""")
+    spark.stop()
+  }
+}
