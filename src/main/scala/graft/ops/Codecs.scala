@@ -11,12 +11,16 @@ package graft.ops
   *     8-bit depth, color types 0/2/4/6, non-interlaced.
   *   - WAV: PCM sample extraction (8/16-bit, any channel count,
   *     mono-mixed) from the RIFF `fmt `/`data` chunks.
+  *   - GIF: from-scratch LZW decode of the first frame's index stream
+  *     (variable code width, clear/end codes, KwKwK case), palette
+  *     collapse, 4-pass interlace.
+  *   - AVI: uncompressed (`##db`) frame extraction from the RIFF tree.
   *
   * Everything decodes to one normalized surface — an unsigned-byte
   * grayscale buffer (images: BT.601 integer luma; audio: 16-bit
   * samples quantized to bytes) — so the downstream feature pipeline
   * (histogram/mean/thumbnail in [[Multimodal]]) is format-agnostic.
-  * Only formats needing an entropy decoder (JPEG) or LZW (GIF) remain
+  * Only JPEG's entropy decode (and compressed AVI streams) remains
   * behind [[Multimodal.FakeCodec]]'s declared stub.
   *
   * Pinned by MultimodalSpec against hand-assembled container bytes
@@ -229,6 +233,168 @@ object Codecs {
     Some(Decoded("wav", frames, 1, gray))
   }
 
+  /** GIF → grayscale: logical-screen/palette parse, first image
+    * frame's LZW-compressed index stream decoded from scratch (the
+    * GIF LZW variant: variable code width m+1..12, clear/end codes,
+    * dictionary rebuilt on clear), palette indices collapsed to BT.601
+    * luma, Adam-free 4-pass interlace honored. 87a and 89a; animation
+    * frames beyond the first are out of scope (inventory semantics:
+    * one representative frame).
+    */
+  private[graft] def gif(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a')
+      return None
+    val gctFlag = (u8(b, 10) & 0x80) != 0
+    val gctSize = 2 << (u8(b, 10) & 0x07)
+    var p = 13
+    var palette: Array[Byte] = null
+    if (gctFlag) {
+      if (p + 3 * gctSize > b.length) return None
+      palette = java.util.Arrays.copyOfRange(b, p, p + 3 * gctSize)
+      p += 3 * gctSize
+    }
+    while (p < b.length) {
+      u8(b, p) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 => // extension: label, then sub-blocks to terminator
+          p += 2
+          while (p < b.length && u8(b, p) != 0) p += 1 + u8(b, p)
+          p += 1
+        case 0x2c =>
+          if (p + 10 > b.length) return None
+          val w = le16(b, p + 5); val h = le16(b, p + 7)
+          val packed = u8(b, p + 9)
+          val interlaced = (packed & 0x40) != 0
+          p += 10
+          if ((packed & 0x80) != 0) { // local color table wins
+            val n = 2 << (packed & 0x07)
+            if (p + 3 * n > b.length) return None
+            palette = java.util.Arrays.copyOfRange(b, p, p + 3 * n)
+            p += 3 * n
+          }
+          if (palette == null || w <= 0 || h <= 0 || p >= b.length) return None
+          val minCode = u8(b, p); p += 1
+          if (minCode < 2 || minCode > 8) return None
+          // concatenate the length-prefixed data sub-blocks
+          val comp = new java.io.ByteArrayOutputStream()
+          while (p < b.length && u8(b, p) != 0) {
+            val n = u8(b, p)
+            if (p + 1 + n > b.length) return None
+            comp.write(b, p + 1, n)
+            p += 1 + n
+          }
+          return lzwDecode(minCode, comp.toByteArray, w * h).map { idx =>
+            val seq = new Array[Byte](w * h)
+            var si = 0
+            // interlaced GIFs store rows in four passes (8/8/4/2 stride)
+            val order: Array[Int] =
+              if (!interlaced) Array.tabulate(h)(identity)
+              else ((0 until h by 8) ++ (4 until h by 8) ++
+                (2 until h by 4) ++ (1 until h by 2)).toArray
+            var r = 0
+            while (r < h) {
+              val dr = order(r)
+              var x = 0
+              while (x < w) {
+                val ci = (idx(si) & 0xff) * 3
+                seq(dr * w + x) =
+                  if (ci + 2 < palette.length)
+                    luma(u8(palette, ci), u8(palette, ci + 1), u8(palette, ci + 2))
+                  else 0
+                si += 1; x += 1
+              }
+              r += 1
+            }
+            Decoded("gif", w, h, seq)
+          }
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** From-scratch GIF-variant LZW decode: codes read LSB-first at a
+    * width that grows from `minCode`+1 to 12 as the dictionary fills,
+    * `clear` resets the table, `end` stops. Returns exactly
+    * `expected` index bytes or None on any corruption/truncation.
+    */
+  private[graft] def lzwDecode(
+      minCode: Int, data: Array[Byte], expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val endCode = clear + 1
+    val maxDict = 4096
+    val prefix = new Array[Int](maxDict)
+    val suffix = new Array[Byte](maxDict)
+    val stack = new Array[Byte](maxDict)
+    var width = minCode + 1
+    var dictSize = clear + 2
+    val out = new java.io.ByteArrayOutputStream(expected)
+    val totalBits = data.length * 8L
+    var bitPos = 0L
+    def readCode(): Int = {
+      if (bitPos + width > totalBits) return -1
+      var v = 0; var i = 0
+      while (i < width) {
+        val bp = bitPos + i
+        if (((data((bp >> 3).toInt) >> (bp & 7).toInt) & 1) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    // expand a code onto the stack (reversed); returns length, -1 bad
+    def expand(code: Int): Int = {
+      var c = code; var n = 0
+      while (c >= clear + 2) {
+        if (n >= maxDict) return -1
+        stack(n) = suffix(c); n += 1; c = prefix(c)
+      }
+      if (c >= clear) return -1 // chain must end in a literal
+      stack(n) = c.toByte; n += 1
+      n
+    }
+    def emit(n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0 && out.size() < expected) { out.write(stack(i)); i -= 1 }
+    }
+    var prev = -1
+    var running = true
+    while (running && out.size() < expected) {
+      val code = readCode()
+      if (code < 0 || code == endCode) running = false
+      else if (code == clear) {
+        width = minCode + 1; dictSize = clear + 2; prev = -1
+      } else if (prev == -1) {
+        if (code >= clear) return None
+        val n = expand(code); if (n < 0) return None
+        emit(n); prev = code
+      } else {
+        var n = 0
+        if (code < dictSize) { n = expand(code); if (n < 0) return None }
+        else if (code == dictSize) {
+          // KwKwK case: string(prev) + first(string(prev))
+          n = expand(prev); if (n < 0) return None
+          val first = stack(n - 1)
+          // shift up by one and append first at the BOTTOM (reversed)
+          var i = n
+          while (i > 0) { stack(i) = stack(i - 1); i -= 1 }
+          stack(0) = first
+          n += 1
+        } else return None
+        emit(n)
+        if (dictSize < maxDict) {
+          prefix(dictSize) = prev
+          suffix(dictSize) = stack(n - 1) // first byte of current string
+          dictSize += 1
+          if (dictSize == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+    }
+    if (out.size() == expected) Some(out.toByteArray) else None
+  }
+
   /** Uncompressed-AVI frame extraction: walk the RIFF tree to the
     * `movi` LIST and return every `##db` chunk's bytes (uncompressed
     * DIB frames — the only AVI codec that IS no codec). Compressed
@@ -273,5 +439,6 @@ object Codecs {
     */
   def decode(payload: Array[Byte]): Option[Decoded] =
     if (payload == null || payload.length < 2) None
-    else png(payload).orElse(bmp(payload)).orElse(wav(payload))
+    else png(payload).orElse(bmp(payload)).orElse(gif(payload))
+      .orElse(wav(payload))
 }

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * partition, codec state amortized across the batch, no per-row
   * driver involvement.
   *
-  * Decode is real wherever the JDK suffices: [[Codecs]] turns
-  * PNG (Inflater + unfilter), uncompressed BMP, and PCM WAV payloads
-  * into actual pixels/samples. Only formats needing an entropy/LZW
-  * decoder (JPEG, GIF) and unrecognized bytes fall back to
+  * Decode is real wherever from-scratch code suffices: [[Codecs]]
+  * turns PNG (Inflater + unfilter), uncompressed BMP, PCM WAV, and
+  * GIF (from-scratch LZW) payloads into actual pixels/samples, and
+  * walks uncompressed AVI frames. Only JPEG entropy decode,
+  * compressed AVI streams, and unrecognized bytes fall back to
   * [[FakeCodec]] — an explicitly-marked STUB that interprets payload
   * bytes as pixels. The Spark-side contract — schema, partitioning,
   * batch shape, feature layout — is identical on both paths; the
@@ -45,11 +46,12 @@ object Multimodal {
       thumbnail: Array[Byte])   // 4x4 average-pooled "pixels"
 
   /** STUB codec — deterministic fake for the formats whose decode
-    * needs an entropy/LZW decoder we don't reimplement (JPEG, GIF)
-    * and for unrecognized bytes. PNG/BMP/WAV payloads never reach it:
-    * [[Codecs]] decodes those for real (JDK-only — Inflater + plain
-    * offsets). `decode` treats the payload as a row-major grayscale
-    * pixel buffer of the declared dimensions.
+    * needs an entropy decoder we don't reimplement (JPEG, compressed
+    * AVI streams) and for unrecognized bytes. PNG/BMP/WAV/GIF
+    * payloads never reach it: [[Codecs]] decodes those for real
+    * (from-scratch — Inflater, plain offsets, own LZW). `decode`
+    * treats the payload as a row-major grayscale pixel buffer of the
+    * declared dimensions.
     */
   object FakeCodec {
     /** STUB: a real implementation would parse an image container;

@@ -218,6 +218,67 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.gray.toSeq == Seq(128.toByte, 255.toByte, 64.toByte))
   }
 
+  /** LSB-first LZW bit packer: (code, width) pairs → GIF data bytes.
+    * A packer, not an encoder — the code sequence (including width
+    * growth points) is derived by hand in each test.
+    */
+  private def packLzw(codes: Seq[(Int, Int)]): Array[Byte] = {
+    val bits = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    codes.foreach { case (c, w) =>
+      (0 until w).foreach(i => bits += (((c >> i) & 1) == 1))
+    }
+    val out = new Array[Byte]((bits.length + 7) / 8)
+    bits.zipWithIndex.foreach { case (bit, i) =>
+      if (bit) out(i / 8) = (out(i / 8) | (1 << (i % 8))).toByte
+    }
+    out
+  }
+
+  /** Minimal GIF89a: 4-entry global palette (black, red, green,
+    * white), one image descriptor, one LZW data sub-block.
+    */
+  private def gifFile(
+      w: Int, h: Int, interlaced: Boolean, lzw: Array[Byte]): Array[Byte] = {
+    val palette = Array[Byte](
+      0, 0, 0, 255.toByte, 0, 0, 0, 255.toByte, 0,
+      255.toByte, 255.toByte, 255.toByte)
+    "GIF89a".getBytes ++ le16(w) ++ le16(h) ++
+      Array[Byte](0x81.toByte, 0, 0) ++ palette ++
+      Array[Byte](0x2c) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h) ++
+      Array[Byte](if (interlaced) 0x40.toByte else 0) ++
+      Array[Byte](2) ++ // LZW min code size
+      Array[Byte](lzw.length.toByte) ++ lzw ++ Array[Byte](0, 0x3b)
+  }
+
+  // palette luma: idx 0 → 0, 1 (red) → 76, 2 (green) → 149, 3 → 255
+  private val GifLuma = Array[Byte](0, 76, (149 & 0xff).toByte, 255.toByte)
+
+  test("GIF decode: from-scratch LZW inverts a hand-packed stream") {
+    import graft.ops.Codecs
+    // 2x2, indices 0,1,2,3; min code 2 → clear=4, end=5, dict from 6.
+    // Width grows 3→4 after dict entry 7 fills width 3 (derived by
+    // hand, the decoder must agree bit-for-bit)
+    val data = packLzw(Seq((4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)))
+    val dec = Codecs.gif(gifFile(2, 2, interlaced = false, data)).get
+    assert(dec.kind == "gif" && dec.width == 2 && dec.height == 2)
+    assert(dec.gray.toSeq == Seq(GifLuma(0), GifLuma(1), GifLuma(2), GifLuma(3)))
+  }
+
+  test("GIF decode: KwKwK code case and interlaced row order") {
+    import graft.ops.Codecs
+    // KwKwK: indices 1,1,1 over a 3x1 frame — code 6 arrives while 6
+    // is the next free entry (string(prev)+first(string(prev)))
+    val kwk = packLzw(Seq((4, 3), (1, 3), (6, 3), (5, 3)))
+    val d1 = Codecs.gif(gifFile(3, 1, interlaced = false, kwk)).get
+    assert(d1.gray.toSeq == Seq(GifLuma(1), GifLuma(1), GifLuma(1)))
+    // interlace: 1x4, sequential rows land at display rows 0,2,1,3
+    val il = packLzw(Seq((4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (5, 4)))
+    val d2 = Codecs.gif(gifFile(1, 4, interlaced = true, il)).get
+    assert(d2.gray.toSeq == Seq(GifLuma(0), GifLuma(2), GifLuma(1), GifLuma(3)))
+    // truncated stream fails cleanly
+    assert(Codecs.gif(gifFile(9, 9, interlaced = false, kwk)).isEmpty)
+  }
+
   private def aviChunk(fourcc: String, data: Array[Byte]): Array[Byte] =
     fourcc.getBytes ++ le32(data.length) ++ data ++
       (if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
