@@ -264,6 +264,63 @@ class MultimodalSpec extends SparkSpec {
     assert(dec.gray.toSeq == Seq(GifLuma(0), GifLuma(1), GifLuma(2), GifLuma(3)))
   }
 
+  /** Independent GIF-LZW ENCODER (test-only): greedy longest-match
+    * with the decoder-synchronized width rule — the decoder's dict
+    * lags the encoder's by one entry, so width grows when
+    * clear+1+emissions hits 1<<width. Exists purely to drive the
+    * round-trip property below.
+    */
+  private def lzwEncode(minCode: Int, indices: Array[Byte]): Array[Byte] = {
+    val clear = 1 << minCode
+    var width = minCode + 1
+    val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    (0 until clear).foreach(i => dict(Seq(i.toByte)) = i)
+    var nextCode = clear + 2
+    var emissions = 0
+    val codes = scala.collection.mutable.ArrayBuffer[(Int, Int)]((clear, width))
+    def emit(c: Int): Unit = {
+      codes += ((c, width))
+      emissions += 1
+      if (clear + 1 + emissions == (1 << width) && width < 12) width += 1
+    }
+    var cur = Seq.empty[Byte]
+    indices.foreach { b =>
+      val ext = cur :+ b
+      if (dict.contains(ext)) cur = ext
+      else {
+        emit(dict(cur))
+        dict(ext) = nextCode; nextCode += 1
+        cur = Seq(b)
+      }
+    }
+    if (cur.nonEmpty) emit(dict(cur))
+    codes += ((clear + 1, width)) // end code
+    packLzw(codes.toSeq)
+  }
+
+  test("LZW property: decode inverts an independent encoder (all code sizes)") {
+    import graft.ops.Codecs
+    val rnd = new scala.util.Random(20260812L)
+    for (minCode <- 2 to 8; trial <- 0 until 4) {
+      val n = 1 + rnd.nextInt(400)
+      val syms = 1 << minCode
+      // mix uniform-random and run-heavy streams (runs stress KwKwK)
+      val idx = new Array[Byte](n)
+      var i = 0
+      while (i < n) {
+        if (trial % 2 == 1 && rnd.nextInt(3) == 0) {
+          val run = math.min(1 + rnd.nextInt(12), n - i)
+          val v = rnd.nextInt(syms).toByte
+          (0 until run).foreach(j => idx(i + j) = v)
+          i += run
+        } else { idx(i) = rnd.nextInt(syms).toByte; i += 1 }
+      }
+      val got = Codecs.lzwDecode(minCode, lzwEncode(minCode, idx), n)
+      assert(got.isDefined, s"minCode=$minCode trial=$trial failed to decode")
+      assert(got.get.toSeq == idx.toSeq, s"minCode=$minCode trial=$trial mismatch")
+    }
+  }
+
   test("GIF decode: KwKwK code case and interlaced row order") {
     import graft.ops.Codecs
     // KwKwK: indices 1,1,1 over a 3x1 frame — code 6 arrives while 6
