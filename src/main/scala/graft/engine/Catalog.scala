@@ -218,7 +218,9 @@ object JdbcCatalog {
       case TIMESTAMP                   => TimestampNTZType
       case TIMESTAMP_WITH_TIMEZONE     => TimestampType
       case VARBINARY | BINARY | LONGVARBINARY => BinaryType
-      case CHAR                        => CharType(size)
+      // same clamp discipline as DECIMAL: drivers report 0 /
+      // out-of-range lengths, and CharType/VarcharType throw on them
+      case CHAR if size > 0 && size < Int.MaxValue    => CharType(size)
       case VARCHAR if size > 0 && size < Int.MaxValue => VarcharType(size)
       case _                           => StringType
     }

@@ -129,6 +129,11 @@ class JdbcCatalogSpec extends AnyFunSuite {
     assert(toDataType(NUMERIC, 10, -84) == DecimalType(10, 0))
     // in-domain shapes pass through untouched
     assert(toDataType(NUMERIC, 12, 2) == DecimalType(12, 2))
+    // CHAR/VARCHAR with unusable driver lengths degrade to string
+    // instead of throwing
+    assert(toDataType(java.sql.Types.CHAR, 0, 0) == StringType)
+    assert(toDataType(java.sql.Types.CHAR, 8, 0) == CharType(8))
+    assert(toDataType(java.sql.Types.VARCHAR, 0, 0) == StringType)
   }
 
   test("each metadata call opens and closes exactly one connection") {
