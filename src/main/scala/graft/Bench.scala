@@ -121,8 +121,11 @@ object Bench {
         val flags = ok.toSeq.flatMap { case (k, v) =>
           refQ.get(k).filter(_ < 2.0).map(r => k -> v / r)
         }.filter(_._2 >= 10.0).sortBy(-_._2)
-        val fl = flags.map { case (k, r) => s"${jsonStr(k)}:${"%.1f".format(r)}" }
-          .mkString("{", ",", "}")
+        // Locale.ROOT: a comma-decimal default locale (de_DE) would
+        // render 12,3 and corrupt the JSON line
+        val fl = flags.map { case (k, r) =>
+          s"${jsonStr(k)}:${String.format(java.util.Locale.ROOT, "%.1f", Double.box(r))}"
+        }.mkString("{", ",", "}")
         s""","canary_flags":$fl,"admissible":${flags.isEmpty}"""
       case _ => ""","admissible":null"""
     }

@@ -35,6 +35,24 @@ object Codecs {
   final case class Decoded(
       kind: String, width: Int, height: Int, gray: Array[Byte])
 
+  /** Upper bound on decoded pixels per payload (32M ≈ a 5792×5792
+    * image; RGBA working buffers ≤ ~170 MB, bounded even with a full
+    * task slot's worth decoding concurrently). Headers are
+    * attacker-controlled: without a cap, a 60-byte blob declaring
+    * 50000×50000 makes the decoder allocate gigabytes (or overflow
+    * Int arithmetic into a crash) before any pixel data is validated.
+    * Over-cap payloads decline to None and fall back to the stub like
+    * any other undecodable input.
+    */
+  private val MaxPixels: Long = 1L << 25
+
+  /** True when w×h describes a plausibly decodable image: positive
+    * dims whose product (computed in Long — w*h can wrap Int) fits
+    * [[MaxPixels]].
+    */
+  private def saneDims(w: Int, h: Int): Boolean =
+    w > 0 && h > 0 && w.toLong * h <= MaxPixels
+
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
   private def be32(b: Array[Byte], i: Int): Int =
@@ -59,17 +77,21 @@ object Codecs {
     val h = math.abs(hRaw)
     val bpp = le16(b, 28)
     val compression = le32(b, 30)
-    if (compression != 0 || (bpp != 24 && bpp != 32) || w <= 0 || h <= 0)
+    if (compression != 0 || (bpp != 24 && bpp != 32) || !saneDims(w, h))
       return None
     val bytesPp = bpp / 8
-    val rowSize = ((w * bytesPp + 3) / 4) * 4
-    if (dataOff < 0 || dataOff.toLong + rowSize.toLong * h > b.length)
+    // row size in Long: w near Int.MaxValue would wrap w*bytesPp and
+    // forge a negative rowSize that slips past the bounds check below
+    val rowSize = ((w.toLong * bytesPp + 3) / 4) * 4
+    if (dataOff < 0 || dataOff.toLong + rowSize * h > b.length)
       return None
     val gray = new Array[Byte](w * h)
     var y = 0
     while (y < h) {
       val sy = if (topDown) y else h - 1 - y
-      val base = dataOff + sy * rowSize
+      // bounds-checked above: dataOff + rowSize*h <= b.length, so the
+      // Long row base always fits an Int here
+      val base = (dataOff + sy * rowSize).toInt
       var x = 0
       while (x < w) {
         val p = base + x * bytesPp
@@ -102,7 +124,7 @@ object Codecs {
     val w = be32(b, 16); val h = be32(b, 20)
     val bitDepth = u8(b, 24); val colorType = u8(b, 25)
     val interlace = u8(b, 28)
-    if (w <= 0 || h <= 0 || bitDepth != 8 || interlace != 0) return None
+    if (!saneDims(w, h) || bitDepth != 8 || interlace != 0) return None
     val channels = colorType match {
       case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case _ => return None
@@ -129,7 +151,11 @@ object Codecs {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // truncated stream — or one declaring a preset dictionary
+        // (FDICT): there inflate returns 0 with needsInput() still
+        // false, which would spin this loop forever on a crafted blob
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+          return None
         off += n
       }
       if (off != raw.length) return None
@@ -191,24 +217,25 @@ object Codecs {
     if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
       b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
       return None
-    var channels = 0; var bits = 0; var fmtOk = false
+    var channels = 0; var bits = 0; var fmtOk = false; var sawFmt = false
     var dataOff = -1; var dataLen = 0
-    var i = 12L
-    while (i + 8 <= b.length) {
-      val p = i.toInt
-      val size = le32(b, p + 4) & 0xffffffffL
-      if (b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' && b(p + 3) == ' '
-        && i + 8 + 16 <= b.length) {
+    // first fmt / first data win (matching the header sniffer's
+    // first-chunk semantics); Riff.walk carries the termination
+    // contract for untrusted sizes
+    MediaHeaders.Riff.walk[Unit](b, 12L, b.length.toLong) { (p, size) =>
+      if (!sawFmt && b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' &&
+        b(p + 3) == ' ' && p + 8 + 16 <= b.length) {
         val d = p + 8
+        sawFmt = true
         fmtOk = le16(b, d) == 1 // PCM only
         channels = le16(b, d + 2)
         bits = le16(b, d + 14)
-      } else if (b(p) == 'd' && b(p + 1) == 'a' && b(p + 2) == 't' &&
-        b(p + 3) == 'a') {
+      } else if (dataOff < 0 && b(p) == 'd' && b(p + 1) == 'a' &&
+        b(p + 2) == 't' && b(p + 3) == 'a') {
         dataOff = p + 8
         dataLen = math.min(size, (b.length - dataOff).toLong).toInt
       }
-      i += 8L + size + (size & 1L)
+      None
     }
     if (!fmtOk || channels <= 0 || (bits != 8 && bits != 16) || dataOff < 0)
       return None
@@ -266,6 +293,9 @@ object Codecs {
           val w = le16(b, p + 5); val h = le16(b, p + 7)
           val packed = u8(b, p + 9)
           val interlaced = (packed & 0x40) != 0
+          // le16 dims are <= 65535 each, but 65535² still overflows
+          // the Int pixel count handed to lzwDecode
+          if (!saneDims(w, h)) return None
           p += 10
           if ((packed & 0x80) != 0) { // local color table wins
             val n = 2 << (packed & 0x07)
@@ -408,27 +438,21 @@ object Codecs {
       return None
     val frames = Vector.newBuilder[Array[Byte]]
     var found = false
-    var i = 12L
-    while (i + 12 <= b.length) {
-      val p = i.toInt
-      val size = le32(b, p + 4) & 0xffffffffL
+    MediaHeaders.Riff.walk[Unit](b, 12L, b.length.toLong) { (p, size) =>
       if (b(p) == 'L' && b(p + 1) == 'I' && b(p + 2) == 'S' &&
-        b(p + 3) == 'T' && b(p + 8) == 'm' && b(p + 9) == 'o' &&
-        b(p + 10) == 'v' && b(p + 11) == 'i') {
+        b(p + 3) == 'T' && p + 12 <= b.length && b(p + 8) == 'm' &&
+        b(p + 9) == 'o' && b(p + 10) == 'v' && b(p + 11) == 'i') {
         found = true
-        val end = math.min(i + 8 + size, b.length.toLong)
-        var c = i + 12
-        while (c + 8 <= end) {
-          val cp = c.toInt
-          val cs = le32(b, cp + 4) & 0xffffffffL
+        val end = math.min(p + 8L + size, b.length.toLong)
+        MediaHeaders.Riff.walk[Unit](b, p + 12L, end) { (cp, cs) =>
           // '##db' = uncompressed DIB frame of stream ##
           if (b(cp + 2) == 'd' && b(cp + 3) == 'b' &&
-            c + 8 + cs <= end && cs <= Int.MaxValue)
+            cp + 8L + cs <= end && cs <= Int.MaxValue)
             frames += java.util.Arrays.copyOfRange(b, cp + 8, cp + 8 + cs.toInt)
-          c += 8L + cs + (cs & 1L)
-        }
+          None
+        }: Unit
       }
-      i += 8L + size + (size & 1L)
+      None
     }
     if (found) Some(frames.result()) else None
   }

@@ -14,13 +14,22 @@ import org.apache.spark.sql.functions._
   */
 final class CacheScope {
   private val tracked = scala.collection.mutable.Buffer.empty[DataFrame]
+  private val cleanups = scala.collection.mutable.Buffer.empty[() => Unit]
   private[graft] def cache(df: DataFrame): DataFrame = synchronized {
     tracked += df
     df.cache()
   }
+  /** Storage that `DataFrame.unpersist` can't reach (localCheckpoint
+    * RDD blocks) registers a release thunk instead.
+    */
+  private[graft] def onRelease(f: () => Unit): Unit = synchronized {
+    cleanups += f
+  }
   def release(blocking: Boolean = false): Unit = synchronized {
     tracked.foreach(_.unpersist(blocking))
     tracked.clear()
+    cleanups.foreach(f => try f() catch { case _: Throwable => () })
+    cleanups.clear()
   }
 }
 
@@ -302,7 +311,7 @@ object Dedup {
     val d = docs(s, dir)
     val pairs = minhashLshPairsDf(d, threshold, n, 32, 2, maxDocFreq, scope)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val comp = connectedComponents(pairs)
+    val comp = connectedComponents(pairs, scope)
     d.select("doc_id")
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -327,8 +336,15 @@ object Dedup {
     * Returns (doc_id, component_id) for every node present in `pairs`
     * — component_id is the component's minimum id. Singletons (docs in
     * no pair) are absent; callers pad with a left join.
+    *
+    * The converged edge set's localCheckpoint blocks back the RETURNED
+    * relation, so they can't be dropped here; their release registers
+    * on `scope` (DataFrame.unpersist never reaches RDD-level
+    * checkpoint storage — without the hook every call would leak its
+    * final round's blocks for the session's lifetime).
     */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(
+      pairs: DataFrame, scope: CacheScope = new CacheScope): DataFrame = {
     // canonical directed form: big → small, no self-loops, distinct
     val init = pairs
       .select(greatest(col("u"), col("v")).as("u"),
@@ -377,14 +393,30 @@ object Dedup {
       val cur = signature(next)
       converged = prev.contains(cur)
       prev = Some(cur)
-      edges.unpersist()
+      unpersistCheckpoint(edges)
       edges = next
       iters += 1
     }
+    // the converged blocks back the returned relation — release goes
+    // through the scope, after the caller's terminal action
+    val converged0 = edges
+    scope.onRelease(() => unpersistCheckpoint(converged0))
     // at the fixpoint every edge points a node at its component root
     edges.groupBy("u").agg(min("v").as("component_id"))
       .select(col("u").as("doc_id"), col("component_id"))
   }
+
+  /** Release the RDD blocks behind a localCheckpoint'd relation.
+    * `Dataset.unpersist` only clears CacheManager entries — the
+    * checkpointed RDD's storage lives at the RDD layer, reachable via
+    * the plan's LogicalRDD leaf.
+    */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    }
 
   /** 64-bit SimHash signature per document: bit i of the signature is
     * set iff the sum over token occurrences of (+1 if bit i of the

@@ -22,7 +22,33 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   */
 object MediaHeaders {
 
-  /** Header-level facts; -1 = not applicable to the format. */
+  /** Shared RIFF chunk walk, carrying the adversarial-input invariant in
+  * exactly one place: chunk sizes are read UNSIGNED (a signed read
+  * lets a crafted size of -8 advance the cursor by 0 — an infinite
+  * loop on an executor thread — and other negatives step it backwards
+  * into an AIOOBE) and the cursor is a Long (no Int wrap on >2 GB
+  * declared sizes). Visits each chunk header as (offset, size) until
+  * the callback returns Some or the region ends; chunks are
+  * word-aligned per the RIFF spec.
+  */
+private[ops] object Riff {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  def walk[A](b: Array[Byte], from: Long, until: Long)(
+      f: (Int, Long) => Option[A]): Option[A] = {
+    var i = from
+    while (i + 8 <= until) {
+      val p = i.toInt
+      val size = (u8(b, p + 4) | (u8(b, p + 5) << 8) | (u8(b, p + 6) << 16) |
+        (u8(b, p + 7) << 24)) & 0xffffffffL
+      val r = f(p, size)
+      if (r.isDefined) return r
+      i += 8L + size + (size & 1L)
+    }
+    None
+  }
+}
+
+/** Header-level facts; -1 = not applicable to the format. */
   final case class MediaHeader(
       format: String,
       width: Int,
@@ -108,24 +134,15 @@ object MediaHeaders {
     if (b.length < 12 || !startsWith(b, 'R'.toInt, 'I'.toInt, 'F'.toInt, 'F'.toInt) ||
       !(u8(b, 8) == 'W' && u8(b, 9) == 'A' && u8(b, 10) == 'V' && u8(b, 11) == 'E'))
       return None
-    // cursor is a Long and the chunk size is read UNSIGNED: a crafted
-    // RIFF blob with size 0xFFFFFFF8 (-8 signed) would otherwise make
-    // the word-aligned advance 0 (infinite loop on an executor thread)
-    // or step the cursor backwards into an AIOOBE — inventory() sniffs
-    // untrusted corpus bytes, so the walk must terminate on any input
-    var i = 12L
-    while (i + 8 <= b.length) {
-      val p = i.toInt
-      val size = le32(b, p + 4) & 0xffffffffL
+    // [[Riff.walk]] carries the untrusted-input termination contract
+    Riff.walk(b, 12L, b.length.toLong) { (p, _) =>
       if (u8(b, p) == 'f' && u8(b, p + 1) == 'm' && u8(b, p + 2) == 't' &&
-        u8(b, p + 3) == ' ' && i + 8 + 16 <= b.length) {
+        u8(b, p + 3) == ' ' && p + 8 + 16 <= b.length) {
         val d = p + 8
-        return Some(MediaHeader("wav", -1, -1,
+        Some(MediaHeader("wav", -1, -1,
           le16(b, d + 2), le32(b, d + 4), le16(b, d + 14)))
-      }
-      i += 8L + size + (size & 1L) // chunks are word-aligned
+      } else None
     }
-    None
   }
 
   /** AVI: RIFF form `AVI `; the `avih` main header (inside the `hdrl`
@@ -136,31 +153,23 @@ object MediaHeaders {
     if (b.length < 12 || !startsWith(b, 'R'.toInt, 'I'.toInt, 'F'.toInt, 'F'.toInt) ||
       !(u8(b, 8) == 'A' && u8(b, 9) == 'V' && u8(b, 10) == 'I' && u8(b, 11) == ' '))
       return None
-    var i = 12L
-    while (i + 12 <= b.length) {
-      val p = i.toInt
-      val size = le32(b, p + 4) & 0xffffffffL
+    Riff.walk(b, 12L, b.length.toLong) { (p, size) =>
       if (u8(b, p) == 'L' && u8(b, p + 1) == 'I' && u8(b, p + 2) == 'S' &&
-        u8(b, p + 3) == 'T' && u8(b, p + 8) == 'h' && u8(b, p + 9) == 'd' &&
+        u8(b, p + 3) == 'T' && p + 12 <= b.length &&
+        u8(b, p + 8) == 'h' && u8(b, p + 9) == 'd' &&
         u8(b, p + 10) == 'r' && u8(b, p + 11) == 'l') {
         // children of hdrl: find the avih chunk
-        val end = math.min(i + 8 + size, b.length.toLong)
-        var c = i + 12
-        while (c + 8 <= end) {
-          val cp = c.toInt
-          val cs = le32(b, cp + 4) & 0xffffffffL
+        val end = math.min(p + 8L + size, b.length.toLong)
+        Riff.walk(b, p + 12L, end) { (cp, _) =>
           if (u8(b, cp) == 'a' && u8(b, cp + 1) == 'v' && u8(b, cp + 2) == 'i' &&
-            u8(b, cp + 3) == 'h' && c + 8 + 40 <= end) {
+            u8(b, cp + 3) == 'h' && cp + 8 + 40 <= end) {
             val d = cp + 8
-            return Some(MediaHeader("avi", le32(b, d + 32), le32(b, d + 36),
+            Some(MediaHeader("avi", le32(b, d + 32), le32(b, d + 36),
               -1, -1, -1))
-          }
-          c += 8L + cs + (cs & 1L)
+          } else None
         }
-      }
-      i += 8L + size + (size & 1L)
+      } else None
     }
-    None
   }
 
   /** Sniff a payload against every known container, cheapest first.

@@ -121,17 +121,23 @@ object Sources {
 
   /** S1/S2 — typed parquet table read with source-layer normalization:
     * TIMESTAMP(NANOS) columns become `timestamp_ntz` at the scan
-    * (exact integer ns→µs division, then a UTC-session cast — the
-    * wall-clock value parquet stored). Downstream consumers (and the
-    * catalog) then see a timestamp, not a workaround's raw Long.
+    * (exact integer ns→µs division, applied as pure NTZ epoch
+    * arithmetic — the wall-clock value parquet stored). Downstream
+    * consumers (and the catalog) then see a timestamp, not a
+    * workaround's raw Long.
+    *
+    * Deliberately NOT `timestamp_micros(..).cast("timestamp_ntz")`:
+    * that renders the instant in the SESSION timezone, silently
+    * shifting every value for any caller whose session isn't UTC.
+    * `timestampadd` onto an NTZ epoch base never consults a zone.
     */
   def readTable(s: SparkSession, dir: String, table: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.functions.expr
     val path = s"$dir/$table.parquet"
     val raw = s.read.parquet(path)
     nanosTimestampColumns(s, path).foldLeft(raw) { (df, c) =>
-      df.withColumn(c,
-        timestamp_micros(expr(s"`$c` DIV 1000")).cast("timestamp_ntz"))
+      df.withColumn(c, expr(
+        s"timestampadd(MICROSECOND, `$c` DIV 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
     }
   }
 }

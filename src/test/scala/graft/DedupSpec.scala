@@ -102,6 +102,25 @@ class DedupSpec extends SparkSpec {
     assert(cl.filter(col("keep")).count() == byComp.size.toLong)
   }
 
+  test("CacheScope.release frees connected-components checkpoint blocks") {
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val scope = new graft.ops.CacheScope
+    val edgeDf = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("u", "v")
+    val comp = Dedup.connectedComponents(edgeDf, scope)
+    // one row per NON-root node: {2,3}->1 and {11}->10
+    assert(comp.collect().length == 3)
+    // the converged edge set's localCheckpoint blocks persist while
+    // the result is live…
+    val during = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(during.nonEmpty, "expected live checkpoint storage")
+    // …and release() — which DataFrame.unpersist can't do for
+    // RDD-level checkpoint storage — drops every one of them
+    scope.release(blocking = true)
+    val after = spark.sparkContext.getPersistentRDDs.keySet.diff(before)
+    assert(after.isEmpty, s"leaked checkpoint RDDs: $after")
+  }
+
   test("SimHash pairs at distance<=3 cover the high-Jaccard planted dups") {
     val sim = Dedup.simhashPairs(spark, sf(), maxDist = 3)
       .select("doc_a", "doc_b").collect()

@@ -414,6 +414,28 @@ class MultimodalSpec extends SparkSpec {
     assert(Codecs.decode(pngPayload).get.gray.forall(_ == 50.toByte))
   }
 
+  test("decoder bombs: giant declared dims and FDICT zlib decline cleanly") {
+    import graft.ops.Codecs
+    // PNG declaring Int.MaxValue x 2: h*(stride+1) wraps Int — must
+    // decline, not allocate or crash
+    assert(Codecs.png(pngFile(Int.MaxValue, 2, 0, Array[Byte](0))).isEmpty)
+    // BMP with w=2^30, bpp 24: signed row-size math would go negative
+    // and slip the bounds check into an AIOOBE
+    assert(Codecs.bmp(bmpBytes(0x40000000, 2)).isEmpty)
+    // GIF 65535x65535: w*h overflows the Int pixel count
+    val junkLzw = packLzw(Seq((4, 3), (0, 3), (5, 3)))
+    assert(Codecs.gif(gifFile(65535, 65535, interlaced = false, junkLzw)).isEmpty)
+    // zlib stream declaring a preset dictionary (FDICT, valid header
+    // checksum): inflate yields 0 with needsInput()=false — without
+    // the needsDictionary() guard the inflate loop spins forever
+    val fdictIdat = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0)
+    val fdictPng =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        pngChunk("IHDR", be32(2) ++ be32(2) ++ Array[Byte](8, 0, 0, 0, 0)) ++
+        pngChunk("IDAT", fdictIdat) ++ pngChunk("IEND", Array.empty[Byte])
+    assert(Codecs.png(fdictPng).isEmpty)
+  }
+
   test("adversarial containers: WAV walk terminates, JPEG stops at SOS") {
     import graft.ops.MediaHeaders
     // a crafted RIFF chunk with size 0xFFFFFFF8 (-8 as a signed int):

@@ -347,6 +347,16 @@ class SourcesSpec extends SparkSpec {
     // untouched columns pass through identically
     val o = Sources.readTable(spark, sf(), "orders")
     assert(o.schema == spark.read.parquet(s"${sf()}/orders.parquet").schema)
+    // the NTZ derivation must not consult the session timezone — an
+    // LTZ round-trip would shift every value for non-UTC sessions
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val shifted = Sources.readTable(spark, sf(), "events")
+        .orderBy("event_id").select("ts").head()
+        .getAs[java.time.LocalDateTime](0)
+      assert(shifted == norm, "ts must be session-timezone-independent")
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
   }
 
   test("S2: JSON-lines read infers nested types") {
