@@ -166,6 +166,11 @@ object SparkEntry {
     // keep-set; the last mile of a dedup pipeline
     "dedup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(s, dir, maxDocFreq = Some(0.1))),
+    // the deduplicated corpus itself: keep-set applied
+    "dedup_filtered" -> ((s, dir) =>
+      Dedup.dedupedCorpus(s, dir, maxDocFreq = Some(0.1))),
+    // reproducible per-stratum sampling (hash pre-filter + rank)
+    "sample_stratified" -> ((s, dir) => Relational.stratifiedSample(s, dir)),
     // SimHash pairs: md5-derived token bits, so the full pipeline
     // (bits → signed sums → signature → hamming pairs) has a DuckDB
     // oracle; the pigeonhole banding is complete at maxDist=3, so the
@@ -454,6 +459,19 @@ object SparkEntry {
     // pinned against the same exact-Jaccard oracle at its threshold.
     "dedup_minhash_lsh" -> jaccardOracle(0.8),
     "dedup_clusters" -> clusterOracle(0.8),
+    "dedup_filtered" -> dedupFilteredOracle(0.8),
+    // same two phases as the engine: md5-prefix pre-filter, then a
+    // per-stratum rank over survivors
+    "sample_stratified" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang, md5(doc_id::VARCHAR || '#sample') AS hx
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS INTEGER) AS sample_rank
+        |  FROM h WHERE substr(hx, 1, 1) IN ('0','1','2','3')
+        |) WHERE sample_rank <= 10""".stripMargin,
     // Full SimHash pin: bit i of a token's hash = bit (i%4) of md5 hex
     // nibble (i/16)*4 + 3-(i%16)/4 (the engine's four 16-bit
     // big-endian conv chunks, re-derived here by nibble); banding is
@@ -750,11 +768,11 @@ object SparkEntry {
        |JOIN cnt cb ON cb.doc_id = doc_b
        |WHERE i / (ca.n + cb.n - i) >= $threshold""".stripMargin
 
-  /** Cluster resolution oracle: the same exact-Jaccard pair set, then
-    * a recursive transitive closure — component = min reachable id,
-    * every corpus doc padded in as its own singleton.
+  /** Shared recursive-CTE prefix computing per-doc components from the
+    * exact-Jaccard pair set: transitive closure, component = min
+    * reachable id.
     */
-  private def clusterOracle(threshold: Double): String =
+  private def clusterCtes(threshold: Double): String =
     s"""WITH RECURSIVE $jaccardCtes, pairs AS (
        |  SELECT doc_a, doc_b
        |  FROM inter
@@ -772,9 +790,24 @@ object SparkEntry {
        |), comp AS (
        |  SELECT u AS doc_id, least(u, min(v)) AS component_id
        |  FROM reach WHERE v <> u GROUP BY u
-       |)
+       |)""".stripMargin
+
+  /** Cluster resolution oracle: every corpus doc labeled with its
+    * component (singletons = themselves) and a keep flag.
+    */
+  private def clusterOracle(threshold: Double): String =
+    s"""${clusterCtes(threshold)}
        |SELECT d.doc_id,
        |  coalesce(c.component_id, d.doc_id) AS component_id,
        |  coalesce(c.component_id, d.doc_id) = d.doc_id AS keep
        |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id""".stripMargin
+
+  /** Deduplicated-corpus oracle: the rows whose cluster representative
+    * they are (singletons included).
+    */
+  private def dedupFilteredOracle(threshold: Double): String =
+    s"""${clusterCtes(threshold)}
+       |SELECT d.doc_id, d.lang, d.source, d.n_chars
+       |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |WHERE coalesce(c.component_id, d.doc_id) = d.doc_id""".stripMargin
 }

@@ -319,6 +319,23 @@ object Dedup {
       .withColumn("keep", col("doc_id") === col("component_id"))
   }
 
+  /** The deduplicated corpus itself — what a training pipeline
+    * actually ships: every document whose cluster representative it
+    * is (singletons included). `keep = (doc_id == component min)`,
+    * so the output is `corpus MINUS non-representatives`.
+    */
+  def dedupedCorpus(
+      s: SparkSession, dir: String,
+      threshold: Double = 0.8, n: Int = 3,
+      maxDocFreq: Option[Double] = None,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    val clusters = duplicateClusters(s, dir, threshold, n, maxDocFreq, scope)
+    docs(s, dir)
+      .join(clusters.filter(col("keep")).select("doc_id"), Seq("doc_id"))
+      .select("doc_id", "lang", "source", "n_chars")
+  }
+
   /** Connected components over an undirected pair set via alternating
     * large-star / small-star (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC 2014): converges in O(log n) rounds,

@@ -244,4 +244,30 @@ object Relational {
         row_number().over(w).as("rk"))
       .filter(col("rk") <= k)
   }
+
+  /** Deterministic stratified sampling — reproducible k docs per
+    * stratum (lang), selected by content hash so reruns, retries, and
+    * cluster-size changes all pick the same rows.
+    *
+    * Two-phase for scale: a cheap md5-prefix pre-filter (keeps ~1/4
+    * of each stratum, pure map-side) feeds the per-stratum ranking
+    * window, so the single-reducer-per-stratum sort ranks a fraction
+    * of the corpus instead of all of it — at 100 TB the window over
+    * raw strata would funnel whole languages through single tasks.
+    * Both phases are content-derived, so the result is identical on
+    * any engine that applies the same two phases (the DuckDB oracle
+    * does).
+    */
+  def stratifiedSample(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val hash = md5(concat(col("doc_id").cast("string"), lit("#sample")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang")
+      .orderBy(hash, col("doc_id"))
+    rd(s, dir, "documents")
+      .select(col("doc_id"), col("lang"))
+      .filter(substring(hash, 1, 1).isin("0", "1", "2", "3"))
+      .select(col("doc_id"), col("lang"),
+        row_number().over(w).as("sample_rank"))
+      .filter(col("sample_rank") <= k)
+  }
 }
