@@ -15,12 +15,15 @@ package graft.ops
   *     (variable code width, clear/end codes, KwKwK case), palette
   *     collapse, 4-pass interlace.
   *   - AVI: uncompressed (`##db`) frame extraction from the RIFF tree.
+  *   - JPEG: baseline sequential-Huffman decode from scratch ([[Jpeg]]:
+  *     DQT/DHT/DRI/SOF0-1/SOS, restart markers, dequant + IDCT),
+  *     luma plane only.
   *
   * Everything decodes to one normalized surface — an unsigned-byte
   * grayscale buffer (images: BT.601 integer luma; audio: 16-bit
   * samples quantized to bytes) — so the downstream feature pipeline
   * (histogram/mean/thumbnail in [[Multimodal]]) is format-agnostic.
-  * Only JPEG's entropy decode (and compressed AVI streams) remains
+  * Only compressed AVI streams and progressive/arithmetic JPEG remain
   * behind [[Multimodal.FakeCodec]]'s declared stub.
   *
   * Pinned by MultimodalSpec against hand-assembled container bytes
@@ -44,7 +47,7 @@ object Codecs {
     * Over-cap payloads decline to None and fall back to the stub like
     * any other undecodable input.
     */
-  private val MaxPixels: Long = 1L << 25
+  private[ops] val MaxPixels: Long = 1L << 25
 
   /** True when w×h describes a plausibly decodable image: positive
     * dims whose product (computed in Long — w*h can wrap Int) fits
@@ -464,5 +467,5 @@ object Codecs {
   def decode(payload: Array[Byte]): Option[Decoded] =
     if (payload == null || payload.length < 2) None
     else png(payload).orElse(bmp(payload)).orElse(gif(payload))
-      .orElse(wav(payload))
+      .orElse(wav(payload)).orElse(Jpeg.decode(payload))
 }

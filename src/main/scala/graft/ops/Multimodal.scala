@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   * driver involvement.
   *
   * Decode is real wherever from-scratch code suffices: [[Codecs]]
-  * turns PNG (Inflater + unfilter), uncompressed BMP, PCM WAV, and
-  * GIF (from-scratch LZW) payloads into actual pixels/samples, and
-  * walks uncompressed AVI frames. Only JPEG entropy decode,
-  * compressed AVI streams, and unrecognized bytes fall back to
+  * turns PNG (Inflater + unfilter), uncompressed BMP, PCM WAV, GIF
+  * (from-scratch LZW), and baseline JPEG (from-scratch Huffman +
+  * IDCT, [[Jpeg]]) payloads into actual pixels/samples, and walks
+  * uncompressed AVI frames. Only compressed AVI streams,
+  * progressive/arithmetic JPEG, and unrecognized bytes fall back to
   * [[FakeCodec]] — an explicitly-marked STUB that interprets payload
   * bytes as pixels. The Spark-side contract — schema, partitioning,
   * batch shape, feature layout — is identical on both paths; the
@@ -39,19 +40,20 @@ object Multimodal {
   final case class MediaFeatures(
       media_id: Long,
       media_type: String,
-      decoder: String,          // "png"|"bmp"|"wav" (real) | "stub"
+      decoder: String,          // "png"|"bmp"|"gif"|"wav"|"jpeg" (real) | "stub"
       n_bytes: Int,
       mean_byte: Double,
       histogram: Array[Long],   // 16-bin byte-value histogram
       thumbnail: Array[Byte])   // 4x4 average-pooled "pixels"
 
-  /** STUB codec — deterministic fake for the formats whose decode
-    * needs an entropy decoder we don't reimplement (JPEG, compressed
-    * AVI streams) and for unrecognized bytes. PNG/BMP/WAV/GIF
-    * payloads never reach it: [[Codecs]] decodes those for real
-    * (from-scratch — Inflater, plain offsets, own LZW). `decode`
-    * treats the payload as a row-major grayscale pixel buffer of the
-    * declared dimensions.
+  /** STUB codec — deterministic fake for the formats whose decode we
+    * don't reimplement (compressed AVI streams, progressive and
+    * arithmetic-coded JPEG) and for unrecognized bytes.
+    * PNG/BMP/WAV/GIF/baseline-JPEG payloads never reach it:
+    * [[Codecs]] decodes those for real (from-scratch — Inflater,
+    * plain offsets, own LZW, own Huffman+IDCT). `decode` treats the
+    * payload as a row-major grayscale pixel buffer of the declared
+    * dimensions.
     */
   object FakeCodec {
     /** STUB: a real implementation would parse an image container;
