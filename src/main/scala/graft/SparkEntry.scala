@@ -182,6 +182,8 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextOps.qualityScores(s, dir)),
     "text_langid" -> ((s, dir) => TextOps.langId(s, dir)),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(s, dir)),
+    "text_bm25" -> ((s, dir) => TextOps.bm25(s, dir)),
+    "text_pii_scrub" -> ((s, dir) => TextOps.piiScrub(s, dir)),
 
     // --- LLM-pipeline: similarity search over embeddings ---
     "sim_norms" -> ((s, dir) => Similarity.norms(s, dir)),
@@ -548,6 +550,69 @@ object SparkEntry {
       """SELECT doc_id,
         |  md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+    // BM25: every step mirrors the Spark expression tree — integer
+    // counts, then double arithmetic in the same association order;
+    // bare decimal literals are CAST to DOUBLE because DuckDB parses
+    // them as DECIMAL (whose exact arithmetic diverges from IEEE).
+    // The ln() is why both sides round to 6 decimals.
+    "text_bm25" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+        |), corpus AS (
+        |  SELECT avg(dl) AS avgdl FROM dl
+        |), n AS (
+        |  SELECT count(*) AS n_docs FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok
+        |  WHERE term IN ('join', 'scan', 'merge', 'vector') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |)
+        |SELECT t.doc_id, t.term, CAST(t.tf AS BIGINT) AS tf,
+        |  CAST(d.dl AS BIGINT) AS dl, CAST(f.df AS BIGINT) AS df,
+        |  round(
+        |    ln((n.n_docs - f.df + CAST(0.5 AS DOUBLE)) /
+        |        (f.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) *
+        |      (t.tf * CAST(2.2 AS DOUBLE)) /
+        |      (t.tf + CAST(1.2 AS DOUBLE) *
+        |        (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * d.dl / c.avgdl)),
+        |    6) AS bm25
+        |FROM tf t
+        |JOIN df f USING (term)
+        |JOIN dl d USING (doc_id)
+        |CROSS JOIN corpus c
+        |CROSS JOIN n""".stripMargin,
+    // PII scrub: synthetic email/phone/SSN injected identically on
+    // both sides, then the same RE2/Java-portable patterns count and
+    // redact; the scrubbed text is compared by length + md5.
+    "text_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    lower(text) || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |    '@mail.example.com or +1-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' ssn 123-45-6789.' AS t
+        |  FROM documents
+        |), scrub AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(t,
+        |          '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |        '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b', '<SSN>', 'g'),
+        |      '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        |  FROM aug
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b')) AS INTEGER) AS n_ssns,
+        |  CAST(len(regexp_extract_all(t, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS INTEGER) AS n_phones,
+        |  CAST(length(scrubbed) AS INTEGER) AS n_chars,
+        |  md5(scrubbed) AS scrub_fp
+        |FROM scrub""".stripMargin,
     // Catalog scan vs DuckDB's information_schema over the same
     // parquet views, normalizing type renderings to Spark's
     // simpleString. One genuine divergence: parquet timestamps not

@@ -81,4 +81,83 @@ object TextOps {
       col("doc_id"),
       md5(regexp_replace(trim(lower(col("text"))), "\\s+", " ")
         .cast("binary")).as("fp"))
+
+  /** BM25 relevance scoring for a fixed query-term set — the ranking
+    * half of corpus search (the retrieval half is [[Similarity]]).
+    *
+    * Shape at scale: one explode + two keyed aggregations (doc-length
+    * on doc_id, term frequency on (doc_id, term)); the document-
+    * frequency and corpus-stat relations are tiny by construction
+    * (|terms| rows and 1 row) and broadcast, so the only real
+    * shuffles are the two keyed aggs and the dl join — all on doc_id.
+    * No UDFs; idf/score arithmetic is codegen'd column math.
+    *
+    * The score is rounded to 6 decimals because `ln` is the one
+    * non-IEEE-exact step (libm vs JVM may differ in the last ulp);
+    * everything else is integer-derived double arithmetic that the
+    * oracle reproduces bit-exactly.
+    */
+  def bm25(
+      s: SparkSession, dir: String,
+      terms: Seq[String] = Seq("join", "scan", "merge", "vector"),
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val d = docs(s, dir)
+    val tok = d.select(
+      col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
+        .as("term"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(avg(col("dl")).as("avgdl"))
+    val nDocs = d.agg(count(lit(1)).as("n_docs"))
+    val tf = tok.where(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(corpus))
+      .crossJoin(broadcast(nDocs))
+      .select(
+        col("doc_id"), col("term"), col("tf"), col("dl"), col("df"),
+        round(
+          log((col("n_docs") - col("df") + lit(0.5)) /
+              (col("df") + lit(0.5)) + lit(1.0)) *
+            (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) *
+              (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))),
+          6).as("bm25"))
+  }
+
+  /** PII scrubbing — redact emails, SSNs, and phone numbers before a
+    * corpus reaches training. The fixture corpus carries no PII, so
+    * the operator first injects a deterministic synthetic
+    * email/phone/SSN per document (mirrored in the oracle), then
+    * scrubs: counts per category from the pre-scrub text, plus the
+    * scrubbed text's length and fingerprint as proof of the rewrite.
+    * Pure regexp built-ins — narrow, codegen'd, no UDFs; the patterns
+    * stick to syntax Java regex and RE2 interpret identically.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val ssn = "\\b[0-9]{3}-[0-9]{2}-[0-9]{4}\\b"
+    val phone = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+    val aug = concat(
+      lower(col("text")),
+      lit(" contact user"), col("doc_id").cast("string"),
+      lit("@mail.example.com or +1-555-"),
+      lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+      lit(" ssn 123-45-6789."))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("t"), email, "<EMAIL>"),
+        ssn, "<SSN>"),
+      phone, "<PHONE>")
+    docs(s, dir).select(col("doc_id"), aug.as("t"))
+      .select(
+        col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("t"), lit(ssn), lit(0))).as("n_ssns"),
+        size(regexp_extract_all(col("t"), lit(phone), lit(0))).as("n_phones"),
+        length(scrubbed).as("n_chars"),
+        md5(scrubbed.cast("binary")).as("scrub_fp"))
+  }
 }
