@@ -85,12 +85,16 @@ object TextOps {
   /** BM25 relevance scoring for a fixed query-term set — the ranking
     * half of corpus search (the retrieval half is [[Similarity]]).
     *
-    * Shape at scale: one explode + two keyed aggregations (doc-length
-    * on doc_id, term frequency on (doc_id, term)); the document-
-    * frequency and corpus-stat relations are tiny by construction
-    * (|terms| rows and 1 row) and broadcast, so the only real
-    * shuffles are the two keyed aggs and the dl join — all on doc_id.
-    * No UDFs; idf/score arithmetic is codegen'd column math.
+    * Shape at scale: ONE scan + explode + keyed aggregation. The
+    * per-doc pass computes doc length and a conditional sum per query
+    * term in the same groupBy(doc_id) (map-side partial aggs), so tf
+    * and dl ride the same shuffle and the naive plan's separate
+    * dl/tf/df explodes collapse; `stack` unpivots to (doc_id, term,
+    * tf) rows afterward. The document-frequency and corpus-stat
+    * relations are tiny by construction (|terms| rows and 1 row) and
+    * broadcast; the avgdl branch reuses the per-doc exchange. The
+    * n_docs count scans zero columns (parquet row-count only). No
+    * UDFs; idf/score arithmetic is codegen'd column math.
     *
     * The score is rounded to 6 decimals because `ln` is the one
     * non-IEEE-exact step (libm vs JVM may differ in the last ulp);
@@ -106,15 +110,28 @@ object TextOps {
       col("doc_id"),
       explode(regexp_extract_all(lower(col("text")), lit("[a-z]+"), lit(0)))
         .as("term"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val corpus = dl.agg(avg(col("dl")).as("avgdl"))
+    val perDoc = tok.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      terms.map(t => sum(when(col("term") === t, 1L)).as(s"tf_$t")): _*)
+    val stackArgs = terms.map(t => s"'$t', tf_$t").mkString(", ")
+    val tf = perDoc
+      .selectExpr("doc_id", "dl",
+        s"stack(${terms.length}, $stackArgs) AS (term, tf)")
+      .where(col("tf") > 0)
+    // df-per-term and avgdl in ONE one-row aggregation that reads
+    // every perDoc column — both consumers of the perDoc exchange then
+    // prune to the same schema, so the shuffle is computed once and
+    // reused (separate dfreq/corpus aggs each prune differently and
+    // defeat exchange reuse: three explodes instead of one)
+    val statsRow = perDoc.agg(
+      avg(col("dl")).as("avgdl"),
+      terms.map(t =>
+        count(when(col(s"tf_$t") > 0, 1)).as(s"df_$t")): _*)
+    val dfStackArgs = terms.map(t => s"'$t', df_$t").mkString(", ")
+    val stats = statsRow.selectExpr("avgdl",
+      s"stack(${terms.length}, $dfStackArgs) AS (term, df)")
     val nDocs = d.agg(count(lit(1)).as("n_docs"))
-    val tf = tok.where(col("term").isin(terms: _*))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.join(broadcast(dfreq), "term")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(corpus))
+    tf.join(broadcast(stats), "term")
       .crossJoin(broadcast(nDocs))
       .select(
         col("doc_id"), col("term"), col("tf"), col("dl"), col("df"),
