@@ -171,6 +171,10 @@ object SparkEntry {
       Dedup.dedupedCorpus(s, dir, maxDocFreq = Some(0.1))),
     // reproducible per-stratum sampling (hash pre-filter + rank)
     "sample_stratified" -> ((s, dir) => Relational.stratifiedSample(s, dir)),
+    // deterministic training-export sharding (md5 shard + dense pos)
+    "corpus_shard" -> ((s, dir) => Relational.shardAssignments(s, dir)),
+    // benchmark 8-gram decontamination; benchmark grams broadcast
+    "decontaminate" -> ((s, dir) => Dedup.contamination(s, dir)),
     // SimHash pairs: md5-derived token bits, so the full pipeline
     // (bits → signed sums → signature → hamming pairs) has a DuckDB
     // oracle; the pigeonhole banding is complete at maxDist=3, so the
@@ -183,6 +187,9 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextOps.langId(s, dir)),
     "text_fingerprint" -> ((s, dir) => TextOps.fingerprints(s, dir)),
     "text_bm25" -> ((s, dir) => TextOps.bm25(s, dir)),
+    // Gopher-shaped repetition signals: one scan, one explode, 2- and
+    // 3-gram stats ride the same keyed aggregation
+    "text_repetition" -> ((s, dir) => TextOps.repetitionScores(s, dir)),
     "text_pii_scrub" -> ((s, dir) => TextOps.piiScrub(s, dir)),
 
     // --- LLM-pipeline: similarity search over embeddings ---
@@ -474,6 +481,80 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hx, doc_id) AS INTEGER) AS sample_rank
         |  FROM h WHERE substr(hx, 1, 1) IN ('0','1','2','3')
         |) WHERE sample_rank <= 10""".stripMargin,
+    // same md5-nibble shard + (hash, doc_id) rank the engine computes
+    "corpus_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(doc_id::VARCHAR || '#shard') AS hx
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8
+        |    AS INTEGER) AS shard_id,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8
+        |    ORDER BY hx, doc_id) AS INTEGER) AS shard_pos
+        |FROM h""".stripMargin,
+    // benchmark = every 50th doc_id; overlap = distinct shared 8-grams
+    "decontaminate" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(lower(text), '\s+')) >= 8
+        |), sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct([array_to_string(t[i:i+7], ' ')
+        |      for i in range(1, len(t) - 6)])) AS gram
+        |  FROM toks
+        |), bench AS (
+        |  SELECT DISTINCT gram FROM sh WHERE doc_id % 50 = 0
+        |), hits AS (
+        |  SELECT doc_id, count(*) AS n_hits
+        |  FROM sh JOIN bench USING (gram)
+        |  WHERE doc_id % 50 <> 0
+        |  GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  coalesce(h.n_hits, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0""".stripMargin,
+    // 2-/3-gram repetition stats; null algebra mirrors the engine's
+    // left-join padding for docs shorter than the gram width
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_concat(
+        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))],
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |       for i in range(1, len(toks) - 1)]
+        |    ELSE [] END)) AS gram
+        |  FROM t WHERE len(toks) >= 2
+        |), c0 AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2
+        |), c AS (
+        |  SELECT doc_id, c, len(string_split(gram, ' ')) AS n FROM c0
+        |), a AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS n_grams2,
+        |    CAST(max(CASE WHEN n = 2 THEN c END) AS BIGINT) AS top2_cnt,
+        |    CAST(sum(CASE WHEN n = 2 AND c > 1 THEN c END) AS BIGINT) AS dup2_occ,
+        |    CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS n_grams3,
+        |    CAST(sum(CASE WHEN n = 3 AND c > 1 THEN c END) AS BIGINT) AS dup3_occ
+        |  FROM c GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, a.n_grams2, a.top2_cnt,
+        |  a.top2_cnt / CAST(a.n_grams2 AS DOUBLE) AS top2_frac,
+        |  coalesce(a.dup2_occ, 0) / CAST(a.n_grams2 AS DOUBLE) AS dup2_frac,
+        |  a.n_grams3,
+        |  coalesce(a.dup3_occ, 0) / CAST(a.n_grams3 AS DOUBLE) AS dup3_frac,
+        |  (a.top2_cnt / CAST(a.n_grams2 AS DOUBLE) <= 0.2 AND
+        |   coalesce(a.dup3_occ, 0) / CAST(a.n_grams3 AS DOUBLE) <= 0.18)
+        |    AS keep_rep
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
     // Full SimHash pin: bit i of a token's hash = bit (i%4) of md5 hex
     // nibble (i/16)*4 + 3-(i%16)/4 (the engine's four 16-bit
     // big-endian conv chunks, re-derived here by nibble); banding is

@@ -336,6 +336,53 @@ object Dedup {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Benchmark decontamination — the standard pre-training hygiene
+    * pass (GPT-3 appendix C / The Pile: drop training docs sharing
+    * long n-grams with an eval set). The benchmark here is carved
+    * deterministically out of the corpus (every `benchMod`-th doc_id)
+    * so the fixture needs no second table; in production the benchmark
+    * side is the eval suites' text.
+    *
+    * Shape at scale: the benchmark n-gram set is FIXED-SIZE (eval
+    * suites don't grow with the corpus), so it is `broadcast` — the
+    * 100 TB corpus side is never shuffled, the contamination probe is
+    * a map-side hash-join against a few MB of grams, and the only
+    * shuffle is the per-doc hit count (keyed by doc_id). Gram strings
+    * stay on the scan side of the broadcast join, so nothing wide
+    * moves.
+    *
+    * Returns every non-benchmark document with its distinct-shared-
+    * gram count and a contaminated flag ([[shingles]] is distinct per
+    * doc, so `count == countDistinct`).
+    */
+  def contamination(
+      s: SparkSession, dir: String,
+      n: Int = 8, benchMod: Long = 50L): DataFrame = {
+    // NOT [[shingles]]: its relational `.distinct()` would shuffle the
+    // full corpus gram set just to dedup WITHIN documents. n_hits
+    // counts distinct grams PER DOC, so `array_distinct` before the
+    // explode is the same set — row-local, zero exchanges on the
+    // corpus side.
+    val sh = docs(s, dir)
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(toks) - $n),
+           |  i -> concat_ws(' ', slice(toks, i + 1, $n))))""".stripMargin
+      )).as("shingle"))
+    val isBench = col("doc_id") % benchMod === 0
+    val benchGrams = sh.filter(isBench).select("shingle").distinct()
+    val hits = sh.filter(!isBench)
+      .join(broadcast(benchGrams), Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+    docs(s, dir).filter(!isBench).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Connected components over an undirected pair set via alternating
     * large-star / small-star (Kiveris et al., "Connected Components in
     * MapReduce and Beyond", SoCC 2014): converges in O(log n) rounds,

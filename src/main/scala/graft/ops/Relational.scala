@@ -258,6 +258,37 @@ object Relational {
     * any engine that applies the same two phases (the DuckDB oracle
     * does).
     */
+  /** Deterministic training-export sharding: every document gets a
+    * reproducible shard id (md5-derived, salted so it is independent
+    * of [[stratifiedSample]]'s hash) and a stable position within its
+    * shard — the (shard, position) layout a tokenizer/loader consumes.
+    * Re-running over the same corpus yields byte-identical shards; no
+    * RNG, no partition-index dependence.
+    *
+    * Shape at scale: assignment is a narrow per-row expression; the
+    * within-shard position is ONE shuffle keyed by shard_id. The real
+    * writer would `repartition(nShards, shard_id)
+    * .sortWithinPartitions(hash)` + `partitionBy("shard_id")` — the
+    * same exchange this window performs, so the query IS the export
+    * plan minus the sink. Positions are dense from 1, so a loader can
+    * range-split every shard without scanning it.
+    */
+  def shardAssignments(
+      s: SparkSession, dir: String, nShards: Int = 8): DataFrame = {
+    val hash = md5(concat(col("doc_id").cast("string"), lit("#shard")))
+    // first hex nibble is uniform over 0..15 → mod nShards (≤16) is
+    // portable SQL on both sides (no 128-bit arithmetic needed)
+    val shard = (conv(substring(hash, 1, 1), 16, 10).cast("int")
+      % nShards).as("shard_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard_id")
+      .orderBy(col("h"), col("doc_id"))
+    rd(s, dir, "documents")
+      .select(col("doc_id"), hash.as("h"), shard)
+      .select(col("doc_id"), col("shard_id"),
+        row_number().over(w).as("shard_pos"))
+  }
+
   def stratifiedSample(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val hash = md5(concat(col("doc_id").cast("string"), lit("#sample")))
     val w = org.apache.spark.sql.expressions.Window

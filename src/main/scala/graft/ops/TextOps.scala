@@ -144,6 +144,59 @@ object TextOps {
           6).as("bm25"))
   }
 
+  /** Repetition signals (Gopher-shaped, Rae et al. 2021 §A1.1, token-
+    * rather than character-weighted): per document, the fraction of
+    * 2-gram occurrences claimed by the single most frequent 2-gram
+    * (`top2_frac`), the fraction of 2-/3-gram occurrences that belong
+    * to any repeated gram (`dup2_frac`/`dup3_frac`), and a keep flag
+    * at the usual thresholds. Boilerplate and looped generations light
+    * these up; natural text stays low.
+    *
+    * Shape at scale: ONE scan + ONE explode (2- and 3-grams ride the
+    * same exploded relation, discriminated afterwards by token count —
+    * a gram can't contain whitespace, so `size(split(gram))` recovers
+    * n), then two keyed aggregations: (doc_id, gram) → doc_id. Nothing
+    * global, nothing driver-side; 100 TB safe. Documents shorter than
+    * the gram width surface with null stats via the final left join —
+    * the oracle mirrors the same null algebra.
+    */
+  def repetitionScores(s: SparkSession, dir: String): DataFrame = {
+    // typed empty array<string> for the CASE arm (array() is untyped)
+    val grams = docs(s, dir)
+      .select(col("doc_id"), wsTokens.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """concat(
+          |  transform(sequence(0, size(toks) - 2),
+          |            i -> concat_ws(' ', slice(toks, i + 1, 2))),
+          |  CASE WHEN size(toks) >= 3 THEN
+          |    transform(sequence(0, size(toks) - 3),
+          |              i -> concat_ws(' ', slice(toks, i + 1, 3)))
+          |  ELSE slice(array(''), 1, 0) END)""".stripMargin
+      )).as("gram"))
+    val n = size(split(col("gram"), " "))
+    val counts = grams
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("c"), n.as("n"))
+    val stats = counts.groupBy("doc_id").agg(
+      sum(when(col("n") === 2, col("c"))).as("n_grams2"),
+      max(when(col("n") === 2, col("c"))).as("top2_cnt"),
+      sum(when(col("n") === 2 && col("c") > 1, col("c"))).as("dup2_occ"),
+      sum(when(col("n") === 3, col("c"))).as("n_grams3"),
+      sum(when(col("n") === 3 && col("c") > 1, col("c"))).as("dup3_occ"))
+    val top2Frac = col("top2_cnt") / col("n_grams2")
+    val dup3Frac = coalesce(col("dup3_occ"), lit(0L)) / col("n_grams3")
+    docs(s, dir).select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_grams2"), col("top2_cnt"),
+        top2Frac.as("top2_frac"),
+        (coalesce(col("dup2_occ"), lit(0L)) / col("n_grams2")).as("dup2_frac"),
+        col("n_grams3"),
+        dup3Frac.as("dup3_frac"),
+        (top2Frac <= 0.2 && dup3Frac <= 0.18).as("keep_rep"))
+  }
+
   /** PII scrubbing — redact emails, SSNs, and phone numbers before a
     * corpus reaches training. The fixture corpus carries no PII, so
     * the operator first injects a deterministic synthetic

@@ -20,6 +20,35 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("contamination matches brute-force 8-gram overlap vs the carved benchmark") {
+    val texts = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // mirror Dedup.shingles: lower (no trim) → split \s+ → distinct 8-grams
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+", -1).toSeq
+      if (toks.size >= 8) toks.sliding(8).map(_.mkString(" ")).toSet
+      else Set.empty
+    }
+    val bench = texts.filter(_._1 % 50 == 0).flatMap(d => grams(d._2)).toSet
+    val expected = texts.filter(_._1 % 50 != 0).map { case (id, t) =>
+      id -> grams(t).count(bench.contains)
+    }.toMap
+    val rows = Dedup.contamination(spark, sf()).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_hits") == expected(id).toLong,
+        s"doc $id: got ${r.getAs[Long]("n_hits")}, want ${expected(id)}")
+      assert(r.getAs[Boolean]("contaminated") == (expected(id) > 0))
+    }
+    // the benchmark grams relation must be broadcast (fixed-size side)
+    val plan = Dedup.contamination(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "benchmark side should broadcast")
+  }
+
   test("skew guard: planted hot shingle cuts candidates, preserves true pairs") {
     import spark.implicits._
     // boilerplate header in 10 of 24 docs (42% > the 20% cut): its 3

@@ -5,6 +5,34 @@ import org.apache.spark.sql.functions._
 
 class RelationalSpec extends SparkSpec {
 
+  test("shard assignments: md5-derived, dense positions, deterministic") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rows = Relational.shardAssignments(spark, sf()).collect()
+    val nDocs = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    assert(rows.length.toLong == nDocs)
+    // shard id = first md5 nibble mod 8, recomputed driver-side
+    rows.foreach { r =>
+      val hx = md5hex(r.getAs[Long]("doc_id").toString + "#shard")
+      assert(r.getAs[Int]("shard_id") ==
+        Integer.parseInt(hx.substring(0, 1), 16) % 8)
+    }
+    // positions dense 1..n per shard, ordered by (hash, doc_id)
+    rows.groupBy(_.getAs[Int]("shard_id")).values.foreach { rs =>
+      val byPos = rs.sortBy(_.getAs[Int]("shard_pos"))
+      assert(byPos.map(_.getAs[Int]("shard_pos")).toSeq == (1 to rs.length))
+      val keys = byPos.map { r =>
+        (md5hex(r.getAs[Long]("doc_id").toString + "#shard"),
+          r.getAs[Long]("doc_id"))
+      }
+      assert(keys.toSeq == keys.sorted.toSeq, "positions follow (hash, id) order")
+    }
+    // byte-stable across runs
+    val again = Relational.shardAssignments(spark, sf()).collect()
+    assert(rows.map(_.toString).sorted.toSeq == again.map(_.toString).sorted.toSeq)
+  }
+
   test("saltedJoin equals the plain join on a skewed key") {
     // lineitem ⋈ orders on orderkey: orderkey repeats up to ~12x and
     // serves as the 'hot key' stand-in

@@ -36,6 +36,41 @@ class TextSpec extends SparkSpec {
       }
   }
 
+  test("repetition signals match a per-doc brute-force recompute") {
+    val texts = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = TextOps.repetitionScores(spark, sf()).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // mirror wsTokens: trim → lower → split \s+ (keep empties like
+      // Spark's limit=-1 split)
+      val toks = texts(id).toLowerCase.trim.split("\\s+", -1).toSeq
+      def counts(n: Int): Seq[Int] =
+        toks.sliding(n).filter(_.size == n).toSeq
+          .groupBy(identity).values.map(_.size).toSeq
+      if (toks.size >= 2) {
+        val c2 = counts(2)
+        assert(r.getAs[Long]("n_grams2") == c2.sum.toLong)
+        assert(r.getAs[Long]("top2_cnt") == c2.max.toLong)
+        assert(r.getAs[Double]("top2_frac") ==
+          c2.max.toDouble / c2.sum.toDouble)
+        assert(r.getAs[Double]("dup2_frac") ==
+          c2.filter(_ > 1).sum.toDouble / c2.sum.toDouble)
+        if (toks.size >= 3) {
+          val c3 = counts(3)
+          assert(r.getAs[Long]("n_grams3") == c3.sum.toLong)
+          assert(r.getAs[Double]("dup3_frac") ==
+            c3.filter(_ > 1).sum.toDouble / c3.sum.toDouble)
+          assert(r.getAs[Boolean]("keep_rep") ==
+            (c2.max.toDouble / c2.sum <= 0.2 &&
+              c3.filter(_ > 1).sum.toDouble / c3.sum <= 0.18))
+        }
+      } else assert(r.isNullAt(r.fieldIndex("n_grams2")))
+    }
+  }
+
   test("pii scrub: injected email/ssn/phone counted and redacted") {
     val rows = TextOps.piiScrub(spark, sf()).collect()
     assert(rows.nonEmpty)
