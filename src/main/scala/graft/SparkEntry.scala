@@ -190,6 +190,8 @@ object SparkEntry {
     // Gopher-shaped repetition signals: one scan, one explode, 2- and
     // 3-gram stats ride the same keyed aggregation
     "text_repetition" -> ((s, dir) => TextOps.repetitionScores(s, dir)),
+    // corpus vocabulary: wordcount + doc frequency, top-k by count
+    "corpus_vocab" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     "text_pii_scrub" -> ((s, dir) => TextOps.piiScrub(s, dir)),
 
     // --- LLM-pipeline: similarity search over embeddings ---
@@ -518,6 +520,22 @@ object SparkEntry {
         |  coalesce(h.n_hits, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id)
         |WHERE d.doc_id % 50 <> 0""".stripMargin,
+    // rank assigned over the full vocab here vs after the limit in the
+    // engine — identical because the limit selects by the same order
+    "corpus_vocab" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents
+        |), a AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |  FROM tok GROUP BY token
+        |)
+        |SELECT token, cnt, df,
+        |  CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER)
+        |    AS rank
+        |FROM a ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
     // 2-/3-gram repetition stats; null algebra mirrors the engine's
     // left-join padding for docs shorter than the gram width
     "text_repetition" ->

@@ -144,6 +144,33 @@ object TextOps {
           6).as("bm25"))
   }
 
+  /** Corpus vocabulary: the top-k tokens by total occurrence count,
+    * with document frequency and a dense rank — the summary a
+    * tokenizer-training / vocab-selection pass reads first.
+    *
+    * Shape at scale: canonical wordcount — explode + ONE keyed
+    * aggregation (map-side partials collapse each partition to its
+    * vocabulary before the shuffle, so the exchange carries ~|vocab|
+    * rows per partition, not |tokens|). The top-k is
+    * `TakeOrderedAndProject` (per-partition heaps, never a global
+    * sort), and the rank window runs AFTER the limit — over k rows,
+    * not the vocabulary. Ties at the cut are broken by token, so the
+    * result set is deterministic.
+    */
+  def vocabTopK(s: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val agg = docs(s, dir)
+      .select(col("doc_id"), explode(wsTokens).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("df"))
+    val top = agg.orderBy(col("cnt").desc, col("token")).limit(k)
+    // global rank == rank within the top-k: the limit selected by the
+    // same (cnt desc, token) order the window ranks by
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cnt").desc, col("token"))
+    top.select(col("token"), col("cnt"), col("df"),
+      row_number().over(w).as("rank"))
+  }
+
   /** Repetition signals (Gopher-shaped, Rae et al. 2021 §A1.1, token-
     * rather than character-weighted): per document, the fraction of
     * 2-gram occurrences claimed by the single most frequent 2-gram

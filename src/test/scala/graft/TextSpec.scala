@@ -36,6 +36,29 @@ class TextSpec extends SparkSpec {
       }
   }
 
+  test("vocab top-k matches a brute-force count and ranks deterministically") {
+    val texts = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val occ = scala.collection.mutable.Map.empty[String, Long]
+    val docsOf = scala.collection.mutable.Map.empty[String, Set[Long]]
+    texts.foreach { case (id, t) =>
+      t.toLowerCase.trim.split("\\s+", -1).foreach { tok =>
+        occ(tok) = occ.getOrElse(tok, 0L) + 1L
+        docsOf(tok) = docsOf.getOrElse(tok, Set.empty) + id
+      }
+    }
+    val expected = occ.toSeq
+      .sortBy { case (tok, c) => (-c, tok) }.take(100)
+      .zipWithIndex.map { case ((tok, c), i) =>
+        (tok, c, docsOf(tok).size.toLong, i + 1)
+      }
+    val got = TextOps.vocabTopK(spark, sf()).collect().map(r =>
+      (r.getAs[String]("token"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("df"), r.getAs[Int]("rank"))).toSeq
+    assert(got == expected)
+  }
+
   test("repetition signals match a per-doc brute-force recompute") {
     val texts = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "text").collect()
