@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
 import graft.ops.{Dedup, EventOps, MediaHeaders, Multimodal, Relational,
-  Similarity, TextOps}
+  Similarity, TextOps, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -193,6 +193,16 @@ object SparkEntry {
     // corpus vocabulary: wordcount + doc frequency, top-k by count
     "corpus_vocab" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     "text_pii_scrub" -> ((s, dir) => TextOps.piiScrub(s, dir)),
+    // unigram-LM surprisal: decimal-mediated mean, token-keyed joins
+    "text_surprisal" -> ((s, dir) => TextOps.surprisal(s, dir)),
+
+    // --- LLM-pipeline: training-export preparation ---
+    // hash-stable train/val/test membership (87.5/6.25/6.25)
+    "split_assign" -> ((s, dir) => TrainPrep.splitAssign(s, dir)),
+    // concat-and-chunk packing into 2048-token contexts, per shard
+    "pack_sequences" -> ((s, dir) => TrainPrep.packSequences(s, dir)),
+    // per-source sampling weights toward a uniform domain mix
+    "mix_weights" -> ((s, dir) => TrainPrep.mixWeights(s, dir)),
 
     // --- LLM-pipeline: similarity search over embeddings ---
     "sim_norms" -> ((s, dir) => Similarity.norms(s, dir)),
@@ -712,6 +722,87 @@ object SparkEntry {
         |  CAST(length(scrubbed) AS INTEGER) AS n_chars,
         |  md5(scrubbed) AS scrub_fp
         |FROM scrub""".stripMargin,
+    // Unigram surprisal: same decimal mediation as the engine — each
+    // token's -ln(p) rounded to 12 decimals, summed as DECIMAL(28,12)
+    // (order-independent), the mean cast to double and rounded to 6
+    // (ln's last-ulp divergence between libm and the JVM).
+    "text_surprisal" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+        |  FROM documents
+        |), v AS (
+        |  SELECT token, count(*) AS cnt FROM tok GROUP BY token
+        |), t AS (
+        |  SELECT sum(cnt) AS total FROM v
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CAST(round(-ln(CAST(cnt AS DOUBLE) / total), 12)
+        |      AS DECIMAL(28,12)) AS sp
+        |  FROM tok JOIN v USING (token) CROSS JOIN t
+        |), p AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    sum(sp) AS sp_sum
+        |  FROM sc GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens,
+        |  round(CAST(sp_sum AS DOUBLE) / n_tokens, 6) AS surprisal
+        |FROM p""".stripMargin,
+    // same nibble bucketing the engine computes: 0-d train, e val,
+    // f test
+    "split_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    strpos('0123456789abcdef',
+        |      substr(md5(doc_id::VARCHAR || '#split'), 1, 1)) - 1 AS nib
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(nib AS INTEGER) AS split_bucket,
+        |  CASE WHEN nib <= 13 THEN 'train'
+        |       WHEN nib = 14 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h""".stripMargin,
+    // same shard hash + (md5, doc_id) order + running-sum chunking;
+    // all-integer arithmetic so the layout matches bit-for-bit
+    "pack_sequences" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(doc_id::VARCHAR || '#shard') AS hx,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, hx, n_tokens,
+        |    CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8
+        |      AS INTEGER) AS shard_id
+        |  FROM h
+        |), c AS (
+        |  SELECT doc_id, shard_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY hx, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM s
+        |)
+        |SELECT doc_id, shard_id, n_tokens,
+        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_off
+        |FROM c""".stripMargin,
+    // integer-count ratios rounded at 6; uniform target mix
+    "mix_weights" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(trim(lower(text)), '\s+')))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT sum(n_docs) AS tot_docs, sum(n_tokens) AS tot_tokens,
+        |    count(*) AS n_sources
+        |  FROM per
+        |)
+        |SELECT source, n_docs, n_tokens,
+        |  round(CAST(n_docs AS DOUBLE) / tot_docs, 6) AS doc_frac,
+        |  round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS token_frac,
+        |  round(CAST(tot_docs AS DOUBLE) / (n_sources * n_docs), 6)
+        |    AS weight
+        |FROM per CROSS JOIN tot""".stripMargin,
     // Catalog scan vs DuckDB's information_schema over the same
     // parquet views, normalizing type renderings to Spark's
     // simpleString. One genuine divergence: parquet timestamps not

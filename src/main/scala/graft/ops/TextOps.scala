@@ -224,6 +224,44 @@ object TextOps {
         (top2Frac <= 0.2 && dup3Frac <= 0.18).as("keep_rep"))
   }
 
+  /** Unigram-LM surprisal scoring: per document, the mean negative log
+    * probability of its tokens under the corpus's own unigram model —
+    * the classic cheap LM-quality filter (high surprisal = rare-token
+    * gibberish, low = degenerate repetition; both tails get cut).
+    * No smoothing is needed because the vocabulary IS the corpus's.
+    *
+    * Shape at scale: tokens explode once; the vocabulary aggregation
+    * and the token→probability join are BOTH keyed by token, so the
+    * exchange is computed once and reused (the join is a shuffle join
+    * on purpose — at corpus scale the vocabulary is too big to
+    * broadcast); the one-row token total is broadcast. The per-doc
+    * mean then re-keys by doc_id: three exchanges total, each keyed,
+    * nothing driver-side.
+    *
+    * Determinism: a float sum over a shuffled relation is
+    * order-dependent, so per-token surprisals are rounded to 12
+    * decimals and summed as DECIMAL(28,12) — exact, associative,
+    * order-independent (the same decimal-mediation trick as the IVF
+    * Lloyd means). The final mean is rounded to 6 because `ln` is the
+    * one step libm and the JVM may disagree on in the last ulp.
+    */
+  def surprisal(s: SparkSession, dir: String): DataFrame = {
+    val tok = docs(s, dir)
+      .select(col("doc_id"), explode(wsTokens).as("token"))
+    val vocab = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = vocab.agg(sum("cnt").as("total"))
+    val scored = tok.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"),
+        round(-log(col("cnt") / col("total")), 12)
+          .cast("decimal(28,12)").as("sp"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("sp").as("sp_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sp_sum").cast("double") / col("n_tokens"), 6)
+          .as("surprisal"))
+  }
+
   /** PII scrubbing — redact emails, SSNs, and phone numbers before a
     * corpus reaches training. The fixture corpus carries no PII, so
     * the operator first injects a deterministic synthetic

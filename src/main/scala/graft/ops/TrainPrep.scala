@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-export preparation operators over the `documents` corpus:
+  * deterministic train/val/test assignment, fixed-capacity sequence
+  * packing, and per-source mixture reweighting. Together with
+  * [[Relational.shardAssignments]] and [[Relational.stratifiedSample]]
+  * these cover the last mile between a cleaned corpus and a training
+  * job's input: which rows belong to which split, in which shard and
+  * pack, and at what per-domain sampling weight.
+  *
+  * All assignment decisions derive from md5 of the stable `doc_id` —
+  * never from partition layout, row order, or RNG state — so any
+  * cluster size and any re-run reproduce the same corpus bit-for-bit.
+  * The hash is salted per operator (`#split`, `#shard`, `#sample`) so
+  * the split is independent of the shard which is independent of the
+  * sampling decision.
+  */
+object TrainPrep {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Whitespace token count — identical to [[TextOps]]'s `ws_tokens`
+    * so pack capacities line up with the corpus token accounting.
+    */
+  private val wsTokenCount = size(split(trim(lower(col("text"))), "\\s+"))
+
+  /** Deterministic train/val/test assignment: the first hex nibble of
+    * the salted doc_id hash is uniform over 16 buckets; 0-d → train
+    * (87.5%), e → val (6.25%), f → test (6.25%). Membership is a pure
+    * function of doc_id — adding or removing OTHER documents never
+    * moves a document between splits (the property that keeps a
+    * held-out set held out across corpus versions; fractional
+    * `sample()` or `randomSplit()` has neither guarantee).
+    *
+    * Shape at scale: narrow per-row hash + CASE inside one codegen'd
+    * scan. Zero exchanges, zero driver state — the assignment column
+    * can ride any downstream plan for free.
+    */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val hash = md5(concat(col("doc_id").cast("string"), lit("#split")))
+    val nib = conv(substring(hash, 1, 1), 16, 10).cast("int")
+    docs(s, dir).select(
+      col("doc_id"),
+      nib.as("split_bucket"),
+      when(nib <= 13, "train")
+        .when(nib === 14, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Fixed-capacity sequence packing: concatenate each shard's
+    * documents in its deterministic shuffled order (the same
+    * (md5, doc_id) order [[Relational.shardAssignments]] exports) and
+    * cut the stream every `capacity` tokens. Emits, per document, the
+    * pack it STARTS in and the token offset within that pack — the
+    * metadata a fill-the-context-window loader needs to seek straight
+    * to a document. Documents may straddle pack boundaries by design
+    * (concat-and-chunk packing, the GPT-style recipe); `pack_off +
+    * n_tokens > capacity` identifies the straddlers.
+    *
+    * Shape at scale: ONE hash exchange keyed by shard plus a
+    * within-partition sort — exactly the shape of the sharded export
+    * write itself, so packing adds no shuffle a writer wasn't already
+    * paying. The running sum is a window over the sorted partition
+    * (single pass, no driver state); all arithmetic is integral, so
+    * the layout is reproducible across cluster sizes.
+    */
+  def packSequences(
+      s: SparkSession, dir: String,
+      nShards: Int = 8, capacity: Long = 2048L): DataFrame = {
+    val hash = md5(concat(col("doc_id").cast("string"), lit("#shard")))
+    val shard = (conv(substring(hash, 1, 1), 16, 10).cast("int")
+      % nShards).as("shard_id")
+    val w = Window.partitionBy("shard_id").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs(s, dir)
+      .select(col("doc_id"), hash.as("h"), shard,
+        wsTokenCount.cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("shard_id"), col("n_tokens"),
+        sum(col("n_tokens")).over(w).as("cum"))
+      .select(col("doc_id"), col("shard_id"), col("n_tokens"),
+        expr(s"(cum - n_tokens) div ${capacity}L").as("pack_id"),
+        ((col("cum") - col("n_tokens")) % capacity).as("pack_off"))
+  }
+
+  /** Per-source mixture reweighting: the sampling weight each `source`
+    * domain needs to hit a uniform target mix (the DoReMi/Pile-style
+    * domain-balancing step, with uniform as the fixture target).
+    * `weight > 1` means upsample, `< 1` downsample; weights are exact
+    * ratios of integer counts, so the table is reproducible and the
+    * weighted corpus sums back to the original size by construction.
+    *
+    * Shape at scale: one keyed aggregation (map-side partials carry
+    * |sources| rows per partition) plus a one-row totals aggregate
+    * broadcast back — the 100 TB cost is the scan, nothing else.
+    */
+  def mixWeights(s: SparkSession, dir: String): DataFrame = {
+    val per = docs(s, dir)
+      .select(col("source"), wsTokenCount.cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+    val tot = per.agg(
+      sum("n_docs").as("tot_docs"),
+      sum("n_tokens").as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        round(col("n_docs") / col("tot_docs"), 6).as("doc_frac"),
+        round(col("n_tokens") / col("tot_tokens"), 6).as("token_frac"),
+        round(col("tot_docs") /
+          (col("n_sources") * col("n_docs")), 6).as("weight"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import graft.ops.{TextOps, TrainPrep}
+import org.apache.spark.sql.functions._
+
+/** Property pins for the training-export preparation operators
+  * (value-level correctness rides the DuckDB oracle gate; these pin
+  * the invariants an oracle diff wouldn't localize).
+  */
+class TrainPrepSpec extends SparkSpec {
+
+  test("split_assign: total partition, plausible fractions, doc_id-stable") {
+    val rows = TrainPrep.splitAssign(spark, sf()).collect()
+    val total = rows.length
+    assert(total > 0)
+    val bySplit = rows.groupBy(_.getAs[String]("split")).map {
+      case (k, v) => k -> v.length
+    }
+    assert(bySplit.keySet.subsetOf(Set("train", "val", "test")))
+    assert(bySplit.values.sum == total)
+    // nibble→split mapping is exact, not statistical
+    rows.foreach { r =>
+      val nib = r.getAs[Int]("split_bucket")
+      val expected =
+        if (nib <= 13) "train" else if (nib == 14) "val" else "test"
+      assert(r.getAs[String]("split") == expected)
+    }
+    // expected 87.5% train; allow wide slack at 500 docs (binomial sd ~1.5%)
+    val trainFrac = bySplit.getOrElse("train", 0).toDouble / total
+    assert(trainFrac > 0.80 && trainFrac < 0.95, s"train frac $trainFrac")
+    // membership is a pure function of doc_id: re-running on a filtered
+    // corpus must not move any surviving document between splits
+    val sub = TrainPrep.splitAssign(spark, sf())
+      .filter(col("doc_id") % 2 === 0).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val full = rows
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    sub.foreach { case (id, sp) => assert(full(id) == sp) }
+  }
+
+  test("pack_sequences: per-shard chunking is gapless and capacity-true") {
+    val cap = 2048L
+    val rows = TrainPrep.packSequences(spark, sf(), capacity = cap).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val off = r.getAs[Long]("pack_off")
+      assert(off >= 0 && off < cap, s"pack_off out of range: $r")
+      assert(r.getAs[Long]("pack_id") >= 0)
+    }
+    // within a shard: pack_id monotone over the export order, and each
+    // document starts exactly where the previous one's tokens ended
+    // (concat-and-chunk leaves no holes)
+    rows.groupBy(_.getAs[Int]("shard_id")).values.foreach { shard =>
+      val inOrder = shard.sortBy(r =>
+        r.getAs[Long]("pack_id") * cap + r.getAs[Long]("pack_off"))
+      var cum = 0L
+      inOrder.foreach { r =>
+        assert(r.getAs[Long]("pack_id") == cum / cap)
+        assert(r.getAs[Long]("pack_off") == cum % cap)
+        cum += r.getAs[Long]("n_tokens")
+      }
+    }
+    // token accounting agrees with text_tokens' ws count
+    val ws = TextOps.tokenCounts(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("ws_tokens")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == ws(r.getAs[Long]("doc_id")).toLong)
+    }
+  }
+
+  test("mix_weights: fractions sum to 1; weighted corpus is size-preserving") {
+    val rows = TrainPrep.mixWeights(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val docFracSum = rows.map(_.getAs[Double]("doc_frac")).sum
+    assert(math.abs(docFracSum - 1.0) < 1e-4, s"doc_frac sum $docFracSum")
+    val tokFracSum = rows.map(_.getAs[Double]("token_frac")).sum
+    assert(math.abs(tokFracSum - 1.0) < 1e-4)
+    // sum(weight * n_docs) == tot_docs: resampling at these weights
+    // leaves the corpus size unchanged (uniform target, exact ratios)
+    val totDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val weighted = rows
+      .map(r => r.getAs[Double]("weight") * r.getAs[Long]("n_docs")).sum
+    assert(math.abs(weighted - totDocs) / totDocs < 1e-4)
+    // uniform target: every source's weighted share is equal
+    val shares = rows.map(r =>
+      r.getAs[Double]("weight") * r.getAs[Long]("n_docs") / totDocs)
+    shares.foreach(sh => assert(math.abs(sh - 1.0 / rows.length) < 1e-4))
+  }
+
+  test("surprisal: frequency-monotone and decimal-mediation order-stable") {
+    val rows = TextOps.surprisal(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sp = r.getAs[Double]("surprisal")
+      assert(sp > 0.0 && sp.isFinite, s"bad surprisal: $r")
+      assert(r.getAs[Long]("n_tokens") >= 1)
+    }
+    // a document of globally-common tokens must score below one of
+    // globally-rare tokens: compare each doc's surprisal to the corpus
+    // mean token probability it implies — spot-check extremes instead
+    // of the full model: min-surprisal doc's tokens are on average more
+    // frequent than max-surprisal doc's
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"),
+        explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("token"))
+    val freq = docs.groupBy(_._2).map { case (t, v) => t -> v.length }
+    val meanFreq = docs.groupBy(_._1).map { case (id, toks) =>
+      id -> toks.map(t => freq(t._2).toDouble).sum / toks.length
+    }
+    val loDoc = rows.minBy(_.getAs[Double]("surprisal")).getAs[Long]("doc_id")
+    val hiDoc = rows.maxBy(_.getAs[Double]("surprisal")).getAs[Long]("doc_id")
+    assert(meanFreq(loDoc) >= meanFreq(hiDoc),
+      s"surprisal not frequency-monotone at the extremes")
+    // order independence: a different shuffle width changes every
+    // partial-aggregation grouping; the decimal-mediated sums must not
+    // move by a single bit
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val again =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        TextOps.surprisal(spark, sf()).collect()
+          .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("surprisal"))
+          .toMap
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    rows.foreach { r =>
+      assert(again(r.getAs[Long]("doc_id")) == r.getAs[Double]("surprisal"))
+    }
+  }
+}
