@@ -103,16 +103,20 @@ object TrainPrep {
       .select(col("source"), wsTokenCount.cast("long").as("n_tokens"))
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
-    val tot = per.agg(
-      sum("n_docs").as("tot_docs"),
-      sum("n_tokens").as("tot_tokens"),
-      count(lit(1)).as("n_sources"))
-    per.crossJoin(broadcast(tot))
-      .select(
+    // corpus totals as a window over the per-source relation, NOT a
+    // second aggregation: per is |sources| rows, so an unpartitioned
+    // window is a no-op partition-wise, while `per.agg(...)` would
+    // re-plan (and re-scan, re-tokenize) the whole corpus subtree —
+    // at 100 TB that second scan IS the query's cost
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val totDocs = sum(col("n_docs")).over(w)
+    per.select(
         col("source"), col("n_docs"), col("n_tokens"),
-        round(col("n_docs") / col("tot_docs"), 6).as("doc_frac"),
-        round(col("n_tokens") / col("tot_tokens"), 6).as("token_frac"),
-        round(col("tot_docs") /
-          (col("n_sources") * col("n_docs")), 6).as("weight"))
+        round(col("n_docs") / totDocs, 6).as("doc_frac"),
+        round(col("n_tokens") / sum(col("n_tokens")).over(w), 6)
+          .as("token_frac"),
+        round(totDocs / (count(lit(1)).over(w) * col("n_docs")), 6)
+          .as("weight"))
   }
 }
