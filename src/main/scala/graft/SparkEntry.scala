@@ -214,6 +214,9 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(s, dir)),
     "sim_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "sim_near_dup" -> ((s, dir) => Similarity.cosineNearDupPairs(s, dir)),
+    // SQ8 int8 quantization: narrow per-row HOF math, zero exchanges;
+    // the md5 payload fingerprint pins every quantized byte
+    "sim_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
 
     // --- LLM-pipeline: multimodal binary columns ---
     "mm_payload_meta" -> ((s, dir) => Multimodal.payloadMeta(s, dir)),
@@ -988,7 +991,33 @@ object SparkEntry {
         |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_dot_product(a.v, b.v) /
-        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9""".stripMargin
+        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9""".stripMargin,
+    // same floor(x/scale + 0.5) quantizer — floor because the two
+    // engines' round() tie conventions differ while floor is
+    // IEEE-exact; scale left un-rounded (bit-deterministic on both
+    // sides by construction)
+    "sim_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), sc AS (
+        |  SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |  FROM e
+        |), q AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |    ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5)
+        |      AS INTEGER)) END AS qv
+        |  FROM sc
+        |)
+        |SELECT vec_id, scale,
+        |  CAST(list_min(qv) AS INTEGER) AS qmin,
+        |  CAST(list_max(qv) AS INTEGER) AS qmax,
+        |  CAST(list_sum(qv) AS BIGINT) AS qsum,
+        |  CAST(list_sum(list_transform(qv, y -> CAST(y AS BIGINT) * y))
+        |    AS BIGINT) AS ql2,
+        |  md5(array_to_string(qv, ',')) AS qfp
+        |FROM q""".stripMargin
   )
 
   /** Shared CTE list (no WITH keyword) computing exact word-trigram

@@ -319,4 +319,45 @@ object Similarity {
         cosine(col("va"), col("vb")).as("score"))
       .filter(col("score") >= threshold)
   }
+
+  /** Symmetric int8 scalar quantization (SQ8) of the embedding column —
+    * the memory-layout step that shrinks a vector index 4× before ANN
+    * serving. Per vector: `scale = max|x_i| / 127`, `q_i = floor(x_i /
+    * scale + 0.5)` — the floor(+0.5) form instead of `round` because
+    * floor is IEEE-exact in both engines while half-even vs half-up
+    * tie conventions differ; the result is guaranteed in [-127, 127].
+    * Emits per-vector audit stats plus an md5 fingerprint of the full
+    * quantized payload, so the oracle pins every component byte
+    * without shipping arrays through the compare.
+    *
+    * Shape at scale: narrow per-row higher-order-function math inside
+    * one scan — zero exchanges, zero driver state; the float→double
+    * promotion is exact, every subsequent step is deterministic IEEE
+    * double arithmetic, so the quantized corpus is bit-reproducible on
+    * any cluster (and cross-engine, which is what the oracle proves).
+    */
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    val amax = aggregate(col("v"), lit(0.0),
+      (acc, x) => greatest(acc, abs(x)))
+    val q = expr(
+      """CASE WHEN scale = 0D THEN transform(v, x -> 0)
+        |ELSE transform(v, x -> CAST(floor(x / scale + 0.5D) AS INT))
+        |END""".stripMargin)
+    load(s, dir)
+      .select(col("vec_id"), col("v"), (amax / lit(127.0)).as("scale"))
+      .select(col("vec_id"), col("scale"), q.as("q"))
+      .select(
+        col("vec_id"),
+        // raw double, deliberately un-rounded: every input step is
+        // bit-deterministic cross-engine, and a round() would ADD a
+        // tie-convention divergence risk rather than remove one
+        col("scale"),
+        expr("aggregate(q, 127, (a, x) -> least(a, x))").as("qmin"),
+        expr("aggregate(q, -127, (a, x) -> greatest(a, x))").as("qmax"),
+        expr("aggregate(q, 0L, (a, x) -> a + x)").as("qsum"),
+        expr("aggregate(q, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)")
+          .as("ql2"),
+        md5(concat_ws(",", expr("transform(q, x -> CAST(x AS STRING))"))
+          .cast("binary")).as("qfp"))
+  }
 }

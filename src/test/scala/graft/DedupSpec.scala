@@ -263,4 +263,37 @@ class DedupSpec extends SparkSpec {
     val fps = TextOps.fingerprints(spark, sf()).limit(1).collect()
     assert(fps.head.getString(1).matches("[0-9a-f]{32}"))
   }
+
+  test("SQ8 quantization: range, reconstruction bound, JVM-recompute parity") {
+    val rows = Similarity.quantizeInt8(spark, sf()).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(rows.nonEmpty)
+    rows.values.foreach { r =>
+      assert(r.getAs[Int]("qmin") >= -127 && r.getAs[Int]("qmax") <= 127)
+    }
+    // independent JVM recompute from the raw floats: same scale, same
+    // quantized components (via the fingerprint), and reconstruction
+    // error within scale/2 per element
+    val raw = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+    assert(raw.length == rows.size)
+    raw.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val amax = v.foldLeft(0.0)((a, x) => math.max(a, math.abs(x)))
+      val scale = amax / 127.0
+      val q = v.map(x => math.floor(x / scale + 0.5).toInt)
+      val got = rows(id)
+      assert(got.getAs[Double]("scale") == scale)
+      assert(got.getAs[Long]("qsum") == q.map(_.toLong).sum)
+      assert(got.getAs[Long]("ql2") == q.map(x => x.toLong * x).sum)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(q.mkString(",").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(got.getAs[String]("qfp") == md)
+      v.zip(q).foreach { case (x, qi) =>
+        assert(math.abs(x - qi * scale) <= scale / 2 + 1e-12)
+      }
+    }
+  }
 }
