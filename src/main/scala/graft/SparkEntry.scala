@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
-import graft.ops.{Dedup, EventOps, MediaHeaders, Multimodal, Relational,
-  Similarity, TextOps, TrainPrep}
+import graft.ops.{Dedup, EventOps, Filtering, MediaHeaders, Multimodal,
+  Relational, Similarity, TextOps, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -195,6 +195,14 @@ object SparkEntry {
     "text_pii_scrub" -> ((s, dir) => TextOps.piiScrub(s, dir)),
     // unigram-LM surprisal: decimal-mediated mean, token-keyed joins
     "text_surprisal" -> ((s, dir) => TextOps.surprisal(s, dir)),
+    // BPE first-merge pair statistics: corpus touched once (wordcount),
+    // everything after is vocabulary-sized
+    "corpus_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(s, dir)),
+    // composite keep/drop verdict with per-rule drop reasons; costs
+    // exactly one text_repetition (signals ride the same exchanges)
+    "quality_filter" -> ((s, dir) => Filtering.qualityFilter(s, dir)),
+    // train<-test n-gram leakage audit over the hash-stable split
+    "leakage_split" -> ((s, dir) => Filtering.splitLeakage(s, dir)),
 
     // --- LLM-pipeline: training-export preparation ---
     // hash-stable train/val/test membership (87.5/6.25/6.25)
@@ -751,6 +759,111 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |  round(CAST(sp_sum AS DOUBLE) / n_tokens, 6) AS surprisal
         |FROM p""".stripMargin,
+    "corpus_bpe_pairs" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS cnt FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS word
+        |    FROM documents)
+        |  GROUP BY word
+        |), p AS (
+        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
+        |    SELECT cnt,
+        |      unnest([substr(word, i, 2) for i in range(1, len(word))])
+        |        AS pair
+        |    FROM w WHERE len(word) >= 2)
+        |  GROUP BY pair
+        |)
+        |SELECT pair, pair_count,
+        |  CAST(row_number() OVER (ORDER BY pair_count DESC, pair)
+        |    AS INTEGER) AS rank
+        |FROM p ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
+    "quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)
+        |      AS mean_token_len,
+        |    len(list_filter(toks, x -> x IN ('a','the','of','and'))) /
+        |      CAST(len(toks) AS DOUBLE) AS stop_ratio
+        |  FROM t
+        |), g AS (
+        |  SELECT doc_id, unnest(list_concat(
+        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))],
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |       for i in range(1, len(toks) - 1)]
+        |    ELSE [] END)) AS gram
+        |  FROM t WHERE len(toks) >= 2
+        |), c AS (
+        |  SELECT doc_id, c, len(string_split(gram, ' ')) AS n FROM (
+        |    SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        |), a AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS n_grams2,
+        |    CAST(max(CASE WHEN n = 2 THEN c END) AS BIGINT) AS top2_cnt,
+        |    CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS n_grams3,
+        |    CAST(sum(CASE WHEN n = 3 AND c > 1 THEN c END) AS BIGINT)
+        |      AS dup3_occ
+        |  FROM c GROUP BY doc_id
+        |), j AS (
+        |  SELECT q.doc_id, q.n_tokens, q.mean_token_len, q.stop_ratio,
+        |    a.top2_cnt / CAST(a.n_grams2 AS DOUBLE) AS top2_frac,
+        |    coalesce(a.dup3_occ, 0) / CAST(a.n_grams3 AS DOUBLE)
+        |      AS dup3_frac
+        |  FROM q LEFT JOIN a USING (doc_id)
+        |)
+        |SELECT doc_id, n_tokens, mean_token_len, stop_ratio,
+        |  top2_frac, dup3_frac,
+        |  (n_tokens >= 20 AND n_tokens <= 1000) AS r_len,
+        |  (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
+        |    AS r_word_len,
+        |  (stop_ratio >= 0.01) AS r_stop,
+        |  coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18, true) AS r_rep,
+        |  ((n_tokens >= 20 AND n_tokens <= 1000) AND
+        |   (mean_token_len >= 2.0 AND mean_token_len <= 12.0) AND
+        |   stop_ratio >= 0.01 AND
+        |   coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18, true))
+        |    AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN NOT (n_tokens >= 20 AND n_tokens <= 1000)
+        |      THEN 'len' END,
+        |    CASE WHEN NOT (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
+        |      THEN 'word_len' END,
+        |    CASE WHEN NOT (stop_ratio >= 0.01) THEN 'stop_ratio' END,
+        |    CASE WHEN NOT coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18,
+        |                           true)
+        |      THEN 'repetition' END) AS drop_reasons
+        |FROM j""".stripMargin,
+    "leakage_split" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    strpos('0123456789abcdef',
+        |      substr(md5(doc_id::VARCHAR || '#split'), 1, 1)) - 1 AS nib,
+        |    regexp_split_to_array(lower(text), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT doc_id, nib,
+        |    unnest(list_distinct([array_to_string(t[i:i+7], ' ')
+        |      for i in range(1, len(t) - 6)])) AS shingle
+        |  FROM s WHERE len(t) >= 8
+        |), test_grams AS (
+        |  SELECT DISTINCT shingle FROM sh WHERE nib = 15
+        |), hits AS (
+        |  SELECT doc_id, count(*) AS n_leaked_grams
+        |  FROM sh JOIN test_grams USING (shingle)
+        |  WHERE nib <= 13
+        |  GROUP BY doc_id
+        |)
+        |SELECT s.doc_id,
+        |  CAST(coalesce(h.n_leaked_grams, 0) AS BIGINT) AS n_leaked_grams,
+        |  coalesce(h.n_leaked_grams, 0) > 0 AS leaked
+        |FROM s LEFT JOIN hits h USING (doc_id)
+        |WHERE s.nib <= 13""".stripMargin,
     // same nibble bucketing the engine computes: 0-d train, e val,
     // f test
     "split_assign" ->

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-filtering composites: the decision passes a training-data
+  * pipeline runs AFTER the per-signal operators ([[TextOps]],
+  * [[TrainPrep]], [[Dedup]]) have done their work — a single keep/drop
+  * verdict with per-rule reasons, and the train←test leakage audit
+  * that guards the held-out split.
+  */
+object Filtering {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Composite quality filter (FineWeb/Gopher-shaped): combine the
+    * length, word-length, stopword, and repetition signals into one
+    * keep/drop verdict, with the failed rules named in a stable
+    * comma-joined `drop_reasons` — the audit trail a filtering run
+    * reports per document.
+    *
+    * Rules (each also surfaced as its own boolean column):
+    *  - `r_len`:      20 ≤ n_tokens ≤ 1000
+    *  - `r_word_len`: 2.0 ≤ mean_token_len ≤ 12.0
+    *  - `r_stop`:     stop_ratio ≥ 0.01
+    *  - `r_rep`:      top2_frac ≤ 0.2 AND dup3_frac ≤ 0.18 (vacuously
+    *                  true for docs too short to have gram stats —
+    *                  `r_len` already rejects those)
+    *
+    * Shape at scale: the quality signals are narrow per-row columns
+    * computed directly on the LEFT side of the repetition-stats left
+    * join, so the whole composite costs exactly what
+    * [[TextOps.repetitionScores]] costs — one gram explode, two keyed
+    * aggregations, one doc_id join. Composing the published operators
+    * relationally instead would re-key the corpus a third time.
+    */
+  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+    val top2Frac = col("top2_cnt") / col("n_grams2")
+    val dup3Frac = coalesce(col("dup3_occ"), lit(0L)) / col("n_grams3")
+    val rLen = col("n_tokens") >= 20 && col("n_tokens") <= 1000
+    val rWordLen =
+      col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0
+    val rStop = col("stop_ratio") >= 0.01
+    val rRep = coalesce(top2Frac <= 0.2 && dup3Frac <= 0.18, lit(true))
+    TextOps.qualitySignals(docs(s, dir))
+      .join(TextOps.repetitionStats(docs(s, dir)), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("mean_token_len"),
+        col("stop_ratio"),
+        top2Frac.as("top2_frac"), dup3Frac.as("dup3_frac"),
+        rLen.as("r_len"), rWordLen.as("r_word_len"),
+        rStop.as("r_stop"), rRep.as("r_rep"),
+        (rLen && rWordLen && rStop && rRep).as("keep"),
+        // concat_ws drops nulls, so the reasons list carries exactly
+        // the failed rules, always in this order
+        concat_ws(",",
+          when(!rLen, "len"), when(!rWordLen, "word_len"),
+          when(!rStop, "stop_ratio"), when(!rRep, "repetition")
+        ).as("drop_reasons"))
+  }
+
+  /** Train←test leakage audit: for every training document (under
+    * [[TrainPrep.splitAssign]]'s hash-stable split), the number of its
+    * distinct `n`-gram shingles that also occur in ANY test-split
+    * document, and the `leaked` verdict — the decontamination pass
+    * that keeps a held-out split actually held out. Same overlap
+    * semantics as [[Dedup.contamination]], with the benchmark carve
+    * replaced by the engine's own split assignment.
+    *
+    * Shape at scale: grams are `array_distinct`'d row-locally before
+    * the explode (zero corpus-side exchanges, as in
+    * [[Dedup.contamination]]); the test-side gram set dedups at 1/16
+    * of corpus gram mass and the hit probe is a shuffle join keyed by
+    * gram — deliberately NOT broadcast, because a 6.25% split of a
+    * 100 TB corpus is TB-scale (the benchmark-decontamination case,
+    * where the probe side is MB-scale, is the broadcast one). Both
+    * join sides are per-doc-distinct, so (train doc, gram) pairs are
+    * unique and the per-doc count needs no distinct aggregation.
+    */
+  def splitLeakage(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val nib = conv(
+      substring(md5(concat(col("doc_id").cast("string"), lit("#split"))),
+        1, 1), 16, 10).cast("int")
+    val base = docs(s, dir).select(col("doc_id"), nib.as("nib"))
+    val grams = docs(s, dir)
+      .select(col("doc_id"), nib.as("nib"),
+        split(lower(col("text")), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"), col("nib"), explode(expr(
+        s"""array_distinct(transform(sequence(0, size(toks) - $n),
+           |  i -> concat_ws(' ', slice(toks, i + 1, $n))))""".stripMargin
+      )).as("shingle"))
+    val testGrams = grams.filter(col("nib") === 15)
+      .select("shingle").distinct()
+    val hits = grams.filter(col("nib") <= 13)
+      .join(testGrams, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_leaked_grams"))
+    base.filter(col("nib") <= 13).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"))
+      .withColumn("leaked", col("n_leaked_grams") > 0)
+  }
+}

@@ -32,21 +32,10 @@ object TextOps {
     * ratio, and a boolean keep-flag combining the heuristics — the
     * standard pre-training corpus filter shape.
     */
-  def qualityScores(s: SparkSession, dir: String): DataFrame = {
-    val toks = wsTokens
-    val nTok = size(toks)
-    val stopCnt = size(filter(toks, t => t.isin("a", "the", "of", "and")))
-    docs(s, dir).select(
-      col("doc_id"),
-      length(col("text")).as("n_chars"),
-      nTok.as("n_tokens"),
-      ((length(col("text")) - nTok + 1) / nTok.cast("double"))
-        .as("mean_token_len"),
-      stopCnt.as("stop_cnt"),
-      (stopCnt / nTok.cast("double")).as("stop_ratio"),
-      (nTok >= lit(20) && nTok <= lit(1000) &&
-        (stopCnt / nTok.cast("double")) >= lit(0.01)).as("keep"))
-  }
+  def qualityScores(s: SparkSession, dir: String): DataFrame =
+    qualitySignals(docs(s, dir)).withColumn("keep",
+      col("n_tokens") >= lit(20) && col("n_tokens") <= lit(1000) &&
+        col("stop_ratio") >= lit(0.01))
 
   /** Language-ID by stopword-marker voting: count hits from small
     * per-language marker sets, predict the argmax with a fixed
@@ -171,6 +160,45 @@ object TextOps {
       row_number().over(w).as("rank"))
   }
 
+  /** BPE first-merge pair statistics: the top-k adjacent character
+    * pairs by corpus occurrence count — the statistic one iteration of
+    * byte-pair-encoding merges on (Sennrich et al. 2016 §3.2). A full
+    * BPE trainer repeats this after rewriting the vocabulary with the
+    * winning merge; the per-iteration aggregate is the distributed
+    * part, and this IS that aggregate.
+    *
+    * Shape at scale: token explode + ONE vocab-keyed aggregation
+    * collapses the corpus to its word-frequency table (|vocab| rows —
+    * the map-side partials carry vocabularies, not tokens), and all
+    * pair counting then runs over that TINY relation: per-word
+    * character pairs weighted by word count, one pair-keyed
+    * aggregation, top-k via per-partition heaps
+    * (`TakeOrderedAndProject`). The expensive object (the corpus) is
+    * touched exactly once, by the wordcount — every later stage is
+    * vocabulary-sized. Ties at the cut break by pair text, so the
+    * result is deterministic.
+    */
+  def bpePairs(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val words = docs(s, dir)
+      .select(explode(wsTokens).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    // sequence(1, n) is DESCENDING when n < 1 — guard out 1-char words
+    // rather than generate a [1, 0] index walk
+    val pairs = words
+      .filter(length(col("word")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"
+      )).as("pair"))
+      .groupBy("pair").agg(sum("cnt").as("pair_count"))
+    val top = pairs.orderBy(col("pair_count").desc, col("pair")).limit(k)
+    // global rank == rank within the top-k: the limit selected by the
+    // same (pair_count desc, pair) order the window ranks by
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pair_count").desc, col("pair"))
+    top.select(col("pair"), col("pair_count"),
+      row_number().over(w).as("rank"))
+  }
+
   /** Repetition signals (Gopher-shaped, Rae et al. 2021 §A1.1, token-
     * rather than character-weighted): per document, the fraction of
     * 2-gram occurrences claimed by the single most frequent 2-gram
@@ -188,8 +216,28 @@ object TextOps {
     * the oracle mirrors the same null algebra.
     */
   def repetitionScores(s: SparkSession, dir: String): DataFrame = {
+    val stats = repetitionStats(docs(s, dir))
+    val top2Frac = col("top2_cnt") / col("n_grams2")
+    val dup3Frac = coalesce(col("dup3_occ"), lit(0L)) / col("n_grams3")
+    docs(s, dir).select(col("doc_id"))
+      .join(stats, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_grams2"), col("top2_cnt"),
+        top2Frac.as("top2_frac"),
+        (coalesce(col("dup2_occ"), lit(0L)) / col("n_grams2")).as("dup2_frac"),
+        col("n_grams3"),
+        dup3Frac.as("dup3_frac"),
+        (top2Frac <= 0.2 && dup3Frac <= 0.18).as("keep_rep"))
+  }
+
+  /** The aggregated 2-/3-gram repetition stats behind
+    * [[repetitionScores]], keyed by doc_id — shared with
+    * [[Filtering.qualityFilter]] so the composite filter rides the
+    * same gram exchange instead of re-deriving it.
+    */
+  private[ops] def repetitionStats(d: DataFrame): DataFrame = {
     // typed empty array<string> for the CASE arm (array() is untyped)
-    val grams = docs(s, dir)
+    val grams = d
       .select(col("doc_id"), wsTokens.as("toks"))
       .filter(size(col("toks")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -205,23 +253,30 @@ object TextOps {
     val counts = grams
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
       .select(col("doc_id"), col("c"), n.as("n"))
-    val stats = counts.groupBy("doc_id").agg(
+    counts.groupBy("doc_id").agg(
       sum(when(col("n") === 2, col("c"))).as("n_grams2"),
       max(when(col("n") === 2, col("c"))).as("top2_cnt"),
       sum(when(col("n") === 2 && col("c") > 1, col("c"))).as("dup2_occ"),
       sum(when(col("n") === 3, col("c"))).as("n_grams3"),
       sum(when(col("n") === 3 && col("c") > 1, col("c"))).as("dup3_occ"))
-    val top2Frac = col("top2_cnt") / col("n_grams2")
-    val dup3Frac = coalesce(col("dup3_occ"), lit(0L)) / col("n_grams3")
-    docs(s, dir).select(col("doc_id"))
-      .join(stats, Seq("doc_id"), "left")
-      .select(
-        col("doc_id"), col("n_grams2"), col("top2_cnt"),
-        top2Frac.as("top2_frac"),
-        (coalesce(col("dup2_occ"), lit(0L)) / col("n_grams2")).as("dup2_frac"),
-        col("n_grams3"),
-        dup3Frac.as("dup3_frac"),
-        (top2Frac <= 0.2 && dup3Frac <= 0.18).as("keep_rep"))
+  }
+
+  /** Per-row quality-signal columns over a `documents` relation — the
+    * select list [[qualityScores]] and [[Filtering.qualityFilter]]
+    * share, so the two can never drift. Narrow: no exchange.
+    */
+  private[ops] def qualitySignals(d: DataFrame): DataFrame = {
+    val toks = wsTokens
+    val nTok = size(toks)
+    val stopCnt = size(filter(toks, t => t.isin("a", "the", "of", "and")))
+    d.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      nTok.as("n_tokens"),
+      ((length(col("text")) - nTok + 1) / nTok.cast("double"))
+        .as("mean_token_len"),
+      stopCnt.as("stop_cnt"),
+      (stopCnt / nTok.cast("double")).as("stop_ratio"))
   }
 
   /** Unigram-LM surprisal scoring: per document, the mean negative log

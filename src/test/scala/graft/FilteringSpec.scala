@@ -1,0 +1,116 @@
+package graft
+
+import graft.ops.{Filtering, TextOps}
+
+/** Brute-force recompute pins for the corpus-filtering composites and
+  * the BPE pair statistic. (Value-level correctness is also carried by
+  * the DuckDB oracle gate; these localize failures and pin the
+  * null/short-doc algebra the oracle diff wouldn't name.)
+  */
+class FilteringSpec extends SparkSpec {
+
+  private def texts(): Array[(Long, String)] =
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+
+  test("quality_filter: keep and drop_reasons match a per-doc recompute") {
+    val rows = Filtering.qualityFilter(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows.size == texts().length)
+    texts().foreach { case (id, text) =>
+      val toks = text.toLowerCase.trim.split("\\s+", -1)
+      val n = toks.length
+      val meanLen = (text.length - n + 1).toDouble / n
+      val stopRatio =
+        toks.count(Set("a", "the", "of", "and")).toDouble / n
+      val grams2 = toks.sliding(2).map(_.mkString(" ")).toSeq
+      val counts2 = grams2.groupBy(identity).map(_._2.length)
+      val grams3 = toks.sliding(3).map(_.mkString(" ")).toSeq
+      val counts3 = grams3.groupBy(identity).map(_._2.length)
+      val rLen = n >= 20 && n <= 1000
+      val rWordLen = meanLen >= 2.0 && meanLen <= 12.0
+      val rStop = stopRatio >= 0.01
+      val rRep =
+        if (n < 2) true
+        else {
+          val top2 = counts2.max.toDouble / grams2.length
+          val dup3 =
+            if (grams3.isEmpty) true // n_grams3 null → frac null → coalesced
+            else counts3.filter(_ > 1).sum.toDouble / grams3.length <= 0.18
+          top2 <= 0.2 && dup3
+        }
+      val expectKeep = rLen && rWordLen && rStop && rRep
+      val expectReasons = Seq(
+        (!rLen, "len"), (!rWordLen, "word_len"),
+        (!rStop, "stop_ratio"), (!rRep, "repetition")
+      ).collect { case (true, s) => s }.mkString(",")
+      val row = rows(id)
+      assert(row.getAs[Boolean]("keep") == expectKeep, s"doc $id keep")
+      assert(row.getAs[String]("drop_reasons") == expectReasons,
+        s"doc $id reasons: got ${row.getAs[String]("drop_reasons")}")
+      assert(row.getAs[Boolean]("keep") ==
+        row.getAs[String]("drop_reasons").isEmpty)
+    }
+  }
+
+  test("split leakage matches a brute-force 8-gram overlap over the split") {
+    def nib(id: Long): Int =
+      Integer.parseInt(md5Hex(s"$id#split").substring(0, 1), 16)
+    def grams(text: String): Set[String] = {
+      val toks = text.toLowerCase.split("\\s+", -1)
+      if (toks.length < 8) Set.empty
+      else toks.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val all = texts()
+    val testGrams =
+      all.filter(t => nib(t._1) == 15).flatMap(t => grams(t._2)).toSet
+    val expected = all.filter(t => nib(t._1) <= 13).map { case (id, text) =>
+      id -> grams(text).count(testGrams)
+    }.toMap
+    val rows = Filtering.splitLeakage(spark, sf()).collect()
+    assert(rows.length == expected.size, "one row per train doc")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_leaked_grams") == expected(id).toLong,
+        s"doc $id")
+      assert(r.getAs[Boolean]("leaked") == (expected(id) > 0))
+    }
+    // the synthetic corpus plants near-dups, so the audit must FIND
+    // leakage — an all-zero column would mean a broken probe
+    assert(rows.exists(_.getAs[Boolean]("leaked")),
+      "planted near-dups must leak across the split at fixture scale")
+  }
+
+  test("bpe pair stats match a brute-force count; ranks deterministic") {
+    val occ = scala.collection.mutable.Map.empty[String, Long]
+    texts().foreach { case (_, t) =>
+      t.toLowerCase.trim.split("\\s+", -1).foreach { w =>
+        occ(w) = occ.getOrElse(w, 0L) + 1L
+      }
+    }
+    val pairCnt = scala.collection.mutable.Map.empty[String, Long]
+    occ.foreach { case (w, cnt) =>
+      if (w.length >= 2)
+        (0 until w.length - 1).foreach { i =>
+          val p = w.substring(i, i + 2)
+          pairCnt(p) = pairCnt.getOrElse(p, 0L) + cnt
+        }
+    }
+    val expected = pairCnt.toSeq.sortBy { case (p, c) => (-c, p) }.take(50)
+    val rows = TextOps.bpePairs(spark, sf()).collect()
+      .sortBy(_.getAs[Int]("rank"))
+    assert(rows.length == expected.length)
+    rows.zip(expected).zipWithIndex.foreach {
+      case ((row, (pair, cnt)), i) =>
+        assert(row.getAs[String]("pair") == pair, s"rank ${i + 1}")
+        assert(row.getAs[Long]("pair_count") == cnt, s"rank ${i + 1}")
+        assert(row.getAs[Int]("rank") == i + 1)
+    }
+  }
+}
