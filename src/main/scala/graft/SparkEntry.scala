@@ -180,6 +180,9 @@ object SparkEntry {
     // oracle; the pigeonhole banding is complete at maxDist=3, so the
     // oracle computes all-pairs hamming directly
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    // exact-substring duplication (windowed ExactSubstr): md5-keyed
+    // 16-token windows, one gram-keyed + one doc-keyed shuffle
+    "dedup_substring" -> ((s, dir) => Dedup.substringDupStats(s, dir)),
 
     // --- LLM-pipeline: text analysis over documents ---
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
@@ -222,6 +225,10 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(s, dir)),
     "sim_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
     "sim_near_dup" -> ((s, dir) => Similarity.cosineNearDupPairs(s, dir)),
+    // SemDeDup: k-means cells (same Lloyd arithmetic as sim_ann_ivf),
+    // within-cell drop-if-similar-to-earlier-member — one cell-keyed
+    // shuffle, pairwise cost bounded by cell size (the paper's knob)
+    "semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
     // SQ8 int8 quantization: narrow per-row HOF math, zero exchanges;
     // the md5 payload fingerprint pins every quantized byte
     "sim_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
@@ -517,6 +524,45 @@ object SparkEntry {
         |    PARTITION BY (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8
         |    ORDER BY hx, doc_id) AS INTEGER) AS shard_pos
         |FROM h""".stripMargin,
+    // Windowed ExactSubstr: 16-token windows, duplicated = seen in >1
+    // doc; islands of consecutive duplicated windows give the longest
+    // duplicated span (run + 15 tokens); keep = no span of 50+ tokens.
+    // Short docs (< 16 tokens) have zero windows and a NULL dup_frac —
+    // the LEFT JOIN padding mirrors the engine exactly.
+    "dedup_substring" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), w AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    md5(array_to_string(toks[i:i+15], ' ')) AS wh
+        |  FROM t, unnest(range(1, len(toks) - 16 + 2)) r(i)
+        |  WHERE len(toks) >= 16
+        |), f AS (
+        |  SELECT wh, count(DISTINCT doc_id) AS wdf FROM w GROUP BY 1
+        |), fl AS (
+        |  SELECT w.doc_id, w.pos, f.wdf > 1 AS dup FROM w JOIN f USING (wh)
+        |), r2 AS (
+        |  SELECT doc_id, dup, grp, count(*) AS run FROM (
+        |    SELECT doc_id, dup,
+        |      pos - row_number() OVER (PARTITION BY doc_id, dup ORDER BY pos) AS grp
+        |    FROM fl
+        |  ) GROUP BY 1, 2, 3
+        |), pd AS (
+        |  SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_windows,
+        |    CAST(sum(CASE WHEN dup THEN run ELSE 0 END) AS BIGINT) AS dup_windows,
+        |    CAST(max(CASE WHEN dup THEN run ELSE 0 END) AS BIGINT) AS max_run
+        |  FROM r2 GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  coalesce(pd.n_windows, 0) AS n_windows,
+        |  coalesce(pd.dup_windows, 0) AS dup_windows,
+        |  pd.dup_windows / CAST(pd.n_windows AS DOUBLE) AS dup_frac,
+        |  coalesce(CASE WHEN pd.max_run > 0 THEN pd.max_run + 15 ELSE 0 END, 0)
+        |    AS max_span_tokens,
+        |  coalesce(CASE WHEN pd.max_run > 0 THEN pd.max_run + 15 ELSE 0 END, 0) < 50
+        |    AS keep
+        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
     // benchmark = every 50th doc_id; overlap = distinct shared 8-grams
     "decontaminate" ->
       """WITH toks AS (
@@ -1059,6 +1105,81 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
         |  FROM sc
         |) WHERE rk <= 10""".stripMargin,
+    // SemDeDup: the same unrolled seeds + two-Lloyd-iteration prefix
+    // as sim_ann_ivf (bit-identical decimal-mediated centroids), then
+    // per vector the max cosine to any LOWER-id member of its cell;
+    // keep = below eps (0.3), with a cell's first member keeping its
+    // NULL max (the coalesce mirrors the engine's null algebra)
+    "semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), dims AS (
+        |  SELECT unnest(range(1, len(v) + 1)) AS d FROM (SELECT v FROM e LIMIT 1)
+        |), c0 AS (
+        |  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16
+        |), a1 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c0.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(v, cv) /
+        |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+        |          DESC NULLS LAST,
+        |        cell) AS rn
+        |    FROM e, c0
+        |  ) WHERE rn = 1
+        |), m1 AS (
+        |  SELECT cell, d,
+        |    CAST(SUM(CAST(e.v[d] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
+        |  FROM a1, e, dims WHERE a1.vec_id = e.vec_id
+        |  GROUP BY cell, d
+        |), g1 AS (
+        |  SELECT cell, list(m ORDER BY d) AS cv FROM m1 GROUP BY cell
+        |), c1 AS (
+        |  SELECT c0.cell, coalesce(g1.cv, c0.cv) AS cv
+        |  FROM c0 LEFT JOIN g1 USING (cell)
+        |), a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c1.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(v, cv) /
+        |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+        |          DESC NULLS LAST,
+        |        cell) AS rn
+        |    FROM e, c1
+        |  ) WHERE rn = 1
+        |), m2 AS (
+        |  SELECT cell, d,
+        |    CAST(SUM(CAST(e.v[d] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
+        |  FROM a2, e, dims WHERE a2.vec_id = e.vec_id
+        |  GROUP BY cell, d
+        |), g2 AS (
+        |  SELECT cell, list(m ORDER BY d) AS cv FROM m2 GROUP BY cell
+        |), c2 AS (
+        |  SELECT c1.cell, coalesce(g2.cv, c1.cv) AS cv
+        |  FROM c1 LEFT JOIN g2 USING (cell)
+        |), assigned AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT e.vec_id, c2.cell,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_dot_product(v, cv) /
+        |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+        |          DESC NULLS LAST,
+        |        cell) AS rn
+        |    FROM e, c2
+        |  ) WHERE rn = 1
+        |), mem AS (
+        |  SELECT a.vec_id, a.cell, e.v FROM assigned a JOIN e USING (vec_id)
+        |), pr AS (
+        |  SELECT b.vec_id,
+        |    max(list_dot_product(a.v, b.v) /
+        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+        |      AS max_prior_sim
+        |  FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  GROUP BY b.vec_id
+        |)
+        |SELECT m.vec_id, m.cell, pr.max_prior_sim,
+        |  coalesce(pr.max_prior_sim < 0.3, TRUE) AS keep
+        |FROM mem m LEFT JOIN pr USING (vec_id)""".stripMargin,
     "sim_norms" ->
       """SELECT vec_id,
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2

@@ -552,4 +552,77 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .distinct()
   }
+
+  /** Exact-substring duplication stats (the window-granular form of
+    * Lee et al. 2022, arXiv:2107.06499 "Deduplicating Training Data
+    * Makes Language Models Better"): slide a `w`-token window over
+    * every document, find windows that appear verbatim in more than
+    * `maxDocFreq` documents, and report per document how much of it is
+    * duplicated text — window counts, the duplicated fraction, and the
+    * longest duplicated run in tokens (consecutive duplicated windows
+    * merged: `run + w - 1` tokens). `keep` applies the paper's
+    * remove-spans-of-50+-duplicated-tokens rule as a doc-level flag.
+    *
+    * The paper builds a corpus-wide suffix array; that is a
+    * single-machine construction. The Spark-native equivalent is this
+    * gram-keyed shuffle: windows are md5-keyed (16 bytes, collision
+    * odds 2^-128 — the same keying [[contamination]] uses), document
+    * frequency is ONE partial-aggregated groupBy on the window hash,
+    * and the run analysis is ONE doc-keyed window pass. Nothing is
+    * all-pairs, nothing collects; both shuffles carry (doc_id, pos,
+    * 16-byte hash) rows — at 100 TB this is the standard
+    * windowed-ExactSubstr shape. Docs shorter than `w` tokens have no
+    * windows: zero counts, NULL dup_frac, keep=true (the same padding
+    * algebra as the oracle's LEFT JOIN).
+    */
+  def substringDupStats(
+      s: SparkSession, dir: String, w: Int = 16, maxDocFreq: Int = 1,
+      maxSpanTokens: Int = 50
+  ): DataFrame =
+    substringDupStatsDf(docs(s, dir), w, maxDocFreq, maxSpanTokens)
+
+  /** DataFrame-level variant (`doc_id`, `text`) for planted corpora. */
+  private[graft] def substringDupStatsDf(
+      in: DataFrame, w: Int, maxDocFreq: Int, maxSpanTokens: Int
+  ): DataFrame = {
+    val wins = in
+      .select(col("doc_id"),
+        split(trim(lower(col("text"))), "\\s+").as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - $w),
+           |          i -> md5(CAST(concat_ws(' ', slice(toks, i + 1, $w)) AS BINARY)))
+           |""".stripMargin)).as(Seq("pos", "wh")))
+    val docFreq = wins.groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("wdf"))
+    val flagged = wins.join(docFreq, "wh")
+      .select(col("doc_id"), col("pos"),
+        (col("wdf") > maxDocFreq).as("dup"))
+    // gaps-and-islands: consecutive same-flag windows share
+    // (pos - per-flag rank); counting each island of dup=true gives
+    // run lengths in windows
+    val isl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"), col("dup")).orderBy(col("pos"))
+    val runs = flagged
+      .withColumn("grp", col("pos") - row_number().over(isl))
+      .groupBy(col("doc_id"), col("dup"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+    val perDoc = runs.groupBy("doc_id").agg(
+      sum(col("run")).as("n_windows"),
+      sum(when(col("dup"), col("run")).otherwise(lit(0L)))
+        .as("dup_windows"),
+      max(when(col("dup"), col("run")).otherwise(lit(0L))).as("max_run"))
+    in.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("dup_windows"), lit(0L)).as("dup_windows"),
+        (col("dup_windows") / col("n_windows").cast("double"))
+          .as("dup_frac"),
+        coalesce(when(col("max_run") > 0, col("max_run") + (w - 1))
+          .otherwise(lit(0L)), lit(0L)).as("max_span_tokens"),
+        coalesce(when(col("max_run") > 0, col("max_run") + (w - 1))
+            .otherwise(lit(0L)) < maxSpanTokens, lit(true)).as("keep"))
+  }
 }

@@ -360,4 +360,60 @@ object Similarity {
         md5(concat_ws(",", expr("transform(q, x -> CAST(x AS STRING))"))
           .cast("binary")).as("qfp"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the corpus into k-means cells, then
+    * within each cell drop any vector whose cosine to an EARLIER
+    * (lower-id) cell member reaches `eps`. The published
+    * implementation sorts cluster members and drops an item when its
+    * max similarity to the items preceding it exceeds the threshold;
+    * this engine uses vec_id order as the (deterministic) sort key.
+    * Emits one row per vector: its cell, its max similarity to any
+    * earlier cell member (null for a cell's first/only member), and
+    * the keep verdict.
+    *
+    * Shape at scale: reuses the IVF coarse quantizer ([[assignCells]]
+    * — narrow argmax over driver-resident centroids, zero Exchange;
+    * Lloyd refinement as in [[ivfTopK]]), then ONE shuffle keyed on
+    * cell for the within-cell self-join. The pairwise term is
+    * quadratic only within a cell — exactly the paper's cost model,
+    * where the cell count k is the knob that bounds it (k grows with
+    * the corpus so cells stay ~constant-sized; a giant cell at 100 TB
+    * means k was chosen too small, not that the plan is wrong).
+    */
+  def semDedup(
+      s: SparkSession, dir: String, eps: Double = 0.3,
+      numCells: Int = 16, lloydIters: Int = 2
+  ): DataFrame = {
+    val emb = load(s, dir).select(col("vec_id"), col("v")).cache()
+    val seeds: Seq[(Long, Seq[Double])] =
+      emb.filter(col("vec_id") < numCells)
+        .select(col("vec_id").cast("long"), col("v"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+    val cents = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydStep(emb, c))
+    semDedupAssigned(assignCells(emb, "v", cents, 1), eps)
+  }
+
+  /** Drop rule over an already-cell-assigned relation (`vec_id`, `v`,
+    * `cell`) — split out so specs can plant cells directly.
+    */
+  private[graft] def semDedupAssigned(
+      assigned: DataFrame, eps: Double): DataFrame = {
+    val prior = assigned.select(
+      col("vec_id").as("prior_id"), col("cell"), col("v").as("pv"))
+    val later = assigned.select(col("vec_id"), col("cell"), col("v"))
+    // max-over-groupBy ignores the null cosine a zero-norm vector
+    // produces, same as the oracle's MAX — a vector similar only to
+    // degenerate neighbors keeps its null max_prior_sim (and is kept)
+    val maxPrior = later.join(prior, Seq("cell"))
+      .filter(col("prior_id") < col("vec_id"))
+      .groupBy(col("vec_id"))
+      .agg(max(cosine(col("pv"), col("v"))).as("max_prior_sim"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(maxPrior, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("max_prior_sim"),
+        coalesce(col("max_prior_sim") < lit(eps), lit(true)).as("keep"))
+  }
 }

@@ -296,4 +296,94 @@ class DedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("semdedup: planted cells — drop iff similar to an earlier cell member") {
+    import spark.implicits._
+    // cell 0: v0 first (kept, null max), v1 identical to v0 (dropped),
+    // v2 orthogonal to both (kept); cell 1: v3 alone (kept, null max)
+    val assigned = Seq(
+      (0L, Seq(1.0, 0.0), 0L),
+      (1L, Seq(1.0, 0.0), 0L),
+      (2L, Seq(0.0, 1.0), 0L),
+      (3L, Seq(1.0, 0.0), 1L)
+    ).toDF("vec_id", "v", "cell")
+    val got = Similarity.semDedupAssigned(assigned, eps = 0.9)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Double]),
+          r.getAs[Boolean]("keep")))).toMap
+    assert(got(0L) == ((None, true)))
+    assert(got(1L) == ((Some(1.0), false)))
+    assert(got(2L) == ((Some(0.0), true)))
+    assert(got(3L) == ((None, true)))
+  }
+
+  test("semdedup on the fixture: one row per vector, one null-max per cell") {
+    val rows = Similarity.semDedup(spark, sf()).collect()
+    val n = spark.read.parquet(s"${sf()}/embeddings.parquet").count()
+    assert(rows.length.toLong == n)
+    // exactly one row per cell (its min-id member) has no earlier
+    // member, hence a null max_prior_sim — and it is always kept
+    val byCell = rows.groupBy(_.getAs[Long]("cell"))
+    byCell.foreach { case (_, members) =>
+      val nullMax = members.filter(r => r.isNullAt(2))
+      assert(nullMax.length == 1)
+      assert(nullMax.head.getAs[Boolean]("keep"))
+      val minId = members.map(_.getAs[Long]("vec_id")).min
+      assert(nullMax.head.getAs[Long]("vec_id") == minId)
+    }
+  }
+
+  test("substring dup stats match a brute-force recompute on a planted corpus") {
+    import spark.implicits._
+    val run = (0 until 30).map(i => s"shared$i").mkString(" ")
+    def noise(tag: String, n: Int) =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"${noise("a", 10)} $run ${noise("b", 10)}"), // shares run with 1
+      (1L, s"${noise("c", 4)} $run"),                    // shares run with 0
+      (2L, noise("short", 7)),                           // < 16 tokens: no windows
+      (3L, noise("d", 60)),                              // unique long doc
+      (4L, noise("d", 60))                               // exact copy of 3: 60-token span ≥ 50 → dropped
+    ).toDF("doc_id", "text")
+    val w = 16
+    val texts = corpus.collect().map(r => r.getLong(0) -> r.getString(1))
+    val wins = texts.map { case (id, t) =>
+      val toks = t.trim.toLowerCase.split("\\s+").toSeq
+      id -> (if (toks.size >= w) toks.sliding(w).map(_.mkString(" ")).toVector
+             else Vector.empty[String])
+    }.toMap
+    val docFreq = wins.toSeq.flatMap { case (id, ws) => ws.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (win, xs) => win -> xs.map(_._2).distinct.size }
+    val expected = wins.map { case (id, ws) =>
+      val dup = ws.map(docFreq(_) > 1)
+      val runs = if (dup.isEmpty) Vector.empty[Int] else {
+        dup.foldLeft(Vector.empty[(Boolean, Int)]) {
+          case (acc, d) if acc.nonEmpty && acc.last._1 == d =>
+            acc.init :+ (d, acc.last._2 + 1)
+          case (acc, d) => acc :+ (d, 1)
+        }.collect { case (true, len) => len }
+      }
+      val maxRun = if (runs.isEmpty) 0 else runs.max
+      id -> ((ws.size.toLong, dup.count(identity).toLong,
+        if (maxRun > 0) maxRun.toLong + w - 1 else 0L))
+    }
+    val got = Dedup.substringDupStatsDf(corpus, w, 1, 50).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got.size == texts.length)
+    expected.foreach { case (id, (nw, dw, span)) =>
+      val r = got(id)
+      assert(r.getAs[Long]("n_windows") == nw, s"doc $id n_windows")
+      assert(r.getAs[Long]("dup_windows") == dw, s"doc $id dup_windows")
+      assert(r.getAs[Long]("max_span_tokens") == span, s"doc $id span")
+      assert(r.getAs[Boolean]("keep") == (span < 50), s"doc $id keep")
+      if (nw == 0) assert(r.isNullAt(3), s"doc $id dup_frac should be null")
+      else assert(r.getAs[Double]("dup_frac") == dw.toDouble / nw, s"doc $id frac")
+    }
+    // sanity on the plant: docs 3/4 are full duplicates (span = doc
+    // length), docs 0/1 share only the 30-token run, doc 2 is inert
+    assert(got(3L).getAs[Boolean]("keep") == false)
+    assert(got(4L).getAs[Boolean]("keep") == false)
+    assert(got(0L).getAs[Long]("dup_windows") == 15L)
+    assert(got(2L).getAs[Long]("n_windows") == 0L)
+  }
 }
