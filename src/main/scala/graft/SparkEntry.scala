@@ -183,6 +183,11 @@ object SparkEntry {
     // exact-substring duplication (windowed ExactSubstr): md5-keyed
     // 16-token windows, one gram-keyed + one doc-keyed shuffle
     "dedup_substring" -> ((s, dir) => Dedup.substringDupStats(s, dir)),
+    // index-reuse ingestion: new batch (doc_id % 10 == 0) probed
+    // against the corpus's band buckets only — candidate volume is
+    // batch-proportional, never a corpus self-join
+    "dedup_incremental" -> ((s, dir) =>
+      Dedup.incrementalDedupPairs(s, dir, maxDocFreq = Some(0.1))),
 
     // --- LLM-pipeline: text analysis over documents ---
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
@@ -229,6 +234,10 @@ object SparkEntry {
     // within-cell drop-if-similar-to-earlier-member — one cell-keyed
     // shuffle, pairwise cost bounded by cell size (the paper's knob)
     "semdedup" -> ((s, dir) => Similarity.semDedup(s, dir)),
+    // corpus composition: source × embedding-cell counts and shares;
+    // aggregation cardinality is sources×cells, so the window sums
+    // ride a tiny relation
+    "cluster_mix" -> ((s, dir) => Similarity.clusterMix(s, dir)),
     // SQ8 int8 quantization: narrow per-row HOF math, zero exchanges;
     // the md5 payload fingerprint pins every quantized byte
     "sim_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
@@ -524,6 +533,22 @@ object SparkEntry {
         |    PARTITION BY (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8
         |    ORDER BY hx, doc_id) AS INTEGER) AS shard_pos
         |FROM h""".stripMargin,
+    // Incremental dedup: exact Jaccard restricted to pairs straddling
+    // the batch carve (exactly one side has doc_id % 10 = 0); the
+    // batch member is reported as doc_new
+    "dedup_incremental" ->
+      s"""WITH $jaccardCtes, p AS (
+         |  SELECT doc_a, doc_b, i / (ca.n + cb.n - i) AS jaccard
+         |  FROM inter
+         |  JOIN cnt ca ON ca.doc_id = doc_a
+         |  JOIN cnt cb ON cb.doc_id = doc_b
+         |  WHERE i / (ca.n + cb.n - i) >= 0.8
+         |)
+         |SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_new,
+         |  CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_idx,
+         |  jaccard
+         |FROM p
+         |WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)""".stripMargin,
     // Windowed ExactSubstr: 16-token windows, duplicated = seen in >1
     // doc; islands of consecutive duplicated windows give the longest
     // duplicated span (run + 15 tokens); keep = no span of 50+ tokens.
@@ -1025,70 +1050,11 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
         |  FROM sc
         |) WHERE rk <= 10""".stripMargin,
-    // Full cross-engine pin of the IVF pipeline: centroids seed from
-    // the first 16 vectors and are refined by two Lloyd iterations,
-    // unrolled here with the engine's exact arithmetic — per-cell
-    // means are DECIMAL(27,12)-mediated (exact, order-independent
-    // sums) so the refined centroids are bit-identical across engines;
-    // emptied cells keep their previous centroid (the coalesce).
+    // Full cross-engine pin of the IVF pipeline: the shared Lloyd
+    // prefix (seeds from the first 16 vectors, two decimal-mediated
+    // iterations), probes = 4 nearest cells for the first 5 vectors.
     "sim_ann_ivf" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |), dims AS (
-        |  SELECT unnest(range(1, len(v) + 1)) AS d FROM (SELECT v FROM e LIMIT 1)
-        |), c0 AS (
-        |  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16
-        |), a1 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT e.vec_id, c0.cell,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(v, cv) /
-        |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
-        |          DESC NULLS LAST,
-        |        cell) AS rn
-        |    FROM e, c0
-        |  ) WHERE rn = 1
-        |), m1 AS (
-        |  SELECT cell, d,
-        |    CAST(SUM(CAST(e.v[d] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
-        |  FROM a1, e, dims WHERE a1.vec_id = e.vec_id
-        |  GROUP BY cell, d
-        |), g1 AS (
-        |  SELECT cell, list(m ORDER BY d) AS cv FROM m1 GROUP BY cell
-        |), c1 AS (
-        |  SELECT c0.cell, coalesce(g1.cv, c0.cv) AS cv
-        |  FROM c0 LEFT JOIN g1 USING (cell)
-        |), a2 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT e.vec_id, c1.cell,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(v, cv) /
-        |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
-        |          DESC NULLS LAST,
-        |        cell) AS rn
-        |    FROM e, c1
-        |  ) WHERE rn = 1
-        |), m2 AS (
-        |  SELECT cell, d,
-        |    CAST(SUM(CAST(e.v[d] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
-        |  FROM a2, e, dims WHERE a2.vec_id = e.vec_id
-        |  GROUP BY cell, d
-        |), g2 AS (
-        |  SELECT cell, list(m ORDER BY d) AS cv FROM m2 GROUP BY cell
-        |), c2 AS (
-        |  SELECT c1.cell, coalesce(g2.cv, c1.cv) AS cv
-        |  FROM c1 LEFT JOIN g2 USING (cell)
-        |), ac AS (
-        |  SELECT vec_id, cell,
-        |    row_number() OVER (PARTITION BY vec_id ORDER BY
-        |      list_dot_product(v, cv) /
-        |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
-        |        DESC NULLS LAST,
-        |      cell) AS rn
-        |  FROM e, c2
-        |), assigned AS (
-        |  SELECT vec_id, cell FROM ac WHERE rn = 1
-        |), probes AS (
+      s"""WITH $lloydCellCtes, probes AS (
         |  SELECT vec_id AS query_id, cell FROM ac WHERE rn <= 4 AND vec_id < 5
         |), cand AS (
         |  SELECT DISTINCT p.query_id, a.vec_id
@@ -1105,81 +1071,38 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
         |  FROM sc
         |) WHERE rk <= 10""".stripMargin,
-    // SemDeDup: the same unrolled seeds + two-Lloyd-iteration prefix
-    // as sim_ann_ivf (bit-identical decimal-mediated centroids), then
-    // per vector the max cosine to any LOWER-id member of its cell;
-    // keep = below eps (0.3), with a cell's first member keeping its
-    // NULL max (the coalesce mirrors the engine's null algebra)
+    // SemDeDup: the shared Lloyd prefix (bit-identical decimal-
+    // mediated centroids), then per vector the max cosine to any
+    // LOWER-id member of its cell; keep = below eps (0.3), with a
+    // cell's first member keeping its NULL max (the coalesce mirrors
+    // the engine's null algebra)
     "semdedup" ->
-      """WITH e AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |), dims AS (
-        |  SELECT unnest(range(1, len(v) + 1)) AS d FROM (SELECT v FROM e LIMIT 1)
-        |), c0 AS (
-        |  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16
-        |), a1 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT e.vec_id, c0.cell,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(v, cv) /
-        |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
-        |          DESC NULLS LAST,
-        |        cell) AS rn
-        |    FROM e, c0
-        |  ) WHERE rn = 1
-        |), m1 AS (
-        |  SELECT cell, d,
-        |    CAST(SUM(CAST(e.v[d] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
-        |  FROM a1, e, dims WHERE a1.vec_id = e.vec_id
-        |  GROUP BY cell, d
-        |), g1 AS (
-        |  SELECT cell, list(m ORDER BY d) AS cv FROM m1 GROUP BY cell
-        |), c1 AS (
-        |  SELECT c0.cell, coalesce(g1.cv, c0.cv) AS cv
-        |  FROM c0 LEFT JOIN g1 USING (cell)
-        |), a2 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT e.vec_id, c1.cell,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(v, cv) /
-        |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
-        |          DESC NULLS LAST,
-        |        cell) AS rn
-        |    FROM e, c1
-        |  ) WHERE rn = 1
-        |), m2 AS (
-        |  SELECT cell, d,
-        |    CAST(SUM(CAST(e.v[d] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
-        |  FROM a2, e, dims WHERE a2.vec_id = e.vec_id
-        |  GROUP BY cell, d
-        |), g2 AS (
-        |  SELECT cell, list(m ORDER BY d) AS cv FROM m2 GROUP BY cell
-        |), c2 AS (
-        |  SELECT c1.cell, coalesce(g2.cv, c1.cv) AS cv
-        |  FROM c1 LEFT JOIN g2 USING (cell)
-        |), assigned AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT e.vec_id, c2.cell,
-        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-        |        list_dot_product(v, cv) /
-        |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
-        |          DESC NULLS LAST,
-        |        cell) AS rn
-        |    FROM e, c2
-        |  ) WHERE rn = 1
-        |), mem AS (
-        |  SELECT a.vec_id, a.cell, e.v FROM assigned a JOIN e USING (vec_id)
-        |), pr AS (
-        |  SELECT b.vec_id,
-        |    max(list_dot_product(a.v, b.v) /
-        |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
-        |      AS max_prior_sim
-        |  FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  GROUP BY b.vec_id
-        |)
-        |SELECT m.vec_id, m.cell, pr.max_prior_sim,
-        |  coalesce(pr.max_prior_sim < 0.3, TRUE) AS keep
-        |FROM mem m LEFT JOIN pr USING (vec_id)""".stripMargin,
+      s"""WITH $lloydCellCtes, mem AS (
+         |  SELECT a.vec_id, a.cell, e.v FROM assigned a JOIN e USING (vec_id)
+         |), pr AS (
+         |  SELECT b.vec_id,
+         |    max(list_dot_product(a.v, b.v) /
+         |      (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))))
+         |      AS max_prior_sim
+         |  FROM mem a JOIN mem b ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  GROUP BY b.vec_id
+         |)
+         |SELECT m.vec_id, m.cell, pr.max_prior_sim,
+         |  coalesce(pr.max_prior_sim < 0.3, TRUE) AS keep
+         |FROM mem m LEFT JOIN pr USING (vec_id)""".stripMargin,
+    // Corpus composition: source × cell counts off the same assignment
+    "cluster_mix" ->
+      s"""WITH $lloydCellCtes, j AS (
+         |  SELECT d.source, a.cell
+         |  FROM documents d JOIN assigned a ON d.doc_id = a.vec_id
+         |), c AS (
+         |  SELECT source, cell, CAST(count(*) AS BIGINT) AS n
+         |  FROM j GROUP BY 1, 2
+         |)
+         |SELECT source, cell, n,
+         |  n / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE) AS frac_of_source,
+         |  n / CAST(sum(n) OVER (PARTITION BY cell) AS DOUBLE) AS frac_of_cell
+         |FROM c""".stripMargin,
     "sim_norms" ->
       """SELECT vec_id,
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2
@@ -1253,6 +1176,73 @@ object SparkEntry {
         |  md5(array_to_string(qv, ',')) AS qfp
         |FROM q""".stripMargin
   )
+
+  /** Shared CTE list (no WITH keyword) reproducing the engine's
+    * k-means coarse quantizer bit-exactly: seeds from the first 16
+    * vectors (c0), two unrolled Lloyd iterations with DECIMAL(27,12)-
+    * mediated (order-independent) means (c1, c2), emptied cells keep
+    * their previous centroid. Ends at `c2` (cell, cv); consumers
+    * append their own assignment/probe CTEs. Pins `sim_ann_ivf`,
+    * `semdedup`, and `cluster_mix` from one arithmetic source.
+    */
+  private val lloydCellCtes: String =
+    """e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      |), dims AS (
+      |  SELECT unnest(range(1, len(v) + 1)) AS d FROM (SELECT v FROM e LIMIT 1)
+      |), c0 AS (
+      |  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16
+      |), a1 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c0.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(v, cv) /
+      |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+      |          DESC NULLS LAST,
+      |        cell) AS rn
+      |    FROM e, c0
+      |  ) WHERE rn = 1
+      |), m1 AS (
+      |  SELECT cell, d,
+      |    CAST(SUM(CAST(e.v[d] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
+      |  FROM a1, e, dims WHERE a1.vec_id = e.vec_id
+      |  GROUP BY cell, d
+      |), g1 AS (
+      |  SELECT cell, list(m ORDER BY d) AS cv FROM m1 GROUP BY cell
+      |), c1 AS (
+      |  SELECT c0.cell, coalesce(g1.cv, c0.cv) AS cv
+      |  FROM c0 LEFT JOIN g1 USING (cell)
+      |), a2 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT e.vec_id, c1.cell,
+      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |        list_dot_product(v, cv) /
+      |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+      |          DESC NULLS LAST,
+      |        cell) AS rn
+      |    FROM e, c1
+      |  ) WHERE rn = 1
+      |), m2 AS (
+      |  SELECT cell, d,
+      |    CAST(SUM(CAST(e.v[d] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
+      |  FROM a2, e, dims WHERE a2.vec_id = e.vec_id
+      |  GROUP BY cell, d
+      |), g2 AS (
+      |  SELECT cell, list(m ORDER BY d) AS cv FROM m2 GROUP BY cell
+      |), c2 AS (
+      |  SELECT c1.cell, coalesce(g2.cv, c1.cv) AS cv
+      |  FROM c1 LEFT JOIN g2 USING (cell)
+      |), ac AS (
+      |  SELECT vec_id, cell,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY
+      |      list_dot_product(v, cv) /
+      |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
+      |        DESC NULLS LAST,
+      |      cell) AS rn
+      |  FROM e, c2
+      |), assigned AS (
+      |  SELECT vec_id, cell FROM ac WHERE rn = 1
+      |)""".stripMargin
 
   /** Shared CTE list (no WITH keyword) computing exact word-trigram
     * Jaccard: toks → sh → cnt → inter.

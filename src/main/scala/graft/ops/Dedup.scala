@@ -265,28 +265,73 @@ object Dedup {
     // cached so the scan+split+explode+distinct lineage runs once, not
     // four times (and the minhash seeds hash longs, not strings).
     val sh = hashedShingles(docsDf, n, maxDocFreq, scope)
-    val sigs = minhashSignatures(sh, numHashes)
-    val numBands = numHashes / rowsPerBand
-    val bandStructs = (0 until numBands).map { b =>
-      // combine the band's long hashes into one key (order-sensitive)
-      val key = (0 until rowsPerBand)
-        .map(r => col(s"h${b * rowsPerBand + r}"))
-        .reduce((x, y) => xxhash64(x, y))
-      struct(lit(b).as("band"), key.as("key"))
-    }
-    // cached: the banded relation feeds BOTH sides of the bucket
-    // self-join — uncached, each side re-runs the 32-aggregate
-    // signature groupBy (measured ~1.5 s/side at sf0.1); cached it is
-    // one materialization of numBands compact rows per doc
-    val bands = scope.cache(sigs.select(col("doc_id"),
-      explode(array(bandStructs: _*)).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key")))
+    val bands = bandedSignatures(sh, numHashes, rowsPerBand, scope)
     val a = bands.toDF("doc_a", "band", "key")
     val b = bands.toDF("doc_b", "band", "key")
     val cand = a.join(b, Seq("band", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b").distinct()
     jaccardOfCandidates(sh, cand, threshold)
+  }
+
+  /** Banded MinHash signatures (`doc_id`, `band`, `key`), cached via
+    * `scope`: the relation feeds both sides of every bucket join —
+    * uncached, each side re-runs the 32-aggregate signature groupBy
+    * (measured ~1.5 s/side at sf0.1); cached it is one
+    * materialization of numBands compact rows per doc. Band keys
+    * fold the band's long hashes order-sensitively with xxhash64.
+    */
+  private def bandedSignatures(
+      sh: DataFrame, numHashes: Int, rowsPerBand: Int, scope: CacheScope
+  ): DataFrame = {
+    val sigs = minhashSignatures(sh, numHashes)
+    val numBands = numHashes / rowsPerBand
+    val bandStructs = (0 until numBands).map { b =>
+      val key = (0 until rowsPerBand)
+        .map(r => col(s"h${b * rowsPerBand + r}"))
+        .reduce((x, y) => xxhash64(x, y))
+      struct(lit(b).as("band"), key.as("key"))
+    }
+    scope.cache(sigs.select(col("doc_id"),
+      explode(array(bandStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key")))
+  }
+
+  /** Incremental (index-reuse) near-dup detection — the production
+    * ingestion shape: a NEW batch of documents arrives and must be
+    * checked against the already-indexed corpus, without re-comparing
+    * the corpus to itself. The batch here is the deterministic carve
+    * `doc_id % 10 == 0` (same style as [[contamination]]'s benchmark
+    * carve); candidates come from joining the batch's band buckets
+    * against the INDEX's band buckets only — batch×batch and
+    * index×index bucket collisions never become candidates — then
+    * exact-Jaccard verification at `threshold`.
+    *
+    * Shape at scale: the banded-signature relation is precisely what
+    * a production system persists as its LSH index; this operator is
+    * the probe side. Candidate volume is proportional to the BATCH
+    * (not the corpus), the bucket join is band/key-keyed, and
+    * verification touches only candidate shingle sets. A 100 TB
+    * corpus with a 0.1% daily batch does 0.1% of the full self-join's
+    * work per day — that is the entire point of the operator.
+    */
+  def incrementalDedupPairs(
+      s: SparkSession, dir: String,
+      threshold: Double = 0.8, n: Int = 3,
+      numHashes: Int = 32, rowsPerBand: Int = 2,
+      maxDocFreq: Option[Double] = None,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    val sh = hashedShingles(docs(s, dir), n, maxDocFreq, scope)
+    val bands = bandedSignatures(sh, numHashes, rowsPerBand, scope)
+    val isNew = col("doc_id") % 10 === 0
+    val newB = bands.filter(isNew).toDF("doc_a", "band", "key")
+    val idxB = bands.filter(!isNew).toDF("doc_b", "band", "key")
+    val cand = newB.join(idxB, Seq("band", "key"))
+      .select("doc_a", "doc_b").distinct()
+    jaccardOfCandidates(sh, cand, threshold)
+      .select(col("doc_a").as("doc_new"), col("doc_b").as("doc_idx"),
+        col("jaccard"))
   }
 
   /** Duplicate-cluster resolution — the last mile of dedup: near-dup

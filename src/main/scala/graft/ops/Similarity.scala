@@ -384,6 +384,17 @@ object Similarity {
   def semDedup(
       s: SparkSession, dir: String, eps: Double = 0.3,
       numCells: Int = 16, lloydIters: Int = 2
+  ): DataFrame =
+    semDedupAssigned(kmeansCells(s, dir, numCells, lloydIters), eps)
+
+  /** Shared coarse quantizer: seed centroids from the first `numCells`
+    * vectors, refine with [[lloydStep]], assign every vector to its
+    * nearest cell — the (`vec_id`, `v`, `cell`) relation [[semDedup]]
+    * and [[clusterMix]] build on. Same arithmetic as [[ivfTopK]]'s
+    * prefix, so one oracle SQL prefix pins all three.
+    */
+  private[graft] def kmeansCells(
+      s: SparkSession, dir: String, numCells: Int, lloydIters: Int
   ): DataFrame = {
     val emb = load(s, dir).select(col("vec_id"), col("v")).cache()
     val seeds: Seq[(Long, Seq[Double])] =
@@ -393,7 +404,40 @@ object Similarity {
         .map(r => (r.getLong(0), r.getSeq[Double](1)))
         .sortBy(_._1)
     val cents = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydStep(emb, c))
-    semDedupAssigned(assignCells(emb, "v", cents, 1), eps)
+    assignCells(emb, "v", cents, 1)
+  }
+
+  /** Corpus-composition report: how each document source distributes
+    * over the embedding-space cells — the analysis behind per-topic
+    * mix decisions (which [[graft.ops.TrainPrep]]'s `mix_weights`
+    * then acts on at source granularity). One row per (source, cell)
+    * with its count and the share of the source in the cell / the
+    * cell in the source.
+    *
+    * Shape at scale: the cell assignment is the narrow zero-Exchange
+    * argmax; the doc join is id-keyed; the aggregation is one
+    * (source, cell) groupBy — cardinality sources×cells, tiny — and
+    * the two share fractions ride window sums over that already-tiny
+    * relation, adding no corpus-sized shuffle.
+    */
+  def clusterMix(
+      s: SparkSession, dir: String,
+      numCells: Int = 16, lloydIters: Int = 2
+  ): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"))
+    val cells = kmeansCells(s, dir, numCells, lloydIters)
+      .select(col("vec_id").as("doc_id"), col("cell"))
+    val counts = docs.join(cells, "doc_id")
+      .groupBy(col("source"), col("cell"))
+      .agg(count(lit(1)).as("n"))
+    val bySource = Window.partitionBy("source")
+    val byCell = Window.partitionBy("cell")
+    counts.select(col("source"), col("cell"), col("n"),
+      (col("n") / sum(col("n")).over(bySource).cast("double"))
+        .as("frac_of_source"),
+      (col("n") / sum(col("n")).over(byCell).cast("double"))
+        .as("frac_of_cell"))
   }
 
   /** Drop rule over an already-cell-assigned relation (`vec_id`, `v`,

@@ -333,6 +333,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental dedup finds exactly the cross-carve near-dup pairs, batch side first") {
+    val all = pairs(Dedup.minhashLshPairs(spark, sf(), threshold = 0.8))
+    val expected = all.filter { case (a, b) => (a % 10 == 0) != (b % 10 == 0) }
+      .map { case (a, b) => if (a % 10 == 0) (a, b) else (b, a) }
+    val got = Dedup.incrementalDedupPairs(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_idx"))).toSet
+    assert(expected.nonEmpty, "fixture should contain cross-carve near-dups")
+    assert(got == expected)
+    assert(got.forall(_._1 % 10 == 0))
+  }
+
+  test("cluster_mix: shares sum to 1 per source and per cell, counts cover the corpus") {
+    val rows = Similarity.clusterMix(spark, sf()).collect()
+    val n = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == n)
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, rs) =>
+      val tot = rs.map(_.getAs[Double]("frac_of_source")).sum
+      assert(math.abs(tot - 1.0) < 1e-9, s"source $src shares sum to $tot")
+    }
+    rows.groupBy(_.getAs[Long]("cell")).foreach { case (cell, rs) =>
+      val tot = rs.map(_.getAs[Double]("frac_of_cell")).sum
+      assert(math.abs(tot - 1.0) < 1e-9, s"cell $cell shares sum to $tot")
+    }
+  }
+
   test("substring dup stats match a brute-force recompute on a planted corpus") {
     import spark.implicits._
     val run = (0 until 30).map(i => s"shared$i").mkString(" ")
