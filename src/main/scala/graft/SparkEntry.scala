@@ -4,8 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
-import graft.ops.{Dedup, EventOps, Filtering, MediaHeaders, Multimodal,
-  Relational, Similarity, TextOps, TrainPrep}
+import graft.ops.{Dedup, EventOps, Filtering, LshIndex, MediaHeaders,
+  Multimodal, Relational, Similarity, TextOps, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -188,6 +188,19 @@ object SparkEntry {
     // batch-proportional, never a corpus self-join
     "dedup_incremental" -> ((s, dir) =>
       Dedup.incrementalDedupPairs(s, dir, maxDocFreq = Some(0.1))),
+    // same semantics via the PERSISTED index (build + probe in one
+    // timed unit): the corpus side is banded once and written to
+    // parquet, the batch probes it — LshIndexSpec pins probe==one-job
+    // equality, and this row pins both against the DuckDB oracle
+    "dedup_index_probe" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-lshidx").toString
+      val isBatch = col("doc_id") % 10 === 0
+      LshIndex.build(s, dir, idx, maxDocFreq = Some(0.1),
+        docFilter = Some(!isBatch))
+      LshIndex.probe(s, idx,
+        s.read.parquet(s"$dir/documents.parquet").filter(isBatch))
+    }),
 
     // --- LLM-pipeline: text analysis over documents ---
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
@@ -536,19 +549,11 @@ object SparkEntry {
     // Incremental dedup: exact Jaccard restricted to pairs straddling
     // the batch carve (exactly one side has doc_id % 10 = 0); the
     // batch member is reported as doc_new
-    "dedup_incremental" ->
-      s"""WITH $jaccardCtes, p AS (
-         |  SELECT doc_a, doc_b, i / (ca.n + cb.n - i) AS jaccard
-         |  FROM inter
-         |  JOIN cnt ca ON ca.doc_id = doc_a
-         |  JOIN cnt cb ON cb.doc_id = doc_b
-         |  WHERE i / (ca.n + cb.n - i) >= 0.8
-         |)
-         |SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_new,
-         |  CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_idx,
-         |  jaccard
-         |FROM p
-         |WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)""".stripMargin,
+    "dedup_incremental" -> incrementalOracle,
+    // Same oracle for the persisted-index formulation: the engine-side
+    // equality of the two paths is LshIndexSpec's pin; this row makes
+    // both independently DuckDB-hash-pinned
+    "dedup_index_probe" -> incrementalOracle,
     // Windowed ExactSubstr: 16-token windows, duplicated = seen in >1
     // doc; islands of consecutive duplicated windows give the longest
     // duplicated span (run + 15 tokens); keep = no span of 50+ tokens.
@@ -1264,6 +1269,25 @@ object SparkEntry {
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)""".stripMargin
+
+  /** Exact Jaccard restricted to pairs straddling the batch carve
+    * (exactly one side has doc_id % 10 = 0), batch member first —
+    * shared by `dedup_incremental` (one-job) and `dedup_index_probe`
+    * (persisted index): both compute this same relation.
+    */
+  private lazy val incrementalOracle: String =
+    s"""WITH $jaccardCtes, p AS (
+       |  SELECT doc_a, doc_b, i / (ca.n + cb.n - i) AS jaccard
+       |  FROM inter
+       |  JOIN cnt ca ON ca.doc_id = doc_a
+       |  JOIN cnt cb ON cb.doc_id = doc_b
+       |  WHERE i / (ca.n + cb.n - i) >= 0.8
+       |)
+       |SELECT CASE WHEN doc_a % 10 = 0 THEN doc_a ELSE doc_b END AS doc_new,
+       |  CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS doc_idx,
+       |  jaccard
+       |FROM p
+       |WHERE (doc_a % 10 = 0) <> (doc_b % 10 = 0)""".stripMargin
 
   /** Exact word-trigram Jaccard pairs at a threshold — shared oracle
     * for the exact and LSH dedup paths.

@@ -281,7 +281,7 @@ object Dedup {
     * materialization of numBands compact rows per doc. Band keys
     * fold the band's long hashes order-sensitively with xxhash64.
     */
-  private def bandedSignatures(
+  private[graft] def bandedSignatures(
       sh: DataFrame, numHashes: Int, rowsPerBand: Int, scope: CacheScope
   ): DataFrame = {
     val sigs = minhashSignatures(sh, numHashes)

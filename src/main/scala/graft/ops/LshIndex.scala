@@ -1,0 +1,137 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH index — the storage half of the incremental
+  * ingestion shape ([[Dedup.incrementalDedupPairs]] computes both sides
+  * in one job; here the corpus side is built ONCE and written to
+  * parquet, and arriving batches probe it without touching corpus
+  * text again).
+  *
+  * Index layout (`<path>/…`, all parquet):
+  *   - `bands`  — (doc_id, band, key): the banded MinHash signatures,
+  *     the bucket-join side of candidate generation.
+  *   - `sets`   — (doc_id, shingles: array<bigint>): each document's
+  *     sorted hashed-shingle set, pre-aggregated so probe-time
+  *     verification is a row-local `array_intersect` — no second
+  *     shuffle over corpus shingles.
+  *   - `hot`    — (shingle): the shingles the `maxDocFreq` skew guard
+  *     DROPPED at build time. Probes anti-join their shingles against
+  *     this set so batch and index shingle sets stay consistent — a
+  *     guard recomputed over a small batch would keep shingles the
+  *     index dropped and skew every Jaccard it participates in.
+  *   - `meta`   — one row (n, num_hashes, rows_per_band): the hash
+  *     configuration, read back at probe time so a probe can never run
+  *     with mismatched shingle width or banding.
+  *
+  * Scale: the index is corpus-proportional but TEXT-FREE — 8-byte
+  * hashes only, typically ~2% of corpus bytes. Build is the same two
+  * shuffles as the self-join dedup (shingle distinct, signature
+  * groupBy); probes cost is proportional to the BATCH. A production
+  * deployment would additionally bucketBy(key) the bands relation so
+  * probe bucket-joins skip the shuffle entirely; plain parquet keeps
+  * this readable by any engine and the probe's one shuffle is
+  * batch-sized anyway.
+  */
+object LshIndex {
+
+  final case class Meta(n: Int, numHashes: Int, rowsPerBand: Int)
+
+  /** Build the index from the corpus at `dir` (optionally restricted
+    * by `docFilter`) and write it under `path`.
+    */
+  def build(
+      s: SparkSession, dir: String, path: String,
+      n: Int = 3, numHashes: Int = 32, rowsPerBand: Int = 2,
+      maxDocFreq: Option[Double] = None,
+      docFilter: Option[org.apache.spark.sql.Column] = None
+  ): Unit = {
+    val scope = new CacheScope
+    try {
+      val docs = docFilter.foldLeft(
+        s.read.parquet(s"$dir/documents.parquet"))((d, f) => d.filter(f))
+      // one cached pre-guard shingle lineage feeds the hot-set
+      // aggregation AND (guarded) the bands + sets writes —
+      // [[Dedup.hashedShingles]]' guard is inlined here because the
+      // index must PERSIST the casualties, which that method discards
+      val base = Dedup.hashedShingles(docs, n, None, scope)
+      val hot = scope.cache(maxDocFreq match {
+        case None => base.select("shingle").limit(0)
+        case Some(f) =>
+          val total = docs.count()
+          base.groupBy("shingle").agg(count(lit(1)).as("df"))
+            .filter(col("df") > (f * total).toLong)
+            .select("shingle")
+      })
+      val sh = base.join(broadcast(hot), Seq("shingle"), "left_anti")
+        .select("doc_id", "shingle")
+      Dedup.bandedSignatures(sh, numHashes, rowsPerBand, scope)
+        .write.mode("overwrite").parquet(s"$path/bands")
+      // sort_array: a deterministic on-disk layout (the set is the
+      // contract, but byte-stable files make index diffs meaningful)
+      sh.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("shingle"))).as("shingles"))
+        .write.mode("overwrite").parquet(s"$path/sets")
+      hot.write.mode("overwrite").parquet(s"$path/hot")
+      import s.implicits._
+      Seq((n, numHashes, rowsPerBand))
+        .toDF("n", "num_hashes", "rows_per_band")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    } finally scope.release()
+  }
+
+  def readMeta(s: SparkSession, path: String): Meta = {
+    val r = s.read.parquet(s"$path/meta").head()
+    Meta(r.getAs[Int]("n"), r.getAs[Int]("num_hashes"),
+      r.getAs[Int]("rows_per_band"))
+  }
+
+  /** Probe the index with a batch of new documents (doc_id, text):
+    * near-dup pairs (doc_new, doc_idx, jaccard) at `threshold` between
+    * the batch and the INDEXED corpus. Batch signatures use the
+    * index's own hash configuration (from `meta`) and its persisted
+    * hot-shingle guard, so a pair scores identically to the one-job
+    * formulation.
+    *
+    * Plan shape: batch shingles/signatures are batch-sized; the bucket
+    * join streams index bands past the (typically broadcastable) batch
+    * bands; verification is a row-local `array_intersect` after two
+    * id-keyed set lookups — candidate-set-sized, nothing
+    * corpus-quadratic. Works unchanged as a `foreachBatch` body
+    * ([[graft.streaming.StreamingDedup]]).
+    */
+  def probe(
+      s: SparkSession, path: String, batch: DataFrame,
+      threshold: Double = 0.8,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    val meta = readMeta(s, path)
+    val hot = s.read.parquet(s"$path/hot")
+    // the index's guard, not a batch-local recount: anti-join against
+    // the persisted hot set (broadcast — tiny by the guard's own
+    // definition)
+    val sh = Dedup.hashedShingles(batch, meta.n, None, scope)
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+    val bBands = Dedup
+      .bandedSignatures(sh, meta.numHashes, meta.rowsPerBand, scope)
+      .toDF("doc_new", "band", "key")
+    val iBands = s.read.parquet(s"$path/bands")
+      .toDF("doc_idx", "band", "key")
+    val cand = bBands.join(iBands, Seq("band", "key"))
+      .select("doc_new", "doc_idx").distinct()
+    val bSets = sh.groupBy("doc_id")
+      .agg(collect_list(col("shingle")).as("sh_new"))
+      .toDF("doc_new", "sh_new")
+    val iSets = s.read.parquet(s"$path/sets").toDF("doc_idx", "sh_idx")
+    val res = cand.join(bSets, "doc_new").join(iSets, "doc_idx")
+      .select(col("doc_new"), col("doc_idx"),
+        (size(array_intersect(col("sh_new"), col("sh_idx"))).cast("double") /
+          (size(col("sh_new")) + size(col("sh_idx")) -
+            size(array_intersect(col("sh_new"), col("sh_idx")))))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_new", "doc_idx", "jaccard")
+    res
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+import graft.ops.{Dedup, LshIndex}
+import graft.streaming.StreamingDedup
+
+final case class Doc(doc_id: Long, text: String)
+
+class LshIndexSpec extends SparkSpec {
+
+  private val isBatch = col("doc_id") % 10 === 0
+
+  private def buildIndex(): String = {
+    val path = Files.createTempDirectory("lshidx").toString
+    LshIndex.build(spark, sf(), path, maxDocFreq = Some(0.1),
+      docFilter = Some(!isBatch))
+    path
+  }
+
+  private def batchDocs() =
+    spark.read.parquet(s"${sf()}/documents.parquet").filter(isBatch)
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_idx"))).toSet
+
+  test("meta round-trips the hash configuration") {
+    val path = buildIndex()
+    assert(LshIndex.readMeta(spark, path) == LshIndex.Meta(3, 32, 2))
+  }
+
+  test("persisted-index probe equals the one-job incremental formulation") {
+    val path = buildIndex()
+    val viaIndex = pairSet(LshIndex.probe(spark, path, batchDocs()))
+    val oneJob = pairSet(
+      Dedup.incrementalDedupPairs(spark, sf(), maxDocFreq = Some(0.1)))
+    assert(oneJob.nonEmpty, "fixture should contain cross-carve near-dups")
+    assert(viaIndex == oneJob)
+    // jaccard values agree too, not just membership
+    val vj = LshIndex.probe(spark, path, batchDocs()).collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_idx")) ->
+        r.getAs[Double]("jaccard")).toMap
+    Dedup.incrementalDedupPairs(spark, sf(), maxDocFreq = Some(0.1))
+      .collect().foreach { r =>
+        val k = (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_idx"))
+        assert(math.abs(vj(k) - r.getAs[Double]("jaccard")) < 1e-12)
+      }
+  }
+
+  test("probe honors the index's persisted hot-shingle guard") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("lshidx-hot").toString
+    // corpus: every doc shares a hot boilerplate prefix; two docs are
+    // near-dups only once the boilerplate is discounted
+    val boiler = "terms of service apply to all"
+    val corpus = (1L to 20L).map(i =>
+      Doc(i, s"$boiler unique$i payload$i tokens$i here$i now$i")) ++
+      Seq(Doc(100L, s"$boiler common body shared across the pair x y"),
+        Doc(101L, s"$boiler common body shared across the pair x z"))
+    corpus.toDF().write.mode("overwrite")
+      .parquet(dir + "/documents.parquet")
+    val path = Files.createTempDirectory("lshidx-hot-idx").toString
+    LshIndex.build(spark, dir, path, maxDocFreq = Some(0.5),
+      docFilter = Some(col("doc_id") =!= 101L))
+    val hot = spark.read.parquet(path + "/hot")
+    assert(hot.count() > 0, "boilerplate shingles should be hot")
+    val probed = LshIndex.probe(spark, path,
+      Seq(Doc(101L, s"$boiler common body shared across the pair x z"))
+        .toDF(), threshold = 0.5)
+    val rows = probed.collect()
+    val got = rows.map(r =>
+      (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_idx"))).toSet
+    // the boilerplate alone must NOT qualify unrelated docs
+    assert(got == Set((101L, 100L)))
+    // the jaccard VALUE pins guard consistency: both sides guarded
+    // gives 7 shared of 9 distinct non-hot shingles; a batch side that
+    // kept the hot boilerplate would read 7/13 instead
+    assert(math.abs(rows.head.getAs[Double]("jaccard") - 7.0 / 9.0) < 1e-12)
+  }
+
+  test("streaming probe accumulates per-batch pairs and replays idempotently") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = buildIndex()
+    val out = Files.createTempDirectory("lshidx-out").toString
+    val ckpt = Files.createTempDirectory("lshidx-ckpt").toString
+
+    val all = batchDocs().orderBy("doc_id")
+      .collect().map(r => Doc(r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val (first, second) = all.splitAt(all.length / 2)
+
+    val input = MemoryStream[Doc]
+    input.addData(first.toIndexedSeq)
+    StreamingDedup.probeStream(input.toDF(), path, out, ckpt)
+      .awaitTermination()
+    input.addData(second.toIndexedSeq)
+    StreamingDedup.probeStream(input.toDF(), path, out, ckpt)
+      .awaitTermination()
+
+    val streamed = StreamingDedup.pairs(spark, out)
+    val expected = pairSet(LshIndex.probe(spark, path, batchDocs()))
+    assert(pairSet(streamed.drop("batch_id")) == expected)
+    // batch ids partition the output: no pair is attributed twice
+    assert(streamed.count() == streamed.drop("batch_id").distinct().count())
+
+    // at-least-once replay: re-running a batch id overwrites its own
+    // directory instead of duplicating pairs
+    val before = streamed.count()
+    StreamingDedup.applyBatch(first.toSeq.toDF(), path, out,
+      threshold = 0.8, batchId = 0L)
+    assert(StreamingDedup.pairs(spark, out).count() == before)
+  }
+}
