@@ -81,6 +81,40 @@ object LshIndex {
     } finally scope.release()
   }
 
+  /** Fold a new batch of documents into an existing index: the batch's
+    * bands and shingle sets are appended under the index's own hash
+    * configuration and hot-shingle guard, so subsequent probes see the
+    * batch as part of the corpus. The periodic-compaction companion to
+    * [[graft.streaming.StreamingDedup]]'s static-index probe loop:
+    * probe the arriving batch first, then append it, and the index
+    * tracks the corpus without ever rebuilding from text.
+    *
+    * Two documented drifts, both bounded and both erased by the next
+    * [[build]]: the hot-shingle set stays the BUILD corpus's (a shingle
+    * that becomes hot only through appends keeps feeding buckets until
+    * rebuild — the guard degrades toward more candidates, never toward
+    * wrong answers, because verification is exact either way), and
+    * appended files accumulate until compaction (standard log-
+    * structured economics). NOT idempotent under replay — a re-run
+    * append double-inserts its bands; callers that need at-least-once
+    * safety dedup upstream or track applied batch ids, exactly as
+    * [[graft.streaming.StreamingDedup]] does for its outputs.
+    */
+  def append(s: SparkSession, path: String, batch: DataFrame): Unit = {
+    val meta = readMeta(s, path)
+    val scope = new CacheScope
+    try {
+      val hot = s.read.parquet(s"$path/hot")
+      val sh = Dedup.hashedShingles(batch, meta.n, None, scope)
+        .join(broadcast(hot), Seq("shingle"), "left_anti")
+      Dedup.bandedSignatures(sh, meta.numHashes, meta.rowsPerBand, scope)
+        .write.mode("append").parquet(s"$path/bands")
+      sh.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("shingle"))).as("shingles"))
+        .write.mode("append").parquet(s"$path/sets")
+    } finally scope.release()
+  }
+
   def readMeta(s: SparkSession, path: String): Meta = {
     val r = s.read.parquet(s"$path/meta").head()
     Meta(r.getAs[Int]("n"), r.getAs[Int]("num_hashes"),

@@ -82,6 +82,26 @@ class LshIndexSpec extends SparkSpec {
     assert(math.abs(rows.head.getAs[Double]("jaccard") - 7.0 / 9.0) < 1e-12)
   }
 
+  test("append folds new docs in; probe equals a from-scratch full build") {
+    val grown = Files.createTempDirectory("lshidx-grow").toString
+    LshIndex.build(spark, sf(), grown,
+      docFilter = Some(col("doc_id") % 10 >= 1 && col("doc_id") % 10 <= 4))
+    LshIndex.append(spark, grown,
+      spark.read.parquet(s"${sf()}/documents.parquet")
+        .filter(col("doc_id") % 10 >= 5))
+    val full = buildIndexNoGuard()
+    val viaGrown = pairSet(LshIndex.probe(spark, grown, batchDocs()))
+    val viaFull = pairSet(LshIndex.probe(spark, full, batchDocs()))
+    assert(viaFull.nonEmpty)
+    assert(viaGrown == viaFull)
+  }
+
+  private def buildIndexNoGuard(): String = {
+    val path = Files.createTempDirectory("lshidx-f").toString
+    LshIndex.build(spark, sf(), path, docFilter = Some(!isBatch))
+    path
+  }
+
   test("streaming probe accumulates per-batch pairs and replays idempotently") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
