@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
 import graft.ops.{Dedup, EventOps, Filtering, LshIndex, MediaHeaders,
-  Multimodal, Relational, Similarity, TextOps, TrainPrep}
+  Multimodal, PerceptualHash, Relational, Similarity, TextOps, TrainPrep}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -267,7 +267,13 @@ object SparkEntry {
     // so the oracle pins the no-false-positive contract: all rows
     // sniff as 'unknown' with header fields -1
     "mm_headers" -> ((s, dir) =>
-      MediaHeaders.inventory(Multimodal.mediaTable(s, dir)))
+      MediaHeaders.inventory(Multimodal.mediaTable(s, dir))),
+    // media-level near-dup: deterministic md5-pixel BMPs round-trip
+    // through the REAL decoder into 64-bit dHash signatures, 4-band
+    // pigeonhole (exhaustive at hamming <= 3), exact verification —
+    // the oracle recomputes pixels arithmetically, so hash equality
+    // pins the whole encode->decode->hash path lossless
+    "mm_near_dup" -> ((s, dir) => PerceptualHash.nearDupPairs(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1135,6 +1141,38 @@ object SparkEntry {
         |  -1 AS sample_rate, -1 AS bit_depth,
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes
         |FROM documents""".stripMargin,
+    // Perceptual-hash media dedup: the oracle recomputes the md5-
+    // derived 9x8 pixel grid arithmetically and takes the dHash
+    // bit-by-bit; the engine round-trips the same pixels through real
+    // BMP bytes and the from-scratch decoder — hash equality pins the
+    // codec path lossless end-to-end. All-pairs here (500 docs at
+    // verify scale); the engine bands.
+    "mm_near_dup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 72) ] AS px
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id,
+        |    [ CASE WHEN px[(i // 8) * 9 + (i % 8) + 1]
+        |              < px[(i // 8) * 9 + (i % 8) + 2]
+        |           THEN 1 ELSE 0 END for i in range(0, 64) ] AS bits
+        |  FROM g
+        |)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END))
+        |      AS INTEGER) AS hamming
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |) WHERE hamming <= 3""".stripMargin,
     "mm_payload_meta" ->
       """SELECT doc_id AS media_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'

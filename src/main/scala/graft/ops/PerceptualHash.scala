@@ -1,0 +1,215 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Perceptual-hash near-duplicate detection over binary image columns
+  * — media-level dedup, the visual sibling of [[Dedup.simhashPairs]].
+  *
+  * Pipeline: payload bytes → real decode ([[Codecs.decode]]) → area-
+  * average resample to the canonical 9×8 grid → 64-bit difference
+  * hash (dHash: each bit compares horizontally adjacent grays, so the
+  * signature is invariant to uniform brightness/contrast shifts) →
+  * pigeonhole banding on 16-bit quarters → exact Hamming verification.
+  *
+  * With 4 bands over 64 bits, any pair at Hamming distance ≤ 3 has at
+  * least one untouched band (pigeonhole), so candidate generation is
+  * EXHAUSTIVE at the default threshold and the verified result is
+  * exact — which is what lets `mm_near_dup` carry a full DuckDB
+  * oracle: the fixture's images are deterministic (md5-derived pixels,
+  * see [[syntheticImages]]), so the oracle recomputes pixels
+  * arithmetically while the engine round-trips them through actual BMP
+  * bytes and the [[Codecs]] decoder — hash equality proves the whole
+  * codec path lossless, not just the hash algebra.
+  *
+  * Scale: signatures are one narrow `mapPartitions` scan over payloads
+  * (the batch-codec shape — payload bytes never shuffle; 8 bytes per
+  * image leave the scan); banding shuffles (band, key, doc_id) rows
+  * only; verification joins signatures back by id — the same
+  * bucket-join economics as every other dedup path here.
+  */
+object PerceptualHash {
+
+  /** Canonical dHash grid: 9 columns × 8 rows → 8×8 = 64 bits. */
+  private val GridW = 9
+  private val GridH = 8
+
+  /** 24-bit uncompressed BMP (bottom-up, rows padded to 4 bytes) from
+    * a grayscale buffer — from-scratch encoder, the write-side twin of
+    * [[Codecs.bmp]]. r = g = b = gray, so the decoder's BT.601 luma
+    * reconstructs the exact input byte ((299g+587g+114g)/1000 = g).
+    */
+  def encodeBmp(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    require(gray.length == w * h, s"gray buffer ${gray.length} != $w x $h")
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val dataSize = rowSize * h
+    val out = new Array[Byte](54 + dataSize)
+    def le32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    le32(2, out.length); le32(10, 54)
+    le32(14, 40); le32(18, w); le32(22, h)
+    out(26) = 1; out(28) = 24 // planes, bpp (compression 0 already)
+    le32(34, dataSize)
+    var y = 0
+    while (y < h) {
+      val base = 54 + (h - 1 - y) * rowSize // bottom-up
+      var x = 0
+      while (x < w) {
+        val g = gray(y * w + x)
+        val p = base + x * 3
+        out(p) = g; out(p + 1) = g; out(p + 2) = g
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Area-average (box) resample to `tw`×`th` — integer-exact via the
+    * standard fixed-point sum: each target cell averages the source
+    * box [x*sw/tw, (x+1)*sw/tw) × [y*sh/th, (y+1)*sh/th), so an
+    * integer-ratio downsample (18×16 → 9×8) is the plain mean of each
+    * block.
+    */
+  private[graft] def resizeArea(
+      gray: Array[Byte], sw: Int, sh: Int, tw: Int, th: Int
+  ): Array[Byte] = {
+    val out = new Array[Byte](tw * th)
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * sh / th
+      val y1 = math.max(y0 + 1, (ty + 1) * sh / th)
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * sw / tw
+        val x1 = math.max(x0 + 1, (tx + 1) * sw / tw)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += gray(y * sw + x) & 0xff; x += 1 }
+          y += 1
+        }
+        out(ty * tw + tx) = (sum / ((y1 - y0).toLong * (x1 - x0))).toByte
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  /** The 64-bit difference hash of a 9×8 grid: bit r*8+c is set when
+    * gray(r,c) < gray(r,c+1).
+    */
+  private[graft] def dHashBits(grid: Array[Byte]): Long = {
+    var sig = 0L
+    var r = 0
+    while (r < GridH) {
+      var c = 0
+      while (c < GridW - 1) {
+        if ((grid(r * GridW + c) & 0xff) < (grid(r * GridW + c + 1) & 0xff))
+          sig |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    sig
+  }
+
+  /** dHash of an arbitrary decoded image (resampled to the canonical
+    * grid first); None for non-image payloads.
+    */
+  def dHash(d: Codecs.Decoded): Option[Long] =
+    if (d.kind == "wav" || d.width <= 0 || d.height <= 0) None
+    else Some(dHashBits(
+      if (d.width == GridW && d.height == GridH) d.gray
+      else resizeArea(d.gray, d.width, d.height, GridW, GridH)))
+
+  /** Deterministic image table over the documents fixture: doc k's
+    * payload is a 9×8 24-bit BMP whose pixel i is the first md5 byte
+    * of token (i mod ntokens) — content-derived like every other
+    * fixture derivation here, so exact-duplicate TEXTS yield
+    * bit-identical IMAGES (and the oracle can recompute every pixel in
+    * SQL). Note the prefix semantics: docs longer than 72 tokens map
+    * only their first 72, so texts differing past that bound are
+    * image-identical by construction (pinned by the spec's brute-force
+    * recompute). Stands in for an image column arriving from storage.
+    */
+  def syntheticImages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, toks) =>
+          val gray = new Array[Byte](GridW * GridH)
+          var i = 0
+          while (i < gray.length) {
+            val tok = toks(i % toks.size)
+            gray(i) = md.digest(
+              tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+            i += 1
+          }
+          (id, encodeBmp(gray, GridW, GridH))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-image dHash signatures off a (doc_id, payload) relation via
+    * the REAL decoder; undecodable payloads drop (logged by absence —
+    * an inventory pass, [[MediaHeaders]], owns the triage story).
+    */
+  def signatures(images: DataFrame): DataFrame = {
+    import images.sparkSession.implicits._
+    images.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        Codecs.decode(payload).flatMap(dHash).map(id -> _)
+      })
+      .toDF("doc_id", "sig")
+  }
+
+  /** Near-duplicate image pairs at Hamming distance ≤ `maxHamming`
+    * over the synthetic fixture images. Exhaustive for maxHamming < 4
+    * (see class doc); larger thresholds would need more bands.
+    */
+  def nearDupPairs(
+      s: SparkSession, dir: String, maxHamming: Int = 3,
+      scope: CacheScope = new CacheScope
+  ): DataFrame =
+    nearDupPairsOfSigs(signatures(syntheticImages(s, dir)), maxHamming, scope)
+
+  /** Banding + verification over any (doc_id, sig) relation — split
+    * out so the spec can pin the pigeonhole contract on crafted
+    * signatures.
+    */
+  private[graft] def nearDupPairsOfSigs(
+      sigsDf: DataFrame, maxHamming: Int,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    require(maxHamming < 4, "4-band pigeonhole is exhaustive only below 4")
+    // cached: the signature scan (decode + hash per payload) feeds
+    // both sides of the band self-join
+    val sigs = scope.cache(sigsDf)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16)
+            .bitwiseAND(0xffffL).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("sig"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.toDF("doc_a", "sig_a", "band", "key")
+    val b = banded.toDF("doc_b", "sig_b", "band", "key")
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+      .select(col("doc_a"), col("doc_b"),
+        expr("bit_count(sig_a ^ sig_b)").cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.ops.{Codecs, PerceptualHash}
+
+class PerceptualHashSpec extends SparkSpec {
+
+  private def grid(f: (Int, Int) => Int): Array[Byte] =
+    Array.tabulate(9 * 8)(i => f(i / 9, i % 9).toByte)
+
+  test("encodeBmp round-trips bit-exactly through the real decoder") {
+    val gray = Array.tabulate(9 * 8)(i => ((i * 37 + 11) % 256).toByte)
+    val decoded = Codecs.decode(PerceptualHash.encodeBmp(gray, 9, 8))
+    assert(decoded.exists(_.kind == "bmp"))
+    assert(decoded.get.width == 9 && decoded.get.height == 8)
+    assert(decoded.get.gray.sameElements(gray))
+  }
+
+  test("dHash is invariant to uniform brightness shift") {
+    val base = grid((r, c) => 60 + 13 * ((r * 9 + c) % 9))
+    val brighter = base.map(b => ((b & 0xff) + 40).toByte)
+    val h1 = PerceptualHash.dHash(Codecs.Decoded("bmp", 9, 8, base))
+    val h2 = PerceptualHash.dHash(Codecs.Decoded("bmp", 9, 8, brighter))
+    assert(h1.isDefined && h1 == h2)
+  }
+
+  test("one flipped comparison moves exactly one bit") {
+    val base = grid((_, c) => 100 + 10 * (c % 2)) // alternating low/high
+    val tweaked = base.clone()
+    tweaked(0) = 120.toByte // row 0: g(0,0) > g(0,1) now — bit 0 flips
+    val h1 = PerceptualHash.dHash(Codecs.Decoded("bmp", 9, 8, base)).get
+    val h2 = PerceptualHash.dHash(Codecs.Decoded("bmp", 9, 8, tweaked)).get
+    assert(java.lang.Long.bitCount(h1 ^ h2) == 1)
+  }
+
+  test("integer-ratio downsample averages blocks; dHash survives pixel-doubling") {
+    val small = grid((r, c) => 30 * ((r + c) % 8) + 5)
+    // pixel-double to 18x16: each source pixel becomes a 2x2 block
+    val big = Array.tabulate(18 * 16) { i =>
+      val y = i / 18; val x = i % 18
+      small((y / 2) * 9 + (x / 2))
+    }
+    val rs = PerceptualHash.resizeArea(big, 18, 16, 9, 8)
+    assert(rs.sameElements(small))
+    val hSmall = PerceptualHash.dHash(Codecs.Decoded("bmp", 9, 8, small))
+    val hBig = PerceptualHash.dHash(Codecs.Decoded("bmp", 18, 16, big))
+    assert(hSmall.isDefined && hSmall == hBig)
+  }
+
+  test("audio payloads yield no image signature") {
+    assert(PerceptualHash.dHash(
+      Codecs.Decoded("wav", 4, 1, Array[Byte](1, 2, 3, 4))).isEmpty)
+  }
+
+  test("banding finds every pair at hamming <= 3 and verification rejects beyond") {
+    import spark.implicits._
+    // crafted signatures: doc 2 differs from doc 1 in 3 bits spread
+    // over bands 0,1,2 — no single-band trick, only pigeonhole's
+    // guaranteed clean band 3 links them. doc 3 dirties all four
+    // bands (one bit each) — never a candidate with anyone (and at
+    // hamming 4 must not surface regardless). doc 4 packs 4 diffs
+    // into band 0 — bands 1-3 still collide with doc 1, so the
+    // CANDIDATE forms and exact verification must reject it.
+    val s1 = 0x0123456789abcdefL
+    val s2 = s1 ^ (1L << 2) ^ (1L << 17) ^ (1L << 33)
+    val s3 = s1 ^ (1L << 3) ^ (1L << 18) ^ (1L << 34) ^ (1L << 50)
+    val s4 = s1 ^ 0xfL
+    val sigs = Seq((1L, s1), (2L, s2), (3L, s3), (4L, s4))
+      .toDF("doc_id", "sig")
+    val got = PerceptualHash.nearDupPairsOfSigs(sigs, maxHamming = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    assert(got == Set((1L, 2L, 3)))
+  }
+
+  test("fixture pairs match a brute-force all-pairs recompute at sf0.001") {
+    val got = graft.ops.PerceptualHash.nearDupPairs(spark, sf())
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    // recompute every signature directly from tokens (no BMP, no
+    // banding) and compare all pairs — the full candidate-generation
+    // + verification contract against an independent path
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sigs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getAs[String]("text").toLowerCase.split("\\s+")
+        val gray = Array.tabulate(72)(i => md.digest(
+          toks(i % toks.length).getBytes("UTF-8"))(0))
+        r.getAs[Long]("doc_id") -> PerceptualHash.dHashBits(gray)
+      }
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(expected.nonEmpty)
+    assert(got == expected)
+  }
+}
