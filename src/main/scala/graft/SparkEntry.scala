@@ -273,7 +273,11 @@ object SparkEntry {
     // pigeonhole (exhaustive at hamming <= 3), exact verification —
     // the oracle recomputes pixels arithmetically, so hash equality
     // pins the whole encode->decode->hash path lossless
-    "mm_near_dup" -> ((s, dir) => PerceptualHash.nearDupPairs(s, dir))
+    "mm_near_dup" -> ((s, dir) => PerceptualHash.nearDupPairs(s, dir)),
+    // audio sibling: 65-sample PCM clips round-trip the real WAV
+    // encoder/decoder into 64-bit envelope hashes, same banding
+    "mm_audio_near_dup" -> ((s, dir) =>
+      PerceptualHash.audioNearDupPairs(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1164,6 +1168,33 @@ object SparkEntry {
         |    [ CASE WHEN px[(i // 8) * 9 + (i % 8) + 1]
         |              < px[(i // 8) * 9 + (i % 8) + 2]
         |           THEN 1 ELSE 0 END for i in range(0, 64) ] AS bits
+        |  FROM g
+        |)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END))
+        |      AS INTEGER) AS hamming
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |) WHERE hamming <= 3""".stripMargin,
+    // Audio envelope hash: 65 md5-derived samples, bit i compares
+    // adjacent bins — 1-D, no grid arithmetic
+    "mm_audio_near_dup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 65) ] AS px
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id,
+        |    [ CASE WHEN px[i] < px[i + 1] THEN 1 ELSE 0 END
+        |      for i in range(1, 65) ] AS bits
         |  FROM g
         |)
         |SELECT doc_a, doc_b, hamming FROM (

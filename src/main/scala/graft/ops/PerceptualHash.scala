@@ -128,6 +128,52 @@ object PerceptualHash {
       if (d.width == GridW && d.height == GridH) d.gray
       else resizeArea(d.gray, d.width, d.height, GridW, GridH)))
 
+  /** Audio envelope bins: 64 + 1, giving 64 adjacent comparisons. */
+  private val EnvBins = 65
+
+  /** The 64-bit envelope-difference hash of decoded audio: box-average
+    * the sample stream to 65 bins, bit i compares bin i against bin
+    * i+1 — the 1-D sibling of [[dHash]], with the same invariance to
+    * uniform gain shifts. None for non-audio payloads.
+    */
+  def audioHash(d: Codecs.Decoded): Option[Long] =
+    if (d.kind != "wav" || d.width <= 0) None
+    else {
+      val bins =
+        if (d.width == EnvBins) d.gray
+        else resizeArea(d.gray, d.width, 1, EnvBins, 1)
+      var sig = 0L
+      var i = 0
+      while (i < EnvBins - 1) {
+        if ((bins(i) & 0xff) < (bins(i + 1) & 0xff)) sig |= 1L << i
+        i += 1
+      }
+      Some(sig)
+    }
+
+  /** Minimal PCM WAV encoder (8-bit mono, the losslessly-decodable
+    * subset of [[Codecs.wav]]) — write-side twin like [[encodeBmp]].
+    */
+  def encodeWav(samples: Array[Byte], sampleRate: Int = 8000): Array[Byte] = {
+    val out = new Array[Byte](44 + samples.length)
+    def le32(i: Int, v: Int): Unit = {
+      out(i) = v.toByte; out(i + 1) = (v >> 8).toByte
+      out(i + 2) = (v >> 16).toByte; out(i + 3) = (v >> 24).toByte
+    }
+    def tag(i: Int, t: String): Unit =
+      t.zipWithIndex.foreach { case (c, j) => out(i + j) = c.toByte }
+    tag(0, "RIFF"); le32(4, 36 + samples.length); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16)
+    out(20) = 1 // PCM
+    out(22) = 1 // mono
+    le32(24, sampleRate); le32(28, sampleRate) // byte rate = rate x 1 x 1
+    out(32) = 1 // block align
+    out(34) = 8 // bits per sample
+    tag(36, "data"); le32(40, samples.length)
+    System.arraycopy(samples, 0, out, 44, samples.length)
+    out
+  }
+
   /** Deterministic image table over the documents fixture: doc k's
     * payload is a 9×8 24-bit BMP whose pixel i is the first md5 byte
     * of token (i mod ntokens) — content-derived like every other
@@ -164,15 +210,62 @@ object PerceptualHash {
     * the REAL decoder; undecodable payloads drop (logged by absence —
     * an inventory pass, [[MediaHeaders]], owns the triage story).
     */
-  def signatures(images: DataFrame): DataFrame = {
-    import images.sparkSession.implicits._
-    images.select(col("doc_id"), col("payload"))
+  def signatures(images: DataFrame): DataFrame =
+    signaturesBy(images, d => dHash(d))
+
+  /** Per-clip envelope-hash signatures (audio payloads). */
+  def audioSignatures(clips: DataFrame): DataFrame =
+    signaturesBy(clips, d => audioHash(d))
+
+  private def signaturesBy(
+      payloads: DataFrame, hash: Codecs.Decoded => Option[Long]
+  ): DataFrame = {
+    import payloads.sparkSession.implicits._
+    payloads.select(col("doc_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, payload) =>
-        Codecs.decode(payload).flatMap(dHash).map(id -> _)
+        Codecs.decode(payload).flatMap(hash).map(id -> _)
       })
       .toDF("doc_id", "sig")
   }
+
+  /** Deterministic audio table over the documents fixture: doc k's
+    * payload is an 8-bit mono PCM WAV of 65 samples, sample i = first
+    * md5 byte of token (i mod ntokens) — the audio sibling of
+    * [[syntheticImages]], same oracle-recomputable derivation, same
+    * prefix semantics past 65 tokens.
+    */
+  def syntheticClips(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, toks) =>
+          val pcm = new Array[Byte](EnvBins)
+          var i = 0
+          while (i < pcm.length) {
+            pcm(i) = md.digest(toks(i % toks.size)
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+            i += 1
+          }
+          (id, encodeWav(pcm))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Near-duplicate audio pairs at Hamming ≤ `maxHamming` over the
+    * synthetic fixture clips — identical banding economics to
+    * [[nearDupPairs]].
+    */
+  def audioNearDupPairs(
+      s: SparkSession, dir: String, maxHamming: Int = 3,
+      scope: CacheScope = new CacheScope
+  ): DataFrame =
+    nearDupPairsOfSigs(audioSignatures(syntheticClips(s, dir)),
+      maxHamming, scope)
 
   /** Near-duplicate image pairs at Hamming distance ≤ `maxHamming`
     * over the synthetic fixture images. Exhaustive for maxHamming < 4

@@ -46,9 +46,56 @@ class PerceptualHashSpec extends SparkSpec {
     assert(hSmall.isDefined && hSmall == hBig)
   }
 
-  test("audio payloads yield no image signature") {
+  test("audio payloads yield no image signature, and vice versa") {
     assert(PerceptualHash.dHash(
       Codecs.Decoded("wav", 4, 1, Array[Byte](1, 2, 3, 4))).isEmpty)
+    assert(PerceptualHash.audioHash(
+      Codecs.Decoded("bmp", 9, 8, new Array[Byte](72))).isEmpty)
+  }
+
+  test("encodeWav round-trips 8-bit mono PCM bit-exactly through the real decoder") {
+    val pcm = Array.tabulate(65)(i => ((i * 53 + 7) % 256).toByte)
+    val decoded = Codecs.decode(PerceptualHash.encodeWav(pcm))
+    assert(decoded.exists(_.kind == "wav"))
+    assert(decoded.get.width == 65 && decoded.get.height == 1)
+    assert(decoded.get.gray.sameElements(pcm))
+  }
+
+  test("audio envelope hash is gain-shift invariant and resamples longer clips") {
+    val base = Array.tabulate(65)(i => (40 + 25 * (i % 5)).toByte)
+    val louder = base.map(b => ((b & 0xff) + 30).toByte)
+    val h1 = PerceptualHash.audioHash(Codecs.Decoded("wav", 65, 1, base))
+    val h2 = PerceptualHash.audioHash(Codecs.Decoded("wav", 65, 1, louder))
+    assert(h1.isDefined && h1 == h2)
+    // sample-double to 130: each bin averages an identical pair
+    val long = Array.tabulate(130)(i => base(i / 2))
+    val h3 = PerceptualHash.audioHash(Codecs.Decoded("wav", 130, 1, long))
+    assert(h3 == h1)
+  }
+
+  test("audio fixture pairs match a brute-force all-pairs recompute at sf0.001") {
+    val got = PerceptualHash.audioNearDupPairs(spark, sf())
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sigs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getAs[String]("text").toLowerCase.split("\\s+")
+        val pcm = Array.tabulate(65)(i => md.digest(
+          toks(i % toks.length).getBytes("UTF-8"))(0))
+        var sig = 0L
+        (0 until 64).foreach { i =>
+          if ((pcm(i) & 0xff) < (pcm(i + 1) & 0xff)) sig |= 1L << i
+        }
+        r.getAs[Long]("doc_id") -> sig
+      }
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(expected.nonEmpty)
+    assert(got == expected)
   }
 
   test("banding finds every pair at hamming <= 3 and verification rejects beyond") {
