@@ -40,6 +40,10 @@ object PerceptualHash {
     * reconstructs the exact input byte ((299g+587g+114g)/1000 = g).
     */
   def encodeBmp(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    // same pixel bound as the decoder: keeps rowSize*h (3x the pixel
+    // count plus padding) safely inside Int arithmetic
+    require(w > 0 && h > 0 && w.toLong * h <= Codecs.MaxPixels,
+      s"dims $w x $h outside the encodable range")
     require(gray.length == w * h, s"gray buffer ${gray.length} != $w x $h")
     val rowSize = ((w * 3 + 3) / 4) * 4
     val dataSize = rowSize * h
