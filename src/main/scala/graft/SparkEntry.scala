@@ -277,7 +277,11 @@ object SparkEntry {
     // audio sibling: 65-sample PCM clips round-trip the real WAV
     // encoder/decoder into 64-bit envelope hashes, same banding
     "mm_audio_near_dup" -> ((s, dir) =>
-      PerceptualHash.audioNearDupPairs(s, dir))
+      PerceptualHash.audioNearDupPairs(s, dir)),
+    // video sibling: 4-frame uncompressed AVIs through the real
+    // container parser, per-frame dHash XOR-folded to a clip key
+    "mm_video_near_dup" -> ((s, dir) =>
+      PerceptualHash.videoNearDupPairs(s, dir))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1168,6 +1172,46 @@ object SparkEntry {
         |    [ CASE WHEN px[(i // 8) * 9 + (i % 8) + 1]
         |              < px[(i // 8) * 9 + (i % 8) + 2]
         |           THEN 1 ELSE 0 END for i in range(0, 64) ] AS bits
+        |  FROM g
+        |)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END))
+        |      AS INTEGER) AS hamming
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |) WHERE hamming <= 3""".stripMargin,
+    // Video clip hash: 4 frames x 72 md5-derived pixels; per-frame
+    // dHash bits folded rotate-then-xor (clip bit j = frame f's bit
+    // (j - (3-f)) mod 64, summed mod 2) — the rotation keeps static
+    // clips from collapsing to signature 0. The 288-token reach means
+    // only fully-identical token streams collide, and this corpus has
+    // none at verify scale — both sides must agree on empty (the
+    // sim_near_dup precedent); PerceptualHashSpec's planted clips pin
+    // the nonzero behavior
+    "mm_video_near_dup" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 288) ] AS px
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id,
+        |    [ (  CASE WHEN px[  0 + (((j + 61) % 64) // 8) * 9 + (((j + 61) % 64) % 8) + 1]
+        |              < px[  0 + (((j + 61) % 64) // 8) * 9 + (((j + 61) % 64) % 8) + 2] THEN 1 ELSE 0 END
+        |       + CASE WHEN px[ 72 + (((j + 62) % 64) // 8) * 9 + (((j + 62) % 64) % 8) + 1]
+        |              < px[ 72 + (((j + 62) % 64) // 8) * 9 + (((j + 62) % 64) % 8) + 2] THEN 1 ELSE 0 END
+        |       + CASE WHEN px[144 + (((j + 63) % 64) // 8) * 9 + (((j + 63) % 64) % 8) + 1]
+        |              < px[144 + (((j + 63) % 64) // 8) * 9 + (((j + 63) % 64) % 8) + 2] THEN 1 ELSE 0 END
+        |       + CASE WHEN px[216 + (j // 8) * 9 + (j % 8) + 1]
+        |              < px[216 + (j // 8) * 9 + (j % 8) + 2] THEN 1 ELSE 0 END
+        |      ) % 2 for j in range(0, 64) ] AS bits
         |  FROM g
         |)
         |SELECT doc_a, doc_b, hamming FROM (

@@ -155,6 +155,87 @@ object PerceptualHash {
       Some(sig)
     }
 
+  /** Minimal uncompressed-AVI encoder: RIFF `AVI ` with an `hdrl`
+    * list carrying the `avih` main header (frame count, dimensions)
+    * and a `movi` list of raw `00db` DIB frames — each frame is the
+    * pixel-array section of [[encodeBmp]]'s output (bottom-up padded
+    * BGR rows, no file header), which is exactly what "uncompressed
+    * DIB frame" means in the container. Write-side twin of
+    * [[Codecs.aviFrames]] + [[MediaHeaders]]' avi sniffer.
+    */
+  def encodeAvi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
+    require(frames.nonEmpty, "AVI needs at least one frame")
+    val dibs = frames.map(f => {
+      val bmp = encodeBmp(f, w, h)
+      java.util.Arrays.copyOfRange(bmp, 54, bmp.length)
+    })
+    val avih = new Array[Byte](56)
+    def le32At(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
+      a(i + 2) = (v >> 16).toByte; a(i + 3) = (v >> 24).toByte
+    }
+    le32At(avih, 16, frames.length)
+    le32At(avih, 32, w); le32At(avih, 36, h)
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + data.length + (data.length & 1))
+      fourcc.zipWithIndex.foreach { case (c, i) => out(i) = c.toByte }
+      le32At(out, 4, data.length)
+      System.arraycopy(data, 0, out, 8, data.length)
+      out
+    }
+    def list(kind: String, children: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ children)
+    val body = "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih)) ++
+      list("movi", dibs.flatMap(d => chunk("00db", d)).toArray)
+    chunk("RIFF", body)
+  }
+
+  /** Parse one raw DIB frame (bottom-up padded BGR rows) back to
+    * grayscale — the frame-level core of [[Codecs.bmp]].
+    */
+  private def dibToGray(dib: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (w <= 0 || h <= 0 || rowSize.toLong * h > dib.length) return None
+    val gray = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      val base = (h - 1 - y) * rowSize
+      var x = 0
+      while (x < w) {
+        val p = base + x * 3
+        gray(y * w + x) = (((dib(p + 2) & 0xff) * 299 +
+          (dib(p + 1) & 0xff) * 587 + (dib(p) & 0xff) * 114) / 1000).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(gray)
+  }
+
+  /** Clip-level signature of an AVI payload: dHash each uncompressed
+    * frame, then a ROTATE-then-XOR fold (acc = rotl(acc,1) ^ h) — the
+    * compact LSH key. The rotation is load-bearing: a plain XOR fold
+    * cancels identical frames pairwise, so every static clip (all
+    * frames equal, common in practice) would collapse to signature 0
+    * and pair with every other static clip. With rotation the fold is
+    * rotl(h0,n-1) ^ … ^ hn — frame order and repetition both leave
+    * their mark, while a few flipped pixels in any one frame still
+    * flip only a few clip bits. Per-frame relations remain available
+    * via [[dHash]] over frames where aligned comparison is wanted.
+    */
+  def videoHash(payload: Array[Byte]): Option[Long] =
+    for {
+      hdr <- MediaHeaders.sniff(payload) if hdr.format == "avi"
+      frames <- Codecs.aviFrames(payload) if frames.nonEmpty
+      grays = frames.flatMap(dibToGray(_, hdr.width, hdr.height))
+      if grays.length == frames.length
+    } yield grays
+      .map(g => dHashBits(
+        if (hdr.width == GridW && hdr.height == GridH) g
+        else resizeArea(g, hdr.width, hdr.height, GridW, GridH)))
+      .foldLeft(0L)((acc, h) => java.lang.Long.rotateLeft(acc, 1) ^ h)
+
   /** Minimal PCM WAV encoder (8-bit mono, the losslessly-decodable
     * subset of [[Codecs.wav]]) — write-side twin like [[encodeBmp]].
     */
@@ -269,6 +350,59 @@ object PerceptualHash {
       scope: CacheScope = new CacheScope
   ): DataFrame =
     nearDupPairsOfSigs(audioSignatures(syntheticClips(s, dir)),
+      maxHamming, scope)
+
+  /** Number of frames in each synthetic fixture video. */
+  private val VideoFrames = 4
+
+  /** Deterministic video table over the documents fixture: doc k's
+    * payload is a 4-frame uncompressed AVI of 9×8 frames, frame f's
+    * pixel i = first md5 byte of token ((f·72 + i) mod ntokens) — the
+    * video sibling of [[syntheticImages]], oracle-recomputable.
+    */
+  def syntheticVideos(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, toks) =>
+          val frames = (0 until VideoFrames).map { f =>
+            val gray = new Array[Byte](GridW * GridH)
+            var i = 0
+            while (i < gray.length) {
+              gray(i) = md.digest(toks((f * gray.length + i) % toks.size)
+                .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+              i += 1
+            }
+            gray
+          }
+          (id, encodeAvi(frames, GridW, GridH))
+        }
+      }
+      .toDF("doc_id", "payload")
+  }
+
+  /** Per-clip XOR-folded frame-dHash signatures (video payloads). */
+  def videoSignatures(clips: DataFrame): DataFrame = {
+    import clips.sparkSession.implicits._
+    clips.select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, payload) =>
+        videoHash(payload).map(id -> _)
+      })
+      .toDF("doc_id", "sig")
+  }
+
+  /** Near-duplicate video pairs at clip-signature Hamming ≤
+    * `maxHamming` over the synthetic fixture videos.
+    */
+  def videoNearDupPairs(
+      s: SparkSession, dir: String, maxHamming: Int = 3,
+      scope: CacheScope = new CacheScope
+  ): DataFrame =
+    nearDupPairsOfSigs(videoSignatures(syntheticVideos(s, dir)),
       maxHamming, scope)
 
   /** Near-duplicate image pairs at Hamming distance ≤ `maxHamming`

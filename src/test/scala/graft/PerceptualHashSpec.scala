@@ -98,6 +98,68 @@ class PerceptualHashSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("encodeAvi round-trips frames; videoHash is the rotate-xor fold of frame dHashes") {
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(72)(i => ((i * 31 + f * 97 + 13) % 256).toByte))
+    val sig = PerceptualHash.videoHash(
+      PerceptualHash.encodeAvi(frames, 9, 8))
+    val expected = frames
+      .map(g => PerceptualHash.dHashBits(g))
+      .foldLeft(0L)((acc, h) => java.lang.Long.rotateLeft(acc, 1) ^ h)
+    assert(sig.contains(expected))
+  }
+
+  test("static clips keep content-bearing signatures and frame order matters") {
+    val a = Array.tabulate(72)(i => ((i * 37 + 11) % 256).toByte)
+    val b = Array.tabulate(72)(i => ((i * 53 + 29) % 256).toByte)
+    val staticA = PerceptualHash.videoHash(
+      PerceptualHash.encodeAvi(Seq(a, a, a, a), 9, 8)).get
+    val staticB = PerceptualHash.videoHash(
+      PerceptualHash.encodeAvi(Seq(b, b, b, b), 9, 8)).get
+    // a plain xor fold would send BOTH to 0; the rotation keeps the
+    // content and distinguishes the clips
+    assert(staticA != 0L && staticB != 0L && staticA != staticB)
+    val fwd = PerceptualHash.videoHash(
+      PerceptualHash.encodeAvi(Seq(a, b, a, b), 9, 8)).get
+    val rev = PerceptualHash.videoHash(
+      PerceptualHash.encodeAvi(Seq(b, a, b, a), 9, 8)).get
+    assert(fwd != rev)
+  }
+
+  test("a one-pixel frame edit stays within the near-dup threshold") {
+    val frames = (0 until 4).map(f =>
+      grid((_, c) => 100 + 10 * (c % 2)).clone())
+    val sig1 = PerceptualHash.videoHash(
+      PerceptualHash.encodeAvi(frames, 9, 8)).get
+    val edited = frames.map(_.clone())
+    edited(2)(0) = 120.toByte // one comparison flips in frame 2
+    val sig2 = PerceptualHash.videoHash(
+      PerceptualHash.encodeAvi(edited, 9, 8)).get
+    assert(java.lang.Long.bitCount(sig1 ^ sig2) == 1)
+  }
+
+  test("video fixture pairs match a brute-force all-pairs recompute at sf0.001") {
+    val got = PerceptualHash.videoNearDupPairs(spark, sf())
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming"))).toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sigs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getAs[String]("text").toLowerCase.split("\\s+")
+        val sig = (0 until 4).map { f =>
+          PerceptualHash.dHashBits(Array.tabulate(72)(i => md.digest(
+            toks((f * 72 + i) % toks.length).getBytes("UTF-8"))(0)))
+        }.foldLeft(0L)((acc, h) => java.lang.Long.rotateLeft(acc, 1) ^ h)
+        r.getAs[Long]("doc_id") -> sig
+      }
+    val expected = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(got == expected)
+  }
+
   test("banding finds every pair at hamming <= 3 and verification rejects beyond") {
     import spark.implicits._
     // crafted signatures: doc 2 differs from doc 1 in 3 bits spread
