@@ -195,8 +195,12 @@ object PerceptualHash {
     * grayscale — the frame-level core of [[Codecs.bmp]].
     */
   private def dibToGray(dib: Array[Byte], w: Int, h: Int): Option[Array[Byte]] = {
+    // w/h come from the avih header — attacker-controlled: bound the
+    // pixel count BEFORE the row arithmetic (a near-MaxInt width would
+    // overflow an Int rowSize negative and slip the length check)
+    if (w <= 0 || h <= 0 || w.toLong * h > Codecs.MaxPixels) return None
     val rowSize = ((w * 3 + 3) / 4) * 4
-    if (w <= 0 || h <= 0 || rowSize.toLong * h > dib.length) return None
+    if (rowSize.toLong * h > dib.length) return None
     val gray = new Array[Byte](w * h)
     var y = 0
     while (y < h) {

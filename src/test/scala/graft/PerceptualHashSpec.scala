@@ -138,6 +138,18 @@ class PerceptualHashSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sig1 ^ sig2) == 1)
   }
 
+  test("a forged avih header with overflow-scale dims declines instead of crashing") {
+    val frames = Seq(Array.tabulate(72)(i => (i * 3).toByte))
+    val avi = PerceptualHash.encodeAvi(frames, 9, 8)
+    // forge dwWidth to a value whose 3x row arithmetic wraps Int
+    val forged = avi.clone()
+    // avih payload starts after RIFF(12) + LIST hdrl hdr(12) + avih hdr(8)
+    val widthOff = 12 + 12 + 8 + 32
+    forged(widthOff) = 0xff.toByte; forged(widthOff + 1) = 0xff.toByte
+    forged(widthOff + 2) = 0xff.toByte; forged(widthOff + 3) = 0x7f.toByte
+    assert(PerceptualHash.videoHash(forged).isEmpty)
+  }
+
   test("video fixture pairs match a brute-force all-pairs recompute at sf0.001") {
     val got = PerceptualHash.videoNearDupPairs(spark, sf())
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
