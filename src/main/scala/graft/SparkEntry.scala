@@ -202,6 +202,11 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet").filter(isBatch))
     }),
 
+    // consolidated duplicate report: one shingle scan feeds the
+    // jaccard family; exact + simhash join in; per-pair detector flags
+    "dedup_report" -> ((s, dir) =>
+      Dedup.dedupReport(s, dir, maxDocFreq = Some(0.1))),
+
     // --- LLM-pipeline: text analysis over documents ---
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
     "text_quality" -> ((s, dir) => TextOps.qualityScores(s, dir)),
@@ -560,6 +565,61 @@ object SparkEntry {
         |    PARTITION BY (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8
         |    ORDER BY hx, doc_id) AS INTEGER) AS shard_pos
         |FROM h""".stripMargin,
+    // Consolidated report: key union of the three detector relations,
+    // left-joined back for the per-family columns. Simhash CTEs are
+    // s-prefixed to dodge the jaccardCtes `toks` name.
+    "dedup_report" ->
+      s"""WITH $jaccardCtes, pj AS (
+         |  SELECT doc_a, doc_b, i / (ca.n + cb.n - i) AS jaccard
+         |  FROM inter
+         |  JOIN cnt ca ON ca.doc_id = doc_a
+         |  JOIN cnt cb ON cb.doc_id = doc_b
+         |  WHERE i / (ca.n + cb.n - i) >= 0.5
+         |), ex AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM documents a JOIN documents b
+         |    ON a.doc_id < b.doc_id AND md5(a.text) = md5(b.text)
+         |), stoks AS (
+         |  SELECT doc_id,
+         |    unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         |  FROM documents
+         |), sth AS (
+         |  SELECT doc_id, md5(tok) AS m FROM stoks
+         |), sbs AS (
+         |  SELECT doc_id, i,
+         |    CASE WHEN ((strpos('0123456789abcdef',
+         |        substr(m, CAST((i // 16) * 4 + 3 - (i % 16) // 4 + 1 AS INTEGER), 1)) - 1)
+         |        >> CAST(i % 4 AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END AS v
+         |  FROM sth, range(64) t(i)
+         |), ssums AS (
+         |  SELECT doc_id, i, sum(v) AS s FROM sbs GROUP BY 1, 2
+         |), ssb AS (
+         |  SELECT doc_id, i, CASE WHEN s > 0 THEN 1 ELSE 0 END AS sbit FROM ssums
+         |), sp AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(sum(CASE WHEN a.sbit <> b.sbit THEN 1 ELSE 0 END) AS INTEGER) AS hamming
+         |  FROM ssb a JOIN ssb b ON a.i = b.i AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |  HAVING sum(CASE WHEN a.sbit <> b.sbit THEN 1 ELSE 0 END) <= 3
+         |), keys AS (
+         |  SELECT doc_a, doc_b FROM pj
+         |  UNION SELECT doc_a, doc_b FROM ex
+         |  UNION SELECT doc_a, doc_b FROM sp
+         |)
+         |SELECT k.doc_a, k.doc_b,
+         |  (ex.doc_a IS NOT NULL) AS is_exact,
+         |  pj.jaccard AS jaccard,
+         |  coalesce(pj.jaccard >= 0.8, FALSE) AS near_dup,
+         |  sp.hamming AS simhash_hamming,
+         |  CAST((CASE WHEN ex.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |     + (CASE WHEN pj.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |     + (CASE WHEN pj.jaccard >= 0.8 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN sp.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS INTEGER)
+         |    AS n_detectors
+         |FROM keys k
+         |LEFT JOIN pj ON pj.doc_a = k.doc_a AND pj.doc_b = k.doc_b
+         |LEFT JOIN ex ON ex.doc_a = k.doc_a AND ex.doc_b = k.doc_b
+         |LEFT JOIN sp ON sp.doc_a = k.doc_a AND sp.doc_b = k.doc_b""".stripMargin,
     // Incremental dedup: exact Jaccard restricted to pairs straddling
     // the batch carve (exactly one side has doc_id % 10 = 0); the
     // batch member is reported as doc_new

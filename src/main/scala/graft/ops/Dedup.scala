@@ -34,7 +34,7 @@ final class CacheScope {
 }
 
 /** Deduplication operators over the `documents` table — the core of a
-  * large-scale training-data pipeline. Four families:
+  * large-scale training-data pipeline. Core families:
   *
   *   - exact (content-hash groupBy)
   *   - exact n-gram Jaccard pairs (shingle-join candidate generation —
@@ -155,6 +155,16 @@ object Dedup {
       threshold: Double = 0.5, n: Int = 3,
       maxDocFreq: Option[Double] = None,
       scope: CacheScope = new CacheScope
+  ): DataFrame =
+    jaccardPairsOfShingles(
+      hashedShingles(docsDf, n, maxDocFreq, scope), threshold)
+
+  /** The Jaccard self-join core over an already-built shingle relation
+    * — split out so [[dedupReport]] can share ONE shingle scan across
+    * detector families.
+    */
+  private def jaccardPairsOfShingles(
+      sh: DataFrame, threshold: Double
   ): DataFrame = {
     // Intersections come straight off the shingle-key join — one
     // shuffle, one aggregation. (An earlier formulation materialized a
@@ -162,7 +172,6 @@ object Dedup {
     // sf0.1 that meant re-expanding every pair by ~80 shingles twice —
     // 40x slower for identical results.) [[hashedShingles]] is cached:
     // three consumers here.
-    val sh = hashedShingles(docsDf, n, maxDocFreq, scope)
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("doc_a", "sh_a")
     val b = sh.toDF("doc_b", "sh_b")
@@ -178,6 +187,65 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("i") / (col("na") + col("nb") - col("i"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** Consolidated duplicate report — the analyst-facing capstone over
+    * the detector families: one row per candidate pair ANY detector
+    * fired on, with per-family columns. Detectors:
+    *
+    *   - `is_exact`      — identical content (md5 fingerprint join)
+    *   - `jaccard`       — exact trigram Jaccard when ≥ 0.5 (else null)
+    *   - `near_dup`      — jaccard ≥ 0.8, the verified MinHash-LSH
+    *     contract (LSH's candidate generation is exhaustive w.h.p. and
+    *     verification is exact Jaccard, so its verified output IS this
+    *     predicate — re-banding here would add shuffles to recompute
+    *     the same relation)
+    *   - `simhash_hamming` — SimHash distance when ≤ 3 (else null)
+    *   - `n_detectors`   — how many of the four fired
+    *
+    * Shape: ONE cached shingle scan feeds the Jaccard self-join; the
+    * exact join is fingerprint-keyed; SimHash is its own signature agg
+    * + pigeonhole join; the final assembly is a distinct key union +
+    * three id-keyed left joins — every join content- or id-keyed,
+    * nothing all-pairs.
+    */
+  def dedupReport(
+      s: SparkSession, dir: String,
+      jaccardThreshold: Double = 0.5, nearDupThreshold: Double = 0.8,
+      simhashMaxDist: Int = 3, n: Int = 3,
+      maxDocFreq: Option[Double] = None,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    val d = docs(s, dir)
+    val sh = hashedShingles(d, n, maxDocFreq, scope)
+    val jac = scope.cache(jaccardPairsOfShingles(sh, jaccardThreshold))
+    val fp = d.select(col("doc_id"),
+      md5(col("text").cast("binary")).as("fp"))
+    val ex = scope.cache(
+      fp.toDF("doc_a", "fp").join(fp.toDF("doc_b", "fp"), "fp")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(true).as("ex_flag")))
+    val sim = scope.cache(simhashPairs(s, dir, simhashMaxDist, scope))
+    val keys = jac.select("doc_a", "doc_b")
+      .union(ex.select("doc_a", "doc_b"))
+      .union(sim.select("doc_a", "doc_b"))
+      .distinct()
+    keys
+      .join(jac, Seq("doc_a", "doc_b"), "left")
+      .join(ex, Seq("doc_a", "doc_b"), "left")
+      .join(sim.withColumnRenamed("hamming", "simhash_hamming"),
+        Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("ex_flag"), lit(false)).as("is_exact"),
+        col("jaccard"),
+        coalesce(col("jaccard") >= nearDupThreshold, lit(false))
+          .as("near_dup"),
+        col("simhash_hamming"),
+        (coalesce(col("ex_flag").cast("int"), lit(0)) +
+          when(col("jaccard").isNotNull, 1).otherwise(0) +
+          when(col("jaccard") >= nearDupThreshold, 1).otherwise(0) +
+          when(col("simhash_hamming").isNotNull, 1).otherwise(0))
+          .cast("int").as("n_detectors"))
   }
 
   /** Exact Jaccard for a given candidate-pair set: expand each pair by

@@ -411,4 +411,42 @@ class DedupSpec extends SparkSpec {
     assert(got(0L).getAs[Long]("dup_windows") == 15L)
     assert(got(2L).getAs[Long]("n_windows") == 0L)
   }
+
+  test("dedup report agrees with every constituent detector") {
+    val report = Dedup.dedupReport(spark, sf()).collect()
+    val byPair = report.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    assert(byPair.size == report.length, "one row per pair")
+
+    // jaccard family: every >= 0.5 pair present with the same value
+    val jac = Dedup.ngramJaccardPairs(spark, sf(), threshold = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(jac.nonEmpty)
+    jac.foreach { case (k, j) =>
+      assert(math.abs(byPair(k).getAs[Double]("jaccard") - j) < 1e-12)
+    }
+    // near_dup == the verified LSH pair set
+    val lsh = pairs(Dedup.minhashLshPairs(spark, sf(), threshold = 0.8))
+    assert(report.filter(_.getAs[Boolean]("near_dup"))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet == lsh)
+    // simhash column == the simhash pair set with matching distances
+    val sim = Dedup.simhashPairs(spark, sf())
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("hamming")).toMap
+    val simInReport = report
+      .filter(r => !r.isNullAt(r.fieldIndex("simhash_hamming")))
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Int]("simhash_hamming")).toMap
+    assert(simInReport == sim)
+    // n_detectors adds up per row
+    report.foreach { r =>
+      val expected =
+        (if (r.getAs[Boolean]("is_exact")) 1 else 0) +
+        (if (!r.isNullAt(r.fieldIndex("jaccard"))) 1 else 0) +
+        (if (r.getAs[Boolean]("near_dup")) 1 else 0) +
+        (if (!r.isNullAt(r.fieldIndex("simhash_hamming"))) 1 else 0)
+      assert(r.getAs[Int]("n_detectors") == expected)
+    }
+  }
 }
