@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
 import graft.ops.{Dedup, EventOps, Filtering, LshIndex, MediaHeaders,
-  Multimodal, PerceptualHash, Relational, Similarity, TextOps, TrainPrep}
+  Multimodal, PerceptualHash, Relational, Similarity, TextOps, TrainPrep,
+  VectorIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -256,6 +257,18 @@ object SparkEntry {
     // aggregation cardinality is sources×cells, so the window sums
     // ride a tiny relation
     "cluster_mix" -> ((s, dir) => Similarity.clusterMix(s, dir)),
+    // ANN from the PERSISTED IVF index: corpus carve k-means-
+    // partitioned and written once, query carve probes it — the
+    // vector sibling of dedup_index_probe
+    "sim_index_probe" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-vecidx").toString
+      val isQuery = col("vec_id") % 10 === 0
+      VectorIndex.build(s, dir, idx, vecFilter = Some(!isQuery))
+      VectorIndex.probe(s, idx,
+        Similarity.load(s, dir).filter(isQuery)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    }),
     // SQ8 int8 quantization: narrow per-row HOF math, zero exchanges;
     // the md5 payload fingerprint pins every quantized byte
     "sim_quantize" -> ((s, dir) => Similarity.quantizeInt8(s, dir)),
@@ -1150,6 +1163,45 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
         |  FROM sc
         |) WHERE rk <= 10""".stripMargin,
+    // Persisted-IVF probe: the same Lloyd arithmetic over the index
+    // carve (ei), query carve assigned to its 4 nearest final
+    // centroids, scored within probed cells, top-10
+    "sim_index_probe" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), dims AS (
+         |  SELECT unnest(range(1, len(v) + 1)) AS d FROM (SELECT v FROM e LIMIT 1)
+         |), ei AS (
+         |  SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0
+         |), ${lloydCtesOver("ei")}, q AS (
+         |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 10 = 0
+         |), probes AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.query_id, c2.cell,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        list_dot_product(qv, cv) /
+         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+         |          DESC NULLS LAST,
+         |        cell) AS rn
+         |    FROM q, c2
+         |  ) WHERE rn <= 4
+         |), cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id
+         |  FROM probes p JOIN assigned a USING (cell)
+         |), sc AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    list_dot_product(m.v, q.qv) /
+         |      (sqrt(list_dot_product(m.v, m.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+         |  FROM cand
+         |  JOIN ei m ON m.vec_id = cand.vec_id
+         |  JOIN q ON q.query_id = cand.query_id
+         |)
+         |SELECT query_id, vec_id, score, rk FROM (
+         |  SELECT query_id, vec_id, score,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
+         |  FROM sc
+         |) WHERE rk <= 10""".stripMargin,
     // SemDeDup: the shared Lloyd prefix (bit-identical decimal-
     // mediated centroids), then per vector the max cosine to any
     // LOWER-id member of its cell; keep = below eps (0.3), with a
@@ -1364,26 +1416,38 @@ object SparkEntry {
     * `semdedup`, and `cluster_mix` from one arithmetic source.
     */
   private val lloydCellCtes: String =
-    """e AS (
+    s"""e AS (
       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
       |), dims AS (
       |  SELECT unnest(range(1, len(v) + 1)) AS d FROM (SELECT v FROM e LIMIT 1)
-      |), c0 AS (
-      |  SELECT vec_id AS cell, v AS cv FROM e WHERE vec_id < 16
+      |), ${lloydCtesOver("e")}""".stripMargin
+
+  /** The c0→…→ac/assigned Lloyd CTE chain over an arbitrary vector
+    * relation `rel` (vec_id, v): seeds = the 16 lowest vec_ids of
+    * `rel` (ORDER BY vec_id LIMIT — on the full table this is the
+    * same first-16 rule the engine uses), two DECIMAL(27,12)-mediated
+    * iterations, final per-vector cell ranking `ac` + the rn=1
+    * `assigned`. Parameterized so `sim_index_probe` can run the same
+    * arithmetic over the index carve while the full-table consumers
+    * (`sim_ann_ivf`, `semdedup`, `cluster_mix`) keep theirs.
+    */
+  private def lloydCtesOver(rel: String): String =
+    s"""c0 AS (
+      |  SELECT vec_id AS cell, v AS cv FROM $rel ORDER BY vec_id LIMIT 16
       |), a1 AS (
       |  SELECT vec_id, cell FROM (
-      |    SELECT e.vec_id, c0.cell,
-      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    SELECT $rel.vec_id, c0.cell,
+      |      row_number() OVER (PARTITION BY $rel.vec_id ORDER BY
       |        list_dot_product(v, cv) /
       |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
       |          DESC NULLS LAST,
       |        cell) AS rn
-      |    FROM e, c0
+      |    FROM $rel, c0
       |  ) WHERE rn = 1
       |), m1 AS (
       |  SELECT cell, d,
-      |    CAST(SUM(CAST(e.v[d] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
-      |  FROM a1, e, dims WHERE a1.vec_id = e.vec_id
+      |    CAST(SUM(CAST($rel.v[d] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
+      |  FROM a1, $rel, dims WHERE a1.vec_id = $rel.vec_id
       |  GROUP BY cell, d
       |), g1 AS (
       |  SELECT cell, list(m ORDER BY d) AS cv FROM m1 GROUP BY cell
@@ -1392,18 +1456,18 @@ object SparkEntry {
       |  FROM c0 LEFT JOIN g1 USING (cell)
       |), a2 AS (
       |  SELECT vec_id, cell FROM (
-      |    SELECT e.vec_id, c1.cell,
-      |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+      |    SELECT $rel.vec_id, c1.cell,
+      |      row_number() OVER (PARTITION BY $rel.vec_id ORDER BY
       |        list_dot_product(v, cv) /
       |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
       |          DESC NULLS LAST,
       |        cell) AS rn
-      |    FROM e, c1
+      |    FROM $rel, c1
       |  ) WHERE rn = 1
       |), m2 AS (
       |  SELECT cell, d,
-      |    CAST(SUM(CAST(e.v[d] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
-      |  FROM a2, e, dims WHERE a2.vec_id = e.vec_id
+      |    CAST(SUM(CAST($rel.v[d] AS DECIMAL(27,12))) AS DOUBLE) / count(*) AS m
+      |  FROM a2, $rel, dims WHERE a2.vec_id = $rel.vec_id
       |  GROUP BY cell, d
       |), g2 AS (
       |  SELECT cell, list(m ORDER BY d) AS cv FROM m2 GROUP BY cell
@@ -1417,7 +1481,7 @@ object SparkEntry {
       |        (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv)))
       |        DESC NULLS LAST,
       |      cell) AS rn
-      |  FROM e, c2
+      |  FROM $rel, c2
       |), assigned AS (
       |  SELECT vec_id, cell FROM ac WHERE rn = 1
       |)""".stripMargin

