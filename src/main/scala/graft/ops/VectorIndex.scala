@@ -62,6 +62,24 @@ object VectorIndex {
     } finally { emb.unpersist(); () }
   }
 
+  /** Fold a new batch of vectors (vec_id, v) into an existing index:
+    * assign them to the PERSISTED centroids and append to `vectors`.
+    * The quantizer deliberately stays the build corpus's — appending
+    * never moves a centroid, so existing assignments stay valid and
+    * the operation is append-only (same drift/compaction economics as
+    * [[LshIndex.append]]: distribution drift degrades cell balance,
+    * never correctness, and the periodic [[build]] re-fits). NOT
+    * idempotent under replay — callers dedup upstream or track batch
+    * ids.
+    */
+  def append(s: SparkSession, path: String, batch: DataFrame): Unit = {
+    val cents = readCentroids(s, path)
+    Similarity.assignCells(
+      batch.select(col("vec_id"), col("v")), "v", cents, 1)
+      .select("vec_id", "cell", "v")
+      .write.mode("append").parquet(s"$path/vectors")
+  }
+
   /** The persisted coarse quantizer, driver-resident (numCells rows by
     * construction).
     */

@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.VectorIndex
+
+/** Continuous ANN retrieval: arriving query vectors probe a persisted
+  * IVF index ([[graft.ops.VectorIndex]]) one micro-batch at a time —
+  * the vector sibling of [[StreamingDedup]], same per-batch-id
+  * overwrite protocol for at-least-once replay idempotency.
+  *
+  * Per batch: centroid assignment is a narrow projection (centroids
+  * ride the plan as literals), candidates join on the cell key, and
+  * the top-k window runs per query — all batch-proportional. The
+  * index stays static between [[VectorIndex.build]] refreshes;
+  * [[VectorIndex.append]] is the out-of-band ingest path, exactly the
+  * lambda split [[StreamingDedup]] documents.
+  */
+object StreamingAnn {
+
+  def probeStream(
+      queries: DataFrame,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      nprobe: Int = 4,
+      k: Int = 10,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, indexPath, outPath, nprobe, k, batchId); ()
+      }
+      .start()
+
+  /** One micro-batch: probe and (over)write the batch's result
+    * directory. Returns the result-row count. Package-visible so the
+    * spec can drive batches and replays synchronously.
+    */
+  private[graft] def applyBatch(
+      batch: DataFrame,
+      indexPath: String,
+      outPath: String,
+      nprobe: Int,
+      k: Int,
+      batchId: Long
+  ): Long = {
+    val res = VectorIndex.probe(
+      batch.sparkSession, indexPath, batch, nprobe, k).cache()
+    try {
+      res.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      res.count()
+    } finally { res.unpersist(); () }
+  }
+
+  /** The accumulated results table across every micro-batch so far. */
+  def results(s: org.apache.spark.sql.SparkSession, outPath: String): DataFrame =
+    s.read.option("basePath", outPath).parquet(outPath)
+      .select(col("query_id"), col("vec_id"), col("score"), col("rk"),
+        col("batch_id").cast("long").as("batch_id"))
+}

@@ -9,6 +9,7 @@ import graft.ops.{Dedup, LshIndex}
 import graft.streaming.StreamingDedup
 
 final case class Doc(doc_id: Long, text: String)
+final case class QueryVec(query_id: Long, qv: Seq[Double])
 
 class LshIndexSpec extends SparkSpec {
 
@@ -132,6 +133,71 @@ class LshIndexSpec extends SparkSpec {
     got.keys.groupBy(_._1).foreach { case (_, ks) =>
       assert(ks.map(_._2).toSeq.sorted == (1 to ks.size).toSeq)
     }
+  }
+
+  test("vector index append: new vectors join existing cells and become findable") {
+    import graft.ops.{Similarity, VectorIndex}
+    val isQuery = col("vec_id") % 10 === 0
+    val path = Files.createTempDirectory("vecidx-app").toString
+    VectorIndex.build(spark, sf(), path, vecFilter = Some(!isQuery))
+    val queries = Similarity.load(spark, sf()).filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // append the query carve itself, then probe with it: every query
+    // must now find its own vector at rank 1, cosine 1
+    VectorIndex.append(spark, path,
+      Similarity.load(spark, sf()).filter(isQuery).select("vec_id", "v"))
+    val got = VectorIndex.probe(spark, path, queries).collect()
+    val top = got.filter(_.getAs[Int]("rk") == 1)
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).toMap
+    val nQueries = queries.count()
+    assert(top.size == nQueries)
+    top.foreach { case (q, (m, score)) =>
+      assert(m == q, s"query $q should find itself first, got $m")
+      assert(math.abs(score - 1.0) < 1e-12)
+    }
+    // centroids untouched by the append
+    assert(VectorIndex.readCentroids(spark, path).size == 16)
+  }
+
+  test("streaming ANN probe accumulates per-batch results and replays idempotently") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.ops.{Similarity, VectorIndex}
+    import graft.streaming.StreamingAnn
+    val isQuery = col("vec_id") % 10 === 0
+    val path = Files.createTempDirectory("vecidx-s").toString
+    VectorIndex.build(spark, sf(), path, vecFilter = Some(!isQuery))
+    val out = Files.createTempDirectory("vecidx-s-out").toString
+    val ckpt = Files.createTempDirectory("vecidx-s-ckpt").toString
+
+    val qRows = Similarity.load(spark, sf()).filter(isQuery)
+      .select(col("vec_id"), col("v")).collect()
+      .map(r => QueryVec(r.getAs[Long]("vec_id"), r.getSeq[Double](1)))
+      .sortBy(_.query_id)
+    val (first, second) = qRows.splitAt(qRows.length / 2)
+
+    val input = MemoryStream[QueryVec]
+    input.addData(first.toIndexedSeq)
+    StreamingAnn.probeStream(input.toDF(), path, out, ckpt)
+      .awaitTermination()
+    input.addData(second.toIndexedSeq)
+    StreamingAnn.probeStream(input.toDF(), path, out, ckpt)
+      .awaitTermination()
+
+    val streamed = StreamingAnn.results(spark, out)
+    val direct = VectorIndex.probe(spark, path,
+      Similarity.load(spark, sf()).filter(isQuery)
+        .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "vec_id", "rk").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(key(streamed) == key(direct))
+
+    val before = streamed.count()
+    StreamingAnn.applyBatch(first.toSeq.toDF("query_id", "qv"), path, out,
+      nprobe = 4, k = 10, batchId = 0L)
+    assert(StreamingAnn.results(spark, out).count() == before)
   }
 
   test("streaming probe accumulates per-batch pairs and replays idempotently") {
