@@ -207,6 +207,11 @@ object SparkEntry {
     // jaccard family; exact + simhash join in; per-pair detector flags
     "dedup_report" -> ((s, dir) =>
       Dedup.dedupReport(s, dir, maxDocFreq = Some(0.1))),
+    // asymmetric containment: |A∩B|/|A| — catches small-doc-quoted-
+    // in-large-doc duplication that the Jaccard union-normalizer hides
+    "dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(s, dir, threshold = 0.7,
+        maxDocFreq = Some(0.1))),
 
     // --- LLM-pipeline: text analysis over documents ---
     "text_tokens" -> ((s, dir) => TextOps.tokenCounts(s, dir)),
@@ -578,6 +583,20 @@ object SparkEntry {
         |    PARTITION BY (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8
         |    ORDER BY hx, doc_id) AS INTEGER) AS shard_pos
         |FROM h""".stripMargin,
+    // Asymmetric containment: both directions off the one
+    // intersection relation, each normalized by its contained side
+    "dedup_containment" ->
+      s"""WITH $jaccardCtes, d AS (
+         |  SELECT doc_a, doc_b, i, ca.n AS na, cb.n AS nb
+         |  FROM inter
+         |  JOIN cnt ca ON ca.doc_id = doc_a
+         |  JOIN cnt cb ON cb.doc_id = doc_b
+         |)
+         |SELECT contained, container, containment FROM (
+         |  SELECT doc_a AS contained, doc_b AS container, i / na AS containment FROM d
+         |  UNION ALL
+         |  SELECT doc_b AS contained, doc_a AS container, i / nb AS containment FROM d
+         |) WHERE containment >= 0.7""".stripMargin,
     // Consolidated report: key union of the three detector relations,
     // left-joined back for the per-family columns. Simhash CTEs are
     // s-prefixed to dodge the jaccardCtes `toks` name.

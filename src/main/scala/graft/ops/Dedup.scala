@@ -189,6 +189,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric near-containment pairs: containment(A in B) =
+    * |A∩B| / |A| over distinct shingle sets — the predicate Jaccard
+    * MISSES when a small document is wholly quoted inside a much
+    * larger one (|A∩B|/|A∪B| shrinks with the size gap while
+    * |A∩B|/|A| stays ~1; the situation RefinedWeb/CCNet-style
+    * pipelines dedup on). Emits one directed row per ordered pair at
+    * `threshold`, `contained` = the doc whose shingles are covered.
+    *
+    * Same single-scan shape as [[ngramJaccardPairsDf]] — the shared
+    * shingle join feeds both directions; only the normalization
+    * differs — so the candidate economics (and the `maxDocFreq`
+    * guard) carry over unchanged.
+    */
+  def containmentPairs(
+      s: SparkSession, dir: String,
+      threshold: Double = 0.9, n: Int = 3,
+      maxDocFreq: Option[Double] = None,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    val sh = hashedShingles(docs(s, dir), n, maxDocFreq, scope)
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.toDF("doc_a", "sh_a")
+    val b = sh.toDF("doc_b", "sh_b")
+    val inter = a.hint("shuffle_hash")
+      .join(b, col("sh_a") === col("sh_b") && col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("i"))
+      .join(cnt.toDF("doc_a", "na"), "doc_a")
+      .join(cnt.toDF("doc_b", "nb"), "doc_b")
+    // each undirected intersection yields up to two directed rows
+    val ab = inter.select(col("doc_a").as("contained"),
+      col("doc_b").as("container"),
+      (col("i") / col("na")).as("containment"))
+    val ba = inter.select(col("doc_b").as("contained"),
+      col("doc_a").as("container"),
+      (col("i") / col("nb")).as("containment"))
+    ab.union(ba).filter(col("containment") >= threshold)
+  }
+
   /** Consolidated duplicate report — the analyst-facing capstone over
     * the detector families: one row per candidate pair ANY detector
     * fired on, with per-family columns. Detectors:

@@ -412,6 +412,29 @@ class DedupSpec extends SparkSpec {
     assert(got(2L).getAs[Long]("n_windows") == 0L)
   }
 
+  test("containment flags a quoted small doc that Jaccard misses") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cont").toString
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val filler = (1 to 88).map(i => s"f$i").mkString(" ")
+    Seq(
+      (1L, quote),                 // the small doc
+      (2L, s"$quote $filler"),     // quotes it verbatim inside much more text
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    // Jaccard between 1 and 2 is small (10 shared trigrams of ~98
+    // union) — below any dedup threshold
+    val jac = Dedup.ngramJaccardPairs(spark, dir, threshold = 0.5)
+    assert(jac.count() == 0)
+    val got = Dedup.containmentPairs(spark, dir, threshold = 0.9).collect()
+      .map(r => (r.getAs[Long]("contained"), r.getAs[Long]("container"),
+        r.getAs[Double]("containment")))
+    // doc 1's 10 trigrams all appear in doc 2: containment 1.0, one
+    // directed row only (doc 2 is nowhere near contained in doc 1)
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("dedup report agrees with every constituent detector") {
     val report = Dedup.dedupReport(spark, sf()).collect()
     val byPair = report.map(r =>
