@@ -170,8 +170,8 @@ object Dedup {
     // shuffle, one aggregation. (An earlier formulation materialized a
     // distinct candidate-pair set and re-joined both shingle sets; at
     // sf0.1 that meant re-expanding every pair by ~80 shingles twice —
-    // 40x slower for identical results.) [[hashedShingles]] is cached:
-    // three consumers here.
+    // 40x slower for identical results.) `sh` arrives cached by
+    // [[hashedShingles]]: three consumers here.
     val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.toDF("doc_a", "sh_a")
     val b = sh.toDF("doc_b", "sh_b")
