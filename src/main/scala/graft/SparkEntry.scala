@@ -280,11 +280,14 @@ object SparkEntry {
 
     // --- LLM-pipeline: multimodal binary columns ---
     "mm_payload_meta" -> ((s, dir) => Multimodal.payloadMeta(s, dir)),
-    // decoded features / frame sampling: stub codec is engine-side →
-    // rows-only checks; plumbing pinned by MultimodalSpec
-    "mm_features" -> ((s, dir) => Multimodal.featureSummary(s, dir)),
-    "mm_frames" -> ((s, dir) => Multimodal.sampledFrames(s, dir)
-      .select("media_id", "frame_idx", "frame_bytes")),
+    // decoded features over REAL payloads (BMP/WAV/AVI built from the
+    // md5 token derivation): the oracle recomputes the decoded mean +
+    // 16-bin histogram arithmetically, pinning encode→decode→feature
+    // lossless — the mm_near_dup technique applied to features
+    "mm_features" -> ((s, dir) => Multimodal.featureSummaryReal(s, dir)),
+    // sampled AVI frames through the real container walk + DIB parse:
+    // per-frame byte length and pixel mean, both oracle-recomputed
+    "mm_frames" -> ((s, dir) => Multimodal.frameFeatures(s, dir)),
     // REAL container sniffing (PNG/BMP/GIF/JPEG/WAV headers, no codec
     // needed) — on this fixture every payload is arbitrary text bytes,
     // so the oracle pins the no-false-positive contract: all rows
@@ -1386,6 +1389,60 @@ object SparkEntry {
         |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |  md5(text) AS payload_md5
         |FROM documents""".stripMargin,
+    // Decoded-feature oracle over the REAL-format corpus: recompute
+    // the md5-derived pixels/samples arithmetically (the mm_near_dup
+    // technique), then the mean and 16-bin histogram — while the
+    // engine round-trips the same content through actual BMP/WAV/AVI
+    // bytes and the from-scratch decoders. n_bytes pins the encoders'
+    // exact container sizes (54+224 BMP, 44+65 WAV, 1028-byte AVI).
+    "mm_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, CASE doc_id % 3 WHEN 0 THEN 72
+        |                        WHEN 1 THEN 65 ELSE 288 END) ] AS px
+        |  FROM t
+        |)
+        |SELECT doc_id AS media_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |    ELSE 'video' END AS media_type,
+        |  CASE doc_id % 3 WHEN 0 THEN 'bmp' WHEN 1 THEN 'wav'
+        |    ELSE 'avi' END AS decoder,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 278 WHEN 1 THEN 109
+        |    ELSE 1028 END AS INTEGER) AS n_bytes,
+        |  list_sum(px) / CAST(len(px) AS DOUBLE) AS mean_byte,
+        |  array_to_string(
+        |    [ CAST(list_sum(list_transform(px,
+        |        p -> CASE WHEN p // 16 = b THEN 1 ELSE 0 END)) AS VARCHAR)
+        |      for b in range(0, 16) ], ',') AS hist
+        |FROM g""".stripMargin,
+    // Sampled-frame oracle: video rows only (doc_id % 3 = 2), frames
+    // 0 and 2 of the 4-frame AVI; frame f's pixel i = md5 byte of
+    // token ((f*72 + i) mod ntokens); 224 = one padded-BGR 9x8 DIB.
+    "mm_frames" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |  WHERE doc_id % 3 = 2
+        |), f AS (
+        |  SELECT doc_id, fi,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[((fi * 72 + i) % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[((fi * 72 + i) % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 72) ] AS px
+        |  FROM t, (SELECT UNNEST([0, 2]) AS fi)
+        |)
+        |SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
+        |  224 AS frame_bytes,
+        |  list_sum(px) / 72.0 AS frame_mean
+        |FROM f""".stripMargin,
     // Embedding near-dup at cosine >= 0.9: exact all-pairs oracle (the
     // corpus has no such pairs — both sides must agree on empty).
     "sim_near_dup" ->

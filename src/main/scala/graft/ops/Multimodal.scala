@@ -124,6 +124,46 @@ object Multimodal {
       }
   }
 
+  /** Real-format media table over the documents fixture: doc k's
+    * payload is an actual container — 9×8 24-bit BMP (image rows),
+    * 65-sample 8-bit PCM WAV (audio), or 4-frame uncompressed AVI
+    * (video), chosen by `doc_id % 3` — whose pixels/samples are the
+    * first md5 byte of token (i mod ntokens), the same
+    * oracle-recomputable derivation as [[PerceptualHash
+    * .syntheticImages]]. Every payload round-trips the REAL encoders
+    * and decoders, so `mm_features`/`mm_frames` carry full DuckDB
+    * oracles: the oracle recomputes the decoded content
+    * arithmetically while the engine goes through actual bytes.
+    */
+  def realMediaTable(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def tokByte(toks: Seq[String], i: Int): Byte =
+          md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+        it.map { case (id, toks) =>
+          (id % 3) match {
+            case 0 =>
+              val gray = Array.tabulate(9 * 8)(i => tokByte(toks, i))
+              MediaRecord(id, "image", 9, 8,
+                PerceptualHash.encodeBmp(gray, 9, 8))
+            case 1 =>
+              val pcm = Array.tabulate(65)(i => tokByte(toks, i))
+              MediaRecord(id, "audio", 65, 1, PerceptualHash.encodeWav(pcm))
+            case _ =>
+              val frames = (0 until 4).map(f =>
+                Array.tabulate(9 * 8)(i => tokByte(toks, f * 72 + i)))
+              MediaRecord(id, "video", 9, 8,
+                PerceptualHash.encodeAvi(frames, 9, 8))
+          }
+        }
+      }
+  }
+
   /** Partition-local batched feature extraction: decode (stub),
     * histogram, mean, thumbnail. The `mapPartitions` shape mirrors an
     * arrow-batched UDF: per-partition setup happens once, rows stream
@@ -134,12 +174,18 @@ object Multimodal {
     media.mapPartitions { it =>
       // per-partition codec "setup" would go here (amortized state)
       it.map { m =>
-        // real JDK-only decode for PNG/BMP/WAV; declared stub otherwise
+        // real JDK-only decode for PNG/BMP/GIF/WAV/JPEG; real AVI
+        // frame walk for uncompressed video; declared stub otherwise
         val (dec, w, h, px) = Codecs.decode(m.payload) match {
           case Some(d) => (d.kind, d.width, d.height, d.gray)
-          case None =>
-            ("stub", m.width, m.height,
-              FakeCodec.decode(m.payload, m.width, m.height))
+          case None => PerceptualHash.aviFrameGrays(m.payload) match {
+            case Some((fw, fh, grays)) =>
+              // frames stack vertically: features see one fw × fh·n grid
+              ("avi", fw, fh * grays.length, grays.toArray.flatten)
+            case None =>
+              ("stub", m.width, m.height,
+                FakeCodec.decode(m.payload, m.width, m.height))
+          }
         }
         val hist = new Array[Long](16)
         var sum = 0L
@@ -167,6 +213,49 @@ object Multimodal {
     extractFeatures(mediaTable(s, dir)).toDF()
       .select(col("media_id"), col("media_type"), col("decoder"),
         col("n_bytes"), col("mean_byte"))
+
+  /** Fully-oracled feature relation over [[realMediaTable]]: every row
+    * decodes through a REAL codec (BMP / WAV / AVI), and the mean +
+    * 16-bin histogram of the decoded pixels/samples are recomputed
+    * arithmetically by the DuckDB oracle from the md5 token derivation
+    * — equality pins the encode→decode→feature path lossless, the
+    * [[PerceptualHash]] `mm_near_dup` technique applied to features.
+    * The histogram travels as a comma-joined string so both engines
+    * hash the identical scalar.
+    */
+  def featureSummaryReal(s: SparkSession, dir: String): DataFrame =
+    extractFeatures(realMediaTable(s, dir)).toDF()
+      .select(col("media_id"), col("media_type"), col("decoder"),
+        col("n_bytes"), col("mean_byte"),
+        concat_ws(",", col("histogram").cast("array<string>")).as("hist"))
+
+  /** Fully-oracled sampled-frame relation over [[realMediaTable]]'s
+    * video rows: every `stride`-th frame of each AVI is decoded
+    * through the real container walk + DIB parse, and its byte length
+    * and pixel mean are emitted — both recomputable by the oracle from
+    * the md5 derivation. The per-frame mean (not the raw bytes)
+    * crosses the engine boundary, keeping the comparison scalar.
+    */
+  def frameFeatures(s: SparkSession, dir: String, stride: Int = 2): DataFrame = {
+    import s.implicits._
+    realMediaTable(s, dir)
+      .filter(_.media_type == "video")
+      .flatMap { m =>
+        PerceptualHash.aviFrameGrays(m.payload).toSeq.flatMap {
+          case (w, h, grays) =>
+            // frame bytes as stored in the container: padded BGR rows
+            val dibLen = ((w * 3 + 3) / 4) * 4 * h
+            (0 until grays.length by stride).map { f =>
+              val g = grays(f)
+              var sum = 0L
+              var i = 0
+              while (i < g.length) { sum += g(i) & 0xff; i += 1 }
+              (m.media_id, f, dibLen, sum.toDouble / g.length)
+            }
+        }
+      }
+      .toDF("media_id", "frame_idx", "frame_bytes", "frame_mean")
+  }
 
   /** Payload metadata relation (fully oracle-able): id, declared type,
     * byte length, md5 of the payload.

@@ -229,16 +229,28 @@ object PerceptualHash {
     * via [[dHash]] over frames where aligned comparison is wanted.
     */
   def videoHash(payload: Array[Byte]): Option[Long] =
+    aviFrameGrays(payload).map { case (w, h, grays) =>
+      grays
+        .map(g => dHashBits(
+          if (w == GridW && h == GridH) g
+          else resizeArea(g, w, h, GridW, GridH)))
+        .foldLeft(0L)((acc, hash) => java.lang.Long.rotateLeft(acc, 1) ^ hash)
+    }
+
+  /** Decode every uncompressed frame of an AVI payload to grayscale:
+    * (width, height, per-frame gray buffers). None when the payload is
+    * not an AVI or any frame fails to parse — the all-or-nothing
+    * contract [[videoHash]] relies on. Shared with
+    * [[Multimodal.extractFeatures]]'s real-decode video branch.
+    */
+  private[graft] def aviFrameGrays(
+      payload: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] =
     for {
       hdr <- MediaHeaders.sniff(payload) if hdr.format == "avi"
       frames <- Codecs.aviFrames(payload) if frames.nonEmpty
       grays = frames.flatMap(dibToGray(_, hdr.width, hdr.height))
       if grays.length == frames.length
-    } yield grays
-      .map(g => dHashBits(
-        if (hdr.width == GridW && hdr.height == GridH) g
-        else resizeArea(g, hdr.width, hdr.height, GridW, GridH)))
-      .foldLeft(0L)((acc, h) => java.lang.Long.rotateLeft(acc, 1) ^ h)
+    } yield (hdr.width, hdr.height, grays.toVector)
 
   /** Minimal PCM WAV encoder (8-bit mono, the losslessly-decodable
     * subset of [[Codecs.wav]]) — write-side twin like [[encodeBmp]].

@@ -49,6 +49,51 @@ class MultimodalSpec extends SparkSpec {
     assert(idx.toSeq == (0 until idx.length).toSeq)
   }
 
+  test("realMediaTable: every payload decodes through a real codec") {
+    val feats = Multimodal.featureSummaryReal(spark, sf())
+    val byDec = feats.groupBy("decoder").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byDec.keySet == Set("bmp", "wav", "avi"), s"got $byDec")
+    assert(!byDec.contains("stub"))
+    // type follows doc_id % 3 and the decoder follows the type
+    val mismatched = feats.filter(
+      (col("media_type") === "image" && col("decoder") =!= "bmp") ||
+        (col("media_type") === "audio" && col("decoder") =!= "wav") ||
+        (col("media_type") === "video" && col("decoder") =!= "avi")).count()
+    assert(mismatched == 0)
+  }
+
+  test("featureSummaryReal: decoded mean matches a direct md5 recompute") {
+    val row = Multimodal.featureSummaryReal(spark, sf())
+      .filter(col("media_type") === "image").orderBy("media_id").head()
+    val id = row.getLong(0)
+    val toks = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(col("doc_id") === id).head().getAs[String]("text")
+      .toLowerCase.split("\\s+").toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val px = (0 until 72).map(i =>
+      md.digest(toks(i % toks.size).getBytes("UTF-8"))(0) & 0xff)
+    assert(row.getAs[Double]("mean_byte") == px.sum.toDouble / 72)
+    val hist = new Array[Long](16)
+    px.foreach(p => hist(p >> 4) += 1)
+    assert(row.getAs[String]("hist") == hist.mkString(","))
+  }
+
+  test("frameFeatures: strided real-AVI frames with recomputable means") {
+    val ff = Multimodal.frameFeatures(spark, sf(), stride = 2)
+    assert(ff.select("media_id").distinct().collect()
+      .forall(_.getLong(0) % 3 == 2))
+    val idx = ff.select("frame_idx").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    assert(idx == Seq(0, 2), "4-frame clips sampled at stride 2")
+    assert(ff.filter(col("frame_bytes") =!= 224).count() == 0)
+    // frame 2's mean differs from frame 0's for some doc (the frames
+    // really are distinct slices of the token stream, not repeats)
+    val pivot = ff.groupBy("media_id")
+      .agg(countDistinct("frame_mean").as("n")).filter(col("n") === 2)
+    assert(pivot.count() > 0)
+  }
+
   // ---- REAL header sniffing (graft.ops.MediaHeaders) ----------------
   // Containers below are assembled byte-by-byte from their published
   // layouts — the parser is pinned against the format, not a library.
