@@ -430,16 +430,26 @@ object Codecs {
 
   /** Uncompressed-AVI frame extraction: walk the RIFF tree to the
     * `movi` LIST and return every `##db` chunk's bytes (uncompressed
-    * DIB frames — the only AVI codec that IS no codec). Compressed
-    * streams (`##dc`) are behind [[Multimodal.FakeCodec]]'s stub like
-    * JPEG. Chunk sizes unsigned, Long cursor (untrusted input).
+    * DIB frames — the only AVI codec that IS no codec). Chunk sizes
+    * unsigned, Long cursor (untrusted input).
     */
-  private[graft] def aviFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] = {
+  private[graft] def aviFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] =
+    aviFrameChunks(b).map(_.collect { case (false, f) => f })
+
+  /** All video frame chunks of an AVI's `movi` LIST, tagged compressed
+    * (`##dc` — e.g. MJPEG, where each chunk is a complete baseline
+    * JPEG stream [[Jpeg]] decodes) or uncompressed (`##db` raw DIB).
+    * Other AVI codecs also ship as `##dc`; whether a compressed chunk
+    * is decodable is the consumer's per-chunk decision (a failed
+    * [[Jpeg.decode]] falls back like any other undecodable payload).
+    */
+  private[graft] def aviFrameChunks(
+      b: Array[Byte]): Option[Vector[(Boolean, Array[Byte])]] = {
     if (b == null || b.length < 12 || b(0) != 'R' || b(1) != 'I' ||
       b(2) != 'F' || b(3) != 'F' || b(8) != 'A' || b(9) != 'V' ||
       b(10) != 'I' || b(11) != ' ')
       return None
-    val frames = Vector.newBuilder[Array[Byte]]
+    val frames = Vector.newBuilder[(Boolean, Array[Byte])]
     var found = false
     MediaHeaders.Riff.walk[Unit](b, 12L, b.length.toLong) { (p, size) =>
       if (b(p) == 'L' && b(p + 1) == 'I' && b(p + 2) == 'S' &&
@@ -448,10 +458,12 @@ object Codecs {
         found = true
         val end = math.min(p + 8L + size, b.length.toLong)
         MediaHeaders.Riff.walk[Unit](b, p + 12L, end) { (cp, cs) =>
-          // '##db' = uncompressed DIB frame of stream ##
-          if (b(cp + 2) == 'd' && b(cp + 3) == 'b' &&
+          // '##db' = uncompressed DIB, '##dc' = compressed frame
+          if (b(cp + 2) == 'd' &&
+            (b(cp + 3) == 'b' || b(cp + 3) == 'c') &&
             cp + 8L + cs <= end && cs <= Int.MaxValue)
-            frames += java.util.Arrays.copyOfRange(b, cp + 8, cp + 8 + cs.toInt)
+            frames += ((b(cp + 3) == 'c',
+              java.util.Arrays.copyOfRange(b, cp + 8, cp + 8 + cs.toInt)))
           None
         }: Unit
       }

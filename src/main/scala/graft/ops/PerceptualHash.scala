@@ -163,18 +163,25 @@ object PerceptualHash {
     * DIB frame" means in the container. Write-side twin of
     * [[Codecs.aviFrames]] + [[MediaHeaders]]' avi sniffer.
     */
-  def encodeAvi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] = {
-    require(frames.nonEmpty, "AVI needs at least one frame")
-    val dibs = frames.map(f => {
+  def encodeAvi(frames: Seq[Array[Byte]], w: Int, h: Int): Array[Byte] =
+    aviContainer(frames.map(f => {
       val bmp = encodeBmp(f, w, h)
       java.util.Arrays.copyOfRange(bmp, 54, bmp.length)
-    })
+    }), compressed = false, w, h)
+
+  /** Shared RIFF/AVI skeleton: `hdrl`/`avih` header + one `movi` LIST
+    * of per-frame chunks (`00db` raw DIB or `00dc` compressed).
+    */
+  private def aviContainer(
+      frameData: Seq[Array[Byte]], compressed: Boolean, w: Int, h: Int
+  ): Array[Byte] = {
+    require(frameData.nonEmpty, "AVI needs at least one frame")
     val avih = new Array[Byte](56)
     def le32At(a: Array[Byte], i: Int, v: Int): Unit = {
       a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
       a(i + 2) = (v >> 16).toByte; a(i + 3) = (v >> 24).toByte
     }
-    le32At(avih, 16, frames.length)
+    le32At(avih, 16, frameData.length)
     le32At(avih, 32, w); le32At(avih, 36, h)
     def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
       val out = new Array[Byte](8 + data.length + (data.length & 1))
@@ -185,11 +192,100 @@ object PerceptualHash {
     }
     def list(kind: String, children: Array[Byte]): Array[Byte] =
       chunk("LIST", kind.getBytes("US-ASCII") ++ children)
+    val fourcc = if (compressed) "00dc" else "00db"
     val body = "AVI ".getBytes("US-ASCII") ++
       list("hdrl", chunk("avih", avih)) ++
-      list("movi", dibs.flatMap(d => chunk("00db", d)).toArray)
+      list("movi", frameData.flatMap(d => chunk(fourcc, d)).toArray)
     chunk("RIFF", body)
   }
+
+  /** Minimal baseline-JPEG encoder for BLOCK-CONSTANT grayscale images
+    * — the write-side twin of [[Jpeg.decode]] on the losslessly-
+    * codable subset. Input is a `bw`×`bh` grid of block values; the
+    * output JPEG is `8bw`×`8bh` with each 8×8 block constant. A
+    * constant block has an exact DCT: DC = 8·(v−128), every AC zero —
+    * so with a flat all-1s quant table nothing is rounded and
+    * [[Jpeg]]'s double-precision IDCT reconstructs v bit-exactly
+    * (round(DC/8 + 128) = v). That exactness is what lets MJPEG
+    * fixtures carry the same arithmetic DuckDB oracle as uncompressed
+    * ones. Tables are minimal custom DHTs (12 four-bit DC categories,
+    * a single one-bit EOB code), not the Annex-K defaults — nothing
+    * here is copied table data beyond the spec-mandated structure.
+    */
+  def encodeJpegBlocks(blocks: Array[Byte], bw: Int, bh: Int): Array[Byte] = {
+    require(bw > 0 && bh > 0 && blocks.length == bw * bh,
+      s"block grid ${blocks.length} != $bw x $bh")
+    require(bw * 8 <= 0xffff && bh * 8 <= 0xffff, "dims exceed JPEG u16")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    // SOI
+    u16(0xffd8)
+    // DQT: table 0, 8-bit, all ones (no quantization loss)
+    u16(0xffdb); u16(2 + 1 + 64); u8(0x00)
+    (0 until 64).foreach(_ => u8(1))
+    // SOF0: 8-bit, one component, no subsampling
+    u16(0xffc0); u16(8 + 3); u8(8); u16(bh * 8); u16(bw * 8); u8(1)
+    u8(1); u8(0x11); u8(0)
+    // DHT DC table 0: twelve categories 0..11, all four-bit codes
+    u16(0xffc4); u16(2 + 17 + 12); u8(0x00)
+    (1 to 16).foreach(l => u8(if (l == 4) 12 else 0))
+    (0 until 12).foreach(u8)
+    // DHT AC table 0: a single one-bit code for EOB
+    u16(0xffc4); u16(2 + 17 + 1); u8(0x10)
+    (1 to 16).foreach(l => u8(if (l == 1) 1 else 0))
+    u8(0x00)
+    // SOS: one component, tables 0/0, full spectral range
+    u16(0xffda); u16(6 + 2); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    // entropy data: per block (raster order) DC diff + EOB, stuffed
+    var acc = 0
+    var nbits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00) // byte stuffing
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    var pred = 0
+    var i = 0
+    while (i < blocks.length) {
+      val dc = 8 * ((blocks(i) & 0xff) - 128)
+      val diff = dc - pred
+      pred = dc
+      val mag = math.abs(diff)
+      var cat = 0
+      while ((1 << cat) <= mag) cat += 1 // 2^(cat-1) <= mag < 2^cat
+      putBits(cat, 4) // DC category, four-bit code = symbol value
+      if (cat > 0)
+        putBits(if (diff >= 0) diff else diff + (1 << cat) - 1, cat)
+      putBits(0, 1) // EOB
+      i += 1
+    }
+    if (nbits > 0) { // 1-pad the final byte (T.81 F.1.2.3)
+      val pad = 8 - nbits
+      acc = (acc << pad) | ((1 << pad) - 1)
+      out.write(acc & 0xff)
+      if ((acc & 0xff) == 0xff) out.write(0x00)
+    }
+    u16(0xffd9) // EOI
+    out.toByteArray
+  }
+
+  /** MJPEG AVI: same RIFF skeleton as [[encodeAvi]] but `00dc` chunks,
+    * each a complete [[encodeJpegBlocks]] stream. `w`/`h` are the
+    * decoded frame dims written into `avih` (8·bw × 8·bh).
+    */
+  def encodeMjpegAvi(
+      frameBlocks: Seq[Array[Byte]], bw: Int, bh: Int): Array[Byte] =
+    aviContainer(frameBlocks.map(encodeJpegBlocks(_, bw, bh)),
+      compressed = true, bw * 8, bh * 8)
 
   /** Parse one raw DIB frame (bottom-up padded BGR rows) back to
     * grayscale — the frame-level core of [[Codecs.bmp]].
@@ -237,19 +333,27 @@ object PerceptualHash {
         .foldLeft(0L)((acc, hash) => java.lang.Long.rotateLeft(acc, 1) ^ hash)
     }
 
-  /** Decode every uncompressed frame of an AVI payload to grayscale:
-    * (width, height, per-frame gray buffers). None when the payload is
-    * not an AVI or any frame fails to parse — the all-or-nothing
-    * contract [[videoHash]] relies on. Shared with
+  /** Decode every frame of an AVI payload to grayscale: (width,
+    * height, per-frame gray buffers). `##db` chunks parse as raw DIBs;
+    * `##dc` chunks go through [[Jpeg.decode]] (MJPEG — the one
+    * compressed AVI codec that is just a JPEG per frame) and must
+    * match the container dims. None when the payload is not an AVI or
+    * ANY frame fails to parse — the all-or-nothing contract
+    * [[videoHash]] relies on. Shared with
     * [[Multimodal.extractFeatures]]'s real-decode video branch.
     */
   private[graft] def aviFrameGrays(
       payload: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] =
     for {
       hdr <- MediaHeaders.sniff(payload) if hdr.format == "avi"
-      frames <- Codecs.aviFrames(payload) if frames.nonEmpty
-      grays = frames.flatMap(dibToGray(_, hdr.width, hdr.height))
-      if grays.length == frames.length
+      chunks <- Codecs.aviFrameChunks(payload) if chunks.nonEmpty
+      grays = chunks.flatMap {
+        case (false, dib) => dibToGray(dib, hdr.width, hdr.height)
+        case (true, jpg) => Jpeg.decode(jpg).collect {
+          case d if d.width == hdr.width && d.height == hdr.height => d.gray
+        }
+      }
+      if grays.length == chunks.length
     } yield (hdr.width, hdr.height, grays.toVector)
 
   /** Minimal PCM WAV encoder (8-bit mono, the losslessly-decodable
@@ -372,9 +476,18 @@ object PerceptualHash {
   private val VideoFrames = 4
 
   /** Deterministic video table over the documents fixture: doc k's
-    * payload is a 4-frame uncompressed AVI of 9×8 frames, frame f's
-    * pixel i = first md5 byte of token ((f·72 + i) mod ntokens) — the
-    * video sibling of [[syntheticImages]], oracle-recomputable.
+    * payload is a 4-frame AVI whose frame f carries the 72 values
+    * v(f,i) = first md5 byte of token ((f·72 + i) mod ntokens) — the
+    * video sibling of [[syntheticImages]], oracle-recomputable. Even
+    * doc ids encode uncompressed (9×8 `00db` DIB frames, pixel i =
+    * v(f,i)); odd doc ids encode MJPEG (72×64 `00dc` baseline-JPEG
+    * frames, 8×8 block (r,c) constant at v(f, r·9+c)). The MJPEG
+    * block layout is chosen so the canonical-grid box resample
+    * (72×64 → 9×8, each cell exactly one block's mean) reproduces the
+    * SAME 9×8 grid as the uncompressed path — so both codecs yield
+    * identical [[videoHash]] signatures for identical token streams
+    * and `mm_video_near_dup`'s arithmetic oracle covers both without
+    * caring which codec a row took.
     */
   def syntheticVideos(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -394,7 +507,10 @@ object PerceptualHash {
             }
             gray
           }
-          (id, encodeAvi(frames, GridW, GridH))
+          val payload =
+            if (id % 2 == 0) encodeAvi(frames, GridW, GridH)
+            else encodeMjpegAvi(frames, GridW, GridH)
+          (id, payload)
         }
       }
       .toDF("doc_id", "payload")

@@ -109,6 +109,43 @@ class PerceptualHashSpec extends SparkSpec {
     assert(sig.contains(expected))
   }
 
+  test("encodeJpegBlocks decodes bit-exactly: DC-only blocks survive the IDCT") {
+    // every extreme and a pseudo-random spread, including the
+    // max-negative-diff path (255 -> 0 between adjacent blocks)
+    val blocks = Array.tabulate(9 * 8) { i =>
+      (i % 4) match {
+        case 0 => 0.toByte
+        case 1 => 255.toByte
+        case 2 => ((i * 37 + 11) % 256).toByte
+        case _ => 128.toByte
+      }
+    }
+    val d = graft.ops.Jpeg.decode(
+      PerceptualHash.encodeJpegBlocks(blocks, 9, 8)).get
+    assert(d.width == 72 && d.height == 64)
+    var r = 0
+    while (r < 64) {
+      var c = 0
+      while (c < 72) {
+        assert(d.gray(r * 72 + c) == blocks((r / 8) * 9 + c / 8),
+          s"pixel ($r,$c) lost in the JPEG round-trip")
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  test("MJPEG AVI yields the same clip signature as the uncompressed encoding") {
+    val frames = (0 until 4).map(f =>
+      Array.tabulate(72)(i => ((i * 31 + f * 97 + 13) % 256).toByte))
+    val plain = PerceptualHash.videoHash(
+      PerceptualHash.encodeAvi(frames, 9, 8))
+    val mjpeg = PerceptualHash.videoHash(
+      PerceptualHash.encodeMjpegAvi(frames, 9, 8))
+    assert(plain.isDefined && plain == mjpeg,
+      "block-constant 72x64 MJPEG frames must box-resample to the same 9x8 grid")
+  }
+
   test("static clips keep content-bearing signatures and frame order matters") {
     val a = Array.tabulate(72)(i => ((i * 37 + 11) % 256).toByte)
     val b = Array.tabulate(72)(i => ((i * 53 + 29) % 256).toByte)
