@@ -230,6 +230,12 @@ object SparkEntry {
     // BPE first-merge pair statistics: corpus touched once (wordcount),
     // everything after is vocabulary-sized
     "corpus_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(s, dir)),
+    // full iterative BPE train: k rounds of argmax + vocabulary
+    // rewrite, one 1-row collect per round; the oracle replays the
+    // same k merges through chained CTEs
+    "corpus_bpe_train" -> ((s, dir) => TextOps.bpeTrain(s, dir)),
+    // tokenize-apply: corpus token frequencies after the k merges
+    "corpus_bpe_tokenize" -> ((s, dir) => TextOps.bpeTokens(s, dir)),
     // composite keep/drop verdict with per-rule drop reasons; costs
     // exactly one text_repetition (signals ride the same exchanges)
     "quality_filter" -> ((s, dir) => Filtering.qualityFilter(s, dir)),
@@ -310,10 +316,62 @@ object SparkEntry {
       PerceptualHash.videoNearDupPairs(s, dir))
   )
 
+  /** Chained-CTE replay of the BPE trainer for the DuckDB oracle: `w0`
+    * is the wrapped-symbol wordcount, `m{j}` the round-j argmax pair,
+    * `w{j}` the vocabulary after applying it. The rewrite uses the
+    * same `replace` primitive (left-to-right, non-overlapping) as the
+    * engine, so merge semantics match by construction; ties break by
+    * (count DESC, l, r) under binary collation on both sides. Every
+    * stage is AS MATERIALIZED: each w{j} is referenced twice (by
+    * m{j+1} and w{j+1}), so default inlining would expand the chain
+    * exponentially — the DuckDB twin of the lineage blowup the
+    * engine's eager localCheckpoint prevents.
+    */
+  private def bpeOracleCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH w0 AS MATERIALIZED (
+      |  SELECT '|' || array_to_string(
+      |      [substr(word, i, 1) for i in range(1, length(word) + 1)], '||')
+      |    || '|' AS word, cnt
+      |  FROM (SELECT word, count(*) AS cnt FROM (
+      |      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |        AS word FROM documents)
+      |    WHERE length(word) >= 1 AND NOT contains(word, '|')
+      |    GROUP BY word)
+      |)""".stripMargin
+    for (j <- 1 to k) {
+      sb ++= s""",
+        |m$j AS MATERIALIZED (
+        |  SELECT l, r, CAST(sum(cnt) AS BIGINT) AS pair_count FROM (
+        |    SELECT unnest([{'l': syms[i], 'r': syms[i+1]}
+        |        for i in range(1, len(syms))], recursive := true), cnt
+        |    FROM (SELECT string_split(trim(word, '|'), '||') AS syms, cnt
+        |          FROM w${j - 1}))
+        |  GROUP BY l, r ORDER BY pair_count DESC, l, r LIMIT 1
+        |),
+        |w$j AS MATERIALIZED (
+        |  SELECT replace(word, '|' || l || '||' || r || '|',
+        |    '|' || l || r || '|') AS word, cnt
+        |  FROM w${j - 1}, m$j
+        |)""".stripMargin
+    }
+    sb.toString
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "corpus_bpe_train" -> (bpeOracleCtes(20) + "\n" +
+      (1 to 20).map(j =>
+        s"SELECT CAST($j AS INTEGER) AS rank, l AS left_sym, r AS right_sym," +
+          s" l || r AS merged, pair_count FROM m$j")
+        .mkString("\nUNION ALL\n")),
+    "corpus_bpe_tokenize" -> (bpeOracleCtes(20) + """
+      |SELECT sym AS token, CAST(sum(cnt) AS BIGINT) AS token_count FROM (
+      |  SELECT unnest(string_split(trim(word, '|'), '||')) AS sym, cnt
+      |  FROM w20)
+      |GROUP BY sym""".stripMargin),
     "merge_orders" ->
       """SELECT t.o_orderkey,
         |       t.o_custkey,

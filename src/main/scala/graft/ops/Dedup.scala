@@ -626,7 +626,7 @@ object Dedup {
     * checkpointed RDD's storage lives at the RDD layer, reachable via
     * the plan's LogicalRDD leaf.
     */
-  private def unpersistCheckpoint(df: DataFrame): Unit =
+  private[graft] def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false): Unit

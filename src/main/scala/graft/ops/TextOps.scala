@@ -199,6 +199,122 @@ object TextOps {
       row_number().over(w).as("rank"))
   }
 
+  /** One trained BPE merge: rank order, the two merged symbols, their
+    * concatenation, and the pair count that won the round.
+    */
+  final case class BpeMerge(
+      rank: Int, left_sym: String, right_sym: String,
+      merged: String, pair_count: Long)
+
+  /** Symbol-sequence encoding used by the BPE trainer: each symbol
+    * wrapped in `|` and concatenated, so the word "low" starts as
+    * `|l||o||w|`. Merging pair (l, r) is then the plain string replace
+    * `|l||r|` → `|lr|` — left-to-right and non-overlapping in BOTH
+    * engines (JVM and DuckDB `replace` share that contract), the
+    * boundary markers make a symbol-suffix match impossible, and a
+    * same-symbol run pairs up greedily (`aaaa` → `aa aa`) because
+    * adjacent matches share no characters. Tokens containing the
+    * wrapper character are dropped (both sides) rather than escaped.
+    */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(explode(wsTokens).as("word"))
+      .filter(length(col("word")) >= 1 && !col("word").contains("|"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .select(concat(lit("|"), concat_ws("||", expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))")),
+        lit("|")).as("word"), col("cnt"))
+
+  /** Unwrap `|l||o||w|` back to its symbol array. */
+  private val bpeSyms =
+    expr("split(substring(word, 2, length(word) - 2), '\\\\|\\\\|')")
+
+  /** The full iterative BPE trainer (Sennrich et al. 2016 §3.1): k
+    * rounds of count-adjacent-pairs → take the argmax → rewrite the
+    * vocabulary with the winning merge. Returns the merge table and
+    * the final (fully-merged) vocabulary state.
+    *
+    * Shape at scale: the corpus is touched ONCE, by the wordcount
+    * collapse in [[bpeWords]] (map-side partials carry vocabularies,
+    * not tokens). Every round after that runs over the vocabulary-
+    * sized relation: pair counting is explode + one keyed aggregation,
+    * the argmax brings exactly ONE row to the driver per round (the
+    * [[Dedup.connectedComponents]] convergence-signature economics),
+    * and the rewrite is a narrow codegen'd `replace` projection. Each
+    * round EAGERLY `localCheckpoint`s its state and releases the
+    * previous one — the [[Dedup.connectedComponents]] discipline, and
+    * just as load-bearing here: deriving round j from round j−1's
+    * un-truncated plan makes every expression that references `word`
+    * duplicate the collapsed replace-chain, and analysis cost doubles
+    * per round (measured: OOM by round 16 even on the sf0.001 fixture;
+    * checkpointed, 20 rounds run in seconds flat). Rounds stop early
+    * (fewer than k merges) when no adjacent pair remains.
+    */
+  private[graft] def bpeLoop(
+      s: SparkSession, dir: String, k: Int,
+      scope: CacheScope = new CacheScope
+  ): (Seq[BpeMerge], DataFrame) = {
+    var words = bpeWords(s, dir).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[BpeMerge]
+    var round = 1
+    var done = false
+    while (round <= k && !done) {
+      val top = words
+        .select(col("cnt"), bpeSyms.as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("cnt").as("pair_count"))
+        .orderBy(desc("pair_count"), col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val (l, r, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += BpeMerge(round, l, r, l + r, cnt)
+        val next = words.select(
+          replace(col("word"), lit("|" + l + "||" + r + "|"),
+            lit("|" + l + r + "|")).as("word"), col("cnt"))
+          .localCheckpoint(true) // eager: truncates lineage for real
+        Dedup.unpersistCheckpoint(words)
+        words = next
+        round += 1
+      }
+    }
+    // only the FINAL state outlives the loop; hand it to the scope so
+    // the caller's terminal action can still read it, then release
+    val finalWords = words
+    scope.onRelease(() => Dedup.unpersistCheckpoint(finalWords))
+    (merges.toSeq, finalWords)
+  }
+
+  /** BPE merge table: the first k trained merges in rank order. */
+  def bpeTrain(
+      s: SparkSession, dir: String, k: Int = 20,
+      scope: CacheScope = new CacheScope): DataFrame = {
+    import s.implicits._
+    val (merges, words) = bpeLoop(s, dir, k, scope)
+    Dedup.unpersistCheckpoint(words) // merges already on the driver
+    merges.toDF()
+  }
+
+  /** BPE tokenize-apply: the corpus token-frequency table AFTER the
+    * first k merges — each (symbol, summed word count) of the trained
+    * vocabulary state. The apply path over raw text is the same k
+    * chained `replace` projections (narrow, codegen'd, embarrassingly
+    * parallel) that the trainer used on the vocabulary.
+    */
+  def bpeTokens(
+      s: SparkSession, dir: String, k: Int = 20,
+      scope: CacheScope = new CacheScope): DataFrame = {
+    val (_, words) = bpeLoop(s, dir, k, scope)
+    words
+      .select(col("cnt"), explode(bpeSyms).as("token"))
+      .groupBy("token").agg(sum("cnt").as("token_count"))
+  }
+
   /** Repetition signals (Gopher-shaped, Rae et al. 2021 §A1.1, token-
     * rather than character-weighted): per document, the fraction of
     * 2-gram occurrences claimed by the single most frequent 2-gram

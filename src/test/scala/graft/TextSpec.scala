@@ -124,4 +124,69 @@ class TextSpec extends SparkSpec {
     assert(expected.contains("<EMAIL>") && expected.contains("<SSN>") &&
       expected.contains("<PHONE>"))
   }
+
+  // ---- full iterative BPE (train + tokenize-apply) -----------------
+
+  private def bpeCorpus(texts: Seq[String]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bpeTrain: hand-checkable merges on a crafted corpus") {
+    // "abab" x4, "ab" x2: round-1 pair counts — (a,b) = 2*4 + 1*2 =
+    // 10, (b,a) = 1*4 = 4
+    val dir = bpeCorpus(Seq("abab abab abab ab", "abab ab"))
+    val merges = TextOps.bpeTrain(spark, dir, k = 2).collect()
+    assert(merges.length == 2)
+    val m1 = merges.find(_.getAs[Int]("rank") == 1).get
+    assert(m1.getAs[String]("left_sym") == "a" &&
+      m1.getAs[String]("right_sym") == "b" &&
+      m1.getAs[String]("merged") == "ab" &&
+      m1.getAs[Long]("pair_count") == 10L)
+    // round 2: words are now [ab ab] x4, [ab] x3 -> (ab,ab)=4 wins
+    val m2 = merges.find(_.getAs[Int]("rank") == 2).get
+    assert(m2.getAs[String]("left_sym") == "ab" &&
+      m2.getAs[String]("right_sym") == "ab" &&
+      m2.getAs[Long]("pair_count") == 4L)
+  }
+
+  test("bpeTrain: same-symbol runs pair greedily and training stops early") {
+    // one word "aaaa" x2: round 1 merges (a,a) cnt 6 (3 adjacencies
+    // x 2 occurrences), leaving [aa aa]; round 2 merges (aa,aa) cnt 2,
+    // leaving the whole word; round 3 finds no pair -> stop at 2
+    val dir = bpeCorpus(Seq("aaaa aaaa"))
+    val merges = TextOps.bpeTrain(spark, dir, k = 10).collect()
+    // after [aa,aa] -> [aaaa] the word is a single symbol: no pair
+    // remains, so only 2 of the allowed 10 merges happen
+    assert(merges.length == 2, merges.mkString(";"))
+    assert(merges(0).getAs[String]("merged") == "aa" &&
+      merges(0).getAs[Long]("pair_count") == 6L)
+    // the greedy left-to-right pairing: aaaa -> [aa, aa], NOT [aa,a,a]
+    assert(merges(1).getAs[String]("left_sym") == "aa" &&
+      merges(1).getAs[String]("right_sym") == "aa" &&
+      merges(1).getAs[Long]("pair_count") == 2L)
+  }
+
+  test("bpeTokens: vocabulary state after k merges, recomputable by hand") {
+    val dir = bpeCorpus(Seq("abab abab abab ab", "abab ab"))
+    val toks = TextOps.bpeTokens(spark, dir, k = 1).collect()
+      .map(r => r.getAs[String]("token") -> r.getAs[Long]("token_count"))
+      .toMap
+    // after merging (a,b): "abab" (cnt 4) -> [ab, ab]; "ab" (cnt 2)
+    // -> [ab]; so the only token is "ab" with count 2*4 + 2 = 10
+    assert(toks == Map("ab" -> 10L))
+  }
+
+  test("bpeTrain is deterministic across runs") {
+    val a = TextOps.bpeTrain(spark, sf(), k = 8).collect().toSeq
+    val b = TextOps.bpeTrain(spark, sf(), k = 8).collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getAs[Int]("rank")) == (1 to 8))
+    a.foreach(r => assert(r.getAs[String]("merged") ==
+      r.getAs[String]("left_sym") + r.getAs[String]("right_sym")))
+  }
 }
