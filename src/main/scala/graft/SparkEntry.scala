@@ -259,6 +259,10 @@ object SparkEntry {
     // recall vs the brute-force baseline is pinned in DedupSpec
     "sim_ann_lsh" -> ((s, dir) => Similarity.annTopK(s, dir)),
     "sim_ann_ivf" -> ((s, dir) => Similarity.ivfTopK(s, dir)),
+    // multi-probe IVF scored against SQ8 codes (ADC): candidates are
+    // read as int8, the cosine's dequantization factor cancels
+    // exactly, and the float column never enters the serving path
+    "sim_ann_ivf_adc" -> ((s, dir) => Similarity.ivfAdcTopK(s, dir)),
     "sim_near_dup" -> ((s, dir) => Similarity.cosineNearDupPairs(s, dir)),
     // SemDeDup: k-means cells (same Lloyd arithmetic as sim_ann_ivf),
     // within-cell drop-if-similar-to-earlier-member — one cell-keyed
@@ -277,6 +281,18 @@ object SparkEntry {
       val isQuery = col("vec_id") % 10 === 0
       VectorIndex.build(s, dir, idx, vecFilter = Some(!isQuery))
       VectorIndex.probe(s, idx,
+        Similarity.load(s, dir).filter(isQuery)
+          .select(col("vec_id").as("query_id"), col("v").as("qv")))
+    }),
+    // ADC probe of the persisted index: same probing, but the corpus
+    // side is read from the SQ8 `codes` parquet only — the 4x-smaller
+    // serving footprint, ReadSchema-verifiably float-free
+    "sim_index_probe_adc" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft-vecidx").toString
+      val isQuery = col("vec_id") % 10 === 0
+      VectorIndex.build(s, dir, idx, vecFilter = Some(!isQuery))
+      VectorIndex.probeAdc(s, idx,
         Similarity.load(s, dir).filter(isQuery)
           .select(col("vec_id").as("query_id"), col("v").as("qv")))
     }),
@@ -1243,6 +1259,36 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
         |  FROM sc
         |) WHERE rk <= 10""".stripMargin,
+    // ADC variant: same probing, candidates scored against their SQ8
+    // codes (the sim_quantize arithmetic, cast back to DOUBLE) — the
+    // dequantization factor cancels in the cosine, so the oracle
+    // scores against the raw integer code vector
+    "sim_ann_ivf_adc" ->
+      s"""WITH $lloydCellCtes, qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |    ELSE list_transform(v, x -> CAST(CAST(floor(x / scale + 0.5)
+        |      AS INTEGER) AS DOUBLE)) END AS qd
+        |  FROM (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |    FROM e)
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cell FROM ac WHERE rn <= 4 AND vec_id < 5
+        |), cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id
+        |  FROM probes p JOIN assigned a USING (cell)
+        |  WHERE a.vec_id <> p.query_id
+        |), sc AS (
+        |  SELECT query_id, cd.vec_id,
+        |    list_dot_product(az.qd, qv.v) /
+        |      (sqrt(list_dot_product(az.qd, az.qd)) * sqrt(list_dot_product(qv.v, qv.v))) AS score
+        |  FROM cand cd JOIN qz az ON az.vec_id = cd.vec_id JOIN e qv ON qv.vec_id = cd.query_id
+        |)
+        |SELECT query_id, vec_id, score, rk FROM (
+        |  SELECT query_id, vec_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
+        |  FROM sc
+        |) WHERE rk <= 10""".stripMargin,
     // Persisted-IVF probe: the same Lloyd arithmetic over the index
     // carve (ei), query carve assigned to its 4 nearest final
     // centroids, scored within probed cells, top-10
@@ -1274,6 +1320,52 @@ object SparkEntry {
          |      (sqrt(list_dot_product(m.v, m.v)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
          |  FROM cand
          |  JOIN ei m ON m.vec_id = cand.vec_id
+         |  JOIN q ON q.query_id = cand.query_id
+         |)
+         |SELECT query_id, vec_id, score, rk FROM (
+         |  SELECT query_id, vec_id, score,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
+         |  FROM sc
+         |) WHERE rk <= 10""".stripMargin,
+    // ADC probe of the persisted index: identical probing over the ei
+    // carve, candidates scored against their SQ8 codes
+    "sim_index_probe_adc" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+         |), dims AS (
+         |  SELECT unnest(range(1, len(v) + 1)) AS d FROM (SELECT v FROM e LIMIT 1)
+         |), ei AS (
+         |  SELECT vec_id, v FROM e WHERE vec_id % 10 <> 0
+         |), ${lloydCtesOver("ei")}, qz AS (
+         |  SELECT vec_id,
+         |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+         |    ELSE list_transform(v, x -> CAST(CAST(floor(x / scale + 0.5)
+         |      AS INTEGER) AS DOUBLE)) END AS qd
+         |  FROM (SELECT vec_id, v,
+         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+         |    FROM ei)
+         |), q AS (
+         |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id % 10 = 0
+         |), probes AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT q.query_id, c2.cell,
+         |      row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |        list_dot_product(qv, cv) /
+         |          (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+         |          DESC NULLS LAST,
+         |        cell) AS rn
+         |    FROM q, c2
+         |  ) WHERE rn <= 4
+         |), cand AS (
+         |  SELECT DISTINCT p.query_id, a.vec_id
+         |  FROM probes p JOIN assigned a USING (cell)
+         |), sc AS (
+         |  SELECT cand.query_id, cand.vec_id,
+         |    list_dot_product(z.qd, q.qv) /
+         |      (sqrt(list_dot_product(z.qd, z.qd)) * sqrt(list_dot_product(q.qv, q.qv))) AS score
+         |  FROM cand
+         |  JOIN qz z ON z.vec_id = cand.vec_id
          |  JOIN q ON q.query_id = cand.query_id
          |)
          |SELECT query_id, vec_id, score, rk FROM (

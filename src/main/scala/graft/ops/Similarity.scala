@@ -276,6 +276,54 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Multi-probe IVF with ADC (asymmetric-distance) scoring over SQ8
+    * codes: the query stays full-precision while every CANDIDATE is
+    * scored against its int8 code — the memory layout that makes a
+    * 100 TB vector corpus RAM-feasible (4× smaller than floats, and
+    * the float column is never read on the serving path; see
+    * [[VectorIndex.probeAdc]] for the persisted variant whose
+    * ReadSchema proves it). For the cosine metric the per-vector
+    * dequantization multiplier cancels EXACTLY — cosine(qv, scale·q) =
+    * cosine(qv, q) for scale > 0 — so the ADC score is simply the
+    * cosine against the integer code vector, bit-reproducible in both
+    * engines (the code bytes themselves are oracle-pinned by
+    * `sim_quantize`). Probing is multi-cell from the start (`nprobe`
+    * nearest centroids per query), same Lloyd chain as [[ivfTopK]].
+    */
+  def ivfAdcTopK(
+      s: SparkSession, dir: String,
+      numQueries: Int = 5, k: Int = 10,
+      numCells: Int = 16, nprobe: Int = 4,
+      lloydIters: Int = 2
+  ): DataFrame = {
+    val emb = load(s, dir).select(col("vec_id"), col("v")).cache()
+    val seeds: Seq[(Long, Seq[Double])] =
+      emb.filter(col("vec_id") < numCells)
+        .select(col("vec_id").cast("long"), col("v"))
+        .collect().toSeq
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+        .sortBy(_._1)
+    val cents = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydStep(emb, c))
+    // one narrow projection carries BOTH the cell argmax and the SQ8
+    // codes — assignment and quantization share the scan, no join
+    val members = assignCells(withInt8Codes(emb), "v", cents, 1)
+      .select(col("vec_id"), col("cell"),
+        expr("transform(q, x -> CAST(x AS DOUBLE))").as("qd"))
+    val q = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val probes = assignCells(q, "qv", cents, nprobe)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    probes.join(members, "cell")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("qd"), col("qv")).as("score"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"), col("score"),
+        row_number().over(w).as("rk"))
+      .filter(col("rk") <= k)
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, via LSH
     * banding + exact verification (same shape as MinHash-LSH dedup).
     */
@@ -336,16 +384,23 @@ object Similarity {
     * double arithmetic, so the quantized corpus is bit-reproducible on
     * any cluster (and cross-engine, which is what the oracle proves).
     */
-  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+  /** Append (scale, q) SQ8 columns to a (…, v) relation — the shared
+    * quantization arithmetic of [[quantizeInt8]], [[ivfAdcTopK]] and
+    * [[VectorIndex]]'s codes table. Narrow, zero exchanges.
+    */
+  private[graft] def withInt8Codes(emb: DataFrame): DataFrame = {
     val amax = aggregate(col("v"), lit(0.0),
       (acc, x) => greatest(acc, abs(x)))
     val q = expr(
       """CASE WHEN scale = 0D THEN transform(v, x -> 0)
         |ELSE transform(v, x -> CAST(floor(x / scale + 0.5D) AS INT))
         |END""".stripMargin)
-    load(s, dir)
-      .select(col("vec_id"), col("v"), (amax / lit(127.0)).as("scale"))
-      .select(col("vec_id"), col("scale"), q.as("q"))
+    emb.withColumn("scale", amax / lit(127.0)).withColumn("q", q)
+  }
+
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
+    withInt8Codes(load(s, dir).select(col("vec_id"), col("v")))
+      .select(col("vec_id"), col("scale"), col("q"))
       .select(
         col("vec_id"),
         // raw double, deliberately un-rounded: every input step is

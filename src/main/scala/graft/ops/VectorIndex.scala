@@ -59,6 +59,11 @@ object VectorIndex {
       Similarity.assignCells(emb, "v", cents, 1)
         .select("vec_id", "cell", "v")
         .write.mode("overwrite").parquet(s"$path/vectors")
+      // SQ8 serving copy: same assignment, int8 codes instead of
+      // floats — 4x smaller, and the ADC probe reads ONLY this file
+      Similarity.assignCells(Similarity.withInt8Codes(emb), "v", cents, 1)
+        .select("vec_id", "cell", "scale", "q")
+        .write.mode("overwrite").parquet(s"$path/codes")
     } finally { emb.unpersist(); () }
   }
 
@@ -78,6 +83,11 @@ object VectorIndex {
       batch.select(col("vec_id"), col("v")), "v", cents, 1)
       .select("vec_id", "cell", "v")
       .write.mode("append").parquet(s"$path/vectors")
+    Similarity.assignCells(
+      Similarity.withInt8Codes(batch.select(col("vec_id"), col("v"))),
+      "v", cents, 1)
+      .select("vec_id", "cell", "scale", "q")
+      .write.mode("append").parquet(s"$path/codes")
   }
 
   /** The persisted coarse quantizer, driver-resident (numCells rows by
@@ -108,6 +118,36 @@ object VectorIndex {
     probes.join(members, "cell")
       .select(col("query_id"), col("vec_id"),
         Similarity.cosine(col("v"), col("qv")).as("score"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id"), col("score"),
+        row_number().over(w).cast("int").as("rk"))
+      .filter(col("rk") <= k)
+  }
+
+  /** ADC probe: identical probing to [[probe]] but candidates are
+    * scored against their SQ8 codes — the `codes` parquet is the ONLY
+    * corpus file touched (its ReadSchema carries int8 codes, never the
+    * float vectors), which is the 4×-smaller serving footprint that
+    * makes a 100 TB corpus RAM-feasible. For cosine the per-vector
+    * dequantization factor cancels exactly (see
+    * [[Similarity.ivfAdcTopK]]), so the score is the cosine against
+    * the integer code vector.
+    */
+  def probeAdc(
+      s: SparkSession, path: String, queries: DataFrame,
+      nprobe: Int = 4, k: Int = 10
+  ): DataFrame = {
+    val cents = readCentroids(s, path)
+    val probes = Similarity.assignCells(
+      queries.select(col("query_id"), col("qv")), "qv", cents, nprobe)
+    val members = s.read.parquet(s"$path/codes")
+      .select(col("vec_id"), col("cell"),
+        expr("transform(q, x -> CAST(x AS DOUBLE))").as("qd"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    probes.join(members, "cell")
+      .select(col("query_id"), col("vec_id"),
+        Similarity.cosine(col("qd"), col("qv")).as("score"))
       .dropDuplicates("query_id", "vec_id")
       .select(col("query_id"), col("vec_id"), col("score"),
         row_number().over(w).cast("int").as("rk"))

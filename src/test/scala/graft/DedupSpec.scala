@@ -201,6 +201,23 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.8, s"recall $recall")
   }
 
+  test("ADC over SQ8 codes: rankings track full-precision IVF (recall >= 0.9)") {
+    def key(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = key(Similarity.ivfTopK(spark, sf(), numQueries = 5, k = 10))
+    val adc = key(Similarity.ivfAdcTopK(spark, sf(), numQueries = 5, k = 10))
+    // int8 cosine error is ~1e-3 on unit vectors — the quantized
+    // ranking should agree with the float ranking almost everywhere
+    val vsFull = adc.intersect(full).size.toDouble / full.size
+    assert(vsFull >= 0.9, s"ADC vs full-precision IVF overlap $vsFull")
+    // and against the exact brute-force baseline it holds the same
+    // recall bar as the float IVF path
+    val exact = key(Similarity.cosineTopK(spark, sf(), numQueries = 5, k = 10))
+    val recall = adc.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"ADC recall vs brute force $recall")
+  }
+
   test("IVF cell assignment is a narrow projection (zero Exchange) and exact") {
     val emb = Similarity.load(spark, sf()).select(col("vec_id"), col("v"))
     val cents = emb.filter(col("vec_id") < 16)

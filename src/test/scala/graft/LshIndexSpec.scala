@@ -135,6 +135,51 @@ class LshIndexSpec extends SparkSpec {
     }
   }
 
+  test("ADC probe reads ONLY the SQ8 codes file — float vectors never enter the plan") {
+    import graft.ops.{Similarity, VectorIndex}
+    val isQuery = col("vec_id") % 10 === 0
+    val path = Files.createTempDirectory("vecidx-adc").toString
+    VectorIndex.build(spark, sf(), path, vecFilter = Some(!isQuery))
+    val queries = Similarity.load(spark, sf()).filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val adc = VectorIndex.probeAdc(spark, path, queries)
+    // the serving footprint claim, verified on the physical plan: the
+    // corpus-side scan reads the codes parquet (int codes in its
+    // schema), and the float `vectors` file is absent entirely
+    val plan = adc.queryExecution.executedPlan.toString
+    assert(plan.contains("/codes"), plan.take(2000))
+    assert(!plan.contains("/vectors"), plan.take(2000))
+    val rows = adc.collect()
+    assert(rows.nonEmpty)
+    // ADC scores are the cosine against the integer code vector —
+    // recomputed independently from the persisted codes
+    val codes = spark.read.parquet(s"$path/codes")
+      .select("vec_id", "q").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getSeq[Int](1).map(_.toDouble)).toMap
+    val vecs = Similarity.load(spark, sf()).select("vec_id", "v").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val m = r.getAs[Long]("vec_id")
+      assert(m % 10 != 0, "candidates come from the index carve only")
+      assert(math.abs(cos(vecs(q), codes(m)) - r.getAs[Double]("score")) < 1e-9)
+    }
+    // quantization keeps rankings close to the full-precision probe:
+    // top-1 per query should usually agree; require > half
+    val full = VectorIndex.probe(spark, path, queries).collect()
+      .filter(_.getAs[Int]("rk") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    val adcTop = rows.filter(_.getAs[Int]("rk") == 1)
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("vec_id")).toMap
+    val agree = adcTop.count { case (q, m) => full.get(q).contains(m) }
+    assert(agree * 2 > full.size, s"top-1 agreement $agree/${full.size}")
+  }
+
   test("vector index append: new vectors join existing cells and become findable") {
     import graft.ops.{Similarity, VectorIndex}
     val isQuery = col("vec_id") % 10 === 0
