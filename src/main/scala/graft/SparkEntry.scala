@@ -18,6 +18,21 @@ import graft.ops.{Dedup, EventOps, Filtering, LshIndex, MediaHeaders,
   */
 object SparkEntry {
 
+  /** Fixed per-query scratch directory for index-build-probe queries:
+    * `<java.io.tmpdir>/graft-scratch/<name>`. A fresh
+    * `createTempDirectory` per invocation accumulated an index copy in
+    * /tmp on every bench/verify run; a fixed path is simply
+    * overwritten (every file under it is written with
+    * `mode("overwrite")`), so repeated runs reuse the same bounded
+    * footprint.
+    */
+  private def scratchDir(name: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp"), "graft-scratch", name)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
@@ -194,8 +209,7 @@ object SparkEntry {
     // parquet, the batch probes it — LshIndexSpec pins probe==one-job
     // equality, and this row pins both against the DuckDB oracle
     "dedup_index_probe" -> ((s, dir) => {
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-lshidx").toString
+      val idx = scratchDir("lshidx")
       val isBatch = col("doc_id") % 10 === 0
       LshIndex.build(s, dir, idx, maxDocFreq = Some(0.1),
         docFilter = Some(!isBatch))
@@ -276,8 +290,7 @@ object SparkEntry {
     // partitioned and written once, query carve probes it — the
     // vector sibling of dedup_index_probe
     "sim_index_probe" -> ((s, dir) => {
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-vecidx").toString
+      val idx = scratchDir("vecidx")
       val isQuery = col("vec_id") % 10 === 0
       VectorIndex.build(s, dir, idx, vecFilter = Some(!isQuery))
       VectorIndex.probe(s, idx,
@@ -288,8 +301,7 @@ object SparkEntry {
     // side is read from the SQ8 `codes` parquet only — the 4x-smaller
     // serving footprint, ReadSchema-verifiably float-free
     "sim_index_probe_adc" -> ((s, dir) => {
-      val idx = java.nio.file.Files
-        .createTempDirectory("graft-vecidx").toString
+      val idx = scratchDir("vecidx-adc")
       val isQuery = col("vec_id") % 10 === 0
       VectorIndex.build(s, dir, idx, vecFilter = Some(!isQuery))
       VectorIndex.probeAdc(s, idx,

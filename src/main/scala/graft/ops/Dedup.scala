@@ -559,7 +559,8 @@ object Dedup {
     * final round's blocks for the session's lifetime).
     */
   private[graft] def connectedComponents(
-      pairs: DataFrame, scope: CacheScope = new CacheScope): DataFrame = {
+      pairs: DataFrame, scope: CacheScope = new CacheScope,
+      maxRounds: Int = 50): DataFrame = {
     // canonical directed form: big → small, no self-loops, distinct
     val init = pairs
       .select(greatest(col("u"), col("v")).as("u"),
@@ -579,7 +580,7 @@ object Dedup {
     var prev: Option[(Long, Long)] = Some(signature(edges))
     var converged = false
     var iters = 0
-    while (!converged && iters < 50) {
+    while (!converged && iters < maxRounds) {
       // large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u})
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
       val mL = sym.groupBy("u").agg(min("v").as("mv"))
@@ -612,6 +613,12 @@ object Dedup {
       edges = next
       iters += 1
     }
+    // LOUD on non-convergence: the cap sits far above the O(log n)
+    // need of large-star/small-star, so hitting it means a bug or
+    // adversarial input — returning partial components silently would
+    // poison every downstream keep-set decision
+    require(converged,
+      s"connected components did not converge within $maxRounds rounds")
     // the converged blocks back the returned relation — release goes
     // through the scope, after the caller's terminal action
     val converged0 = edges

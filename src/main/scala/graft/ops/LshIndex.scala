@@ -126,7 +126,18 @@ object LshIndex {
     * the batch and the INDEXED corpus. Batch signatures use the
     * index's own hash configuration (from `meta`) and its persisted
     * hot-shingle guard, so a pair scores identically to the one-job
-    * formulation.
+    * formulation ([[Dedup.incrementalDedupPairs]]) WHENEVER the two
+    * guards' hot sets coincide. The one-job form computes document
+    * frequency over corpus+batch while the index persisted it over the
+    * build corpus alone, so a shingle crossing the `maxDocFreq` cutoff
+    * in exactly one of those populations (batch-heavy boilerplate, or
+    * drift since build) can make candidate sets differ — by
+    * construction, not by bug: a persisted index cannot know future
+    * batches, and re-learning the guard per probe would defeat
+    * incremental economics. Verification stays exact either way;
+    * only candidate RECALL can differ in the divergent-hot-set case.
+    * LshIndexSpec pins equality on fixtures where the hot sets agree
+    * and pins the guard's effect itself separately.
     *
     * Plan shape: batch shingles/signatures are batch-sized; the bucket
     * join streams index bands past the (typically broadcastable) batch

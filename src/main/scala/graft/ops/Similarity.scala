@@ -214,6 +214,21 @@ object Similarity {
     * rows per iteration — centroids are driver-resident by
     * construction.
     */
+  /** The deterministic coarse-quantizer seed rule shared by every IVF
+    * path: the `numCells` lowest vec_ids — `orderBy.limit`, the same
+    * rule [[VectorIndex.build]] persists and the oracle's `c0` CTE
+    * (`ORDER BY vec_id LIMIT n`) mirrors. Robust to id gaps or 1-based
+    * corpora, where a `vec_id < n` carve would silently seed fewer
+    * cells.
+    */
+  private[graft] def seedCentroids(
+      emb: DataFrame, numCells: Int): Seq[(Long, Seq[Double])] =
+    emb.orderBy("vec_id").limit(numCells)
+      .select(col("vec_id").cast("long"), col("v"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+
   private[graft] def lloydStep(
       emb: DataFrame, cents: Seq[(Long, Seq[Double])]
   ): Seq[(Long, Seq[Double])] = {
@@ -253,12 +268,7 @@ object Similarity {
     // cached: seeds collect + one assignment per Lloyd iteration + the
     // final assignment + the query side all re-read it
     val emb = load(s, dir).select(col("vec_id"), col("v")).cache()
-    val seeds: Seq[(Long, Seq[Double])] =
-      emb.filter(col("vec_id") < numCells)
-        .select(col("vec_id").cast("long"), col("v"))
-        .collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
+    val seeds = seedCentroids(emb, numCells)
     val cents = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydStep(emb, c))
     val assigned = assignCells(emb, "v", cents, 1)
     val q = emb.filter(col("vec_id") < numQueries)
@@ -297,12 +307,7 @@ object Similarity {
       lloydIters: Int = 2
   ): DataFrame = {
     val emb = load(s, dir).select(col("vec_id"), col("v")).cache()
-    val seeds: Seq[(Long, Seq[Double])] =
-      emb.filter(col("vec_id") < numCells)
-        .select(col("vec_id").cast("long"), col("v"))
-        .collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
+    val seeds = seedCentroids(emb, numCells)
     val cents = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydStep(emb, c))
     // one narrow projection carries BOTH the cell argmax and the SQ8
     // codes — assignment and quantization share the scan, no join
@@ -391,15 +396,27 @@ object Similarity {
   private[graft] def withInt8Codes(emb: DataFrame): DataFrame = {
     val amax = aggregate(col("v"), lit(0.0),
       (acc, x) => greatest(acc, abs(x)))
+    // empty vector → NULL scale, matching the oracle's list_max
+    // aggregate (NULL over an empty list) instead of the fold seed
     val q = expr(
       """CASE WHEN scale = 0D THEN transform(v, x -> 0)
         |ELSE transform(v, x -> CAST(floor(x / scale + 0.5D) AS INT))
         |END""".stripMargin)
-    emb.withColumn("scale", amax / lit(127.0)).withColumn("q", q)
+    emb.withColumn("scale",
+        when(size(col("v")) === 0, lit(null).cast("double"))
+          .otherwise(amax / lit(127.0)))
+      .withColumn("q", q)
   }
 
-  def quantizeInt8(s: SparkSession, dir: String): DataFrame = {
-    withInt8Codes(load(s, dir).select(col("vec_id"), col("v")))
+  def quantizeInt8(s: SparkSession, dir: String): DataFrame =
+    quantizeStatsDf(load(s, dir).select(col("vec_id"), col("v")))
+
+  /** [[quantizeInt8]] over an arbitrary (vec_id, v) relation — split
+    * out so the degenerate-input contract (empty vector → NULL stats,
+    * the oracle's list-aggregate algebra) is spec-testable.
+    */
+  private[graft] def quantizeStatsDf(emb: DataFrame): DataFrame = {
+    withInt8Codes(emb)
       .select(col("vec_id"), col("scale"), col("q"))
       .select(
         col("vec_id"),
@@ -407,11 +424,20 @@ object Similarity {
         // bit-deterministic cross-engine, and a round() would ADD a
         // tie-convention divergence risk rather than remove one
         col("scale"),
-        expr("aggregate(q, 127, (a, x) -> least(a, x))").as("qmin"),
-        expr("aggregate(q, -127, (a, x) -> greatest(a, x))").as("qmax"),
-        expr("aggregate(q, 0L, (a, x) -> a + x)").as("qsum"),
-        expr("aggregate(q, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)")
-          .as("ql2"),
+        // fold seeds would surface on an empty vector (qmin 127 >
+        // qmax -127) where the oracle's list aggregates return NULL —
+        // guard the degenerate case to NULL on both engines
+        expr("""CASE WHEN size(q) = 0 THEN NULL
+                ELSE aggregate(q, 127, (a, x) -> least(a, x)) END""")
+          .as("qmin"),
+        expr("""CASE WHEN size(q) = 0 THEN NULL
+                ELSE aggregate(q, -127, (a, x) -> greatest(a, x)) END""")
+          .as("qmax"),
+        expr("""CASE WHEN size(q) = 0 THEN NULL
+                ELSE aggregate(q, 0L, (a, x) -> a + x) END""").as("qsum"),
+        expr("""CASE WHEN size(q) = 0 THEN NULL
+                ELSE aggregate(q, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)
+                END""").as("ql2"),
         md5(concat_ws(",", expr("transform(q, x -> CAST(x AS STRING))"))
           .cast("binary")).as("qfp"))
   }
@@ -452,12 +478,7 @@ object Similarity {
       s: SparkSession, dir: String, numCells: Int, lloydIters: Int
   ): DataFrame = {
     val emb = load(s, dir).select(col("vec_id"), col("v")).cache()
-    val seeds: Seq[(Long, Seq[Double])] =
-      emb.filter(col("vec_id") < numCells)
-        .select(col("vec_id").cast("long"), col("v"))
-        .collect().toSeq
-        .map(r => (r.getLong(0), r.getSeq[Double](1)))
-        .sortBy(_._1)
+    val seeds = seedCentroids(emb, numCells)
     val cents = (1 to lloydIters).foldLeft(seeds)((c, _) => lloydStep(emb, c))
     assignCells(emb, "v", cents, 1)
   }

@@ -45,12 +45,7 @@ object VectorIndex {
         (d, f) => d.filter(f))
       .cache()
     try {
-      val seeds: Seq[(Long, Seq[Double])] =
-        emb.orderBy("vec_id").limit(numCells)
-          .select(col("vec_id").cast("long"), col("v"))
-          .collect().toSeq
-          .map(r => (r.getLong(0), r.getSeq[Double](1)))
-          .sortBy(_._1)
+      val seeds = Similarity.seedCentroids(emb, numCells)
       val cents = (1 to lloydIters)
         .foldLeft(seeds)((c, _) => Similarity.lloydStep(emb, c))
       import s.implicits._

@@ -58,9 +58,16 @@ object StreamingAnn {
     } finally { res.unpersist(); () }
   }
 
-  /** The accumulated results table across every micro-batch so far. */
+  /** The accumulated results table across every micro-batch so far;
+    * empty (typed) before the first micro-batch commits — see
+    * [[StreamingDedup.pairs]].
+    */
   def results(s: org.apache.spark.sql.SparkSession, outPath: String): DataFrame =
-    s.read.option("basePath", outPath).parquet(outPath)
+    if (!StreamingDedup.hasBatchDirs(outPath))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "query_id BIGINT, vec_id BIGINT, score DOUBLE, rk INT, batch_id BIGINT"))
+    else s.read.option("basePath", outPath).parquet(outPath)
       .select(col("query_id"), col("vec_id"), col("score"), col("rk"),
         col("batch_id").cast("long").as("batch_id"))
 }

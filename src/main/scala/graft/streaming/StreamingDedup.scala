@@ -75,10 +75,27 @@ object StreamingDedup {
   }
 
   /** The accumulated pairs table (doc_new, doc_idx, jaccard,
-    * batch_id) across every micro-batch written so far.
+    * batch_id) across every micro-batch written so far. A stream that
+    * has processed zero batches yields an EMPTY typed relation, not a
+    * path error — `outPath` only gains `batch_id=` directories when
+    * the first micro-batch commits.
     */
   def pairs(s: org.apache.spark.sql.SparkSession, outPath: String): DataFrame =
-    s.read.option("basePath", outPath).parquet(outPath)
+    if (!hasBatchDirs(outPath))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_new BIGINT, doc_idx BIGINT, jaccard DOUBLE, batch_id BIGINT"))
+    else s.read.option("basePath", outPath).parquet(outPath)
       .select(col("doc_new"), col("doc_idx"), col("jaccard"),
         col("batch_id").cast("long").as("batch_id"))
+
+  /** True once at least one `batch_id=` partition directory exists. */
+  private[streaming] def hasBatchDirs(outPath: String): Boolean = {
+    val d = new java.io.File(outPath)
+    d.isDirectory && {
+      val kids = d.listFiles()
+      kids != null && kids.exists(f =>
+        f.isDirectory && f.getName.startsWith("batch_id="))
+    }
+  }
 }

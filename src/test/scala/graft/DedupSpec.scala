@@ -112,6 +112,17 @@ class DedupSpec extends SparkSpec {
       4L -> 3L, 5L -> 3L, 101L -> 100L))
   }
 
+  test("connected components fail LOUD at the round cap instead of returning partials") {
+    import spark.implicits._
+    val edgeDf = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    // an artificially tiny cap the chain cannot satisfy: the guard
+    // must throw, not hand back a partially-contracted edge set
+    val e = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(edgeDf, maxRounds = 0)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("duplicate clusters: every doc labeled, one min-id representative per cluster") {
     val cl = Dedup.duplicateClusters(spark, sf(), maxDocFreq = Some(0.1))
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").count()
@@ -216,6 +227,27 @@ class DedupSpec extends SparkSpec {
     val exact = key(Similarity.cosineTopK(spark, sf(), numQueries = 5, k = 10))
     val recall = adc.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"ADC recall vs brute force $recall")
+  }
+
+  test("SQ8 stats on an empty vector are NULL (the oracle's list-aggregate algebra)") {
+    import spark.implicits._
+    val rows = Similarity.quantizeStatsDf(
+      Seq((0L, Seq.empty[Double]), (1L, Seq(0.5, -1.0)))
+        .toDF("vec_id", "v")).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val empty = rows(0L)
+    // every aggregate-seeded stat must be NULL, not the fold seed
+    // (qmin=127 > qmax=-127 was the latent divergence)
+    assert(empty.isNullAt(empty.fieldIndex("scale")))
+    assert(empty.isNullAt(empty.fieldIndex("qmin")))
+    assert(empty.isNullAt(empty.fieldIndex("qmax")))
+    assert(empty.isNullAt(empty.fieldIndex("qsum")))
+    assert(empty.isNullAt(empty.fieldIndex("ql2")))
+    // and a normal vector is untouched by the guard: amax 1.0 →
+    // scale 1/127, codes (64, -127)
+    val full = rows(1L)
+    assert(full.getAs[Int]("qmin") == -127 && full.getAs[Int]("qmax") == 64)
+    assert(full.getAs[Long]("qsum") == -63L)
   }
 
   test("IVF cell assignment is a narrow projection (zero Exchange) and exact") {

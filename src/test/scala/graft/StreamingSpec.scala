@@ -119,4 +119,20 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains(("view", 2L)))
     assert(rows.contains(("click", 1L)))
   }
+
+  test("accumulated-output readers are empty (typed), not errors, before any batch") {
+    // a stream that has processed zero micro-batches has written no
+    // batch_id= directories — the readers must return empty relations
+    // with the full schema instead of a path-not-found failure
+    val d1 = java.nio.file.Files.createTempDirectory("sdedup-empty").toString
+    val p = graft.streaming.StreamingDedup.pairs(spark, d1)
+    assert(p.count() == 0)
+    assert(p.columns.toSeq ==
+      Seq("doc_new", "doc_idx", "jaccard", "batch_id"))
+    val d2 = java.nio.file.Files.createTempDirectory("sann-empty").toString
+    val r = graft.streaming.StreamingAnn.results(spark, d2)
+    assert(r.count() == 0)
+    assert(r.columns.toSeq ==
+      Seq("query_id", "vec_id", "score", "rk", "batch_id"))
+  }
 }
