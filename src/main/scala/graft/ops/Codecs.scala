@@ -23,8 +23,9 @@ package graft.ops
   * grayscale buffer (images: BT.601 integer luma; audio: 16-bit
   * samples quantized to bytes) — so the downstream feature pipeline
   * (histogram/mean/thumbnail in [[Multimodal]]) is format-agnostic.
-  * Only compressed AVI streams and progressive/arithmetic JPEG remain
-  * behind [[Multimodal.FakeCodec]]'s declared stub.
+  * Only non-MJPEG compressed AVI streams and arithmetic-coded JPEG
+  * remain behind [[Multimodal.FakeCodec]]'s declared stub (progressive
+  * JPEG decodes to its DC-scan 1/8-scale preview, kind `jpeg_dc`).
   *
   * Pinned by MultimodalSpec against hand-assembled container bytes
   * (known pixels → hand-applied filters → deflate → decode must

@@ -17,9 +17,19 @@ package graft.ops
   *     ([[Codecs.Decoded]]) and JFIF luma IS the Y channel, so the
   *     Cb/Cr planes are dead weight we skip — roughly halving the
   *     arithmetic for 4:2:0 corpora at 100 TB inventory scale.
-  *   - Progressive (SOF2), arithmetic coding (SOF9+), 12-bit
-  *     precision, and DNL decline to None — callers fall back to the
-  *     declared stub, same contract as every other [[Codecs]] path.
+  *   - Progressive (SOF2): the mandatory DC-first scan is decoded to
+  *     a 1/8-scale grayscale image (one pixel per luma block — the
+  *     "early preview" every progressive renderer shows, and exactly
+  *     the resolution feature extraction/thumbnailing wants), kind
+  *     `jpeg_dc` so consumers can tell it from a full-resolution
+  *     decode. Later AC/refinement scans are deliberately not
+  *     consumed; with a successive-approximation DC scan (Al > 0) the
+  *     decoded values are the approximation the stream itself declares
+  *     at that point. Full-resolution progressive reconstruction
+  *     stays out of scope.
+  *   - Arithmetic coding (SOF9+), 12-bit precision, and DNL decline
+  *     to None — callers fall back to the declared stub, same
+  *     contract as every other [[Codecs]] path.
   *
   * All sizes/dims are validated against attacker-controlled input
   * (same adversarial contract as [[MediaHeaders]]): a malformed blob
@@ -179,6 +189,7 @@ object Jpeg {
     var width = 0
     var height = 0
     var restartInterval = 0
+    var progressive = false
 
     var p = 2
     while (p + 4 <= b.length) {
@@ -225,8 +236,9 @@ object Jpeg {
             if (tc == 0) dcTabs(th) = t else acTabs(th) = t
             q += 17 + total
           }
-        case 0xc0 | 0xc1 => // SOF0/1: baseline / extended sequential
+        case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
           if (comps != null) return None
+          progressive = m == 0xc2
           if (u8(b, seg) != 8) return None // 8-bit precision only
           height = be16(b, seg + 1)
           width = be16(b, seg + 3)
@@ -242,9 +254,9 @@ object Jpeg {
               return None
             c
           }
-        case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
             0xcd | 0xce | 0xcf =>
-          return None // progressive / lossless / arithmetic: unsupported
+          return None // lossless / differential / arithmetic: unsupported
         case 0xdd => // DRI
           if (len != 4) return None
           restartInterval = be16(b, seg)
@@ -260,6 +272,18 @@ object Jpeg {
             c.acTab = u8(b, seg + 2 + 2 * i) & 15
             if (c.dcTab > 3 || c.acTab > 3) return None
             i += 1
+          }
+          if (progressive) {
+            // first scan of a progressive stream MUST be the DC scan
+            // (T.81 G.1.1.1.1): Ss = Se = 0, Ah = 0; Al is the
+            // successive-approximation point transform
+            val ss = u8(b, seg + 1 + 2 * ns)
+            val se = u8(b, seg + 2 + 2 * ns)
+            val ah = u8(b, seg + 3 + 2 * ns) >> 4
+            val al = u8(b, seg + 3 + 2 * ns) & 15
+            if (ss != 0 || se != 0 || ah != 0) return None
+            return decodeDcScan(b, p + 2 + len, comps, quant, dcTabs,
+              width, height, restartInterval, al)
           }
           // Ss=0, Se=63, Ah=Al=0 for sequential; tolerate the bytes
           return decodeScan(b, p + 2 + len, comps, quant, dcTabs, acTabs,
@@ -326,6 +350,77 @@ object Jpeg {
       mcu += 1
     }
     Some(Codecs.Decoded("jpeg", width, height, gray))
+  }
+
+  /** Decode a progressive stream's interleaved DC scan into a
+    * 1/8-scale grayscale plane: one pixel per LUMA block — the pixel
+    * value of a DC-only block is `dequantizedDC / 8 + 128` (the IDCT
+    * of a DC-only block is constant, so no basis arithmetic is
+    * needed). Chroma DC blocks are entropy-decoded to keep stream
+    * position, never stored. `al` is the point transform: decoded
+    * diffs are shifted left `al` bits per T.81 G.1.2.1.
+    */
+  private def decodeDcScan(
+      b: Array[Byte], scanStart: Int, comps: Array[Component],
+      quant: Array[Array[Int]], dcTabs: Array[HuffTable],
+      width: Int, height: Int, restartInterval: Int,
+      al: Int): Option[Codecs.Decoded] = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val luma = comps(0)
+    if (luma.h != hmax || luma.v != vmax) return None
+    for (c <- comps) {
+      if (quant(c.tq) == null) return None
+      if (dcTabs(c.dcTab) == null) return None // AC tables unused here
+    }
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    // output: one gray pixel per luma block inside the image extent
+    val outW = (width + 7) / 8
+    val outH = (height + 7) / 8
+    val gray = new Array[Byte](outW * outH)
+    val dcQ = quant(luma.tq)(0)
+    val r = new BitReader(b, scanStart)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    var rstIdx = 0
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        r.restart(rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        comps.foreach(_.pred = 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val isLuma = ci == 0
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            val s = r.decodeHuff(dcTabs(c.dcTab))
+            if (s > 11) corrupt()
+            c.pred += extend(r.readBits(s), s) << al
+            if (isLuma) {
+              val px = mx * c.h + bx
+              val py = my * c.v + by
+              if (px < outW && py < outH) {
+                val v = math.round((c.pred * dcQ).toDouble / 8.0).toInt + 128
+                gray(py * outW + px) =
+                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+              }
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    Some(Codecs.Decoded("jpeg_dc", outW, outH, gray))
   }
 
   /** Decode one 8x8 block's coefficients (zigzag order → natural order

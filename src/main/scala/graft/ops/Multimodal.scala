@@ -16,8 +16,9 @@ import org.apache.spark.sql.functions._
   * (from-scratch LZW), and baseline JPEG (from-scratch Huffman +
   * IDCT, [[Jpeg]]) payloads into actual pixels/samples, and walks
   * AVI frames — uncompressed `00db` DIBs parsed directly, MJPEG
-  * `00dc` chunks through the real JPEG decoder. Only non-MJPEG
-  * compressed AVI streams, progressive/arithmetic JPEG, and
+  * `00dc` chunks through the real JPEG decoder; progressive JPEG
+  * yields its DC-first-scan 1/8-scale preview (kind `jpeg_dc`). Only
+  * non-MJPEG compressed AVI streams, arithmetic-coded JPEG, and
   * unrecognized bytes fall back to [[FakeCodec]] — an
   * explicitly-marked STUB that interprets payload bytes as pixels. The Spark-side contract — schema, partitioning,
   * batch shape, feature layout — is identical on both paths; the
@@ -48,8 +49,8 @@ object Multimodal {
       thumbnail: Array[Byte])   // 4x4 average-pooled "pixels"
 
   /** STUB codec — deterministic fake for the formats whose decode we
-    * don't reimplement (non-MJPEG compressed AVI streams, progressive
-    * and arithmetic-coded JPEG) and for unrecognized bytes.
+    * don't reimplement (non-MJPEG compressed AVI streams,
+    * arithmetic-coded JPEG) and for unrecognized bytes.
     * PNG/BMP/WAV/GIF/baseline-JPEG payloads never reach it:
     * [[Codecs]] decodes those for real (from-scratch — Inflater,
     * plain offsets, own LZW, own Huffman+IDCT). `decode` treats the

@@ -314,12 +314,13 @@ class JpegSpec extends AnyFunSuite {
     assert(d.gray.forall(b => (b & 0xff) == 130))
   }
 
-  test("declines: progressive, 12-bit, truncated entropy, dim bombs") {
+  test("declines: malformed progressive scan, 12-bit, truncated entropy, dim bombs") {
     def base(sof: Array[Byte], entropy: Array[Byte]): Array[Byte] =
       Array(0xff.toByte, 0xd8.toByte) ++ dqtAllOnes(0) ++
         dhtSeg(0, 0, dcCounts, dcSyms) ++ dhtSeg(1, 0, acCounts, acSyms) ++
         sof ++ sosHeader(Seq(1)) ++ entropy
-    // progressive SOF2
+    // progressive SOF2 whose first scan is NOT a DC scan (Se=63 from
+    // the sequential header) — must decline, not misread it
     val sof2 = { val s = sof0(8, 8, Seq((1, 1, 1, 0))); s(1) = 0xc2.toByte; s }
     assert(Jpeg.decode(base(sof2, Array(0x6f.toByte))).isEmpty)
     // 12-bit precision
@@ -334,6 +335,90 @@ class JpegSpec extends AnyFunSuite {
     // garbage after SOI
     assert(Jpeg.decode(Array(0xff.toByte, 0xd8.toByte, 0x12.toByte,
       0x34.toByte)).isEmpty)
+  }
+
+  private def sosDcHeader(comps: Seq[Int], al: Int): Array[Byte] =
+    seg(0xda, Array(comps.length.toByte) ++
+      comps.flatMap(id => Seq(id.toByte, 0x00.toByte)) ++
+      Array(0.toByte, 0.toByte, al.toByte)) // Ss=0 Se=0 Ah=0, Al
+
+  test("progressive DC-first scan decodes to the 1/8-scale preview") {
+    // 16x16 grayscale progressive: 4 luma blocks with DC values that
+    // put block means at 131, 59, 214, 128 (pred-chained diffs)
+    val means = Seq(131, 59, 214, 128)
+    val w = new BitW
+    var pred = 0
+    means.foreach { m =>
+      val dc = 8 * (m - 128)
+      val diff = dc - pred
+      pred = dc
+      val cat = category(diff)
+      val (c, l) = dcCodes(cat)
+      w.bits(c, l)
+      if (cat > 0) w.bits(magnitudeBits(diff, cat), cat)
+    }
+    w.flush()
+    val sof2 = { val s = sof0(16, 16, Seq((1, 1, 1, 0))); s(1) = 0xc2.toByte; s }
+    val jpg = Array(0xff.toByte, 0xd8.toByte) ++ dqtAllOnes(0) ++
+      dhtSeg(0, 0, dcCounts, dcSyms) ++ sof2 ++ sosDcHeader(Seq(1), 0) ++
+      w.out.toArray ++ Array(0xff.toByte, 0xd9.toByte)
+    val d = Jpeg.decode(jpg).get
+    assert(d.kind == "jpeg_dc")
+    assert(d.width == 2 && d.height == 2)
+    assert(d.gray.map(_ & 0xff).toSeq == means)
+  }
+
+  test("progressive DC scan honors the successive-approximation shift (Al)") {
+    // one 8x8 block, Al=1: coded diff 4 means DC = 4 << 1 = 8 →
+    // pixel = 8/8 + 128 = 129
+    val w = new BitW
+    val diff = 4
+    val cat = category(diff)
+    val (c, l) = dcCodes(cat)
+    w.bits(c, l)
+    w.bits(magnitudeBits(diff, cat), cat)
+    w.flush()
+    val sof2 = { val s = sof0(8, 8, Seq((1, 1, 1, 0))); s(1) = 0xc2.toByte; s }
+    val jpg = Array(0xff.toByte, 0xd8.toByte) ++ dqtAllOnes(0) ++
+      dhtSeg(0, 0, dcCounts, dcSyms) ++ sof2 ++ sosDcHeader(Seq(1), 1) ++
+      w.out.toArray ++ Array(0xff.toByte, 0xd9.toByte)
+    val d = Jpeg.decode(jpg).get
+    assert(d.kind == "jpeg_dc" && d.width == 1 && d.height == 1)
+    assert((d.gray(0) & 0xff) == 129)
+  }
+
+  test("progressive 4:2:0 DC scan: chroma blocks consumed, luma grid placed") {
+    // 16x16, 4:2:0 (luma 2x2 blocks per MCU + one block each chroma):
+    // one MCU total; luma DCs chain 8,8,8,8 → all four preview pixels
+    // 129; chroma DCs are zero diffs that must still be consumed
+    val w = new BitW
+    var pred = 0
+    (0 until 4).foreach { _ =>
+      val dc = 8
+      val diff = dc - pred
+      pred = dc
+      val cat = category(diff)
+      val (c, l) = dcCodes(cat)
+      w.bits(c, l)
+      if (cat > 0) w.bits(magnitudeBits(diff, cat), cat)
+    }
+    // chroma: two components, one block each, diff 0 (category 0)
+    (0 until 2).foreach { _ =>
+      val (c, l) = dcCodes(0)
+      w.bits(c, l)
+    }
+    w.flush()
+    val sof2 = {
+      val s = sof0(16, 16, Seq((1, 2, 2, 0), (2, 1, 1, 0), (3, 1, 1, 0)))
+      s(1) = 0xc2.toByte; s
+    }
+    val jpg = Array(0xff.toByte, 0xd8.toByte) ++ dqtAllOnes(0) ++
+      dhtSeg(0, 0, dcCounts, dcSyms) ++ sof2 ++
+      sosDcHeader(Seq(1, 2, 3), 0) ++
+      w.out.toArray ++ Array(0xff.toByte, 0xd9.toByte)
+    val d = Jpeg.decode(jpg).get
+    assert(d.kind == "jpeg_dc" && d.width == 2 && d.height == 2)
+    assert(d.gray.map(_ & 0xff).toSeq == Seq(129, 129, 129, 129))
   }
 
   test("Codecs.decode routes baseline JPEG to the real decoder") {
