@@ -26,13 +26,35 @@ import org.apache.spark.sql.functions._
   *     at any N (copying vectors verbatim would plant C(N,2) exact
   *     dups per vector and measure an adversarial corpus, not scale).
   *
-  * Usage: runMain graft.ScaleGen [srcDir] [outDir] [copies]
+  * A fourth argument `overlap` switches to the ADVERSARIAL-OVERLAP
+  * variant: every document is additionally prefixed with one fixed
+  * 12-token boilerplate sentence shared across ALL copies and shards.
+  * Its interior word-trigrams then have document frequency ≈ 1.0 at
+  * every scale — the shared-shingle mass the vocabulary-disjoint
+  * construction deliberately holds linear — so this corpus stresses
+  * the `maxDocFreq` hot-shingle guard: without it, the boilerplate
+  * shingles dominate MinHash signatures and the banded self-join
+  * degenerates toward one corpus-sized bucket; with it they are
+  * discounted and candidate mass stays bounded by real content.
+  * True near-dup pairs stay the per-shard planted ones (linear):
+  * 12 boilerplate tokens cannot lift two unrelated documents to the
+  * 0.8 Jaccard verification bar.
+  *
+  * Usage: runMain graft.ScaleGen [srcDir] [outDir] [copies] [overlap]
   */
 object ScaleGen {
+
+  /** The fixed boilerplate sentence of the overlap variant (12 tokens
+    * → 10 interior trigram shingles at df ≈ 1.0).
+    */
+  val Boilerplate: String =
+    "terms of service apply to all content in this archive mirror copy"
+
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/scale10x")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val overlap = args.lift(3).contains("overlap")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,10 +68,12 @@ object ScaleGen {
 
     val docs = spark.read.parquet(s"$src/documents.parquet")
     val scaledDocs = (0 until copies).map { k =>
+      val shardText = concat_ws(" ", transform(split(col("text"), "\\s+"),
+        t => concat(lit(s"s${k}x"), t)))
       docs.select(
         (col("doc_id") + lit(k.toLong * 10000000L)).as("doc_id"),
-        concat_ws(" ", transform(split(col("text"), "\\s+"),
-          t => concat(lit(s"s${k}x"), t))).as("text"),
+        (if (overlap) concat_ws(" ", lit(Boilerplate), shardText)
+         else shardText).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }.reduce(_ union _)
     scaledDocs.repartition(cpus.toInt)
