@@ -166,6 +166,7 @@ object SparkEntry {
     "events_sliding" -> ((s, dir) => EventOps.slidingAgg(s, dir)),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(s, dir)),
     "events_session_stats" -> ((s, dir) => EventOps.sessionStats(s, dir)),
+    "events_range_join" -> ((s, dir) => EventOps.rangeJoinActiveSessions(s, dir)),
     "events_json" -> ((s, dir) => EventOps.jsonExtract(s, dir)),
     "events_asof" -> ((s, dir) => EventOps.asofLastPurchase(s, dir)),
 
@@ -621,6 +622,33 @@ object SparkEntry {
         |  min(ts_us) AS session_start_us, max(ts_us) AS session_end_us
         |FROM sess
         |GROUP BY user_id, session_id""".stripMargin,
+    "events_range_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |         WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sess0 AS (
+        |  SELECT user_id, ts_us,
+        |    CAST(sum(new_s) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM g
+        |), sess AS (
+        |  SELECT user_id AS s_user,
+        |    min(ts_us) AS start_us, max(ts_us) AS end_us
+        |  FROM sess0 GROUP BY user_id, session_id
+        |)
+        |SELECT e.event_id, e.user_id,
+        |  count(s.s_user) AS n_active_sessions
+        |FROM e LEFT JOIN sess s
+        |  ON s.s_user != e.user_id
+        | AND s.start_us <= e.ts_us AND e.ts_us <= s.end_us
+        |GROUP BY e.event_id, e.user_id""".stripMargin,
     "events_json" ->
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k

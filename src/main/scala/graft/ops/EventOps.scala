@@ -105,6 +105,54 @@ object EventOps {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Range (point-in-interval) join, bin-bucketed: for every event,
+    * the number of OTHER users' sessions whose [start, end] interval
+    * contains the event's timestamp — "how many users were mid-session
+    * when this happened". There is no equi-key connecting the two
+    * sides (the session owner is explicitly a different user), so a
+    * naive formulation is a pure range-predicate join that Spark can
+    * only execute as a BroadcastNestedLoopJoin — O(events × sessions)
+    * comparisons and a broadcast of a corpus-proportional side, both
+    * non-starters at scale.
+    *
+    * Instead time is bucketed into fixed bins: each session interval
+    * explodes over the bins it touches, each event lands in exactly
+    * ONE bin, and the join becomes an equi-join on bin followed by the
+    * residual containment filter. Because the point side's bin is
+    * unique, no pair can match twice — no dedup pass. Candidate mass
+    * is sum-over-bins(events_in_bin × session_rows_in_bin): linear in
+    * both inputs while interval length stays on the order of the bin
+    * width (sessions are gap-bounded, so multi-bin spans are the tail,
+    * not the norm; a hot bin rides AQE's skew split). This is the
+    * standard interval-join binning used by Spark range-join
+    * implementations in the wild, chosen over a broadcast because BOTH
+    * sides grow with the corpus.
+    */
+  def rangeJoinActiveSessions(
+      s: SparkSession, dir: String,
+      gapMinutes: Int = 30, binMinutes: Int = 60): DataFrame = {
+    val binUs = binMinutes * 60L * 1000000L
+    val sess = sessionStats(s, dir, gapMinutes)
+      .select(col("user_id").as("s_user"),
+        col("session_start_us").as("start_us"),
+        col("session_end_us").as("end_us"))
+      // ts DIV n is exact long division; doubles would round near 2^53
+      .withColumn("s_bin",
+        explode(sequence(expr(s"start_us DIV $binUs"),
+          expr(s"end_us DIV $binUs"))))
+    val ev = load(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+      .withColumn("bin", expr(s"ts_us DIV $binUs"))
+    ev.join(sess,
+        col("bin") === col("s_bin") &&
+          col("s_user") =!= col("user_id") &&
+          col("start_us") <= col("ts_us") &&
+          col("ts_us") <= col("end_us"),
+        "left")
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(col("s_user")).as("n_active_sessions"))
+  }
+
   /** JSON extraction from the `props` payload column. */
   def jsonExtract(s: SparkSession, dir: String): DataFrame =
     load(s, dir).select(
