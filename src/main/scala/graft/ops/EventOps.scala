@@ -8,22 +8,38 @@ import org.apache.spark.sql.functions._
   * surface): ranking/analytic windows, tumbling time windows,
   * sessionization, JSON extraction.
   *
-  * The parquet fixture stores `ts` as TIMESTAMP(NANOS), which Spark has
-  * no type for — the session reads it as Long nanoseconds
-  * (`spark.sql.legacy.parquet.nanosAsLong=true`) and [[load]] derives
-  * both a µs timestamp and a µs epoch long. All ordering and window
-  * arithmetic uses the µs values so results are reproducible against
-  * engines that keep full ns precision (oracles truncate identically).
+  * The fixture's `ts` physical type has varied across driver
+  * generations — parquet TIMESTAMP(NANOS) (a type Spark lacks,
+  * surfaced as a raw ns Long under
+  * `spark.sql.legacy.parquet.nanosAsLong=true`) and plain
+  * TIMESTAMP(MICROS) (read as `timestamp_ntz`). [[load]] normalizes
+  * either to the same pair: a µs epoch long `ts_us` plus a µs
+  * timestamp `ts`. All ordering and window arithmetic uses the µs
+  * values so results are reproducible against engines that keep full
+  * ns precision (oracles truncate identically).
   */
 object EventOps {
 
-  /** Scan + ns→µs normalization. `ts DIV 1000` is exact integer
-    * division on the ns long (doubles would lose precision above 2^53).
+  /** Scan + ts normalization to (`ts_us` µs-epoch long, `ts` µs
+    * timestamp), branching on the type the scan actually produced:
+    *   - ns Long (nanosAsLong): `ts DIV 1000` — exact integer division
+    *     (doubles would lose precision above 2^53);
+    *   - timestamp_ntz: `timestampdiff` against the NTZ epoch — pure
+    *     wall-clock arithmetic, never consults the session zone;
+    *   - timestamp (ltz): `unix_micros`, exact on the stored instant.
     */
-  def load(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts_us", expr("ts DIV 1000"))
+  def load(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType => expr("ts DIV 1000")
+      case TimestampNTZType => expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
+      case _ => unix_micros(col("ts"))
+    }
+    raw.withColumn("ts_us", tsUs)
       .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
 
   private def userWindow =
     Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))

@@ -324,39 +324,94 @@ class SourcesSpec extends SparkSpec {
     assert(df.collect().head.getDate(0).toString == "2027-03-16")
   }
 
+  /** Hand-writes a 2-row parquet whose `ts` column is annotated
+    * TIMESTAMP(NANOS) — a type Spark lacks and the driver fixtures no
+    * longer carry — so the footer-based detection and the exact ns→µs
+    * normalization stay covered against a real file.
+    */
+  private def writeNanosParquet(dir: java.nio.file.Path): String = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    val schema: MessageType = Types.buildMessage()
+      .addField(Types.required(PrimitiveTypeName.INT64).named("event_id"))
+      .addField(Types.required(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(false,
+          LogicalTypeAnnotation.TimeUnit.NANOS)).named("ts"))
+      .named("events")
+    val out = dir.resolve("nanos.parquet").toString
+    val w = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(out))
+      .withType(schema)
+      .withConf(spark.sparkContext.hadoopConfiguration)
+      .build()
+    try {
+      // 2021-01-01 00:00:00.000000001 and +1s+999ns — sub-µs digits
+      // must truncate, not round, under DIV 1000
+      val base = 1609459200L * 1000000000L
+      for ((id, ns) <- Seq((1L, base + 1L), (2L, base + 1000000999L))) {
+        val g = new SimpleGroup(schema)
+        g.add("event_id", id)
+        g.add("ts", ns)
+        w.write(g)
+      }
+    } finally w.close()
+    out
+  }
+
   test("source layer normalizes parquet TIMESTAMP(NANOS) to timestamp_ntz") {
     import graft.sources.Sources
-    // detection comes from the parquet footer, not column names
-    assert(Sources.nanosTimestampColumns(spark, s"${sf()}/events.parquet")
-      == Seq("ts"))
-    assert(Sources.nanosTimestampColumns(spark, s"${sf()}/orders.parquet")
-      .isEmpty)
-    val ev = Sources.readTable(spark, sf(), "events")
-    assert(ev.schema("ts").dataType ==
-      org.apache.spark.sql.types.TimestampNTZType)
-    // value parity with the raw ns-long DIV 1000 derivation
-    val rawNs = spark.read.parquet(s"${sf()}/events.parquet")
-      .orderBy("event_id").select("ts").head().getLong(0)
-    val norm = ev.orderBy("event_id").select("ts").head()
-      .getAs[java.time.LocalDateTime](0)
-    val us = rawNs / 1000
-    assert(norm == java.time.LocalDateTime.ofEpochSecond(
-      Math.floorDiv(us, 1000000L),
-      Math.floorMod(us, 1000000L).toInt * 1000,
-      java.time.ZoneOffset.UTC))
-    // untouched columns pass through identically
-    val o = Sources.readTable(spark, sf(), "orders")
-    assert(o.schema == spark.read.parquet(s"${sf()}/orders.parquet").schema)
-    // the NTZ derivation must not consult the session timezone — an
-    // LTZ round-trip would shift every value for non-UTC sessions
-    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    val tmp = java.nio.file.Files.createTempDirectory("nanos_src")
     try {
-      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
-      val shifted = Sources.readTable(spark, sf(), "events")
-        .orderBy("event_id").select("ts").head()
-        .getAs[java.time.LocalDateTime](0)
-      assert(shifted == norm, "ts must be session-timezone-independent")
-    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+      val nanosFile = writeNanosParquet(tmp)
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(nanosFile),
+        tmp.resolve("nanos_tbl.parquet"))
+      // detection comes from the parquet footer, not column names
+      assert(Sources.nanosTimestampColumns(spark, nanosFile) == Seq("ts"))
+      assert(Sources.nanosTimestampColumns(spark, s"${sf()}/orders.parquet")
+        .isEmpty)
+      // the regenerated driver fixtures store µs — detection must not
+      // fire on them, and the scan passes them through untouched
+      assert(Sources.nanosTimestampColumns(spark, s"${sf()}/events.parquet")
+        .isEmpty)
+      assert(Sources.readTable(spark, sf(), "events").schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      val ev = Sources.readTable(spark, tmp.toString, "nanos_tbl")
+      assert(ev.schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+      // value parity with the raw ns-long DIV 1000 derivation
+      val norm = ev.orderBy("event_id").select("ts").collect()
+        .map(_.getAs[java.time.LocalDateTime](0))
+      def want(ns: Long) = {
+        val us = ns / 1000
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L).toInt * 1000,
+          java.time.ZoneOffset.UTC)
+      }
+      val base = 1609459200L * 1000000000L
+      assert(norm.toSeq ==
+        Seq(want(base + 1L), want(base + 1000000999L)))
+      // untouched columns pass through identically
+      val o = Sources.readTable(spark, sf(), "orders")
+      assert(o.schema == spark.read.parquet(s"${sf()}/orders.parquet").schema)
+      // the NTZ derivation must not consult the session timezone — an
+      // LTZ round-trip would shift every value for non-UTC sessions
+      val prevTz = spark.conf.get("spark.sql.session.timeZone")
+      try {
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        val shifted = Sources.readTable(spark, tmp.toString, "nanos_tbl")
+          .orderBy("event_id").select("ts").head()
+          .getAs[java.time.LocalDateTime](0)
+        assert(shifted == norm(0), "ts must be session-timezone-independent")
+      } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 
   test("S2: JSON-lines read infers nested types") {
