@@ -5,8 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
 import graft.ops.{Dedup, EventOps, Filtering, LshIndex, MediaHeaders,
-  Multimodal, PerceptualHash, Relational, Similarity, TextOps, TrainPrep,
-  VectorIndex}
+  Multimodal, PerceptualHash, Relational, Similarity, Sketches, TextOps,
+  TrainPrep, VectorIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -264,6 +264,13 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) => TrainPrep.packSequences(s, dir)),
     // per-source sampling weights toward a uniform domain mix
     "mix_weights" -> ((s, dir) => TrainPrep.mixWeights(s, dir)),
+    // length-weighted Bernoulli sampling off an md5-derived uniform
+    "sample_weighted" -> ((s, dir) => TrainPrep.weightedSample(s, dir)),
+    // per-domain contribution cap by salted-hash rank (WindowGroupLimit)
+    "domain_cap" -> ((s, dir) => TrainPrep.domainCap(s, dir)),
+    // KMV distinct-token sketch: deterministic (unlike HLL), so the
+    // sketch AND its estimate are oracle-able bit-for-bit
+    "corpus_kmv" -> ((s, dir) => Sketches.kmvDistinctTokens(s, dir)),
 
     // --- LLM-pipeline: similarity search over embeddings ---
     "sim_norms" -> ((s, dir) => Similarity.norms(s, dir)),
@@ -1218,6 +1225,64 @@ object SparkEntry {
         |  round(CAST(tot_docs AS DOUBLE) / (n_sources * n_docs), 6)
         |    AS weight
         |FROM per CROSS JOIN tot""".stripMargin,
+    // Bernoulli keep-if-u<p with p = min(1, 0.25·n_chars/400); the
+    // uniform u is the 60-bit md5 prefix normalized by 2^60 — int64→
+    // double conversion, multiply, divide, compare are all IEEE-exact,
+    // so the keep set reproduces bit-for-bit cross-engine
+    "sample_weighted" ->
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    least(CAST(1.0 AS DOUBLE),
+        |      CAST(0.25 AS DOUBLE) * n_chars / CAST(400.0 AS DOUBLE)) AS p,
+        |    CAST(CAST('0x' || substr(md5(doc_id::VARCHAR || '#wsample'),
+        |        1, 15) AS BIGINT) AS DOUBLE)
+        |      / CAST(1152921504606846976 AS BIGINT) AS u
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, n_chars, p, u FROM h WHERE u < p""".stripMargin,
+    // at most 15 survivors per source by salted-hash rank
+    "domain_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(doc_id::VARCHAR || '#cap'), doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, CAST(rk AS INTEGER) AS cap_rank
+        |FROM r WHERE rk <= 15""".stripMargin,
+    // KMV sketch replay: same 60-bit md5-prefix hash, same per-source
+    // k-minima, same merge (re-rank the union of the per-source
+    // minima), same (k−1)·2^60/kth estimate — all-integer until the
+    // final IEEE-exact double arithmetic, so even the estimate
+    // hash-matches
+    "corpus_kmv" ->
+      """WITH toks AS (
+        |  SELECT DISTINCT source,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        |  FROM (SELECT source,
+        |          unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |            AS tok
+        |        FROM documents)
+        |), ps AS (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        |  FROM toks
+        |), pm AS (SELECT * FROM ps WHERE r <= 64
+        |), mu AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS r
+        |  FROM (SELECT DISTINCT h FROM pm)
+        |), un AS (
+        |  SELECT * FROM pm
+        |  UNION ALL
+        |  SELECT '__all__' AS source, h, r FROM mu WHERE r <= 64
+        |)
+        |SELECT source, CAST(max(r) AS INTEGER) AS k_used,
+        |  max(h) AS kth_hash,
+        |  CASE WHEN max(r) < 64 THEN CAST(max(r) AS DOUBLE)
+        |       ELSE CAST(max(r) - 1 AS DOUBLE)
+        |            * CAST(1152921504606846976 AS BIGINT)
+        |            / CAST(max(h) AS DOUBLE) END AS est_distinct
+        |FROM un GROUP BY source""".stripMargin,
     // Catalog scan vs DuckDB's information_schema over the same
     // parquet views, normalizing type renderings to Spark's
     // simpleString. One genuine divergence: parquet timestamps not

@@ -119,4 +119,60 @@ object TrainPrep {
         round(totDocs / (count(lit(1)).over(w) * col("n_docs")), 6)
           .as("weight"))
   }
+
+  /** Weighted Bernoulli sampling: each document is kept independently
+    * with probability proportional to its length —
+    * p = min(1, rate · n_chars / refChars) — using an md5-derived
+    * uniform u ∈ [0,1) instead of an RNG. Longer documents (more
+    * training tokens) are proportionally likelier to survive, the
+    * expected sampled-token mass is rate-controlled, and the decision
+    * for a document never depends on any other document — re-runs,
+    * repartitions, and incremental corpus growth all reproduce the
+    * same keep set (the same stability argument as [[splitAssign]]).
+    *
+    * Deliberately Bernoulli rather than exponential-key reservoir
+    * (Efraimidis–Spirakis): the reservoir's u^(1/w) keys need `pow`,
+    * whose last-bit behavior is not specified identically across
+    * engines, while this form needs only int64→double conversion,
+    * multiply, divide, and compare — all IEEE-exact — so the keep set
+    * is bit-reproducible on any engine (the DuckDB oracle replays it).
+    *
+    * Shape at scale: a narrow per-row filter inside one codegen stage;
+    * the 100 TB cost is the scan, with zero exchanges.
+    */
+  def weightedSample(
+      s: SparkSession, dir: String,
+      rate: Double = 0.25, refChars: Double = 400.0): DataFrame = {
+    val u = conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit("#wsample"))), 1, 15),
+      16, 10).cast("long").cast("double") / lit(math.pow(2, 60))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        least(lit(1.0), lit(rate) * col("n_chars") / lit(refChars)).as("p"),
+        u.as("u"))
+      .filter(col("u") < col("p"))
+  }
+
+  /** Per-domain contribution cap: at most `cap` documents survive per
+    * source, chosen by salted-hash rank (deterministic, order-free) —
+    * the standard "no single domain dominates the mix" guard a crawl
+    * corpus applies before training. Emits the survivors with their
+    * within-source rank so a downstream stage can tighten the cap
+    * without recomputing.
+    *
+    * Shape at scale: rank ≤ cap over a (source)-partitioned window is
+    * rewritten by Spark to WindowGroupLimit — every map task forwards
+    * at most `cap` rows per source into the single exchange, so the
+    * shuffle carries O(sources · cap) rows regardless of corpus size
+    * ([[TrainPrepSpec]] pins the rewrite on the physical plan).
+    */
+  def domainCap(s: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    val hash = md5(concat(col("doc_id").cast("string"), lit("#cap")))
+    val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
+    docs(s, dir)
+      .select(col("doc_id"), col("source"), hash.as("h"))
+      .select(col("doc_id"), col("source"),
+        row_number().over(w).as("cap_rank"))
+      .filter(col("cap_rank") <= cap)
+  }
 }

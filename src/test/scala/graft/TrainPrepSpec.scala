@@ -127,4 +127,59 @@ class TrainPrepSpec extends SparkSpec {
       assert(again(r.getAs[Long]("doc_id")) == r.getAs[Double]("surprisal"))
     }
   }
+
+  test("sample_weighted: keep law, length bias, doc-independence") {
+    val rows = TrainPrep.weightedSample(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val p = r.getAs[Double]("p")
+      val u = r.getAs[Double]("u")
+      assert(u >= 0.0 && u < 1.0, s"u out of [0,1): $r")
+      assert(u < p, s"survivor violates keep law: $r")
+      assert(p == math.min(1.0, 0.25 * r.getAs[Long]("n_chars") / 400.0))
+    }
+    // every p=1 document (n_chars ≥ 1600) survives unconditionally
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").collect()
+    val kept = rows.map(_.getAs[Long]("doc_id")).toSet
+    docs.filter(_.getAs[Long]("n_chars") >= 1600)
+      .foreach(d => assert(kept(d.getAs[Long]("doc_id"))))
+    // rate control: E[kept] = Σp; binomial sd = sqrt(Σp(1−p)) — allow 6σ
+    val ps = docs.map(d =>
+      math.min(1.0, 0.25 * d.getAs[Long]("n_chars") / 400.0))
+    val sd = math.sqrt(ps.map(p => p * (1 - p)).sum)
+    assert(math.abs(rows.length - ps.sum) <= 6 * sd + 1,
+      s"kept ${rows.length} vs expected ${ps.sum} (sd $sd)")
+    // the decision is per-document: running on half the corpus keeps
+    // exactly the surviving half of the full run's keep set
+    val half = TrainPrep.weightedSample(spark, sf())
+      .filter(col("doc_id") % 2 === 0).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(half == kept.filter(_ % 2 == 0),
+      "keep decision must not depend on other documents")
+  }
+
+  test("domain_cap: per-source bound, contiguous ranks, WindowGroupLimit") {
+    val cap = 15
+    val df = TrainPrep.domainCap(spark, sf(), cap = cap)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    val perSource = spark.read.parquet(s"${sf()}/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, v) =>
+      val expect = math.min(cap.toLong, perSource(src))
+      assert(v.length.toLong == expect,
+        s"$src: ${v.length} survivors, want $expect")
+      // ranks are exactly 1..expect — rank≤cap, not an arbitrary subset
+      assert(v.map(_.getAs[Int]("cap_rank")).sorted.toSeq
+        == (1 to expect.toInt))
+    }
+    // the scale claim: the rank filter must rewrite to WindowGroupLimit
+    // so every map task forwards at most cap rows per source into the
+    // single exchange
+    import org.apache.spark.sql.execution.ExplainMode
+    val plan = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
+  }
 }
