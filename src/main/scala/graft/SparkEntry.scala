@@ -192,6 +192,9 @@ object SparkEntry {
     "corpus_shard" -> ((s, dir) => Relational.shardAssignments(s, dir)),
     // benchmark 8-gram decontamination; benchmark grams broadcast
     "decontaminate" -> ((s, dir) => Dedup.contamination(s, dir)),
+    // same hygiene pass probed through an 8 KB Bloom bitmap: zero
+    // corpus-side exchanges, false positives deterministic + oracled
+    "decontaminate_bloom" -> ((s, dir) => Dedup.bloomContamination(s, dir)),
     // SimHash pairs: md5-derived token bits, so the full pipeline
     // (bits → signed sums → signature → hamming pairs) has a DuckDB
     // oracle; the pigeonhole banding is complete at maxDist=3, so the
@@ -846,6 +849,54 @@ object SparkEntry {
         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
         |  coalesce(h.n_hits, 0) > 0 AS contaminated
         |FROM documents d LEFT JOIN hits h USING (doc_id)
+        |WHERE d.doc_id % 50 <> 0""".stripMargin,
+    // Bloom probe replay. The engine packs bench-gram positions into
+    // a 64-bit-word bitmap; a gram is bloom-positive iff all 4
+    // double-hashed positions (Kirsch–Mitzenmacher: one md5 split
+    // into 60-bit halves h1/h2, pos_j = (h1 + j·h2) mod m) have their
+    // bit set — which is exactly "all 4 positions are in the bench
+    // position set", so the oracle checks membership relationally and
+    // never needs the (DuckDB-unshiftable) 1<<63 bit packing. False
+    // positives (position-level collisions) reproduce identically
+    // because the position arithmetic is shared.
+    "decontaminate_bloom" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(lower(text), '\s+')) >= 8
+        |), gr AS (
+        |  SELECT doc_id, list_distinct([array_to_string(t[i:i+7], ' ')
+        |    for i in range(1, len(t) - 6)]) AS grams
+        |  FROM toks
+        |), js AS (SELECT unnest([0, 1, 2, 3]) AS j
+        |), bg AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM gr WHERE doc_id % 50 = 0
+        |), pos AS (
+        |  SELECT DISTINCT (h1 + j * h2) % 65536 AS p
+        |  FROM (SELECT CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h1,
+        |               CAST('0x' || substr(md5(gram), 16, 15) AS BIGINT) AS h2
+        |        FROM bg) CROSS JOIN js
+        |), pg AS (
+        |  SELECT doc_id, unnest(grams) AS gram
+        |  FROM gr WHERE doc_id % 50 <> 0
+        |), pp AS (
+        |  SELECT doc_id, gram, (h1 + j * h2) % 65536 AS p
+        |  FROM (SELECT doc_id, gram,
+        |          CAST('0x' || substr(md5(gram), 1, 15) AS BIGINT) AS h1,
+        |          CAST('0x' || substr(md5(gram), 16, 15) AS BIGINT) AS h2
+        |        FROM pg) CROSS JOIN js
+        |), hit AS (
+        |  SELECT doc_id, gram
+        |  FROM pp LEFT JOIN pos ON pp.p = pos.p
+        |  GROUP BY doc_id, gram
+        |  HAVING bool_and(pos.p IS NOT NULL)
+        |), nf AS (
+        |  SELECT doc_id, count(*) AS n_flagged FROM hit GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(nf.n_flagged, 0) AS BIGINT) AS n_flagged,
+        |  coalesce(nf.n_flagged, 0) > 0 AS contaminated
+        |FROM documents d LEFT JOIN nf USING (doc_id)
         |WHERE d.doc_id % 50 <> 0""".stripMargin,
     // rank assigned over the full vocab here vs after the limit in the
     // engine — identical because the limit selects by the same order

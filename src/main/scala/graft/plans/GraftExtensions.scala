@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.dotProduct)
+    ext.injectFunction(GraftExtensions.bloomGramCount)
   }
 }
 
@@ -34,6 +35,21 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "dot_product takes exactly 2 arguments")
       DotProduct(children.head, children(1))
+    }
+  )
+
+  val bloomGramCount: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("bloom_gram_count"),
+    new ExpressionInfo(classOf[BloomGramCount].getName, "bloom_gram_count"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "bloom_gram_count takes (grams, bitmap_words, k)")
+      val k = children(2) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"bloom_gram_count k must be an integer literal, got $other")
+      }
+      BloomGramCount(children.head, children(1), k)
     }
   )
 }

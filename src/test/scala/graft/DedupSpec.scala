@@ -49,6 +49,72 @@ class DedupSpec extends SparkSpec {
       "benchmark side should broadcast")
   }
 
+  test("bloom contamination: exact recompute, one-sided vs exact, map-only probe") {
+    val texts = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def grams(t: String): Set[String] = {
+      val toks = t.toLowerCase.split("\\s+", -1).toSeq
+      if (toks.size >= 8) toks.sliding(8).map(_.mkString(" ")).toSet
+      else Set.empty
+    }
+    // independent JVM recompute of the double-hash position arithmetic
+    def positions(g: String, m: Int, k: Int): Seq[Long] = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+      (0 until k).map(j => (h1 + j * h2) % m)
+    }
+    def expected(m: Int, k: Int): Map[Long, Int] = {
+      val benchPos = texts.filter(_._1 % 50 == 0)
+        .flatMap(d => grams(d._2)).toSet
+        .flatMap((g: String) => positions(g, m, k))
+      texts.filter(_._1 % 50 != 0).map { case (id, t) =>
+        id -> grams(t).count(g => positions(g, m, k).forall(benchPos))
+      }.toMap
+    }
+    val rows = Dedup.bloomContamination(spark, sf()).collect()
+    val want = expected(1 << 16, 4)
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_flagged") == want(id).toLong,
+        s"doc $id: got ${r.getAs[Long]("n_flagged")}, want ${want(id)}")
+      assert(r.getAs[Boolean]("contaminated") == (want(id) > 0))
+    }
+    // one-sided: every exactly-contaminated doc is bloom-flagged, and
+    // the bloom gram count never undercounts (no false negatives)
+    val exact = Dedup.contamination(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+    val bloom = rows
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_flagged")).toMap
+    exact.foreach { case (id, hits) =>
+      assert(bloom(id) >= hits, s"false negative on doc $id")
+    }
+    // at the default 8 KB / k=4 sizing the quarantine overhead is tiny
+    val fp = bloom.count { case (id, f) => f > 0 && exact(id) == 0 }
+    assert(fp <= 5, s"$fp false-positive docs at default sizing")
+    // a deliberately undersized filter must still be one-sided — false
+    // positives appear (the fixture saturates 2048 bits) but never a
+    // false negative; the JVM recompute stays exact
+    val smallWant = expected(2048, 2)
+    val small = Dedup.bloomContamination(spark, sf(), mBits = 2048, kHash = 2)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_flagged")).toMap
+    assert(small == smallWant.map { case (k, v) => k -> v.toLong })
+    exact.foreach { case (id, hits) => assert(small(id) >= hits) }
+    assert(small.count { case (id, f) => f > 0 && exact(id) == 0 } > fp,
+      "undersized filter should show more false positives")
+    // the probe is a pure map: the only join in the plan is the 1-row
+    // bitmap broadcast — a shuffle join anywhere means the corpus side
+    // moved
+    val plan = Dedup.bloomContamination(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"corpus side must not join-shuffle:\n$plan")
+  }
+
   test("skew guard: planted hot shingle cuts candidates, preserves true pairs") {
     import spark.implicits._
     // boilerplate header in 10 of 24 docs (42% > the 20% cut): its 3

@@ -124,4 +124,48 @@ class PlansSpec extends SparkSpec {
     // the expression must sit inside one, not in an interpreted Project
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[cosinesimilarity.*"), plan)
   }
+
+  test("bloom_gram_count: hand-computed bits, null algebra, SQL + codegen") {
+    import spark.implicits._
+    // hand construction: one bench gram "alpha beta" — compute its two
+    // 60-bit halves and k=2 positions in the test, set exactly those
+    // bits in a 2-word (128-bit) filter
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest("alpha beta".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val h1 = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    val h2 = java.lang.Long.parseLong(hex.substring(15, 30), 16)
+    val pos = Seq(0, 1).map(j => (h1 + j * h2) % 128)
+    val words = Array(0L, 0L)
+    pos.foreach(p => words(p.toInt / 64) |= (1L << (p % 64).toInt))
+    val df = Seq(
+      (1L, Seq("alpha beta", "gamma delta")), // member + non-member
+      (2L, Seq.empty[String]),
+      (3L, null.asInstanceOf[Seq[String]])
+    ).toDF("id", "grams")
+      .select(col("id"), call_function("bloom_gram_count",
+        col("grams"), typedLit(words.toSeq), lit(2)).as("c"))
+      .orderBy("id").collect()
+    assert(df(0).getLong(1) >= 1L, "planted member must be counted")
+    // "gamma delta" could only count via a 2-position collision in 128
+    // bits — recompute to pin exactly
+    val gHex = java.security.MessageDigest.getInstance("MD5")
+      .digest("gamma delta".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val gPos = Seq(0, 1).map { j =>
+      (java.lang.Long.parseLong(gHex.substring(0, 15), 16) +
+        j * java.lang.Long.parseLong(gHex.substring(15, 30), 16)) % 128
+    }
+    val gHit = gPos.forall(p => (words(p.toInt / 64) >> (p % 64).toInt & 1L) == 1L)
+    assert(df(0).getLong(1) == (if (gHit) 2L else 1L))
+    assert(df(1).getLong(1) == 0L, "empty gram list counts zero")
+    assert(df(2).isNullAt(1), "null gram array yields null")
+    // the probe must run inside a whole-stage-codegen span over a real
+    // scan (a local relation would constant-fold the whole project)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet").limit(10)
+      .select(call_function("bloom_gram_count",
+        split(lower(col("text")), "\\s+"), typedLit(words.toSeq), lit(2))
+        .as("c"))
+    docs.collect()
+    val plan = docs.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[bloom_gram_count.*"), plan)
+  }
 }
