@@ -146,6 +146,11 @@ object SparkEntry {
     // RelationalSpec pins them against the exact values
     "percentiles_approx" -> ((s, dir) =>
       Relational.approxPricePercentiles(s, dir)),
+    // deterministic bounded-state quantiles: |est − exact| ≤ width by
+    // construction, and the estimate itself hash-matches cross-engine
+    // (the property the t-digest row can never have)
+    "percentiles_sketch" -> ((s, dir) =>
+      Sketches.histogramPercentiles(s, dir)),
     "q6_selective" -> ((s, dir) => Relational.selectiveRevenue(s, dir)),
     "q3_shipping" -> ((s, dir) => Relational.shippingPriority(s, dir)),
     "string_funcs" -> ((s, dir) => Relational.stringFuncs(s, dir)),
@@ -501,6 +506,51 @@ object SparkEntry {
         |  quantile_cont(o_totalprice, 0.9) AS p90
         |FROM orders
         |GROUP BY o_orderstatus""".stripMargin,
+    // histogram-sketch replay: same floor-bucketing, same HUGEINT-free
+    // rank arithmetic (r = ceil(q·n) on doubles), same first-bucket
+    // rank-walk interpolation — the estimate hash-matches because
+    // every step is integer or IEEE-double on both engines
+    "percentiles_sketch" ->
+      """WITH b AS (
+        |  SELECT o_orderstatus,
+        |    CAST(floor(o_totalprice / CAST(1000.0 AS DOUBLE)) AS BIGINT) AS b,
+        |    CAST(count(*) AS BIGINT) AS n_b
+        |  FROM orders GROUP BY 1, 2
+        |), t AS (
+        |  SELECT o_orderstatus, CAST(sum(n_b) AS BIGINT) AS n,
+        |    CAST(count(*) AS INTEGER) AS n_buckets
+        |  FROM b GROUP BY 1
+        |), c AS (
+        |  SELECT o_orderstatus, b, n_b,
+        |    CAST(sum(n_b) OVER (PARTITION BY o_orderstatus ORDER BY b)
+        |      AS BIGINT) AS cum
+        |  FROM b
+        |), e50 AS (
+        |  SELECT o_orderstatus, p50_est FROM (
+        |    SELECT c.o_orderstatus,
+        |      c.b * CAST(1000.0 AS DOUBLE) + CAST(1000.0 AS DOUBLE)
+        |        * (CAST(ceil(CAST(0.5 AS DOUBLE) * t.n) AS BIGINT)
+        |           - (c.cum - c.n_b)) / c.n_b AS p50_est,
+        |      row_number() OVER (PARTITION BY c.o_orderstatus ORDER BY c.b)
+        |        AS rn
+        |    FROM c JOIN t USING (o_orderstatus)
+        |    WHERE c.cum >= CAST(ceil(CAST(0.5 AS DOUBLE) * t.n) AS BIGINT)
+        |  ) WHERE rn = 1
+        |), e90 AS (
+        |  SELECT o_orderstatus, p90_est FROM (
+        |    SELECT c.o_orderstatus,
+        |      c.b * CAST(1000.0 AS DOUBLE) + CAST(1000.0 AS DOUBLE)
+        |        * (CAST(ceil(CAST(0.9 AS DOUBLE) * t.n) AS BIGINT)
+        |           - (c.cum - c.n_b)) / c.n_b AS p90_est,
+        |      row_number() OVER (PARTITION BY c.o_orderstatus ORDER BY c.b)
+        |        AS rn
+        |    FROM c JOIN t USING (o_orderstatus)
+        |    WHERE c.cum >= CAST(ceil(CAST(0.9 AS DOUBLE) * t.n) AS BIGINT)
+        |  ) WHERE rn = 1
+        |)
+        |SELECT t.o_orderstatus, t.n, t.n_buckets, e50.p50_est, e90.p90_est
+        |FROM t JOIN e50 USING (o_orderstatus) JOIN e90 USING (o_orderstatus)"""
+        .stripMargin,
     "q6_selective" ->
       """SELECT
         |  CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6))) AS DOUBLE) AS revenue,

@@ -82,4 +82,60 @@ object Sketches {
       perSource.select(lit("__all__").as("source"), col("h")).distinct())
     sketch(perSource).unionByName(sketch(merged))
   }
+
+  /** Histogram quantile sketch over `orders.o_totalprice` per order
+    * status — the deterministic alternative to `approx_percentile`
+    * the same way [[kmvDistinctTokens]] is to HLL. `percentile` is
+    * exact but buffers every distinct value per group (OOM at
+    * billions of rows); t-digest keeps constant memory but its
+    * estimate is engine-specific, so it can only ever be a rows-only
+    * cross-engine check. Fixed-width bucketing gives bounded state
+    * AND bit-determinism: bucket = floor(x / width) (IEEE-exact),
+    * per-bucket int64 counts, and a rank-walk estimate
+    * `lo + width · (r − cum_before) / n_b` with r = ceil(q·n) —
+    * every step reproduces identically in DuckDB, so the estimate
+    * itself hash-matches, and the error is BOUNDED by construction:
+    * the true q-quantile lives in the same bucket, so
+    * |est − exact| ≤ width (spec-pinned; a t-digest offers no such
+    * per-query certificate).
+    *
+    * Sketches merge: bucket counts add (the merge the spec pins),
+    * so executors histogram shards independently and the combine is
+    * the same map-side partial aggregation Spark already does.
+    *
+    * Shape at scale: ONE (group, bucket)-keyed exchange with
+    * map-side combine — the shuffle carries O(groups · range/width)
+    * rows regardless of corpus size; the finalize walks each group's
+    * ≤ range/width buckets row-locally (the HOF is interpreted, but
+    * over per-GROUP state, not per-row data).
+    */
+  def histogramPercentiles(
+      s: SparkSession, dir: String,
+      width: Double = 1000.0, qs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val buckets = s.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderstatus"),
+        floor(col("o_totalprice") / width).cast("long").as("b"))
+      .groupBy("o_orderstatus", "b").agg(count(lit(1)).as("n_b"))
+    val grouped = buckets.groupBy("o_orderstatus").agg(
+      sort_array(collect_list(struct(col("b"), col("n_b")))).as("buckets"),
+      sum("n_b").as("n"))
+    val wD = s"cast($width as double)"
+    def est(q: Double): org.apache.spark.sql.Column = expr(
+      s"""aggregate(buckets,
+         |  named_struct('cum', cast(0 as bigint),
+         |               'est', cast(null as double)),
+         |  (acc, x) -> named_struct(
+         |    'cum', acc.cum + x.n_b,
+         |    'est', if(acc.est is not null, acc.est,
+         |      if(acc.cum + x.n_b >= cast(ceil(cast($q as double) * n) as bigint),
+         |        x.b * $wD + $wD
+         |          * (cast(ceil(cast($q as double) * n) as bigint) - acc.cum)
+         |          / x.n_b,
+         |        cast(null as double)))),
+         |  acc -> acc.est)""".stripMargin)
+    grouped.select(
+      Seq(col("o_orderstatus"), col("n"),
+        size(col("buckets")).as("n_buckets")) ++
+        qs.map(q => est(q).as(s"p${(q * 100).round}_est")): _*)
+  }
 }

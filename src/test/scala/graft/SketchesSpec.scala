@@ -82,6 +82,57 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("histogram percentiles: JVM recompute, error bound, mergeability") {
+    val width = 1000.0
+    val vals = spark.read.parquet(s"${sf()}/orders.parquet")
+      .select("o_orderstatus", "o_totalprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    // independent JVM recompute of bucket→count→rank-walk
+    def sketch2(xs: Array[Double], q: Double): Double = {
+      val counts = xs.groupBy(x => math.floor(x / width).toLong)
+        .map { case (b, v) => b -> v.length.toLong }.toSeq.sortBy(_._1)
+      val n = xs.length.toLong
+      val r = math.ceil(q * n).toLong
+      var cum = 0L
+      for ((b, c) <- counts) {
+        if (cum + c >= r) return b * width + width * (r - cum) / c
+        cum += c
+      }
+      throw new AssertionError("rank walk fell off the histogram")
+    }
+    val rows = Sketches.histogramPercentiles(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val xs = vals(r.getString(0))
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      assert(r.getAs[Double]("p50_est") == sketch2(xs, 0.5),
+        s"${r.getString(0)} p50 bit-mismatch vs JVM recompute")
+      assert(r.getAs[Double]("p90_est") == sketch2(xs, 0.9))
+      // bounded error certificate: the true quantile shares the bucket
+      val sorted = xs.sorted
+      def exactQ(q: Double) =
+        sorted(math.max(0, math.ceil(q * xs.length).toInt - 1))
+      assert(math.abs(r.getAs[Double]("p50_est") - exactQ(0.5)) <= width)
+      assert(math.abs(r.getAs[Double]("p90_est") - exactQ(0.9)) <= width)
+      // state is bounded by range/width, not by n
+      assert(r.getAs[Int]("n_buckets").toLong <=
+        (sorted.last / width).toLong - (sorted.head / width).toLong + 1)
+    }
+    // mergeability: histogramming two disjoint carves and adding the
+    // bucket counts finalizes to the same estimate as one pass
+    vals.foreach { case (_, xs) =>
+      val (a, b) = xs.zipWithIndex.partition(_._2 % 2 == 0)
+      def counts(ys: Array[Double]) = ys
+        .groupBy(x => math.floor(x / width).toLong)
+        .map { case (k, v) => k -> v.length.toLong }
+      val mergedCounts = (counts(a.map(_._1)).toSeq ++ counts(b.map(_._1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+      assert(mergedCounts == counts(xs),
+        "bucket counts must add across carves")
+    }
+  }
+
   test("kmv: shuffle carries O(sources·k) — WindowGroupLimit in the plan") {
     import org.apache.spark.sql.execution.ExplainMode
     val plan = Sketches.kmvDistinctTokens(spark, sf())
