@@ -571,30 +571,36 @@ object Dedup {
       n: Int = 8, benchMod: Long = 50L,
       mBits: Int = 1 << 16, kHash: Int = 4): DataFrame = {
     require(mBits % 64 == 0 && kHash >= 1)
-    // per-doc distinct grams, row-local (identical set to
-    // [[contamination]]'s explode — same tokenization, same carve);
-    // docs shorter than n grams get an empty array, so the probe needs
-    // no padding join afterward
-    val gramsExpr = expr(
-      s"""if(size(toks) >= $n,
-         |  array_distinct(transform(sequence(0, size(toks) - $n),
-         |    i -> concat_ws(' ', slice(toks, i + 1, $n)))),
-         |  cast(array() as array<string>))""".stripMargin).as("grams")
-    val tokenized = docs(s, dir)
-      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
-      .select(col("doc_id"), gramsExpr)
+    val tokenized = bloomGramSets(docs(s, dir), n)
     val isBench = col("doc_id") % benchMod === 0
-    // double hashing off the gram's single md5: h1 = hex chars 1-15,
-    // h2 = chars 16-30 (60 bits each, so h1 + 3·h2 < 2^62 — no
-    // overflow), pos_j = (h1 + j·h2) mod mBits. `hx` is the hex digest.
+    val words = bloomWords(tokenized.filter(isBench), mBits, kHash)
+    bloomProbe(tokenized.filter(!isBench), bloomDenseRow(words, mBits), kHash)
+  }
+
+  /** Per-doc distinct n-grams, row-local (identical set to
+    * [[contamination]]'s explode — same tokenization); docs shorter
+    * than n grams get an empty array, so probes need no padding join.
+    */
+  private[graft] def bloomGramSets(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .select(col("doc_id"), expr(
+        s"""if(size(toks) >= $n,
+           |  array_distinct(transform(sequence(0, size(toks) - $n),
+           |    i -> concat_ws(' ', slice(toks, i + 1, $n)))),
+           |  cast(array() as array<string>))""".stripMargin).as("grams"))
+
+  /** Fold a gram-set relation into the filter's sparse (w, bits) word
+    * relation. Double hashing off each gram's single md5: h1 = hex
+    * chars 1-15, h2 = chars 16-30 (60 bits each, so h1 + 3·h2 < 2^62 —
+    * no overflow), pos_j = (h1 + j·h2) mod mBits.
+    */
+  private[graft] def bloomWords(
+      gramSets: DataFrame, mBits: Int, kHash: Int): DataFrame = {
     def half(i: Int): String =
       s"cast(conv(substring(hx, $i, 15), 16, 10) as bigint)"
     def posJ(j: Int): String = s"(${half(1)} + $j * ${half(16)}) % $mBits"
-    // bench side: every (gram, j) bit position, folded first into a
-    // sparse word→bits map, then densified into the packed-long word
-    // array the probe indexes directly — one row, mBits/8 bytes,
-    // broadcast
-    val bitmap = tokenized.filter(isBench)
+    gramSets
       .select(explode(col("grams")).as("gram")).distinct()
       .select(md5(col("gram")).as("hx"))
       .select(explode(array((0 until kHash).map(j =>
@@ -603,27 +609,37 @@ object Dedup {
       .select(expr("p DIV 64").as("w"),
         expr("shiftleft(cast(1 as bigint), cast(p % 64 as int))").as("b"))
       .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+  }
+
+  /** Densify the sparse word relation into the ONE broadcastable row
+    * (`bw`: array of mBits/64 packed longs) the probe indexes.
+    */
+  private[graft] def bloomDenseRow(words: DataFrame, mBits: Int): DataFrame =
+    words
       .agg(map_from_entries(
         collect_list(struct(col("w"), col("bits")))).as("bm"))
       .select(expr(
         s"""transform(sequence(0, ${mBits / 64 - 1}),
            |  w -> coalesce(element_at(bm, cast(w as bigint)),
            |    cast(0 as bigint)))""".stripMargin).as("bw"))
-    // probe: all kHash bits set ⇒ bloom-positive. Pure map over the
-    // corpus scan — the 1-row bitmap broadcasts and every document's
-    // verdict is one [[graft.plans.BloomGramCount]] call: a fused
-    // codegen'd loop, one digest per gram, early-exit on the first
-    // clear bit. (The equivalent filter/transform HOF chain is
-    // interpreted and measured 3x slower than even the exact
-    // broadcast-join op; the native expression makes the probe pay
-    // only for the digests.)
-    tokenized.filter(!isBench)
-      .crossJoin(broadcast(bitmap))
+
+  /** The probe: all kHash bits set ⇒ bloom-positive. Pure map over the
+    * corpus scan — the 1-row bitmap broadcasts and every document's
+    * verdict is one [[graft.plans.BloomGramCount]] call: a fused
+    * codegen'd loop, one digest per gram, early-exit on the first
+    * clear bit. (The equivalent filter/transform HOF chain is
+    * interpreted and measured 3x slower than even the exact
+    * broadcast-join op; the native expression makes the probe pay
+    * only for the digests.)
+    */
+  private[graft] def bloomProbe(
+      gramSets: DataFrame, denseRow: DataFrame, kHash: Int): DataFrame =
+    gramSets
+      .crossJoin(broadcast(denseRow))
       .select(col("doc_id"),
         call_function("bloom_gram_count",
           col("grams"), col("bw"), lit(kHash)).as("n_flagged"))
       .withColumn("contaminated", col("n_flagged") > 0)
-  }
 
   /** Connected components over an undirected pair set via alternating
     * large-star / small-star (Kiveris et al., "Connected Components in

@@ -1,0 +1,85 @@
+package graft
+
+import graft.ops.{BloomIndex, Dedup}
+import org.apache.spark.sql.functions._
+
+/** Pins for the persisted Bloom decontamination filter: the lossless
+  * round-trip, the exact OR-append, and the config guard. Value-level
+  * probe correctness rides the DuckDB oracle gate (both index queries
+  * share the one-job oracle).
+  */
+class BloomIndexSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  private def tmpDir(prefix: String): java.nio.file.Path =
+    java.nio.file.Files.createTempDirectory(prefix)
+
+  private def rmTree(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+      .foreach(f => java.nio.file.Files.deleteIfExists(f))
+  }
+
+  private def words(path: String): Map[Long, Long] =
+    spark.read.parquet(s"$path/words").collect()
+      .map(r => r.getAs[Long]("w") -> r.getAs[Long]("bits")).toMap
+
+  test("build+probe equals the one-job bloom contamination") {
+    val idx = tmpDir("bloomidx")
+    try {
+      BloomIndex.build(spark, docs.filter(col("doc_id") % 50 === 0),
+        idx.toString)
+      val probed = BloomIndex.probe(spark, idx.toString,
+        docs.filter(col("doc_id") % 50 =!= 0)).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_flagged"))
+        .toMap
+      val oneJob = Dedup.bloomContamination(spark, sf()).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_flagged"))
+        .toMap
+      assert(probed == oneJob,
+        "persisted filter round-trip must be lossless")
+    } finally rmTree(idx)
+  }
+
+  test("append is word-wise OR: bit-identical to building from the union") {
+    val full = tmpDir("bloomidx_full")
+    val inc = tmpDir("bloomidx_inc")
+    try {
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+      BloomIndex.build(spark, bench, full.toString)
+      BloomIndex.build(spark,
+        bench.filter(col("doc_id") % 100 === 0), inc.toString)
+      BloomIndex.append(spark,
+        bench.filter(col("doc_id") % 100 =!= 0), inc.toString)
+      val w = words(full.toString)
+      assert(w == words(inc.toString),
+        "append(build(A), B) must equal build(A ∪ B) bit-for-bit")
+      // the dense layout: every word index present, content-independent
+      assert(w.keySet == (0L until 1024L).toSet)
+      assert(w.values.exists(_ != 0L), "filter must not be empty")
+    } finally { rmTree(full); rmTree(inc) }
+  }
+
+  test("meta guards the hash configuration across build/append/probe") {
+    val idx = tmpDir("bloomidx_meta")
+    try {
+      BloomIndex.build(spark, docs.filter(col("doc_id") % 50 === 0),
+        idx.toString, n = 8, mBits = 2048, kHash = 2)
+      val m = BloomIndex.readMeta(spark, idx.toString)
+      assert(m == BloomIndex.Meta(8, 2048, 2))
+      // a probe picks the persisted config up, not defaults: the 2048-
+      // bit filter's words relation is 32 longs and the probe must
+      // still agree with the one-job run at the SAME sizing
+      val probed = BloomIndex.probe(spark, idx.toString,
+        docs.filter(col("doc_id") % 50 =!= 0)).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_flagged"))
+        .toMap
+      val oneJob = Dedup.bloomContamination(spark, sf(),
+        mBits = 2048, kHash = 2).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_flagged"))
+        .toMap
+      assert(probed == oneJob)
+    } finally rmTree(idx)
+  }
+}
