@@ -61,6 +61,46 @@ class BloomIndexSpec extends SparkSpec {
     } finally { rmTree(full); rmTree(inc) }
   }
 
+  test("streaming probe matches the direct probe and replays idempotently") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingDecontaminate
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = tmpDir("bloomidx_stream")
+    val out = tmpDir("bloomidx_out").toString
+    val ckpt = tmpDir("bloomidx_ckpt").toString
+    try {
+      BloomIndex.build(spark, docs.filter(col("doc_id") % 50 === 0),
+        idx.toString)
+      // zero-batch reader: empty typed relation, not a path error
+      assert(StreamingDecontaminate.verdicts(spark, out).count() == 0)
+      val all = docs.filter(col("doc_id") % 50 =!= 0)
+        .select("doc_id", "text").orderBy("doc_id").collect()
+        .map(r => Doc(r.getLong(0), r.getString(1)))
+      val (first, second) = all.splitAt(all.length / 2)
+      val input = MemoryStream[Doc]
+      input.addData(first.toIndexedSeq)
+      StreamingDecontaminate.probeStream(input.toDF(), idx.toString, out, ckpt)
+        .awaitTermination()
+      input.addData(second.toIndexedSeq)
+      StreamingDecontaminate.probeStream(input.toDF(), idx.toString, out, ckpt)
+        .awaitTermination()
+      val streamed = StreamingDecontaminate.verdicts(spark, out)
+      val direct = BloomIndex.probe(spark, idx.toString,
+        docs.filter(col("doc_id") % 50 =!= 0)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(streamed.select("doc_id", "n_flagged", "contaminated")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+        .toSet == direct)
+      // at-least-once replay: re-running a batch id overwrites its own
+      // directory instead of duplicating verdicts
+      val before = streamed.count()
+      StreamingDecontaminate.applyBatch(first.toSeq.toDF("doc_id", "text"),
+        idx.toString, out, batchId = 0L)
+      assert(StreamingDecontaminate.verdicts(spark, out).count() == before)
+    } finally rmTree(idx)
+  }
+
   test("meta guards the hash configuration across build/append/probe") {
     val idx = tmpDir("bloomidx_meta")
     try {
