@@ -314,6 +314,9 @@ object SparkEntry {
     // read as int8, the cosine's dequantization factor cancels
     // exactly, and the float column never enters the serving path
     "sim_ann_ivf_adc" -> ((s, dir) => Similarity.ivfAdcTopK(s, dir)),
+    // recall@10 of the ADC path vs brute-force ground truth, as an
+    // oracled query — the continuous ANN-health metric, exact ratios
+    "sim_recall_eval" -> ((s, dir) => Similarity.recallEval(s, dir)),
     "sim_near_dup" -> ((s, dir) => Similarity.cosineNearDupPairs(s, dir)),
     // SemDeDup: k-means cells (same Lloyd arithmetic as sim_ann_ivf),
     // within-cell drop-if-similar-to-earlier-member — one cell-keyed
@@ -1476,6 +1479,60 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS INTEGER) AS rk
         |  FROM sc
         |) WHERE rk <= 10""".stripMargin,
+    // Recall@10 replay: BOTH legs are existing oracles — the ADC
+    // chain (qz/probes/cand/sc, verbatim from sim_ann_ivf_adc) and the
+    // brute top-10 — joined on (query_id, vec_id); n_hits/10 is an
+    // exact small-integer ratio, so even the recall double
+    // hash-matches
+    "sim_recall_eval" ->
+      s"""WITH $lloydCellCtes, qz AS (
+        |  SELECT vec_id,
+        |    CASE WHEN scale = 0 THEN list_transform(v, x -> 0.0)
+        |    ELSE list_transform(v, x -> CAST(CAST(floor(x / scale + 0.5)
+        |      AS INTEGER) AS DOUBLE)) END AS qd
+        |  FROM (SELECT vec_id, v,
+        |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+        |    FROM e)
+        |), probes AS (
+        |  SELECT vec_id AS query_id, cell FROM ac WHERE rn <= 4 AND vec_id < 5
+        |), cand AS (
+        |  SELECT DISTINCT p.query_id, a.vec_id
+        |  FROM probes p JOIN assigned a USING (cell)
+        |  WHERE a.vec_id <> p.query_id
+        |), sc AS (
+        |  SELECT query_id, cd.vec_id,
+        |    list_dot_product(az.qd, qv.v) /
+        |      (sqrt(list_dot_product(az.qd, az.qd)) * sqrt(list_dot_product(qv.v, qv.v))) AS score
+        |  FROM cand cd JOIN qz az ON az.vec_id = cd.vec_id JOIN e qv ON qv.vec_id = cd.query_id
+        |), ann AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+        |    FROM sc
+        |  ) WHERE rk <= 10
+        |), q AS (
+        |  SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5
+        |), bsc AS (
+        |  SELECT query_id, vec_id,
+        |    list_dot_product(v, qv) /
+        |      (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(qv, qv))) AS score
+        |  FROM e, q WHERE vec_id <> query_id
+        |), brute AS (
+        |  SELECT query_id, vec_id FROM (
+        |    SELECT query_id, vec_id,
+        |      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+        |    FROM bsc
+        |  ) WHERE rk <= 10
+        |), hits AS (
+        |  SELECT query_id, count(*) AS c
+        |  FROM ann JOIN brute USING (query_id, vec_id)
+        |  GROUP BY query_id
+        |)
+        |SELECT q2.query_id,
+        |  CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(h.c, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE) AS recall
+        |FROM (SELECT DISTINCT query_id FROM brute) q2
+        |LEFT JOIN hits h USING (query_id)""".stripMargin,
     // Persisted-IVF probe: the same Lloyd arithmetic over the index
     // carve (ei), query carve assigned to its 4 nearest final
     // centroids, scored within probed cells, top-10

@@ -536,4 +536,32 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("max_prior_sim"),
         coalesce(col("max_prior_sim") < lit(eps), lit(true)).as("keep"))
   }
+
+  /** Recall@k of the quantized multi-probe ANN path against the
+    * brute-force ground truth, AS A QUERY — the evaluation harness an
+    * ANN deployment runs continuously (index drift, quantizer health)
+    * promoted from a spec assertion to an oracled, bench-tracked
+    * relation. Per query: how many of the true top-k the ADC path
+    * returned, and the recall fraction (an exact small-integer ratio,
+    * so it hash-matches cross-engine).
+    *
+    * Shape at scale: recall is always measured over a query SAMPLE
+    * (here the shared `numQueries` carve) — every relation after the
+    * two top-k legs is sample-sized, and the legs themselves are the
+    * already-audited ANN and brute plans.
+    */
+  def recallEval(
+      s: SparkSession, dir: String,
+      numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val ann = ivfAdcTopK(s, dir, numQueries, k).select("query_id", "vec_id")
+    val brute = cosineTopK(s, dir, numQueries, k).select("query_id", "vec_id")
+    val hits = ann.join(brute, Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    brute.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+      .withColumn("recall",
+        col("n_hits").cast("double") / lit(k.toDouble))
+  }
 }

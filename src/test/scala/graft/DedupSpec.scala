@@ -293,6 +293,17 @@ class DedupSpec extends SparkSpec {
     val exact = key(Similarity.cosineTopK(spark, sf(), numQueries = 5, k = 10))
     val recall = adc.intersect(exact).size.toDouble / exact.size
     assert(recall >= 0.8, s"ADC recall vs brute force $recall")
+    // the oracled recall query computes exactly this overlap, per query
+    val evalRows = Similarity.recallEval(spark, sf()).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_hits"), r.getAs[Double]("recall"))).toMap
+    assert(evalRows.keySet == exact.map(_._1))
+    evalRows.foreach { case (q, (hits, rec)) =>
+      val want = adc.filter(_._1 == q).intersect(exact.filter(_._1 == q)).size
+      assert(hits == want.toLong, s"query $q: $hits vs recomputed $want")
+      assert(rec == want / 10.0)
+    }
+    assert(evalRows.values.map(_._2).sum / evalRows.size >= 0.8)
   }
 
   test("SQ8 stats on an empty vector are NULL (the oracle's list-aggregate algebra)") {
