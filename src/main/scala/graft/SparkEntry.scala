@@ -293,6 +293,8 @@ object SparkEntry {
     "pack_sequences" -> ((s, dir) => TrainPrep.packSequences(s, dir)),
     // per-source sampling weights toward a uniform domain mix
     "mix_weights" -> ((s, dir) => TrainPrep.mixWeights(s, dir)),
+    // the weights APPLIED: deterministic uniform-mix sampled export
+    "mix_apply" -> ((s, dir) => TrainPrep.mixApply(s, dir)),
     // length-weighted Bernoulli sampling off an md5-derived uniform
     "sample_weighted" -> ((s, dir) => TrainPrep.weightedSample(s, dir)),
     // per-domain contribution cap by salted-hash rank (WindowGroupLimit)
@@ -1310,6 +1312,29 @@ object SparkEntry {
         |  round(CAST(tot_docs AS DOUBLE) / (n_sources * n_docs), 6)
         |    AS weight
         |FROM per CROSS JOIN tot""".stripMargin,
+    // mix_weights' rounded weight column replayed (same round-6
+    // arithmetic the green mix_weights oracle pins), then the same
+    // IEEE-exact keep-if-u<p machinery as sample_weighted
+    "mix_apply" ->
+      """WITH per AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY source
+        |), tot AS (
+        |  SELECT sum(n_docs) AS tot_docs, count(*) AS n_sources FROM per
+        |), w AS (
+        |  SELECT source,
+        |    round(CAST(tot_docs AS DOUBLE) / (n_sources * n_docs), 6)
+        |      AS weight
+        |  FROM per CROSS JOIN tot
+        |), h AS (
+        |  SELECT d.doc_id, d.source,
+        |    least(CAST(1.0 AS DOUBLE), CAST(0.5 AS DOUBLE) * w.weight) AS p,
+        |    CAST(CAST('0x' || substr(md5(d.doc_id::VARCHAR || '#mix'),
+        |        1, 15) AS BIGINT) AS DOUBLE)
+        |      / CAST(1152921504606846976 AS BIGINT) AS u
+        |  FROM documents d JOIN w USING (source)
+        |)
+        |SELECT doc_id, source, p, u FROM h WHERE u < p""".stripMargin,
     // Bernoulli keep-if-u<p with p = min(1, 0.25·n_chars/400); the
     // uniform u is the 60-bit md5 prefix normalized by 2^60 — int64→
     // double conversion, multiply, divide, compare are all IEEE-exact,

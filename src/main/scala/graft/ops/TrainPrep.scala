@@ -120,6 +120,34 @@ object TrainPrep {
           .as("weight"))
   }
 
+  /** [[mixWeights]] APPLIED: the uniform-domain-mix export. Each
+    * document is kept with probability p = min(1, rate · weight(src)),
+    * using the same md5-derived uniform machinery as
+    * [[weightedSample]] (salt `#mix`, independent of every other
+    * assignment) — so each source contributes ≈ rate · tot_docs /
+    * n_sources surviving documents regardless of its raw share:
+    * over-represented crawls are down-sampled toward the uniform mix
+    * the weights define, and the whole export reproduces bit-for-bit
+    * on any engine and any cluster size.
+    *
+    * Shape at scale: the weights relation is |sources| rows —
+    * broadcast — so the corpus side is one scan + map-side join +
+    * filter, zero corpus exchanges beyond [[mixWeights]]' own tiny
+    * aggregation.
+    */
+  def mixApply(
+      s: SparkSession, dir: String, rate: Double = 0.5): DataFrame = {
+    val w = mixWeights(s, dir).select(col("source"), col("weight"))
+    val u = conv(substring(
+        md5(concat(col("doc_id").cast("string"), lit("#mix"))), 1, 15),
+      16, 10).cast("long").cast("double") / lit(math.pow(2, 60))
+    docs(s, dir).select(col("doc_id"), col("source"))
+      .join(broadcast(w), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        least(lit(1.0), lit(rate) * col("weight")).as("p"), u.as("u"))
+      .filter(col("u") < col("p"))
+  }
+
   /** Weighted Bernoulli sampling: each document is kept independently
     * with probability proportional to its length —
     * p = min(1, rate · n_chars / refChars) — using an md5-derived

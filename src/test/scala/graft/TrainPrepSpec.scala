@@ -158,6 +158,40 @@ class TrainPrepSpec extends SparkSpec {
       "keep decision must not depend on other documents")
   }
 
+  test("mix_apply: equalizes source contributions, keep law, determinism") {
+    val rate = 0.5
+    val rows = TrainPrep.mixApply(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val weights = TrainPrep.mixWeights(spark, sf()).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("weight"))).toMap
+    rows.foreach { r =>
+      val (_, w) = weights(r.getAs[String]("source"))
+      assert(r.getAs[Double]("p") == math.min(1.0, rate * w))
+      assert(r.getAs[Double]("u") < r.getAs[Double]("p"))
+    }
+    // each source's expected survivors = n_docs·min(1, rate·weight)
+    // ≈ rate·tot/n_sources — the uniform mix; 6σ binomial slack
+    val tot = weights.values.map(_._1).sum
+    val kept = rows.groupBy(_.getAs[String]("source"))
+      .map { case (k, v) => k -> v.length }
+    weights.foreach { case (src, (nDocs, w)) =>
+      val p = math.min(1.0, rate * w)
+      val exp = nDocs * p
+      val sd = math.sqrt(nDocs * p * (1 - p))
+      assert(math.abs(kept.getOrElse(src, 0) - exp) <= 6 * sd + 1,
+        s"$src: kept ${kept.getOrElse(src, 0)} vs expected $exp")
+      // and the uniform-mix identity (exact when p < 1): n_docs·rate·
+      // weight ≈ rate·tot/n_sources, so every source targets the same
+      if (p < 1.0)
+        assert(math.abs(exp - rate * tot / weights.size) < 0.01 * exp + 1)
+    }
+    // same keep set on a second run (no RNG state anywhere)
+    val again = TrainPrep.mixApply(spark, sf()).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(again == rows.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("domain_cap: per-source bound, contiguous ranks, WindowGroupLimit") {
     val cap = 15
     val df = TrainPrep.domainCap(spark, sf(), cap = cap)
