@@ -553,6 +553,7 @@ object Similarity {
   def recallEval(
       s: SparkSession, dir: String,
       numQueries: Int = 5, k: Int = 10): DataFrame = {
+    require(numQueries >= 1 && k >= 1, s"bad eval params: $numQueries, $k")
     val ann = ivfAdcTopK(s, dir, numQueries, k).select("query_id", "vec_id")
     val brute = cosineTopK(s, dir, numQueries, k).select("query_id", "vec_id")
     val hits = ann.join(brute, Seq("query_id", "vec_id"))

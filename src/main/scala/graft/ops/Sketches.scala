@@ -57,6 +57,9 @@ object Sketches {
     */
   def kmvDistinctTokens(
       s: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    // k = 1 would make the (k−1)/R estimator identically zero on any
+    // non-exhausted scope — reject rather than return nonsense
+    require(k >= 2, s"KMV needs k >= 2, got $k")
     val tokens = docs(s, dir).select(
       col("source"),
       explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
@@ -112,6 +115,10 @@ object Sketches {
   def histogramPercentiles(
       s: SparkSession, dir: String,
       width: Double = 1000.0, qs: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    // width <= 0 would floor-bucket into ±Infinity; q outside (0, 1]
+    // would walk off the histogram
+    require(width > 0 && width.isFinite, s"bucket width must be > 0: $width")
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs: $qs")
     val buckets = s.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderstatus"),
         floor(col("o_totalprice") / width).cast("long").as("b"))

@@ -137,6 +137,7 @@ object TrainPrep {
     */
   def mixApply(
       s: SparkSession, dir: String, rate: Double = 0.5): DataFrame = {
+    require(rate > 0, s"rate must be > 0, got $rate")
     val w = mixWeights(s, dir).select(col("source"), col("weight"))
     val u = conv(substring(
         md5(concat(col("doc_id").cast("string"), lit("#mix"))), 1, 15),
@@ -171,6 +172,8 @@ object TrainPrep {
   def weightedSample(
       s: SparkSession, dir: String,
       rate: Double = 0.25, refChars: Double = 400.0): DataFrame = {
+    require(rate > 0 && refChars > 0,
+      s"rate and refChars must be > 0: $rate, $refChars")
     val u = conv(substring(
         md5(concat(col("doc_id").cast("string"), lit("#wsample"))), 1, 15),
       16, 10).cast("long").cast("double") / lit(math.pow(2, 60))
@@ -195,6 +198,7 @@ object TrainPrep {
     * ([[TrainPrepSpec]] pins the rewrite on the physical plan).
     */
   def domainCap(s: SparkSession, dir: String, cap: Int = 15): DataFrame = {
+    require(cap >= 1, s"cap must be >= 1, got $cap")
     val hash = md5(concat(col("doc_id").cast("string"), lit("#cap")))
     val w = Window.partitionBy("source").orderBy(col("h"), col("doc_id"))
     docs(s, dir)
