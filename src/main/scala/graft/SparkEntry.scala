@@ -291,6 +291,9 @@ object SparkEntry {
     "split_assign" -> ((s, dir) => TrainPrep.splitAssign(s, dir)),
     // concat-and-chunk packing into 2048-token contexts, per shard
     "pack_sequences" -> ((s, dir) => TrainPrep.packSequences(s, dir)),
+    // the per-(doc, pack) segment table: in-pack offset + length of
+    // every document slice — what the loader's attention mask reads
+    "pack_segments" -> ((s, dir) => TrainPrep.packSegments(s, dir)),
     // per-source sampling weights toward a uniform domain mix
     "mix_weights" -> ((s, dir) => TrainPrep.mixWeights(s, dir)),
     // the weights APPLIED: deterministic uniform-mix sampled export
@@ -1294,6 +1297,38 @@ object SparkEntry {
         |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
         |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_off
         |FROM c""".stripMargin,
+    // pack_sequences' layout unrolled per (doc, pack): one row per
+    // pack a document's token span intersects, all-integer slicing
+    "pack_segments" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5(doc_id::VARCHAR || '#shard') AS hx,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |      AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, hx, n_tokens,
+        |    CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8
+        |      AS INTEGER) AS shard_id
+        |  FROM h
+        |), c AS (
+        |  SELECT doc_id, shard_id, n_tokens,
+        |    sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY hx, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM s
+        |), seg AS (
+        |  SELECT doc_id, shard_id,
+        |    CAST(cum - n_tokens AS BIGINT) AS st, CAST(cum AS BIGINT) AS en
+        |  FROM c WHERE n_tokens > 0
+        |), x AS (
+        |  SELECT doc_id, shard_id, st, en,
+        |    unnest(range(st // 2048, (en - 1) // 2048 + 1)) AS p
+        |  FROM seg
+        |)
+        |SELECT doc_id, shard_id, CAST(p AS BIGINT) AS pack_id,
+        |  CAST(greatest(st, p * 2048) - p * 2048 AS BIGINT) AS seg_off,
+        |  CAST(least(en, (p + 1) * 2048) - greatest(st, p * 2048) AS BIGINT)
+        |    AS seg_len
+        |FROM x""".stripMargin,
     // integer-count ratios rounded at 6; uniform target mix
     "mix_weights" ->
       """WITH per AS (

@@ -87,6 +87,41 @@ object TrainPrep {
         ((col("cum") - col("n_tokens")) % capacity).as("pack_off"))
   }
 
+  /** [[packSequences]] unrolled to the PER-PACK segment table a
+    * fill-the-context-window loader actually consumes: one row per
+    * (document, pack) intersection, with the in-pack offset and
+    * length of the document's token slice. A document spanning three
+    * context windows yields three rows — the attention-mask /
+    * document-boundary metadata `pack_sequences`' start-pack-only
+    * row cannot express. Pure integer arithmetic off the same
+    * deterministic layout, so the segment table is bit-stable too.
+    *
+    * Shape at scale: rides [[packSequences]]' single shard-keyed
+    * exchange; the unroll is a row-local `sequence` explode whose
+    * fan-out is ceil(n_tokens/capacity) — bounded by document length,
+    * independent of corpus size.
+    */
+  def packSegments(
+      s: SparkSession, dir: String,
+      nShards: Int = 8, capacity: Long = 2048L): DataFrame =
+    packSequences(s, dir, nShards, capacity)
+      .select(col("doc_id"), col("shard_id"),
+        (col("pack_id") * capacity + col("pack_off")).as("st"),
+        (col("pack_id") * capacity + col("pack_off") + col("n_tokens"))
+          .as("en"))
+      // a zero-token document occupies no pack — and would otherwise
+      // make the sequence below run BACKWARD (Spark defaults to step
+      // -1 when start > stop)
+      .filter(col("en") > col("st"))
+      .select(col("doc_id"), col("shard_id"), col("st"), col("en"),
+        explode(expr(s"sequence(st DIV ${capacity}L, (en - 1) DIV ${capacity}L)"))
+          .as("pack_id"))
+      .select(col("doc_id"), col("shard_id"), col("pack_id"),
+        (greatest(col("st"), col("pack_id") * capacity)
+          - col("pack_id") * capacity).as("seg_off"),
+        (least(col("en"), (col("pack_id") + 1) * capacity)
+          - greatest(col("st"), col("pack_id") * capacity)).as("seg_len"))
+
   /** Per-source mixture reweighting: the sampling weight each `source`
     * domain needs to hit a uniform target mix (the DoReMi/Pile-style
     * domain-balancing step, with uniform as the fixture target).

@@ -158,6 +158,60 @@ class TrainPrepSpec extends SparkSpec {
       "keep decision must not depend on other documents")
   }
 
+  test("pack_segments: partitions every document exactly, packs never overflow") {
+    val cap = 2048L
+    val packs = TrainPrep.packSequences(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("shard_id"), r.getAs[Long]("n_tokens"),
+          r.getAs[Long]("pack_id"), r.getAs[Long]("pack_off"))).toMap
+    val segs = TrainPrep.packSegments(spark, sf()).collect()
+    assert(segs.nonEmpty)
+    // per document: segments cover [start, start+n_tokens) exactly —
+    // contiguous, in consecutive packs, first segment at the
+    // pack_sequences coordinates
+    segs.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, v) =>
+      val (shard, n, pack0, off0) = packs(id)
+      val inOrder = v.sortBy(_.getAs[Long]("pack_id"))
+      assert(inOrder.forall(_.getAs[Int]("shard_id") == shard))
+      assert(inOrder.head.getAs[Long]("pack_id") == pack0)
+      assert(inOrder.head.getAs[Long]("seg_off") == off0)
+      assert(inOrder.map(_.getAs[Long]("seg_len")).sum == n,
+        s"doc $id: segments must sum to n_tokens")
+      inOrder.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("pack_id") == a.getAs[Long]("pack_id") + 1)
+          // a middle segment runs to the pack boundary, the next
+          // starts at 0
+          assert(a.getAs[Long]("seg_off") + a.getAs[Long]("seg_len") == cap)
+          assert(b.getAs[Long]("seg_off") == 0L)
+        case _ => ()
+      }
+      v.foreach { r =>
+        val off = r.getAs[Long]("seg_off"); val len = r.getAs[Long]("seg_len")
+        assert(off >= 0 && off < cap && len >= 1 && off + len <= cap,
+          s"segment out of pack bounds: $r")
+      }
+    }
+    // per (shard, pack): slices tile without overlap, full except the
+    // shard's last pack
+    segs.groupBy(r => (r.getAs[Int]("shard_id"), r.getAs[Long]("pack_id")))
+      .foreach { case ((sh, p), v) =>
+        val spans = v.map(r =>
+          (r.getAs[Long]("seg_off"),
+            r.getAs[Long]("seg_off") + r.getAs[Long]("seg_len")))
+          .sortBy(_._1)
+        spans.sliding(2).foreach {
+          case Array(a, b) => assert(a._2 == b._1, s"gap/overlap in $sh/$p")
+          case _ => ()
+        }
+        val lastPack = segs.filter(_.getAs[Int]("shard_id") == sh)
+          .map(_.getAs[Long]("pack_id")).max
+        if (p < lastPack)
+          assert(spans.head._1 == 0 && spans.last._2 == cap,
+            s"non-terminal pack $sh/$p not full")
+      }
+  }
+
   test("mix_apply: equalizes source contributions, keep law, determinism") {
     val rate = 0.5
     val rows = TrainPrep.mixApply(spark, sf()).collect()
