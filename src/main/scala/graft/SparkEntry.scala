@@ -1541,9 +1541,9 @@ object SparkEntry {
         |) WHERE rk <= 10""".stripMargin,
     // Recall@10 replay: BOTH legs are existing oracles — the ADC
     // chain (qz/probes/cand/sc, verbatim from sim_ann_ivf_adc) and the
-    // brute top-10 — joined on (query_id, vec_id); n_hits/10 is an
-    // exact small-integer ratio, so even the recall double
-    // hash-matches
+    // brute top-10 — joined on (query_id, vec_id); n_hits/n_true is
+    // an exact small-integer ratio (n_true = the per-query brute
+    // count, not a fixed k), so even the recall double hash-matches
     "sim_recall_eval" ->
       s"""WITH $lloydCellCtes, qz AS (
         |  SELECT vec_id,
@@ -1587,11 +1587,13 @@ object SparkEntry {
         |  SELECT query_id, count(*) AS c
         |  FROM ann JOIN brute USING (query_id, vec_id)
         |  GROUP BY query_id
+        |), bc AS (
+        |  SELECT query_id, count(*) AS n_true FROM brute GROUP BY query_id
         |)
-        |SELECT q2.query_id,
+        |SELECT bc.query_id,
         |  CAST(coalesce(h.c, 0) AS BIGINT) AS n_hits,
-        |  CAST(coalesce(h.c, 0) AS DOUBLE) / CAST(10.0 AS DOUBLE) AS recall
-        |FROM (SELECT DISTINCT query_id FROM brute) q2
+        |  CAST(coalesce(h.c, 0) AS DOUBLE) / CAST(bc.n_true AS DOUBLE) AS recall
+        |FROM bc
         |LEFT JOIN hits h USING (query_id)""".stripMargin,
     // Persisted-IVF probe: the same Lloyd arithmetic over the index
     // carve (ei), query carve assigned to its 4 nearest final

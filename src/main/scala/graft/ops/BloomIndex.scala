@@ -53,7 +53,8 @@ object BloomIndex {
   def build(
       s: SparkSession, bench: DataFrame, path: String,
       n: Int = 8, mBits: Int = 1 << 16, kHash: Int = 4): Unit = {
-    require(mBits % 64 == 0 && kHash >= 1)
+    require(mBits % 64 == 0 && kHash >= 1 && kHash <= 8,
+      s"kHash must be in [1, 8]: $kHash (see Dedup.bloomWords overflow note)")
     val sparse = Dedup.bloomWords(Dedup.bloomGramSets(bench, n), mBits, kHash)
     // dense layout: every word present, zeros included
     s.range(mBits / 64).toDF("w")

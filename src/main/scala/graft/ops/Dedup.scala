@@ -570,7 +570,9 @@ object Dedup {
       s: SparkSession, dir: String,
       n: Int = 8, benchMod: Long = 50L,
       mBits: Int = 1 << 16, kHash: Int = 4): DataFrame = {
-    require(mBits % 64 == 0 && kHash >= 1)
+    require(mBits % 64 == 0 && kHash >= 1 && kHash <= 8,
+      s"kHash must be in [1, 8]: $kHash (h1 + j*h2 with 60-bit halves " +
+        "overflows signed 64-bit at j = 8)")
     val tokenized = bloomGramSets(docs(s, dir), n)
     val isBench = col("doc_id") % benchMod === 0
     val words = bloomWords(tokenized.filter(isBench), mBits, kHash)
@@ -592,11 +594,14 @@ object Dedup {
 
   /** Fold a gram-set relation into the filter's sparse (w, bits) word
     * relation. Double hashing off each gram's single md5: h1 = hex
-    * chars 1-15, h2 = chars 16-30 (60 bits each, so h1 + 3·h2 < 2^62 —
-    * no overflow), pos_j = (h1 + j·h2) mod mBits.
+    * chars 1-15, h2 = chars 16-30 (60 bits each, so h1 + 7·h2 <
+    * 2^63 — no overflow for j ≤ 7, which is why kHash is capped at 8:
+    * at j = 8 the position term wraps negative, silently dropping
+    * build-side bits and breaking the one-sided guarantee).
     */
   private[graft] def bloomWords(
       gramSets: DataFrame, mBits: Int, kHash: Int): DataFrame = {
+    require(kHash >= 1 && kHash <= 8, s"kHash must be in [1, 8]: $kHash")
     def half(i: Int): String =
       s"cast(conv(substring(hx, $i, 15), 16, 10) as bigint)"
     def posJ(j: Int): String = s"(${half(1)} + $j * ${half(16)}) % $mBits"

@@ -558,11 +558,16 @@ object Similarity {
     val brute = cosineTopK(s, dir, numQueries, k).select("query_id", "vec_id")
     val hits = ann.join(brute, Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
-    brute.select("query_id").distinct()
+    // denominator is the PER-QUERY ground-truth count, not k: when the
+    // corpus holds fewer than k+1 vectors the brute leg returns fewer
+    // than k rows, and n_hits/k would understate recall (could never
+    // reach 1.0) — hits are a subset of the brute rows, so this ratio
+    // is the correct recall at every corpus size
+    brute.groupBy("query_id").agg(count(lit(1)).as("n_true"))
       .join(hits, Seq("query_id"), "left")
       .select(col("query_id"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
-      .withColumn("recall",
-        col("n_hits").cast("double") / lit(k.toDouble))
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("n_true").cast("double")).as("recall"))
   }
 }

@@ -119,6 +119,12 @@ object Sketches {
     // would walk off the histogram
     require(width > 0 && width.isFinite, s"bucket width must be > 0: $width")
     require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1), s"bad qs: $qs")
+    // p${round} labels the output columns, so two qs that round to the
+    // same integer percent (0.995 and 1.0 → both p100_est) would emit
+    // duplicate column names — a DataFrame that fails on any later
+    // select-by-name
+    require(qs.map(q => (q * 100).round).distinct.size == qs.size,
+      s"quantile labels collide after rounding to integer percents: $qs")
     val buckets = s.read.parquet(s"$dir/orders.parquet")
       .select(col("o_orderstatus"),
         floor(col("o_totalprice") / width).cast("long").as("b"))

@@ -35,10 +35,11 @@ case class BloomGramCount(left: Expression, right: Expression, kHash: Int)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
-    case (ArrayType(StringType, _), ArrayType(LongType, _)) if kHash >= 1 =>
+    case (ArrayType(StringType, _), ArrayType(LongType, _))
+        if kHash >= 1 && kHash <= 8 =>
       TypeCheckResult.TypeCheckSuccess
     case _ => TypeCheckResult.TypeCheckFailure(
-      s"bloom_gram_count requires (array<string>, array<bigint>) and k >= 1, " +
+      s"bloom_gram_count requires (array<string>, array<bigint>) and k in [1, 8], " +
         s"got ${left.dataType.simpleString}, ${right.dataType.simpleString}, k=$kHash")
   }
 

@@ -122,4 +122,32 @@ class BloomIndexSpec extends SparkSpec {
       assert(probed == oneJob)
     } finally rmTree(idx)
   }
+
+  test("kHash is capped at 8: j=8 would overflow the 60-bit double-hash") {
+    // h1 + j*h2 with h1,h2 < 2^60 wraps signed-64 at j=8 — negative
+    // positions drop build-side bits (false negatives) and can index
+    // the probe loop out of bounds, so the guard must reject k=9 at
+    // every entry point
+    val idx = tmpDir("bloomidx_k9")
+    try {
+      intercept[IllegalArgumentException] {
+        BloomIndex.build(spark, docs.limit(1), idx.toString,
+          n = 8, mBits = 2048, kHash = 9)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.bloomContamination(spark, sf(), mBits = 2048, kHash = 9)
+      }
+      // the boundary itself is legal: k=8 keeps j <= 7
+      BloomIndex.build(spark, docs.filter(col("doc_id") % 50 === 0),
+        idx.toString, n = 8, mBits = 2048, kHash = 8)
+      val probed = BloomIndex.probe(spark, idx.toString,
+        docs.filter(col("doc_id") % 50 =!= 0))
+      assert(probed.count() > 0)
+      // one-sidedness holds at the max k: every position is in range,
+      // so no document a k=2 filter flags as >= 1 hit can lose hits
+      // to wrapped-negative indices here (no exception = no OOB)
+      assert(probed.agg(org.apache.spark.sql.functions.min(
+        col("n_flagged"))).head().getLong(0) >= 0L)
+    } finally rmTree(idx)
+  }
 }

@@ -306,6 +306,24 @@ class DedupSpec extends SparkSpec {
     assert(evalRows.values.map(_._2).sum / evalRows.size >= 0.8)
   }
 
+  test("recallEval divides by the per-query truth count when k exceeds the corpus") {
+    // 500 vectors at sf0.001: k=600 makes the brute leg return 499
+    // rows per query, so recall must be n_hits/499, not n_hits/600 —
+    // the fixed-k denominator could never reach 1.0 here
+    val n = spark.read.parquet(s"${sf()}/embeddings.parquet").count()
+    assert(n < 600, s"fixture grew past the test's k: $n")
+    val rows = Similarity.recallEval(spark, sf(), numQueries = 2, k = 600)
+      .collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val hits = r.getAs[Long]("n_hits")
+      val rec = r.getAs[Double]("recall")
+      assert(rec == hits.toDouble / (n - 1).toDouble,
+        s"recall $rec != $hits/${n - 1}")
+      assert(rec <= 1.0)
+    }
+  }
+
   test("SQ8 stats on an empty vector are NULL (the oracle's list-aggregate algebra)") {
     import spark.implicits._
     val rows = Similarity.quantizeStatsDf(

@@ -133,6 +133,18 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("quantile labels that round to the same percent are rejected") {
+    // 0.995 and 1.0 both label p100_est — a duplicate column name the
+    // DataFrame would only surface on a later select-by-name
+    intercept[IllegalArgumentException] {
+      Sketches.histogramPercentiles(spark, sf(), qs = Seq(0.995, 1.0))
+    }
+    // distinct labels at the boundary stay legal
+    val ok = Sketches.histogramPercentiles(spark, sf(), qs = Seq(0.99, 1.0))
+    assert(ok.columns.count(_ == "p100_est") == 1 &&
+      ok.columns.contains("p99_est"))
+  }
+
   test("kmv: shuffle carries O(sources·k) — WindowGroupLimit in the plan") {
     import org.apache.spark.sql.execution.ExplainMode
     val plan = Sketches.kmvDistinctTokens(spark, sf())
