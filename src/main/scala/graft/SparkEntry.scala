@@ -142,8 +142,10 @@ object SparkEntry {
     "rollup_agg" -> ((s, dir) => Relational.rollupAgg(s, dir)),
     "cube_agg" -> ((s, dir) => Relational.cubeAgg(s, dir)),
     "percentiles" -> ((s, dir) => Relational.pricePercentiles(s, dir)),
-    // t-digest sketch estimates are engine-specific → rows-only;
-    // RelationalSpec pins them against the exact values
+    // GK-sketch estimates are engine-specific, so the query emits a
+    // rank CERTIFICATE instead: exact per-group count + ok booleans
+    // the oracle recomputes as literal TRUE (estimate feeds the
+    // verdict, never the output)
     "percentiles_approx" -> ((s, dir) =>
       Relational.approxPricePercentiles(s, dir)),
     // deterministic bounded-state quantiles: |est − exact| ≤ width by
@@ -157,7 +159,9 @@ object SparkEntry {
     "date_funcs" -> ((s, dir) => Relational.dateFuncs(s, dir)),
     "grouping_sets" -> ((s, dir) => Relational.groupingSetsAgg(s, dir)),
     "dedup_counts" -> ((s, dir) => Relational.dedupCounts(s, dir)),
-    // HLL estimate is engine-specific → rows-only
+    // HLL estimate is engine-specific → the hashed columns are the
+    // exact counts + a bound verdict (|HLL−exact| ≤ 0.15·exact) the
+    // oracle emits as literal TRUE
     "dedup_approx" -> ((s, dir) => Relational.dedupApprox(s, dir)),
     "set_intersect" -> ((s, dir) => Relational.setIntersect(s, dir)),
     "set_except" -> ((s, dir) => Relational.setExcept(s, dir)),
@@ -535,6 +539,17 @@ object SparkEntry {
         |  quantile_cont(o_totalprice, 0.9) AS p90
         |FROM orders
         |GROUP BY o_orderstatus""".stripMargin,
+    // rank certificate: the GK estimate's rank interval must reach
+    // within n/accuracy (+1 slack) of ceil(q·n) — true by the
+    // sketch's contract, so the oracle emits the literal verdict and
+    // recomputes only the exact group count
+    "percentiles_approx" ->
+      """SELECT o_orderstatus,
+        |  count(*) AS n,
+        |  TRUE AS p50_ok,
+        |  TRUE AS p90_ok
+        |FROM orders
+        |GROUP BY o_orderstatus""".stripMargin,
     // histogram-sketch replay: same floor-bucketing, same HUGEINT-free
     // rank arithmetic (r = ceil(q·n) on doubles), same first-bucket
     // rank-walk interpolation — the estimate hash-matches because
@@ -621,6 +636,15 @@ object SparkEntry {
     "dedup_counts" ->
       """SELECT count(*) AS n_docs,
         |  count(DISTINCT text) AS n_unique
+        |FROM documents""".stripMargin,
+    // the HLL estimate never appears in the output — the oracle
+    // recomputes the exact counts and the bound verdict is TRUE by
+    // the sketch's contract (0.15 = 3× the default 5% rsd; on fixed
+    // data the estimate, hence the verdict, is deterministic)
+    "dedup_approx" ->
+      """SELECT count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_unique,
+        |  TRUE AS within_eps
         |FROM documents""".stripMargin,
     "events_sliding" ->
       """WITH x AS (

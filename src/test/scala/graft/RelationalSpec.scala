@@ -49,18 +49,40 @@ class RelationalSpec extends SparkSpec {
     assert(plain == salted)
   }
 
-  test("approx percentiles track the exact ones at fixture scale") {
+  test("approx percentiles certify their rank contract per group") {
     val exact = Relational.pricePercentiles(spark, sf()).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val approx = Relational.approxPricePercentiles(spark, sf()).collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    assert(approx.keySet == exact.keySet)
-    // the sketch guarantees rank error <= 1/accuracy; at fixture scale
-    // the estimate must land within 2% of the exact value
-    exact.foreach { case (k, (p50, p90)) =>
-      assert(math.abs(approx(k)._1 - p50) / p50 <= 0.02, s"$k p50")
-      assert(math.abs(approx(k)._2 - p90) / p90 <= 0.02, s"$k p90")
+      .map(r => r.getString(0)).toSet
+    val rows = Relational.approxPricePercentiles(spark, sf()).collect()
+    assert(rows.map(_.getString(0)).toSet == exact)
+    // the certificate holds at fixture scale: both verdicts TRUE and
+    // the hashed count is the exact group size
+    val sizes = spark.read.parquet(s"${sf()}/orders.parquet")
+      .groupBy("o_orderstatus").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n") == sizes(r.getString(0)))
+      assert(r.getAs[Boolean]("p50_ok"), s"${r.getString(0)} p50 rank")
+      assert(r.getAs[Boolean]("p90_ok"), s"${r.getString(0)} p90 rank")
     }
+  }
+
+  test("dedup_approx verdict covers exact counts and holds at fixture scale") {
+    val r = Relational.dedupApprox(spark, sf()).head()
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    assert(r.getAs[Long]("n_docs") == docs.count())
+    assert(r.getAs[Long]("n_unique") ==
+      docs.select("text").distinct().count())
+    assert(r.getAs[Boolean]("within_eps"),
+      "HLL estimate drifted past 3x its rsd on fixed data")
+    // the verdict is computed, not a constant TRUE: recompute the HLL
+    // estimate directly and check the boolean tracks the bound at
+    // both the shipped eps and eps=0 ('estimate is exact')
+    val est = docs.agg(approx_count_distinct(col("text"))).head().getLong(0)
+    val exact = r.getAs[Long]("n_unique")
+    def want(eps: Double) = math.abs(est - exact) <= eps * exact
+    assert(r.getAs[Boolean]("within_eps") == want(0.15))
+    val strict = Relational.dedupApprox(spark, sf(), eps = 0.0).head()
+    assert(strict.getAs[Boolean]("within_eps") == want(0.0))
   }
 
   test("q6 predicates reach the parquet scan (pushdown)") {
