@@ -9,14 +9,20 @@ import org.apache.spark.sql.functions._
   * ingested ONCE into an mBits-bit filter on disk, and every arriving
   * corpus batch probes it without touching benchmark text again.
   *
-  * Index layout (`<path>/…`, all parquet):
-  *   - `words` — (w, bits): the filter as mBits/64 packed 64-bit
-  *     words, DENSE (every word index present, zeros included) so the
-  *     on-disk layout is fixed-size and byte-stable at any content.
-  *   - `meta`  — one row (n_gram, m_bits, k_hash): the hash
+  * Index layout (versioned via [[IndexCommit]] — every
+  * `<path>/v=<id>/` is a COMPLETE snapshot, published by marker, and
+  * readers resolve the max committed id):
+  *   - `v=<id>/words` — (w, bits): the filter as mBits/64 packed
+  *     64-bit words, DENSE (every word index present, zeros included)
+  *     so the on-disk layout is fixed-size and byte-stable at any
+  *     content.
+  *   - `v=<id>/meta`  — one row (n_gram, m_bits, k_hash): the hash
   *     configuration, read back at probe/append time so neither can
   *     ever run with a mismatched gram width, filter size, or hash
   *     count — any of which would silently zero the hit rate.
+  * Full snapshots are the right versioning unit here because a
+  * version is mBits/8 bytes at ANY benchmark size — rewriting it per
+  * publish is free, and every publish doubles as compaction.
   *
   * Append is where the Bloom representation earns the index form:
   * set-membership unions are exactly word-wise OR, so
@@ -41,14 +47,43 @@ object BloomIndex {
 
   final case class Meta(nGram: Int, mBits: Int, kHash: Int)
 
+  /** The current committed version's dir — loud failure on an index
+    * with no committed version (never built, or killed mid-build:
+    * either way there is nothing safe to probe).
+    */
+  private def cur(s: SparkSession, path: String): String =
+    IndexCommit.currentDir(s, path).getOrElse(
+      throw new IllegalStateException(
+        s"no committed bloom index version at $path"))
+
   def readMeta(s: SparkSession, path: String): Meta = {
-    val r = s.read.parquet(s"$path/meta").head()
+    val r = s.read.parquet(s"${cur(s, path)}/meta").head()
     Meta(r.getAs[Int]("n_gram"), r.getAs[Int]("m_bits"),
       r.getAs[Int]("k_hash"))
   }
 
+  /** Write a complete filter snapshot (words + meta) as version `id`
+    * and publish it. Because every version is self-contained at
+    * mBits/8 bytes, the full-snapshot form costs the same as a delta
+    * would — each publish is also a compaction.
+    */
+  private def writeVersion(
+      s: SparkSession, path: String, id: Long,
+      words: Seq[(Long, Long)], n: Int, mBits: Int, kHash: Int): Unit = {
+    import s.implicits._
+    val dir = IndexCommit.versionDir(path, id)
+    words.toDF("w", "bits").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/words")
+    Seq((n, mBits, kHash)).toDF("n_gram", "m_bits", "k_hash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    IndexCommit.commit(s, path, id)
+  }
+
   /** Ingest the benchmark documents (`doc_id`, `text`) into a fresh
-    * filter at `path`.
+    * filter version at `path`. Crash-safe: the new version only
+    * becomes visible with its commit marker, so a killed build leaves
+    * either no index (fresh path — probes fail loudly) or the
+    * previous version (existing path — probes keep answering from it).
     */
   def build(
       s: SparkSession, bench: DataFrame, path: String,
@@ -56,45 +91,63 @@ object BloomIndex {
     require(mBits % 64 == 0 && kHash >= 1 && kHash <= 8,
       s"kHash must be in [1, 8]: $kHash (see Dedup.bloomWords overflow note)")
     val sparse = Dedup.bloomWords(Dedup.bloomGramSets(bench, n), mBits, kHash)
+      .collect().map(r => r.getAs[Long]("w") -> r.getAs[Long]("bits")).toMap
     // dense layout: every word present, zeros included
-    s.range(mBits / 64).toDF("w")
-      .join(sparse, Seq("w"), "left")
-      .select(col("w"), coalesce(col("bits"), lit(0L)).as("bits"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/words")
-    import s.implicits._
-    Seq((n, mBits, kHash)).toDF("n_gram", "m_bits", "k_hash")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val dense = (0L until (mBits / 64).toLong)
+      .map(w => (w, sparse.getOrElse(w, 0L)))
+    writeVersion(s, path, IndexCommit.reserve(s, path), dense, n, mBits, kHash)
   }
 
-  /** Fold additional benchmark documents into the existing filter:
-    * word-wise OR, bit-identical to having built from the union. The
-    * existing words are collected first (mBits/8 bytes — bounded by
-    * construction, not by data), so the overwrite never reads the
-    * files it replaces.
+  /** Fold additional benchmark documents into the filter: word-wise OR
+    * into a NEW version, bit-identical to having built from the union.
+    * The read side (current version's words, mBits/8 bytes — bounded
+    * by construction, not by data) is never overwritten: probes
+    * resolve the old version until the new marker lands, so a killed
+    * append can never leave a missing or partial filter, and a
+    * concurrently-running streaming probe crosses the publish without
+    * ever seeing torn files.
+    *
+    * Appends are single-writer: two appends racing from the same base
+    * version would each publish a union missing the other's bits (the
+    * lost-update anomaly full snapshots can't merge away), so the
+    * stale-base case fails LOUDLY here instead of publishing silently.
     */
   def append(s: SparkSession, batch: DataFrame, path: String): Unit = {
+    val baseIds = IndexCommit.committedIds(s, path)
+    require(baseIds.nonEmpty, s"no committed bloom index version at $path")
+    val base = baseIds.last
     val meta = readMeta(s, path)
-    val old = s.read.parquet(s"$path/words").collect()
+    val old = s.read
+      .parquet(s"${IndexCommit.versionDir(path, base)}/words").collect()
       .map(r => r.getAs[Long]("w") -> r.getAs[Long]("bits")).toMap
     val add = Dedup.bloomWords(
       Dedup.bloomGramSets(batch, meta.nGram), meta.mBits, meta.kHash)
       .collect().map(r => r.getAs[Long]("w") -> r.getAs[Long]("bits")).toMap
-    import s.implicits._
-    (0L until (meta.mBits / 64).toLong)
+    val id = IndexCommit.reserve(s, path)
+    val merged = (0L until (meta.mBits / 64).toLong)
       .map(w => (w, old.getOrElse(w, 0L) | add.getOrElse(w, 0L)))
-      .toDF("w", "bits")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/words")
+    if (IndexCommit.committedIds(s, path).last != base)
+      throw new IllegalStateException(
+        s"concurrent append detected at $path: base v=$base is no longer " +
+          "current — retry from the new version (bits published by the " +
+          "winner would otherwise be lost)")
+    writeVersion(s, path, id, merged, meta.nGram, meta.mBits, meta.kHash)
   }
 
   /** Probe a corpus batch (`doc_id`, `text`) against the persisted
     * filter: per doc, the count of benchmark-positive n-grams and the
     * contaminated verdict — same schema and semantics as
-    * [[Dedup.bloomContamination]]'s probe half.
+    * [[Dedup.bloomContamination]]'s probe half. Reads one committed
+    * version for both meta and words (a torn meta/words pair across a
+    * concurrent publish is impossible by construction).
     */
   def probe(s: SparkSession, path: String, batch: DataFrame): DataFrame = {
-    val meta = readMeta(s, path)
+    val dir = cur(s, path)
+    val m = s.read.parquet(s"$dir/meta").head()
+    val meta = Meta(m.getAs[Int]("n_gram"), m.getAs[Int]("m_bits"),
+      m.getAs[Int]("k_hash"))
     val dense = Dedup.bloomDenseRow(
-      s.read.parquet(s"$path/words").select("w", "bits"), meta.mBits)
+      s.read.parquet(s"$dir/words").select("w", "bits"), meta.mBits)
     Dedup.bloomProbe(
       Dedup.bloomGramSets(batch, meta.nGram), dense, meta.kHash)
   }

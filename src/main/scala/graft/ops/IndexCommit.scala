@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Commit-marker versioning for the persisted indexes ([[BloomIndex]],
+  * [[LshIndex]], [[VectorIndex]]): writers stage a complete `v=<id>`
+  * directory and only then create a zero-length marker under
+  * `commits/<id>`; readers resolve the committed id set and never list
+  * data directories directly. Replaces the in-place
+  * `mode("overwrite")`/`mode("append")` writes, whose torn states
+  * (missing `words` mid-overwrite, half a batch's part-files visible
+  * to a concurrently-running streaming probe) were the one crash
+  * hazard the engine had left.
+  *
+  * Why markers instead of [[graft.streaming.StreamingMerge]]'s
+  * stage-then-swap: the swap pattern exists to REPLACE a relation in
+  * place, and its delete→rename window needs read-side recovery.
+  * Index publishes are ADDITIVE — a new version never invalidates the
+  * previous one — so the marker design has no unsafe window at all: a
+  * reader between "data written" and "marker created" simply resolves
+  * the previous committed id, and a writer killed at ANY point leaves
+  * either the old index (no marker → staged files invisible forever)
+  * or the new one (marker durable → data was already complete). This
+  * is the same commit-log economics as a table format's snapshot
+  * pointer, shrunk to the two operations indexes need.
+  *
+  * Reservation (`locks/<id>`, atomic create-new) keeps concurrent
+  * writers off the same staging directory: each writer owns the id it
+  * won and retries upward on collision. Orphaned reservations from
+  * killed writers permanently retire their id — readers only consult
+  * `commits/`, so a skipped id is invisible.
+  *
+  * Layout under the index root:
+  * {{{
+  *   commits/<id>   zero-length markers; max id = current version
+  *   locks/<id>     reservations (superset of commits)
+  *   v=<id>/...     the staged relations for id
+  *   <immutable>    build-owned relations outside the protocol
+  *                  (meta, hot, centroids) — see the callers
+  * }}}
+  *
+  * Scale: marker and reservation operations are O(1) metadata calls;
+  * `committedIds` is one directory listing of integer-named empty
+  * files. Nothing here touches data volume.
+  */
+object IndexCommit {
+
+  private def hfs(s: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  def versionDir(path: String, id: Long): String = s"$path/v=$id"
+
+  private def idsIn(fs: FileSystem, dir: Path): Seq[Long] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+
+  /** Ids whose marker exists — every one names a complete `v=<id>`. */
+  def committedIds(s: SparkSession, path: String): Seq[Long] =
+    idsIn(hfs(s, path), new Path(s"$path/commits")).sorted
+
+  /** The current version's data dir, or None for an index that has no
+    * committed version (never built, or killed mid-build).
+    */
+  def currentDir(s: SparkSession, path: String): Option[String] =
+    committedIds(s, path).lastOption.map(versionDir(path, _))
+
+  /** Reserve the next id: atomically create `locks/<id>`, scanning
+    * upward past ids other writers (live or dead) already own.
+    */
+  def reserve(s: SparkSession, path: String): Long = {
+    val fs = hfs(s, path)
+    val locks = new Path(s"$path/locks")
+    fs.mkdirs(locks)
+    var id = (idsIn(fs, locks) ++ committedIds(s, path))
+      .foldLeft(-1L)(math.max) + 1
+    while (!fs.createNewFile(new Path(locks, id.toString))) id += 1
+    id
+  }
+
+  /** Publish a reserved id: the marker is created only after the
+    * caller finished writing `v=<id>`, so a committed id is always a
+    * complete directory.
+    */
+  def commit(s: SparkSession, path: String, id: Long): Unit = {
+    val fs = hfs(s, path)
+    val commits = new Path(s"$path/commits")
+    fs.mkdirs(commits)
+    fs.create(new Path(commits, id.toString), false).close()
+  }
+
+  /** Drop every version, marker, and reservation — the destructive
+    * reset a rebuild starts from. Exclusive by contract: rebuilds run
+    * on a fresh path (or during downtime), never under live readers.
+    */
+  def reset(s: SparkSession, path: String): Unit = {
+    val fs = hfs(s, path)
+    (idsIn(fs, new Path(s"$path/locks"))
+      .map(id => new Path(versionDir(path, id))) ++
+      Seq(new Path(s"$path/commits"), new Path(s"$path/locks")))
+      .foreach(p => fs.delete(p, true))
+  }
+}

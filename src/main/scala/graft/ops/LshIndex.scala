@@ -9,21 +9,32 @@ import org.apache.spark.sql.functions._
   * parquet, and arriving batches probe it without touching corpus
   * text again).
   *
-  * Index layout (`<path>/…`, all parquet):
-  *   - `bands`  — (doc_id, band, key): the banded MinHash signatures,
-  *     the bucket-join side of candidate generation.
-  *   - `sets`   — (doc_id, shingles: array<bigint>): each document's
-  *     sorted hashed-shingle set, pre-aggregated so probe-time
-  *     verification is a row-local `array_intersect` — no second
-  *     shuffle over corpus shingles.
+  * Index layout (all parquet; `bands`/`sets` are SEGMENTED via
+  * [[IndexCommit]] — each `<path>/v=<id>/` holds one batch's delta,
+  * published by commit marker, and readers union the committed
+  * segments):
+  *   - `v=<id>/bands` — (doc_id, band, key): the banded MinHash
+  *     signatures, the bucket-join side of candidate generation.
+  *   - `v=<id>/sets`  — (doc_id, shingles: array<bigint>): each
+  *     document's sorted hashed-shingle set, pre-aggregated so
+  *     probe-time verification is a row-local `array_intersect` — no
+  *     second shuffle over corpus shingles.
   *   - `hot`    — (shingle): the shingles the `maxDocFreq` skew guard
   *     DROPPED at build time. Probes anti-join their shingles against
   *     this set so batch and index shingle sets stay consistent — a
   *     guard recomputed over a small batch would keep shingles the
   *     index dropped and skew every Jaccard it participates in.
+  *     Build-owned and immutable between rebuilds, outside the
+  *     segment protocol.
   *   - `meta`   — one row (n, num_hashes, rows_per_band): the hash
   *     configuration, read back at probe time so a probe can never run
-  *     with mismatched shingle width or banding.
+  *     with mismatched shingle width or banding. Build-owned,
+  *     immutable.
+  * Delta segments (not full snapshots) because the relations are
+  * corpus-proportional: an append stays batch-sized, and the marker
+  * still makes it atomic — a killed append's segment has no marker
+  * and is invisible forever, so probes and running streams only ever
+  * see whole batches.
   *
   * Scale: the index is corpus-proportional but TEXT-FREE — 8-byte
   * hashes only, typically ~2% of corpus bytes. Build is the same two
@@ -66,19 +77,37 @@ object LshIndex {
       })
       val sh = base.join(broadcast(hot), Seq("shingle"), "left_anti")
         .select("doc_id", "shingle")
-      Dedup.bandedSignatures(sh, numHashes, rowsPerBand, scope)
-        .write.mode("overwrite").parquet(s"$path/bands")
-      // sort_array: a deterministic on-disk layout (the set is the
-      // contract, but byte-stable files make index diffs meaningful)
-      sh.groupBy("doc_id")
-        .agg(sort_array(collect_list(col("shingle"))).as("shingles"))
-        .write.mode("overwrite").parquet(s"$path/sets")
+      // rebuild = reset + base segment: destructive by contract (run
+      // on a fresh path or during downtime — a rebuild changes the
+      // hash configuration readers interpret every segment under, so
+      // no marker protocol can make it safe beneath live probes;
+      // APPEND is the hot-path-safe operation)
+      IndexCommit.reset(s, path)
       hot.write.mode("overwrite").parquet(s"$path/hot")
       import s.implicits._
       Seq((n, numHashes, rowsPerBand))
         .toDF("n", "num_hashes", "rows_per_band")
         .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      val id = IndexCommit.reserve(s, path)
+      val seg = IndexCommit.versionDir(path, id)
+      Dedup.bandedSignatures(sh, numHashes, rowsPerBand, scope)
+        .write.mode("overwrite").parquet(s"$seg/bands")
+      // sort_array: a deterministic on-disk layout (the set is the
+      // contract, but byte-stable files make index diffs meaningful)
+      sh.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("shingle"))).as("shingles"))
+        .write.mode("overwrite").parquet(s"$seg/sets")
+      IndexCommit.commit(s, path, id)
     } finally scope.release()
+  }
+
+  /** Committed segment dirs — loud failure on an index with no
+    * committed segment (never built, or killed mid-build).
+    */
+  private def segDirs(s: SparkSession, path: String): Seq[String] = {
+    val ids = IndexCommit.committedIds(s, path)
+    require(ids.nonEmpty, s"no committed LSH index segment at $path")
+    ids.map(IndexCommit.versionDir(path, _))
   }
 
   /** Fold a new batch of documents into an existing index: the batch's
@@ -94,11 +123,19 @@ object LshIndex {
     * that becomes hot only through appends keeps feeding buckets until
     * rebuild — the guard degrades toward more candidates, never toward
     * wrong answers, because verification is exact either way), and
-    * appended files accumulate until compaction (standard log-
+    * appended segments accumulate until compaction (standard log-
     * structured economics). NOT idempotent under replay — a re-run
     * append double-inserts its bands; callers that need at-least-once
     * safety dedup upstream or track applied batch ids, exactly as
     * [[graft.streaming.StreamingDedup]] does for its outputs.
+    *
+    * Atomic and concurrency-safe: the batch lands as a fresh segment
+    * published by marker, so a killed append leaves the index exactly
+    * as it was (the unmarked segment is invisible forever), a running
+    * probe crosses the publish without ever seeing partial files, and
+    * two concurrent appends commit DISJOINT segments — the union
+    * semantics merge both with no lost update (unlike a Bloom
+    * snapshot OR, which must re-base).
     */
   def append(s: SparkSession, path: String, batch: DataFrame): Unit = {
     val meta = readMeta(s, path)
@@ -107,11 +144,14 @@ object LshIndex {
       val hot = s.read.parquet(s"$path/hot")
       val sh = Dedup.hashedShingles(batch, meta.n, None, scope)
         .join(broadcast(hot), Seq("shingle"), "left_anti")
+      val id = IndexCommit.reserve(s, path)
+      val dir = IndexCommit.versionDir(path, id)
       Dedup.bandedSignatures(sh, meta.numHashes, meta.rowsPerBand, scope)
-        .write.mode("append").parquet(s"$path/bands")
+        .write.mode("overwrite").parquet(s"$dir/bands")
       sh.groupBy("doc_id")
         .agg(sort_array(collect_list(col("shingle"))).as("shingles"))
-        .write.mode("append").parquet(s"$path/sets")
+        .write.mode("overwrite").parquet(s"$dir/sets")
+      IndexCommit.commit(s, path, id)
     } finally scope.release()
   }
 
@@ -152,6 +192,11 @@ object LshIndex {
       scope: CacheScope = new CacheScope
   ): DataFrame = {
     val meta = readMeta(s, path)
+    // one committed-segment resolution for the whole probe: bands and
+    // sets come from the SAME segment list even if an append commits
+    // mid-probe (a candidate from a new band could otherwise miss its
+    // verification set)
+    val segs = segDirs(s, path)
     val hot = s.read.parquet(s"$path/hot")
     // the index's guard, not a batch-local recount: anti-join against
     // the persisted hot set (broadcast — tiny by the guard's own
@@ -161,14 +206,15 @@ object LshIndex {
     val bBands = Dedup
       .bandedSignatures(sh, meta.numHashes, meta.rowsPerBand, scope)
       .toDF("doc_new", "band", "key")
-    val iBands = s.read.parquet(s"$path/bands")
+    val iBands = s.read.parquet(segs.map(_ + "/bands"): _*)
       .toDF("doc_idx", "band", "key")
     val cand = bBands.join(iBands, Seq("band", "key"))
       .select("doc_new", "doc_idx").distinct()
     val bSets = sh.groupBy("doc_id")
       .agg(collect_list(col("shingle")).as("sh_new"))
       .toDF("doc_new", "sh_new")
-    val iSets = s.read.parquet(s"$path/sets").toDF("doc_idx", "sh_idx")
+    val iSets = s.read.parquet(segs.map(_ + "/sets"): _*)
+      .toDF("doc_idx", "sh_idx")
     val res = cand.join(bSets, "doc_new").join(iSets, "doc_idx")
       .select(col("doc_new"), col("doc_idx"),
         (size(array_intersect(col("sh_new"), col("sh_idx"))).cast("double") /

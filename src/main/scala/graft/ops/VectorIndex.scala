@@ -11,14 +11,22 @@ import org.apache.spark.sql.functions._
   * both modalities a training pipeline dedups/retrieves over: token
   * shingles ([[LshIndex]]) and embeddings (here).
   *
-  * Index layout (`<path>/…`, parquet):
+  * Index layout (parquet; `vectors`/`codes` are SEGMENTED via
+  * [[IndexCommit]] — each `<path>/v=<id>/` holds one batch's delta
+  * published by commit marker; readers union committed segments, so a
+  * killed append is invisible and a running probe never sees partial
+  * files):
   *   - `centroids` — (cell, cv: array<double>): the Lloyd-refined
   *     coarse quantizer. numCells rows — driver-resident by
   *     construction at any corpus size (numCells ~ √N is MBs).
-  *   - `vectors`   — (vec_id, cell, v): every indexed vector with its
-  *     cell assignment. A production deployment would bucketBy(cell);
-  *     plain parquet keeps the layout engine-portable and the probe's
-  *     cell join is candidate-sized anyway.
+  *     Build-owned and immutable between rebuilds (appends never move
+  *     a centroid), outside the segment protocol.
+  *   - `v=<id>/vectors` — (vec_id, cell, v): every indexed vector
+  *     with its cell assignment. A production deployment would
+  *     bucketBy(cell); plain parquet keeps the layout engine-portable
+  *     and the probe's cell join is candidate-sized anyway.
+  *   - `v=<id>/codes`   — (vec_id, cell, scale, q): the SQ8 serving
+  *     copy.
   *
   * Scale: build is the [[Similarity.ivfTopK]] prefix (narrow argmax
   * assignment, zero vector shuffle; Lloyd means decimal-mediated and
@@ -48,18 +56,35 @@ object VectorIndex {
       val seeds = Similarity.seedCentroids(emb, numCells)
       val cents = (1 to lloydIters)
         .foldLeft(seeds)((c, _) => Similarity.lloydStep(emb, c))
+      // rebuild = reset + base segment: destructive by contract (a
+      // rebuild moves the quantizer every segment is assigned under,
+      // so it runs on a fresh path or during downtime; APPEND is the
+      // hot-path-safe operation)
+      IndexCommit.reset(s, path)
       import s.implicits._
       cents.toDF("cell", "cv").coalesce(1)
         .write.mode("overwrite").parquet(s"$path/centroids")
+      val id = IndexCommit.reserve(s, path)
+      val dir = IndexCommit.versionDir(path, id)
       Similarity.assignCells(emb, "v", cents, 1)
         .select("vec_id", "cell", "v")
-        .write.mode("overwrite").parquet(s"$path/vectors")
+        .write.mode("overwrite").parquet(s"$dir/vectors")
       // SQ8 serving copy: same assignment, int8 codes instead of
       // floats — 4x smaller, and the ADC probe reads ONLY this file
       Similarity.assignCells(Similarity.withInt8Codes(emb), "v", cents, 1)
         .select("vec_id", "cell", "scale", "q")
-        .write.mode("overwrite").parquet(s"$path/codes")
+        .write.mode("overwrite").parquet(s"$dir/codes")
+      IndexCommit.commit(s, path, id)
     } finally { emb.unpersist(); () }
+  }
+
+  /** Committed segment dirs — loud failure on an index with no
+    * committed segment (never built, or killed mid-build).
+    */
+  private def segDirs(s: SparkSession, path: String): Seq[String] = {
+    val ids = IndexCommit.committedIds(s, path)
+    require(ids.nonEmpty, s"no committed vector index segment at $path")
+    ids.map(IndexCommit.versionDir(path, _))
   }
 
   /** Fold a new batch of vectors (vec_id, v) into an existing index:
@@ -71,18 +96,28 @@ object VectorIndex {
     * never correctness, and the periodic [[build]] re-fits). NOT
     * idempotent under replay — callers dedup upstream or track batch
     * ids.
+    *
+    * Atomic and concurrency-safe: the batch lands as a fresh segment
+    * published by marker — a killed append's unmarked segment is
+    * invisible forever, a running probe crosses the publish cleanly,
+    * and concurrent appends commit disjoint segments with no lost
+    * update. Vectors and codes publish under ONE marker, so the two
+    * serving copies can never drift apart.
     */
   def append(s: SparkSession, path: String, batch: DataFrame): Unit = {
     val cents = readCentroids(s, path)
+    val id = IndexCommit.reserve(s, path)
+    val dir = IndexCommit.versionDir(path, id)
     Similarity.assignCells(
       batch.select(col("vec_id"), col("v")), "v", cents, 1)
       .select("vec_id", "cell", "v")
-      .write.mode("append").parquet(s"$path/vectors")
+      .write.mode("overwrite").parquet(s"$dir/vectors")
     Similarity.assignCells(
       Similarity.withInt8Codes(batch.select(col("vec_id"), col("v"))),
       "v", cents, 1)
       .select("vec_id", "cell", "scale", "q")
-      .write.mode("append").parquet(s"$path/codes")
+      .write.mode("overwrite").parquet(s"$dir/codes")
+    IndexCommit.commit(s, path, id)
   }
 
   /** The persisted coarse quantizer, driver-resident (numCells rows by
@@ -107,7 +142,7 @@ object VectorIndex {
     val cents = readCentroids(s, path)
     val probes = Similarity.assignCells(
       queries.select(col("query_id"), col("qv")), "qv", cents, nprobe)
-    val members = s.read.parquet(s"$path/vectors")
+    val members = s.read.parquet(segDirs(s, path).map(_ + "/vectors"): _*)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("vec_id"))
     probes.join(members, "cell")
@@ -135,7 +170,7 @@ object VectorIndex {
     val cents = readCentroids(s, path)
     val probes = Similarity.assignCells(
       queries.select(col("query_id"), col("qv")), "qv", cents, nprobe)
-    val members = s.read.parquet(s"$path/codes")
+    val members = s.read.parquet(segDirs(s, path).map(_ + "/codes"): _*)
       .select(col("vec_id"), col("cell"),
         expr("transform(q, x -> CAST(x AS DOUBLE))").as("qd"))
     val w = Window.partitionBy("query_id")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{BloomIndex, Dedup}
+import graft.ops.{BloomIndex, Dedup, IndexCommit}
 import org.apache.spark.sql.functions._
 
 /** Pins for the persisted Bloom decontamination filter: the lossless
@@ -22,7 +22,8 @@ class BloomIndexSpec extends SparkSpec {
   }
 
   private def words(path: String): Map[Long, Long] =
-    spark.read.parquet(s"$path/words").collect()
+    spark.read.parquet(
+      s"${IndexCommit.currentDir(spark, path).get}/words").collect()
       .map(r => r.getAs[Long]("w") -> r.getAs[Long]("bits")).toMap
 
   test("build+probe equals the one-job bloom contamination") {

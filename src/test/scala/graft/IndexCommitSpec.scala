@@ -1,0 +1,156 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.ops.{BloomIndex, IndexCommit, LshIndex, Similarity, VectorIndex}
+import graft.streaming.StreamingDecontaminate
+
+/** Crash-atomicity pins for the versioned persisted indexes: a killed
+  * append leaves the previous version fully probe-able, the
+  * staged-but-unmarked window reads as the OLD index (not an error,
+  * not a partial), a stream keeps answering across a publish, and
+  * write races either merge (disjoint segments) or fail loudly (Bloom
+  * snapshot re-base) — never lose bits silently.
+  */
+class IndexCommitSpec extends SparkSpec {
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** Simulate a writer killed mid-write: a reserved id whose data dir
+    * holds garbage/partial files and whose commit marker never landed.
+    */
+  private def killMidWrite(path: String, relations: Seq[String]): Long = {
+    val id = IndexCommit.reserve(spark, path)
+    val dir = IndexCommit.versionDir(path, id)
+    relations.foreach { rel =>
+      val d = new java.io.File(s"$dir/$rel")
+      d.mkdirs()
+      // half-written parquet: a real torn file, unreadable as a footer
+      val f = new java.io.FileOutputStream(s"$d/part-00000.parquet")
+      f.write("PAR1garbage-with-no-footer".getBytes); f.close()
+    }
+    id
+  }
+
+  private def bloomVerdicts(path: String) =
+    BloomIndex.probe(spark, path, docs.filter(col("doc_id") % 50 =!= 0))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("bloom: killed append is invisible; the old version answers every probe") {
+    val idx = tmp("ic_bloom_kill")
+    BloomIndex.build(spark, docs.filter(col("doc_id") % 100 === 0), idx)
+    val before = bloomVerdicts(idx)
+    killMidWrite(idx, Seq("words", "meta"))
+    assert(bloomVerdicts(idx) == before,
+      "unmarked garbage version must never be resolved")
+    // and a subsequent real append still works, skipping the dead id
+    BloomIndex.append(spark,
+      docs.filter(col("doc_id") % 100 === 50), idx)
+    val after = bloomVerdicts(idx)
+    assert(before.forall { case (id, n) => after(id) >= n },
+      "bits only accumulate across an append")
+    assert(after != before, "the appended benchmark must add hits")
+  }
+
+  test("bloom: the staged-but-unmarked window reads as the OLD index") {
+    val idx = tmp("ic_bloom_window")
+    val benchA = docs.filter(col("doc_id") % 100 === 0)
+    BloomIndex.build(spark, benchA, idx)
+    val before = bloomVerdicts(idx)
+    // stage a complete NEW version by hand (what append writes before
+    // its marker): a probe in this window must still resolve v=old
+    val id = IndexCommit.reserve(spark, idx)
+    val dir = IndexCommit.versionDir(idx, id)
+    val cur = IndexCommit.currentDir(spark, idx).get
+    spark.read.parquet(s"$cur/words").write.parquet(s"$dir/words")
+    spark.read.parquet(s"$cur/meta").write.parquet(s"$dir/meta")
+    assert(bloomVerdicts(idx) == before)
+    // marker lands → the new (here: identical) version takes over
+    IndexCommit.commit(spark, idx, id)
+    assert(IndexCommit.currentDir(spark, idx).get == dir)
+    assert(bloomVerdicts(idx) == before)
+  }
+
+  test("bloom: probing an index with no committed version fails loudly") {
+    val idx = tmp("ic_bloom_none")
+    killMidWrite(idx, Seq("words", "meta")) // killed BUILD
+    val e = intercept[IllegalStateException] { bloomVerdicts(idx) }
+    assert(e.getMessage.contains("no committed bloom index version"))
+  }
+
+  test("streaming decontamination never errors across an append publish") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val idx = tmp("ic_stream_idx")
+    val out = tmp("ic_stream_out")
+    val ckpt = tmp("ic_stream_ckpt")
+    BloomIndex.build(spark, docs.filter(col("doc_id") % 100 === 0), idx)
+    val corpus = docs.filter(col("doc_id") % 50 =!= 0)
+      .select("doc_id", "text").orderBy("doc_id").collect()
+      .map(r => Doc(r.getLong(0), r.getString(1)))
+    val (first, second) = corpus.splitAt(corpus.length / 2)
+    val input = MemoryStream[Doc]
+    input.addData(first.toIndexedSeq)
+    StreamingDecontaminate.probeStream(input.toDF(), idx, out, ckpt)
+      .awaitTermination()
+    val flaggedBefore = StreamingDecontaminate.verdicts(spark, out)
+      .filter(col("contaminated")).count()
+    // an append publishes mid-stream (between micro-batches) AND a
+    // killed append leaves garbage beside it — the next micro-batch
+    // must see exactly the new committed version, no errors
+    BloomIndex.append(spark, docs.filter(col("doc_id") % 100 === 50), idx)
+    killMidWrite(idx, Seq("words", "meta"))
+    input.addData(second.toIndexedSeq)
+    StreamingDecontaminate.probeStream(input.toDF(), idx, out, ckpt)
+      .awaitTermination()
+    val verdicts = StreamingDecontaminate.verdicts(spark, out)
+    assert(verdicts.count() == corpus.length.toLong)
+    // the second half probed the grown filter: flags can only grow
+    assert(verdicts.filter(col("contaminated")).count() >= flaggedBefore)
+  }
+
+  test("lsh: killed append is invisible; probe equals the pre-append index") {
+    val isBatch = col("doc_id") % 10 === 0
+    val idx = tmp("ic_lsh_kill")
+    LshIndex.build(spark, sf(), idx, docFilter = Some(!isBatch))
+    val batch = docs.filter(isBatch)
+    def pairs() = LshIndex.probe(spark, idx, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = pairs()
+    assert(before.nonEmpty)
+    killMidWrite(idx, Seq("bands", "sets"))
+    assert(pairs() == before,
+      "a torn segment with no marker must not join the probe")
+  }
+
+  test("vector: killed append is invisible to both float and ADC probes") {
+    val isQuery = col("vec_id") % 10 === 0
+    val idx = tmp("ic_vec_kill")
+    VectorIndex.build(spark, sf(), idx, vecFilter = Some(!isQuery))
+    val queries = Similarity.load(spark, sf()).filter(isQuery)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def top(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk")) ->
+        r.getAs[Long]("vec_id")).toMap
+    val before = top(VectorIndex.probe(spark, idx, queries))
+    val beforeAdc = top(VectorIndex.probeAdc(spark, idx, queries))
+    killMidWrite(idx, Seq("vectors", "codes"))
+    assert(top(VectorIndex.probe(spark, idx, queries)) == before)
+    assert(top(VectorIndex.probeAdc(spark, idx, queries)) == beforeAdc)
+  }
+
+  test("reserve never hands two writers the same id") {
+    val idx = tmp("ic_reserve")
+    val ids = (1 to 8).map(_ => IndexCommit.reserve(spark, idx))
+    assert(ids.distinct.size == ids.size)
+    // and ids skip past committed AND dead-reserved ones
+    IndexCommit.commit(spark, idx, ids.max)
+    assert(IndexCommit.reserve(spark, idx) > ids.max)
+  }
+}

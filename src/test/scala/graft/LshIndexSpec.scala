@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions.col
 
-import graft.ops.{Dedup, LshIndex}
+import graft.ops.{Dedup, IndexCommit, LshIndex}
 import graft.streaming.StreamingDedup
 
 final case class Doc(doc_id: Long, text: String)
@@ -153,7 +153,8 @@ class LshIndexSpec extends SparkSpec {
     assert(rows.nonEmpty)
     // ADC scores are the cosine against the integer code vector —
     // recomputed independently from the persisted codes
-    val codes = spark.read.parquet(s"$path/codes")
+    val codes = spark.read.parquet(
+      s"${IndexCommit.currentDir(spark, path).get}/codes")
       .select("vec_id", "q").collect()
       .map(r => r.getAs[Long]("vec_id") ->
         r.getSeq[Int](1).map(_.toDouble)).toMap
