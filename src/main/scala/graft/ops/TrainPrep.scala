@@ -155,6 +155,22 @@ object TrainPrep {
           .as("weight"))
   }
 
+  /** The `weight` column of [[mixWeights]] alone, WITHOUT the token
+    * statistics: weight = tot_docs / (n_sources · n_docs) depends only
+    * on per-source doc counts, so this aggregation's ReadSchema is the
+    * `source` column — no text read, no tokenization. The expressions
+    * are verbatim from [[mixWeights]] (same window, same round) so the
+    * two relations agree bit-for-bit.
+    */
+  private[graft] def docWeights(s: SparkSession, dir: String): DataFrame = {
+    val per = docs(s, dir).groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    per.select(col("source"),
+      round(sum(col("n_docs")).over(w)
+        / (count(lit(1)).over(w) * col("n_docs")), 6).as("weight"))
+  }
+
   /** [[mixWeights]] APPLIED: the uniform-domain-mix export. Each
     * document is kept with probability p = min(1, rate · weight(src)),
     * using the same md5-derived uniform machinery as
@@ -165,22 +181,36 @@ object TrainPrep {
     * the weights define, and the whole export reproduces bit-for-bit
     * on any engine and any cluster size.
     *
-    * Shape at scale: the weights relation is |sources| rows —
-    * broadcast — so the corpus side is one scan + map-side join +
-    * filter, zero corpus exchanges beyond [[mixWeights]]' own tiny
-    * aggregation.
+    * Shape at scale: ONE corpus scan. The weights are either supplied
+    * by the caller (the production shape: [[mixWeights]] output is a
+    * persisted |sources|-row table reused across exports) or computed
+    * here by [[docWeights]] — a doc-COUNT aggregation whose ReadSchema
+    * is the `source` column alone, never the text (an earlier
+    * formulation re-ran the full [[mixWeights]] tokenization for
+    * weights it only needed the count half of — at 100 TB that second
+    * tokenize scan doubles the query). Collected at |sources| rows
+    * (bounded by construction, not by data) into a literal map, so the
+    * apply pass is a row-local lookup + filter inside the scan's
+    * codegen stage — zero joins, zero exchanges on the corpus side.
     */
   def mixApply(
-      s: SparkSession, dir: String, rate: Double = 0.5): DataFrame = {
+      s: SparkSession, dir: String, rate: Double = 0.5,
+      weights: Option[Map[String, Double]] = None): DataFrame = {
     require(rate > 0, s"rate must be > 0, got $rate")
-    val w = mixWeights(s, dir).select(col("source"), col("weight"))
+    val wMap = weights.getOrElse(
+      docWeights(s, dir).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap)
+    require(wMap.nonEmpty, "empty weights relation")
     val u = conv(substring(
         md5(concat(col("doc_id").cast("string"), lit("#mix"))), 1, 15),
       16, 10).cast("long").cast("double") / lit(math.pow(2, 60))
+    // element_at on an absent source yields null p, and null < u is
+    // null → filtered: identical to the old inner join's semantics
     docs(s, dir).select(col("doc_id"), col("source"))
-      .join(broadcast(w), Seq("source"))
       .select(col("doc_id"), col("source"),
-        least(lit(1.0), lit(rate) * col("weight")).as("p"), u.as("u"))
+        least(lit(1.0),
+          lit(rate) * element_at(typedLit(wMap), col("source"))).as("p"),
+        u.as("u"))
       .filter(col("u") < col("p"))
   }
 

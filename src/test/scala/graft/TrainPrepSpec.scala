@@ -246,6 +246,30 @@ class TrainPrepSpec extends SparkSpec {
     assert(again == rows.map(_.getAs[Long]("doc_id")).toSet)
   }
 
+  test("mix_apply is ONE corpus scan; weights can be supplied as input") {
+    import org.apache.spark.sql.execution.ExplainMode
+    // the apply plan scans documents exactly once — the weights leg
+    // runs as its own tiny job (ReadSchema = source only) and enters
+    // the plan as a literal map, not a second scan + join
+    val df = TrainPrep.mixApply(spark, sf())
+    val plan = df.queryExecution.explainString(
+      ExplainMode.fromString("formatted"))
+    val scans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$plan")
+    assert(!plan.contains("Join"), s"apply side must be join-free:\n$plan")
+    // the weights job never touches text: its ReadSchema is source
+    val wPlan = TrainPrep.docWeights(spark, sf()).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!wPlan.contains("text"), s"weights leg must not read text:\n$wPlan")
+    // production shape: a persisted weights relation supplied by the
+    // caller reproduces the same export (mixWeights' own column)
+    val supplied = TrainPrep.mixWeights(spark, sf()).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("weight")).toMap
+    val viaInput = TrainPrep.mixApply(spark, sf(), weights = Some(supplied))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(viaInput == df.collect().map(_.getAs[Long]("doc_id")).toSet)
+  }
+
   test("domain_cap: per-source bound, contiguous ranks, WindowGroupLimit") {
     val cap = 15
     val df = TrainPrep.domainCap(spark, sf(), cap = cap)
