@@ -368,6 +368,11 @@ object SparkEntry {
     // 16-bin histogram arithmetically, pinning encode→decode→feature
     // lossless — the mm_near_dup technique applied to features
     "mm_features" -> ((s, dir) => Multimodal.featureSummaryReal(s, dir)),
+    // color moments through the JPEG chroma path: deterministic 4:2:0
+    // DC-only fixtures decode through the REAL color decoder
+    // (Huffman→dequant→IDCT→subsampled planes); oracle recomputes the
+    // plane means from the md5 derivation
+    "mm_color_features" -> ((s, dir) => Multimodal.colorFeatures(s, dir)),
     // sampled AVI frames through the real container walk + DIB parse:
     // per-frame byte length and pixel mean, both oracle-recomputed
     "mm_frames" -> ((s, dir) => Multimodal.frameFeatures(s, dir)),
@@ -1901,6 +1906,29 @@ object SparkEntry {
         |    [ CAST(list_sum(list_transform(px,
         |        p -> CASE WHEN p // 16 = b THEN 1 ELSE 0 END)) AS VARCHAR)
         |      for b in range(0, 16) ], ',') AS hist
+        |FROM g""".stripMargin,
+    // Color-moment oracle: every doc's 4:2:0 fixture JPEG decodes to
+    // twelve constant blocks whose values are md5 token bytes 0-11;
+    // plane means are sums divided by 8/2 (powers of two — IEEE-exact
+    // on both engines)
+    "mm_color_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 12) ] AS px
+        |  FROM t
+        |)
+        |SELECT doc_id AS media_id, 'jpeg' AS decoder,
+        |  CAST(32 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |  list_sum(px[1:8]) / 8.0 AS y_mean,
+        |  (px[9] + px[10]) / 2.0 AS cb_mean,
+        |  (px[11] + px[12]) / 2.0 AS cr_mean
         |FROM g""".stripMargin,
     // Sampled-frame oracle: video rows only (doc_id % 3 = 2), frames
     // 0 and 2 of the 4-frame AVI; frame f's pixel i = md5 byte of

@@ -168,20 +168,57 @@ object Jpeg {
   private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
   private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
 
+  /** One decoded component plane at its NATURAL (possibly subsampled)
+    * resolution — chroma of a 4:2:0 stream comes back quarter-size;
+    * upsampling is a consumer choice, not decode work.
+    */
+  final case class Plane(width: Int, height: Int, data: Array[Byte])
+
+  /** A color decode: planes in SOF order (Y first, then Cb, Cr for
+    * the standard 3-component JFIF layout). `width`/`height` are the
+    * full-resolution image dims (= the luma plane's).
+    */
+  final case class ColorDecoded(width: Int, height: Int, planes: Seq[Plane])
+
   /** Decode a baseline JPEG to grayscale (the luma plane). None on any
     * unsupported feature or malformed structure.
     */
   def decode(b: Array[Byte]): Option[Codecs.Decoded] = {
     if (b == null || b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8)
       return None
-    try decodeMarkers(b)
+    try decodeMarkers(b, color = false).map {
+      case Left(d) => d
+      case Right(_) => return None // unreachable: color=false
+    }
     catch {
       case _: Corrupt => None
       case _: ArrayIndexOutOfBoundsException => None
     }
   }
 
-  private def decodeMarkers(b: Array[Byte]): Option[Codecs.Decoded] = {
+  /** Decode a SEQUENTIAL baseline JPEG with full chroma
+    * reconstruction: every component's blocks are dequantized and
+    * IDCT'd into its own natural-resolution plane (the grayscale
+    * surface entropy-decodes chroma but skips their arithmetic; this
+    * path is the opt-in color sibling for color-moment features).
+    * Progressive streams decline to None — the DC preview stays a
+    * grayscale-only surface.
+    */
+  def decodeColor(b: Array[Byte]): Option[ColorDecoded] = {
+    if (b == null || b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8)
+      return None
+    try decodeMarkers(b, color = true).flatMap {
+      case Right(c) => Some(c)
+      case Left(_) => None // unreachable: color=true
+    }
+    catch {
+      case _: Corrupt => None
+      case _: ArrayIndexOutOfBoundsException => None
+    }
+  }
+
+  private def decodeMarkers(b: Array[Byte], color: Boolean)
+      : Option[Either[Codecs.Decoded, ColorDecoded]] = {
     val quant = new Array[Array[Int]](4) // natural-order dequant tables
     val dcTabs = new Array[HuffTable](4)
     val acTabs = new Array[HuffTable](4)
@@ -274,6 +311,7 @@ object Jpeg {
             i += 1
           }
           if (progressive) {
+            if (color) return None // color surface is sequential-only
             // first scan of a progressive stream MUST be the DC scan
             // (T.81 G.1.1.1.1): Ss = Se = 0, Ah = 0; Al is the
             // successive-approximation point transform
@@ -283,11 +321,11 @@ object Jpeg {
             val al = u8(b, seg + 3 + 2 * ns) & 15
             if (ss != 0 || se != 0 || ah != 0) return None
             return decodeDcScan(b, p + 2 + len, comps, quant, dcTabs,
-              width, height, restartInterval, al)
+              width, height, restartInterval, al).map(Left(_))
           }
           // Ss=0, Se=63, Ah=Al=0 for sequential; tolerate the bytes
           return decodeScan(b, p + 2 + len, comps, quant, dcTabs, acTabs,
-            width, height, restartInterval)
+            width, height, restartInterval, color)
         case _ => // APPn, COM, and anything else: skip by length
       }
       p += 2 + len
@@ -299,7 +337,8 @@ object Jpeg {
       b: Array[Byte], scanStart: Int, comps: Array[Component],
       quant: Array[Array[Int]], dcTabs: Array[HuffTable],
       acTabs: Array[HuffTable], width: Int, height: Int,
-      restartInterval: Int): Option[Codecs.Decoded] = {
+      restartInterval: Int, color: Boolean)
+      : Option[Either[Codecs.Decoded, ColorDecoded]] = {
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
     val luma = comps(0)
@@ -312,8 +351,14 @@ object Jpeg {
     }
     val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
     val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
-    val lumaQt = quant(luma.tq)
-    val gray = new Array[Byte](width * height)
+    // per-component planes at NATURAL resolution (T.81 A.1.1:
+    // ceil(width·h/hmax) × ceil(height·v/vmax)); grayscale mode
+    // allocates only luma's — chroma is entropy-decoded, never stored
+    val planeW = comps.map(c => (width * c.h + hmax - 1) / hmax)
+    val planeH = comps.map(c => (height * c.v + vmax - 1) / vmax)
+    val planes = Array.tabulate(comps.length) { i =>
+      if (i == 0 || color) new Array[Byte](planeW(i) * planeH(i)) else null
+    }
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
     val r = new BitReader(b, scanStart)
@@ -331,15 +376,16 @@ object Jpeg {
       var ci = 0
       while (ci < comps.length) {
         val c = comps(ci)
-        val isLuma = ci == 0
+        val keep = ci == 0 || color
         var by = 0
         while (by < c.v) {
           var bx = 0
           while (bx < c.h) {
             decodeBlock(r, c, dcTabs(c.dcTab), acTabs(c.acTab), coef,
-              keepCoefs = isLuma)
-            if (isLuma)
-              idctInto(coef, lumaQt, tmp, gray, width, height,
+              keepCoefs = keep)
+            if (keep)
+              idctInto(coef, quant(c.tq), tmp, planes(ci),
+                planeW(ci), planeH(ci),
                 (mx * c.h + bx) * 8, (my * c.v + by) * 8)
             bx += 1
           }
@@ -349,7 +395,10 @@ object Jpeg {
       }
       mcu += 1
     }
-    Some(Codecs.Decoded("jpeg", width, height, gray))
+    if (color)
+      Some(Right(ColorDecoded(width, height,
+        comps.indices.map(i => Plane(planeW(i), planeH(i), planes(i))))))
+    else Some(Left(Codecs.Decoded("jpeg", width, height, planes(0))))
   }
 
   /** Decode a progressive stream's interleaved DC scan into a
@@ -421,6 +470,95 @@ object Jpeg {
       mcu += 1
     }
     Some(Codecs.Decoded("jpeg_dc", outW, outH, gray))
+  }
+
+  /** Fixture encoder: a DC-only 4:2:0 three-component baseline stream
+    * whose decode is EXACTLY predictable — every 8×8 block carries
+    * only a DC coefficient under an all-8s quant table, so block (with
+    * quantized DC = v−128) reconstructs to the constant pixel v
+    * (IDCT of a DC-only block is dequantizedDC/8 + 128 = v, no
+    * floating-point sensitivity). This is what lets a cross-engine
+    * oracle recompute color moments from the generative byte
+    * derivation while the Spark side REALLY decodes: Huffman, dequant,
+    * per-component IDCT, subsampled plane placement
+    * ([[graft.ops.Multimodal]]'s color media table).
+    *
+    * `yBlocks` is the (2·mcusX)×(2·mcusY) row-major grid of luma
+    * block values (0-255); `cb`/`cr` are one value per MCU. Dims are
+    * exact multiples of 16, so no edge clipping anywhere.
+    */
+  private[graft] def encodeDc420(
+      yBlocks: Array[Int], cb: Array[Int], cr: Array[Int],
+      mcusX: Int, mcusY: Int): Array[Byte] = {
+    require(yBlocks.length == 4 * mcusX * mcusY &&
+      cb.length == mcusX * mcusY && cr.length == mcusX * mcusY)
+    val out = scala.collection.mutable.ArrayBuffer[Byte]()
+    def bytes(bs: Int*): Unit = bs.foreach(v => out += v.toByte)
+    def seg(marker: Int, payload: Seq[Int]): Unit = {
+      bytes(0xff, marker, (payload.length + 2) >> 8,
+        (payload.length + 2) & 0xff)
+      payload.foreach(v => out += v.toByte)
+    }
+    bytes(0xff, 0xd8) // SOI
+    seg(0xdb, 0 +: Seq.fill(64)(8)) // DQT 0: all 8s
+    // DC table 0: categories 0..11 as the twelve length-4 codes
+    seg(0xc4, Seq(0x00) ++ { val c = new Array[Int](16); c(3) = 12; c } ++
+      (0 to 11))
+    // AC table 0: the single symbol EOB as the one length-1 code
+    seg(0xc4, Seq(0x10) ++ { val c = new Array[Int](16); c(0) = 1; c } ++
+      Seq(0x00))
+    val w = 16 * mcusX
+    val h = 16 * mcusY
+    seg(0xc0, Seq(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+      1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0)) // SOF0: Y 2x2, Cb/Cr 1x1
+    seg(0xda, Seq(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0))
+    // entropy: MSB-first packer with FF00 stuffing, 1-padded flush
+    var acc = 0
+    var nb = 0
+    def putBits(v: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nb += 1
+        if (nb == 8) {
+          out += acc.toByte
+          if (acc == 0xff) out += 0x00.toByte
+          acc = 0; nb = 0
+        }
+        i -= 1
+      }
+    }
+    def cat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    val preds = new Array[Int](3)
+    def dcBlock(ci: Int, value: Int): Unit = {
+      val coefQ = value - 128
+      val diff = coefQ - preds(ci)
+      preds(ci) = coefQ
+      val s = cat(diff)
+      putBits(s, 4) // canonical length-4 code for category s IS s
+      if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+      putBits(0, 1) // EOB: the length-1 code for symbol 0x00
+    }
+    var mcu = 0
+    while (mcu < mcusX * mcusY) {
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var by = 0
+      while (by < 2) {
+        var bx = 0
+        while (bx < 2) {
+          dcBlock(0, yBlocks((my * 2 + by) * (2 * mcusX) + mx * 2 + bx))
+          bx += 1
+        }
+        by += 1
+      }
+      dcBlock(1, cb(mcu))
+      dcBlock(2, cr(mcu))
+      mcu += 1
+    }
+    if (nb > 0) putBits((1 << (8 - nb)) - 1, 8 - nb) // flush
+    bytes(0xff, 0xd9) // EOI
+    out.toArray
   }
 
   /** Decode one 8x8 block's coefficients (zigzag order → natural order

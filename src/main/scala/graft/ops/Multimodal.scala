@@ -231,6 +231,54 @@ object Multimodal {
         col("n_bytes"), col("mean_byte"),
         concat_ws(",", col("histogram").cast("array<string>")).as("hist"))
 
+  /** Fully-oracled COLOR-moment relation through the JPEG chroma
+    * path: every document derives a deterministic 32×16 4:2:0
+    * baseline JPEG ([[Jpeg.encodeDc420]] — twelve DC-only blocks
+    * whose values are the md5 token bytes), the engine REALLY decodes
+    * it ([[Jpeg.decodeColor]]: Huffman, dequant, per-component IDCT,
+    * subsampled Cb/Cr plane placement), and the per-plane means cross
+    * the engine boundary. The oracle recomputes them from the
+    * generative derivation: y_mean = mean of bytes 0-7, cb of 8-9,
+    * cr of 10-11 — divisions by 8 and 2 are IEEE-exact, so the
+    * doubles hash-match. Any defect anywhere in the color path
+    * (entropy decode, predictor, dequant, IDCT constant, plane
+    * geometry) breaks the equality.
+    *
+    * Shape at scale: mapPartitions over the documents scan — row-local
+    * encode+decode, no shuffle, no driver state (the same batched-UDF
+    * shape as [[extractFeatures]]).
+    */
+  def colorFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def tokByte(toks: Seq[String], i: Int): Int =
+          (md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0): Int) & 0xff
+        it.map { case (id, toks) =>
+          val y = Array.tabulate(8)(i => tokByte(toks, i))
+          val cb = Array.tabulate(2)(i => tokByte(toks, 8 + i))
+          val cr = Array.tabulate(2)(i => tokByte(toks, 10 + i))
+          val d = Jpeg.decodeColor(Jpeg.encodeDc420(y, cb, cr, 2, 1))
+            .getOrElse(throw new IllegalStateException(
+              s"fixture jpeg failed to decode for doc $id"))
+          def mean(p: Jpeg.Plane): Double = {
+            var sum = 0L
+            var i = 0
+            while (i < p.data.length) { sum += p.data(i) & 0xff; i += 1 }
+            sum.toDouble / p.data.length
+          }
+          (id, "jpeg", d.width, d.height,
+            mean(d.planes(0)), mean(d.planes(1)), mean(d.planes(2)))
+        }
+      }
+      .toDF("media_id", "decoder", "width", "height",
+        "y_mean", "cb_mean", "cr_mean")
+  }
+
   /** Fully-oracled sampled-frame relation over [[realMediaTable]]'s
     * video rows: every `stride`-th frame of each AVI is decoded
     * through the real container walk + DIB parse, and its byte length

@@ -265,6 +265,94 @@ class JpegSpec extends AnyFunSuite {
     assert(px(8, 8) == 132 && px(15, 15) == 132)
   }
 
+  test("decodeColor: 4:2:0 chroma planes reconstructed at natural resolution") {
+    // same stream shape as the grayscale 4:2:0 test, but chroma blocks
+    // now carry real content: Cb flat 140 (DC 96), Cr an AC-only
+    // cosine pattern checked against the independent reference IDCT
+    val w = new BitW
+    var pred = 0
+    for (dc <- Seq(8, 16, 24, 32)) {
+      val c = new Array[Int](64); c(0) = dc
+      pred = encodeBlock(w, c, pred)
+    }
+    val cbBlock = new Array[Int](64); cbBlock(0) = 96
+    encodeBlock(w, cbBlock, 0)
+    val crBlock = new Array[Int](64); crBlock(1) = 40; crBlock(8) = -25
+    encodeBlock(w, crBlock, 0)
+    w.flush()
+    val jpg =
+      Array(0xff.toByte, 0xd8.toByte) ++
+        dqtAllOnes(0) ++ dqtAllOnes(1) ++
+        dhtSeg(0, 0, dcCounts, dcSyms) ++
+        dhtSeg(1, 0, acCounts, acSyms) ++
+        sof0(16, 16, Seq((1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1))) ++
+        sosHeader(Seq(1, 2, 3)) ++
+        w.out.toArray ++ Array(0xff.toByte, 0xd9.toByte)
+    val d = Jpeg.decodeColor(jpg).getOrElse(fail("color decode declined"))
+    assert(d.width == 16 && d.height == 16)
+    assert(d.planes.length == 3)
+    val Seq(y, cb, cr) = d.planes
+    // luma identical to the grayscale surface's answer
+    assert(y.width == 16 && y.height == 16)
+    assert((y.data(0) & 0xff) == 129 && (y.data(15 * 16 + 15) & 0xff) == 132)
+    // chroma at natural quarter resolution, not upsampled
+    assert(cb.width == 8 && cb.height == 8 && cb.data.length == 64)
+    assert(cr.width == 8 && cr.height == 8)
+    assert(cb.data.forall(b => (b & 0xff) == 140)) // 96/8 + 128
+    val want = referenceIdct(crBlock) // qt all ones: coef = dequant
+    (0 until 64).foreach { i =>
+      assert((cr.data(i) & 0xff) == want(i),
+        s"cr[$i]: ${cr.data(i) & 0xff} vs ${want(i)}")
+    }
+    // and the grayscale surface still works on the same bytes
+    assert(Jpeg.decode(jpg).get.gray.sameElements(y.data))
+  }
+
+  test("decodeColor: progressive streams and malformed input decline") {
+    assert(Jpeg.decodeColor(null).isEmpty)
+    assert(Jpeg.decodeColor(Array[Byte](1, 2, 3)).isEmpty)
+    // progressive DC stream (valid for decode()) declines in color
+    val w = new BitW
+    val (c0, l0) = dcCodes(0)
+    w.bits(c0, l0); w.flush()
+    val jpg =
+      Array(0xff.toByte, 0xd8.toByte) ++
+        dqtAllOnes(0) ++
+        dhtSeg(0, 0, dcCounts, dcSyms) ++
+        seg(0xc2, Array(8.toByte, 0, 8, 0, 8, 1, 1, 0x11, 0).map(_.toByte)) ++
+        sosDcHeader(Seq(1), al = 0) ++
+        w.out.toArray ++ Array(0xff.toByte, 0xd9.toByte)
+    assert(Jpeg.decode(jpg).isDefined, "grayscale DC preview should work")
+    assert(Jpeg.decodeColor(jpg).isEmpty, "color surface is sequential-only")
+  }
+
+  test("encodeDc420 fixtures round-trip: every plane reads back its DC bytes") {
+    // 2x1 MCUs: 8 luma + 2 cb + 2 cr block values, all distinct,
+    // including 0/255 extremes and a sign flip across a DC diff
+    val yB = Array(0, 255, 17, 240, 128, 1, 254, 99)
+    val cb = Array(7, 200)
+    val cr = Array(255, 0)
+    val jpg = graft.ops.Jpeg.encodeDc420(yB, cb, cr, 2, 1)
+    val d = Jpeg.decodeColor(jpg).getOrElse(fail("fixture declined"))
+    assert(d.width == 32 && d.height == 16)
+    val Seq(py, pcb, pcr) = d.planes
+    assert(py.width == 32 && py.height == 16)
+    assert(pcb.width == 16 && pcb.height == 8)
+    // every 8x8 block is constant at its target byte
+    def block(p: Jpeg.Plane, bx: Int, by: Int): Set[Int] =
+      (for (y <- 0 until 8; x <- 0 until 8)
+        yield p.data((by * 8 + y) * p.width + bx * 8 + x) & 0xff).toSet
+    for (r <- 0 until 2; c <- 0 until 4)
+      assert(block(py, c, r) == Set(yB(r * 4 + c)),
+        s"y block ($c,$r): ${block(py, c, r)} vs ${yB(r * 4 + c)}")
+    for (m <- 0 until 2) {
+      assert(block(pcb, m, 0) == Set(cb(m)))
+      assert(block(pcr, m, 0) == Set(cr(m)))
+    }
+    // the grayscale surface agrees on luma
+    assert(Jpeg.decode(jpg).get.gray.sameElements(py.data))
+  }
+
   test("restart markers resync and reset DC predictors") {
     // 8x24 grayscale = 3 MCUs; DRI=1 -> RST0 after MCU0, RST1 after
     // MCU1. Each block encodes DC=40 as a FRESH diff (pred reset);
