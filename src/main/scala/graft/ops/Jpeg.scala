@@ -17,16 +17,18 @@ package graft.ops
   *     ([[Codecs.Decoded]]) and JFIF luma IS the Y channel, so the
   *     Cb/Cr planes are dead weight we skip — roughly halving the
   *     arithmetic for 4:2:0 corpora at 100 TB inventory scale.
-  *   - Progressive (SOF2): the mandatory DC-first scan is decoded to
-  *     a 1/8-scale grayscale image (one pixel per luma block — the
-  *     "early preview" every progressive renderer shows, and exactly
-  *     the resolution feature extraction/thumbnailing wants), kind
-  *     `jpeg_dc` so consumers can tell it from a full-resolution
-  *     decode. Later AC/refinement scans are deliberately not
-  *     consumed; with a successive-approximation DC scan (Al > 0) the
-  *     decoded values are the approximation the stream itself declares
-  *     at that point. Full-resolution progressive reconstruction
-  *     stays out of scope.
+  *   - Progressive (SOF2), FULL multi-scan reconstruction (T.81
+  *     Annex G): interleaved/per-component DC scans, per-component
+  *     spectral-selection AC scans with EOBRUN, and successive-
+  *     approximation refinement of both, accumulated into a
+  *     quantized-coefficient store and IDCT'd at EOI. A stream with
+  *     at least one luma AC scan yields a full-resolution `jpeg`
+  *     decode (bands never sent remain zero — the approximation the
+  *     stream itself declares); a DC-only stream yields the 1/8-scale
+  *     `jpeg_dc` preview (one pixel per luma block). Non-luma scans
+  *     are skipped by marker search without entropy decoding —
+  *     chroma AC is the bulk of a progressive stream's bits, all of
+  *     it bypassed on the grayscale surface.
   *   - Arithmetic coding (SOF9+), 12-bit precision, and DNL decline
   *     to None — callers fall back to the declared stub, same
   *     contract as every other [[Codecs]] path.
@@ -240,39 +242,9 @@ object Jpeg {
       if (len < 2 || p + 2 + len > b.length) return None
       m match {
         case 0xdb => // DQT: one or more (Pq|Tq, 64 values) tables
-          var q = seg
-          val end = p + 2 + len
-          while (q < end) {
-            val pq = u8(b, q) >> 4
-            val tq = u8(b, q) & 15
-            if (tq > 3 || pq > 1) return None
-            val step = if (pq == 0) 1 else 2
-            if (q + 1 + 64 * step > end) return None
-            val t = new Array[Int](64)
-            var i = 0
-            while (i < 64) {
-              val v = if (pq == 0) u8(b, q + 1 + i) else be16(b, q + 1 + 2 * i)
-              t(ZigZag(i)) = v
-              i += 1
-            }
-            quant(tq) = t
-            q += 1 + 64 * step
-          }
+          if (!parseDqt(b, seg, p + 2 + len, quant)) return None
         case 0xc4 => // DHT: one or more (Tc|Th, counts[16], symbols)
-          var q = seg
-          val end = p + 2 + len
-          while (q < end) {
-            val tc = u8(b, q) >> 4
-            val th = u8(b, q) & 15
-            if (tc > 1 || th > 3 || q + 17 > end) return None
-            val counts = Array.tabulate(16)(i => u8(b, q + 1 + i))
-            val total = counts.sum
-            if (total > 256 || q + 17 + total > end) return None
-            val syms = java.util.Arrays.copyOfRange(b, q + 17, q + 17 + total)
-            val t = new HuffTable(counts, syms)
-            if (tc == 0) dcTabs(th) = t else acTabs(th) = t
-            q += 17 + total
-          }
+          if (!parseDht(b, seg, p + 2 + len, dcTabs, acTabs)) return None
         case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
           if (comps != null) return None
           progressive = m == 0xc2
@@ -312,16 +284,11 @@ object Jpeg {
           }
           if (progressive) {
             if (color) return None // color surface is sequential-only
-            // first scan of a progressive stream MUST be the DC scan
-            // (T.81 G.1.1.1.1): Ss = Se = 0, Ah = 0; Al is the
-            // successive-approximation point transform
-            val ss = u8(b, seg + 1 + 2 * ns)
-            val se = u8(b, seg + 2 + 2 * ns)
-            val ah = u8(b, seg + 3 + 2 * ns) >> 4
-            val al = u8(b, seg + 3 + 2 * ns) & 15
-            if (ss != 0 || se != 0 || ah != 0) return None
-            return decodeDcScan(b, p + 2 + len, comps, quant, dcTabs,
-              width, height, restartInterval, al).map(Left(_))
+            // hand the whole remaining stream (this SOS through EOI,
+            // including between-scan DHT/DQT/DRI) to the multi-scan
+            // progressive decoder
+            return decodeProgressive(b, p, comps, quant, dcTabs, acTabs,
+              restartInterval, width, height).map(Left(_))
           }
           // Ss=0, Se=63, Ah=Al=0 for sequential; tolerate the bytes
           return decodeScan(b, p + 2 + len, comps, quant, dcTabs, acTabs,
@@ -401,65 +368,236 @@ object Jpeg {
     else Some(Left(Codecs.Decoded("jpeg", width, height, planes(0))))
   }
 
-  /** Decode a progressive stream's interleaved DC scan into a
-    * 1/8-scale grayscale plane: one pixel per LUMA block — the pixel
-    * value of a DC-only block is `dequantizedDC / 8 + 128` (the IDCT
-    * of a DC-only block is constant, so no basis arithmetic is
-    * needed). Chroma DC blocks are entropy-decoded to keep stream
-    * position, never stored. `al` is the point transform: decoded
-    * diffs are shifted left `al` bits per T.81 G.1.2.1.
+  /** Parse one DQT segment (possibly several tables). False = malformed. */
+  private def parseDqt(
+      b: Array[Byte], seg: Int, end: Int, quant: Array[Array[Int]]): Boolean = {
+    var q = seg
+    while (q < end) {
+      val pq = u8(b, q) >> 4
+      val tq = u8(b, q) & 15
+      if (tq > 3 || pq > 1) return false
+      val step = if (pq == 0) 1 else 2
+      if (q + 1 + 64 * step > end) return false
+      val t = new Array[Int](64)
+      var i = 0
+      while (i < 64) {
+        val v = if (pq == 0) u8(b, q + 1 + i) else be16(b, q + 1 + 2 * i)
+        t(ZigZag(i)) = v
+        i += 1
+      }
+      quant(tq) = t
+      q += 1 + 64 * step
+    }
+    true
+  }
+
+  /** Parse one DHT segment (possibly several tables). False = malformed. */
+  private def parseDht(
+      b: Array[Byte], seg: Int, end: Int,
+      dcTabs: Array[HuffTable], acTabs: Array[HuffTable]): Boolean = {
+    var q = seg
+    while (q < end) {
+      val tc = u8(b, q) >> 4
+      val th = u8(b, q) & 15
+      if (tc > 1 || th > 3 || q + 17 > end) return false
+      val counts = Array.tabulate(16)(i => u8(b, q + 1 + i))
+      val total = counts.sum
+      if (total > 256 || q + 17 + total > end) return false
+      val syms = java.util.Arrays.copyOfRange(b, q + 17, q + 17 + total)
+      val t = new HuffTable(counts, syms)
+      if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+      q += 17 + total
+    }
+    true
+  }
+
+  /** Position of the next true marker at/after `from`: entropy-coded
+    * data can contain 0xFF only as a stuffed pair (FF 00) or an RSTn,
+    * so the first FF followed by anything else IS the next marker
+    * (T.81 B.1.1.5). This is what lets non-luma progressive scans be
+    * skipped without entropy-decoding them.
     */
-  private def decodeDcScan(
-      b: Array[Byte], scanStart: Int, comps: Array[Component],
+  private def nextMarker(b: Array[Byte], from: Int): Int = {
+    var p = from
+    while (p + 1 < b.length) {
+      if (u8(b, p) == 0xff) {
+        val m = u8(b, p + 1)
+        if (m != 0x00 && !(m >= 0xd0 && m <= 0xd7)) return p
+        p += 2
+      } else p += 1
+    }
+    corrupt()
+  }
+
+  /** Full progressive (SOF2) decoding, T.81 Annex G: the stream is a
+    * sequence of scans — an interleaved (or per-component) DC scan
+    * first, then per-component spectral-selection AC scans and
+    * successive-approximation refinement scans for both — all
+    * accumulating into one quantized-coefficient store that is
+    * dequantized + IDCT'd at EOI.
+    *
+    * Grayscale surface economics carry over: only LUMA coefficients
+    * are stored and reconstructed. Non-luma single-component scans
+    * are skipped via [[nextMarker]] without entropy decoding at all
+    * (chroma AC is the bulk of a progressive stream's bits);
+    * interleaved DC scans decode chroma only to keep bit position
+    * (first pass) or consume exactly one bit per block (refinement).
+    *
+    * Output: full-resolution kind `jpeg` once at least one luma AC
+    * scan contributed (bands the stream never sent remain zero — the
+    * approximation the stream itself declares); a DC-only stream
+    * still yields the 1/8-scale `jpeg_dc` preview (one pixel per
+    * block: dequantizedDC/8 + 128, no basis arithmetic needed).
+    *
+    * Memory: the coefficient store is 64 ints per luma block ≈ 4
+    * bytes/pixel, bounded by the same [[Codecs.MaxPixels]] cap as
+    * every decode path.
+    */
+  private def decodeProgressive(
+      b: Array[Byte], sosPos: Int, comps: Array[Component],
       quant: Array[Array[Int]], dcTabs: Array[HuffTable],
-      width: Int, height: Int, restartInterval: Int,
-      al: Int): Option[Codecs.Decoded] = {
+      acTabs: Array[HuffTable], restartInterval0: Int,
+      width: Int, height: Int): Option[Codecs.Decoded] = {
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
     val luma = comps(0)
     if (luma.h != hmax || luma.v != vmax) return None
-    for (c <- comps) {
-      if (quant(c.tq) == null) return None
-      if (dcTabs(c.dcTab) == null) return None // AC tables unused here
+    if (quant(luma.tq) == null) return None
+    val blocksX = (width + 7) / 8
+    val blocksY = (height + 7) / 8
+    val coef = new Array[Int](blocksX * blocksY * 64)
+    var restartInterval = restartInterval0
+    var acSeen = false
+    var firstScan = true
+
+    var p = sosPos
+    while (p + 2 <= b.length) {
+      if (u8(b, p) != 0xff) return None
+      var m = u8(b, p + 1)
+      while (m == 0xff && p + 2 < b.length) { p += 1; m = u8(b, p + 1) }
+      if (m == 0xd9) // EOI: reconstruct
+        return Some(finishProgressive(
+          coef, quant(luma.tq), width, height, blocksX, blocksY, acSeen))
+      if (p + 4 > b.length) return None
+      val len = be16(b, p + 2)
+      if (len < 2 || p + 2 + len > b.length) return None
+      val seg = p + 4
+      m match {
+        case 0xdb =>
+          if (!parseDqt(b, seg, p + 2 + len, quant)) return None
+          p += 2 + len
+        case 0xc4 =>
+          if (!parseDht(b, seg, p + 2 + len, dcTabs, acTabs)) return None
+          p += 2 + len
+        case 0xdd =>
+          if (len != 4) return None
+          restartInterval = be16(b, seg)
+          p += 2 + len
+        case 0xda =>
+          val ns = u8(b, seg)
+          if (ns < 1 || ns > comps.length || len != 6 + 2 * ns) return None
+          val scomps = new Array[Component](ns)
+          var i = 0
+          while (i < ns) {
+            val cs = u8(b, seg + 1 + 2 * i)
+            val c = comps.find(_.id == cs).getOrElse(return None)
+            c.dcTab = u8(b, seg + 2 + 2 * i) >> 4
+            c.acTab = u8(b, seg + 2 + 2 * i) & 15
+            if (c.dcTab > 3 || c.acTab > 3) return None
+            scomps(i) = c
+            i += 1
+          }
+          val ss = u8(b, seg + 1 + 2 * ns)
+          val se = u8(b, seg + 2 + 2 * ns)
+          val ah = u8(b, seg + 3 + 2 * ns) >> 4
+          val al = u8(b, seg + 3 + 2 * ns) & 15
+          // G.1.1.1.1: the first scan must be DC at Ah=0; AC scans are
+          // single-component with a band inside 1..63
+          if (ss > 63 || se > 63 || se < ss || al > 13) return None
+          if (ss == 0 && se != 0) return None
+          if (ss > 0 && ns != 1) return None
+          if (firstScan && (ss != 0 || ah != 0)) return None
+          firstScan = false
+          val entStart = p + 2 + len
+          val lumaInScan = scomps.exists(_ eq comps(0))
+          if (!lumaInScan) {
+            // scan without luma: nothing to store, and marker search
+            // crosses its entropy data without decoding a single bit
+            p = nextMarker(b, entStart)
+          } else if (ss == 0) {
+            p = dcScanPass(b, entStart, comps, scomps, dcTabs, coef,
+              blocksX, blocksY, hmax, vmax, width, height,
+              restartInterval, ah, al)
+          } else {
+            if (acTabs(luma.acTab) == null) return None
+            acSeen = true
+            p = acScanPass(b, entStart, acTabs(luma.acTab), coef,
+              blocksX, blocksY, restartInterval, ss, se, ah, al)
+          }
+        case _ => p += 2 + len // APPn/COM between scans
+      }
     }
-    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
-    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
-    // output: one gray pixel per luma block inside the image extent
-    val outW = (width + 7) / 8
-    val outH = (height + 7) / 8
-    val gray = new Array[Byte](outW * outH)
-    val dcQ = quant(luma.tq)(0)
-    val r = new BitReader(b, scanStart)
-    var mcu = 0
-    val totalMcus = mcusX * mcusY
+    None // ran off the end without EOI
+  }
+
+  /** One DC scan (first pass Ah=0 or refinement Ah>0), interleaved or
+    * single-component. Returns the position of the next marker.
+    */
+  private def dcScanPass(
+      b: Array[Byte], entStart: Int, comps: Array[Component],
+      scomps: Array[Component], dcTabs: Array[HuffTable],
+      coef: Array[Int], blocksX: Int, blocksY: Int,
+      hmax: Int, vmax: Int, width: Int, height: Int,
+      restartInterval: Int, ah: Int, al: Int): Int = {
+    val luma = comps(0)
+    val interleaved = scomps.length > 1
+    for (c <- scomps)
+      if (ah == 0 && dcTabs(c.dcTab) == null) corrupt()
+    val r = new BitReader(b, entStart)
+    scomps.foreach(_.pred = 0)
+    // unit grid: MCUs when interleaved, the single component's block
+    // raster otherwise (T.81 A.2.2)
+    val (unitsX, unitsY) =
+      if (interleaved)
+        ((width + 8 * hmax - 1) / (8 * hmax),
+          (height + 8 * vmax - 1) / (8 * vmax))
+      else {
+        val c = scomps(0)
+        (((width * c.h + hmax - 1) / hmax + 7) / 8,
+          ((height * c.v + vmax - 1) / vmax + 7) / 8)
+      }
+    var unit = 0
+    val total = unitsX * unitsY
     var rstIdx = 0
-    while (mcu < totalMcus) {
-      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+    while (unit < total) {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
         r.restart(rstIdx)
         rstIdx = (rstIdx + 1) & 7
-        comps.foreach(_.pred = 0)
+        scomps.foreach(_.pred = 0)
       }
-      val mx = mcu % mcusX
-      val my = mcu / mcusX
+      val ux = unit % unitsX
+      val uy = unit / unitsX
       var ci = 0
-      while (ci < comps.length) {
-        val c = comps(ci)
-        val isLuma = ci == 0
+      while (ci < scomps.length) {
+        val c = scomps(ci)
+        val (bh, bv) = if (interleaved) (c.h, c.v) else (1, 1)
         var by = 0
-        while (by < c.v) {
+        while (by < bv) {
           var bx = 0
-          while (bx < c.h) {
-            val s = r.decodeHuff(dcTabs(c.dcTab))
-            if (s > 11) corrupt()
-            c.pred += extend(r.readBits(s), s) << al
-            if (isLuma) {
-              val px = mx * c.h + bx
-              val py = my * c.v + by
-              if (px < outW && py < outH) {
-                val v = math.round((c.pred * dcQ).toDouble / 8.0).toInt + 128
-                gray(py * outW + px) =
-                  (if (v < 0) 0 else if (v > 255) 255 else v).toByte
-              }
+          while (bx < bh) {
+            val px = if (interleaved) ux * c.h + bx else ux
+            val py = if (interleaved) uy * c.v + by else uy
+            val store = (c eq luma) && px < blocksX && py < blocksY
+            val off = (py * blocksX + px) * 64
+            if (ah == 0) {
+              val s = r.decodeHuff(dcTabs(c.dcTab))
+              if (s > 11) corrupt()
+              c.pred += extend(r.readBits(s), s)
+              if (store) coef(off) = c.pred << al
+            } else {
+              // refinement: exactly one bit per block, value-independent
+              val bit = r.readBit()
+              if (store && bit == 1) coef(off) |= 1 << al
             }
             bx += 1
           }
@@ -467,10 +605,153 @@ object Jpeg {
         }
         ci += 1
       }
-      mcu += 1
+      unit += 1
     }
-    Some(Codecs.Decoded("jpeg_dc", outW, outH, gray))
+    nextMarker(b, r.pos)
   }
+
+  /** One luma AC scan: spectral-selection first pass (Ah=0, T.81
+    * G.1.2.2 with EOBRUN) or successive-approximation refinement
+    * (Ah>0, G.1.2.3 with correction bits). Returns the position of
+    * the next marker.
+    */
+  private def acScanPass(
+      b: Array[Byte], entStart: Int, ac: HuffTable, coef: Array[Int],
+      blocksX: Int, blocksY: Int, restartInterval: Int,
+      ss: Int, se: Int, ah: Int, al: Int): Int = {
+    val r = new BitReader(b, entStart)
+    var eobrun = 0
+    var unit = 0
+    val total = blocksX * blocksY
+    var rstIdx = 0
+    while (unit < total) {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        r.restart(rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        eobrun = 0
+      }
+      val off = unit * 64
+      if (ah == 0) eobrun = acFirstBlock(r, ac, coef, off, ss, se, al, eobrun)
+      else eobrun = acRefineBlock(r, ac, coef, off, ss, se, al, eobrun)
+      unit += 1
+    }
+    nextMarker(b, r.pos)
+  }
+
+  /** AC spectral-selection first pass for one block (G.1.2.2). */
+  private def acFirstBlock(
+      r: BitReader, ac: HuffTable, coef: Array[Int], off: Int,
+      ss: Int, se: Int, al: Int, eobrunIn: Int): Int = {
+    if (eobrunIn > 0) return eobrunIn - 1 // block is all zero in band
+    var k = ss
+    while (k <= se) {
+      val rs = r.decodeHuff(ac)
+      val run = rs >> 4
+      val s = rs & 15
+      if (s == 0) {
+        if (run == 15) k += 16 // ZRL
+        else {
+          var eob = (1 << run) - 1
+          if (run > 0) eob += r.readBits(run)
+          return eob // this block done; eob more all-zero blocks follow
+        }
+      } else {
+        k += run
+        if (k > se || s > 10) corrupt()
+        coef(off + ZigZag(k)) = extend(r.readBits(s), s) << al
+        k += 1
+      }
+    }
+    0
+  }
+
+  /** AC successive-approximation refinement for one block (G.1.2.3):
+    * newly-nonzero coefficients arrive as ±2^Al; every already-nonzero
+    * coefficient passed over receives a correction bit that, when set
+    * and not yet present, moves the value one 2^Al step away from
+    * zero. The bit-test uses the SIGNED value (two's complement), the
+    * convention of the spec's flow and every interoperable decoder.
+    */
+  private def acRefineBlock(
+      r: BitReader, ac: HuffTable, coef: Array[Int], off: Int,
+      ss: Int, se: Int, al: Int, eobrunIn: Int): Int = {
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var k = ss
+    def correct(idx: Int): Unit =
+      if (r.readBit() == 1 && (coef(idx) & p1) == 0)
+        coef(idx) += (if (coef(idx) >= 0) p1 else m1)
+    if (eobrunIn > 0) {
+      // inside an EOB run: only correction bits for nonzero history
+      while (k <= se) {
+        val idx = off + ZigZag(k)
+        if (coef(idx) != 0) correct(idx)
+        k += 1
+      }
+      return eobrunIn - 1
+    }
+    var eobrun = 0
+    while (k <= se && eobrun == 0) {
+      val rs = r.decodeHuff(ac)
+      var run = rs >> 4
+      val s = rs & 15
+      var newVal = 0
+      if (s == 0) {
+        if (run != 15) { // EOB(run): finish this block with corrections
+          eobrun = (1 << run) - 1
+          if (run > 0) eobrun += r.readBits(run)
+          run = 64 // consume the rest of the band below
+        }
+        // run == 15 (ZRL): pass over 16 zero-history positions
+      } else {
+        if (s != 1) corrupt() // refinement only creates ±1 (<<Al)
+        newVal = if (r.readBit() == 1) p1 else m1
+      }
+      var done = false
+      while (!done && k <= se) {
+        val idx = off + ZigZag(k)
+        if (coef(idx) != 0) correct(idx)
+        else if (run == 0 && eobrun == 0) {
+          if (newVal != 0) coef(idx) = newVal
+          done = true
+        } else run -= 1
+        k += 1
+      }
+    }
+    eobrun
+  }
+
+  /** EOI reconstruction: full-resolution IDCT when AC scans
+    * contributed; the 1/8-scale DC preview otherwise.
+    */
+  private def finishProgressive(
+      coef: Array[Int], qt: Array[Int], width: Int, height: Int,
+      blocksX: Int, blocksY: Int, acSeen: Boolean): Codecs.Decoded =
+    if (acSeen) {
+      val gray = new Array[Byte](width * height)
+      val one = new Array[Int](64)
+      val tmp = new Array[Double](64)
+      var blk = 0
+      while (blk < blocksX * blocksY) {
+        System.arraycopy(coef, blk * 64, one, 0, 64)
+        idctInto(one, qt, tmp, gray, width, height,
+          (blk % blocksX) * 8, (blk / blocksX) * 8)
+        blk += 1
+      }
+      Codecs.Decoded("jpeg", width, height, gray)
+    } else {
+      val outW = (width + 7) / 8
+      val outH = (height + 7) / 8
+      val gray = new Array[Byte](outW * outH)
+      val dcQ = qt(0)
+      var blk = 0
+      while (blk < outW * outH) {
+        val v = math.round((coef(blk * 64) * dcQ).toDouble / 8.0).toInt + 128
+        gray(blk) = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+        blk += 1
+      }
+      Codecs.Decoded("jpeg_dc", outW, outH, gray)
+    }
 
   /** Fixture encoder: a DC-only 4:2:0 three-component baseline stream
     * whose decode is EXACTLY predictable — every 8×8 block carries

@@ -430,6 +430,145 @@ class JpegSpec extends AnyFunSuite {
       comps.flatMap(id => Seq(id.toByte, 0x00.toByte)) ++
       Array(0.toByte, 0.toByte, al.toByte)) // Ss=0 Se=0 Ah=0, Al
 
+  // progressive AC table: adds EOB1/EOB2 (0x10/0x20) to the
+  // sequential symbol set
+  private val acpSyms: Array[Int] =
+    (Seq(0x00, 0x10, 0x20, 0xf0) ++
+      (for (r <- 0 to 15; s <- 1 to 10) yield (r << 4) | s)).toArray
+  private val acpCounts = { val c = new Array[Int](16); c(7) = acpSyms.length; c }
+  private val acpCodes = canonicalCodes(acpCounts, acpSyms)
+
+  private def sosProgHeader(
+      comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Array[Byte] =
+    seg(0xda, Array(comps.length.toByte) ++
+      comps.flatMap(id => Seq(id.toByte, 0x00.toByte)) ++
+      Array(ss.toByte, se.toByte, ((ah << 4) | al).toByte))
+
+  test("progressive multi-scan: spectral selection + refinement match the reference IDCT") {
+    // 16x8 grayscale SOF2, two blocks, four scans exercising every
+    // progressive path: DC first at Al=1, AC first with an EOBRUN
+    // covering block B, AC refinement (corrections + newly-nonzero +
+    // EOB0), DC refinement. Final quantized coefficients (qt all 1s):
+    //   A: DC 10, zz1 = 5, zz2 = -3, zz5 = -1
+    //   B: DC -7, zz3 = 1
+    val s1 = new BitW // DC first, Al=1: sends C0 >> 1 (arithmetic)
+    locally {
+      val (c3, l3) = dcCodes(3); s1.bits(c3, l3) // A: diff 5
+      s1.bits(magnitudeBits(5, 3), 3)
+      val (c4, l4) = dcCodes(4); s1.bits(c4, l4) // B: diff -4-5 = -9
+      s1.bits(magnitudeBits(-9, 4), 4)
+      s1.flush()
+    }
+    val s2 = new BitW // AC first, band 1-63, Al=1: |C| >> 1, sign kept
+    locally {
+      val (c02, l02) = acpCodes(0x02); s2.bits(c02, l02) // zz1: 5>>1 = 2
+      s2.bits(magnitudeBits(2, 2), 2)
+      val (c01, l01) = acpCodes(0x01); s2.bits(c01, l01) // zz2: -(3>>1) = -1
+      s2.bits(magnitudeBits(-1, 1), 1)
+      val (e1, el1) = acpCodes(0x10); s2.bits(e1, el1) // EOB1
+      s2.bits(0, 1) // extension 0: EOBRUN = 2 (rest of A + all of B)
+      s2.flush()
+    }
+    val s3 = new BitW // AC refinement, band 1-63, Ah=1 Al=0
+    locally {
+      // A: zz5 newly nonzero (-1) after run of 2 zero-history slots;
+      // corrections for zz1 (4->5: bit 1) and zz2 (-2->-3: bit 1)
+      // ride behind the sign bit in decoder consumption order
+      val (c21, l21) = acpCodes(0x21); s3.bits(c21, l21)
+      s3.bits(0, 1) // sign: negative
+      s3.bits(1, 1) // correction zz1
+      s3.bits(1, 1) // correction zz2
+      val (e0, el0) = acpCodes(0x00); s3.bits(e0, el0) // EOB0 ends A
+      // B: zz3 newly nonzero (+1) after 2 zero slots, then EOB0
+      s3.bits(c21, l21)
+      s3.bits(1, 1) // sign: positive
+      s3.bits(e0, el0)
+      s3.flush()
+    }
+    val s4 = new BitW // DC refinement: one bit per block (10&1, -7&1)
+    locally { s4.bits(0, 1); s4.bits(1, 1); s4.flush() }
+    val jpg =
+      Array(0xff.toByte, 0xd8.toByte) ++
+        dqtAllOnes(0) ++
+        dhtSeg(0, 0, dcCounts, dcSyms) ++
+        dhtSeg(1, 0, acpCounts, acpSyms) ++
+        seg(0xc2, Array(8.toByte, 0, 8, 0, 16, 1, 1, 0x11, 0).map(_.toByte)) ++
+        sosProgHeader(Seq(1), 0, 0, 0, 1) ++ s1.out.toArray ++
+        sosProgHeader(Seq(1), 1, 63, 0, 1) ++ s2.out.toArray ++
+        sosProgHeader(Seq(1), 1, 63, 1, 0) ++ s3.out.toArray ++
+        sosProgHeader(Seq(1), 0, 0, 1, 0) ++ s4.out.toArray ++
+        Array(0xff.toByte, 0xd9.toByte)
+    val d = Jpeg.decode(jpg).getOrElse(fail("progressive decode declined"))
+    assert(d.kind == "jpeg", s"AC scans present -> full resolution, got ${d.kind}")
+    assert(d.width == 16 && d.height == 8)
+    val blockA = new Array[Int](64)
+    blockA(0) = 10; blockA(zigzag(1)) = 5
+    blockA(zigzag(2)) = -3; blockA(zigzag(5)) = -1
+    val blockB = new Array[Int](64)
+    blockB(0) = -7; blockB(zigzag(3)) = 1
+    val wantA = referenceIdct(blockA)
+    val wantB = referenceIdct(blockB)
+    for (y <- 0 until 8; x <- 0 until 8) {
+      assert((d.gray(y * 16 + x) & 0xff) == wantA(y * 8 + x),
+        s"A($x,$y): ${d.gray(y * 16 + x) & 0xff} vs ${wantA(y * 8 + x)}")
+      assert((d.gray(y * 16 + 8 + x) & 0xff) == wantB(y * 8 + x),
+        s"B($x,$y): ${d.gray(y * 16 + 8 + x) & 0xff} vs ${wantB(y * 8 + x)}")
+    }
+  }
+
+  test("progressive 4:2:0: chroma AC scans are marker-skipped, luma reconstructs") {
+    // 16x16 3-component progressive: interleaved DC scan (chroma
+    // entropy-decoded to keep position), then a chroma AC scan whose
+    // body is arbitrary non-FF bytes (the decoder must cross it by
+    // marker search WITHOUT parsing), then the luma AC scan
+    val s1 = new BitW // interleaved DC, Al=0: Y blocks 8,16,24,32; Cb 0; Cr 0
+    locally {
+      var pred = 0
+      for (dc <- Seq(8, 16, 24, 32)) {
+        val diff = dc - pred
+        val cat = category(diff)
+        val (c, l) = dcCodes(cat); s1.bits(c, l)
+        if (cat > 0) s1.bits(magnitudeBits(diff, cat), cat)
+        pred = dc
+      }
+      val (c0, l0) = dcCodes(0)
+      s1.bits(c0, l0) // Cb diff 0
+      s1.bits(c0, l0) // Cr diff 0
+      s1.flush()
+    }
+    val s3 = new BitW // luma AC, band 1-63: zz1 = 40 in block 0, EOB1 covers rest
+    locally {
+      val (c6, l6) = acpCodes(0x06); s3.bits(c6, l6)
+      s3.bits(magnitudeBits(40, 6), 6)
+      val (e2, el2) = acpCodes(0x20); s3.bits(e2, el2)
+      s3.bits(0, 2) // EOBRUN = 4: ends block 0, covers blocks 1-3
+      s3.flush()
+    }
+    val jpg =
+      Array(0xff.toByte, 0xd8.toByte) ++
+        dqtAllOnes(0) ++ dqtAllOnes(1) ++
+        dhtSeg(0, 0, dcCounts, dcSyms) ++
+        dhtSeg(1, 0, acpCounts, acpSyms) ++
+        seg(0xc2, Array(8.toByte, 0, 16, 0, 16, 3,
+          1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1).map(_.toByte)) ++
+        sosProgHeader(Seq(1, 2, 3), 0, 0, 0, 0) ++ s1.out.toArray ++
+        sosProgHeader(Seq(2), 1, 63, 0, 0) ++
+          Array[Byte](0x12, 0x34, 0x56) ++ // never parsed: marker-skipped
+        sosProgHeader(Seq(1), 1, 63, 0, 0) ++ s3.out.toArray ++
+        Array(0xff.toByte, 0xd9.toByte)
+    val d = Jpeg.decode(jpg).getOrElse(fail("decode declined"))
+    assert(d.kind == "jpeg" && d.width == 16 && d.height == 16)
+    val b0 = new Array[Int](64); b0(0) = 8; b0(zigzag(1)) = 40
+    val want0 = referenceIdct(b0)
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((d.gray(y * 16 + x) & 0xff) == want0(y * 8 + x),
+        s"block0($x,$y)")
+    // flat DC-only quadrants elsewhere (dc/8 + 128)
+    assert((d.gray(0 * 16 + 15) & 0xff) == 130)
+    assert((d.gray(15 * 16 + 0) & 0xff) == 131)
+    assert((d.gray(15 * 16 + 15) & 0xff) == 132)
+  }
+
   test("progressive DC-first scan decodes to the 1/8-scale preview") {
     // 16x16 grayscale progressive: 4 luma blocks with DC values that
     // put block means at 131, 59, 214, 128 (pred-chained diffs)
