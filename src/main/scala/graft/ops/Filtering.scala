@@ -77,8 +77,28 @@ object Filtering {
     * where the probe side is MB-scale, is the broadcast one). Both
     * join sides are per-doc-distinct, so (train doc, gram) pairs are
     * unique and the per-doc count needs no distinct aggregation.
+    *
+    * Skew: a universal-boilerplate gram (df ≈ 1.0 — licence headers,
+    * nav chrome) would send EVERY train document's row to one shuffle
+    * partition of the gram join, and AQE's skew-join cannot be relied
+    * on to catch it — skew statistics are COMPRESSED map-output
+    * bytes, and a partition holding one repeated string compresses so
+    * well that a large row skew reads as <2× bytes (measured in
+    * SCALE_r08: the df≈1.0 partition never crossed any threshold).
+    * So the join is SALTED by construction ([[Relational.saltedJoin]]
+    * — spec-pinned identical to the plain join): train rows scatter
+    * across `salt` sub-keys by content hash and the distinct'd test
+    * side replicates `salt` ways, bounding the worst partition at
+    * 1/salt of the hot key's mass. Costs no extra corpus scan (unlike
+    * a df-based hot-key split, which needs a third tokenize pass) and
+    * no hotness oracle; the price is salt× the test-side shuffle —
+    * at a 1/16 test carve and salt = 8, half the train side's gram
+    * mass, a constant factor, not a straggler.
     */
-  def splitLeakage(s: SparkSession, dir: String, n: Int = 8): DataFrame = {
+  def splitLeakage(
+      s: SparkSession, dir: String, n: Int = 8,
+      salt: Int = 8): DataFrame = {
+    require(salt >= 1, s"salt must be >= 1: $salt")
     val nib = conv(
       substring(md5(concat(col("doc_id").cast("string"), lit("#split"))),
         1, 1), 16, 10).cast("int")
@@ -93,8 +113,10 @@ object Filtering {
       )).as("shingle"))
     val testGrams = grams.filter(col("nib") === 15)
       .select("shingle").distinct()
-    val hits = grams.filter(col("nib") <= 13)
-      .join(testGrams, Seq("shingle"))
+    val trainGrams = grams.filter(col("nib") <= 13)
+      .select("doc_id", "shingle")
+    val hits = Relational
+      .saltedJoin(trainGrams, testGrams, "shingle", salt)
       .groupBy("doc_id").agg(count(lit(1)).as("n_leaked_grams"))
     base.filter(col("nib") <= 13).select("doc_id")
       .join(hits, Seq("doc_id"), "left")

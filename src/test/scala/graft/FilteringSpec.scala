@@ -87,6 +87,23 @@ class FilteringSpec extends SparkSpec {
       "planted near-dups must leak across the split at fixture scale")
   }
 
+  test("split leakage: salting changes the shuffle key, never the result") {
+    val salted = Filtering.splitLeakage(spark, sf(), salt = 8)
+    val plain = Filtering.splitLeakage(spark, sf(), salt = 1).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_leaked_grams")).toMap
+    val rows = salted.collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_leaked_grams")).toMap
+    assert(rows == plain, "salt must be invisible in the result")
+    // the gram exchange hashes the composite (shingle, __salt) key, so
+    // a df~1.0 boilerplate gram scatters across salt partitions
+    // instead of landing in one (AQE skew stats can't catch this case:
+    // they read compressed bytes, and one repeated string compresses
+    // its row skew away)
+    val plan = salted.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("__salt"), s"salted key missing:\n$plan")
+  }
+
   test("bpe pair stats match a brute-force count; ranks deterministic") {
     val occ = scala.collection.mutable.Map.empty[String, Long]
     texts().foreach { case (_, t) =>
