@@ -9,6 +9,14 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// The embedded DuckDB JDBC driver already sits in the local coursier
+// cache (the correctness oracle uses DuckDB); globbed from disk, never
+// resolved. Test-scope only: MergeSinkSpec executes the sqlite-dialect
+// merge SQL end-to-end against a real embedded database with it. The
+// spec cancels (not fails) if the jar is absent.
+Test / unmanagedJars ++=
+  (file(sys.props("user.home")) / ".cache" / "coursier"
+    ** "duckdb_jdbc-*.jar").classpath
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -143,8 +143,12 @@ final class JdbcCatalog(
     * [[Catalog.listTables]] (O1).
     */
   def listTables: Seq[String] = withConn { md =>
+    // table-type labels are vendor-defined: SQL Server/SQLite report
+    // "TABLE", engines following the information-schema wording
+    // (DuckDB, MySQL dumps) report "BASE TABLE" — filter on both so
+    // views/system tables stay excluded everywhere
     val rs = md.getTables(
-      catalog.orNull, schemaPattern.orNull, "%", Array("TABLE"))
+      catalog.orNull, schemaPattern.orNull, "%", Array("TABLE", "BASE TABLE"))
     val out = scala.collection.mutable.Buffer.empty[String]
     try while (rs.next()) out += rs.getString("TABLE_NAME")
     finally rs.close()

@@ -118,6 +118,92 @@ class MergeSinkSpec extends SparkSpec {
     assert(rec.log.count(_ == "executeBatch") == 1)
   }
 
+  test("sqlite-dialect merge end-to-end on a real embedded database") {
+    // the one JDBC engine available offline (the oracle's own DuckDB,
+    // jar already in the local cache) accepts the sqlite dialect's SQL
+    // verbatim — temp.dbimport qualification, correlated-subquery
+    // UPDATE with EXISTS guard — so the full lifecycle runs against a
+    // REAL database: JdbcCatalog over real driver metadata, Importer
+    // key/subset defaulting from the real primary key, chunked batch
+    // fill, server-side update, golden-diffed against the reference's
+    // own fixtures (tests/test_importer.py:146-189)
+    assume(scala.util.Try(Class.forName("org.duckdb.DuckDBDriver")).isSuccess,
+      "duckdb jdbc jar not in the local cache")
+    import graft.engine.JdbcCatalog
+    val db = java.nio.file.Files.createTempDirectory("jdbc_e2e")
+      .resolve("g.duckdb").toString
+    def conn() = java.sql.DriverManager.getConnection(s"jdbc:duckdb:$db")
+    def reset(): Unit = {
+      val c = conn(); val st = c.createStatement()
+      st.execute("drop table if exists groceries")
+      // the reference fixture schema + seed rows (test_importer.py:10-21)
+      st.execute("create table groceries (id varchar not null primary key, " +
+        "item varchar, quantity int, price double)")
+      st.execute("insert into groceries values " +
+        "('ID000001','Apple',5,10.0), ('ID000002','Pear',4,9.0), " +
+        "('ID000003','Orange',3,8.0), ('ID000004','Lemon',6,7.0)")
+      st.close(); c.close()
+    }
+    def state(): Seq[(String, String, Int, Double)] = {
+      val c = conn(); val st = c.createStatement()
+      val rs = st.executeQuery("select * from groceries order by id")
+      val out = scala.collection.mutable.Buffer.empty[(String, String, Int, Double)]
+      while (rs.next()) out += ((rs.getString(1), rs.getString(2),
+        rs.getInt(3), rs.getDouble(4)))
+      rs.close(); st.close(); c.close(); out.toSeq
+    }
+    reset()
+    // S3/S5/S6 against REAL driver metadata, not proxy fakes
+    val cat = new JdbcCatalog(() => conn())
+    assert(cat.listTables.contains("groceries"))
+    assert(cat.primaryKey("groceries") == Seq("id"))
+    assert(cat.columns("groceries").map(_.column) ==
+      Seq("id", "item", "quantity", "price"))
+
+    import spark.implicits._
+    val targetMirror = state().toDF("id", "item", "quantity", "price")
+    // case 1 = test_update: full-delta update, every row refreshed
+    val delta = Seq(
+      ("ID000001", "Apple", 15, 20.0), ("ID000002", "Pear", 14, 19.0),
+      ("ID000003", "Orange", 13, 18.0), ("ID000004", "Lemon", 16, 17.0))
+      .toDF("id", "item", "quantity", "price")
+    val imp = new Importer(targetMirror, delta, table = "groceries",
+      tablePk = cat.primaryKey("groceries"))
+    assert(imp.joinOn == Seq("id") &&
+      imp.subset == Seq("item", "quantity", "price"))
+    val sink = new JdbcMergeSink("sqlite", () => conn(), chunkSize = 2)
+    val affected = sink.write(imp.merge(), imp.data,
+      MergeSpec("groceries", imp.joinOn, imp.subset))
+    assert(affected == 4L)
+    assert(state() == Seq(
+      ("ID000001", "Apple", 15, 20.0), ("ID000002", "Pear", 14, 19.0),
+      ("ID000003", "Orange", 13, 18.0), ("ID000004", "Lemon", 16, 17.0)),
+      "reference test_update golden rows")
+
+    // case 2 = test_join_on_column_contains_nulls: null-keyed delta
+    // rows are dropped Spark-side (P3) and the EXISTS guard leaves
+    // their targets untouched server-side
+    reset()
+    val delta2 = Seq(
+      ("ID000001", "Apple", 15, 20.0),
+      (null.asInstanceOf[String], "Pear", 14, 19.0),
+      ("ID000003", "Orange", 13, 18.0),
+      (null.asInstanceOf[String], "Lemon", 16, 17.0))
+      .toDF("id", "item", "quantity", "price")
+    val imp2 = new Importer(targetMirror, delta2, table = "groceries",
+      tablePk = Seq("id"))
+    val affected2 = sink.write(imp2.merge(), imp2.data,
+      MergeSpec("groceries", imp2.joinOn, imp2.subset))
+    assert(affected2 == 2L)
+    assert(state() == Seq(
+      ("ID000001", "Apple", 15, 20.0), ("ID000002", "Pear", 4, 9.0),
+      ("ID000003", "Orange", 13, 18.0), ("ID000004", "Lemon", 6, 7.0)),
+      "reference null-key golden rows: unmatched targets untouched")
+
+    // the staging table is gone after the lifecycle (drop-after-update)
+    assert(!new JdbcCatalog(() => conn()).listTables.contains("dbimport"))
+  }
+
   test("JdbcMergeSink rolls back BEFORE restoring autocommit on failure") {
     // per JDBC, setAutoCommit(true) mid-transaction COMMITS pending
     // work — a failed write must roll back first or its partial
