@@ -376,6 +376,7 @@ object SparkEntry {
     // sampled AVI frames through the real container walk + DIB parse:
     // per-frame byte length and pixel mean, both oracle-recomputed
     "mm_frames" -> ((s, dir) => Multimodal.frameFeatures(s, dir)),
+    "mm_rle_frames" -> ((s, dir) => Multimodal.rleFrameFeatures(s, dir)),
     // REAL container sniffing (PNG/BMP/GIF/JPEG/WAV headers, no codec
     // needed) — on this fixture every payload is arbitrary text bytes,
     // so the oracle pins the no-false-positive contract: all rows
@@ -1951,6 +1952,34 @@ object SparkEntry {
         |  224 AS frame_bytes,
         |  list_sum(px) / 72.0 AS frame_mean
         |FROM f""".stripMargin,
+    // RLE8-AVI oracle: every doc becomes a 2-frame MS-RLE8 AVI with an
+    // INVERTED palette (index i -> gray 255-i); frame 0's pixel i is
+    // md5 byte of token (i mod ntokens) (absolute-mode coding), frame 1
+    // is constant at token 0's byte (run-mode coding). The oracle
+    // recomputes the 255-complemented means; the engine earns them
+    // through RIFF walk -> strf parse -> RLE8 expand -> palette.
+    "mm_rle_frames" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ 255 - ((strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1)
+        |      for i in range(0, 72) ] AS px
+        |  FROM t
+        |)
+        |SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS frame_idx,
+        |  'rle8' AS codec, CAST(9 AS INTEGER) AS width,
+        |  CAST(8 AS INTEGER) AS height,
+        |  list_sum(px) / 72.0 AS frame_mean
+        |FROM g
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INTEGER), 'rle8', CAST(9 AS INTEGER),
+        |  CAST(8 AS INTEGER), CAST(px[1] AS DOUBLE)
+        |FROM g""".stripMargin,
     // Embedding near-dup at cosine >= 0.9: exact all-pairs oracle (the
     // corpus has no such pairs — both sides must agree on empty).
     "sim_near_dup" ->

@@ -14,7 +14,11 @@ package graft.ops
   *   - GIF: from-scratch LZW decode of the first frame's index stream
   *     (variable code width, clear/end codes, KwKwK case), palette
   *     collapse, 4-pass interlace.
-  *   - AVI: uncompressed (`##db`) frame extraction from the RIFF tree.
+  *   - AVI: uncompressed (`##db`) frame extraction from the RIFF
+  *     tree; compressed (`##dc`) streams self-described by a `strf`
+  *     BITMAPINFOHEADER — Microsoft RLE8 (`biCompression = 1`)
+  *     expanded from scratch with its color table; headerless MJPEG
+  *     sniffed per chunk.
   *   - JPEG: baseline sequential-Huffman decode from scratch ([[Jpeg]]:
   *     DQT/DHT/DRI/SOF0-1/SOS, restart markers, dequant + IDCT),
   *     luma plane only.
@@ -23,9 +27,9 @@ package graft.ops
   * grayscale buffer (images: BT.601 integer luma; audio: 16-bit
   * samples quantized to bytes) — so the downstream feature pipeline
   * (histogram/mean/thumbnail in [[Multimodal]]) is format-agnostic.
-  * Only non-MJPEG compressed AVI streams and arithmetic-coded JPEG
-  * remain behind [[Multimodal.FakeCodec]]'s declared stub (progressive
-  * JPEG decodes to its DC-scan 1/8-scale preview, kind `jpeg_dc`).
+  * Only compressed AVI codecs other than MJPEG/RLE8 and
+  * arithmetic-coded JPEG remain behind [[Multimodal.FakeCodec]]'s
+  * declared stub.
   *
   * Pinned by MultimodalSpec against hand-assembled container bytes
   * (known pixels → hand-applied filters → deflate → decode must
@@ -436,6 +440,141 @@ object Codecs {
     */
   private[graft] def aviFrames(b: Array[Byte]): Option[Vector[Array[Byte]]] =
     aviFrameChunks(b).map(_.collect { case (false, f) => f })
+
+  /** Declared video-stream format of an AVI: the first `vids` stream's
+    * `strf` BITMAPINFOHEADER (compression fourcc/code, bit depth) plus
+    * its color table collapsed to a 256-entry grayscale LUT (each
+    * RGBQUAD through the same BT.601 integer luma as every other
+    * decoder here; entries past the declared `biClrUsed` stay identity
+    * so an 8bpp stream with a short palette still resolves). This is
+    * how a real AVI reader decides what `##dc` chunks contain —
+    * headerless fixtures (no `strl` LIST) return None and consumers
+    * fall back to per-chunk sniffing (MJPEG).
+    */
+  final case class AviFormat(
+      compression: Int, bitCount: Int, grayLut: Array[Byte])
+
+  /** BI_RLE8 — the `biCompression` code for Microsoft RLE8. */
+  private[graft] val BiRle8 = 1
+
+  private[graft] def aviVideoFormat(b: Array[Byte]): Option[AviFormat] = {
+    if (b == null || b.length < 12 || b(0) != 'R' || b(1) != 'I' ||
+      b(2) != 'F' || b(3) != 'F' || b(8) != 'A' || b(9) != 'V' ||
+      b(10) != 'I' || b(11) != ' ')
+      return None
+    def listIs(p: Int, kind: String): Boolean =
+      p + 12 <= b.length && b(p) == 'L' && b(p + 1) == 'I' &&
+        b(p + 2) == 'S' && b(p + 3) == 'T' &&
+        b(p + 8) == kind(0) && b(p + 9) == kind(1) &&
+        b(p + 10) == kind(2) && b(p + 11) == kind(3)
+    def fourccIs(p: Int, t: String): Boolean =
+      p + 4 <= b.length && b(p) == t(0) && b(p + 1) == t(1) &&
+        b(p + 2) == t(2) && b(p + 3) == t(3)
+    MediaHeaders.Riff.walk[AviFormat](b, 12L, b.length.toLong) { (p, size) =>
+      if (!listIs(p, "hdrl")) None
+      else {
+        val hdrlEnd = math.min(p + 8L + size, b.length.toLong)
+        MediaHeaders.Riff.walk[AviFormat](b, p + 12L, hdrlEnd) { (sp, ssize) =>
+          if (!listIs(sp, "strl")) None
+          else {
+            val strlEnd = math.min(sp + 8L + ssize, b.length.toLong)
+            // a strl describes ONE stream: require its strh to be video
+            val isVids = MediaHeaders.Riff.walk[Boolean](
+              b, sp + 12L, strlEnd) { (cp, _) =>
+                if (fourccIs(cp, "strh")) Some(fourccIs(cp + 8, "vids"))
+                else None
+              }.getOrElse(false)
+            if (!isVids) None
+            else MediaHeaders.Riff.walk[AviFormat](
+              b, sp + 12L, strlEnd) { (cp, cs) =>
+                if (!fourccIs(cp, "strf") || cs < 40 ||
+                  cp + 8L + cs > b.length) None
+                else {
+                  val d = cp + 8
+                  val bitCount = le16(b, d + 14)
+                  val compression = le32(b, d + 16)
+                  val declared = le32(b, d + 32) // biClrUsed; 0 = 2^bpp
+                  val entries = math.min(
+                    if (declared != 0) declared
+                    else if (bitCount > 0 && bitCount <= 8) 1 << bitCount
+                    else 0,
+                    ((cs - 40) / 4).toInt)
+                  val lut = Array.tabulate(256)(_.toByte) // identity tail
+                  var i = 0
+                  while (i < entries && i < 256) {
+                    val q = d + 40 + i * 4 // RGBQUAD: blue, green, red, 0
+                    lut(i) = luma(u8(b, q + 2), u8(b, q + 1), u8(b, q))
+                    i += 1
+                  }
+                  Some(AviFormat(compression, bitCount, lut))
+                }
+              }
+          }
+        }
+      }
+    }
+  }
+
+  /** Microsoft RLE8 frame decode (BI_RLE8, the `biCompression = 1`
+    * codec of 8bpp AVIs and BMPs): bottom-up rows of (count, index)
+    * run pairs with the three escapes — end-of-line `00 00`,
+    * end-of-bitmap `00 01`, position delta `00 02 dx dy` — and
+    * absolute mode `00 n≥3` (n literal indices, word-aligned).
+    * Pixels the stream never touches (possible after a delta or a
+    * short row) take index 0, the conventional background. Output is
+    * the top-down grayscale surface every other decoder produces,
+    * indices resolved through `grayLut`. None on any structural
+    * violation: overrun past the row/bitmap edge, a truncated run or
+    * escape, or a stream that ends without end-of-bitmap — the same
+    * all-or-nothing contract as the rest of the codec set.
+    */
+  private[graft] def rle8Decode(
+      data: Array[Byte], w: Int, h: Int,
+      grayLut: Array[Byte]): Option[Array[Byte]] = {
+    if (!saneDims(w, h) || grayLut.length != 256) return None
+    val idx = new Array[Byte](w * h) // bottom-up index surface
+    var x = 0
+    var y = 0 // bitmap space: row 0 is the BOTTOM row
+    var i = 0
+    var done = false
+    while (!done) {
+      if (i + 2 > data.length) return None // ran out before EOB
+      val n = u8(data, i)
+      val v = u8(data, i + 1)
+      i += 2
+      if (n > 0) {
+        if (y >= h || x + n > w) return None
+        var k = y * w + x
+        val end = k + n
+        while (k < end) { idx(k) = v.toByte; k += 1 }
+        x += n
+      } else v match {
+        case 0 => x = 0; y += 1 // end of line
+        case 1 => done = true // end of bitmap
+        case 2 => // delta: skip right dx, up dy (bitmap space)
+          if (i + 2 > data.length) return None
+          x += u8(data, i); y += u8(data, i + 1); i += 2
+          if (x > w || y > h) return None
+        case lit => // absolute: lit literal indices, word-aligned
+          if (y >= h || x + lit > w) return None
+          if (i + lit + (lit & 1) > data.length) return None
+          System.arraycopy(data, i, idx, y * w + x, lit)
+          x += lit
+          i += lit + (lit & 1)
+      }
+    }
+    val gray = new Array[Byte](w * h)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        gray(yy * w + xx) = grayLut(u8(idx, (h - 1 - yy) * w + xx))
+        xx += 1
+      }
+      yy += 1
+    }
+    Some(gray)
+  }
 
   /** All video frame chunks of an AVI's `movi` LIST, tagged compressed
     * (`##dc` — e.g. MJPEG, where each chunk is a complete baseline

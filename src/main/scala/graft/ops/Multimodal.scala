@@ -16,9 +16,9 @@ import org.apache.spark.sql.functions._
   * (from-scratch LZW), and baseline JPEG (from-scratch Huffman +
   * IDCT, [[Jpeg]]) payloads into actual pixels/samples, and walks
   * AVI frames — uncompressed `00db` DIBs parsed directly, MJPEG
-  * `00dc` chunks through the real JPEG decoder; progressive JPEG
-  * yields its DC-first-scan 1/8-scale preview (kind `jpeg_dc`). Only
-  * non-MJPEG compressed AVI streams, arithmetic-coded JPEG, and
+  * `00dc` chunks through the real JPEG decoder, RLE8 `00dc` chunks
+  * through the `strf`-described RLE expansion. Only compressed AVI
+  * codecs other than MJPEG/RLE8, arithmetic-coded JPEG, and
   * unrecognized bytes fall back to [[FakeCodec]] — an
   * explicitly-marked STUB that interprets payload bytes as pixels. The Spark-side contract — schema, partitioning,
   * batch shape, feature layout — is identical on both paths; the
@@ -49,7 +49,7 @@ object Multimodal {
       thumbnail: Array[Byte])   // 4x4 average-pooled "pixels"
 
   /** STUB codec — deterministic fake for the formats whose decode we
-    * don't reimplement (non-MJPEG compressed AVI streams,
+    * don't reimplement (compressed AVI codecs other than MJPEG/RLE8,
     * arithmetic-coded JPEG) and for unrecognized bytes.
     * PNG/BMP/WAV/GIF/baseline-JPEG payloads never reach it:
     * [[Codecs]] decodes those for real (from-scratch — Inflater,
@@ -305,6 +305,51 @@ object Multimodal {
         }
       }
       .toDF("media_id", "frame_idx", "frame_bytes", "frame_mean")
+  }
+
+  /** Fully-oracled RLE8 feature relation: each document becomes a
+    * 2-frame Microsoft-RLE8 AVI ([[PerceptualHash.encodeRle8Avi]]) —
+    * frame 0 is the 9×8 md5-token grid (mostly literal pixels →
+    * absolute-mode coding), frame 1 is constant (run-mode coding) —
+    * written with an INVERTED color table (index i → gray 255−i), so
+    * the palette lookup is load-bearing: a decoder that ignored the
+    * `strf` color table would return the raw indices and every mean
+    * would be wrong. The engine decodes through the real chain
+    * (RIFF walk → `strf` parse → RLE8 expand → palette) and emits the
+    * per-frame pixel mean; the oracle recomputes 255−byte means from
+    * the same md5 derivation ([[realMediaTable]]'s technique). Shape
+    * at scale: row-local encode+decode inside one documents scan — no
+    * shuffle, no driver state.
+    */
+  def rleFrameFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val inverted = Array.tabulate(256)(i => (255 - i).toByte)
+        def tokByte(toks: Seq[String], i: Int): Byte =
+          md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+        it.flatMap { case (id, toks) =>
+          val grid = Array.tabulate(9 * 8)(i => tokByte(toks, i))
+          val flat = Array.fill(9 * 8)(tokByte(toks, 0))
+          val avi = PerceptualHash.encodeRle8Avi(Seq(grid, flat), 9, 8,
+            inverted)
+          val (w, h, grays) = PerceptualHash.aviFrameGrays(avi)
+            .getOrElse(throw new IllegalStateException(
+              s"rle8 fixture failed to decode for doc $id"))
+          grays.zipWithIndex.map { case (g, fi) =>
+            var sum = 0L
+            var i = 0
+            while (i < g.length) { sum += g(i) & 0xff; i += 1 }
+            (id, fi, "rle8", w, h, sum.toDouble / g.length)
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "codec", "width", "height",
+        "frame_mean")
   }
 
   /** Payload metadata relation (fully oracle-able): id, declared type,

@@ -170,10 +170,13 @@ object PerceptualHash {
     }), compressed = false, w, h)
 
   /** Shared RIFF/AVI skeleton: `hdrl`/`avih` header + one `movi` LIST
-    * of per-frame chunks (`00db` raw DIB or `00dc` compressed).
+    * of per-frame chunks (`00db` raw DIB or `00dc` compressed). When
+    * `strl` is given it is appended inside `hdrl` after `avih` — the
+    * stream-description LIST a self-describing codec (RLE8) needs.
     */
   private def aviContainer(
-      frameData: Seq[Array[Byte]], compressed: Boolean, w: Int, h: Int
+      frameData: Seq[Array[Byte]], compressed: Boolean, w: Int, h: Int,
+      strl: Option[Array[Byte]] = None
   ): Array[Byte] = {
     require(frameData.nonEmpty, "AVI needs at least one frame")
     val avih = new Array[Byte](56)
@@ -194,9 +197,118 @@ object PerceptualHash {
       chunk("LIST", kind.getBytes("US-ASCII") ++ children)
     val fourcc = if (compressed) "00dc" else "00db"
     val body = "AVI ".getBytes("US-ASCII") ++
-      list("hdrl", chunk("avih", avih)) ++
+      list("hdrl", chunk("avih", avih) ++ strl.getOrElse(Array.emptyByteArray)) ++
       list("movi", frameData.flatMap(d => chunk(fourcc, d)).toArray)
     chunk("RIFF", body)
+  }
+
+  /** Microsoft-RLE8 AVI encoder: a self-describing container — `strl`
+    * LIST with a `vids`/`MRLE` `strh` and a `strf` BITMAPINFOHEADER
+    * declaring `biCompression = BI_RLE8`, 8bpp, and a 256-entry
+    * RGBQUAD color table — plus one `00dc` RLE8-compressed chunk per
+    * frame. Input frames are top-down w×h palette-index surfaces;
+    * `palette` maps index → gray level and is written as the neutral
+    * RGBQUAD (v,v,v,0), which survives the decoder's BT.601 integer
+    * luma bit-exactly (equal channels collapse to the channel value).
+    * Write-side twin of [[Codecs.aviVideoFormat]] +
+    * [[Codecs.rle8Decode]].
+    */
+  def encodeRle8Avi(
+      frames: Seq[Array[Byte]], w: Int, h: Int,
+      palette: Array[Byte] = Array.tabulate(256)(_.toByte)): Array[Byte] = {
+    require(palette.length == 256, "RLE8 palette must have 256 entries")
+    require(frames.forall(_.length == w * h),
+      s"every frame must be ${w}x$h indices")
+    def le32At(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
+      a(i + 2) = (v >> 16).toByte; a(i + 3) = (v >> 24).toByte
+    }
+    def le16At(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
+    }
+    def put4cc(a: Array[Byte], i: Int, t: String): Unit =
+      t.zipWithIndex.foreach { case (c, k) => a(i + k) = c.toByte }
+    val strh = new Array[Byte](56)
+    put4cc(strh, 0, "vids"); put4cc(strh, 4, "MRLE")
+    le32At(strh, 32, frames.length) // dwLength
+    val strf = new Array[Byte](40 + 256 * 4)
+    le32At(strf, 0, 40) // biSize
+    le32At(strf, 4, w); le32At(strf, 8, h)
+    le16At(strf, 12, 1) // biPlanes
+    le16At(strf, 14, 8) // biBitCount
+    le32At(strf, 16, Codecs.BiRle8)
+    le32At(strf, 32, 256) // biClrUsed
+    var i = 0
+    while (i < 256) {
+      val v = palette(i)
+      val q = 40 + i * 4
+      strf(q) = v; strf(q + 1) = v; strf(q + 2) = v // b, g, r
+      i += 1
+    }
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + data.length + (data.length & 1))
+      put4cc(out, 0, fourcc)
+      le32At(out, 4, data.length)
+      System.arraycopy(data, 0, out, 8, data.length)
+      out
+    }
+    val strl = chunk("LIST",
+      "strl".getBytes("US-ASCII") ++ chunk("strh", strh) ++ chunk("strf", strf))
+    aviContainer(frames.map(rle8Encode(_, w, h)), compressed = true, w, h,
+      Some(strl))
+  }
+
+  /** RLE8-compress one top-down index frame: bottom-up rows, encoded
+    * runs for stretches of ≥3 equal indices, absolute mode for
+    * literal stretches of ≥3 (word-aligned), single (1,v)/(2,v) pairs
+    * for the short leftovers, end-of-line after every row,
+    * end-of-bitmap last. Every pixel is written — the encoder never
+    * emits deltas, so decode is total (no index-0 backfill on this
+    * producer's output).
+    */
+  private def rle8Encode(idx: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var y = h - 1
+    while (y >= 0) { // file order is bottom-up
+      val row = y * w
+      var x = 0
+      while (x < w) {
+        var run = 1
+        while (x + run < w && run < 255 && idx(row + x + run) == idx(row + x))
+          run += 1
+        if (run >= 3) {
+          out.write(run); out.write(idx(row + x) & 0xff)
+          x += run
+        } else {
+          // literal stretch: extend until the next ≥3 run or 255 cap
+          var end = x + run
+          var endRun = 0
+          while (end < w && end - x < 253 && endRun < 3) {
+            endRun = 1
+            while (end + endRun < w && endRun < 3 &&
+              idx(row + end + endRun) == idx(row + end)) endRun += 1
+            if (endRun < 3) end += endRun
+          }
+          val lit = end - x
+          if (lit >= 3) {
+            out.write(0); out.write(lit)
+            var k = 0
+            while (k < lit) { out.write(idx(row + x + k) & 0xff); k += 1 }
+            if ((lit & 1) == 1) out.write(0) // word alignment
+          } else {
+            var k = 0
+            while (k < lit) {
+              out.write(1); out.write(idx(row + x + k) & 0xff); k += 1
+            }
+          }
+          x = end
+        }
+      }
+      out.write(0); out.write(0) // end of line
+      y -= 1
+    }
+    out.write(0); out.write(1) // end of bitmap
+    out.toByteArray
   }
 
   /** Minimal baseline-JPEG encoder for BLOCK-CONSTANT grayscale images
@@ -334,27 +446,37 @@ object PerceptualHash {
     }
 
   /** Decode every frame of an AVI payload to grayscale: (width,
-    * height, per-frame gray buffers). `##db` chunks parse as raw DIBs;
-    * `##dc` chunks go through [[Jpeg.decode]] (MJPEG — the one
-    * compressed AVI codec that is just a JPEG per frame) and must
+    * height, per-frame gray buffers). `##db` chunks parse as raw DIBs.
+    * `##dc` chunks dispatch on the container's declared stream format
+    * ([[Codecs.aviVideoFormat]]) the way a real AVI reader does: a
+    * `strf` declaring `BI_RLE8` routes through [[Codecs.rle8Decode]]
+    * with its color table; anything else — including the headerless
+    * fixtures that predate `strl` support — falls back to
+    * [[Jpeg.decode]] (MJPEG, a complete JPEG per chunk) and must
     * match the container dims. None when the payload is not an AVI or
     * ANY frame fails to parse — the all-or-nothing contract
     * [[videoHash]] relies on. Shared with
     * [[Multimodal.extractFeatures]]'s real-decode video branch.
     */
   private[graft] def aviFrameGrays(
-      payload: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] =
+      payload: Array[Byte]): Option[(Int, Int, Vector[Array[Byte]])] = {
+    val fmt = Codecs.aviVideoFormat(payload)
     for {
       hdr <- MediaHeaders.sniff(payload) if hdr.format == "avi"
       chunks <- Codecs.aviFrameChunks(payload) if chunks.nonEmpty
       grays = chunks.flatMap {
         case (false, dib) => dibToGray(dib, hdr.width, hdr.height)
-        case (true, jpg) => Jpeg.decode(jpg).collect {
-          case d if d.width == hdr.width && d.height == hdr.height => d.gray
+        case (true, data) => fmt match {
+          case Some(f) if f.compression == Codecs.BiRle8 && f.bitCount == 8 =>
+            Codecs.rle8Decode(data, hdr.width, hdr.height, f.grayLut)
+          case _ => Jpeg.decode(data).collect {
+            case d if d.width == hdr.width && d.height == hdr.height => d.gray
+          }
         }
       }
       if grays.length == chunks.length
     } yield (hdr.width, hdr.height, grays.toVector)
+  }
 
   /** Minimal PCM WAV encoder (8-bit mono, the losslessly-decodable
     * subset of [[Codecs.wav]]) — write-side twin like [[encodeBmp]].

@@ -521,4 +521,89 @@ class MultimodalSpec extends SparkSpec {
     val plan = MediaHeaders.inventory(rows).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  // ---- Microsoft RLE8 AVI ----
+
+  private val identityLut: Array[Byte] = Array.tabulate(256)(_.toByte)
+
+  test("RLE8: hand-built stream — runs, absolute mode, delta, EOL, EOB") {
+    import graft.ops.Codecs
+    // 4x3 image, bottom-up stream: bottom row one run; middle row
+    // absolute(3)+pad then a 1-run; top row delta-skips 2 (index-0
+    // backfill) then a 2-run.
+    val stream = Array[Byte](
+      4, 7, 0, 0, // run of four 7s; EOL
+      0, 3, 1, 2, 3, 0, 1, 9, 0, 0, // absolute 1,2,3 (padded); (1,9); EOL
+      0, 2, 2, 0, 2, 5, 0, 0, // delta +2,+0; run of two 5s; EOL
+      0, 1) // EOB
+    val got = Codecs.rle8Decode(stream, 4, 3, identityLut).get
+    assert(got.sameElements(Array[Byte](
+      0, 0, 5, 5, // top (visual) row: delta left indices 0
+      1, 2, 3, 9,
+      7, 7, 7, 7)))
+    // palette lookup is applied: inverted LUT complements every pixel
+    val inv = Array.tabulate(256)(i => (255 - i).toByte)
+    val comp = Codecs.rle8Decode(stream, 4, 3, inv).get
+    assert(comp.zip(got).forall { case (c, g) => (c & 0xff) == 255 - (g & 0xff) })
+  }
+
+  test("RLE8: malformed streams decline — no EOB, row overrun, truncation") {
+    import graft.ops.Codecs
+    val lut = identityLut
+    // stream ends without end-of-bitmap
+    assert(Codecs.rle8Decode(Array[Byte](4, 7, 0, 0), 4, 1, lut).isEmpty)
+    // run overruns the row edge
+    assert(Codecs.rle8Decode(Array[Byte](5, 7, 0, 0, 0, 1), 4, 1, lut).isEmpty)
+    // absolute mode longer than the remaining bytes
+    assert(Codecs.rle8Decode(Array[Byte](0, 4, 1, 2), 4, 1, lut).isEmpty)
+    // more rows than the bitmap has
+    assert(Codecs.rle8Decode(
+      Array[Byte](4, 7, 0, 0, 4, 8, 0, 0, 0, 1), 4, 1, lut).isEmpty)
+  }
+
+  test("RLE8 AVI: self-describing container round-trips; palette survives") {
+    import graft.ops.{Codecs, PerceptualHash}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val noisy = Array.tabulate[Byte](9 * 8)(i => md.digest(s"t$i".getBytes)(0))
+    val flat = Array.fill[Byte](9 * 8)(42)
+    val avi = PerceptualHash.encodeRle8Avi(Seq(noisy, flat), 9, 8)
+    // the container declares its codec the way a real reader expects
+    val fmt = Codecs.aviVideoFormat(avi).get
+    assert(fmt.compression == Codecs.BiRle8 && fmt.bitCount == 8)
+    val (w, h, grays) = PerceptualHash.aviFrameGrays(avi).get
+    assert(w == 9 && h == 8 && grays.length == 2)
+    assert(grays(0).sameElements(noisy) && grays(1).sameElements(flat))
+    // inverted palette: decoded output is the complement of the indices
+    val inv = Array.tabulate(256)(i => (255 - i).toByte)
+    val (_, _, complemented) =
+      PerceptualHash.aviFrameGrays(
+        PerceptualHash.encodeRle8Avi(Seq(noisy), 9, 8, inv)).get
+    assert(complemented.head.zip(noisy).forall {
+      case (c, o) => (c & 0xff) == 255 - (o & 0xff)
+    })
+    // headerless fixtures keep the MJPEG fallback: no strl -> no format
+    val mjpeg = PerceptualHash.encodeMjpegAvi(
+      Seq(Array.fill[Byte](2)(130.toByte)), 2, 1)
+    assert(Codecs.aviVideoFormat(mjpeg).isEmpty)
+    assert(PerceptualHash.aviFrameGrays(mjpeg).isDefined)
+  }
+
+  test("rleFrameFeatures matches the generative derivation end-to-end") {
+    import graft.ops.Multimodal
+    val out = Multimodal.rleFrameFeatures(spark, sf())
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getString(2), r.getInt(3), r.getInt(4), r.getDouble(5)))).toMap
+    assert(out.nonEmpty && out.size % 2 == 0)
+    // independent recomputation for one doc
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "lower(text) AS t").collect()
+    val (id, text) = (docs.head.getLong(0), docs.head.getString(1))
+    val toks = text.split("\\s+").toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def b(i: Int): Int =
+      255 - (md.digest(toks(i % toks.size).getBytes("UTF-8"))(0) & 0xff)
+    val mean0 = (0 until 72).map(b).sum / 72.0
+    assert(out((id, 0)) == (("rle8", 9, 8, mean0)))
+    assert(out((id, 1)) == (("rle8", 9, 8, b(0).toDouble)))
+  }
 }
