@@ -377,6 +377,7 @@ object SparkEntry {
     // per-frame byte length and pixel mean, both oracle-recomputed
     "mm_frames" -> ((s, dir) => Multimodal.frameFeatures(s, dir)),
     "mm_rle_frames" -> ((s, dir) => Multimodal.rleFrameFeatures(s, dir)),
+    "mm_arith_features" -> ((s, dir) => Multimodal.arithJpegFeatures(s, dir)),
     // REAL container sniffing (PNG/BMP/GIF/JPEG/WAV headers, no codec
     // needed) — on this fixture every payload is arbitrary text bytes,
     // so the oracle pins the no-false-positive contract: all rows
@@ -1979,6 +1980,27 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, CAST(1 AS INTEGER), 'rle8', CAST(9 AS INTEGER),
         |  CAST(8 AS INTEGER), CAST(px[1] AS DOUBLE)
+        |FROM g""".stripMargin,
+    // Arithmetic-JPEG oracle: doc -> 4x2-block SOF9 grayscale JPEG
+    // (QM-coded, flat quant, block i = md5 byte of token i); the
+    // 32x16 pixel mean is mean(bytes 0..7). Even docs add restart
+    // markers — same decoded result by construction.
+    "mm_arith_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 8) ] AS px
+        |  FROM t
+        |)
+        |SELECT doc_id AS media_id, 'jpeg_arith' AS decoder,
+        |  CAST(32 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |  list_sum(px) / 8.0 AS gray_mean
         |FROM g""".stripMargin,
     // Embedding near-dup at cosine >= 0.9: exact all-pairs oracle (the
     // corpus has no such pairs — both sides must agree on empty).

@@ -19,17 +19,18 @@ package graft.ops
   *     BITMAPINFOHEADER — Microsoft RLE8 (`biCompression = 1`)
   *     expanded from scratch with its color table; headerless MJPEG
   *     sniffed per chunk.
-  *   - JPEG: baseline sequential-Huffman decode from scratch ([[Jpeg]]:
-  *     DQT/DHT/DRI/SOF0-1/SOS, restart markers, dequant + IDCT),
-  *     luma plane only.
+  *   - JPEG: sequential decode from scratch ([[Jpeg]]:
+  *     DQT/DHT/DRI/SOF0-1/SOS, restart markers, dequant + IDCT) with
+  *     BOTH entropy codings — baseline Huffman and SOF9 QM-arithmetic
+  *     ([[JpegArith]]) — plus multi-scan progressive (SOF2); luma
+  *     plane on this surface, full chroma via `Jpeg.decodeColor`.
   *
   * Everything decodes to one normalized surface — an unsigned-byte
   * grayscale buffer (images: BT.601 integer luma; audio: 16-bit
   * samples quantized to bytes) — so the downstream feature pipeline
   * (histogram/mean/thumbnail in [[Multimodal]]) is format-agnostic.
-  * Only compressed AVI codecs other than MJPEG/RLE8 and
-  * arithmetic-coded JPEG remain behind [[Multimodal.FakeCodec]]'s
-  * declared stub.
+  * Only compressed AVI codecs other than MJPEG/RLE8 remain behind
+  * [[Multimodal.FakeCodec]]'s declared stub.
   *
   * Pinned by MultimodalSpec against hand-assembled container bytes
   * (known pixels → hand-applied filters → deflate → decode must

@@ -29,9 +29,14 @@ package graft.ops
   *     are skipped by marker search without entropy decoding —
   *     chroma AC is the bulk of a progressive stream's bits, all of
   *     it bypassed on the grayscale surface.
-  *   - Arithmetic coding (SOF9+), 12-bit precision, and DNL decline
-  *     to None — callers fall back to the declared stub, same
-  *     contract as every other [[Codecs]] path.
+  *   - Sequential arithmetic coding (SOF9) decodes for real through
+  *     the QM coder + Annex F statistical model ([[JpegArith]]),
+  *     including DAC conditioning and restart re-initialization;
+  *     kind `jpeg_arith`.
+  *   - Progressive-arithmetic (SOF10), lossless/differential modes,
+  *     12-bit precision, and DNL decline to None — callers fall back
+  *     to the declared stub, same contract as every other [[Codecs]]
+  *     path.
   *
   * All sizes/dims are validated against attacker-controlled input
   * (same adversarial contract as [[MediaHeaders]]): a malformed blob
@@ -229,6 +234,8 @@ object Jpeg {
     var height = 0
     var restartInterval = 0
     var progressive = false
+    var arith = false
+    val cond = new JpegArith.Conditioning
 
     var p = 2
     while (p + 4 <= b.length) {
@@ -245,9 +252,12 @@ object Jpeg {
           if (!parseDqt(b, seg, p + 2 + len, quant)) return None
         case 0xc4 => // DHT: one or more (Tc|Th, counts[16], symbols)
           if (!parseDht(b, seg, p + 2 + len, dcTabs, acTabs)) return None
-        case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
+        case 0xc0 | 0xc1 | 0xc2 | 0xc9 =>
+          // SOF0/1 sequential Huffman, SOF2 progressive Huffman,
+          // SOF9 sequential arithmetic
           if (comps != null) return None
           progressive = m == 0xc2
+          arith = m == 0xc9
           if (u8(b, seg) != 8) return None // 8-bit precision only
           height = be16(b, seg + 1)
           width = be16(b, seg + 3)
@@ -263,9 +273,30 @@ object Jpeg {
               return None
             c
           }
-        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xca | 0xcb |
             0xcd | 0xce | 0xcf =>
-          return None // lossless / differential / arithmetic: unsupported
+          // lossless / differential / progressive-arithmetic:
+          // unsupported (sequential arithmetic SOF9 is handled above)
+          return None
+        case 0xcc => // DAC: arithmetic conditioning (Tc|Tb, value) pairs
+          var q = seg
+          while (q + 2 <= p + 2 + len) {
+            val tc = u8(b, q) >> 4
+            val tb = u8(b, q) & 15
+            val v = u8(b, q + 1)
+            if (tb > 3) return None
+            if (tc == 0) {
+              val l = v & 15
+              val u = v >> 4
+              if (l > u) return None
+              cond.dcL(tb) = l; cond.dcU(tb) = u
+            } else if (tc == 1) {
+              if (v < 1 || v > 63) return None
+              cond.acK(tb) = v
+            } else return None
+            q += 2
+          }
+          if (q != p + 2 + len) return None
         case 0xdd => // DRI
           if (len != 4) return None
           restartInterval = be16(b, seg)
@@ -290,6 +321,9 @@ object Jpeg {
             return decodeProgressive(b, p, comps, quant, dcTabs, acTabs,
               restartInterval, width, height).map(Left(_))
           }
+          if (arith)
+            return decodeScanArith(b, p + 2 + len, comps, quant, cond,
+              width, height, restartInterval, color)
           // Ss=0, Se=63, Ah=Al=0 for sequential; tolerate the bytes
           return decodeScan(b, p + 2 + len, comps, quant, dcTabs, acTabs,
             width, height, restartInterval, color)
@@ -366,6 +400,84 @@ object Jpeg {
       Some(Right(ColorDecoded(width, height,
         comps.indices.map(i => Plane(planeW(i), planeH(i), planes(i))))))
     else Some(Left(Codecs.Decoded("jpeg", width, height, planes(0))))
+  }
+
+  /** Sequential arithmetic-coded scan (SOF9): same MCU walk and IDCT
+    * as [[decodeScan]], but blocks come from the QM decoder +
+    * Annex F statistical model ([[JpegArith]]). Restart markers reset
+    * the coder, the statistics areas, the DC contexts and predictors
+    * (T.81 F.2.1.3.1); entropy data stops AT markers (the QM decoder
+    * feeds zeros past them), so restarts are located by scanning for
+    * the first unstuffed 0xFF.
+    */
+  private def decodeScanArith(
+      b: Array[Byte], scanStart: Int, comps: Array[Component],
+      quant: Array[Array[Int]], cond: JpegArith.Conditioning,
+      width: Int, height: Int, restartInterval: Int, color: Boolean)
+      : Option[Either[Codecs.Decoded, ColorDecoded]] = {
+    val hmax = comps.map(_.h).max
+    val vmax = comps.map(_.v).max
+    val luma = comps(0)
+    if (luma.h != hmax || luma.v != vmax) return None
+    for (c <- comps) if (quant(c.tq) == null) return None
+    val mcusX = (width + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (height + 8 * vmax - 1) / (8 * vmax)
+    val planeW = comps.map(c => (width * c.h + hmax - 1) / hmax)
+    val planeH = comps.map(c => (height * c.v + vmax - 1) / vmax)
+    val planes = Array.tabulate(comps.length) { i =>
+      if (i == 0 || color) new Array[Byte](planeW(i) * planeH(i)) else null
+    }
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val dec = new JpegArith.Decoder(b, scanStart, b.length)
+    val stats = new JpegArith.Stats(comps.length)
+    var mcu = 0
+    val totalMcus = mcusX * mcusY
+    var rstIdx = 0
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        // locate the marker: stuffing guarantees the first 0xFF not
+        // followed by 0x00 IS a marker
+        var q = dec.pos
+        while (q + 1 < b.length &&
+          !((b(q) & 0xff) == 0xff && (b(q + 1) & 0xff) != 0x00)) q += 1
+        if (q + 1 >= b.length ||
+          (b(q + 1) & 0xff) != (0xd0 + (rstIdx & 7))) corrupt()
+        dec.pos = q + 2
+        dec.reinit()
+        stats.reset()
+        rstIdx = (rstIdx + 1) & 7
+        comps.foreach(_.pred = 0)
+      }
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var ci = 0
+      while (ci < comps.length) {
+        val c = comps(ci)
+        val keep = ci == 0 || color
+        var by = 0
+        while (by < c.v) {
+          var bx = 0
+          while (bx < c.h) {
+            java.util.Arrays.fill(coef, 0)
+            c.pred = JpegArith.decodeBlock(dec, stats, cond, ci,
+              c.dcTab, c.acTab, c.pred, coef, ZigZag, () => corrupt())
+            if (keep)
+              idctInto(coef, quant(c.tq), tmp, planes(ci),
+                planeW(ci), planeH(ci),
+                (mx * c.h + bx) * 8, (my * c.v + by) * 8)
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      mcu += 1
+    }
+    if (color)
+      Some(Right(ColorDecoded(width, height,
+        comps.indices.map(i => Plane(planeW(i), planeH(i), planes(i))))))
+    else Some(Left(Codecs.Decoded("jpeg_arith", width, height, planes(0))))
   }
 
   /** Parse one DQT segment (possibly several tables). False = malformed. */

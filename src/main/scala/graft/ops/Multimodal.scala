@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * AVI frames — uncompressed `00db` DIBs parsed directly, MJPEG
   * `00dc` chunks through the real JPEG decoder, RLE8 `00dc` chunks
   * through the `strf`-described RLE expansion. Only compressed AVI
-  * codecs other than MJPEG/RLE8, arithmetic-coded JPEG, and
+  * codecs other than MJPEG/RLE8 and
   * unrecognized bytes fall back to [[FakeCodec]] — an
   * explicitly-marked STUB that interprets payload bytes as pixels. The Spark-side contract — schema, partitioning,
   * batch shape, feature layout — is identical on both paths; the
@@ -49,8 +49,8 @@ object Multimodal {
       thumbnail: Array[Byte])   // 4x4 average-pooled "pixels"
 
   /** STUB codec — deterministic fake for the formats whose decode we
-    * don't reimplement (compressed AVI codecs other than MJPEG/RLE8,
-    * arithmetic-coded JPEG) and for unrecognized bytes.
+    * don't reimplement (compressed AVI codecs other than MJPEG/RLE8)
+    * and for unrecognized bytes.
     * PNG/BMP/WAV/GIF/baseline-JPEG payloads never reach it:
     * [[Codecs]] decodes those for real (from-scratch — Inflater,
     * plain offsets, own LZW, own Huffman+IDCT). `decode` treats the
@@ -350,6 +350,44 @@ object Multimodal {
       }
       .toDF("media_id", "frame_idx", "codec", "width", "height",
         "frame_mean")
+  }
+
+  /** Fully-oracled arithmetic-JPEG (SOF9) feature relation: each
+    * document becomes a block-constant grayscale JPEG whose entropy
+    * data is QM-arithmetic coded ([[JpegArith.encodeGrayBlocks]] —
+    * 4×2 blocks of the md5-token bytes, flat quant, so decode is
+    * lossless by construction); even doc_ids additionally carry
+    * restart markers every 3 MCUs, exercising the coder/statistics
+    * reset path on half the corpus with an identical decoded result.
+    * The engine decodes through the real chain (SOF9/DAC parse → QM
+    * decoder → Annex F model → IDCT) and emits the pixel mean; the
+    * oracle recomputes it from the generative md5 derivation. Shape
+    * at scale: row-local encode+decode inside one documents scan — no
+    * shuffle, no driver state.
+    */
+  def arithJpegFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def tokByte(toks: Seq[String], i: Int): Byte =
+          md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+        it.map { case (id, toks) =>
+          val grid = Array.tabulate[Byte](8)(i => tokByte(toks, i))
+          val jpg = JpegArith.encodeGrayBlocks(grid, 4, 2,
+            restartInterval = if (id % 2 == 0) 3 else 0)
+          val d = Codecs.decode(jpg).getOrElse(throw new IllegalStateException(
+            s"arithmetic jpeg fixture failed to decode for doc $id"))
+          var sum = 0L
+          var i = 0
+          while (i < d.gray.length) { sum += d.gray(i) & 0xff; i += 1 }
+          (id, d.kind, d.width, d.height, sum.toDouble / d.gray.length)
+        }
+      }
+      .toDF("media_id", "decoder", "width", "height", "gray_mean")
   }
 
   /** Payload metadata relation (fully oracle-able): id, declared type,

@@ -390,6 +390,96 @@ object PerceptualHash {
     out.toByteArray
   }
 
+  /** General grayscale baseline-HUFFMAN encoder over QUANTIZED
+    * coefficient blocks (natural order, flat all-ones quant — the
+    * lossless-transform subset, like [[encodeJpegBlocks]] but with
+    * full AC run-length coding). Tables are deliberately naive —
+    * 4-bit DC category codes and a flat 9-bit code for every AC
+    * (run, size) symbol — valid canonical Huffman tables that no
+    * spec-default stream shares, so the decoder's table machinery is
+    * exercised, not memorized. Exists to cross-check the arithmetic
+    * entropy path: the same coefficients through both entropy coders
+    * must decode to identical pixels (JpegArithSpec).
+    */
+  private[graft] def encodeJpegCoefs(
+      coefBlocks: Seq[Array[Int]], bw: Int, bh: Int): Array[Byte] = {
+    require(bw > 0 && bh > 0 && coefBlocks.length == bw * bh,
+      s"block grid ${coefBlocks.length} != $bw x $bh")
+    require(coefBlocks.forall(_.length == 64), "blocks must be 8x8")
+    val zz = graft.ops.JpegArith.ZigZag
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16(0xffd8)
+    u16(0xffdb); u16(2 + 1 + 64); u8(0x00)
+    (0 until 64).foreach(_ => u8(1))
+    u16(0xffc0); u16(8 + 3); u8(8); u16(bh * 8); u16(bw * 8); u8(1)
+    u8(1); u8(0x11); u8(0)
+    // DHT DC 0: twelve 4-bit category codes
+    u16(0xffc4); u16(2 + 17 + 12); u8(0x00)
+    (1 to 16).foreach(l => u8(if (l == 4) 12 else 0))
+    (0 until 12).foreach(u8)
+    // DHT AC 0: all 256 (run, size) symbols — 255 at 9 bits + the
+    // last at 10 (a DHT length count is one byte, so 256 can't sit on
+    // a single length); canonical codes, all-ones never assigned
+    u16(0xffc4); u16(2 + 17 + 256); u8(0x10)
+    (1 to 16).foreach(l => u8(if (l == 9) 255 else if (l == 10) 1 else 0))
+    (0 until 256).foreach(u8)
+    u16(0xffda); u16(6 + 2); u8(1); u8(1); u8(0x00); u8(0); u8(63); u8(0)
+    var acc = 0
+    var nbits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def cat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    def mag(v: Int, s: Int): Int = if (v >= 0) v else v + (1 << s) - 1
+    var pred = 0
+    for (coef <- coefBlocks) {
+      val diff = coef(0) - pred
+      pred = coef(0)
+      val s = cat(diff)
+      require(s <= 11, s"DC difference $diff exceeds baseline range")
+      putBits(s, 4)
+      if (s > 0) putBits(mag(diff, s), s)
+      var ke = 63
+      while (ke > 0 && coef(zz(ke)) == 0) ke -= 1
+      var k = 1
+      var run = 0
+      while (k <= ke) {
+        val v = coef(zz(k))
+        if (v == 0) run += 1
+        else {
+          while (run >= 16) { putBits(0xf0, 9); run -= 16 } // ZRL
+          val sz = cat(v)
+          require(sz <= 10, s"AC coefficient $v exceeds baseline range")
+          putBits((run << 4) | sz, 9)
+          putBits(mag(v, sz), sz)
+          run = 0
+        }
+        k += 1
+      }
+      if (ke < 63) putBits(0x00, 9) // EOB
+    }
+    if (nbits > 0) {
+      val pad = 8 - nbits
+      acc = (acc << pad) | ((1 << pad) - 1)
+      out.write(acc & 0xff)
+      if ((acc & 0xff) == 0xff) out.write(0x00)
+    }
+    u16(0xffd9)
+    out.toByteArray
+  }
+
   /** MJPEG AVI: same RIFF skeleton as [[encodeAvi]] but `00dc` chunks,
     * each a complete [[encodeJpegBlocks]] stream. `w`/`h` are the
     * decoded frame dims written into `avih` (8·bw × 8·bh).

@@ -1,0 +1,144 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Jpeg, JpegArith, PerceptualHash}
+
+/** Arithmetic-coded JPEG (SOF9): the QM coder and the Annex F
+  * sequential model are pinned three ways — (1) raw binary round-trip
+  * through the coder pair across biased context mixes, (2) lossless
+  * block-constant image round-trip through the full container, and
+  * (3) cross-entropy equality: identical quantized coefficients
+  * encoded through BOTH entropy coders (the independently-oracled
+  * Huffman path and the arithmetic path) must decode to identical
+  * pixels, which checks the statistical model against an
+  * implementation that shares none of its code.
+  */
+class JpegArithSpec extends AnyFunSuite {
+
+  test("Table D.3 structural invariants hold") {
+    assert(JpegArith.tableInvariantsHold)
+  }
+
+  test("QM coder round-trips biased decision streams; stuffing invariant") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 20) {
+      val nCtx = 1 + rnd.nextInt(8)
+      val bias = Array.fill(nCtx)(rnd.nextDouble())
+      val n = 2000 + rnd.nextInt(3000)
+      val ctxs = Array.fill(n)(rnd.nextInt(nCtx))
+      val bits = Array.tabulate(n)(i =>
+        if (rnd.nextDouble() < bias(ctxs(i))) 1 else 0)
+      val out = new java.io.ByteArrayOutputStream()
+      val enc = new JpegArith.Encoder(out)
+      val encSt = new Array[Byte](nCtx)
+      var i = 0
+      while (i < n) { enc.encode(encSt, ctxs(i), bits(i)); i += 1 }
+      enc.flush()
+      val bytes = out.toByteArray
+      // framing: 0xFF never starts a marker inside entropy data
+      var j = 0
+      while (j < bytes.length - 1) {
+        if ((bytes(j) & 0xff) == 0xff)
+          assert((bytes(j + 1) & 0xff) == 0x00,
+            s"trial $trial: unstuffed 0xFF at $j")
+        j += 1
+      }
+      assert((bytes.last & 0xff) != 0xff, "trailing 0xFF needs its stuff byte")
+      val dec = new JpegArith.Decoder(bytes, 0, bytes.length)
+      val decSt = new Array[Byte](nCtx)
+      i = 0
+      while (i < n) {
+        assert(dec.decode(decSt, ctxs(i)) == bits(i),
+          s"trial $trial: decision $i diverged")
+        i += 1
+      }
+    }
+  }
+
+  test("block-constant arithmetic JPEG round-trips bit-exactly") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grid = Array.tabulate[Byte](5 * 4)(i => md.digest(s"g$i".getBytes)(0))
+    val jpg = JpegArith.encodeGrayBlocks(grid, 5, 4)
+    val d = Jpeg.decode(jpg).get
+    assert(d.kind == "jpeg_arith" && d.width == 40 && d.height == 32)
+    // every 8x8 block constant at its grid value
+    for (by <- 0 until 4; bx <- 0 until 5; y <- 0 until 8; x <- 0 until 8)
+      assert(d.gray((by * 8 + y) * 40 + bx * 8 + x) == grid(by * 5 + bx))
+  }
+
+  test("restart markers reset coder, statistics and predictors") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grid = Array.tabulate[Byte](7 * 3)(i => md.digest(s"r$i".getBytes)(0))
+    val plain = Jpeg.decode(JpegArith.encodeGrayBlocks(grid, 7, 3)).get
+    for (ri <- Seq(1, 3, 9)) {
+      val restarted =
+        Jpeg.decode(JpegArith.encodeGrayBlocks(grid, 7, 3, ri)).get
+      assert(restarted.gray.sameElements(plain.gray), s"interval $ri")
+    }
+  }
+
+  test("cross-entropy: same coefficients, Huffman vs arithmetic, same pixels") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 10) {
+      val bw = 1 + rnd.nextInt(4)
+      val bh = 1 + rnd.nextInt(3)
+      val blocks = Seq.tabulate(bw * bh) { _ =>
+        val c = new Array[Int](64)
+        c(0) = rnd.nextInt(2001) - 1000 // DC in [-1000, 1000]
+        // sparse AC: a few small, occasionally large magnitudes
+        val nAc = rnd.nextInt(20)
+        for (_ <- 0 until nAc) {
+          val k = 1 + rnd.nextInt(63)
+          c(JpegArith.ZigZag(k)) =
+            if (rnd.nextInt(10) == 0) rnd.nextInt(2047) - 1023
+            else rnd.nextInt(81) - 40
+        }
+        c
+      }
+      val huff = Jpeg.decode(PerceptualHash.encodeJpegCoefs(blocks, bw, bh))
+        .getOrElse(fail(s"trial $trial: huffman stream declined"))
+      val arit = Jpeg.decode(JpegArith.encodeGrayCoefs(blocks, bw, bh))
+        .getOrElse(fail(s"trial $trial: arithmetic stream declined"))
+      assert(huff.width == arit.width && huff.height == arit.height)
+      assert(huff.gray.sameElements(arit.gray),
+        s"trial $trial: entropy coders disagree on decoded pixels")
+    }
+  }
+
+  test("dense high-magnitude blocks exercise the long category chains") {
+    // every AC slot nonzero, magnitudes spanning all category chains
+    val c = new Array[Int](64)
+    c(0) = -1000
+    for (k <- 1 to 63)
+      c(JpegArith.ZigZag(k)) = (if (k % 2 == 0) 1 else -1) * ((k * 16) % 1023 + 1)
+    val blocks = Seq(c, c.map(-_), Array.fill(64)(0))
+    val huff = Jpeg.decode(PerceptualHash.encodeJpegCoefs(blocks, 3, 1)).get
+    val arit = Jpeg.decode(JpegArith.encodeGrayCoefs(blocks, 3, 1)).get
+    assert(huff.gray.sameElements(arit.gray))
+  }
+
+  test("malformed arithmetic structure declines") {
+    val good = JpegArith.encodeGrayBlocks(Array.fill[Byte](2)(7), 2, 1)
+    // progressive-arithmetic SOF10 is out of scope
+    val sof10 = good.clone()
+    val sofAt = {
+      var i = 2
+      while (!((sof10(i) & 0xff) == 0xff && (sof10(i + 1) & 0xff) == 0xc9))
+        i += 1
+      i
+    }
+    sof10(sofAt + 1) = 0xca.toByte
+    assert(Jpeg.decode(sof10).isEmpty)
+    // DAC with L > U is structurally invalid
+    val badDac = good.clone()
+    val dacAt = {
+      var i = 2
+      while (!((badDac(i) & 0xff) == 0xff && (badDac(i + 1) & 0xff) == 0xcc))
+        i += 1
+      i
+    }
+    badDac(dacAt + 5) = 0x01.toByte // DC entry value: U=0, L=1
+    assert(Jpeg.decode(badDac).isEmpty)
+  }
+}
