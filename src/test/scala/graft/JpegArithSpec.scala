@@ -118,6 +118,31 @@ class JpegArithSpec extends AnyFunSuite {
     assert(huff.gray.sameElements(arit.gray))
   }
 
+  test("corrupted entropy data never throws, never hangs") {
+    val rnd = new scala.util.Random(11)
+    val good = JpegArith.encodeGrayBlocks(
+      Array.tabulate[Byte](12)(i => (i * 21).toByte), 4, 3)
+    // locate the SOS payload start
+    var sos = 2
+    while (!((good(sos) & 0xff) == 0xff && (good(sos + 1) & 0xff) == 0xda))
+      sos += 1
+    val dataStart = sos + 2 + (((good(sos + 2) & 0xff) << 8) | (good(sos + 3) & 0xff))
+    for (_ <- 0 until 200) {
+      val fuzzed = good.clone()
+      val n = 1 + rnd.nextInt(6)
+      for (_ <- 0 until n) {
+        val at = dataStart + rnd.nextInt(fuzzed.length - dataStart)
+        fuzzed(at) = rnd.nextInt(256).toByte
+      }
+      // must terminate and either decline or decode 32x24 — the QM
+      // decoder feeds zeros past truncation/markers, the magnitude
+      // chains are bounded by the 0x8000 corruption guard
+      Jpeg.decode(fuzzed).foreach { d =>
+        assert(d.width == 32 && d.height == 24)
+      }
+    }
+  }
+
   test("malformed arithmetic structure declines") {
     val good = JpegArith.encodeGrayBlocks(Array.fill[Byte](2)(7), 2, 1)
     // progressive-arithmetic SOF10 is out of scope
