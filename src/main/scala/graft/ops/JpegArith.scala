@@ -458,6 +458,68 @@ private[graft] object JpegArith {
     out.toByteArray
   }
 
+  /** 4:2:0 COLOR arithmetic JPEG, the SOF9 twin of
+    * `Jpeg.encodeDc420`: three components (Y 2×2, Cb/Cr 1×1), all-8s
+    * quant, DC-only blocks at `value − 128`, interleaved MCU order —
+    * exercising the per-component DC conditioning contexts the
+    * grayscale path never touches. All components share conditioning
+    * table 0 (defaults via an explicit DAC).
+    */
+  private[graft] def encodeDc420Arith(
+      yBlocks: Array[Int], cb: Array[Int], cr: Array[Int],
+      mcusX: Int, mcusY: Int): Array[Byte] = {
+    require(yBlocks.length == 4 * mcusX * mcusY &&
+      cb.length == mcusX * mcusY && cr.length == mcusX * mcusY)
+    val out = new java.io.ByteArrayOutputStream()
+    def u8o(v: Int): Unit = out.write(v & 0xff)
+    def u16o(v: Int): Unit = { u8o(v >> 8); u8o(v) }
+    u16o(0xffd8)
+    u16o(0xffdb); u16o(2 + 1 + 64); u8o(0x00) // DQT 0: all 8s
+    (0 until 64).foreach(_ => u8o(8))
+    val w = 16 * mcusX
+    val h = 16 * mcusY
+    u16o(0xffc9); u16o(8 + 9); u8o(8); u16o(h); u16o(w); u8o(3) // SOF9
+    u8o(1); u8o(0x22); u8o(0) // Y 2x2
+    u8o(2); u8o(0x11); u8o(0) // Cb
+    u8o(3); u8o(0x11); u8o(0) // Cr
+    u16o(0xffcc); u16o(2 + 4) // DAC defaults
+    u8o(0x00); u8o(0x10); u8o(0x10); u8o(0x05)
+    u16o(0xffda); u16o(6 + 6); u8o(3) // SOS
+    u8o(1); u8o(0x00); u8o(2); u8o(0x00); u8o(3); u8o(0x00)
+    u8o(0); u8o(63); u8o(0)
+    val cond = new Conditioning
+    val stats = new Stats(3)
+    val enc = new Encoder(out)
+    val preds = new Array[Int](3)
+    val coef = new Array[Int](64)
+    def block(ci: Int, value: Int): Unit = {
+      java.util.Arrays.fill(coef, 0)
+      coef(0) = value - 128
+      preds(ci) = encodeBlock(enc, stats, cond, ci, 0, 0, preds(ci), coef,
+        ZigZag)
+    }
+    var mcu = 0
+    while (mcu < mcusX * mcusY) {
+      val mx = mcu % mcusX
+      val my = mcu / mcusX
+      var by = 0
+      while (by < 2) {
+        var bx = 0
+        while (bx < 2) {
+          block(0, yBlocks((my * 2 + by) * (2 * mcusX) + mx * 2 + bx))
+          bx += 1
+        }
+        by += 1
+      }
+      block(1, cb(mcu))
+      block(2, cr(mcu))
+      mcu += 1
+    }
+    enc.flush()
+    u16o(0xffd9)
+    out.toByteArray
+  }
+
   /** Block-constant grayscale arithmetic JPEG: value v becomes the
     * exact DC 8·(v−128) with zero AC — the same losslessly-codable
     * subset as the Huffman twin `encodeJpegBlocks`, so decoded pixels

@@ -118,6 +118,30 @@ class JpegArithSpec extends AnyFunSuite {
     assert(huff.gray.sameElements(arit.gray))
   }
 
+  test("color 4:2:0: arithmetic and Huffman codings decode to identical planes") {
+    val rnd = new scala.util.Random(3)
+    for (trial <- 0 until 5) {
+      val (mx, my) = (1 + rnd.nextInt(3), 1 + rnd.nextInt(2))
+      val y = Array.fill(4 * mx * my)(rnd.nextInt(256))
+      val cb = Array.fill(mx * my)(rnd.nextInt(256))
+      val cr = Array.fill(mx * my)(rnd.nextInt(256))
+      val huff = Jpeg.decodeColor(Jpeg.encodeDc420(y, cb, cr, mx, my))
+        .getOrElse(fail(s"trial $trial: huffman color declined"))
+      val arit = Jpeg.decodeColor(JpegArith.encodeDc420Arith(y, cb, cr, mx, my))
+        .getOrElse(fail(s"trial $trial: arithmetic color declined"))
+      assert(huff.width == arit.width && huff.height == arit.height)
+      assert(huff.planes.length == 3 && arit.planes.length == 3)
+      for (p <- 0 until 3)
+        assert(huff.planes(p).data.sameElements(arit.planes(p).data),
+          s"trial $trial: plane $p diverged")
+      // grayscale surface agrees too, and carries the arith kind
+      val gray = Jpeg.decode(JpegArith.encodeDc420Arith(y, cb, cr, mx, my)).get
+      assert(gray.kind == "jpeg_arith")
+      assert(gray.gray.sameElements(
+        Jpeg.decode(Jpeg.encodeDc420(y, cb, cr, mx, my)).get.gray))
+    }
+  }
+
   test("corrupted entropy data never throws, never hangs") {
     val rnd = new scala.util.Random(11)
     val good = JpegArith.encodeGrayBlocks(
