@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
-import graft.ops.{BloomIndex, Dedup, EventOps, Filtering, LshIndex,
-  MediaHeaders, Multimodal, PerceptualHash, Relational, Similarity, Sketches,
-  TextOps, TrainPrep, VectorIndex}
+import graft.ops.{BloomIndex, Bucketed, Dedup, EventOps, Filtering,
+  LshIndex, MediaHeaders, Multimodal, PerceptualHash, Relational,
+  Similarity, Sketches, TextOps, TrainPrep, VectorIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -378,6 +378,8 @@ object SparkEntry {
     "mm_frames" -> ((s, dir) => Multimodal.frameFeatures(s, dir)),
     "mm_rle_frames" -> ((s, dir) => Multimodal.rleFrameFeatures(s, dir)),
     "mm_arith_features" -> ((s, dir) => Multimodal.arithJpegFeatures(s, dir)),
+    "bucketed_join" -> ((s, dir) =>
+      Bucketed.bucketedVerdictJoin(s, dir, scratchDir("bucketed"))),
     // REAL container sniffing (PNG/BMP/GIF/JPEG/WAV headers, no codec
     // needed) — on this fixture every payload is arbitrary text bytes,
     // so the oracle pins the no-false-positive contract: all rows
@@ -1981,6 +1983,14 @@ object SparkEntry {
         |SELECT doc_id, CAST(1 AS INTEGER), 'rle8', CAST(9 AS INTEGER),
         |  CAST(8 AS INTEGER), CAST(px[1] AS DOUBLE)
         |FROM g""".stripMargin,
+    // Bucketed co-located join: bucketing is a physical layout choice,
+    // invisible to semantics — the oracle is the plain join. The plan
+    // claim (SortMergeJoin, zero Exchange) is pinned by BucketedSpec.
+    "bucketed_join" ->
+      """SELECT doc_id, source, n_chars,
+        |  CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INTEGER)
+        |    AS n_tokens
+        |FROM documents""".stripMargin,
     // Arithmetic-JPEG oracle: doc -> 4x2-block SOF9 grayscale JPEG
     // (QM-coded, flat quant, block i = md5 byte of token i); the
     // 32x16 pixel mean is mean(bytes 0..7). Even docs add restart

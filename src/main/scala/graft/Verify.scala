@@ -15,6 +15,8 @@ object Verify {
       // events.parquet stores TIMESTAMP(NANOS); Spark has no ns type —
       // read as Long and convert via EventOps.load (ns DIV 1000 → µs).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft-warehouse")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

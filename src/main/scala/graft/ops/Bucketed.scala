@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucketed co-located join — the storage-layout optimization for the
+  * joins a pipeline repeats on the same key at 100 TB.
+  *
+  * Every `dedup_*`/`decontaminate_*`/`mix_*` pass ends in a doc-keyed
+  * join (verdicts, keep-sets, features back onto the corpus). Done
+  * naively, EACH of those joins re-shuffles the full corpus on
+  * `doc_id`. The fix is to pay the shuffle once at ingest: persist
+  * the corpus (and every doc-keyed derived relation) with
+  * `bucketBy(N, "doc_id")` — then any equi-join between two relations
+  * bucketed the same way compiles with ZERO Exchange: each task reads
+  * bucket i of both sides, which hold exactly the same key slice.
+  * On a 1000-executor cluster this removes the dominant network cost
+  * of the whole verdict-application family; the bucket count is the
+  * knob that sets task granularity (N = multiple of executor slots).
+  *
+  * [[bucketedVerdictJoin]] demonstrates the full cycle: write the
+  * corpus slice and a derived per-doc stats relation as bucketed
+  * tables (same N, same key, sorted within buckets), then join them
+  * back. BucketedSpec pins on the EXECUTED plan that the join is a
+  * SortMergeJoin with no Exchange of any kind — the physical claim
+  * the scaladoc-level "a deployment would bucketBy" notes elsewhere
+  * (LshIndex, VectorIndex) now have a working, spec-pinned instance
+  * of. The result itself is logically a plain join, so the DuckDB
+  * oracle recomputes it directly — bucketing must be invisible to
+  * semantics, visible only to the plan.
+  *
+  * Reference scope note: the reference stages deltas into a temp
+  * table precisely so its UPDATE joins on co-located keys inside the
+  * database (`/root/reference/dbimport/importer.py:263-330`) — this
+  * is the lake-side equivalent of that staging decision.
+  */
+object Bucketed {
+
+  /** Buckets chosen as a small multiple of local[32]'s slots; at
+    * cluster scale this would be a multiple of total executor cores.
+    */
+  val Buckets = 16
+
+  /** Write `df` as a bucketed external table at `path`, replacing any
+    * prior version. Bucket metadata lives in the session catalog;
+    * the files are plain parquet (engine-portable — a reader without
+    * the catalog entry sees an ordinary directory).
+    */
+  private def writeBucketed(
+      df: DataFrame, table: String, path: String): Unit = {
+    val s = df.sparkSession
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    df.write
+      .format("parquet")
+      .option("path", path)
+      .bucketBy(Buckets, "doc_id")
+      .sortBy("doc_id")
+      .mode("overwrite")
+      .saveAsTable(table)
+  }
+
+  /** The verdict-application join, co-located: corpus slice ⋈ per-doc
+    * token stats, both bucketed on `doc_id`. The `merge` hint forces
+    * the SortMergeJoin the fixture's row count would otherwise turn
+    * into a broadcast — at corpus scale neither side broadcasts, and
+    * the plan this compiles to (bucket-aligned SMJ, zero Exchange) is
+    * exactly the 100 TB plan.
+    */
+  def bucketedVerdictJoin(
+      s: SparkSession, dir: String, scratch: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    writeBucketed(
+      docs.select(col("doc_id"), col("source"), col("n_chars")),
+      "graft_bucketed_docs", s"$scratch/docs")
+    writeBucketed(
+      docs.select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).as("n_tokens")),
+      "graft_bucketed_stats", s"$scratch/stats")
+    s.table("graft_bucketed_docs")
+      .hint("merge")
+      .join(s.table("graft_bucketed_stats"), "doc_id")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("n_tokens"))
+  }
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.ops.Bucketed
+
+/** The bucketed co-located join: semantics equal the plain join, and
+  * the EXECUTED plan proves the layout did its job — a SortMergeJoin
+  * with zero Exchange of any kind (no shuffle, no broadcast), reading
+  * bucketed scans on both sides.
+  */
+class BucketedSpec extends SparkSpec {
+
+  private def scratch: String = {
+    val p = java.nio.file.Files.createTempDirectory("bucketed_spec")
+    p.toString
+  }
+
+  test("bucketed join matches the plain join row-for-row") {
+    val out = Bucketed.bucketedVerdictJoin(spark, sf(), scratch)
+    val expected = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "source", "n_chars",
+        "size(split(lower(text), '\\\\s+')) AS n_tokens")
+    assert(out.count() == expected.count())
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty)
+  }
+
+  test("executed plan: SortMergeJoin, bucketed scans, ZERO Exchange") {
+    val df = Bucketed.bucketedVerdictJoin(spark, sf(), scratch)
+    df.collect() // finalize AQE
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange"), // covers shuffle AND broadcast
+      s"a bucketed co-located join must not exchange:\n$plan")
+    val formatted =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(formatted.contains("Bucketed: true"), formatted)
+    assert(formatted.contains(s"SelectedBucketsCount: ${Bucketed.Buckets}"),
+      formatted)
+  }
+
+  test("the bucketed files stay engine-portable plain parquet") {
+    val dir = scratch
+    Bucketed.bucketedVerdictJoin(spark, sf(), dir).collect()
+    // a reader with no catalog entry sees ordinary parquet
+    val raw = spark.read.parquet(s"$dir/docs")
+    assert(raw.columns.toSeq == Seq("doc_id", "source", "n_chars"))
+    assert(raw.count() ==
+      spark.read.parquet(s"${sf()}/documents.parquet").count())
+  }
+}
