@@ -380,6 +380,8 @@ object SparkEntry {
     "mm_arith_features" -> ((s, dir) => Multimodal.arithJpegFeatures(s, dir)),
     "bucketed_join" -> ((s, dir) =>
       Bucketed.bucketedVerdictJoin(s, dir, scratchDir("bucketed"))),
+    "partitioned_scan" -> ((s, dir) =>
+      Bucketed.partitionedScan(s, dir, scratchDir("partitioned"))),
     // REAL container sniffing (PNG/BMP/GIF/JPEG/WAV headers, no codec
     // needed) — on this fixture every payload is arbitrary text bytes,
     // so the oracle pins the no-false-positive contract: all rows
@@ -1991,6 +1993,15 @@ object SparkEntry {
         |  CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INTEGER)
         |    AS n_tokens
         |FROM documents""".stripMargin,
+    // Partition pruning is a physical layout choice — the oracle is
+    // the plain filtered aggregate; BucketedSpec pins PartitionFilters
+    // + selected-partition count on the executed plan.
+    "partitioned_scan" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE lang = 'en' AND n_chars > 200
+        |GROUP BY source""".stripMargin,
     // Arithmetic-JPEG oracle: doc -> 4x2-block SOF9 grayscale JPEG
     // (QM-coded, flat quant, block i = md5 byte of token i); the
     // 32x16 pixel mean is mean(bytes 0..7). Even docs add restart

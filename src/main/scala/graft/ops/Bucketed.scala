@@ -59,6 +59,34 @@ object Bucketed {
       .saveAsTable(table)
   }
 
+  /** Partition-pruned corpus layout: the OTHER ingest-time layout
+    * decision (the first is bucketing, above). Low-cardinality
+    * columns a pipeline filters on constantly — language, source —
+    * become directory partitions (`partitionBy`), so a filtered read
+    * never opens the other partitions' files at all: the plan's
+    * `PartitionFilters` prune BEFORE any I/O, where `PushedFilters`
+    * still reads footers. At 100 TB "English only" then touches only
+    * the `lang=en/` subtree — typically the difference between a
+    * full-corpus scan and a fraction of it, decided by the catalog,
+    * not by tasks. The query writes the corpus partitioned by `lang`,
+    * then answers a per-source count over one language; BucketedSpec
+    * pins on the executed plan that the scan's partition count is the
+    * selected subset and the lang predicate sits in
+    * `PartitionFilters` (data filters stay pushed separately).
+    */
+  def partitionedScan(
+      s: SparkSession, dir: String, scratch: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    docs.select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite")
+      .partitionBy("lang")
+      .parquet(s"$scratch/by_lang")
+    s.read.parquet(s"$scratch/by_lang")
+      .filter(col("lang") === "en" && col("n_chars") > 200)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+  }
+
   /** The verdict-application join, co-located: corpus slice ⋈ per-doc
     * token stats, both bucketed on `doc_id`. The `merge` hint forces
     * the SortMergeJoin the fixture's row count would otherwise turn

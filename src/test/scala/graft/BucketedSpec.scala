@@ -39,6 +39,39 @@ class BucketedSpec extends SparkSpec {
       formatted)
   }
 
+  test("partitioned layout: lang predicate prunes partitions, not rows") {
+    val dir = scratch
+    val df = graft.ops.Bucketed.partitionedScan(spark, sf(), dir)
+    df.collect()
+    val formatted =
+      df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the lang predicate is a PARTITION filter (pruned before I/O)...
+    val pf = formatted.linesIterator
+      .find(_.trim.startsWith("PartitionFilters:")).getOrElse("")
+    assert(pf.contains("lang"), formatted)
+    // ...and the data predicate stays separately pushed to the scan
+    val pushed = formatted.linesIterator
+      .find(_.trim.startsWith("PushedFilters:")).getOrElse("")
+    assert(pushed.contains("GreaterThan(n_chars,200)"), formatted)
+    // only the selected language's files are read, as-executed
+    val langs = new java.io.File(s"$dir/by_lang").listFiles()
+      .count(_.getName.startsWith("lang="))
+    assert(langs > 1, "fixture must have several languages")
+    import org.apache.spark.sql.functions.input_file_name
+    val touched = spark.read.parquet(s"$dir/by_lang")
+      .filter("lang = 'en'")
+      .select(input_file_name()).distinct().collect().map(_.getString(0))
+    assert(touched.nonEmpty && touched.forall(_.contains("lang=en")),
+      s"reads escaped the selected partition: ${touched.mkString(", ")}")
+    // semantics match the unpartitioned aggregate
+    val expected = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter("lang = 'en' AND n_chars > 200")
+      .groupBy("source").count()
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    expected.collect().foreach(r =>
+      assert(got(r.getString(0)) == r.getLong(1)))
+  }
+
   test("the bucketed files stay engine-portable plain parquet") {
     val dir = scratch
     Bucketed.bucketedVerdictJoin(spark, sf(), dir).collect()
