@@ -90,6 +90,31 @@ object IndexCommit {
     fs.create(new Path(commits, id.toString), false).close()
   }
 
+  /** Retire all but the newest `keep` committed versions. Each
+    * version is a full snapshot, so without this an append-heavy
+    * index retains every historical copy — O(appends × index size)
+    * disk. Order is the safety argument: the MARKER goes first (the
+    * version becomes unresolvable before any data byte disappears),
+    * then the data directory; a vacuum killed between the two leaves
+    * an invisible orphan, not a torn version. Reservations are
+    * deliberately kept — `locks/` is zero-length files, and keeping
+    * them means a retired id can never be re-reserved into a
+    * half-deleted directory. Readers that resolved a now-vacuumed
+    * version mid-probe are the same staleness window as any table
+    * format's VACUUM: run with `keep ≥ 2` to give in-flight probes a
+    * full version of grace. Returns the retired ids.
+    */
+  def vacuum(s: SparkSession, path: String, keep: Int = 2): Seq[Long] = {
+    require(keep >= 1, "vacuum must keep at least the current version")
+    val fs = hfs(s, path)
+    val drop = committedIds(s, path).dropRight(keep)
+    drop.foreach { id =>
+      fs.delete(new Path(s"$path/commits/$id"), false)
+      fs.delete(new Path(versionDir(path, id)), true)
+    }
+    drop
+  }
+
   /** Drop every version, marker, and reservation — the destructive
     * reset a rebuild starts from. Exclusive by contract: rebuilds run
     * on a fresh path (or during downtime), never under live readers.

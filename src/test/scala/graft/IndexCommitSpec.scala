@@ -145,6 +145,41 @@ class IndexCommitSpec extends SparkSpec {
     assert(top(VectorIndex.probeAdc(spark, idx, queries)) == beforeAdc)
   }
 
+  test("vacuum retires old versions; probes and future appends unaffected") {
+    val idx = tmp("ic_vacuum")
+    BloomIndex.build(spark, docs.filter(col("doc_id") % 100 === 0), idx)
+    BloomIndex.append(spark, docs.filter(col("doc_id") % 100 === 50), idx)
+    BloomIndex.append(spark, docs.filter(col("doc_id") % 100 === 25), idx)
+    val ids = IndexCommit.committedIds(spark, idx)
+    assert(ids.size == 3, s"expected three full snapshots, got $ids")
+    val before = bloomVerdicts(idx)
+    val retired = IndexCommit.vacuum(spark, idx, keep = 1)
+    assert(retired == ids.dropRight(1))
+    // the newest version alone remains, and it answers identically
+    assert(IndexCommit.committedIds(spark, idx) == Seq(ids.last))
+    assert(bloomVerdicts(idx) == before)
+    retired.foreach { id =>
+      assert(!new java.io.File(IndexCommit.versionDir(idx, id)).exists(),
+        s"v=$id data must be gone")
+    }
+    // idempotent: nothing left to retire
+    assert(IndexCommit.vacuum(spark, idx, keep = 1).isEmpty)
+    // retired ids are never re-reserved (locks survive the vacuum),
+    // so a later append cannot stage into a half-deleted directory
+    val next = IndexCommit.reserve(spark, idx)
+    assert(next > ids.max, s"id $next must advance past retired $ids")
+    // a vacuum killed between marker-delete and data-delete leaves an
+    // invisible orphan: simulate by re-staging data WITHOUT a marker
+    val orphan = IndexCommit.versionDir(idx, next)
+    val cur = IndexCommit.currentDir(spark, idx).get
+    spark.read.parquet(s"$cur/words").write.parquet(s"$orphan/words")
+    assert(bloomVerdicts(idx) == before, "orphan data must stay invisible")
+    // and the index keeps working end-to-end after all of it
+    BloomIndex.append(spark, docs.filter(col("doc_id") % 100 === 75), idx)
+    val after = bloomVerdicts(idx)
+    assert(before.forall { case (id, n) => after(id) >= n })
+  }
+
   test("reserve never hands two writers the same id") {
     val idx = tmp("ic_reserve")
     val ids = (1 to 8).map(_ => IndexCommit.reserve(spark, idx))
