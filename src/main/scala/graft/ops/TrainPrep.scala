@@ -71,13 +71,23 @@ object TrainPrep {
     */
   def packSequences(
       s: SparkSession, dir: String,
-      nShards: Int = 8, capacity: Long = 2048L): DataFrame = {
+      nShards: Int = 8, capacity: Long = 2048L): DataFrame =
+    packSequencesOf(docs(s, dir), nShards, capacity)
+
+  /** [[packSequences]] over an explicit base relation (doc_id, text).
+    * The layout is a pure function of the MEMBER SET — the pipeline
+    * composition packs survivors, not the raw corpus, and removing a
+    * document reflows only the packs behind it within its shard.
+    */
+  private[graft] def packSequencesOf(
+      base: DataFrame, nShards: Int = 8, capacity: Long = 2048L)
+      : DataFrame = {
     val hash = md5(concat(col("doc_id").cast("string"), lit("#shard")))
     val shard = (conv(substring(hash, 1, 1), 16, 10).cast("int")
       % nShards).as("shard_id")
     val w = Window.partitionBy("shard_id").orderBy(col("h"), col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs(s, dir)
+    base
       .select(col("doc_id"), hash.as("h"), shard,
         wsTokenCount.cast("long").as("n_tokens"))
       .select(col("doc_id"), col("shard_id"), col("n_tokens"),
@@ -85,6 +95,34 @@ object TrainPrep {
       .select(col("doc_id"), col("shard_id"), col("n_tokens"),
         expr(s"(cum - n_tokens) div ${capacity}L").as("pack_id"),
         ((col("cum") - col("n_tokens")) % capacity).as("pack_off"))
+  }
+
+  /** The COMPOSED last mile — the proof the operators share keys and
+    * stack: near-dup keep-set ([[Dedup.dedupedCorpus]]) ∧ quality
+    * keep ([[Filtering.qualityFilter]]) ∧ `train` split
+    * ([[splitAssign]]), then the packed-export layout over exactly
+    * that survivor set. This is the query a real pre-training run
+    * executes end-to-end; every stage is individually oracled
+    * elsewhere, and the composition is oracled as one relation here
+    * (the DuckDB side chains the same CTEs).
+    *
+    * Shape at scale: the three verdict relations are doc-keyed and
+    * join on the corpus's own key — with the [[Bucketed]] layout all
+    * three joins are co-located; the packing adds its one shard-keyed
+    * exchange. Nothing in the composition introduces a new
+    * corpus-proportional shuffle beyond its parts.
+    */
+  def pipelineExport(
+      s: SparkSession, dir: String, threshold: Double = 0.8,
+      nShards: Int = 8, capacity: Long = 2048L): DataFrame = {
+    val survivors = Dedup.dedupedCorpus(s, dir, threshold)
+      .select("doc_id")
+      .join(Filtering.qualityFilter(s, dir).filter(col("keep"))
+        .select("doc_id"), Seq("doc_id"))
+      .join(splitAssign(s, dir).filter(col("split") === "train")
+        .select("doc_id"), Seq("doc_id"))
+    packSequencesOf(docs(s, dir).join(survivors, Seq("doc_id")),
+      nShards, capacity)
   }
 
   /** [[packSequences]] unrolled to the PER-PACK segment table a

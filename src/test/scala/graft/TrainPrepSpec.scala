@@ -294,4 +294,40 @@ class TrainPrepSpec extends SparkSpec {
       .explainString(ExplainMode.fromString("formatted"))
     assert(plan.contains("WindowGroupLimit"), s"plan:\n$plan")
   }
+
+  test("pipelineExport = pack over the manually-intersected survivors") {
+    import graft.ops.{Dedup, Filtering}
+    val dir = sf()
+    val composed = TrainPrep.pipelineExport(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // recompute the survivor set by hand from the three verdicts
+    val keepDedup = Dedup.dedupedCorpus(spark, dir, 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keepQ = Filtering.qualityFilter(spark, dir)
+      .filter(org.apache.spark.sql.functions.col("keep"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keepSplit = TrainPrep.splitAssign(spark, dir)
+      .filter("split = 'train'")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val survivors = keepDedup & keepQ & keepSplit
+    assert(composed.map(_._1) == survivors,
+      "the composition must pack exactly the three-way intersection")
+    // every pack row matches packing the survivor set directly
+    import spark.implicits._
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"doc_id".isin(survivors.toSeq: _*))
+    val direct = TrainPrep.packSequencesOf(base)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(composed == direct)
+    // the layout is survivor-relative: it differs from the full-corpus
+    // layout for any doc that follows a removed one in its shard
+    val full = TrainPrep.packSequences(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(composed.exists { case (id, _, _, pid, off) =>
+      full(id) != ((pid, off))
+    }, "packing survivors must reflow relative to the full corpus")
+  }
 }
