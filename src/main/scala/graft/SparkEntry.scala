@@ -378,6 +378,8 @@ object SparkEntry {
     "mm_frames" -> ((s, dir) => Multimodal.frameFeatures(s, dir)),
     "mm_rle_frames" -> ((s, dir) => Multimodal.rleFrameFeatures(s, dir)),
     "mm_arith_features" -> ((s, dir) => Multimodal.arithJpegFeatures(s, dir)),
+    "mm_progressive_features" ->
+      ((s, dir) => Multimodal.progressiveJpegFeatures(s, dir)),
     "bucketed_join" -> ((s, dir) =>
       Bucketed.bucketedVerdictJoin(s, dir, scratchDir("bucketed"))),
     "partitioned_scan" -> ((s, dir) =>
@@ -1985,6 +1987,26 @@ object SparkEntry {
         |UNION ALL
         |SELECT doc_id, CAST(1 AS INTEGER), 'rle8', CAST(9 AS INTEGER),
         |  CAST(8 AS INTEGER), CAST(px[1] AS DOUBLE)
+        |FROM g""".stripMargin,
+    // Progressive-JPEG oracle: doc -> 3-scan SOF2 stream (DC Al=1 +
+    // refinement + EOBn AC band); decode is lossless by construction,
+    // so the 32x16 mean is mean(md5 bytes 0..7).
+    "mm_progressive_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 8) ] AS px
+        |  FROM t
+        |)
+        |SELECT doc_id AS media_id, 'jpeg' AS decoder,
+        |  CAST(32 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |  list_sum(px) / 8.0 AS gray_mean
         |FROM g""".stripMargin,
     // Bucketed co-located join: bucketing is a physical layout choice,
     // invisible to semantics — the oracle is the plain join. The plan

@@ -390,6 +390,40 @@ object Multimodal {
       .toDF("media_id", "decoder", "width", "height", "gray_mean")
   }
 
+  /** Fully-oracled PROGRESSIVE-JPEG feature relation: each document
+    * becomes a three-scan SOF2 stream
+    * ([[PerceptualHash.encodeProgressiveBlocks]] — DC first at Al=1,
+    * DC refinement carrying the live low bit, then the all-zero AC
+    * band as EOBn runs), decoded through the real multi-scan walk to
+    * FULL resolution. The successive-approximation reconstruction is
+    * load-bearing: dropping the refinement scan would shift half the
+    * corpus's means. Same md5-grid derivation and scale shape as the
+    * other codec queries (row-local, zero exchanges).
+    */
+  def progressiveJpegFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def tokByte(toks: Seq[String], i: Int): Byte =
+          md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0)
+        it.map { case (id, toks) =>
+          val grid = Array.tabulate[Byte](8)(i => tokByte(toks, i))
+          val jpg = PerceptualHash.encodeProgressiveBlocks(grid, 4, 2)
+          val d = Codecs.decode(jpg).getOrElse(throw new IllegalStateException(
+            s"progressive fixture failed to decode for doc $id"))
+          var sum = 0L
+          var i = 0
+          while (i < d.gray.length) { sum += d.gray(i) & 0xff; i += 1 }
+          (id, d.kind, d.width, d.height, sum.toDouble / d.gray.length)
+        }
+      }
+      .toDF("media_id", "decoder", "width", "height", "gray_mean")
+  }
+
   /** Payload metadata relation (fully oracle-able): id, declared type,
     * byte length, md5 of the payload.
     */

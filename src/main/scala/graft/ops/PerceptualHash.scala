@@ -480,6 +480,106 @@ object PerceptualHash {
     out.toByteArray
   }
 
+  /** Three-scan PROGRESSIVE grayscale encoder over block-constant
+    * grids — the write-side twin of `Jpeg`'s multi-scan progressive
+    * decoder on the losslessly-codable subset:
+    *
+    *   1. DC first scan at successive approximation Al=1 — codes the
+    *      diff chain of `(v−128) >> 1` (arithmetic shift; the DQT is
+    *      all 8s so the STORED quantized DC is `v−128`, whose low bit
+    *      actually varies — an all-1s table would make every
+    *      refinement bit trivially zero).
+    *   2. DC refinement scan (Ah=1, Al=0) — one raw bit per block,
+    *      the low bit of `v−128` (`x = (x>>1)<<1 | (x&1)` holds in
+    *      two's complement, so reconstruction is exact for negative
+    *      coefficients too).
+    *   3. AC first scan (Ss=1..63) — the whole band is zero for
+    *      block-constant images, coded as EOBn run-length symbols
+    *      (category + offset bits), the progressive-only coding path
+    *      a sequential stream never exercises.
+    *
+    * Decode reconstructs the grid bit-exactly at full resolution
+    * (kind `jpeg`), so corpus fixtures carry the md5-grid oracle
+    * through the successive-approximation machinery end-to-end.
+    */
+  private[graft] def encodeProgressiveBlocks(
+      blocks: Array[Byte], bw: Int, bh: Int): Array[Byte] = {
+    require(bw > 0 && bh > 0 && blocks.length == bw * bh,
+      s"block grid ${blocks.length} != $bw x $bh")
+    require(bw * 8 <= 0xffff && bh * 8 <= 0xffff, "dims exceed JPEG u16")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8(v: Int): Unit = out.write(v & 0xff)
+    def u16(v: Int): Unit = { u8(v >> 8); u8(v) }
+    u16(0xffd8)
+    u16(0xffdb); u16(2 + 1 + 64); u8(0x00) // DQT 0: all 8s
+    (0 until 64).foreach(_ => u8(8))
+    u16(0xffc2); u16(8 + 3); u8(8); u16(bh * 8); u16(bw * 8); u8(1) // SOF2
+    u8(1); u8(0x11); u8(0)
+    u16(0xffc4); u16(2 + 17 + 12); u8(0x00) // DHT DC: 12 4-bit cats
+    (1 to 16).foreach(l => u8(if (l == 4) 12 else 0))
+    (0 until 12).foreach(u8)
+    u16(0xffc4); u16(2 + 17 + 256); u8(0x10) // DHT AC: 255@9 + 1@10
+    (1 to 16).foreach(l => u8(if (l == 9) 255 else if (l == 10) 1 else 0))
+    (0 until 256).foreach(u8)
+    // per-scan bit packer (each scan's data is 1-padded independently)
+    var acc = 0
+    var nbits = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1)
+        nbits += 1
+        if (nbits == 8) {
+          out.write(acc & 0xff)
+          if ((acc & 0xff) == 0xff) out.write(0x00)
+          acc = 0; nbits = 0
+        }
+        i -= 1
+      }
+    }
+    def flushScan(): Unit = if (nbits > 0) {
+      val pad = 8 - nbits
+      acc = (acc << pad) | ((1 << pad) - 1)
+      out.write(acc & 0xff)
+      if ((acc & 0xff) == 0xff) out.write(0x00)
+      acc = 0; nbits = 0
+    }
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      u16(0xffda); u16(6 + 2); u8(1); u8(1); u8(0x00)
+      u8(ss); u8(se); u8((ah << 4) | al)
+    }
+    def cat(v: Int): Int = 32 - Integer.numberOfLeadingZeros(math.abs(v))
+    // scan 1: DC first, Al=1
+    sos(0, 0, 0, 1)
+    var pred = 0
+    for (b <- blocks) {
+      val scaled = ((b & 0xff) - 128) >> 1
+      val diff = scaled - pred
+      pred = scaled
+      val s = cat(diff)
+      putBits(s, 4)
+      if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+    }
+    flushScan()
+    // scan 2: DC refinement, Ah=1 -> Al=0 — one raw bit per block
+    sos(0, 0, 1, 0)
+    for (b <- blocks) putBits(((b & 0xff) - 128) & 1, 1)
+    flushScan()
+    // scan 3: AC first, full band, all zero -> pure EOBn run coding
+    sos(1, 63, 0, 0)
+    var run = blocks.length
+    while (run > 0) {
+      val n = math.min(run, 32767)
+      val r = 31 - Integer.numberOfLeadingZeros(n)
+      putBits(r << 4, 9) // EOBn symbol at the flat 9-bit code
+      if (r > 0) putBits(n - (1 << r), r)
+      run -= n
+    }
+    flushScan()
+    u16(0xffd9)
+    out.toByteArray
+  }
+
   /** MJPEG AVI: same RIFF skeleton as [[encodeAvi]] but `00dc` chunks,
     * each a complete [[encodeJpegBlocks]] stream. `w`/`h` are the
     * decoded frame dims written into `avih` (8·bw × 8·bh).

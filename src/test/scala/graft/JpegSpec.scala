@@ -665,4 +665,29 @@ class JpegSpec extends AnyFunSuite {
     assert(d.nonEmpty && d.get.kind == "jpeg")
     assert(d.get.gray.forall(b => (b & 0xff) == 131))
   }
+
+  test("progressive encoder twin: 3-scan stream round-trips bit-exactly") {
+    import graft.ops.PerceptualHash
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // md5 bytes include odd/even and high/low values — the refinement
+    // bit and the negative-coefficient arithmetic both get exercised
+    val grid = Array.tabulate[Byte](5 * 3)(i => md.digest(s"p$i".getBytes)(0))
+    val jpg = PerceptualHash.encodeProgressiveBlocks(grid, 5, 3)
+    val d = Jpeg.decode(jpg).get
+    // the AC scan was sent (all-zero band as EOB runs) -> FULL
+    // resolution, not the DC preview
+    assert(d.kind == "jpeg" && d.width == 40 && d.height == 24)
+    for (by <- 0 until 3; bx <- 0 until 5; y <- 0 until 8; x <- 0 until 8)
+      assert(d.gray((by * 8 + y) * 40 + bx * 8 + x) == grid(by * 5 + bx),
+        s"block ($bx,$by) pixel ($x,$y)")
+    // sanity: the refinement scan is load-bearing — some grid value
+    // must have an odd (v - 128), else the test proves nothing
+    assert(grid.exists(b => (((b & 0xff) - 128) & 1) == 1))
+    // and a single large grid exercises the multi-symbol EOBn split
+    val big = Array.tabulate[Byte](64 * 8)(i => (i % 251).toByte)
+    val dBig = Jpeg.decode(
+      PerceptualHash.encodeProgressiveBlocks(big, 64, 8)).get
+    assert(dBig.width == 512 && dBig.height == 64)
+    assert(dBig.gray(0) == big(0) && dBig.gray(511) == big(63))
+  }
 }
