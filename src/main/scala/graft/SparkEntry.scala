@@ -380,6 +380,7 @@ object SparkEntry {
     "mm_arith_features" -> ((s, dir) => Multimodal.arithJpegFeatures(s, dir)),
     "mm_progressive_features" ->
       ((s, dir) => Multimodal.progressiveJpegFeatures(s, dir)),
+    "mm_sof10_features" -> ((s, dir) => Multimodal.sof10Features(s, dir)),
     "bucketed_join" -> ((s, dir) =>
       Bucketed.bucketedVerdictJoin(s, dir, scratchDir("bucketed"))),
     "partitioned_scan" -> ((s, dir) =>
@@ -1992,6 +1993,27 @@ object SparkEntry {
     // refinement + EOBn AC band); decode is lossless by construction,
     // so the 32x16 mean is mean(md5 bytes 0..7).
     "mm_progressive_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 8) ] AS px
+        |  FROM t
+        |)
+        |SELECT doc_id AS media_id, 'jpeg' AS decoder,
+        |  CAST(32 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |  list_sum(px) / 8.0 AS gray_mean
+        |FROM g""".stripMargin,
+    // SOF10 oracle: the progressive-ARITHMETIC cell of the JPEG
+    // matrix; decode is lossless by construction (five QM-coded
+    // scans), so the 32x16 mean is mean(md5 bytes 0..7), decoder
+    // kind 'jpeg' (full-resolution reconstruction).
+    "mm_sof10_features" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
         |  FROM documents

@@ -29,14 +29,16 @@ package graft.ops
   *     are skipped by marker search without entropy decoding —
   *     chroma AC is the bulk of a progressive stream's bits, all of
   *     it bypassed on the grayscale surface.
-  *   - Sequential arithmetic coding (SOF9) decodes for real through
-  *     the QM coder + Annex F statistical model ([[JpegArith]]),
-  *     including DAC conditioning and restart re-initialization;
-  *     kind `jpeg_arith`.
-  *   - Progressive-arithmetic (SOF10), lossless/differential modes,
-  *     12-bit precision, and DNL decline to None — callers fall back
-  *     to the declared stub, same contract as every other [[Codecs]]
-  *     path.
+  *   - Arithmetic entropy coding decodes for real through the QM
+  *     coder + statistical models ([[JpegArith]]): sequential SOF9
+  *     (Annex F, kind `jpeg_arith`) AND progressive SOF10 (Annex G —
+  *     Al-scaled DC model, fixed-bin DC refinement, per-block
+  *     end-of-band AC first/refinement), with DAC conditioning and
+  *     restart re-initialization in both. All four 8-bit DCT modes —
+  *     sequential/progressive × Huffman/arithmetic — decode.
+  *   - Lossless/differential modes, 12-bit precision, and DNL
+  *     decline to None — callers fall back to the declared stub,
+  *     same contract as every other [[Codecs]] path.
   *
   * All sizes/dims are validated against attacker-controlled input
   * (same adversarial contract as [[MediaHeaders]]): a malformed blob
@@ -252,12 +254,12 @@ object Jpeg {
           if (!parseDqt(b, seg, p + 2 + len, quant)) return None
         case 0xc4 => // DHT: one or more (Tc|Th, counts[16], symbols)
           if (!parseDht(b, seg, p + 2 + len, dcTabs, acTabs)) return None
-        case 0xc0 | 0xc1 | 0xc2 | 0xc9 =>
+        case 0xc0 | 0xc1 | 0xc2 | 0xc9 | 0xca =>
           // SOF0/1 sequential Huffman, SOF2 progressive Huffman,
-          // SOF9 sequential arithmetic
+          // SOF9 sequential arithmetic, SOF10 progressive arithmetic
           if (comps != null) return None
-          progressive = m == 0xc2
-          arith = m == 0xc9
+          progressive = m == 0xc2 || m == 0xca
+          arith = m == 0xc9 || m == 0xca
           if (u8(b, seg) != 8) return None // 8-bit precision only
           height = be16(b, seg + 1)
           width = be16(b, seg + 3)
@@ -273,30 +275,13 @@ object Jpeg {
               return None
             c
           }
-        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xca | 0xcb |
+        case 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xcb |
             0xcd | 0xce | 0xcf =>
-          // lossless / differential / progressive-arithmetic:
-          // unsupported (sequential arithmetic SOF9 is handled above)
+          // lossless / differential modes: unsupported (all four DCT
+          // modes — SOF0/1/2/9/10 — are handled above)
           return None
         case 0xcc => // DAC: arithmetic conditioning (Tc|Tb, value) pairs
-          var q = seg
-          while (q + 2 <= p + 2 + len) {
-            val tc = u8(b, q) >> 4
-            val tb = u8(b, q) & 15
-            val v = u8(b, q + 1)
-            if (tb > 3) return None
-            if (tc == 0) {
-              val l = v & 15
-              val u = v >> 4
-              if (l > u) return None
-              cond.dcL(tb) = l; cond.dcU(tb) = u
-            } else if (tc == 1) {
-              if (v < 1 || v > 63) return None
-              cond.acK(tb) = v
-            } else return None
-            q += 2
-          }
-          if (q != p + 2 + len) return None
+          if (!parseDac(b, seg, p + 2 + len, cond)) return None
         case 0xdd => // DRI
           if (len != 4) return None
           restartInterval = be16(b, seg)
@@ -316,10 +301,10 @@ object Jpeg {
           if (progressive) {
             if (color) return None // color surface is sequential-only
             // hand the whole remaining stream (this SOS through EOI,
-            // including between-scan DHT/DQT/DRI) to the multi-scan
-            // progressive decoder
+            // including between-scan DHT/DQT/DRI/DAC) to the
+            // multi-scan progressive decoder
             return decodeProgressive(b, p, comps, quant, dcTabs, acTabs,
-              restartInterval, width, height).map(Left(_))
+              restartInterval, width, height, arith, cond).map(Left(_))
           }
           if (arith)
             return decodeScanArith(b, p + 2 + len, comps, quant, cond,
@@ -480,6 +465,151 @@ object Jpeg {
     else Some(Left(Codecs.Decoded("jpeg_arith", width, height, planes(0))))
   }
 
+  /** Parse one DAC segment into the conditioning tables (T.81 B.2.4.3:
+    * (Tc|Tb, value) pairs — DC value packs U|L, AC value is Kx).
+    * False = malformed.
+    */
+  private def parseDac(
+      b: Array[Byte], seg: Int, end: Int,
+      cond: JpegArith.Conditioning): Boolean = {
+    var q = seg
+    while (q + 2 <= end) {
+      val tc = u8(b, q) >> 4
+      val tb = u8(b, q) & 15
+      val v = u8(b, q + 1)
+      if (tb > 3) return false
+      if (tc == 0) {
+        val l = v & 15
+        val u = v >> 4
+        if (l > u) return false
+        cond.dcL(tb) = l; cond.dcU(tb) = u
+      } else if (tc == 1) {
+        if (v < 1 || v > 63) return false
+        cond.acK(tb) = v
+      } else return false
+      q += 2
+    }
+    q == end
+  }
+
+  /** Consume the expected RSTn inside arithmetic entropy data: zero
+    * stuffing guarantees the first 0xFF not followed by 0x00 IS the
+    * marker; the coder is then re-primed from the byte after it.
+    */
+  private def arithRestart(
+      b: Array[Byte], dec: JpegArith.Decoder, n: Int): Unit = {
+    var q = dec.pos
+    while (q + 1 < b.length &&
+      !((b(q) & 0xff) == 0xff && (b(q + 1) & 0xff) != 0x00)) q += 1
+    if (q + 1 >= b.length || (b(q + 1) & 0xff) != (0xd0 + (n & 7)))
+      corrupt()
+    dec.pos = q + 2
+    dec.reinit()
+  }
+
+  /** Arithmetic DC scan (SOF10 first pass or refinement): the first
+    * pass runs the sequential DC model over the Al-scaled domain per
+    * component; refinement is one fixed-bin decision per block
+    * (G.1.3.2 — value-independent, like its Huffman raw-bit twin).
+    * Returns the position of the next marker.
+    */
+  private def dcScanPassArith(
+      b: Array[Byte], entStart: Int, comps: Array[Component],
+      scomps: Array[Component], cond: JpegArith.Conditioning,
+      coef: Array[Int], blocksX: Int, blocksY: Int,
+      hmax: Int, vmax: Int, width: Int, height: Int,
+      restartInterval: Int, ah: Int, al: Int): Int = {
+    val luma = comps(0)
+    val interleaved = scomps.length > 1
+    val dec = new JpegArith.Decoder(b, entStart, b.length)
+    val stats = new JpegArith.Stats(comps.length)
+    scomps.foreach(_.pred = 0)
+    val compIdx = scomps.map(c => comps.indexWhere(_ eq c))
+    val (unitsX, unitsY) =
+      if (interleaved)
+        ((width + 8 * hmax - 1) / (8 * hmax),
+          (height + 8 * vmax - 1) / (8 * vmax))
+      else {
+        val c = scomps(0)
+        (((width * c.h + hmax - 1) / hmax + 7) / 8,
+          ((height * c.v + vmax - 1) / vmax + 7) / 8)
+      }
+    var unit = 0
+    val total = unitsX * unitsY
+    var rstIdx = 0
+    while (unit < total) {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        arithRestart(b, dec, rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        stats.reset()
+        scomps.foreach(_.pred = 0)
+      }
+      val ux = unit % unitsX
+      val uy = unit / unitsX
+      var ci = 0
+      while (ci < scomps.length) {
+        val c = scomps(ci)
+        val (bh, bv) = if (interleaved) (c.h, c.v) else (1, 1)
+        var by = 0
+        while (by < bv) {
+          var bx = 0
+          while (bx < bh) {
+            val px = if (interleaved) ux * c.h + bx else ux
+            val py = if (interleaved) uy * c.v + by else uy
+            val store = (c eq luma) && px < blocksX && py < blocksY
+            val off = (py * blocksX + px) * 64
+            if (ah == 0) {
+              c.pred = JpegArith.decodeDc(dec, stats, cond, compIdx(ci),
+                c.dcTab, c.pred, () => corrupt())
+              if (store) coef(off) = c.pred << al
+            } else {
+              val bit = dec.decode(stats.fixed, 0)
+              if (store && bit == 1) coef(off) |= 1 << al
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        ci += 1
+      }
+      unit += 1
+    }
+    nextMarker(b, dec.pos)
+  }
+
+  /** Arithmetic luma AC scan: spectral-selection first pass or
+    * successive-approximation refinement, per-block models from
+    * [[JpegArith]] (no EOBRUN — arithmetic codes the end-of-band
+    * decision per block). Returns the position of the next marker.
+    */
+  private def acScanPassArith(
+      b: Array[Byte], entStart: Int, acTbl: Int,
+      cond: JpegArith.Conditioning, coef: Array[Int],
+      blocksX: Int, blocksY: Int, restartInterval: Int,
+      ss: Int, se: Int, ah: Int, al: Int): Int = {
+    val dec = new JpegArith.Decoder(b, entStart, b.length)
+    val stats = new JpegArith.Stats(1)
+    var unit = 0
+    val total = blocksX * blocksY
+    var rstIdx = 0
+    while (unit < total) {
+      if (restartInterval > 0 && unit > 0 && unit % restartInterval == 0) {
+        arithRestart(b, dec, rstIdx)
+        rstIdx = (rstIdx + 1) & 7
+        stats.reset()
+      }
+      val off = unit * 64
+      if (ah == 0)
+        JpegArith.decodeAcFirst(dec, stats, cond, acTbl, coef, off,
+          ZigZag, ss, se, al, () => corrupt())
+      else
+        JpegArith.decodeAcRefine(dec, stats, acTbl, coef, off,
+          ZigZag, ss, se, al, () => corrupt())
+      unit += 1
+    }
+    nextMarker(b, dec.pos)
+  }
+
   /** Parse one DQT segment (possibly several tables). False = malformed. */
   private def parseDqt(
       b: Array[Byte], seg: Int, end: Int, quant: Array[Array[Int]]): Boolean = {
@@ -569,7 +699,9 @@ object Jpeg {
       b: Array[Byte], sosPos: Int, comps: Array[Component],
       quant: Array[Array[Int]], dcTabs: Array[HuffTable],
       acTabs: Array[HuffTable], restartInterval0: Int,
-      width: Int, height: Int): Option[Codecs.Decoded] = {
+      width: Int, height: Int, arith: Boolean = false,
+      cond: JpegArith.Conditioning = new JpegArith.Conditioning)
+      : Option[Codecs.Decoded] = {
     val hmax = comps.map(_.h).max
     val vmax = comps.map(_.v).max
     val luma = comps(0)
@@ -600,6 +732,9 @@ object Jpeg {
           p += 2 + len
         case 0xc4 =>
           if (!parseDht(b, seg, p + 2 + len, dcTabs, acTabs)) return None
+          p += 2 + len
+        case 0xcc =>
+          if (!parseDac(b, seg, p + 2 + len, cond)) return None
           p += 2 + len
         case 0xdd =>
           if (len != 4) return None
@@ -635,11 +770,20 @@ object Jpeg {
           if (!lumaInScan) {
             // scan without luma: nothing to store, and marker search
             // crosses its entropy data without decoding a single bit
+            // (arithmetic scans end at a marker the same way)
             p = nextMarker(b, entStart)
           } else if (ss == 0) {
-            p = dcScanPass(b, entStart, comps, scomps, dcTabs, coef,
+            p = if (arith)
+              dcScanPassArith(b, entStart, comps, scomps, cond, coef,
+                blocksX, blocksY, hmax, vmax, width, height,
+                restartInterval, ah, al)
+            else dcScanPass(b, entStart, comps, scomps, dcTabs, coef,
               blocksX, blocksY, hmax, vmax, width, height,
               restartInterval, ah, al)
+          } else if (arith) {
+            acSeen = true
+            p = acScanPassArith(b, entStart, luma.acTab, cond, coef,
+              blocksX, blocksY, restartInterval, ss, se, ah, al)
           } else {
             if (acTabs(luma.acTab) == null) return None
             acSeen = true

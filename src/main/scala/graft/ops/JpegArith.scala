@@ -26,6 +26,15 @@ package graft.ops
   *     first magnitude decision) with shared magnitude-category
   *     chains split at the Kx conditioning index. Statistics, DC
   *     predictors and DC contexts all reset at restart markers.
+  *   - The progressive variants (Annex G, SOF10) reuse the same
+  *     machinery: DC first runs the sequential model over the
+  *     Al-scaled domain; DC refinement is one fixed-bin decision per
+  *     block; AC first is the sequential AC model band-limited with
+  *     values stored `<< Al`; AC refinement codes correction bits at
+  *     context `3(k−1)+2` for previously-nonzero coefficients and
+  *     fixed-bin signs for newly-nonzero ones, with the end-of-band
+  *     decision existing only past the previous scan's last nonzero
+  *     index (both sides derive it from the block state).
   *
   * Reference behavior anchored at `/root/reference` inventory surface
   * (media payload decode); the arithmetic option itself is specified
@@ -325,19 +334,18 @@ private[graft] object JpegArith {
     }
   }
 
-  /** Decode one block's coefficients into `coef` (natural order,
-    * assumed zeroed) and return the new DC prediction (F.2.4.1-2).
-    * `zigzag` maps zigzag position → natural index.
+  /** Decode one DC difference against `pred` in the (possibly
+    * Al-scaled) prediction domain (F.2.4.1 / G: the DC-first model is
+    * the sequential model over the point-transformed values — the
+    * caller scales by `<< Al` when storing).
     */
-  def decodeBlock(
+  def decodeDc(
       dec: Decoder, stats: Stats, cond: Conditioning, ci: Int,
-      dcTbl: Int, acTbl: Int, pred: Int, coef: Array[Int],
-      zigzag: Array[Int], corrupt: () => Nothing): Int = {
-    // DC difference
+      dcTbl: Int, pred: Int, corrupt: () => Nothing): Int = {
     val dst = stats.dc(dcTbl)
     val base = stats.dcContext(ci)
-    var newPred = pred
-    if (dec.decode(dst, base) != 0) {
+    if (dec.decode(dst, base) == 0) { stats.dcContext(ci) = 0; pred }
+    else {
       val sign = dec.decode(dst, base + 1)
       var si = base + 2 + sign
       var m = 0
@@ -360,20 +368,30 @@ private[graft] object JpegArith {
       while ({ mm >>= 1; mm != 0 })
         if (dec.decode(dst, si) != 0) v |= mm
       v += 1
-      newPred = if (sign != 0) pred - v else pred + v
-    } else stats.dcContext(ci) = 0
-    coef(0) = newPred
-    // AC coefficients
+      if (sign != 0) pred - v else pred + v
+    }
+  }
+
+  /** Decode one block's AC band `ss..se` into `coef` (natural order),
+    * values scaled `<< al` on store (F.2.4.2; sequential = the
+    * `ss=1, se=63, al=0` special case; G.1.3's AC-first scan is the
+    * general form).
+    */
+  def decodeAcFirst(
+      dec: Decoder, stats: Stats, cond: Conditioning, acTbl: Int,
+      coef: Array[Int], off: Int, zigzag: Array[Int],
+      ss: Int, se: Int, al: Int,
+      corrupt: () => Nothing): Unit = {
     val ast = stats.ac(acTbl)
-    var k = 1
+    var k = ss
     var eob = false
-    while (k <= 63 && !eob) {
+    while (k <= se && !eob) {
       var si = 3 * (k - 1)
       if (dec.decode(ast, si) != 0) eob = true
       else {
         while (dec.decode(ast, si + 1) == 0) {
           si += 3; k += 1
-          if (k > 63) corrupt()
+          if (k > se) corrupt()
         }
         val sign = dec.decode(stats.fixed, 0)
         si += 2
@@ -396,10 +414,67 @@ private[graft] object JpegArith {
         while ({ mm >>= 1; mm != 0 })
           if (dec.decode(ast, si) != 0) v |= mm
         v += 1
-        coef(zigzag(k)) = if (sign != 0) -v else v
+        coef(off + zigzag(k)) = (if (sign != 0) -v else v) << al
         k += 1
       }
     }
+  }
+
+  /** AC successive-approximation refinement for one block's band
+    * (G.1.3.3): previously-nonzero coefficients take a correction bit
+    * in context `3(k−1)+2`; newly-nonzero ones announce at `+1` with
+    * a fixed-bin sign; the end-of-band decision only exists past the
+    * PREVIOUS scan's last nonzero index (kex), which both sides
+    * derive from the block state itself.
+    */
+  def decodeAcRefine(
+      dec: Decoder, stats: Stats, acTbl: Int,
+      coef: Array[Int], off: Int, zigzag: Array[Int],
+      ss: Int, se: Int, al: Int,
+      corrupt: () => Nothing): Unit = {
+    val ast = stats.ac(acTbl)
+    val p1 = 1 << al
+    val m1 = -1 << al
+    var kex = se
+    while (kex >= ss && coef(off + zigzag(kex)) == 0) kex -= 1
+    var k = ss
+    var eob = false
+    while (k <= se && !eob) {
+      var si = 3 * (k - 1)
+      if (k > kex && dec.decode(ast, si) != 0) eob = true
+      else {
+        var done = false
+        while (!done) {
+          val idx = off + zigzag(k)
+          if (coef(idx) != 0) {
+            if (dec.decode(ast, si + 2) != 0)
+              coef(idx) += (if (coef(idx) < 0) m1 else p1)
+            done = true
+          } else if (dec.decode(ast, si + 1) != 0) {
+            coef(idx) = if (dec.decode(stats.fixed, 0) != 0) m1 else p1
+            done = true
+          } else {
+            si += 3; k += 1
+            if (k > se) corrupt()
+          }
+        }
+        k += 1
+      }
+    }
+  }
+
+  /** Decode one block's coefficients into `coef` (natural order,
+    * assumed zeroed) and return the new DC prediction (F.2.4.1-2).
+    * `zigzag` maps zigzag position → natural index.
+    */
+  def decodeBlock(
+      dec: Decoder, stats: Stats, cond: Conditioning, ci: Int,
+      dcTbl: Int, acTbl: Int, pred: Int, coef: Array[Int],
+      zigzag: Array[Int], corrupt: () => Nothing): Int = {
+    val newPred = decodeDc(dec, stats, cond, ci, dcTbl, pred, corrupt)
+    coef(0) = newPred
+    decodeAcFirst(dec, stats, cond, acTbl, coef, 0, zigzag, 1, 63, 0,
+      corrupt)
     newPred
   }
 
@@ -520,6 +595,97 @@ private[graft] object JpegArith {
     out.toByteArray
   }
 
+  /** PROGRESSIVE arithmetic (SOF10) grayscale encoder over QUANTIZED
+    * coefficient blocks — five scans covering every Annex G
+    * arithmetic coding procedure:
+    *
+    *   1. DC first at Al=1 (sequential DC model over `dc >> 1`),
+    *   2. AC first, band 1..31, Al=1 (spectral selection),
+    *   3. AC first, band 32..63, Al=1,
+    *   4. DC refinement (Ah=1 → Al=0): one fixed-bin decision per
+    *      block carrying the live low bit,
+    *   5. AC refinement, band 1..63 (Ah=1 → Al=0): correction bits
+    *      for previously-nonzero coefficients, fixed-bin signs for
+    *      newly-nonzero ones, per-block end-of-band decisions.
+    *
+    * `x = ((x>>1)<<1) | (x&1)` holds in two's complement and the AC
+    * point transform divides toward zero, so ANY coefficient block
+    * reconstructs exactly — the flat all-ones quant then makes the
+    * decoded pixels the exact inverse transform, comparable
+    * bit-for-bit against the sequential Huffman/arithmetic codings of
+    * the same blocks. Optional restart markers re-prime the coder and
+    * statistics every `restartInterval` blocks within each scan.
+    */
+  private[graft] def encodeGrayProgressive(
+      coefBlocks: Seq[Array[Int]], bw: Int, bh: Int,
+      restartInterval: Int = 0): Array[Byte] = {
+    require(bw > 0 && bh > 0 && coefBlocks.length == bw * bh,
+      s"block grid ${coefBlocks.length} != $bw x $bh")
+    require(bw * 8 <= 0xffff && bh * 8 <= 0xffff, "dims exceed JPEG u16")
+    require(coefBlocks.forall(_.length == 64), "blocks must be 8x8")
+    val out = new java.io.ByteArrayOutputStream()
+    def u8o(v: Int): Unit = out.write(v & 0xff)
+    def u16o(v: Int): Unit = { u8o(v >> 8); u8o(v) }
+    u16o(0xffd8)
+    u16o(0xffdb); u16o(2 + 1 + 64); u8o(0x00) // DQT 0: all ones
+    (0 until 64).foreach(_ => u8o(1))
+    u16o(0xffca); u16o(8 + 3); u8o(8); u16o(bh * 8); u16o(bw * 8) // SOF10
+    u8o(1); u8o(1); u8o(0x11); u8o(0)
+    u16o(0xffcc); u16o(2 + 4) // DAC: defaults, made explicit
+    u8o(0x00); u8o(0x10); u8o(0x10); u8o(0x05)
+    if (restartInterval > 0) { u16o(0xffdd); u16o(4); u16o(restartInterval) }
+    val cond = new Conditioning
+    def sos(ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      u16o(0xffda); u16o(6 + 2); u8o(1); u8o(1); u8o(0x00)
+      u8o(ss); u8o(se); u8o((ah << 4) | al)
+    }
+    /** Run one scan: fresh coder + statistics, restart markers every
+      * `restartInterval` blocks, flush at the end.
+      */
+    def scan(perBlock: (Encoder, Stats, Array[Int]) => Unit)
+        (onRestart: () => Unit = () => ()): Unit = {
+      var enc = new Encoder(out)
+      var stats = new Stats(1)
+      var rstIdx = 0
+      var i = 0
+      while (i < coefBlocks.length) {
+        if (restartInterval > 0 && i > 0 && i % restartInterval == 0) {
+          enc.flush()
+          u16o(0xffd0 + rstIdx)
+          rstIdx = (rstIdx + 1) & 7
+          enc = new Encoder(out)
+          stats = new Stats(1)
+          onRestart()
+        }
+        perBlock(enc, stats, coefBlocks(i))
+        i += 1
+      }
+      enc.flush()
+    }
+    // scan 1: DC first, Al=1
+    sos(0, 0, 0, 1)
+    var pred = 0
+    scan((enc, stats, coef) =>
+      pred = encodeDc(enc, stats, cond, 0, 0, pred, coef(0) >> 1))(
+      () => pred = 0)
+    // scans 2+3: AC first, split band, Al=1
+    for ((lo, hi) <- Seq((1, 31), (32, 63))) {
+      sos(lo, hi, 0, 1)
+      scan((enc, stats, coef) =>
+        encodeAcFirst(enc, stats, cond, 0, coef, ZigZag, lo, hi, 1))()
+    }
+    // scan 4: DC refinement, Ah=1 -> Al=0 (fixed-bin bit per block)
+    sos(0, 0, 1, 0)
+    scan((enc, stats, coef) =>
+      enc.encode(stats.fixed, 0, coef(0) & 1))()
+    // scan 5: AC refinement, full band, Ah=1 -> Al=0
+    sos(1, 63, 1, 0)
+    scan((enc, stats, coef) =>
+      encodeAcRefine(enc, stats, 0, coef, ZigZag, 1, 63, 1, 0))()
+    u16o(0xffd9)
+    out.toByteArray
+  }
+
   /** Block-constant grayscale arithmetic JPEG: value v becomes the
     * exact DC 8·(v−128) with zero AC — the same losslessly-codable
     * subset as the Huffman twin `encodeJpegBlocks`, so decoded pixels
@@ -535,17 +701,15 @@ private[graft] object JpegArith {
         c
       }, bw, bh, restartInterval)
 
-  /** Encode one block (F.1.4): DC difference against `pred`, then AC
-    * run/EOB structure. `coef` natural order; returns the new pred.
+  /** Encode one DC value against `pred` (same scaled domain as
+    * [[decodeDc]]); returns `value` as the new prediction.
     */
-  def encodeBlock(
+  def encodeDc(
       enc: Encoder, stats: Stats, cond: Conditioning, ci: Int,
-      dcTbl: Int, acTbl: Int, pred: Int, coef: Array[Int],
-      zigzag: Array[Int]): Int = {
+      dcTbl: Int, pred: Int, value: Int): Int = {
     val dst = stats.dc(dcTbl)
     val base = stats.dcContext(ci)
-    val dcVal = coef(0)
-    val diff = dcVal - pred
+    val diff = value - pred
     if (diff == 0) {
       enc.encode(dst, base, 0)
       stats.dcContext(ci) = 0
@@ -579,19 +743,33 @@ private[graft] object JpegArith {
       while ({ mm >>= 1; mm != 0 })
         enc.encode(dst, si, if ((mm & v) != 0) 1 else 0)
     }
+    value
+  }
+
+  /** Encode one block's AC band `ss..se`, point-transformed by `al`
+    * (division toward zero). Sequential = `(1, 63, 0)`.
+    */
+  def encodeAcFirst(
+      enc: Encoder, stats: Stats, cond: Conditioning, acTbl: Int,
+      coef: Array[Int], zigzag: Array[Int], ss: Int, se: Int,
+      al: Int): Unit = {
     val ast = stats.ac(acTbl)
-    var ke = 63
-    while (ke > 0 && coef(zigzag(ke)) == 0) ke -= 1
-    var k = 1
+    def scaled(k: Int): Int = {
+      val v = coef(zigzag(k))
+      if (v < 0) -((-v) >> al) else v >> al
+    }
+    var ke = se
+    while (ke >= ss && scaled(ke) == 0) ke -= 1
+    var k = ss
     while (k <= ke) {
       var si = 3 * (k - 1)
       enc.encode(ast, si, 0) // not end-of-block
-      while (coef(zigzag(k)) == 0) {
+      while (scaled(k) == 0) {
         enc.encode(ast, si + 1, 0)
         si += 3; k += 1
       }
       enc.encode(ast, si + 1, 1)
-      var v = coef(zigzag(k))
+      var v = scaled(k)
       if (v > 0) enc.encode(stats.fixed, 0, 0)
       else { v = -v; enc.encode(stats.fixed, 0, 1) }
       si += 2
@@ -619,7 +797,55 @@ private[graft] object JpegArith {
         enc.encode(ast, si, if ((mm & v) != 0) 1 else 0)
       k += 1
     }
-    if (ke < 63) enc.encode(ast, 3 * (k - 1), 1) // end-of-block
-    dcVal
+    if (ke < se) enc.encode(ast, 3 * (k - 1), 1) // end-of-block
+  }
+
+  /** AC refinement encoder (G.1.3.3), mirror of [[decodeAcRefine]]:
+    * `ah` is the previous scan's point transform, `al = ah − 1`.
+    */
+  def encodeAcRefine(
+      enc: Encoder, stats: Stats, acTbl: Int,
+      coef: Array[Int], zigzag: Array[Int], ss: Int, se: Int,
+      ah: Int, al: Int): Unit = {
+    val ast = stats.ac(acTbl)
+    def absShift(k: Int, s: Int): Int = math.abs(coef(zigzag(k))) >> s
+    var ke = se
+    while (ke >= ss && absShift(ke, al) == 0) ke -= 1
+    var kex = ke
+    while (kex >= ss && absShift(kex, ah) == 0) kex -= 1
+    var k = ss
+    while (k <= ke) {
+      var si = 3 * (k - 1)
+      if (k > kex) enc.encode(ast, si, 0) // band continues
+      var done = false
+      while (!done) {
+        val t = absShift(k, al)
+        if (t > 1) { // previously nonzero: correction bit
+          enc.encode(ast, si + 2, t & 1)
+          done = true
+        } else if (t == 1) { // newly nonzero this scan
+          enc.encode(ast, si + 1, 1)
+          enc.encode(stats.fixed, 0, if (coef(zigzag(k)) < 0) 1 else 0)
+          done = true
+        } else {
+          enc.encode(ast, si + 1, 0)
+          si += 3; k += 1
+        }
+      }
+      k += 1
+    }
+    if (ke < se) enc.encode(ast, 3 * (k - 1), 1) // end-of-band
+  }
+
+  /** Encode one block (F.1.4): DC difference against `pred`, then AC
+    * run/EOB structure. `coef` natural order; returns the new pred.
+    */
+  def encodeBlock(
+      enc: Encoder, stats: Stats, cond: Conditioning, ci: Int,
+      dcTbl: Int, acTbl: Int, pred: Int, coef: Array[Int],
+      zigzag: Array[Int]): Int = {
+    val newPred = encodeDc(enc, stats, cond, ci, dcTbl, pred, coef(0))
+    encodeAcFirst(enc, stats, cond, acTbl, coef, zigzag, 1, 63, 0)
+    newPred
   }
 }

@@ -424,6 +424,44 @@ object Multimodal {
       .toDF("media_id", "decoder", "width", "height", "gray_mean")
   }
 
+  /** Fully-oracled SOF10 (progressive ARITHMETIC) feature relation —
+    * the fourth and final cell of the entropy × scan-structure
+    * matrix (sequential/progressive × Huffman/QM): five scans per
+    * document (DC first at Al=1, split-band AC first, DC and AC
+    * refinements), all QM-coded ([[JpegArith.encodeGrayProgressive]]);
+    * odd doc_ids add restart markers every 3 blocks in every scan.
+    * Decode runs the real multi-scan walk with the Annex G arithmetic
+    * models; means recompute from the md5 derivation as everywhere.
+    */
+  def sof10Features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def tokByte(toks: Seq[String], i: Int): Int =
+          (md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0): Int) & 0xff
+        it.map { case (id, toks) =>
+          val blocks = (0 until 8).map { i =>
+            val c = new Array[Int](64)
+            c(0) = 8 * (tokByte(toks, i) - 128)
+            c
+          }
+          val jpg = JpegArith.encodeGrayProgressive(blocks, 4, 2,
+            restartInterval = if (id % 2 == 1) 3 else 0)
+          val d = Codecs.decode(jpg).getOrElse(throw new IllegalStateException(
+            s"sof10 fixture failed to decode for doc $id"))
+          var sum = 0L
+          var i = 0
+          while (i < d.gray.length) { sum += d.gray(i) & 0xff; i += 1 }
+          (id, d.kind, d.width, d.height, sum.toDouble / d.gray.length)
+        }
+      }
+      .toDF("media_id", "decoder", "width", "height", "gray_mean")
+  }
+
   /** Payload metadata relation (fully oracle-able): id, declared type,
     * byte length, md5 of the payload.
     */

@@ -142,6 +142,65 @@ class JpegArithSpec extends AnyFunSuite {
     }
   }
 
+  test("SOF10: progressive arithmetic completes the four-mode matrix") {
+    val rnd = new scala.util.Random(19)
+    for (trial <- 0 until 8) {
+      val bw = 1 + rnd.nextInt(4)
+      val bh = 1 + rnd.nextInt(3)
+      val blocks = Seq.tabulate(bw * bh) { _ =>
+        val c = new Array[Int](64)
+        c(0) = rnd.nextInt(2001) - 1000
+        val nAc = rnd.nextInt(24)
+        for (_ <- 0 until nAc) {
+          val k = 1 + rnd.nextInt(63)
+          c(JpegArith.ZigZag(k)) =
+            if (rnd.nextInt(8) == 0) rnd.nextInt(2047) - 1023
+            else rnd.nextInt(81) - 40 // includes ±1 magnitudes: the
+          // newly-nonzero-in-refinement path is exercised
+        }
+        c
+      }
+      val seqHuff = Jpeg.decode(PerceptualHash.encodeJpegCoefs(blocks, bw, bh)).get
+      val seqArith = Jpeg.decode(JpegArith.encodeGrayCoefs(blocks, bw, bh)).get
+      val progArith = Jpeg.decode(JpegArith.encodeGrayProgressive(blocks, bw, bh))
+        .getOrElse(fail(s"trial $trial: SOF10 stream declined"))
+      assert(progArith.kind == "jpeg")
+      assert(progArith.width == seqHuff.width && progArith.height == seqHuff.height)
+      assert(progArith.gray.sameElements(seqHuff.gray),
+        s"trial $trial: progressive arithmetic != sequential Huffman")
+      assert(progArith.gray.sameElements(seqArith.gray),
+        s"trial $trial: progressive arithmetic != sequential arithmetic")
+    }
+  }
+
+  test("SOF10: restart markers re-prime every scan identically") {
+    val rnd = new scala.util.Random(23)
+    val blocks = Seq.tabulate(10) { _ =>
+      val c = new Array[Int](64)
+      c(0) = rnd.nextInt(512) - 256
+      for (k <- 1 to 63 if rnd.nextInt(4) == 0)
+        c(JpegArith.ZigZag(k)) = rnd.nextInt(41) - 20
+      c
+    }
+    val plain = Jpeg.decode(JpegArith.encodeGrayProgressive(blocks, 5, 2)).get
+    for (ri <- Seq(1, 3, 7)) {
+      val restarted = Jpeg.decode(
+        JpegArith.encodeGrayProgressive(blocks, 5, 2, ri)).get
+      assert(restarted.gray.sameElements(plain.gray), s"interval $ri")
+    }
+  }
+
+  test("SOF10: corpus-grid fixtures round-trip bit-exactly") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val grid = Array.tabulate(4 * 2)(i => md.digest(s"s$i".getBytes)(0) & 0xff)
+    val blocks = grid.toSeq.map { v =>
+      val c = new Array[Int](64); c(0) = 8 * (v - 128); c
+    }
+    val d = Jpeg.decode(JpegArith.encodeGrayProgressive(blocks, 4, 2)).get
+    for (by <- 0 until 2; bx <- 0 until 4; y <- 0 until 8; x <- 0 until 8)
+      assert((d.gray((by * 8 + y) * 32 + bx * 8 + x) & 0xff) == grid(by * 4 + bx))
+  }
+
   test("corrupted entropy data never throws, never hangs") {
     val rnd = new scala.util.Random(11)
     val good = JpegArith.encodeGrayBlocks(
