@@ -197,6 +197,7 @@ object SparkEntry {
       Dedup.dedupedCorpus(s, dir, maxDocFreq = Some(0.1))),
     // reproducible per-stratum sampling (hash pre-filter + rank)
     "sample_stratified" -> ((s, dir) => Relational.stratifiedSample(s, dir)),
+    "corpus_diff" -> ((s, dir) => Relational.corpusDiff(s, dir)),
     // deterministic training-export sharding (md5 shard + dense pos)
     "corpus_shard" -> ((s, dir) => Relational.shardAssignments(s, dir)),
     // benchmark 8-gram decontamination; benchmark grams broadcast
@@ -803,6 +804,28 @@ object SparkEntry {
     "dedup_minhash_lsh" -> jaccardOracle(0.8),
     "dedup_clusters" -> clusterOracle(0.8),
     "dedup_filtered" -> dedupFilteredOracle(0.8),
+    // content-hash snapshot diff over the same deterministic carves
+    // and the same simulated edit (uppercase at doc_id % 11 = 0)
+    "corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS old_md5 FROM documents
+        |  WHERE doc_id % 7 <> 0
+        |), neu AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END)
+        |      AS new_md5
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |), d AS (
+        |  SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+        |    CASE WHEN old_md5 IS NULL THEN 'added'
+        |         WHEN new_md5 IS NULL THEN 'removed'
+        |         WHEN old_md5 = new_md5 THEN 'same'
+        |         ELSE 'changed' END AS status
+        |  FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM d GROUP BY status""".stripMargin,
     // same two phases as the engine: md5-prefix pre-filter, then a
     // per-stratum rank over survivors
     "sample_stratified" ->

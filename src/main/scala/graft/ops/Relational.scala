@@ -351,4 +351,39 @@ object Relational {
         row_number().over(w).as("sample_rank"))
       .filter(col("sample_rank") <= k)
   }
+
+  /** Snapshot diff — the incremental-ingestion primitive: classify
+    * every document across two corpus versions as `added`, `removed`,
+    * `changed`, or `same` by CONTENT hash, not arrival metadata (a
+    * re-crawl that returns identical bytes is `same`; one that
+    * returns edits is `changed` and must re-enter the dedup/quality/
+    * pack pipeline, which the [[graft.ops.TrainPrep]] layout then
+    * reflows survivor-relatively). Fixture snapshots are carved
+    * deterministically from the one documents table: the OLD snapshot
+    * is `doc_id % 7 ≠ 0`, the NEW is `doc_id % 5 ≠ 0`, and new-side
+    * content for `doc_id % 11 = 0` is uppercased — a simulated edit
+    * the hash catches.
+    *
+    * Shape at scale: one full-outer join on the corpus key (the
+    * [[Bucketed]] layout co-locates it), comparing 32-byte digests,
+    * never text; each side's hash is computed inside its own scan.
+    */
+  def corpusDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = rd(s, dir, "documents")
+    val old = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val neu = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 11 === 0, upper(col("text")))
+          .otherwise(col("text"))).as("new_md5"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") === col("new_md5"), "same")
+          .otherwise("changed").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
 }
