@@ -201,6 +201,53 @@ class JpegArithSpec extends AnyFunSuite {
       assert((d.gray((by * 8 + y) * 32 + bx * 8 + x) & 0xff) == grid(by * 4 + bx))
   }
 
+  test("SOF10 4:2:0: interleaved arithmetic DC scan yields the luma preview") {
+    // hand-built progressive-arithmetic color stream: one interleaved
+    // DC-only scan (Y 2x2 + Cb + Cr, per-component conditioning
+    // contexts); the grayscale surface stores luma DCs and decodes to
+    // the 1/8-scale preview, consuming chroma decisions to stay in
+    // bit-sync — the interleaved dcScanPassArith path.
+    val (mx, my) = (2, 1)
+    val rnd = new scala.util.Random(29)
+    val y = Array.fill(4 * mx * my)(rnd.nextInt(256))
+    val cb = Array.fill(mx * my)(rnd.nextInt(256))
+    val cr = Array.fill(mx * my)(rnd.nextInt(256))
+    val out = new java.io.ByteArrayOutputStream()
+    def u8o(v: Int): Unit = out.write(v & 0xff)
+    def u16o(v: Int): Unit = { u8o(v >> 8); u8o(v) }
+    u16o(0xffd8)
+    u16o(0xffdb); u16o(2 + 1 + 64); u8o(0x00)
+    (0 until 64).foreach(_ => u8o(8)) // all 8s: DC/8 + 128 = v exactly
+    u16o(0xffca); u16o(8 + 9); u8o(8); u16o(16 * my); u16o(16 * mx)
+    u8o(3); u8o(1); u8o(0x22); u8o(0); u8o(2); u8o(0x11); u8o(0)
+    u8o(3); u8o(0x11); u8o(0)
+    u16o(0xffda); u16o(6 + 6); u8o(3)
+    u8o(1); u8o(0x00); u8o(2); u8o(0x00); u8o(3); u8o(0x00)
+    u8o(0); u8o(0); u8o(0) // Ss=0 Se=0 Ah=0 Al=0
+    val cond = new JpegArith.Conditioning
+    val stats = new JpegArith.Stats(3)
+    val enc = new JpegArith.Encoder(out)
+    val preds = new Array[Int](3)
+    def dc(ci: Int, v: Int): Unit =
+      preds(ci) = JpegArith.encodeDc(enc, stats, cond, ci, 0, preds(ci),
+        v - 128)
+    for (mcu <- 0 until mx * my) {
+      val (ux, uy) = (mcu % mx, mcu / mx)
+      for (by <- 0 until 2; bx <- 0 until 2)
+        dc(0, y((uy * 2 + by) * (2 * mx) + ux * 2 + bx))
+      dc(1, cb(mcu)); dc(2, cr(mcu))
+    }
+    enc.flush()
+    u16o(0xffd9)
+    val d = Jpeg.decode(out.toByteArray).get
+    assert(d.kind == "jpeg_dc") // DC-only progressive -> 1/8 preview
+    // one preview pixel per luma block: 2mx x 2my
+    assert(d.width == 2 * mx && d.height == 2 * my)
+    for (by <- 0 until 2 * my; bx <- 0 until 2 * mx)
+      assert((d.gray(by * 2 * mx + bx) & 0xff) == y(by * 2 * mx + bx),
+        s"block ($bx,$by)")
+  }
+
   test("corrupted entropy data never throws, never hangs") {
     val rnd = new scala.util.Random(11)
     val good = JpegArith.encodeGrayBlocks(
