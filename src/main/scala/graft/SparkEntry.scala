@@ -4,9 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
-import graft.ops.{BloomIndex, Bucketed, Dedup, EventOps, Filtering,
-  LshIndex, MediaHeaders, Multimodal, PerceptualHash, Relational,
-  Similarity, Sketches, TextOps, TrainPrep, VectorIndex}
+import graft.ops.{BloomIndex, Bucketed, Classifier, CrawlOps, Dedup,
+  EventOps, Filtering, LshIndex, MediaHeaders, Multimodal,
+  PerceptualHash, Relational, Similarity, Sketches, TextOps, TrainPrep,
+  UrlOps, VectorIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -406,7 +407,26 @@ object SparkEntry {
     // video sibling: 4-frame uncompressed AVIs through the real
     // container parser, per-frame dHash XOR-folded to a clip key
     "mm_video_near_dup" -> ((s, dir) =>
-      PerceptualHash.videoNearDupPairs(s, dir))
+      PerceptualHash.videoNearDupPairs(s, dir)),
+
+    // --- LLM-pipeline: crawl-ingestion front end ---
+    // WARC/1.0 record inventory: from-scratch framing parse + real
+    // multi-member gunzip (.warc.gz convention, odd doc_ids); the
+    // payload md5 pins synthesize->compress->parse byte-exact
+    "warc_records" -> ((s, dir) => CrawlOps.warcRecords(s, dir)),
+    // HTML main-text extraction: real tokenizer (raw-text elements,
+    // quoted attrs, entities) + link-density boilerplate drop; body
+    // md5 pins the extraction against the generative derivation
+    "html_extract" -> ((s, dir) => CrawlOps.htmlExtract(s, dir)),
+    // CCNet-style corpus-wide paragraph dedup: first-occurrence rule
+    // as a skew-safe aggregation (no window sort on the hot banner)
+    "paragraph_dedup" -> ((s, dir) => CrawlOps.paragraphDedup(s, dir)),
+    // URL canonicalization via parse_url built-ins + mini-PSL
+    // registered domain + canonical-key dedup (live collisions)
+    "url_normalize" -> ((s, dir) => UrlOps.urlNormalize(s, dir)),
+    // multinomial NB quality classifier: trained in-engine on the
+    // train split's heuristic verdicts, decimal-mediated scoring
+    "quality_classifier" -> ((s, dir) => Classifier.nbQuality(s, dir))
   )
 
   /** Chained-CTE replay of the BPE trainer for the DuckDB oracle: `w0`
@@ -2202,8 +2222,321 @@ object SparkEntry {
         |  CAST(list_sum(list_transform(qv, y -> CAST(y AS BIGINT) * y))
         |    AS BIGINT) AS ql2,
         |  md5(array_to_string(qv, ',')) AS qfp
-        |FROM q""".stripMargin
+        |FROM q""".stripMargin,
+
+    // WARC oracle: the engine parses real WARC framing (and, for odd
+    // doc_ids, real per-record gzip members) out of bytes synthesized
+    // from the generative derivation; the oracle recomputes every
+    // field — payload md5 included — from the same derivation without
+    // ever touching container bytes. Hash equality pins the
+    // synthesize -> compress -> inflate -> frame-parse path byte-exact.
+    "warc_records" ->
+      (htmlSynthCtes +
+        """, w AS (
+          |  SELECT doc_id, source, tk, html,
+          |    'https://' || source || '.example.com/' || tk[1] || '/'
+          |      || tk[2] AS url,
+          |    chr(13) || chr(10) AS crlf
+          |  FROM h
+          |)
+          |SELECT doc_id, CAST(0 AS INTEGER) AS rec_idx,
+          |  'warcinfo' AS warc_type,
+          |  CAST(NULL AS VARCHAR) AS target_uri,
+          |  CAST(NULL AS INTEGER) AS http_status,
+          |  CAST(NULL AS VARCHAR) AS mime,
+          |  CAST(21 AS BIGINT) AS payload_len,
+          |  md5('software: graft/1.0' || crlf) AS payload_fp,
+          |  (doc_id % 2 = 1) AS compressed
+          |FROM w
+          |UNION ALL
+          |SELECT doc_id, CAST(1 AS INTEGER), 'request', url,
+          |  CAST(NULL AS INTEGER), CAST(NULL AS VARCHAR),
+          |  CAST(length(reqp) AS BIGINT), md5(reqp), (doc_id % 2 = 1)
+          |FROM (
+          |  SELECT *,
+          |    'GET /' || tk[1] || '/' || tk[2] || ' HTTP/1.1' || crlf ||
+          |    'host: ' || source || '.example.com' || crlf || crlf AS reqp
+          |  FROM w)
+          |UNION ALL
+          |SELECT doc_id, CAST(2 AS INTEGER), 'response', url,
+          |  CAST(200 AS INTEGER), 'text/html',
+          |  CAST(length(respp) AS BIGINT), md5(respp), (doc_id % 2 = 1)
+          |FROM (
+          |  SELECT *,
+          |    'HTTP/1.1 200 OK' || crlf ||
+          |    'content-type: text/html; charset=utf-8' || crlf ||
+          |    'content-length: ' || CAST(length(html) AS VARCHAR) ||
+          |    crlf || crlf || html AS respp
+          |  FROM w)""").stripMargin,
+
+    // HTML-extraction oracle: expected main text = the token
+    // paragraphs plus the decoded entity paragraph (nav and the
+    // link-only footer exceed the 0.5 link-density bar; script/style/
+    // comments never emit text). The engine earns this through the
+    // real tokenizer; the oracle rebuilds it from the derivation.
+    "html_extract" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, tk,
+        |    array_to_string(
+        |      [ array_to_string(tk[10*i+1 : 10*i+10], ' ')
+        |        for i in range(0, CAST(ceil(len(tk)/10.0) AS INT)) ],
+        |      chr(10))
+        |    || chr(10) || 'tom & jerry <3 ''quoted'' & done' AS body
+        |  FROM t
+        |)
+        |SELECT doc_id, tk[1] || ' ' || tk[2] AS title,
+        |  CAST(CAST(ceil(len(tk)/10.0) AS INT) + 3 AS INTEGER)
+        |    AS n_blocks,
+        |  CAST(2 AS INTEGER) AS n_dropped,
+        |  CAST(5 AS INTEGER) AS n_links,
+        |  CAST(length(body) AS INTEGER) AS body_chars,
+        |  md5(body) AS body_fp
+        |FROM b""".stripMargin,
+
+    // Paragraph-dedup oracle: same paragraphs (banner + 10-token
+    // chunks + source banner), same first-occurrence-by-(doc,idx)
+    // rule via the packed min-ordinal, same newline reassembly.
+    "paragraph_dedup" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents
+        |), pl AS (
+        |  SELECT doc_id,
+        |    list_concat(list_concat(
+        |      ['accept cookies to continue'],
+        |      [ array_to_string(tk[10*i+1 : 10*i+10], ' ')
+        |        for i in range(0, CAST(ceil(len(tk)/10.0) AS INT)) ]),
+        |      ['brought to you by ' || source]) AS paras
+        |  FROM t
+        |), p AS (
+        |  SELECT doc_id, u.i AS para_idx, u.p AS para FROM (
+        |    SELECT doc_id,
+        |      unnest([ {'i': i, 'p': paras[i+1]}
+        |               for i in range(0, len(paras)) ]) AS u
+        |    FROM pl)
+        |), f AS (
+        |  SELECT md5(para) AS h,
+        |    min(doc_id * 1048576 + para_idx) AS first_ord
+        |  FROM p GROUP BY 1
+        |), k AS (
+        |  SELECT doc_id, para_idx, para,
+        |    (doc_id * 1048576 + para_idx = first_ord) AS keep
+        |  FROM p JOIN f ON md5(para) = f.h
+        |)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(length(coalesce(
+        |    string_agg(CASE WHEN keep THEN para END, chr(10)
+        |      ORDER BY para_idx), '')) AS INTEGER) AS clean_chars,
+        |  md5(coalesce(
+        |    string_agg(CASE WHEN keep THEN para END, chr(10)
+        |      ORDER BY para_idx), '')) AS clean_fp
+        |FROM k GROUP BY doc_id""".stripMargin,
+
+    // URL oracle: the engine normalizes the MESSY raw form through
+    // the generic parse_url pipeline; the oracle states the canonical
+    // result closed-form from the derivation (all synthesized ports
+    // are scheme defaults, fragments drop, utm params drop, params
+    // sort, //-runs collapse, index.html and trailing slash strip,
+    // www. strips, case folds). Path token space is 16 values so
+    // canonical-key collisions are live.
+    "url_normalize" ->
+      """WITH nb AS (
+        |  SELECT doc_id, source,
+        |    [ strpos('0123456789abcdef',
+        |        substr(md5(doc_id::VARCHAR || '#url'), i, 1)) - 1
+        |      for i in [1, 2, 3, 4, 5, 6] ] AS nv
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN nv[1] % 2 = 0 THEN 'http' ELSE 'HTTPS' END) ||
+        |    '://' ||
+        |    (CASE WHEN nv[2] % 4 = 0
+        |      THEN 'WWW.' || source || '.Example.COM'
+        |      ELSE source || '.example.' ||
+        |        (CASE WHEN nv[2] % 4 = 1 THEN 'co.uk' ELSE 'com' END)
+        |      END) ||
+        |    (CASE WHEN nv[3] % 2 = 0
+        |      THEN (CASE WHEN nv[1] % 2 = 0 THEN ':80' ELSE ':443' END)
+        |      ELSE '' END) ||
+        |    '/cat//p' || CAST(nv[4] AS VARCHAR) ||
+        |    (CASE WHEN nv[5] % 2 = 1 THEN '/index.html' ELSE '/' END) ||
+        |    (CASE WHEN nv[1] % 2 = 0
+        |      THEN '?utm_source=feed&b=' || CAST(nv[6] % 7 AS VARCHAR)
+        |        || '&a=1'
+        |      ELSE '?a=1&b=' || CAST(nv[6] % 7 AS VARCHAR) END) ||
+        |    '#s' || CAST(nv[6] % 3 AS VARCHAR) AS raw_url,
+        |    (CASE WHEN nv[1] % 2 = 0 THEN 'http' ELSE 'https' END) AS pr,
+        |    source || '.example.' ||
+        |      (CASE WHEN nv[2] % 4 = 1 THEN 'co.uk' ELSE 'com' END)
+        |      AS host,
+        |    nv[4] AS pathn, nv[6] % 7 AS qb
+        |  FROM nb
+        |), n AS (
+        |  SELECT doc_id, raw_url, host,
+        |    pr || '://' || host || '/cat/p' || CAST(pathn AS VARCHAR) ||
+        |    '?a=1&b=' || CAST(qb AS VARCHAR) AS norm_url,
+        |    (CASE WHEN host LIKE '%.co.uk' THEN 'example.co.uk'
+        |      ELSE 'example.com' END) AS reg_domain
+        |  FROM u
+        |), f AS (
+        |  SELECT norm_url AS nu, min(doc_id) AS first_doc,
+        |    CAST(count(*) AS BIGINT) AS n_same
+        |  FROM n GROUP BY 1
+        |)
+        |SELECT doc_id, raw_url, norm_url, host, reg_domain, first_doc,
+        |  (doc_id <> first_doc) AS is_dup, n_same
+        |FROM n JOIN f ON n.norm_url = f.nu""".stripMargin,
+
+    // NB-classifier oracle: replays training (train-split token
+    // counts under the heuristic verdict) and scoring (Laplace-
+    // smoothed, 12-decimal-rounded log terms summed as DECIMAL) —
+    // the heuristic verdict CTEs are the quality_filter oracle's.
+    "quality_classifier" ->
+      """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)
+        |      AS mean_token_len,
+        |    len(list_filter(toks, x -> x IN ('a','the','of','and'))) /
+        |      CAST(len(toks) AS DOUBLE) AS stop_ratio
+        |  FROM t
+        |), g AS (
+        |  SELECT doc_id, unnest(list_concat(
+        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))],
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |       for i in range(1, len(toks) - 1)]
+        |    ELSE [] END)) AS gram
+        |  FROM t WHERE len(toks) >= 2
+        |), c AS (
+        |  SELECT doc_id, c, len(string_split(gram, ' ')) AS n FROM (
+        |    SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        |), a AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS n_grams2,
+        |    CAST(max(CASE WHEN n = 2 THEN c END) AS BIGINT) AS top2_cnt,
+        |    CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS n_grams3,
+        |    CAST(sum(CASE WHEN n = 3 AND c > 1 THEN c END) AS BIGINT)
+        |      AS dup3_occ
+        |  FROM c GROUP BY doc_id
+        |), v AS (
+        |  SELECT q.doc_id,
+        |    ((n_tokens >= 20 AND n_tokens <= 1000) AND
+        |     (mean_token_len >= 2.0 AND mean_token_len <= 12.0) AND
+        |     stop_ratio >= 0.01 AND
+        |     coalesce(top2_cnt / CAST(n_grams2 AS DOUBLE) <= 0.2 AND
+        |       coalesce(dup3_occ, 0) / CAST(n_grams3 AS DOUBLE) <= 0.18,
+        |       true)) AS keep
+        |  FROM q LEFT JOIN a ON q.doc_id = a.doc_id
+        |), sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nib <= 13 THEN 'train'
+        |         WHEN nib = 14 THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id,
+        |      strpos('0123456789abcdef',
+        |        substr(md5(doc_id::VARCHAR || '#split'), 1, 1)) - 1 AS nib
+        |    FROM documents)
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS token FROM t
+        |), cnt AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cnt_keep,
+        |    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS cnt_drop
+        |  FROM tok JOIN v USING (doc_id) JOIN sp USING (doc_id)
+        |  WHERE split = 'train' GROUP BY 1
+        |), st AS (
+        |  SELECT CAST(sum(cnt_keep) AS BIGINT) AS tot_keep,
+        |    CAST(sum(cnt_drop) AS BIGINT) AS tot_drop,
+        |    CAST(count(*) AS BIGINT) AS vocab
+        |  FROM cnt
+        |), ds AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS docs_keep,
+        |    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS docs_drop
+        |  FROM v JOIN sp USING (doc_id) WHERE split = 'train'
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln((coalesce(cnt_keep, 0) + 1.0) /
+        |      (tot_keep + vocab)), 12) AS DECIMAL(28,12)) AS sk,
+        |    CAST(round(ln((coalesce(cnt_drop, 0) + 1.0) /
+        |      (tot_drop + vocab)), 12) AS DECIMAL(28,12)) AS sd
+        |  FROM tok LEFT JOIN cnt USING (token) CROSS JOIN st
+        |), pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    sum(sk) AS sk_sum, sum(sd) AS sd_sum
+        |  FROM sc GROUP BY 1
+        |), pr AS (
+        |  SELECT
+        |    CAST(round(ln(docs_keep /
+        |      CAST(docs_keep + docs_drop AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12)) AS prior_keep,
+        |    CAST(round(ln(docs_drop /
+        |      CAST(docs_keep + docs_drop AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12)) AS prior_drop
+        |  FROM ds
+        |)
+        |SELECT pd.doc_id, split, keep AS label, n_tokens,
+        |  round(CAST(prior_keep + sk_sum AS DOUBLE), 6) AS score_keep,
+        |  round(CAST(prior_drop + sd_sum AS DOUBLE), 6) AS score_drop,
+        |  (round(CAST(prior_keep + sk_sum AS DOUBLE), 6) >=
+        |   round(CAST(prior_drop + sd_sum AS DOUBLE), 6)) AS pred_keep,
+        |  ((round(CAST(prior_keep + sk_sum AS DOUBLE), 6) >=
+        |    round(CAST(prior_drop + sd_sum AS DOUBLE), 6)) = keep)
+        |    AS agree
+        |FROM pd
+        |JOIN sp ON pd.doc_id = sp.doc_id
+        |JOIN v ON pd.doc_id = v.doc_id
+        |CROSS JOIN pr""".stripMargin
   )
+
+  /** Shared CTE prefix reconstructing the synthesized crawl page
+    * ([[graft.ops.CrawlOps.synthHtml]]) character-for-character in
+    * DuckDB — tokens, then the exact element layout. Ends at `h`
+    * (doc_id, source, tk, html).
+    */
+  private val htmlSynthCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+      |  FROM documents
+      |), h AS (
+      |  SELECT doc_id, source, tk,
+      |    '<!doctype html>' || chr(10) ||
+      |    '<html><head><title>' || tk[1] || ' ' || tk[2] ||
+      |    '</title><script>var x = "1 > 0 && 2 < 3";</script>' ||
+      |    '<style>p { color: red; }</style></head>' || chr(10) ||
+      |    '<body>' || chr(10) ||
+      |    '<nav><a href="/home">home</a> <a href="/about">about</a> ' ||
+      |    '<a href="/contact">contact</a></nav>' || chr(10) ||
+      |    array_to_string(
+      |      [ '<p>' || array_to_string(tk[10*i+1 : 10*i+10], ' ') ||
+      |        '</p>'
+      |        for i in range(0, CAST(ceil(len(tk)/10.0) AS INT)) ],
+      |      chr(10)) || chr(10) ||
+      |    '<p>tom &amp; jerry &lt;3 &#39;quoted&#39; &#x26; done</p>' ||
+      |    chr(10) ||
+      |    '<div><a href="/x">x</a><a href="/y">y</a></div>' || chr(10) ||
+      |    '<!-- doc ' || CAST(doc_id AS VARCHAR) || ' -->' || chr(10) ||
+      |    '</body></html>' AS html
+      |  FROM t
+      |)""".stripMargin
 
   /** Shared CTE list (no WITH keyword) reproducing the engine's
     * k-means coarse quantizer bit-exactly: seeds from the first 16
