@@ -43,7 +43,12 @@ object Classifier {
       .select(col("doc_id"), col("keep"))
     val splits = TrainPrep.splitAssign(s, dir)
       .select(col("doc_id"), col("split"))
-    val labeled = verdict.join(splits, "doc_id")
+    // (doc_id, keep, split) is consumed three times (training counts,
+    // class-prior row, final join); uncached, each consumer would
+    // replay the verdict's full gram-explode subtree — cache the
+    // 3-column per-doc relation (rows ∝ documents, not tokens) so the
+    // corpus pays the verdict exchanges once
+    val labeled = verdict.join(splits, "doc_id").cache()
 
     val tok = docs(s, dir).select(
       col("doc_id"),
