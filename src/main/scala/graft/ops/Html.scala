@@ -137,13 +137,24 @@ object Html {
       n
     }
 
+    /** A `<` opens markup only when what follows could BE markup: a
+      * letter (tag), `/`+letter (close tag), `!` (comment/doctype) —
+      * the HTML5 tokenizer rule. A literal `<3` or `a < b` is text.
+      */
+    def opensMarkup(lt: Int): Boolean =
+      lt + 1 < n && {
+        val c1 = html.charAt(lt + 1)
+        c1.isLetter || c1 == '!' ||
+          (c1 == '/' && lt + 2 < n && html.charAt(lt + 2).isLetter)
+      }
+
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
-      if (c != '<') {
-        // text run up to the next tag
-        var j = i
-        while (j < n && html.charAt(j) != '<') j += 1
+      if (c != '<' || !opensMarkup(i)) {
+        // text run up to the next markup-opening tag
+        var j = if (c == '<') i + 1 else i
+        while (j < n && !(html.charAt(j) == '<' && opensMarkup(j))) j += 1
         val decoded = decodeEntities(html.substring(i, j))
         if (inTitle) title.append(decoded)
         else {

@@ -67,6 +67,14 @@ class HtmlSpec extends AnyFunSuite {
     assert(e.blocks.map(_.text) == Vector("bold both plain"))
   }
 
+  test("a literal < before a non-letter is text, not a tag open") {
+    // the HTML5 tokenizer rule: '<' followed by digit/space/symbol is
+    // character data — a naive parser swallows everything to the next >
+    val e = Html.extract("<p>i <3 spark</p><p>1 < 2 > 0</p><p>a </ b</p>")
+    assert(e.blocks.map(_.text) ==
+      Vector("i <3 spark", "1 < 2 > 0", "a </ b"))
+  }
+
   test("the synthesized fixture page extracts to its derivation") {
     // mirror of the oracle's closed form, on one concrete document
     val tokens = (1 to 23).map(i => s"tok$i").toArray
