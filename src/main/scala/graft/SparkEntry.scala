@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Catalog, Importer, Staging}
 import graft.ops.{BloomIndex, Bucketed, Classifier, CrawlOps, Dedup,
   EventOps, Filtering, LshIndex, MediaHeaders, Multimodal,
-  PerceptualHash, Relational, Similarity, Sketches, TextOps, TrainPrep,
-  UrlOps, VectorIndex}
+  PerceptualHash, Relational, Robots, Similarity, Sketches, TextOps,
+  TrainPrep, UrlOps, VectorIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -426,7 +426,10 @@ object SparkEntry {
     "url_normalize" -> ((s, dir) => UrlOps.urlNormalize(s, dir)),
     // multinomial NB quality classifier: trained in-engine on the
     // train split's heuristic verdicts, decimal-mediated scoring
-    "quality_classifier" -> ((s, dir) => Classifier.nbQuality(s, dir))
+    "quality_classifier" -> ((s, dir) => Classifier.nbQuality(s, dir)),
+    // RFC 9309 robots.txt policy over the canonical URL path: real
+    // group selection + wildcard/anchor matcher, longest-match-wins
+    "crawl_policy" -> ((s, dir) => Robots.crawlPolicy(s, dir))
   )
 
   /** Chained-CTE replay of the BPE trainer for the DuckDB oracle: `w0`
@@ -2503,7 +2506,38 @@ object SparkEntry {
         |FROM pd
         |JOIN sp ON pd.doc_id = sp.doc_id
         |JOIN v ON pd.doc_id = v.doc_id
-        |CROSS JOIN pr""".stripMargin
+        |CROSS JOIN pr""".stripMargin,
+
+    // robots.txt oracle: the engine parses the synthesized policy
+    // with a real RFC 9309 group/matcher; the oracle states the
+    // verdict closed-form per path bucket k (= the url derivation's
+    // 4th md5 nibble): /cat/p1 prefix-shadows p10-p15, /cat/p12 and
+    // the anchored /cat/p15$ re-allow by longest-match, /*/p7
+    // wildcard-blocks, everything else is allowed with no rule.
+    "crawl_policy" ->
+      """WITH nb AS (
+        |  SELECT doc_id, source,
+        |    strpos('0123456789abcdef',
+        |      substr(md5(doc_id::VARCHAR || '#url'), 2, 1)) - 1 AS n2,
+        |    strpos('0123456789abcdef',
+        |      substr(md5(doc_id::VARCHAR || '#url'), 4, 1)) - 1 AS k
+        |  FROM documents
+        |), u AS (
+        |  SELECT doc_id,
+        |    source || '.example.' ||
+        |      (CASE WHEN n2 % 4 = 1 THEN 'co.uk' ELSE 'com' END) AS host,
+        |    '/cat/p' || CAST(k AS VARCHAR) AS path, k
+        |  FROM nb
+        |)
+        |SELECT doc_id, host, path, CAST(4 AS INTEGER) AS n_rules,
+        |  (CASE WHEN k IN (1, 7, 10, 11, 13, 14) THEN false
+        |    ELSE true END) AS allowed,
+        |  (CASE WHEN k = 12 THEN '/cat/p12'
+        |        WHEN k = 15 THEN '/cat/p15$'
+        |        WHEN k IN (1, 10, 11, 13, 14) THEN '/cat/p1'
+        |        WHEN k = 7 THEN '/*/p7'
+        |        ELSE NULL END) AS matched_rule
+        |FROM u""".stripMargin
   )
 
   /** Shared CTE prefix reconstructing the synthesized crawl page
