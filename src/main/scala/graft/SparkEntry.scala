@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
 import graft.ops.{BloomIndex, Bucketed, Classifier, CrawlOps, Dedup,
-  EventOps, Filtering, LshIndex, MediaHeaders, Multimodal,
+  Encoding, EventOps, Filtering, LshIndex, MediaHeaders, Multimodal,
   PerceptualHash, Relational, Robots, Similarity, Sketches, TextOps,
   TrainPrep, UrlOps, VectorIndex}
 
@@ -429,7 +429,14 @@ object SparkEntry {
     "quality_classifier" -> ((s, dir) => Classifier.nbQuality(s, dir)),
     // RFC 9309 robots.txt policy over the canonical URL path: real
     // group selection + wildcard/anchor matcher, longest-match-wins
-    "crawl_policy" -> ((s, dir) => Robots.crawlPolicy(s, dir))
+    "crawl_policy" -> ((s, dir) => Robots.crawlPolicy(s, dir)),
+    // charset detection + transcode: BOM sniff -> strict UTF-8
+    // validation -> Latin-1 fallback; decoded md5 pins the transcode
+    "charset_detect" -> ((s, dir) => Encoding.charsetDetect(s, dir)),
+    // ORC export round-trip: the corpus slice written to Spark's
+    // other columnar format and read back, row-level oracle equality
+    "orc_roundtrip" -> ((s, dir) =>
+      Bucketed.orcRoundTrip(s, dir, scratchDir("orc")))
   )
 
   /** Chained-CTE replay of the BPE trainer for the DuckDB oracle: `w0`
@@ -2537,7 +2544,37 @@ object SparkEntry {
         |        WHEN k IN (1, 10, 11, 13, 14) THEN '/cat/p1'
         |        WHEN k = 7 THEN '/*/p7'
         |        ELSE NULL END) AS matched_rule
-        |FROM u""".stripMargin
+        |FROM u""".stripMargin,
+
+    // Charset oracle: byte counts closed-form per encoding branch
+    // (2-byte é in UTF-8, 3-byte BOM, 2 bytes/char + 2-byte BOM in
+    // UTF-16LE, 1 byte/char Latin-1); decoded md5 computed directly.
+    // The engine must recover identical text through DETECTION.
+    "charset_detect" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    text || ' café' AS decoded
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  (CASE WHEN doc_id % 4 = 2 THEN 'utf-16le'
+        |        WHEN doc_id % 4 = 3 THEN 'latin-1'
+        |        ELSE 'utf-8' END) AS detected,
+        |  (doc_id % 4 = 1 OR doc_id % 4 = 2) AS had_bom,
+        |  CAST(CASE doc_id % 4
+        |    WHEN 0 THEN n + 6
+        |    WHEN 1 THEN n + 9
+        |    WHEN 2 THEN 2 * (n + 5) + 2
+        |    ELSE n + 5 END AS INTEGER) AS n_bytes,
+        |  CAST(n + 5 AS INTEGER) AS n_chars,
+        |  md5(decoded) AS decoded_fp
+        |FROM t""".stripMargin,
+
+    // ORC oracle: the relation itself from the parquet source — the
+    // engine must reach the same rows through the ORC write+read.
+    "orc_roundtrip" ->
+      """SELECT doc_id, source, n_chars, md5(text) AS text_fp
+        |FROM documents""".stripMargin
   )
 
   /** Shared CTE prefix reconstructing the synthesized crawl page

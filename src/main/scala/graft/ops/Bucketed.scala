@@ -110,4 +110,21 @@ object Bucketed {
       .select(col("doc_id"), col("source"), col("n_chars"),
         col("n_tokens"))
   }
+
+  /** ORC round-trip: export the corpus slice to ORC (Spark's other
+    * columnar format — the interchange surface for Hive-era lakes)
+    * and read it back, returning row-level content: equality with the
+    * parquet-derived oracle pins the export lossless for longs,
+    * strings, and the md5 fingerprint column. The write is one narrow
+    * pass; the read-back scan is columnar ORC with the same pruning
+    * machinery parquet gets.
+    */
+  def orcRoundTrip(
+      s: SparkSession, dir: String, scratch: String): DataFrame = {
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("text_fp"))
+      .write.mode("overwrite").orc(s"$scratch/docs_orc")
+    s.read.orc(s"$scratch/docs_orc")
+  }
 }
