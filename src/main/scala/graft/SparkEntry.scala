@@ -6,8 +6,8 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Catalog, Importer, Staging}
 import graft.ops.{BloomIndex, Bucketed, Classifier, CrawlOps, Dedup,
   Encoding, EventOps, Filtering, LshIndex, MediaHeaders, Multimodal,
-  PerceptualHash, Relational, Robots, Similarity, Sketches, TextOps,
-  TrainPrep, UrlOps, VectorIndex}
+  PerceptualHash, Relational, Robots, Similarity, Sitemap, Sketches,
+  TextOps, TrainPrep, UrlOps, VectorIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -436,7 +436,10 @@ object SparkEntry {
     // ORC export round-trip: the corpus slice written to Spark's
     // other columnar format and read back, row-level oracle equality
     "orc_roundtrip" -> ((s, dir) =>
-      Bucketed.orcRoundTrip(s, dir, scratchDir("orc")))
+      Bucketed.orcRoundTrip(s, dir, scratchDir("orc"))),
+    // sitemap generation + StAX re-parse: per-host urlset XML with
+    // real escaping (& in query strings), one host-keyed exchange
+    "sitemap_urls" -> ((s, dir) => Sitemap.sitemapUrls(s, dir))
   )
 
   /** Chained-CTE replay of the BPE trainer for the DuckDB oracle: `w0`
@@ -2574,7 +2577,39 @@ object SparkEntry {
     // engine must reach the same rows through the ORC write+read.
     "orc_roundtrip" ->
       """SELECT doc_id, source, n_chars, md5(text) AS text_fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // Sitemap oracle: closed-form urls (the url_normalize derivation)
+    // ordered by doc_id within host — the engine must reach the same
+    // rows through render -> escape -> StAX parse -> unescape.
+    "sitemap_urls" ->
+      """WITH nb AS (
+        |  SELECT doc_id, source,
+        |    [ strpos('0123456789abcdef',
+        |        substr(md5(doc_id::VARCHAR || '#url'), i, 1)) - 1
+        |      for i in [1, 2, 3, 4, 5, 6] ] AS nv
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id,
+        |    source || '.example.' ||
+        |      (CASE WHEN nv[2] % 4 = 1 THEN 'co.uk' ELSE 'com' END)
+        |      AS host,
+        |    (CASE WHEN nv[1] % 2 = 0 THEN 'http' ELSE 'https' END) ||
+        |    '://' || source || '.example.' ||
+        |      (CASE WHEN nv[2] % 4 = 1 THEN 'co.uk' ELSE 'com' END) ||
+        |    '/cat/p' || CAST(nv[4] AS VARCHAR) ||
+        |    '?a=1&b=' || CAST(nv[6] % 7 AS VARCHAR) AS loc
+        |  FROM nb
+        |)
+        |SELECT host,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY doc_id)
+        |    AS INTEGER) AS pos,
+        |  loc,
+        |  '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    AS lastmod,
+        |  '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority,
+        |  CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n_urls
+        |FROM n""".stripMargin
   )
 
   /** Shared CTE prefix reconstructing the synthesized crawl page
