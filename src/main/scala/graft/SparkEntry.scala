@@ -7,7 +7,7 @@ import graft.engine.{Catalog, Importer, Staging}
 import graft.ops.{BloomIndex, Bucketed, Classifier, CrawlOps, Dedup,
   Encoding, EventOps, Filtering, LshIndex, MediaHeaders, Multimodal,
   PerceptualHash, Relational, Robots, Similarity, Sitemap, Sketches,
-  TextOps, TrainPrep, UrlOps, VectorIndex}
+  Frontier, TextOps, TrainPrep, UrlOps, VectorIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -439,7 +439,13 @@ object SparkEntry {
       Bucketed.orcRoundTrip(s, dir, scratchDir("orc"))),
     // sitemap generation + StAX re-parse: per-host urlset XML with
     // real escaping (& in query strings), one host-keyed exchange
-    "sitemap_urls" -> ((s, dir) => Sitemap.sitemapUrls(s, dir))
+    "sitemap_urls" -> ((s, dir) => Sitemap.sitemapUrls(s, dir)),
+    // politeness-partitioned fetch plan: robots-admitted URLs ranked
+    // per host, cut into bounded waves; one host-keyed window
+    "fetch_waves" -> ((s, dir) => Frontier.fetchWaves(s, dir)),
+    // reliability curve of the NB classifier: margin-binned counts,
+    // exact integer ratios — rides nbQuality's exchanges
+    "classifier_calibration" -> ((s, dir) => Classifier.calibration(s, dir))
   )
 
   /** Chained-CTE replay of the BPE trainer for the DuckDB oracle: `w0`
@@ -2413,98 +2419,7 @@ object SparkEntry {
     // smoothed, 12-decimal-rounded log terms summed as DECIMAL) —
     // the heuristic verdict CTEs are the quality_filter oracle's.
     "quality_classifier" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-        |  FROM documents
-        |), q AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS INTEGER) AS n_tokens,
-        |    (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)
-        |      AS mean_token_len,
-        |    len(list_filter(toks, x -> x IN ('a','the','of','and'))) /
-        |      CAST(len(toks) AS DOUBLE) AS stop_ratio
-        |  FROM t
-        |), g AS (
-        |  SELECT doc_id, unnest(list_concat(
-        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))],
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-        |       for i in range(1, len(toks) - 1)]
-        |    ELSE [] END)) AS gram
-        |  FROM t WHERE len(toks) >= 2
-        |), c AS (
-        |  SELECT doc_id, c, len(string_split(gram, ' ')) AS n FROM (
-        |    SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
-        |), a AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS n_grams2,
-        |    CAST(max(CASE WHEN n = 2 THEN c END) AS BIGINT) AS top2_cnt,
-        |    CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS n_grams3,
-        |    CAST(sum(CASE WHEN n = 3 AND c > 1 THEN c END) AS BIGINT)
-        |      AS dup3_occ
-        |  FROM c GROUP BY doc_id
-        |), v AS (
-        |  SELECT q.doc_id,
-        |    ((n_tokens >= 20 AND n_tokens <= 1000) AND
-        |     (mean_token_len >= 2.0 AND mean_token_len <= 12.0) AND
-        |     stop_ratio >= 0.01 AND
-        |     coalesce(top2_cnt / CAST(n_grams2 AS DOUBLE) <= 0.2 AND
-        |       coalesce(dup3_occ, 0) / CAST(n_grams3 AS DOUBLE) <= 0.18,
-        |       true)) AS keep
-        |  FROM q LEFT JOIN a ON q.doc_id = a.doc_id
-        |), sp AS (
-        |  SELECT doc_id,
-        |    CASE WHEN nib <= 13 THEN 'train'
-        |         WHEN nib = 14 THEN 'val' ELSE 'test' END AS split
-        |  FROM (
-        |    SELECT doc_id,
-        |      strpos('0123456789abcdef',
-        |        substr(md5(doc_id::VARCHAR || '#split'), 1, 1)) - 1 AS nib
-        |    FROM documents)
-        |), tok AS (
-        |  SELECT doc_id, unnest(toks) AS token FROM t
-        |), cnt AS (
-        |  SELECT token,
-        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS cnt_keep,
-        |    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
-        |      AS cnt_drop
-        |  FROM tok JOIN v USING (doc_id) JOIN sp USING (doc_id)
-        |  WHERE split = 'train' GROUP BY 1
-        |), st AS (
-        |  SELECT CAST(sum(cnt_keep) AS BIGINT) AS tot_keep,
-        |    CAST(sum(cnt_drop) AS BIGINT) AS tot_drop,
-        |    CAST(count(*) AS BIGINT) AS vocab
-        |  FROM cnt
-        |), ds AS (
-        |  SELECT
-        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS docs_keep,
-        |    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
-        |      AS docs_drop
-        |  FROM v JOIN sp USING (doc_id) WHERE split = 'train'
-        |), sc AS (
-        |  SELECT doc_id,
-        |    CAST(round(ln((coalesce(cnt_keep, 0) + 1.0) /
-        |      (tot_keep + vocab)), 12) AS DECIMAL(28,12)) AS sk,
-        |    CAST(round(ln((coalesce(cnt_drop, 0) + 1.0) /
-        |      (tot_drop + vocab)), 12) AS DECIMAL(28,12)) AS sd
-        |  FROM tok LEFT JOIN cnt USING (token) CROSS JOIN st
-        |), pd AS (
-        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-        |    sum(sk) AS sk_sum, sum(sd) AS sd_sum
-        |  FROM sc GROUP BY 1
-        |), pr AS (
-        |  SELECT
-        |    CAST(round(ln(docs_keep /
-        |      CAST(docs_keep + docs_drop AS DOUBLE)), 12)
-        |      AS DECIMAL(28,12)) AS prior_keep,
-        |    CAST(round(ln(docs_drop /
-        |      CAST(docs_keep + docs_drop AS DOUBLE)), 12)
-        |      AS DECIMAL(28,12)) AS prior_drop
-        |  FROM ds
-        |)
+      (nbOracleCtes + """
         |SELECT pd.doc_id, split, keep AS label, n_tokens,
         |  round(CAST(prior_keep + sk_sum AS DOUBLE), 6) AS score_keep,
         |  round(CAST(prior_drop + sd_sum AS DOUBLE), 6) AS score_drop,
@@ -2516,7 +2431,35 @@ object SparkEntry {
         |FROM pd
         |JOIN sp ON pd.doc_id = sp.doc_id
         |JOIN v ON pd.doc_id = v.doc_id
-        |CROSS JOIN pr""".stripMargin,
+        |CROSS JOIN pr""").stripMargin,
+    // Calibration oracle: the same NB chain, margin-binned — every
+    // count integral, the rate an exact ratio.
+    "classifier_calibration" ->
+      (nbOracleCtes + """
+        |, base AS (
+        |  SELECT pd.doc_id,
+        |    round(CAST(prior_keep + sk_sum AS DOUBLE), 6) AS score_keep,
+        |    round(CAST(prior_drop + sd_sum AS DOUBLE), 6) AS score_drop,
+        |    keep AS label
+        |  FROM pd JOIN v ON pd.doc_id = v.doc_id CROSS JOIN pr
+        |), binned AS (
+        |  SELECT CAST(least(greatest(
+        |      floor((score_keep - score_drop) / 10.0), -5.0), 5.0)
+        |      AS INTEGER) AS bin,
+        |    (score_keep >= score_drop) AS pred_keep, label,
+        |    ((score_keep >= score_drop) = label) AS agree
+        |  FROM base
+        |)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN pred_keep THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_pred_keep,
+        |  CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_label_keep,
+        |  CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_agree,
+        |  round(CAST(sum(CASE WHEN agree THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS agree_rate
+        |FROM binned GROUP BY bin""").stripMargin,
 
     // robots.txt oracle: the engine parses the synthesized policy
     // with a real RFC 9309 group/matcher; the oracle states the
@@ -2609,8 +2552,144 @@ object SparkEntry {
         |    AS lastmod,
         |  '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority,
         |  CAST(count(*) OVER (PARTITION BY host) AS BIGINT) AS n_urls
-        |FROM n""".stripMargin
+        |FROM n""".stripMargin,
+
+    // Frontier oracle: closed-form urls + the crawl_policy verdict,
+    // ranked per host (allowed first, priority desc, doc_id), waves
+    // of 4; disallowed rows carry wave -1.
+    "fetch_waves" ->
+      """WITH nb AS (
+        |  SELECT doc_id, source,
+        |    [ strpos('0123456789abcdef',
+        |        substr(md5(doc_id::VARCHAR || '#url'), i, 1)) - 1
+        |      for i in [1, 2, 3, 4, 5, 6] ] AS nv
+        |  FROM documents
+        |), n AS (
+        |  SELECT doc_id,
+        |    source || '.example.' ||
+        |      (CASE WHEN nv[2] % 4 = 1 THEN 'co.uk' ELSE 'com' END)
+        |      AS host,
+        |    (CASE WHEN nv[1] % 2 = 0 THEN 'http' ELSE 'https' END) ||
+        |    '://' || source || '.example.' ||
+        |      (CASE WHEN nv[2] % 4 = 1 THEN 'co.uk' ELSE 'com' END) ||
+        |    '/cat/p' || CAST(nv[4] AS VARCHAR) ||
+        |    '?a=1&b=' || CAST(nv[6] % 7 AS VARCHAR) AS norm_url,
+        |    (CASE WHEN nv[4] IN (1, 7, 10, 11, 13, 14) THEN false
+        |      ELSE true END) AS allowed,
+        |    '0.' || CAST(doc_id % 10 AS VARCHAR) AS priority
+        |  FROM nb
+        |), r AS (
+        |  SELECT *,
+        |    CAST(row_number() OVER (PARTITION BY host
+        |      ORDER BY allowed DESC, priority DESC, doc_id)
+        |      AS INTEGER) AS host_rank
+        |  FROM n
+        |)
+        |SELECT doc_id, host, norm_url, priority, allowed, host_rank,
+        |  CAST(CASE WHEN allowed
+        |    THEN CAST(floor((host_rank - 1) / 4.0) AS INTEGER)
+        |    ELSE -1 END AS INTEGER) AS wave
+        |FROM r""".stripMargin
   )
+
+  /** Shared CTE prefix replaying the NB classifier's training +
+    * scoring chain (the quality_filter verdict CTEs, the split, token
+    * counts, decimal-mediated scoring, priors). Ends at `pr`
+    * (prior_keep, prior_drop); consumers append their final SELECT.
+    */
+  private val nbOracleCtes: String =
+    """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)
+        |      AS mean_token_len,
+        |    len(list_filter(toks, x -> x IN ('a','the','of','and'))) /
+        |      CAST(len(toks) AS DOUBLE) AS stop_ratio
+        |  FROM t
+        |), g AS (
+        |  SELECT doc_id, unnest(list_concat(
+        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))],
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |       for i in range(1, len(toks) - 1)]
+        |    ELSE [] END)) AS gram
+        |  FROM t WHERE len(toks) >= 2
+        |), c AS (
+        |  SELECT doc_id, c, len(string_split(gram, ' ')) AS n FROM (
+        |    SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        |), a AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS n_grams2,
+        |    CAST(max(CASE WHEN n = 2 THEN c END) AS BIGINT) AS top2_cnt,
+        |    CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS n_grams3,
+        |    CAST(sum(CASE WHEN n = 3 AND c > 1 THEN c END) AS BIGINT)
+        |      AS dup3_occ
+        |  FROM c GROUP BY doc_id
+        |), v AS (
+        |  SELECT q.doc_id,
+        |    ((n_tokens >= 20 AND n_tokens <= 1000) AND
+        |     (mean_token_len >= 2.0 AND mean_token_len <= 12.0) AND
+        |     stop_ratio >= 0.01 AND
+        |     coalesce(top2_cnt / CAST(n_grams2 AS DOUBLE) <= 0.2 AND
+        |       coalesce(dup3_occ, 0) / CAST(n_grams3 AS DOUBLE) <= 0.18,
+        |       true)) AS keep
+        |  FROM q LEFT JOIN a ON q.doc_id = a.doc_id
+        |), sp AS (
+        |  SELECT doc_id,
+        |    CASE WHEN nib <= 13 THEN 'train'
+        |         WHEN nib = 14 THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id,
+        |      strpos('0123456789abcdef',
+        |        substr(md5(doc_id::VARCHAR || '#split'), 1, 1)) - 1 AS nib
+        |    FROM documents)
+        |), tok AS (
+        |  SELECT doc_id, unnest(toks) AS token FROM t
+        |), cnt AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cnt_keep,
+        |    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS cnt_drop
+        |  FROM tok JOIN v USING (doc_id) JOIN sp USING (doc_id)
+        |  WHERE split = 'train' GROUP BY 1
+        |), st AS (
+        |  SELECT CAST(sum(cnt_keep) AS BIGINT) AS tot_keep,
+        |    CAST(sum(cnt_drop) AS BIGINT) AS tot_drop,
+        |    CAST(count(*) AS BIGINT) AS vocab
+        |  FROM cnt
+        |), ds AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS docs_keep,
+        |    CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+        |      AS docs_drop
+        |  FROM v JOIN sp USING (doc_id) WHERE split = 'train'
+        |), sc AS (
+        |  SELECT doc_id,
+        |    CAST(round(ln((coalesce(cnt_keep, 0) + 1.0) /
+        |      (tot_keep + vocab)), 12) AS DECIMAL(28,12)) AS sk,
+        |    CAST(round(ln((coalesce(cnt_drop, 0) + 1.0) /
+        |      (tot_drop + vocab)), 12) AS DECIMAL(28,12)) AS sd
+        |  FROM tok LEFT JOIN cnt USING (token) CROSS JOIN st
+        |), pd AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    sum(sk) AS sk_sum, sum(sd) AS sd_sum
+        |  FROM sc GROUP BY 1
+        |), pr AS (
+        |  SELECT
+        |    CAST(round(ln(docs_keep /
+        |      CAST(docs_keep + docs_drop AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12)) AS prior_keep,
+        |    CAST(round(ln(docs_drop /
+        |      CAST(docs_keep + docs_drop AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12)) AS prior_drop
+        |  FROM ds
+        |)""".stripMargin
 
   /** Shared CTE prefix reconstructing the synthesized crawl page
     * ([[graft.ops.CrawlOps.synthHtml]]) character-for-character in

@@ -111,4 +111,32 @@ object Classifier {
         (scoreK >= scoreD).as("pred_keep"),
         ((scoreK >= scoreD) === col("keep")).as("agree"))
   }
+
+  /** Calibration table: the per-document log-odds margin
+    * (score_keep − score_drop) bucketed into fixed-width bins, with
+    * per-bin prediction/label/agreement counts — the reliability
+    * curve an ML-ops dashboard tracks to decide whether the
+    * classifier's confidence is meaningful. Bins are fixed-width on
+    * the margin (width 10, clamped to ±5) so the binning is
+    * deterministic and oracle-able; every count is integral, and the
+    * rate is an exact small-integer ratio.
+    *
+    * Shape: rides [[nbQuality]] (same exchanges) plus one |bins|-row
+    * aggregation.
+    */
+  def calibration(s: SparkSession, dir: String): DataFrame = {
+    val margin = col("score_keep") - col("score_drop")
+    val b = least(greatest(floor(margin / 10.0), lit(-5.0)), lit(5.0))
+      .cast("int")
+    nbQuality(s, dir)
+      .withColumn("bin", b)
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred_keep"), 1L).otherwise(0L)).as("n_pred_keep"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("n_label_keep"),
+        sum(when(col("agree"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("agree_rate",
+        round(col("n_agree") / col("n_docs").cast("double"), 6))
+  }
 }

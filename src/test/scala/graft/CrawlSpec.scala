@@ -98,6 +98,27 @@ class CrawlSpec extends SparkSpec {
       "ReadSchema should carry only the synthesis columns")
   }
 
+  test("fetch_waves: politeness invariants — at most perWave URLs per " +
+    "(host, wave), contiguous waves, disallowed rows excluded") {
+    val rows = graft.ops.Frontier.fetchWaves(spark, sf()).collect()
+    rows.groupBy(r => (r.getAs[String]("host"), r.getAs[Int]("wave")))
+      .foreach { case ((_, wave), g) =>
+        if (wave >= 0) assert(g.length <= 4, s"wave $wave overfull")
+      }
+    rows.filter(!_.getAs[Boolean]("allowed"))
+      .foreach(r => assert(r.getAs[Int]("wave") == -1))
+    rows.groupBy(_.getAs[String]("host")).foreach { case (_, g) =>
+      val waves = g.filter(_.getAs[Boolean]("allowed"))
+        .map(_.getAs[Int]("wave")).distinct.sorted
+      assert(waves == (0 until waves.length).toList,
+        s"waves not contiguous: $waves")
+      // every wave except possibly the last is full
+      val byWave = g.filter(_.getAs[Boolean]("allowed"))
+        .groupBy(_.getAs[Int]("wave"))
+      waves.dropRight(1).foreach(w => assert(byWave(w).length == 4))
+    }
+  }
+
   test("nb classifier: learns its own training labels far above the " +
     "majority-class rate, and scores are finite log-likelihoods") {
     val rows = Classifier.nbQuality(spark, sf()).collect()
