@@ -109,7 +109,7 @@ class CrawlSpec extends SparkSpec {
       .foreach(r => assert(r.getAs[Int]("wave") == -1))
     rows.groupBy(_.getAs[String]("host")).foreach { case (_, g) =>
       val waves = g.filter(_.getAs[Boolean]("allowed"))
-        .map(_.getAs[Int]("wave")).distinct.sorted
+        .map(_.getAs[Int]("wave")).distinct.sorted.toList
       assert(waves == (0 until waves.length).toList,
         s"waves not contiguous: $waves")
       // every wave except possibly the last is full
