@@ -47,7 +47,9 @@ object Classifier {
     // class-prior row, final join); uncached, each consumer would
     // replay the verdict's full gram-explode subtree — cache the
     // 3-column per-doc relation (rows ∝ documents, not tokens) so the
-    // corpus pays the verdict exchanges once
+    // corpus pays the verdict exchanges once. Released with the rest
+    // of the session's operator caches (Bench unpersists between
+    // timed queries; same lifecycle as Similarity's signature caches)
     val labeled = verdict.join(splits, "doc_id").cache()
 
     val tok = docs(s, dir).select(

@@ -146,6 +146,13 @@ $paras
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .mapPartitions { it =>
+        // one digest per partition, reset per payload (provider
+        // lookup out of the per-record hot loop)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def fp(bytes: Array[Byte]): String = {
+          md.reset()
+          md.digest(bytes).map(b => f"$b%02x").mkString
+        }
         it.flatMap { case (docId, source, text) =>
           val bytes = synthWarc(docId, source, text)
           val compressed = Warc.isGzip(bytes)
@@ -153,14 +160,14 @@ $paras
             val isHttpResponse = r.warcType == "response"
             WarcRow(
               docId, idx, r.warcType,
-              r.headers.get("WARC-Target-URI"),
+              r.header("WARC-Target-URI"),
               if (isHttpResponse) Warc.httpStatus(r.payload) else None,
               if (isHttpResponse)
                 Warc.httpHeader(r.payload, "content-type")
                   .map(_.split(";")(0).trim)
               else None,
               r.payload.length.toLong,
-              md5Hex(r.payload),
+              fp(r.payload),
               compressed)
           }
         }

@@ -30,31 +30,18 @@ import org.apache.spark.sql.functions._
   */
 object Frontier {
 
-  /** Per-URL wave assignment over the canonical frontier. */
+  /** Per-URL wave assignment over the canonical frontier. Admission
+    * comes from [[Robots.admissions]] — the same pipeline the
+    * crawl_policy query pins, shared so the fetch plan can never
+    * diverge from the policy verdicts.
+    */
   def fetchWaves(
       s: SparkSession, dir: String, perWave: Int = 4): DataFrame = {
-    val urls = s.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id"), col("source"))
-      .withColumn("raw_url", UrlOps.rawUrl)
-      .select(Seq(col("doc_id")) ++ UrlOps.normalized(col("raw_url")): _*)
+    val admitted = Robots.admissions(s, dir)
       .select(col("doc_id"), col("host"), col("norm_url"),
-        concat(lit("0."), (col("doc_id") % 10).cast("string"))
-          .as("priority"),
-        parse_url(col("norm_url"), lit("PATH")).as("path"))
-    // robots admission via the same policy the crawl_policy query pins
-    import s.implicits._
-    val admitted = urls.as[(Long, String, String, String, String)]
-      .mapPartitions { it =>
-        val memo =
-          scala.collection.mutable.HashMap.empty[String, Vector[Robots.Rule]]
-        it.map { case (docId, host, normUrl, priority, path) =>
-          val rules = memo.getOrElseUpdate(host,
-            Robots.rulesFor(Robots.synthRobots(host), "GraftBot/1.0"))
-          (docId, host, normUrl, priority,
-            Robots.decide(rules, path)._1)
-        }
-      }
-      .toDF("doc_id", "host", "norm_url", "priority", "allowed")
+        col("allowed"))
+      .withColumn("priority",
+        concat(lit("0."), (col("doc_id") % 10).cast("string")))
     val w = Window.partitionBy("host")
       .orderBy(col("allowed").desc, col("priority").desc, col("doc_id"))
     admitted

@@ -62,17 +62,25 @@ object Html {
         if (semi < 0 || semi - i > 12) { sb.append('&'); i += 1 }
         else {
           val body = s.substring(i + 1, semi)
+          // numeric references emit full code points (surrogate pairs
+          // above the BMP); out-of-range / non-code-point values fall
+          // back to literal text like any other malformed entity
+          def codePoint(cp: Int): Option[String] =
+            if (cp >= 0 && cp <= 0x10ffff &&
+              !(cp >= 0xd800 && cp <= 0xdfff)) // lone surrogates: no
+              Some(new String(Character.toChars(cp)))
+            else None
           val decoded: Option[String] =
             if (body.startsWith("#x") || body.startsWith("#X")) {
               val hex = body.drop(2)
-              if (hex.nonEmpty && hex.forall(ch =>
+              if (hex.nonEmpty && hex.length <= 6 && hex.forall(ch =>
                   Character.digit(ch, 16) >= 0))
-                Some(Integer.parseInt(hex, 16).toChar.toString)
+                codePoint(Integer.parseInt(hex, 16))
               else None
             } else if (body.startsWith("#")) {
               val dec = body.drop(1)
               if (dec.nonEmpty && dec.forall(_.isDigit) && dec.length <= 7)
-                Some(Integer.parseInt(dec).toChar.toString)
+                codePoint(Integer.parseInt(dec))
               else None
             } else Entities.get(body)
           decoded match {

@@ -49,7 +49,7 @@ object Robots {
     val named = Vector.newBuilder[Rule]
     val star = Vector.newBuilder[Rule]
     txt.split("\n").foreach { raw =>
-      val line = raw.split("#")(0).trim
+      val line = raw.takeWhile(_ != '#').trim
       if (line.nonEmpty) {
         val colon = line.indexOf(':')
         if (colon > 0) {
@@ -79,32 +79,33 @@ object Robots {
   }
 
   /** RFC 9309 path match: literal bytes, `*` matches any run
-    * (including empty), trailing `$` anchors the end.
+    * (including empty), trailing `$` anchors the end. An unanchored
+    * pattern matches any PREFIX of the path, which is exactly
+    * full-matching `pattern + "*"` — so both forms reduce to one
+    * full glob match, implemented with classic star-backtracking
+    * (a greedy leftmost walk has false negatives on anchored
+    * patterns whose middle literal repeats — slash-star-".php$"
+    * against "/x.php/y.php" must bind the SECOND ".php").
     */
   def matches(pattern: String, path: String): Boolean = {
-    val (pat, anchored) =
+    val (pat0, anchored) =
       if (pattern.endsWith("$")) (pattern.dropRight(1), true)
       else (pattern, false)
-    val parts = pat.split("\\*", -1)
-    var pos = 0
-    var i = 0
-    while (i < parts.length) {
-      val part = parts(i)
-      if (i == 0) {
-        if (!path.startsWith(part)) return false
-        pos = part.length
-      } else {
-        val at = path.indexOf(part, pos)
-        if (at < 0) return false
-        pos = at + part.length
-      }
-      i += 1
+    val pat = if (anchored) pat0 else pat0 + "*"
+    // two-pointer glob full-match with backtracking over '*'
+    var p = 0; var s = 0
+    var starP = -1; var starS = -1
+    val pn = pat.length; val sn = path.length
+    while (s < sn) {
+      if (p < pn && (pat.charAt(p) == path.charAt(s))) { p += 1; s += 1 }
+      else if (p < pn && pat.charAt(p) == '*') {
+        starP = p; starS = s; p += 1
+      } else if (starP >= 0) {
+        starS += 1; s = starS; p = starP + 1
+      } else return false
     }
-    // a trailing * already consumed to anywhere; otherwise the match
-    // ends at pos
-    val endsFree = pat.endsWith("*")
-    if (anchored) (if (endsFree) true else pos == path.length)
-    else true
+    while (p < pn && pat.charAt(p) == '*') p += 1
+    p == pn
   }
 
   /** The verdict: longest matching pattern wins, Allow on ties; no
@@ -139,30 +140,43 @@ object Robots {
        |Disallow: /cat
        |""".stripMargin
 
-  final case class PolicyRow(
-      doc_id: Long, host: String, path: String, n_rules: Int,
-      allowed: Boolean, matched_rule: Option[String])
+  final case class AdmissionRow(
+      doc_id: Long, host: String, norm_url: String, path: String,
+      n_rules: Int, allowed: Boolean, matched_rule: Option[String])
 
-  /** Per-document crawl-policy verdict for agent "GraftBot/1.0" over
-    * the canonical URL path.
+  /** The canonical frontier with per-URL admission verdicts — the
+    * ONE normalize→admit pipeline [[crawlPolicy]] and
+    * [[Frontier.fetchWaves]] both consume (a second copy would let
+    * the fetch plan silently diverge from the policy query).
+    * Row-local: per-partition memo parses each host's robots once.
     */
-  def crawlPolicy(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def admissions(
+      s: SparkSession, dir: String,
+      agent: String = "GraftBot/1.0"): DataFrame = {
     import s.implicits._
     val norm = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("source"))
       .withColumn("raw_url", UrlOps.rawUrl)
       .select(Seq(col("doc_id")) ++ UrlOps.normalized(col("raw_url")): _*)
-      .select(col("doc_id"), col("host"),
+      .select(col("doc_id"), col("host"), col("norm_url"),
         parse_url(col("norm_url"), lit("PATH")).as("path"))
-    norm.as[(Long, String, String)].mapPartitions { it =>
-      // per-partition memo: parse each host's robots once
+    norm.as[(Long, String, String, String)].mapPartitions { it =>
       val memo = scala.collection.mutable.HashMap.empty[String, Vector[Rule]]
-      it.map { case (docId, host, path) =>
+      it.map { case (docId, host, normUrl, path) =>
         val rules = memo.getOrElseUpdate(host,
-          rulesFor(synthRobots(host), "GraftBot/1.0"))
+          rulesFor(synthRobots(host), agent))
         val (allowed, rule) = decide(rules, path)
-        PolicyRow(docId, host, path, rules.length, allowed, rule)
+        AdmissionRow(docId, host, normUrl, path, rules.length,
+          allowed, rule)
       }
     }.toDF()
   }
+
+  /** Per-document crawl-policy verdict for agent "GraftBot/1.0" over
+    * the canonical URL path.
+    */
+  def crawlPolicy(s: SparkSession, dir: String): DataFrame =
+    admissions(s, dir).select(
+      col("doc_id"), col("host"), col("path"), col("n_rules"),
+      col("allowed"), col("matched_rule"))
 }

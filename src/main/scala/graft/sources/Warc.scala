@@ -37,7 +37,20 @@ object Warc {
   final case class WarcRecord(
       warcType: String,
       headers: Map[String, String],
-      payload: Array[Byte])
+      payload: Array[Byte]) {
+
+    /** Case-insensitive header lookup — WARC field names are
+      * case-insensitive (ISO 28500 §4), so `Warc-Target-Uri:` must
+      * resolve the same as `WARC-Target-URI:`. The map keeps the
+      * writer's original spelling; reads go through here.
+      */
+    def header(name: String): Option[String] = {
+      val want = name.toLowerCase
+      headers.collectFirst {
+        case (k, v) if k.toLowerCase == want => v
+      }
+    }
+  }
 
   private val CRLF = "\r\n"
 

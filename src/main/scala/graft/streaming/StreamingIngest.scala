@@ -77,13 +77,21 @@ object StreamingIngest {
         it.flatMap { case (fileId, bytes) =>
           Warc.parseFile(bytes).zipWithIndex.collect {
             case (r, idx) if r.warcType == "response" =>
-              val url = r.headers.getOrElse("WARC-Target-URI", "")
+              val url = r.header("WARC-Target-URI").getOrElse("")
               val status = Warc.httpStatus(r.payload).getOrElse(-1)
               val html = new String(Warc.httpBody(r.payload),
                 java.nio.charset.StandardCharsets.UTF_8)
               val e = Html.extract(html)
-              val host = java.net.URI.create(url).getHost
-              val path = java.net.URI.create(url).getPath
+              // crawl URLs routinely violate RFC 3986 (spaces, bars,
+              // raw non-ASCII) — a throwing parse must not kill the
+              // micro-batch; unparseable URLs keep an empty host and
+              // the root path, and the robots default-allow applies
+              val (host, path) =
+                try {
+                  val u = java.net.URI.create(url)
+                  (Option(u.getHost).getOrElse(""),
+                    Option(u.getPath).filter(_.nonEmpty).getOrElse("/"))
+                } catch { case _: IllegalArgumentException => ("", "/") }
               val rules = robotsMemo.getOrElseUpdate(host,
                 Robots.rulesFor(Robots.synthRobots(host), agent))
               IngestedDoc(
@@ -100,7 +108,9 @@ object StreamingIngest {
         UrlOps.normalized(col("url")).head)
     withNorm.write.mode("overwrite")
       .parquet(s"$outPath/batch_id=$batchId")
-    withNorm.count()
+    // count the just-written files — recomputing withNorm would rerun
+    // the whole gunzip + parse + extract pipeline a second time
+    s.read.parquet(s"$outPath/batch_id=$batchId").count()
   }
 
   /** The accumulated clean-documents table across all batches; empty

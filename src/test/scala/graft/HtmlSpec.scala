@@ -21,6 +21,13 @@ class HtmlSpec extends AnyFunSuite {
     assert(Html.decodeEntities("&bogus;") == "&bogus;")
     assert(Html.decodeEntities("&#x;") == "&#x;")
     assert(Html.decodeEntities("fish &chips; tonight") == "fish &chips; tonight")
+    // astral code points emit surrogate PAIRS, not truncated chars
+    assert(Html.decodeEntities("&#128512;") == "😀")
+    assert(Html.decodeEntities("&#x1F600;") == "😀")
+    // out-of-range / overlong numerics are literal text, never a crash
+    assert(Html.decodeEntities("&#xFFFFFFFF;") == "&#xFFFFFFFF;")
+    assert(Html.decodeEntities("&#9999999;") == "&#9999999;")
+    assert(Html.decodeEntities("&#xD800;") == "&#xD800;") // lone surrogate
   }
 
   test("script/style content is skipped even when it contains tags") {

@@ -39,6 +39,20 @@ class RobotsSpec extends AnyFunSuite {
     assert(!r.exists(_.pattern.isEmpty))
   }
 
+  test("matcher backtracks: anchored patterns whose middle literal " +
+    "repeats must not false-negative") {
+    // leftmost .php binding leaves pos != len; backtracking finds the
+    // later binding (* = "x.php/y")
+    assert(Robots.matches("/*.php$", "/x.php/y.php"))
+    assert(!Robots.matches("/*.php$", "/x.php/y.html"))
+    assert(Robots.matches("/*a*a$", "/zazaza"))
+  }
+
+  test("a comment-only '#' line does not crash the parser") {
+    val txt = "#\nUser-agent: bot\n#\nDisallow: /x\n   # indented\n"
+    assert(Robots.rulesFor(txt, "bot") == Vector(Rule(false, "/x")))
+  }
+
   test("matcher: prefix, * wildcard, $ anchor") {
     assert(Robots.matches("/cat/p1", "/cat/p12"))
     assert(!Robots.matches("/cat/p1$", "/cat/p12"))

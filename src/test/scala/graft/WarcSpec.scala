@@ -31,6 +31,10 @@ class WarcSpec extends AnyFunSuite {
     val rs = Warc.parseFile(bytes)
     assert(rs.map(_.warcType) == Vector("warcinfo", "response"))
     assert(rs(1).headers("WARC-Target-URI") == "https://e.com/p")
+    // WARC field names are case-insensitive: lookup must not depend
+    // on the writer's spelling
+    assert(rs(1).header("warc-target-uri").contains("https://e.com/p"))
+    assert(rs(1).header("Warc-Target-Uri").contains("https://e.com/p"))
     assert(new String(rs(1).payload, US_ASCII).endsWith("body!"))
     assert(Warc.httpStatus(rs(1).payload).contains(404))
     assert(Warc.httpHeader(rs(1).payload, "X-A").contains("b"))
