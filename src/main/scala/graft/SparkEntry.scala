@@ -445,7 +445,13 @@ object SparkEntry {
     "fetch_waves" -> ((s, dir) => Frontier.fetchWaves(s, dir)),
     // reliability curve of the NB classifier: margin-binned counts,
     // exact integer ratios — rides nbQuality's exchanges
-    "classifier_calibration" -> ((s, dir) => Classifier.calibration(s, dir))
+    "classifier_calibration" -> ((s, dir) => Classifier.calibration(s, dir)),
+    // sliding-window chunking with overlap (embedding/RAG prep):
+    // row-local explode, zero exchanges, offsets + content hashes
+    "doc_chunks" -> ((s, dir) => CrawlOps.docChunks(s, dir)),
+    // dataset-card composition report: per-source/per-lang/overall in
+    // one grouping-sets pass (one scan, one exchange)
+    "corpus_datasheet" -> ((s, dir) => Relational.corpusDatasheet(s, dir))
   )
 
   /** Chained-CTE replay of the BPE trainer for the DuckDB oracle: `w0`
@@ -2589,7 +2595,41 @@ object SparkEntry {
         |  CAST(CASE WHEN allowed
         |    THEN CAST(floor((host_rank - 1) / 4.0) AS INTEGER)
         |    ELSE -1 END AS INTEGER) AS wave
-        |FROM r""".stripMargin
+        |FROM r""".stripMargin,
+
+    // Chunking oracle: same width-16/stride-12 window derivation.
+    "doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    unnest([ {'i': i,
+        |              'c': array_to_string(tk[i*12+1 : i*12+16], ' ')}
+        |      for i in range(0, greatest(
+        |        CAST(ceil((len(tk) - 16) / 12.0) AS INT), 0) + 1) ])
+        |      AS u
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(u.i AS INTEGER) AS chunk_idx,
+        |  CAST(u.i * 12 AS INTEGER) AS start_tok,
+        |  CAST(len(string_split(u.c, ' ')) AS INTEGER) AS chunk_tokens,
+        |  md5(u.c) AS chunk_fp
+        |FROM c""".stripMargin,
+
+    // Datasheet oracle: GROUPING SETS with the standard grouping-id.
+    "corpus_datasheet" ->
+      """SELECT
+        |  CAST(grouping(source) * 2 + grouping(lang) AS INTEGER)
+        |    AS gid,
+        |  source, lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(regexp_split_to_array(trim(lower(text)),
+        |    '\s+'))) AS BIGINT) AS sum_tokens
+        |FROM documents
+        |GROUP BY GROUPING SETS ((source), (lang), ())""".stripMargin
   )
 
   /** Shared CTE prefix replaying the NB classifier's training +

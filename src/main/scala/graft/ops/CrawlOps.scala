@@ -203,6 +203,36 @@ $paras
       .toDF()
   }
 
+  /** Sliding-window document chunking — the embedding/RAG prep pass:
+    * every document splits into overlapping token windows (width
+    * `width`, stride `stride`), each chunk carrying its offset and a
+    * content hash so the downstream embedding index can key on it.
+    * Row-local: `transform(sequence(...))` + posexplode inside the
+    * scan, ZERO exchanges; chunk count per doc is ceil-bounded by its
+    * own length, so output mass is corpus-linear at any scale.
+    */
+  def docChunks(
+      s: SparkSession, dir: String,
+      width: Int = 16, stride: Int = 12): DataFrame = {
+    val tk = split(trim(lower(col("text"))), "\\s+")
+    val n = size(tk)
+    // starts: 0, stride, 2·stride, … while start < n (≥1 chunk always)
+    val nChunks = ceil((n - lit(width)).cast("double") / stride)
+      .cast("int") + 1
+    val starts = sequence(lit(0), greatest(nChunks - 1, lit(0)))
+    val chunks = transform(starts,
+      i => array_join(slice(tk, i * stride + 1, lit(width)), " "))
+    docs(s, dir)
+      .select(col("doc_id"), n.as("n_tokens"),
+        posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .filter(col("chunk") =!= "")
+      .select(
+        col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride).as("start_tok"),
+        size(split(col("chunk"), " ")).as("chunk_tokens"),
+        md5(col("chunk").cast("binary")).as("chunk_fp"))
+  }
+
   /** CCNet-style corpus-wide paragraph dedup: paragraphs (10-token
     * chunks, plus an injected universal cookie banner and a per-source
     * attribution banner — the boilerplate this pass exists to kill)

@@ -90,6 +90,27 @@ object Relational {
         col("l_returnflag"), col("l_linestatus"))
       .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
 
+  /** Corpus datasheet: the per-source / per-language / overall
+    * composition report a dataset card publishes — document counts,
+    * character and whitespace-token mass — in ONE grouping-sets pass
+    * (one scan, one exchange; the alternative of three separate
+    * aggregations scans the corpus three times). `grouping_id`
+    * disambiguates the rollup levels exactly as the SQL standard
+    * does.
+    */
+  def corpusDatasheet(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "documents")
+      .select(col("source"), col("lang"), col("n_chars"),
+        size(split(trim(lower(col("text"))), "\\s+")).as("n_tokens"))
+      .groupingSets(
+        Seq(Seq(col("source")), Seq(col("lang")), Seq.empty),
+        col("source"), col("lang"))
+      .agg(
+        grouping_id().cast("int").as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(col("n_tokens")).as("sum_tokens"))
+
   /** Cardinality profile of the documents table: exact distinct vs
     * HyperLogLog approximation (`approx_count_distinct`) — the
     * constant-memory path for 100 TB-scale distinct counting.

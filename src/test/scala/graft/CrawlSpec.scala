@@ -98,6 +98,27 @@ class CrawlSpec extends SparkSpec {
       "ReadSchema should carry only the synthesis columns")
   }
 
+  test("doc_chunks: full coverage with overlap — every token falls in " +
+    "some chunk, strides are regular, widths are capped") {
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id",
+        "size(split(trim(lower(text)), '\\\\s+')) AS n").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = CrawlOps.docChunks(spark, sf()).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("chunk_tokens") <= 16)
+      assert(r.getAs[Int]("start_tok") == r.getAs[Int]("chunk_idx") * 12)
+    }
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, g) =>
+      val n = docs(id)
+      val maxEnd = g.map(r =>
+        r.getAs[Int]("start_tok") + r.getAs[Int]("chunk_tokens")).max
+      assert(maxEnd == n, s"doc $id: chunks end at $maxEnd of $n tokens")
+      val idxs = g.map(_.getAs[Int]("chunk_idx")).sorted.toList
+      assert(idxs == (0 until g.length).toList)
+    }
+  }
+
   test("fetch_waves: politeness invariants — at most perWave URLs per " +
     "(host, wave), contiguous waves, disallowed rows excluded") {
     val rows = graft.ops.Frontier.fetchWaves(spark, sf()).collect()
