@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
-import graft.ops.{BloomIndex, Bucketed, Classifier, CrawlOps, Dedup,
+import graft.ops.{BloomIndex, Bucketed, Classifier, CrawlOps, Dedup, LinkGraph,
   Encoding, EventOps, Filtering, LshIndex, MediaHeaders, Multimodal,
   PerceptualHash, Relational, Robots, Similarity, Sitemap, Sketches,
   Frontier, TextOps, TrainPrep, UrlOps, VectorIndex}
@@ -451,7 +451,10 @@ object SparkEntry {
     "doc_chunks" -> ((s, dir) => CrawlOps.docChunks(s, dir)),
     // dataset-card composition report: per-source/per-lang/overall in
     // one grouping-sets pass (one scan, one exchange)
-    "corpus_datasheet" -> ((s, dir) => Relational.corpusDatasheet(s, dir))
+    "corpus_datasheet" -> ((s, dir) => Relational.corpusDatasheet(s, dir)),
+    // link-graph PageRank (crawl prioritization): 3 damped power
+    // iterations, decimal-mediated so the ITERATED ranks hash-match
+    "link_pagerank" -> ((s, dir) => LinkGraph.pageRank(s, dir))
   )
 
   /** Chained-CTE replay of the BPE trainer for the DuckDB oracle: `w0`
@@ -2617,6 +2620,72 @@ object SparkEntry {
         |  CAST(len(string_split(u.c, ' ')) AS INTEGER) AS chunk_tokens,
         |  md5(u.c) AS chunk_fp
         |FROM c""".stripMargin,
+
+    // PageRank oracle: the same md5-derived multigraph and the same
+    // three decimal-mediated damped iterations, replayed as chained
+    // CTEs. Float literals are written CAST(… AS DOUBLE) so DuckDB's
+    // decimal-literal arithmetic can't diverge from the engine's
+    // IEEE doubles ((1.0 - 0.85) is NOT the double 0.15).
+    "link_pagerank" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |nv AS (
+        |  SELECT doc_id,
+        |    [ strpos('0123456789abcdef',
+        |        substr(md5(doc_id::VARCHAR || '#links'), i, 1)) - 1
+        |      for i in range(1, 10) ] AS v
+        |  FROM documents
+        |), e AS (
+        |  SELECT doc_id AS src,
+        |    unnest([ (v[3*j+1]*256 + v[3*j+2]*16 + v[3*j+3]) % n
+        |             for j in range(0, 3) ]) AS dst
+        |  FROM nv CROSS JOIN nn
+        |), r0 AS (
+        |  SELECT doc_id, round(CAST(1.0 AS DOUBLE)/n, 12) AS rank
+        |  FROM d CROSS JOIN nn
+        |), c1 AS (
+        |  SELECT dst, sum(CAST(round(rank/3, 12) AS DECIMAL(28,12)))
+        |    AS mass
+        |  FROM e JOIN r0 ON e.src = r0.doc_id GROUP BY dst
+        |), r1 AS (
+        |  SELECT d.doc_id,
+        |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/n +
+        |      CAST(0.85 AS DOUBLE) *
+        |      coalesce(CAST(mass AS DOUBLE), CAST(0 AS DOUBLE)), 12)
+        |      AS rank
+        |  FROM d CROSS JOIN nn LEFT JOIN c1 ON d.doc_id = c1.dst
+        |), c2 AS (
+        |  SELECT dst, sum(CAST(round(rank/3, 12) AS DECIMAL(28,12)))
+        |    AS mass
+        |  FROM e JOIN r1 ON e.src = r1.doc_id GROUP BY dst
+        |), r2 AS (
+        |  SELECT d.doc_id,
+        |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/n +
+        |      CAST(0.85 AS DOUBLE) *
+        |      coalesce(CAST(mass AS DOUBLE), CAST(0 AS DOUBLE)), 12)
+        |      AS rank
+        |  FROM d CROSS JOIN nn LEFT JOIN c2 ON d.doc_id = c2.dst
+        |), c3 AS (
+        |  SELECT dst, sum(CAST(round(rank/3, 12) AS DECIMAL(28,12)))
+        |    AS mass
+        |  FROM e JOIN r2 ON e.src = r2.doc_id GROUP BY dst
+        |), r3 AS (
+        |  SELECT d.doc_id,
+        |    round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))/n +
+        |      CAST(0.85 AS DOUBLE) *
+        |      coalesce(CAST(mass AS DOUBLE), CAST(0 AS DOUBLE)), 12)
+        |      AS rank
+        |  FROM d CROSS JOIN nn LEFT JOIN c3 ON d.doc_id = c3.dst
+        |), ind AS (
+        |  SELECT dst, CAST(count(*) AS BIGINT) AS in_degree
+        |  FROM e GROUP BY dst
+        |)
+        |SELECT d.doc_id, r3.rank,
+        |  coalesce(ind.in_degree, 0) AS in_degree,
+        |  CAST(3 AS INTEGER) AS out_degree
+        |FROM d
+        |JOIN r3 ON d.doc_id = r3.doc_id
+        |LEFT JOIN ind ON d.doc_id = ind.dst""".stripMargin,
 
     // Datasheet oracle: GROUPING SETS with the standard grouping-id.
     "corpus_datasheet" ->
