@@ -2633,11 +2633,12 @@ object SparkEntry {
         |  SELECT doc_id,
         |    [ strpos('0123456789abcdef',
         |        substr(md5(doc_id::VARCHAR || '#links'), i, 1)) - 1
-        |      for i in range(1, 10) ] AS v
+        |      for i in range(1, 16) ] AS v
         |  FROM documents
         |), e AS (
         |  SELECT doc_id AS src,
-        |    unnest([ (v[3*j+1]*256 + v[3*j+2]*16 + v[3*j+3]) % n
+        |    unnest([ (v[5*j+1]*65536 + v[5*j+2]*4096 + v[5*j+3]*256 +
+        |              v[5*j+4]*16 + v[5*j+5]) % n
         |             for j in range(0, 3) ]) AS dst
         |  FROM nv CROSS JOIN nn
         |), r0 AS (
@@ -2680,7 +2681,7 @@ object SparkEntry {
         |  SELECT dst, CAST(count(*) AS BIGINT) AS in_degree
         |  FROM e GROUP BY dst
         |)
-        |SELECT d.doc_id, r3.rank,
+        |SELECT d.doc_id, round(r3.rank, 10) AS rank,
         |  coalesce(ind.in_degree, 0) AS in_degree,
         |  CAST(3 AS INTEGER) AS out_degree
         |FROM d

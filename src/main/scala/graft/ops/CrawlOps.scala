@@ -225,7 +225,6 @@ $paras
     docs(s, dir)
       .select(col("doc_id"), n.as("n_tokens"),
         posexplode(chunks).as(Seq("chunk_idx", "chunk")))
-      .filter(col("chunk") =!= "")
       .select(
         col("doc_id"), col("chunk_idx"),
         (col("chunk_idx") * stride).as("start_tok"),

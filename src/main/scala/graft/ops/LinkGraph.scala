@@ -20,10 +20,11 @@ import org.apache.spark.sql.functions._
   * and summed as DECIMAL(28,12) — exact and order-independent under
   * any shuffle — and the damping update re-rounds to 12, so every
   * engine computing the same graph computes bit-identical ranks at
-  * every iteration. DuckDB replays all k steps through chained CTEs.
+  * every iteration (the reported rank rounds one digit coarser, see
+  * below). DuckDB replays all k steps through chained CTEs.
   *
   * Fixture graph: every document links to exactly `OutDeg` targets
-  * derived from md5(doc_id) (3-nibble values mod N) — a deterministic
+  * derived from md5(doc_id) (5-nibble values mod N) — a deterministic
   * pseudo-random multigraph with no dangling nodes (every node emits
   * OutDeg edges), self-loops and duplicate edges allowed and handled
   * consistently by both engines.
@@ -32,13 +33,20 @@ object LinkGraph {
 
   val OutDeg = 3
 
-  /** (src, dst) edge list: target j uses md5 nibbles 3j-2..3j. */
+  /** (src, dst) edge list: target j uses md5 nibbles 5j+1..5j+5 —
+    * 20 bits per target, so the `% n` stays genuinely uniform far
+    * beyond any fixture or scale corpus (a narrower hash silently
+    * freezes dst cardinality at its own range once n exceeds it).
+    */
   private def edges(s: SparkSession, dir: String, n: Long): DataFrame = {
+    require(n <= (1L << 20),
+      s"target space (20 bits) too narrow for $n docs — widen the hash")
     val h = md5(concat(col("doc_id").cast("string"), lit("#links")))
     def nib(i: Int) = conv(substring(h, i, 1), 16, 10).cast("long")
     val targets = array((0 until OutDeg).map { j =>
-      ((nib(3 * j + 1) * 256 + nib(3 * j + 2) * 16 + nib(3 * j + 3))
-        % n).as(s"t$j")
+      val v = (0 until 5).map(k => nib(5 * j + k + 1) *
+        (1L << (4 * (4 - k)))).reduce(_ + _)
+      (v % n).as(s"t$j")
     }: _*)
     s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id").as("src"), explode(targets).as("dst"))
@@ -54,7 +62,10 @@ object LinkGraph {
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"))
     val n = docs.count()
-    val e = edges(s, dir, n)
+    // four consumers (three iteration joins + the in-degree agg):
+    // cached so the scan + md5 derivation runs once, same lifecycle
+    // as the other operator caches (released between bench queries)
+    val e = edges(s, dir, n).cache()
     val base = lit((1.0 - damping) / n)
     var ranks = docs.select(col("doc_id"),
       round(lit(1.0 / n), 12).as("rank"))
@@ -73,9 +84,15 @@ object LinkGraph {
             .as("rank"))
     }
     val inDeg = e.groupBy("dst").agg(count(lit(1)).as("in_degree"))
-    docs.join(ranks, "doc_id")
-      .join(inDeg, docs("doc_id") === inDeg("dst"), "left")
-      .select(col("doc_id"), col("rank"),
+    // ranks already carries exactly one row per doc — no docs re-join.
+    // The REPORTED rank rounds one notch below the 12-decimal
+    // mediation (the repo-wide convention): the two engines' rounding
+    // of a double can tie-break differently in the mediation's last
+    // digit, and the damping contraction keeps any such 1e-12 wobble
+    // from ever reaching digit 10.
+    ranks
+      .join(inDeg, ranks("doc_id") === inDeg("dst"), "left")
+      .select(col("doc_id"), round(col("rank"), 10).as("rank"),
         coalesce(col("in_degree"), lit(0L)).as("in_degree"),
         lit(OutDeg).as("out_degree"))
   }
