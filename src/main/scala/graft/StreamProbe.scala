@@ -30,6 +30,7 @@ object StreamProbe {
 
   final case class PDoc(doc_id: Long, text: String)
   final case class PVec(query_id: Long, qv: Seq[Double])
+  final case class PWarc(file_id: Long, payload: Array[Byte])
 
   private def tmp(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
@@ -124,6 +125,23 @@ object StreamProbe {
             (df, out, ckpt) =>
               StreamingAnn.probeStream(df, idx, out, ckpt))
         }
+      case "ingest" =>
+        // continuous crawl ingestion has NO index/corpus-side state at
+        // all — the only axis is batch size. WARC files are built from
+        // the 10x carve so content matches the other modes' batches.
+        val files = docsOf(dir10x).filter(col("doc_id") % 10 === 0)
+          .select("doc_id", "source", "text").limit(small * 10).collect()
+          .map(r => PWarc(r.getLong(0),
+            graft.ops.CrawlOps.synthWarc(
+              r.getLong(0), r.getString(1), r.getString(2)))).toSeq
+        // warmup small, then 10x, then small again — the warmed pair
+        // is the honest batch-proportionality comparison (trigger 0
+        // pays JVM/codegen warmup)
+        run[PWarc]("none",
+          Seq(files.take(small), files, files.take(small)),
+          (df, out, ckpt) =>
+            graft.streaming.StreamingIngest.ingestStream(
+              df.toDF("file_id", "payload"), out, ckpt))
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
