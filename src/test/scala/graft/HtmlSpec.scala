@@ -82,6 +82,22 @@ class HtmlSpec extends AnyFunSuite {
       Vector("i <3 spark", "1 < 2 > 0", "a </ b"))
   }
 
+  test("extractor is total on truncated markup: every prefix of a " +
+    "real page parses without throwing") {
+    val tokens = (1 to 23).map(i => s"tok$i").toArray
+    val html = graft.ops.CrawlOps.synthHtml(3L, tokens)
+    (0 to html.length).foreach { len =>
+      val e = Html.extract(html.take(len)) // must terminate, not throw
+      assert(e.blocks.forall(_.text.nonEmpty))
+    }
+    // and on junk that never becomes well-formed
+    Html.extract("<")
+    Html.extract("<!")
+    Html.extract("<a href='unterminated")
+    Html.extract("&#")
+    Html.extract("<script>never closed")
+  }
+
   test("the synthesized fixture page extracts to its derivation") {
     // mirror of the oracle's closed form, on one concrete document
     val tokens = (1 to 23).map(i => s"tok$i").toArray

@@ -93,6 +93,19 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("parser is total on truncation: every prefix either parses or " +
+    "throws the declared IllegalArgumentException — never hangs or " +
+    "escapes another error") {
+    val plain = rec("warcinfo", "abc") ++
+      rec("response", "HTTP/1.1 200 OK\r\n\r\nbody",
+        Map("WARC-Target-URI" -> "https://e.com/x"))
+    val gz = Warc.gzipMember(plain)
+    for (bytes <- Seq(plain, gz); len <- 0 to bytes.length) {
+      try { Warc.parseFile(bytes.take(len)); () }
+      catch { case _: IllegalArgumentException => () }
+    }
+  }
+
   test("headers without colon and missing Content-Length are rejected") {
     val noColon = ("WARC/1.0\r\nWARC-Type resource\r\n" +
       "Content-Length: 0\r\n\r\n\r\n\r\n").getBytes(US_ASCII)
