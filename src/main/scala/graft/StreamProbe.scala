@@ -23,8 +23,11 @@ import graft.streaming.{StreamingAnn, StreamingDecontaminate, StreamingDedup}
   *     honestly as measured).
   *
   * Usage: runMain graft.StreamProbe <mode> <dir1x> <dir10x> [batch]
-  *   mode ∈ {decon, dedup, ann}; batch = small-batch rows (default
-  *   500 docs / 100 queries). Emits one JSON line per micro-batch.
+  *   mode ∈ {decon, dedup, ann, ingest}; batch = small-batch rows
+  *   (default 500 docs / 100 ann queries; the committed ingest rows
+  *   used 100). `ingest` probes [[graft.streaming.StreamingIngest]]
+  *   (stateless, so no corpus axis) with a third warmed-small
+  *   trigger. Emits one JSON line per micro-batch.
   */
 object StreamProbe {
 
@@ -128,9 +131,13 @@ object StreamProbe {
       case "ingest" =>
         // continuous crawl ingestion has NO index/corpus-side state at
         // all — the only axis is batch size. WARC files are built from
-        // the 10x carve so content matches the other modes' batches.
+        // the same held-out carve the other modes' docBatch samples
+        // (synthWarc needs ≥ 2 tokens for the title/url derivation —
+        // shorter docs are skipped rather than crashing the probe).
         val files = docsOf(dir10x).filter(col("doc_id") % 10 === 0)
-          .select("doc_id", "source", "text").limit(small * 10).collect()
+          .select("doc_id", "source", "text").limit(small * 12).collect()
+          .filter(_.getString(2).trim.split("\\s+").length >= 2)
+          .take(small * 10)
           .map(r => PWarc(r.getLong(0),
             graft.ops.CrawlOps.synthWarc(
               r.getLong(0), r.getString(1), r.getString(2)))).toSeq
@@ -141,7 +148,7 @@ object StreamProbe {
           Seq(files.take(small), files, files.take(small)),
           (df, out, ckpt) =>
             graft.streaming.StreamingIngest.ingestStream(
-              df.toDF("file_id", "payload"), out, ckpt))
+              df.toDF(), out, ckpt))
       case other => sys.error(s"unknown mode $other")
     }
     spark.stop()
