@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
-import graft.ops.{BloomIndex, Bucketed, Classifier, CrawlOps, Dedup, LinkGraph,
+import graft.ops.{BloomIndex, Bucketed, Classifier, CrawlOps, Dedup, Incremental, LinkGraph,
   Encoding, EventOps, Filtering, LshIndex, MediaHeaders, Multimodal,
   PerceptualHash, Relational, Robots, Similarity, Sitemap, Sketches,
   Frontier, TextOps, TrainPrep, UrlOps, VectorIndex}
@@ -454,7 +454,12 @@ object SparkEntry {
     "corpus_datasheet" -> ((s, dir) => Relational.corpusDatasheet(s, dir)),
     // link-graph PageRank (crawl prioritization): 3 damped power
     // iterations, decimal-mediated so the ITERATED ranks hash-match
-    "link_pagerank" -> ((s, dir) => LinkGraph.pageRank(s, dir))
+    "link_pagerank" -> ((s, dir) => LinkGraph.pageRank(s, dir)),
+    // incremental refresh: prior snapshot's persisted verdicts ∪
+    // fresh delta compute — the oracle recomputes EVERYTHING from
+    // scratch, so hash equality pins incremental ≡ full
+    "incremental_refresh" -> ((s, dir) =>
+      Incremental.qualityRefresh(s, dir, scratchDir("increm")))
   )
 
   /** Chained-CTE replay of the BPE trainer for the DuckDB oracle: `w0`
@@ -1284,67 +1289,7 @@ object SparkEntry {
         |  CAST(row_number() OVER (ORDER BY pair_count DESC, pair)
         |    AS INTEGER) AS rank
         |FROM p ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
-    "quality_filter" ->
-      """WITH t AS (
-        |  SELECT doc_id, text,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-        |  FROM documents
-        |), q AS (
-        |  SELECT doc_id,
-        |    CAST(len(toks) AS INTEGER) AS n_tokens,
-        |    (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)
-        |      AS mean_token_len,
-        |    len(list_filter(toks, x -> x IN ('a','the','of','and'))) /
-        |      CAST(len(toks) AS DOUBLE) AS stop_ratio
-        |  FROM t
-        |), g AS (
-        |  SELECT doc_id, unnest(list_concat(
-        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))],
-        |    CASE WHEN len(toks) >= 3 THEN
-        |      [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-        |       for i in range(1, len(toks) - 1)]
-        |    ELSE [] END)) AS gram
-        |  FROM t WHERE len(toks) >= 2
-        |), c AS (
-        |  SELECT doc_id, c, len(string_split(gram, ' ')) AS n FROM (
-        |    SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
-        |), a AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS n_grams2,
-        |    CAST(max(CASE WHEN n = 2 THEN c END) AS BIGINT) AS top2_cnt,
-        |    CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS n_grams3,
-        |    CAST(sum(CASE WHEN n = 3 AND c > 1 THEN c END) AS BIGINT)
-        |      AS dup3_occ
-        |  FROM c GROUP BY doc_id
-        |), j AS (
-        |  SELECT q.doc_id, q.n_tokens, q.mean_token_len, q.stop_ratio,
-        |    a.top2_cnt / CAST(a.n_grams2 AS DOUBLE) AS top2_frac,
-        |    coalesce(a.dup3_occ, 0) / CAST(a.n_grams3 AS DOUBLE)
-        |      AS dup3_frac
-        |  FROM q LEFT JOIN a USING (doc_id)
-        |)
-        |SELECT doc_id, n_tokens, mean_token_len, stop_ratio,
-        |  top2_frac, dup3_frac,
-        |  (n_tokens >= 20 AND n_tokens <= 1000) AS r_len,
-        |  (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
-        |    AS r_word_len,
-        |  (stop_ratio >= 0.01) AS r_stop,
-        |  coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18, true) AS r_rep,
-        |  ((n_tokens >= 20 AND n_tokens <= 1000) AND
-        |   (mean_token_len >= 2.0 AND mean_token_len <= 12.0) AND
-        |   stop_ratio >= 0.01 AND
-        |   coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18, true))
-        |    AS keep,
-        |  concat_ws(',',
-        |    CASE WHEN NOT (n_tokens >= 20 AND n_tokens <= 1000)
-        |      THEN 'len' END,
-        |    CASE WHEN NOT (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
-        |      THEN 'word_len' END,
-        |    CASE WHEN NOT (stop_ratio >= 0.01) THEN 'stop_ratio' END,
-        |    CASE WHEN NOT coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18,
-        |                           true)
-        |      THEN 'repetition' END) AS drop_reasons
-        |FROM j""".stripMargin,
+    "quality_filter" -> qualityFilterOracle,
     "leakage_split" ->
       """WITH s AS (
         |  SELECT doc_id,
@@ -2600,6 +2545,8 @@ object SparkEntry {
         |    ELSE -1 END AS INTEGER) AS wave
         |FROM r""".stripMargin,
 
+    "incremental_refresh" -> qualityFilterOracle,
+
     // Chunking oracle: same width-16/stride-12 window derivation.
     "doc_chunks" ->
       """WITH t AS (
@@ -2701,6 +2648,74 @@ object SparkEntry {
         |FROM documents
         |GROUP BY GROUPING SETS ((source), (lang), ())""".stripMargin
   )
+
+  /** The quality-filter verdict replay — shared verbatim by
+    * `quality_filter` and `incremental_refresh` (whose engine path is
+    * prior-snapshot verdicts ∪ fresh delta; the oracle recomputing
+    * EVERYTHING from scratch is precisely the incremental ≡ full
+    * identity being pinned).
+    */
+  private val qualityFilterOracle: String =
+    """WITH t AS (
+        |  SELECT doc_id, text,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), q AS (
+        |  SELECT doc_id,
+        |    CAST(len(toks) AS INTEGER) AS n_tokens,
+        |    (length(text) - len(toks) + 1) / CAST(len(toks) AS DOUBLE)
+        |      AS mean_token_len,
+        |    len(list_filter(toks, x -> x IN ('a','the','of','and'))) /
+        |      CAST(len(toks) AS DOUBLE) AS stop_ratio
+        |  FROM t
+        |), g AS (
+        |  SELECT doc_id, unnest(list_concat(
+        |    [toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))],
+        |    CASE WHEN len(toks) >= 3 THEN
+        |      [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+        |       for i in range(1, len(toks) - 1)]
+        |    ELSE [] END)) AS gram
+        |  FROM t WHERE len(toks) >= 2
+        |), c AS (
+        |  SELECT doc_id, c, len(string_split(gram, ' ')) AS n FROM (
+        |    SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        |), a AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS n_grams2,
+        |    CAST(max(CASE WHEN n = 2 THEN c END) AS BIGINT) AS top2_cnt,
+        |    CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS n_grams3,
+        |    CAST(sum(CASE WHEN n = 3 AND c > 1 THEN c END) AS BIGINT)
+        |      AS dup3_occ
+        |  FROM c GROUP BY doc_id
+        |), j AS (
+        |  SELECT q.doc_id, q.n_tokens, q.mean_token_len, q.stop_ratio,
+        |    a.top2_cnt / CAST(a.n_grams2 AS DOUBLE) AS top2_frac,
+        |    coalesce(a.dup3_occ, 0) / CAST(a.n_grams3 AS DOUBLE)
+        |      AS dup3_frac
+        |  FROM q LEFT JOIN a USING (doc_id)
+        |)
+        |SELECT doc_id, n_tokens, mean_token_len, stop_ratio,
+        |  top2_frac, dup3_frac,
+        |  (n_tokens >= 20 AND n_tokens <= 1000) AS r_len,
+        |  (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
+        |    AS r_word_len,
+        |  (stop_ratio >= 0.01) AS r_stop,
+        |  coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18, true) AS r_rep,
+        |  ((n_tokens >= 20 AND n_tokens <= 1000) AND
+        |   (mean_token_len >= 2.0 AND mean_token_len <= 12.0) AND
+        |   stop_ratio >= 0.01 AND
+        |   coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18, true))
+        |    AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN NOT (n_tokens >= 20 AND n_tokens <= 1000)
+        |      THEN 'len' END,
+        |    CASE WHEN NOT (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
+        |      THEN 'word_len' END,
+        |    CASE WHEN NOT (stop_ratio >= 0.01) THEN 'stop_ratio' END,
+        |    CASE WHEN NOT coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18,
+        |                           true)
+        |      THEN 'repetition' END) AS drop_reasons
+        |FROM j""".stripMargin
 
   /** Shared CTE prefix replaying the NB classifier's training +
     * scoring chain (the quality_filter verdict CTEs, the split, token

@@ -35,7 +35,15 @@ object Filtering {
     * aggregations, one doc_id join. Composing the published operators
     * relationally instead would re-key the corpus a third time.
     */
-  def qualityFilter(s: SparkSession, dir: String): DataFrame = {
+  def qualityFilter(s: SparkSession, dir: String): DataFrame =
+    qualityFilterOf(docs(s, dir))
+
+  /** [[qualityFilter]] over an explicit documents relation — the form
+    * an incremental refresh applies to a DELTA only (valid because
+    * every signal here is per-document; corpus-dependent scores like
+    * surprisal or the NB model must re-train instead).
+    */
+  private[graft] def qualityFilterOf(d: DataFrame): DataFrame = {
     val top2Frac = col("top2_cnt") / col("n_grams2")
     val dup3Frac = coalesce(col("dup3_occ"), lit(0L)) / col("n_grams3")
     val rLen = col("n_tokens") >= 20 && col("n_tokens") <= 1000
@@ -43,8 +51,8 @@ object Filtering {
       col("mean_token_len") >= 2.0 && col("mean_token_len") <= 12.0
     val rStop = col("stop_ratio") >= 0.01
     val rRep = coalesce(top2Frac <= 0.2 && dup3Frac <= 0.18, lit(true))
-    TextOps.qualitySignals(docs(s, dir))
-      .join(TextOps.repetitionStats(docs(s, dir)), Seq("doc_id"), "left")
+    TextOps.qualitySignals(d)
+      .join(TextOps.repetitionStats(d), Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_tokens"), col("mean_token_len"),
         col("stop_ratio"),
