@@ -379,6 +379,10 @@ object SparkEntry {
     // per-frame byte length and pixel mean, both oracle-recomputed
     "mm_frames" -> ((s, dir) => Multimodal.frameFeatures(s, dir)),
     "mm_rle_frames" -> ((s, dir) => Multimodal.rleFrameFeatures(s, dir)),
+    // MS Video 1 (CRAM) through the real inter-frame decoder: frame 1
+    // keeps blocks via SKIP codes, so temporal prediction is on the
+    // oracle-checked path
+    "mm_cram_frames" -> ((s, dir) => Multimodal.cramFrameFeatures(s, dir)),
     "mm_arith_features" -> ((s, dir) => Multimodal.arithJpegFeatures(s, dir)),
     "mm_progressive_features" ->
       ((s, dir) => Multimodal.progressiveJpegFeatures(s, dir)),
@@ -2005,6 +2009,54 @@ object SparkEntry {
         |SELECT doc_id, CAST(1 AS INTEGER), 'rle8', CAST(9 AS INTEGER),
         |  CAST(8 AS INTEGER), CAST(px[1] AS DOUBLE)
         |FROM g""".stripMargin,
+    // CRAM oracle: frame means recomputed arithmetically from the
+    // generative md5 bytes — 2-color/8-color block sums are popcounts
+    // of the mask words against the color bytes (quadrant bit sets
+    // 0x0033/0x00CC/0x3300/0xCC00), frame 1 reuses frame 0's first
+    // two block sums (the engine must earn that via SKIP decode).
+    "mm_cram_frames" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 16) ] AS m
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id, m,
+        |    bit_count(CAST(m[3]*256 + m[4] AS BIGINT)) AS p0,
+        |    bit_count(CAST(m[7]*256 + m[8] AS BIGINT)) AS p3,
+        |    bit_count(CAST((m[14]*256 + m[15]) & 51 AS BIGINT)) AS q0,
+        |    bit_count(CAST((m[14]*256 + m[15]) & 204 AS BIGINT)) AS q1,
+        |    bit_count(CAST((m[14]*256 + m[15]) & 13056 AS BIGINT)) AS q2,
+        |    bit_count(CAST((m[14]*256 + m[15]) & 52224 AS BIGINT)) AS q3,
+        |    bit_count(CAST(m[11]*256 + m[12] AS BIGINT)) AS p3b
+        |  FROM g
+        |), sums AS (
+        |  SELECT doc_id,
+        |    p0*m[1] + (16-p0)*m[2] AS b0,
+        |    16*m[5] AS b1,
+        |    q0*m[6] + (4-q0)*m[10] + q1*m[7] + (4-q1)*m[11] +
+        |      q2*m[8] + (4-q2)*m[12] + q3*m[9] + (4-q3)*m[13] AS b2,
+        |    p3*m[16] + (16-p3)*m[3] AS b3,
+        |    16*m[6] AS b2n,
+        |    p3b*m[9] + (16-p3b)*m[10] AS b3n
+        |  FROM s
+        |)
+        |SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS frame_idx,
+        |  'cram' AS codec, CAST(8 AS INTEGER) AS width,
+        |  CAST(8 AS INTEGER) AS height,
+        |  (b0 + b1 + b2 + b3) / 64.0 AS frame_mean
+        |FROM sums
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INTEGER), 'cram', CAST(8 AS INTEGER),
+        |  CAST(8 AS INTEGER), (b0 + b1 + b2n + b3n) / 64.0
+        |FROM sums""".stripMargin,
+
     // Progressive-JPEG oracle: doc -> 3-scan SOF2 stream (DC Al=1 +
     // refinement + EOBn AC band); decode is lossless by construction,
     // so the 32x16 mean is mean(md5 bytes 0..7).

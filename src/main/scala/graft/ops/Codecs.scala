@@ -29,7 +29,7 @@ package graft.ops
   * grayscale buffer (images: BT.601 integer luma; audio: 16-bit
   * samples quantized to bytes) — so the downstream feature pipeline
   * (histogram/mean/thumbnail in [[Multimodal]]) is format-agnostic.
-  * Only compressed AVI codecs other than MJPEG/RLE8 remain behind
+  * Only compressed AVI codecs other than MJPEG/RLE8/CRAM remain behind
   * [[Multimodal.FakeCodec]]'s declared stub.
   *
   * Pinned by MultimodalSpec against hand-assembled container bytes

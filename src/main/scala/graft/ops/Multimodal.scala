@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * AVI frames — uncompressed `00db` DIBs parsed directly, MJPEG
   * `00dc` chunks through the real JPEG decoder, RLE8 `00dc` chunks
   * through the `strf`-described RLE expansion. Only compressed AVI
-  * codecs other than MJPEG/RLE8 and
+  * codecs other than MJPEG/RLE8/CRAM and
   * unrecognized bytes fall back to [[FakeCodec]] — an
   * explicitly-marked STUB that interprets payload bytes as pixels. The Spark-side contract — schema, partitioning,
   * batch shape, feature layout — is identical on both paths; the
@@ -49,7 +49,7 @@ object Multimodal {
       thumbnail: Array[Byte])   // 4x4 average-pooled "pixels"
 
   /** STUB codec — deterministic fake for the formats whose decode we
-    * don't reimplement (compressed AVI codecs other than MJPEG/RLE8)
+    * don't reimplement (compressed AVI codecs other than MJPEG/RLE8/CRAM)
     * and for unrecognized bytes.
     * PNG/BMP/WAV/GIF/baseline-JPEG payloads never reach it:
     * [[Codecs]] decodes those for real (from-scratch — Inflater,
@@ -345,6 +345,71 @@ object Multimodal {
             var i = 0
             while (i < g.length) { sum += g(i) & 0xff; i += 1 }
             (id, fi, "rle8", w, h, sum.toDouble / g.length)
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "codec", "width", "height",
+        "frame_mean")
+  }
+
+  /** Fully-oracled MS Video 1 (CRAM) feature relation: each document
+    * becomes a 2-frame 8×8 CRAM AVI exercising every block mode —
+    * 2-color, solid, 8-color in frame 0; frame 1 keeps two blocks
+    * unchanged so the encoder emits SKIP codes and the decoder must
+    * thread the previous frame through (the inter-frame path). Block
+    * content derives from md5 token bytes; the oracle recomputes the
+    * frame means arithmetically (popcounts of the mask words against
+    * the color bytes), so hash equality pins the whole
+    * encode→container→decode chain incl. temporal prediction.
+    */
+  def cramFrameFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def tokByte(toks: Seq[String], i: Int): Int =
+          md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+        val (w, h) = (8, 8)
+        def paint2(f: Array[Byte], bi: Int, mask: Int, a: Int, b: Int): Unit =
+          (0 until 16).foreach { k =>
+            f(Cram.pixelOffset(bi, k / 4, k % 4, w, h)) =
+              (if (((mask >> k) & 1) == 1) a else b).toByte
+          }
+        def paintSolid(f: Array[Byte], bi: Int, v: Int): Unit =
+          (0 until 16).foreach(k =>
+            f(Cram.pixelOffset(bi, k / 4, k % 4, w, h)) = v.toByte)
+        def paint8(f: Array[Byte], bi: Int, mask: Int,
+            colors: Array[Int]): Unit =
+          (0 until 16).foreach { k =>
+            val r = k / 4; val c = k % 4
+            val q = (if (r >= 2) 2 else 0) + (if (c >= 2) 1 else 0)
+            f(Cram.pixelOffset(bi, r, c, w, h)) =
+              (if (((mask >> k) & 1) == 1) colors(2 * q)
+               else colors(2 * q + 1)).toByte
+          }
+        it.flatMap { case (id, toks) =>
+          val m = Array.tabulate(16)(i => tokByte(toks, i))
+          val f0 = new Array[Byte](w * h)
+          paint2(f0, 0, m(2) * 256 + m(3), m(0), m(1))
+          paintSolid(f0, 1, m(4))
+          paint8(f0, 2, m(13) * 256 + m(14),
+            Array(m(5), m(9), m(6), m(10), m(7), m(11), m(8), m(12)))
+          paint2(f0, 3, m(6) * 256 + m(7), m(15), m(2))
+          val f1 = f0.clone() // blocks 0,1 unchanged -> skip codes
+          paintSolid(f1, 2, m(5))
+          paint2(f1, 3, m(10) * 256 + m(11), m(8), m(9))
+          val avi = PerceptualHash.encodeCramAvi(Seq(f0, f1), w, h)
+          val (dw, dh, grays) = PerceptualHash.aviFrameGrays(avi)
+            .getOrElse(throw new IllegalStateException(
+              s"cram fixture failed to decode for doc $id"))
+          grays.zipWithIndex.map { case (g, fi) =>
+            var sum = 0L
+            var i = 0
+            while (i < g.length) { sum += g(i) & 0xff; i += 1 }
+            (id, fi, "cram", dw, dh, sum.toDouble / g.length)
           }
         }
       }

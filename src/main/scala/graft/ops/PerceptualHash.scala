@@ -258,6 +258,60 @@ object PerceptualHash {
       Some(strl))
   }
 
+  /** MS Video 1 (CRAM) AVI encoder — same self-describing container
+    * as [[encodeRle8Avi]] with `biCompression = 'CRAM'` and per-frame
+    * [[Cram.encodeFrame]] chunks, each encoded against the previous
+    * frame so unchanged blocks become skip codes (the inter-frame
+    * path the decoder must thread state through).
+    */
+  def encodeCramAvi(
+      frames: Seq[Array[Byte]], w: Int, h: Int,
+      palette: Array[Byte] = Array.tabulate(256)(_.toByte)): Array[Byte] = {
+    require(palette.length == 256, "CRAM palette must have 256 entries")
+    require(frames.forall(_.length == w * h),
+      s"every frame must be ${w}x$h indices")
+    def le32At(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
+      a(i + 2) = (v >> 16).toByte; a(i + 3) = (v >> 24).toByte
+    }
+    def le16At(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
+    }
+    def put4cc(a: Array[Byte], i: Int, t: String): Unit =
+      t.zipWithIndex.foreach { case (c, k) => a(i + k) = c.toByte }
+    val strh = new Array[Byte](56)
+    put4cc(strh, 0, "vids"); put4cc(strh, 4, "CRAM")
+    le32At(strh, 32, frames.length)
+    val strf = new Array[Byte](40 + 256 * 4)
+    le32At(strf, 0, 40)
+    le32At(strf, 4, w); le32At(strf, 8, h)
+    le16At(strf, 12, 1)
+    le16At(strf, 14, 8)
+    le32At(strf, 16, Cram.Fourcc)
+    le32At(strf, 32, 256)
+    var i = 0
+    while (i < 256) {
+      val v = palette(i)
+      val q = 40 + i * 4
+      strf(q) = v; strf(q + 1) = v; strf(q + 2) = v
+      i += 1
+    }
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + data.length + (data.length & 1))
+      put4cc(out, 0, fourcc)
+      le32At(out, 4, data.length)
+      System.arraycopy(data, 0, out, 8, data.length)
+      out
+    }
+    val strl = chunk("LIST",
+      "strl".getBytes("US-ASCII") ++ chunk("strh", strh) ++ chunk("strf", strf))
+    val encoded = frames.zipWithIndex.map { case (f, idx) =>
+      Cram.encodeFrame(f, w, h,
+        if (idx == 0) None else Some(frames(idx - 1)))
+    }
+    aviContainer(encoded, compressed = true, w, h, Some(strl))
+  }
+
   /** RLE8-compress one top-down index frame: bottom-up rows, encoded
     * runs for stretches of ≥3 equal indices, absolute mode for
     * literal stretches of ≥3 (word-aligned), single (1,v)/(2,v) pairs
@@ -654,13 +708,32 @@ object PerceptualHash {
     for {
       hdr <- MediaHeaders.sniff(payload) if hdr.format == "avi"
       chunks <- Codecs.aviFrameChunks(payload) if chunks.nonEmpty
-      grays = chunks.flatMap {
-        case (false, dib) => dibToGray(dib, hdr.width, hdr.height)
-        case (true, data) => fmt match {
-          case Some(f) if f.compression == Codecs.BiRle8 && f.bitCount == 8 =>
-            Codecs.rle8Decode(data, hdr.width, hdr.height, f.grayLut)
-          case _ => Jpeg.decode(data).collect {
-            case d if d.width == hdr.width && d.height == hdr.height => d.gray
+      grays = fmt match {
+        // CRAM is inter-frame: decode threads the previous frame's
+        // index surface through the chunk sequence (a stateless
+        // flatMap cannot express skip blocks)
+        case Some(f) if f.compression == Cram.Fourcc && f.bitCount == 8 =>
+          chunks.foldLeft(
+            (Vector.empty[Array[Byte]], Option.empty[Array[Byte]])) {
+            case ((acc, prev), (true, data)) =>
+              Cram.decode(data, hdr.width, hdr.height, prev) match {
+                case Some(idxSurface) =>
+                  (acc :+ idxSurface.map(b => f.grayLut(b & 0xff)),
+                    Some(idxSurface))
+                case None => (acc, prev) // length check below fails
+              }
+            case (st, (false, _)) => st
+          }._1
+        case _ => chunks.flatMap {
+          case (false, dib) => dibToGray(dib, hdr.width, hdr.height)
+          case (true, data) => fmt match {
+            case Some(f)
+              if f.compression == Codecs.BiRle8 && f.bitCount == 8 =>
+              Codecs.rle8Decode(data, hdr.width, hdr.height, f.grayLut)
+            case _ => Jpeg.decode(data).collect {
+              case d if d.width == hdr.width && d.height == hdr.height =>
+                d.gray
+            }
           }
         }
       }
