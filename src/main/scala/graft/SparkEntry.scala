@@ -384,6 +384,12 @@ object SparkEntry {
     // oracle-checked path
     "mm_cram_frames" -> ((s, dir) => Multimodal.cramFrameFeatures(s, dir)),
     "mm_arith_features" -> ((s, dir) => Multimodal.arithJpegFeatures(s, dir)),
+    // compressed audio through the real RIFF parse + decoders: IMA
+    // ADPCM threads (predictor, step-index) state across 64 nibble
+    // codes; G.711 expands both segment layouts — all integer-exact,
+    // so the oracle replays every sample
+    "mm_adpcm_features" -> ((s, dir) => Multimodal.adpcmFeatures(s, dir)),
+    "mm_g711_features" -> ((s, dir) => Multimodal.g711Features(s, dir)),
     "mm_progressive_features" ->
       ((s, dir) => Multimodal.progressiveJpegFeatures(s, dir)),
     "mm_sof10_features" -> ((s, dir) => Multimodal.sof10Features(s, dir)),
@@ -2056,6 +2062,118 @@ object SparkEntry {
         |SELECT doc_id, CAST(1 AS INTEGER), 'cram', CAST(8 AS INTEGER),
         |  CAST(8 AS INTEGER), (b0 + b1 + b2n + b3n) / 64.0
         |FROM sums""".stripMargin,
+
+    // IMA ADPCM oracle: replay the decoder's (predictor, step-index)
+    // recurrence over the 64 md5-derived nibble codes in a recursive
+    // CTE — all-integer, so sum/min/max hash-match the engine's
+    // decode of the real WAV container. Row i=0 is the header
+    // predictor sample; row i=64 carries the accumulated features.
+    "mm_adpcm_features" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 35) ] AS m
+        |  FROM t
+        |), tabs AS (
+        |  SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+        |    41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,
+        |    190,209,230,253,279,307,337,371,408,449,494,544,598,658,
+        |    724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,
+        |    2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,
+        |    6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,
+        |    16818,18500,20350,22385,24623,27086,29794,32767] AS sv
+        |), walk AS (
+        |  SELECT doc_id, m, 0 AS i, pred, idx,
+        |    pred AS total, pred AS mn, pred AS mx
+        |  FROM (
+        |    SELECT doc_id, m,
+        |      CAST(CASE WHEN m[1] + 256 * m[2] >= 32768
+        |           THEN m[1] + 256 * m[2] - 65536
+        |           ELSE m[1] + 256 * m[2] END AS BIGINT) AS pred,
+        |      m[3] % 89 AS idx
+        |    FROM g)
+        |  UNION ALL
+        |  SELECT doc_id, m, i, p3, ix2,
+        |    total + p3, LEAST(mn, p3), GREATEST(mx, p3)
+        |  FROM (
+        |    SELECT doc_id, m, i, total, mn, mx,
+        |      CASE WHEN p2 > 32767 THEN 32767
+        |           WHEN p2 < -32768 THEN -32768 ELSE p2 END AS p3,
+        |      LEAST(88, GREATEST(0, ix)) AS ix2
+        |    FROM (
+        |      SELECT doc_id, m, i + 1 AS i, total, mn, mx,
+        |        pred + CASE WHEN nib >= 8 THEN -d ELSE d END AS p2,
+        |        idx + CASE (nib % 8) WHEN 4 THEN 2 WHEN 5 THEN 4
+        |              WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END AS ix
+        |      FROM (
+        |        SELECT doc_id, m, i, pred, idx, total, mn, mx, nib,
+        |          (st >> 3)
+        |            + CASE WHEN (nib % 8) >= 4 THEN st ELSE 0 END
+        |            + CASE WHEN (nib % 4) >= 2 THEN (st >> 1) ELSE 0 END
+        |            + CASE WHEN (nib % 2) = 1 THEN (st >> 2) ELSE 0 END
+        |            AS d
+        |        FROM (
+        |          SELECT w.*,
+        |            CASE WHEN (w.i % 2) = 0 THEN w.m[4 + (w.i // 2)] % 16
+        |                 ELSE w.m[4 + (w.i // 2)] // 16 END AS nib,
+        |            tb.sv[w.idx + 1] AS st
+        |          FROM walk w, tabs tb
+        |          WHERE w.i < 64)))))
+        |SELECT doc_id AS media_id, 'ima_adpcm' AS codec,
+        |  CAST(65 AS INTEGER) AS n_samples,
+        |  CAST(total AS BIGINT) AS sum_samples,
+        |  CAST(mn AS INTEGER) AS min_sample,
+        |  CAST(mx AS INTEGER) AS max_sample
+        |FROM walk WHERE i = 64""".stripMargin,
+
+    // G.711 oracle: both CCITT segment decodes are closed-form per
+    // byte (u-law: bias 0x84, stored inverted; A-law: 0x55 XOR, sign
+    // bit set = non-negative), recomputed over the same md5 bytes.
+    "mm_g711_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 32) ] AS m
+        |  FROM t
+        |), u AS (
+        |  SELECT doc_id, 'ulaw' AS codec,
+        |    [ CASE WHEN (255 - b) >= 128
+        |        THEN 132 - ((((255 - b) % 16) * 8 + 132)
+        |                    * (1 << (((255 - b) // 16) % 8)))
+        |        ELSE ((((255 - b) % 16) * 8 + 132)
+        |              * (1 << (((255 - b) // 16) % 8))) - 132 END
+        |      for b in m ] AS v
+        |  FROM g
+        |  UNION ALL
+        |  SELECT doc_id, 'alaw',
+        |    [ CASE WHEN xor(b, 85) >= 128 THEN 1 ELSE -1 END *
+        |      CASE WHEN ((xor(b, 85) // 16) % 8) = 0
+        |           THEN (xor(b, 85) % 16) * 16 + 8
+        |           WHEN ((xor(b, 85) // 16) % 8) = 1
+        |           THEN (xor(b, 85) % 16) * 16 + 264
+        |           ELSE ((xor(b, 85) % 16) * 16 + 264)
+        |             * (1 << (((xor(b, 85) // 16) % 8) - 1)) END
+        |      for b in m ] AS v
+        |  FROM g
+        |)
+        |SELECT doc_id AS media_id, codec,
+        |  CAST(len(v) AS INTEGER) AS n_samples,
+        |  CAST(list_sum(v) AS BIGINT) AS sum_samples,
+        |  CAST(list_min(v) AS INTEGER) AS min_sample,
+        |  CAST(list_max(v) AS INTEGER) AS max_sample
+        |FROM u""".stripMargin,
 
     // Progressive-JPEG oracle: doc -> 3-scan SOF2 stream (DC Al=1 +
     // refinement + EOBn AC band); decode is lossless by construction,

@@ -222,22 +222,29 @@ object Codecs {
     * UNSIGNED with a Long cursor (same adversarial-input contract as
     * [[MediaHeaders]]).
     */
-  private[graft] def wav(b: Array[Byte]): Option[Decoded] = {
+  private[graft] final case class WavInfo(
+      tag: Int, channels: Int, bits: Int, blockAlign: Int,
+      dataOff: Int, dataLen: Int)
+
+  /** Shared RIFF/WAVE fmt+data extraction: first fmt / first data win
+    * (matching the header sniffer's first-chunk semantics); Riff.walk
+    * carries the termination contract for untrusted sizes.
+    */
+  private[graft] def wavInfo(b: Array[Byte]): Option[WavInfo] = {
     if (b.length < 12 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' ||
       b(3) != 'F' || b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E')
       return None
-    var channels = 0; var bits = 0; var fmtOk = false; var sawFmt = false
+    var tag = -1; var channels = 0; var bits = 0; var blockAlign = 0
+    var sawFmt = false
     var dataOff = -1; var dataLen = 0
-    // first fmt / first data win (matching the header sniffer's
-    // first-chunk semantics); Riff.walk carries the termination
-    // contract for untrusted sizes
     MediaHeaders.Riff.walk[Unit](b, 12L, b.length.toLong) { (p, size) =>
       if (!sawFmt && b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' &&
         b(p + 3) == ' ' && p + 8 + 16 <= b.length) {
         val d = p + 8
         sawFmt = true
-        fmtOk = le16(b, d) == 1 // PCM only
+        tag = le16(b, d)
         channels = le16(b, d + 2)
+        blockAlign = le16(b, d + 12)
         bits = le16(b, d + 14)
       } else if (dataOff < 0 && b(p) == 'd' && b(p + 1) == 'a' &&
         b(p + 2) == 't' && b(p + 3) == 'a') {
@@ -246,8 +253,64 @@ object Codecs {
       }
       None
     }
-    if (!fmtOk || channels <= 0 || (bits != 8 && bits != 16) || dataOff < 0)
-      return None
+    if (!sawFmt || dataOff < 0) None
+    else Some(WavInfo(tag, channels, bits, blockAlign, dataOff, dataLen))
+  }
+
+  /** Decoded 16-bit mono samples for the exact-arithmetic audio
+    * formats: PCM-16 mono (tag 1), G.711 A-law/µ-law mono (6/7), IMA
+    * ADPCM mono (0x11, complete blocks only — the header predictor is
+    * each block's first sample). Mono-only BY CONTRACT: this is the
+    * bit-exact path the oracled queries hash, and channel mixing
+    * would reintroduce a rounding convention; multichannel audio
+    * flows through [[wav]]'s gray mapping instead.
+    */
+  private[graft] def wavSamples16(b: Array[Byte]): Option[Array[Short]] = {
+    val info = wavInfo(b).getOrElse(return None)
+    import info._
+    if (channels != 1 || dataLen <= 0) return None
+    tag match {
+      case 1 if bits == 16 =>
+        val n = dataLen / 2
+        if (n <= 0) return None
+        Some(Array.tabulate(n)(i => le16(b, dataOff + 2 * i).toShort))
+      case 6 | 7 if bits == 8 =>
+        val dec: Int => Int =
+          if (tag == 7) Adpcm.ulawToPcm else Adpcm.alawToPcm
+        Some(Array.tabulate(dataLen)(i => dec(u8(b, dataOff + i)).toShort))
+      case 0x11 if bits == 4 && blockAlign > 4 =>
+        val nBlocks = dataLen / blockAlign
+        if (nBlocks <= 0) return None
+        val out = new scala.collection.mutable.ArrayBuffer[Short](
+          nBlocks * (1 + 2 * (blockAlign - 4)))
+        var blk = 0
+        while (blk < nBlocks) {
+          val s = Adpcm.decodeMonoBlock(b, dataOff + blk * blockAlign,
+            blockAlign).getOrElse(return None)
+          out ++= s
+          blk += 1
+        }
+        Some(out.toArray)
+      case _ => None
+    }
+  }
+
+  private[graft] def wav(b: Array[Byte]): Option[Decoded] = {
+    val info = wavInfo(b).getOrElse(return None)
+    val fmtOk = info.tag == 1
+    val channels = info.channels
+    val bits = info.bits
+    val dataOff = info.dataOff
+    val dataLen = info.dataLen
+    if (!fmtOk || channels <= 0 || (bits != 8 && bits != 16)) {
+      // compressed mono formats: decode through the exact path, then
+      // the same (s+32768)>>8 gray mapping as PCM-16
+      return wavSamples16(b).flatMap { s =>
+        if (s.isEmpty) None
+        else Some(Decoded("wav", s.length, 1,
+          s.map(v => ((v + 32768) >> 8).toByte)))
+      }
+    }
     val bytesPerSample = bits / 8
     val frameBytes = channels * bytesPerSample
     val frames = dataLen / frameBytes

@@ -564,4 +564,108 @@ object Multimodal {
       }
       .toDF("media_id", "frame_idx", "frame_bytes", "frame")
   }
+
+  /** Builds a minimal mono RIFF/WAVE container around `fmt` extra
+    * fields + data payload: the fixture-side writer for the
+    * compressed-audio queries (the engine re-parses it through
+    * [[Codecs.wavInfo]], so the container round-trip is earned, not
+    * assumed). */
+  private def monoWav(tag: Int, bits: Int, blockAlign: Int,
+      extra: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val fmtLen = 16 + (if (extra.isEmpty) 0 else 2 + extra.length)
+    val riffLen = 4 + (8 + fmtLen) + (8 + data.length)
+    val out = java.nio.ByteBuffer
+      .allocate(8 + riffLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes).putInt(riffLen).put("WAVE".getBytes)
+    out.put("fmt ".getBytes).putInt(fmtLen)
+    out.putShort(tag.toShort).putShort(1.toShort) // channels = 1
+    out.putInt(8000).putInt(8000 * blockAlign)
+    out.putShort(blockAlign.toShort).putShort(bits.toShort)
+    if (extra.nonEmpty) {
+      out.putShort(extra.length.toShort); out.put(extra)
+    }
+    out.put("data".getBytes).putInt(data.length).put(data)
+    out.array()
+  }
+
+  /** Fully-oracled IMA ADPCM feature relation: each document becomes
+    * a one-block mono ADPCM WAV (fmt tag 0x11) whose header state and
+    * 64 nibble codes derive from md5 token bytes; the engine decodes
+    * through the real chain (RIFF parse → [[Adpcm.decodeMonoBlock]]
+    * state thread) and emits exact integer features of the 65 decoded
+    * samples, which the oracle recomputes by replaying the IMA step
+    * recurrence in a recursive CTE — hash equality pins every
+    * predictor/step-index transition. Shape at scale: row-local
+    * encode+decode inside one `documents` scan, zero exchanges before
+    * the final serialize.
+    */
+  def adpcmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def tokByte(toks: Seq[String], i: Int): Int =
+          md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+        it.map { case (id, toks) =>
+          val m = Array.tabulate(35)(i => tokByte(toks, i))
+          val block = new Array[Byte](36)
+          block(0) = m(0).toByte // predictor LE int16
+          block(1) = m(1).toByte
+          block(2) = (m(2) % 89).toByte
+          block(3) = 0
+          var i = 0
+          while (i < 32) { block(4 + i) = m(3 + i).toByte; i += 1 }
+          val wav = monoWav(0x11, 4, 36, Array(65, 0).map(_.toByte), block)
+          val samples = Codecs.wavSamples16(wav).getOrElse(
+            throw new IllegalStateException(
+              s"adpcm fixture failed to decode for doc $id"))
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          samples.foreach { v =>
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          }
+          (id, "ima_adpcm", samples.length, sum, mn, mx)
+        }
+      }
+      .toDF("media_id", "codec", "n_samples", "sum_samples",
+        "min_sample", "max_sample")
+  }
+
+  /** Fully-oracled G.711 feature relation: the same 32 md5 token
+    * bytes per document decode once as µ-law and once as A-law (two
+    * mono WAVs, tags 7 and 6) through the real container+expansion
+    * path; both segment decodes are closed-form integer arithmetic,
+    * so the oracle recomputes them per byte. Two rows per document.
+    */
+  def g711Features(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def tokByte(toks: Seq[String], i: Int): Int =
+          md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+        it.flatMap { case (id, toks) =>
+          val data = Array.tabulate(32)(i => tokByte(toks, i).toByte)
+          Seq(7 -> "ulaw", 6 -> "alaw").map { case (tag, name) =>
+            val wav = monoWav(tag, 8, 1, Array.emptyByteArray, data)
+            val samples = Codecs.wavSamples16(wav).getOrElse(
+              throw new IllegalStateException(
+                s"g711 fixture failed to decode for doc $id"))
+            var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+            samples.foreach { v =>
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            }
+            (id, name, samples.length, sum, mn, mx)
+          }
+        }
+      }
+      .toDF("media_id", "codec", "n_samples", "sum_samples",
+        "min_sample", "max_sample")
+  }
 }
