@@ -142,6 +142,10 @@ object SparkEntry {
     "q5_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "rollup_agg" -> ((s, dir) => Relational.rollupAgg(s, dir)),
     "cube_agg" -> ((s, dir) => Relational.cubeAgg(s, dir)),
+    // pivot with an EXPLICIT value list (no distinct-value pre-scan)
+    // and its inverse melt
+    "pivot_status" -> ((s, dir) => Relational.pivotStatus(s, dir)),
+    "unpivot_metrics" -> ((s, dir) => Relational.unpivotMetrics(s, dir)),
     "percentiles" -> ((s, dir) => Relational.pricePercentiles(s, dir)),
     // GK-sketch estimates are engine-specific, so the query emits a
     // rank CERTIFICATE instead: exact per-group count + ok booleans
@@ -612,6 +616,34 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "pivot_status" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O_cnt",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |       FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS "O_rev",
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F_cnt",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |       FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS "F_rev",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P_cnt",
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+        |       FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P_rev"
+        |FROM orders
+        |GROUP BY o_orderpriority""".stripMargin,
+    "unpivot_metrics" ->
+      """WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS sum_qty,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS sum_price,
+        |    CAST(count(*) AS DOUBLE) AS n
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |UNION ALL
+        |SELECT l_returnflag, 'n', n FROM w""".stripMargin,
     "percentiles" ->
       """SELECT o_orderstatus,
         |  quantile_cont(o_totalprice, 0.5) AS p50,

@@ -80,6 +80,38 @@ object Relational {
       .cube("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), sumd(col("l_quantity")).as("sum_qty"))
 
+  /** PIVOT: order count + exact revenue per priority × status. The
+    * status value list is EXPLICIT — the implicit form runs a
+    * distinct-value collect as a separate job before planning, a full
+    * extra pass at 100 TB. With pinned values Spark plans the
+    * double-aggregation: a data-proportional partial on
+    * (priority, status), then a second shuffle over only the
+    * |priorities|×|statuses| pre-aggregated rows — both stages
+    * map-side combined, one scan (RelationalSpec pins the shape).
+    */
+  def pivotStatus(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("O", "F", "P"))
+      .agg(count(lit(1)).as("cnt"), sumd(col("o_totalprice")).as("rev"))
+
+  /** UNPIVOT (melt): wide per-flag measures back to long
+    * (metric, value) rows — the schema-normalization inverse of
+    * [[pivotStatus]]. Row-local after the source aggregation: the
+    * explode adds zero exchanges.
+    */
+  def unpivotMetrics(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        sumd(col("l_quantity")).as("sum_qty"),
+        sumd(col("l_extendedprice")).as("sum_price"),
+        count(lit(1)).cast("double").as("n"))
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n")),
+        "metric", "value")
+
   /** Explicit GROUPING SETS: per-flag and per-status marginals in one
     * pass (one shuffle; the expand operator replicates map-side).
     */

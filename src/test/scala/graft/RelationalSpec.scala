@@ -100,4 +100,42 @@ class RelationalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("pivot: explicit values, one agg shuffle, cells match a groupBy") {
+    val df = Relational.pivotStatus(spark, sf())
+    assert(df.columns.toSeq == Seq("o_orderpriority",
+      "O_cnt", "O_rev", "F_cnt", "F_rev", "P_cnt", "P_rev"))
+    // the explicit value list must not plan a distinct-value pre-scan:
+    // ONE orders scan and exactly the double-agg's two Exchanges (the
+    // data-proportional (priority,status) partial, then the tiny
+    // |cells|-row pivot shuffle) — no third job, no extra pass
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert("Exchange \\(\\d+\\)".r.findAllIn(plan).size == 2, plan)
+    assert("Scan parquet.* \\(\\d+\\)".r.findAllIn(plan).size == 1, plan)
+    // cross-check one cell against the plain grouped aggregation
+    val expect = spark.read.parquet(s"${sf()}/orders.parquet")
+      .where(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("F_cnt") ==
+        expect.getOrElse(r.getString(0), 0L))
+    }
+  }
+
+  test("unpivot: melt emits one row per (flag, metric), values intact") {
+    val long = Relational.unpivotMetrics(spark, sf())
+    assert(long.columns.toSeq == Seq("l_returnflag", "metric", "value"))
+    val byFlag = long.collect()
+      .groupBy(_.getString(0)).view.mapValues(rs =>
+        rs.map(r => r.getString(1) -> r.getDouble(2)).toMap).toMap
+    val flags = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .select("l_returnflag").distinct().collect().map(_.getString(0))
+    assert(byFlag.keySet == flags.toSet)
+    byFlag.values.foreach { m =>
+      assert(m.keySet == Set("sum_qty", "sum_price", "n"))
+      assert(m("sum_price") > m("sum_qty")) // prices dominate quantities
+    }
+  }
 }
