@@ -394,6 +394,9 @@ object SparkEntry {
     // so the oracle replays every sample
     "mm_adpcm_features" -> ((s, dir) => Multimodal.adpcmFeatures(s, dir)),
     "mm_g711_features" -> ((s, dir) => Multimodal.g711Features(s, dir)),
+    // signal-level audio analysis (zcr/energy/autocorrelation) over
+    // the decoded ADPCM samples — integer-exact end to end
+    "mm_audio_analysis" -> ((s, dir) => Multimodal.audioAnalysis(s, dir)),
     "mm_progressive_features" ->
       ((s, dir) => Multimodal.progressiveJpegFeatures(s, dir)),
     "mm_sof10_features" -> ((s, dir) => Multimodal.sof10Features(s, dir)),
@@ -2162,6 +2165,74 @@ object SparkEntry {
         |  CAST(total AS BIGINT) AS sum_samples,
         |  CAST(mn AS INTEGER) AS min_sample,
         |  CAST(mx AS INTEGER) AS max_sample
+        |FROM walk WHERE i = 64""".stripMargin,
+
+    // Audio-analysis oracle: the same IMA replay, but accumulating
+    // the decoded sample LIST so zcr/energy/autocorrelation are
+    // recomputed closed-form from the full sequence.
+    "mm_audio_analysis" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 35) ] AS m
+        |  FROM t
+        |), tabs AS (
+        |  SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,
+        |    41,45,50,55,60,66,73,80,88,97,107,118,130,143,157,173,
+        |    190,209,230,253,279,307,337,371,408,449,494,544,598,658,
+        |    724,796,876,963,1060,1166,1282,1411,1552,1707,1878,2066,
+        |    2272,2499,2749,3024,3327,3660,4026,4428,4871,5358,5894,
+        |    6484,7132,7845,8630,9493,10442,11487,12635,13899,15289,
+        |    16818,18500,20350,22385,24623,27086,29794,32767] AS sv
+        |), walk AS (
+        |  SELECT doc_id, m, 0 AS i, pred, idx, [pred] AS vs
+        |  FROM (
+        |    SELECT doc_id, m,
+        |      CAST(CASE WHEN m[1] + 256 * m[2] >= 32768
+        |           THEN m[1] + 256 * m[2] - 65536
+        |           ELSE m[1] + 256 * m[2] END AS BIGINT) AS pred,
+        |      m[3] % 89 AS idx
+        |    FROM g)
+        |  UNION ALL
+        |  SELECT doc_id, m, i, p3, ix2, list_append(vs, p3)
+        |  FROM (
+        |    SELECT doc_id, m, i, vs,
+        |      CASE WHEN p2 > 32767 THEN 32767
+        |           WHEN p2 < -32768 THEN -32768 ELSE p2 END AS p3,
+        |      LEAST(88, GREATEST(0, ix)) AS ix2
+        |    FROM (
+        |      SELECT doc_id, m, i + 1 AS i, vs,
+        |        pred + CASE WHEN nib >= 8 THEN -d ELSE d END AS p2,
+        |        idx + CASE (nib % 8) WHEN 4 THEN 2 WHEN 5 THEN 4
+        |              WHEN 6 THEN 6 WHEN 7 THEN 8 ELSE -1 END AS ix
+        |      FROM (
+        |        SELECT doc_id, m, i, pred, idx, vs, nib,
+        |          (st >> 3)
+        |            + CASE WHEN (nib % 8) >= 4 THEN st ELSE 0 END
+        |            + CASE WHEN (nib % 4) >= 2 THEN (st >> 1) ELSE 0 END
+        |            + CASE WHEN (nib % 2) = 1 THEN (st >> 2) ELSE 0 END
+        |            AS d
+        |        FROM (
+        |          SELECT w.*,
+        |            CASE WHEN (w.i % 2) = 0 THEN w.m[4 + (w.i // 2)] % 16
+        |                 ELSE w.m[4 + (w.i // 2)] // 16 END AS nib,
+        |            tb.sv[w.idx + 1] AS st
+        |          FROM walk w, tabs tb
+        |          WHERE w.i < 64)))))
+        |SELECT doc_id AS media_id, CAST(65 AS INTEGER) AS n_samples,
+        |  CAST(len([ i for i in range(2, 66)
+        |             if (vs[i] < 0) != (vs[i-1] < 0) ]) AS INTEGER) AS zcr,
+        |  CAST(list_sum([ x * x for x in vs ]) AS BIGINT) AS energy,
+        |  CAST(list_sum([ vs[i] * vs[i+1]
+        |                  for i in range(1, 65) ]) AS BIGINT) AS ac1,
+        |  CAST(list_sum([ vs[i] * vs[i+4]
+        |                  for i in range(1, 62) ]) AS BIGINT) AS ac4
         |FROM walk WHERE i = 64""".stripMargin,
 
     // G.711 oracle: both CCITT segment decodes are closed-form per

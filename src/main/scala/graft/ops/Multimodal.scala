@@ -589,6 +589,24 @@ object Multimodal {
     out.array()
   }
 
+  /** One-block mono IMA ADPCM fixture (header state + 64 nibble codes
+    * from 35 md5-derived bytes), decoded back through the real RIFF →
+    * ADPCM chain: the shared derivation both audio queries and their
+    * oracles replay. */
+  private def adpcmFixtureSamples(id: Long, m: Array[Int]): Array[Short] = {
+    val block = new Array[Byte](36)
+    block(0) = m(0).toByte // predictor LE int16
+    block(1) = m(1).toByte
+    block(2) = (m(2) % 89).toByte
+    block(3) = 0
+    var i = 0
+    while (i < 32) { block(4 + i) = m(3 + i).toByte; i += 1 }
+    val wav = monoWav(0x11, 4, 36, Array(65, 0).map(_.toByte), block)
+    Codecs.wavSamples16(wav).getOrElse(
+      throw new IllegalStateException(
+        s"adpcm fixture failed to decode for doc $id"))
+  }
+
   /** Fully-oracled IMA ADPCM feature relation: each document becomes
     * a one-block mono ADPCM WAV (fmt tag 0x11) whose header state and
     * 64 nibble codes derive from md5 token bytes; the engine decodes
@@ -611,18 +629,8 @@ object Multimodal {
           md.digest(toks(i % toks.size)
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
         it.map { case (id, toks) =>
-          val m = Array.tabulate(35)(i => tokByte(toks, i))
-          val block = new Array[Byte](36)
-          block(0) = m(0).toByte // predictor LE int16
-          block(1) = m(1).toByte
-          block(2) = (m(2) % 89).toByte
-          block(3) = 0
-          var i = 0
-          while (i < 32) { block(4 + i) = m(3 + i).toByte; i += 1 }
-          val wav = monoWav(0x11, 4, 36, Array(65, 0).map(_.toByte), block)
-          val samples = Codecs.wavSamples16(wav).getOrElse(
-            throw new IllegalStateException(
-              s"adpcm fixture failed to decode for doc $id"))
+          val samples = adpcmFixtureSamples(id,
+            Array.tabulate(35)(i => tokByte(toks, i)))
           var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
           samples.foreach { v =>
             sum += v; if (v < mn) mn = v; if (v > mx) mx = v
@@ -632,6 +640,47 @@ object Multimodal {
       }
       .toDF("media_id", "codec", "n_samples", "sum_samples",
         "min_sample", "max_sample")
+  }
+
+  /** Fully-oracled audio ANALYSIS relation — the signal-level sibling
+    * of the text-quality scores: zero-crossing rate, energy, and
+    * autocorrelation at lags 1 and 4 over the 65 samples each
+    * document's ADPCM fixture decodes to. All integer arithmetic on
+    * int16 samples (products accumulate in Long), so the oracle
+    * recomputes every feature from the sample list its recursive CTE
+    * rebuilds. Same zero-exchange row-local plan as the codec
+    * queries.
+    */
+  def audioAnalysis(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def tokByte(toks: Seq[String], i: Int): Int =
+          md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+        it.map { case (id, toks) =>
+          val v = adpcmFixtureSamples(id,
+            Array.tabulate(35)(i => tokByte(toks, i)))
+          var zcr = 0
+          var energy = 0L
+          var ac1 = 0L
+          var ac4 = 0L
+          var i = 0
+          while (i < v.length) {
+            val x = v(i).toLong
+            energy += x * x
+            if (i >= 1 && ((v(i) < 0) != (v(i - 1) < 0))) zcr += 1
+            if (i + 1 < v.length) ac1 += x * v(i + 1)
+            if (i + 4 < v.length) ac4 += x * v(i + 4)
+            i += 1
+          }
+          (id, v.length, zcr, energy, ac1, ac4)
+        }
+      }
+      .toDF("media_id", "n_samples", "zcr", "energy", "ac1", "ac4")
   }
 
   /** Fully-oracled G.711 feature relation: the same 32 md5 token
