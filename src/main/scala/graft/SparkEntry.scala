@@ -146,6 +146,10 @@ object SparkEntry {
     // and its inverse melt
     "pivot_status" -> ((s, dir) => Relational.pivotStatus(s, dir)),
     "unpivot_metrics" -> ((s, dir) => Relational.unpivotMetrics(s, dir)),
+    // the EXISTS / NOT EXISTS join forms: key-only probe legs, no
+    // fact-row amplification
+    "semi_join" -> ((s, dir) => Relational.semiJoinUrgent(s, dir)),
+    "anti_join" -> ((s, dir) => Relational.antiJoinPending(s, dir)),
     "percentiles" -> ((s, dir) => Relational.pricePercentiles(s, dir)),
     // GK-sketch estimates are engine-specific, so the query emits a
     // rank CERTIFICATE instead: exact per-group count + ok booleans
@@ -394,6 +398,10 @@ object SparkEntry {
     // so the oracle replays every sample
     "mm_adpcm_features" -> ((s, dir) => Multimodal.adpcmFeatures(s, dir)),
     "mm_g711_features" -> ((s, dir) => Multimodal.g711Features(s, dir)),
+    // the second ADPCM family: two-tap coefficient predictor +
+    // adaptive delta, coefficient table parsed from the fmt extension
+    "mm_msadpcm_features" ->
+      ((s, dir) => Multimodal.msAdpcmFeatures(s, dir)),
     // signal-level audio analysis (zcr/energy/autocorrelation) over
     // the decoded ADPCM samples — integer-exact end to end
     "mm_audio_analysis" -> ((s, dir) => Multimodal.audioAnalysis(s, dir)),
@@ -632,6 +640,21 @@ object SparkEntry {
         |       FILTER (WHERE o_orderstatus = 'P') AS DOUBLE) AS "P_rev"
         |FROM orders
         |GROUP BY o_orderpriority""".stripMargin,
+    "semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderpriority = '1-URGENT'
+        |    AND o_totalprice > CAST(400000 AS DOUBLE))""".stripMargin,
+    "anti_join" ->
+      """SELECT c_custkey, c_name, c_acctbal
+        |FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderstatus = 'P')""".stripMargin,
     "unpivot_metrics" ->
       """WITH w AS (
         |  SELECT l_returnflag,
@@ -2166,6 +2189,69 @@ object SparkEntry {
         |  CAST(mn AS INTEGER) AS min_sample,
         |  CAST(mx AS INTEGER) AS max_sample
         |FROM walk WHERE i = 64""".stripMargin,
+
+    // MS ADPCM oracle: replay the two-tap predictor + adaptive-delta
+    // recurrence over the 48 md5-derived codes (HIGH nibble first).
+    // DuckDB's // truncates toward zero like C/Scala integer
+    // division, so the negative-numerator predictor divide is exact.
+    "mm_msadpcm_features" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 30) ] AS m
+        |  FROM t
+        |), tabs AS (
+        |  SELECT [256,512,0,192,240,460,392] AS cv1,
+        |    [0,-256,0,64,0,-208,-232] AS cv2,
+        |    [230,230,230,230,307,409,512,614,
+        |     768,614,512,409,307,230,230,230] AS at
+        |), walk AS (
+        |  SELECT doc_id, m, 0 AS i, s1, s2, dl, c1, c2,
+        |    s1 + s2 AS total, LEAST(s1, s2) AS mn, GREATEST(s1, s2) AS mx
+        |  FROM (
+        |    SELECT doc_id, m,
+        |      CAST(CASE WHEN m[3] + 256 * m[4] >= 32768
+        |           THEN m[3] + 256 * m[4] - 65536
+        |           ELSE m[3] + 256 * m[4] END AS BIGINT) AS s1,
+        |      CAST(CASE WHEN m[5] + 256 * m[6] >= 32768
+        |           THEN m[5] + 256 * m[6] - 65536
+        |           ELSE m[5] + 256 * m[6] END AS BIGINT) AS s2,
+        |      CAST(16 + m[2] * 4 AS BIGINT) AS dl,
+        |      tb.cv1[(m[1] % 7) + 1] AS c1, tb.cv2[(m[1] % 7) + 1] AS c2
+        |    FROM g, tabs tb)
+        |  UNION ALL
+        |  SELECT doc_id, m, i, samp, s1, d2, c1, c2,
+        |    total + samp, LEAST(mn, samp), GREATEST(mx, samp)
+        |  FROM (
+        |    SELECT doc_id, m, i, s1, dl, c1, c2, total, mn, mx,
+        |      CASE WHEN p2 > 32767 THEN 32767
+        |           WHEN p2 < -32768 THEN -32768 ELSE p2 END AS samp,
+        |      LEAST(32767, GREATEST(16, (tb.at[cd + 1] * dl) // 256))
+        |        AS d2
+        |    FROM (
+        |      SELECT doc_id, m, i + 1 AS i, s1, s2, dl, c1, c2,
+        |        total, mn, mx, cd,
+        |        ((s1 * c1 + s2 * c2) // 256)
+        |          + (CASE WHEN cd >= 8 THEN cd - 16 ELSE cd END) * dl
+        |          AS p2
+        |      FROM (
+        |        SELECT w.*,
+        |          CASE WHEN (w.i % 2) = 0 THEN w.m[7 + (w.i // 2)] // 16
+        |               ELSE w.m[7 + (w.i // 2)] % 16 END AS cd
+        |        FROM walk w
+        |        WHERE w.i < 48)) x, tabs tb))
+        |SELECT doc_id AS media_id, 'ms_adpcm' AS codec,
+        |  CAST(50 AS INTEGER) AS n_samples,
+        |  CAST(total AS BIGINT) AS sum_samples,
+        |  CAST(mn AS INTEGER) AS min_sample,
+        |  CAST(mx AS INTEGER) AS max_sample
+        |FROM walk WHERE i = 48""".stripMargin,
 
     // Audio-analysis oracle: the same IMA replay, but accumulating
     // the decoded sample LIST so zcr/energy/autocorrelation are

@@ -129,6 +129,76 @@ object Adpcm {
   }
 
   // -------------------------------------------------------------------
+  // MS ADPCM (WAVE format tag 0x02)
+
+  /** MS ADPCM per-code delta scaling (÷256 after multiply, floor 16). */
+  val MsAdaptationTable: Array[Int] = Array(
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230)
+
+  /** The seven standard predictor coefficient pairs (×256 fixed
+    * point); a stream's `fmt ` extension may carry more, and the
+    * block header's predictor byte indexes this table. */
+  val MsCoefPairs: Array[(Int, Int)] = Array(
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232))
+
+  /** One MS ADPCM decode step. The two-tap predictor divides by 256
+    * with TRUNCATION toward zero (C `/` semantics — load-bearing for
+    * cross-engine exactness when the weighted sum is negative); the
+    * delta adaptation divides likewise and is clamped to
+    * [16, 32767] — the int16 domain its block-header storage field
+    * implies, which also keeps every intermediate product exactly
+    * representable in 32 bits on any engine (an unclamped delta
+    * grows ×3 per extreme code and overflows on adversarial
+    * streams). Returns (newSample, newDelta).
+    */
+  def msStep(samp1: Int, samp2: Int, coef1: Int, coef2: Int,
+      delta: Int, code: Int): (Int, Int) = {
+    val signed = if (code >= 8) code - 16 else code
+    val pred = (samp1 * coef1 + samp2 * coef2) / 256
+    val samp = clamp16(pred + signed * delta)
+    val d = math.min(32767,
+      math.max(16, (MsAdaptationTable(code & 0xf) * delta) / 256))
+    (samp, d)
+  }
+
+  /** Decode one mono MS ADPCM block slice `[off, off+len)`: 7-byte
+    * header (predictor index u8, initial delta int16, sample1 int16,
+    * sample2 int16), then 4-bit codes HIGH nibble first (the
+    * opposite order from IMA). The header samples are the block's
+    * first two outputs, OLDER first (sample2 then sample1), so a
+    * block of `len` bytes yields `2 + 2*(len-7)` samples. None on a
+    * header that can't fit, a predictor index outside the
+    * coefficient table, or a non-positive initial delta.
+    */
+  def decodeMsMonoBlock(b: Array[Byte], off: Int, len: Int,
+      coefs: Array[(Int, Int)] = MsCoefPairs): Option[Array[Short]] = {
+    if (len < 7 || off + len > b.length) return None
+    val predIdx = b(off) & 0xff
+    if (predIdx >= coefs.length) return None
+    var delta = ((b(off + 1) & 0xff) | ((b(off + 2) & 0xff) << 8)).toShort.toInt
+    if (delta <= 0) return None
+    var samp1 = ((b(off + 3) & 0xff) | ((b(off + 4) & 0xff) << 8)).toShort.toInt
+    var samp2 = ((b(off + 5) & 0xff) | ((b(off + 6) & 0xff) << 8)).toShort.toInt
+    val (coef1, coef2) = coefs(predIdx)
+    val nCodes = (len - 7) * 2
+    val out = new Array[Short](2 + nCodes)
+    out(0) = samp2.toShort
+    out(1) = samp1.toShort
+    var k = 0
+    while (k < nCodes) {
+      val byte = b(off + 7 + (k >> 1)) & 0xff
+      val code = if ((k & 1) == 0) byte >> 4 else byte & 0xf
+      val (samp, d) = msStep(samp1, samp2, coef1, coef2, delta, code)
+      samp2 = samp1; samp1 = samp; delta = d
+      out(k + 2) = samp.toShort
+      k += 1
+    }
+    Some(out)
+  }
+
+  // -------------------------------------------------------------------
   // G.711
 
   /** µ-law byte → linear int16 (CCITT G.711, bias 0x84, stored

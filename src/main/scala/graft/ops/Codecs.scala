@@ -224,7 +224,7 @@ object Codecs {
     */
   private[graft] final case class WavInfo(
       tag: Int, channels: Int, bits: Int, blockAlign: Int,
-      dataOff: Int, dataLen: Int)
+      dataOff: Int, dataLen: Int, fmtOff: Int, fmtLen: Int)
 
   /** Shared RIFF/WAVE fmt+data extraction: first fmt / first data win
     * (matching the header sniffer's first-chunk semantics); Riff.walk
@@ -237,6 +237,7 @@ object Codecs {
     var tag = -1; var channels = 0; var bits = 0; var blockAlign = 0
     var sawFmt = false
     var dataOff = -1; var dataLen = 0
+    var fmtOff = -1; var fmtLen = 0
     MediaHeaders.Riff.walk[Unit](b, 12L, b.length.toLong) { (p, size) =>
       if (!sawFmt && b(p) == 'f' && b(p + 1) == 'm' && b(p + 2) == 't' &&
         b(p + 3) == ' ' && p + 8 + 16 <= b.length) {
@@ -246,6 +247,8 @@ object Codecs {
         channels = le16(b, d + 2)
         blockAlign = le16(b, d + 12)
         bits = le16(b, d + 14)
+        fmtOff = d
+        fmtLen = math.min(size, (b.length - d).toLong).toInt
       } else if (dataOff < 0 && b(p) == 'd' && b(p + 1) == 'a' &&
         b(p + 2) == 't' && b(p + 3) == 'a') {
         dataOff = p + 8
@@ -254,7 +257,27 @@ object Codecs {
       None
     }
     if (!sawFmt || dataOff < 0) None
-    else Some(WavInfo(tag, channels, bits, blockAlign, dataOff, dataLen))
+    else Some(WavInfo(tag, channels, bits, blockAlign, dataOff, dataLen,
+      fmtOff, fmtLen))
+  }
+
+  /** MS ADPCM coefficient table from the `fmt ` extension
+    * (cbSize, wSamplesPerBlock, wNumCoef, then int16 pairs); the
+    * standard seven-pair table when the extension is absent or
+    * truncated. A stream-declared table smaller than a block's
+    * predictor index makes that block decline, exactly like any
+    * other malformed header.
+    */
+  private def msCoefTable(b: Array[Byte], info: WavInfo): Array[(Int, Int)] = {
+    val d = info.fmtOff
+    if (info.fmtLen < 22) return Adpcm.MsCoefPairs
+    val nCoef = le16(b, d + 20)
+    if (nCoef <= 0 || nCoef > 64 || info.fmtLen < 22 + 4 * nCoef)
+      return Adpcm.MsCoefPairs
+    Array.tabulate(nCoef) { i =>
+      (le16(b, d + 22 + 4 * i).toShort.toInt,
+        le16(b, d + 24 + 4 * i).toShort.toInt)
+    }
   }
 
   /** Decoded 16-bit mono samples for the exact-arithmetic audio
@@ -287,6 +310,20 @@ object Codecs {
         while (blk < nBlocks) {
           val s = Adpcm.decodeMonoBlock(b, dataOff + blk * blockAlign,
             blockAlign).getOrElse(return None)
+          out ++= s
+          blk += 1
+        }
+        Some(out.toArray)
+      case 2 if bits == 4 && blockAlign > 7 =>
+        val coefs = msCoefTable(b, info)
+        val nBlocks = dataLen / blockAlign
+        if (nBlocks <= 0) return None
+        val out = new scala.collection.mutable.ArrayBuffer[Short](
+          nBlocks * (2 + 2 * (blockAlign - 7)))
+        var blk = 0
+        while (blk < nBlocks) {
+          val s = Adpcm.decodeMsMonoBlock(b, dataOff + blk * blockAlign,
+            blockAlign, coefs).getOrElse(return None)
           out ++= s
           blk += 1
         }

@@ -642,6 +642,62 @@ object Multimodal {
         "min_sample", "max_sample")
   }
 
+  /** Fully-oracled MS ADPCM (WAVE tag 2) feature relation: each
+    * document becomes a one-block mono stream — predictor index,
+    * initial delta, and two seed samples from md5 bytes, then 48
+    * HIGH-nibble-first codes — with the standard seven-pair
+    * coefficient table carried in the real `fmt ` extension the
+    * decoder parses. The oracle replays the two-tap
+    * predictor/adaptive-delta recurrence in a recursive CTE
+    * (truncating division on both sides), pinning the second
+    * ADPCM family's every transition.
+    */
+  def msAdpcmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def tokByte(toks: Seq[String], i: Int): Int =
+          md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+        // fmt extension: wSamplesPerBlock=50, wNumCoef=7, the pairs
+        val extra = {
+          val bb = java.nio.ByteBuffer.allocate(4 + 28)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.putShort(50).putShort(7)
+          Adpcm.MsCoefPairs.foreach { case (c1, c2) =>
+            bb.putShort(c1.toShort).putShort(c2.toShort)
+          }
+          bb.array()
+        }
+        it.map { case (id, toks) =>
+          val m = Array.tabulate(30)(i => tokByte(toks, i))
+          val block = new Array[Byte](31)
+          block(0) = (m(0) % 7).toByte
+          val delta0 = 16 + m(1) * 4
+          block(1) = (delta0 & 0xff).toByte
+          block(2) = (delta0 >> 8).toByte
+          block(3) = m(2).toByte; block(4) = m(3).toByte // samp1 LE
+          block(5) = m(4).toByte; block(6) = m(5).toByte // samp2 LE
+          var i = 0
+          while (i < 24) { block(7 + i) = m(6 + i).toByte; i += 1 }
+          val wav = monoWav(2, 4, 31, extra, block)
+          val samples = Codecs.wavSamples16(wav).getOrElse(
+            throw new IllegalStateException(
+              s"ms-adpcm fixture failed to decode for doc $id"))
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          samples.foreach { v =>
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          }
+          (id, "ms_adpcm", samples.length, sum, mn, mx)
+        }
+      }
+      .toDF("media_id", "codec", "n_samples", "sum_samples",
+        "min_sample", "max_sample")
+  }
+
   /** Fully-oracled audio ANALYSIS relation — the signal-level sibling
     * of the text-quality scores: zero-crossing rate, energy, and
     * autocorrelation at lags 1 and 4 over the 65 samples each

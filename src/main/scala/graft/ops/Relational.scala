@@ -95,6 +95,39 @@ object Relational {
       .pivot("o_orderstatus", Seq("O", "F", "P"))
       .agg(count(lit(1)).as("cnt"), sumd(col("o_totalprice")).as("rev"))
 
+  /** LEFT SEMI join (the EXISTS form): customers holding at least one
+    * urgent order above a price threshold. The probe side never
+    * duplicates and no fact columns survive — the filtered orders leg
+    * reduces to bare keys before the join, so at 100 TB this is one
+    * scan of each side with zero fact-row amplification (unlike the
+    * inner-join + distinct spelling, which shuffles every matching
+    * fact row only to throw the payload away).
+    */
+  def semiJoinUrgent(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer")
+      .join(
+        rd(s, dir, "orders")
+          .where(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") > 400000.0)
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** LEFT ANTI join (the NOT EXISTS form): customers with no pending
+    * (`P`-status) order — the relational primitive under every
+    * decontamination/exclusion pass. Same single-scan-per-side shape
+    * as [[semiJoinUrgent]]; the null-safe variant of NOT IN is
+    * exactly what this spelling avoids relying on.
+    */
+  def antiJoinPending(s: SparkSession, dir: String): DataFrame =
+    rd(s, dir, "customer")
+      .join(
+        rd(s, dir, "orders")
+          .where(col("o_orderstatus") === "P")
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_acctbal")
+
   /** UNPIVOT (melt): wide per-flag measures back to long
     * (metric, value) rows — the schema-normalization inverse of
     * [[pivotStatus]]. Row-local after the source aggregation: the

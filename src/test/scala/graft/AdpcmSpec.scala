@@ -83,6 +83,35 @@ class AdpcmSpec extends AnyFunSuite {
     assert(math.abs(dec(2) - 11) <= (Adpcm.StepTable(8) >> 2))
   }
 
+  test("MS ADPCM: hand-stepped predictor/delta transitions") {
+    // coef pair 0 = (256, 0): predictor == samp1 exactly
+    assert(Adpcm.msStep(100, 50, 256, 0, 16, 1) == ((116, 16)))
+    // sign bit: code 0xF = -1
+    assert(Adpcm.msStep(116, 100, 256, 0, 16, 0xf)._1 == 100)
+    // the predictor divide truncates toward zero (C semantics):
+    // -300/256 = -1, not floor's -2
+    assert(Adpcm.msStep(-3, 0, 100, 0, 16, 0)._1 == -1)
+    // delta adapts upward on extreme codes and clamps at int16
+    assert(Adpcm.msStep(0, 0, 256, 0, 1000, 8)._2 == 3000)
+    assert(Adpcm.msStep(0, 0, 256, 0, 30000, 8)._2 == 32767)
+    // and floors at 16
+    assert(Adpcm.msStep(0, 0, 256, 0, 16, 0)._2 == 16)
+  }
+
+  test("MS ADPCM block: header samples OLDER first, high nibble first") {
+    // pred 0, delta 16, samp1=300, samp2=200; byte 0x1F -> codes 1, -1
+    val blk = Array[Byte](0, 16, 0, 0x2c, 0x01, 0xc8.toByte, 0x00, 0x1f)
+    val s = Adpcm.decodeMsMonoBlock(blk, 0, 8).get
+    // coef (256,0): samp = prev + code*delta
+    assert(s.toSeq == Seq[Short](200, 300, 316, 300))
+    // predictor index outside the table declines
+    assert(Adpcm.decodeMsMonoBlock(
+      Array[Byte](7, 16, 0, 0, 0, 0, 0, 0), 0, 8).isEmpty)
+    // non-positive initial delta declines
+    assert(Adpcm.decodeMsMonoBlock(
+      Array[Byte](0, 0, 0, 0, 0, 0, 0, 0), 0, 8).isEmpty)
+  }
+
   test("u-law landmarks and code round-trip") {
     assert(Adpcm.ulawToPcm(0x00) == -32124)
     assert(Adpcm.ulawToPcm(0x80) == 32124)

@@ -124,6 +124,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("semi/anti joins broadcast key-only probe legs, facts survive once") {
+    val semi = Relational.semiJoinUrgent(spark, sf())
+    val semiPlan = semi.queryExecution.executedPlan.toString
+    assert(semiPlan.contains("BroadcastHashJoin") &&
+      semiPlan.contains("LeftSemi"), semiPlan)
+    val anti = Relational.antiJoinPending(spark, sf())
+    val antiPlan = anti.queryExecution.executedPlan.toString
+    assert(antiPlan.contains("BroadcastHashJoin") &&
+      antiPlan.contains("LeftAnti"), antiPlan)
+    // semantics cross-check against the join+distinct spelling
+    val orders = spark.read.parquet(s"${sf()}/orders.parquet")
+    val pending = orders.where(col("o_orderstatus") === "P")
+      .select("o_custkey").distinct().collect().map(_.getLong(0)).toSet
+    val antiKeys = anti.collect().map(_.getLong(0)).toSet
+    assert(antiKeys.intersect(pending).isEmpty)
+    val nCust = spark.read.parquet(s"${sf()}/customer.parquet").count()
+    val custWithPending = spark.read.parquet(s"${sf()}/customer.parquet")
+      .where(col("c_custkey").isin(pending.toSeq: _*)).count()
+    assert(antiKeys.size.toLong == nCust - custWithPending)
+  }
+
   test("unpivot: melt emits one row per (flag, metric), values intact") {
     val long = Relational.unpivotMetrics(spark, sf())
     assert(long.columns.toSeq == Seq("l_returnflag", "metric", "value"))
