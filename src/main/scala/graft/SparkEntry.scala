@@ -180,6 +180,11 @@ object SparkEntry {
 
     // --- events: windows, sessionization, JSON (§2.6/§2.7) ---
     "events_window_rank" -> ((s, dir) => EventOps.windowRank(s, dir)),
+    // time-series gap fill + LOCF forward fill on an epoch-µs grid,
+    // and RANGE-frame trailing aggregates (the irregular-spacing
+    // window ROWS frames can't express)
+    "events_gapfill" -> ((s, dir) => EventOps.gapfillLocf(s, dir)),
+    "events_running" -> ((s, dir) => EventOps.runningTotals(s, dir)),
     "events_tumbling" -> ((s, dir) => EventOps.tumblingAgg(s, dir)),
     "events_sliding" -> ((s, dir) => EventOps.slidingAgg(s, dir)),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(s, dir)),
@@ -829,6 +834,48 @@ object SparkEntry {
         |  lag(value) OVER w AS prev_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)""".stripMargin,
+    "events_gapfill" ->
+      """WITH hourly AS (
+        |  SELECT user_id,
+        |    (epoch_ns(ts) // 1000) - ((epoch_ns(ts) // 1000) % 3600000000)
+        |      AS hour_us,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS hour_value
+        |  FROM events GROUP BY 1, 2
+        |), spans AS (
+        |  SELECT user_id, min(hour_us) AS mn, max(hour_us) AS mx
+        |  FROM hourly GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id,
+        |    unnest(generate_series(mn, mx, 3600000000)) AS hour_us
+        |  FROM spans
+        |)
+        |SELECT g.user_id, g.hour_us,
+        |  h.hour_value IS NOT NULL AS observed,
+        |  last_value(h.hour_value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour_us
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS filled_value
+        |FROM grid g LEFT JOIN hourly h USING (user_id, hour_us)""".stripMargin,
+    "events_running" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, ts_us,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS cum_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |    AS DOUBLE) AS day_value,
+        |  COUNT(*) OVER (
+        |    PARTITION BY user_id ORDER BY ts_us
+        |    RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |    AS day_n
+        |FROM e""".stripMargin,
     "events_tumbling" ->
       """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
         |  event_type, count(*) AS n,

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Operators over the `events` stream table (SURVEY §2.6 extension
   * surface): ranking/analytic windows, tumbling time windows,
@@ -205,5 +206,61 @@ object EventOps {
         last(col("pval"), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
       .select(col("event_id"), col("user_id"), col("last_purchase_value"))
+  }
+
+  /** Time-series GAP FILL + forward fill (LOCF): per user, the dense
+    * hourly grid between that user's first and last observed hour,
+    * left-joined against the observed hourly sums, missing hours
+    * carried forward from the last observation. Hours are epoch-µs
+    * longs end to end — no timezone semantics anywhere near the
+    * grid arithmetic. Scale shape: every stage is keyed on
+    * user_id(+hour) — the hourly partial-agg shuffle, the tiny
+    * per-user span agg, the grid explode (row-local), the grid⋈
+    * observed join, and the LOCF window; per-user grid length is
+    * bounded by the observation span, and user cardinality grows
+    * with the data, so no partition outgrows its executor.
+    */
+  def gapfillLocf(s: SparkSession, dir: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val hourly = load(s, dir)
+      .withColumn("hour_us",
+        col("ts_us") - pmod(col("ts_us"), lit(hourUs)))
+      .groupBy("user_id", "hour_us")
+      .agg(Relational.sumd(col("value")).as("hour_value"))
+    val grid = hourly.groupBy("user_id")
+      .agg(min("hour_us").as("mn"), max("hour_us").as("mx"))
+      .select(col("user_id"),
+        explode(sequence(col("mn"), col("mx"), lit(hourUs)))
+          .as("hour_us"))
+    val w = Window.partitionBy("user_id").orderBy("hour_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour_us"), "left")
+      .select(col("user_id"), col("hour_us"),
+        col("hour_value").isNotNull.as("observed"),
+        last(col("hour_value"), ignoreNulls = true).over(w)
+          .as("filled_value"))
+  }
+
+  /** RANGE-frame running aggregates: per user and event, the
+    * all-history cumulative value (ROWS frame, total-ordered by
+    * (ts_us, event_id)) and the trailing-24h sum/count (RANGE frame
+    * over the epoch-µs ordering — the frame the ROWS form can't
+    * express when event spacing is irregular). Both sums ride the
+    * exact decimal accumulator, so intra-frame addition order is
+    * immaterial cross-engine. One user-keyed exchange serves both
+    * windows.
+    */
+  def runningTotals(s: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val wCum = userWindow
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wDay = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-dayUs, 0)
+    val dec = col("value").cast(DecimalType(18, 6))
+    load(s, dir).select(
+      col("event_id"), col("user_id"), col("ts_us"),
+      sum(dec).over(wCum).cast("double").as("cum_value"),
+      sum(dec).over(wDay).cast("double").as("day_value"),
+      count(lit(1)).over(wDay).as("day_n"))
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions.{col, lit, pmod}
 import graft.ops.EventOps
 
 /** Pins for the bin-bucketed range join (point-in-interval): result
@@ -31,6 +32,52 @@ class EventOpsSpec extends SparkSpec {
         su != user && s0 <= ts && ts <= s1
       }
       assert(got(eid) == want.toLong, s"event $eid")
+    }
+  }
+
+  test("gapfill: dense hourly grid, LOCF carries the last observation") {
+    val rows = EventOps.gapfillLocf(spark, sf()).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    val hourUs = 3600L * 1000000L
+    byUser.values.foreach { rs =>
+      val hours = rs.map(_.getAs[Long]("hour_us")).sorted
+      // grid is dense: consecutive hours, no gaps, no duplicates
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == hourUs })
+      // first grid hour is observed by construction (span min)
+      val sorted = rs.sortBy(_.getAs[Long]("hour_us"))
+      assert(sorted.head.getAs[Boolean]("observed"))
+      // LOCF: unobserved hours repeat the previous filled value
+      sorted.sliding(2).foreach {
+        case Array(prev, cur) if !cur.getAs[Boolean]("observed") =>
+          assert(cur.getAs[Double]("filled_value") ==
+            prev.getAs[Double]("filled_value"))
+        case _ =>
+      }
+    }
+    // observed cells match the raw hourly cardinality
+    val nObserved = rows.count(_.getAs[Boolean]("observed"))
+    val nHourly = EventOps.load(spark, sf())
+      .select(col("user_id"),
+        (col("ts_us") - pmod(col("ts_us"), lit(hourUs))).as("h"))
+      .distinct().count()
+    assert(nObserved.toLong == nHourly)
+  }
+
+  test("running totals: RANGE frame matches a brute-force 24h recompute") {
+    val dayUs = 86400L * 1000000L
+    val got = EventOps.runningTotals(spark, sf()).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Double]("day_value"), r.getAs[Long]("day_n"))).toMap
+    val ev = EventOps.load(spark, sf())
+      .select("event_id", "user_id", "ts_us", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    ev.foreach { case (eid, user, ts, _) =>
+      val frame = ev.filter { case (_, u, t, _) =>
+        u == user && t >= ts - dayUs && t <= ts
+      }
+      val want = frame.map { case (_, _, _, v) => BigDecimal(v) }.sum
+      assert(got(eid)._2 == frame.length.toLong, s"event $eid count")
+      assert(math.abs(got(eid)._1 - want.toDouble) < 1e-6, s"event $eid sum")
     }
   }
 
