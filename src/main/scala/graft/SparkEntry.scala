@@ -185,6 +185,8 @@ object SparkEntry {
     // window ROWS frames can't express)
     "events_gapfill" -> ((s, dir) => EventOps.gapfillLocf(s, dir)),
     "events_running" -> ((s, dir) => EventOps.runningTotals(s, dir)),
+    // ordered funnel: chained gated window minima, one exchange
+    "events_funnel" -> ((s, dir) => EventOps.funnel(s, dir)),
     "events_tumbling" -> ((s, dir) => EventOps.tumblingAgg(s, dir)),
     "events_sliding" -> ((s, dir) => EventOps.slidingAgg(s, dir)),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(s, dir)),
@@ -857,6 +859,31 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS filled_value
         |FROM grid g LEFT JOIN hourly h USING (user_id, hour_us)""".stripMargin,
+    "events_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us
+        |  FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(ts_us) AS t1_us
+        |  FROM e WHERE event_type = 'view' GROUP BY 1
+        |), s2 AS (
+        |  SELECT e.user_id, min(ts_us) AS t2_us
+        |  FROM e JOIN s1 USING (user_id)
+        |  WHERE event_type = 'click' AND ts_us > t1_us GROUP BY 1
+        |), s3 AS (
+        |  SELECT e.user_id, min(ts_us) AS t3_us
+        |  FROM e JOIN s2 USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_us > t2_us GROUP BY 1
+        |)
+        |SELECT u.user_id, t1_us, t2_us, t3_us,
+        |  CAST(CASE WHEN t3_us IS NOT NULL THEN 3
+        |       WHEN t2_us IS NOT NULL THEN 2
+        |       WHEN t1_us IS NOT NULL THEN 1
+        |       ELSE 0 END AS INTEGER) AS stage
+        |FROM (SELECT DISTINCT user_id FROM e) u
+        |LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id)
+        |LEFT JOIN s3 USING (user_id)""".stripMargin,
     "events_running" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us, value

@@ -241,6 +241,38 @@ object EventOps {
           .as("filled_value"))
   }
 
+  /** Ordered FUNNEL analysis: per user, the earliest time of each
+    * step completed strictly after the previous step (view → click →
+    * purchase), and the furthest stage reached. The sequential
+    * dependency (step k's candidate set is gated on step k-1's time)
+    * is expressed as chained whole-partition window minima over ONE
+    * user-keyed exchange — no self-joins, no per-user event collect;
+    * the reduce to one row per user rides the same partitioning.
+    */
+  def funnel(s: SparkSession, dir: String,
+      steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.length == 3, "three-step funnel")
+    val w = Window.partitionBy("user_id")
+    load(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+      .withColumn("t1",
+        min(when(col("event_type") === steps(0), col("ts_us"))).over(w))
+      .withColumn("t2",
+        min(when(col("event_type") === steps(1) &&
+          col("ts_us") > col("t1"), col("ts_us"))).over(w))
+      .withColumn("t3",
+        min(when(col("event_type") === steps(2) &&
+          col("ts_us") > col("t2"), col("ts_us"))).over(w))
+      .groupBy("user_id")
+      .agg(min("t1").as("t1_us"), min("t2").as("t2_us"),
+        min("t3").as("t3_us"))
+      .withColumn("stage",
+        when(col("t3_us").isNotNull, 3)
+          .when(col("t2_us").isNotNull, 2)
+          .when(col("t1_us").isNotNull, 1)
+          .otherwise(0).cast("int"))
+  }
+
   /** RANGE-frame running aggregates: per user and event, the
     * all-history cumulative value (ROWS frame, total-ordered by
     * (ts_us, event_id)) and the trailing-24h sum/count (RANGE frame

@@ -81,6 +81,37 @@ class EventOpsSpec extends SparkSpec {
     }
   }
 
+  test("funnel: gated step times match brute force; no self-join planned") {
+    val got = EventOps.funnel(spark, sf()).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (Option(r.getAs[Any]("t1_us")), Option(r.getAs[Any]("t2_us")),
+          Option(r.getAs[Any]("t3_us")), r.getAs[Int]("stage"))).toMap
+    val ev = EventOps.load(spark, sf())
+      .select("user_id", "event_type", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val users = ev.map(_._1).distinct
+    assert(got.keySet == users.toSet)
+    users.foreach { u =>
+      val mine = ev.filter(_._1 == u)
+      val t1 = mine.filter(_._2 == "view").map(_._3).minOption
+      val t2 = t1.flatMap(a => mine.filter(e =>
+        e._2 == "click" && e._3 > a).map(_._3).minOption)
+      val t3 = t2.flatMap(a => mine.filter(e =>
+        e._2 == "purchase" && e._3 > a).map(_._3).minOption)
+      val (g1, g2, g3, stage) = got(u)
+      assert(g1.map(_.asInstanceOf[Long]) == t1, s"user $u t1")
+      assert(g2.map(_.asInstanceOf[Long]) == t2, s"user $u t2")
+      assert(g3.map(_.asInstanceOf[Long]) == t3, s"user $u t3")
+      assert(stage == Seq(t1, t2, t3).count(_.isDefined), s"user $u stage")
+    }
+    // the sequential gating must not plan joins: window chain + reduce
+    // on one user partitioning
+    val plan = EventOps.funnel(spark, sf()).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(!plan.contains("Join"), plan.take(2000))
+    assert("Exchange \\(\\d+\\)".r.findAllIn(plan).size <= 2, plan.take(2000))
+  }
+
   test("binning yields an equi-join on bin, not BroadcastNestedLoopJoin") {
     val df = EventOps.rangeJoinActiveSessions(spark, sf())
     df.collect() // finalize AQE so the plan below is the executed one
