@@ -187,6 +187,8 @@ object SparkEntry {
     "events_running" -> ((s, dir) => EventOps.runningTotals(s, dir)),
     // ordered funnel: chained gated window minima, one exchange
     "events_funnel" -> ((s, dir) => EventOps.funnel(s, dir)),
+    // cohort retention matrix on epoch-week integers
+    "events_retention" -> ((s, dir) => EventOps.retention(s, dir)),
     "events_tumbling" -> ((s, dir) => EventOps.tumblingAgg(s, dir)),
     "events_sliding" -> ((s, dir) => EventOps.slidingAgg(s, dir)),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(s, dir)),
@@ -859,6 +861,18 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS filled_value
         |FROM grid g LEFT JOIN hourly h USING (user_id, hour_us)""".stripMargin,
+    "events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |    (epoch_ns(ts) // 1000) // 604800000000 AS week
+        |  FROM events
+        |), c AS (
+        |  SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1
+        |)
+        |SELECT cohort_week, week - cohort_week AS weeks_since,
+        |  count(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
     "events_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us

@@ -273,6 +273,25 @@ object EventOps {
           .otherwise(0).cast("int"))
   }
 
+  /** Cohort RETENTION matrix: users grouped by first-seen week
+    * (epoch-week integer, no calendar/timezone semantics), counted
+    * distinct in each subsequent week as (cohort_week, weeks_since,
+    * n_users). Scale shape: a user-keyed first-seen aggregation, a
+    * user-keyed join back (same partitioning), then the matrix
+    * aggregation over |cohorts|×|weeks| cells — the only
+    * data-proportional stages are the two map-side partials.
+    */
+  def retention(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val e = load(s, dir)
+      .select(col("user_id"), expr(s"ts_us div $weekUs").as("week"))
+    val cohorts = e.groupBy("user_id").agg(min("week").as("cohort_week"))
+    e.join(cohorts, "user_id")
+      .groupBy(col("cohort_week"),
+        (col("week") - col("cohort_week")).as("weeks_since"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
   /** RANGE-frame running aggregates: per user and event, the
     * all-history cumulative value (ROWS frame, total-ordered by
     * (ts_us, event_id)) and the trailing-24h sum/count (RANGE frame

@@ -112,6 +112,28 @@ class EventOpsSpec extends SparkSpec {
     assert("Exchange \\(\\d+\\)".r.findAllIn(plan).size <= 2, plan.take(2000))
   }
 
+  test("retention: cohort-0 cell counts every cohort user exactly once") {
+    val rows = EventOps.retention(spark, sf()).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // weeks_since is never negative and week 0 exists per cohort
+    assert(rows.keys.forall(_._2 >= 0))
+    val cohorts = rows.keys.map(_._1).toSet
+    cohorts.foreach(c => assert(rows.contains((c, 0L)), s"cohort $c"))
+    // the week-0 diagonal partitions the user base
+    val weekUs = 7L * 86400L * 1000000L
+    val firstSeen = EventOps.load(spark, sf())
+      .select("user_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / weekUs))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cohortSizes = firstSeen.values.groupBy(identity)
+      .view.mapValues(_.size.toLong).toMap
+    cohortSizes.foreach { case (c, n) =>
+      assert(rows((c, 0L)) == n, s"cohort $c size")
+    }
+    // retention never exceeds the cohort size
+    rows.foreach { case ((c, _), n) => assert(n <= cohortSizes(c)) }
+  }
+
   test("binning yields an equi-join on bin, not BroadcastNestedLoopJoin") {
     val df = EventOps.rangeJoinActiveSessions(spark, sf())
     df.collect() // finalize AQE so the plan below is the executed one
