@@ -94,6 +94,10 @@ object Relational {
       .groupBy("o_orderpriority")
       .pivot("o_orderstatus", Seq("O", "F", "P"))
       .agg(count(lit(1)).as("cnt"), sumd(col("o_totalprice")).as("rev"))
+      // a pivot cell with no rows is null in Spark but 0 under SQL's
+      // count FILTER — pin the count columns to the SQL convention
+      // (sums stay null/null on both sides)
+      .na.fill(0L, Seq("O_cnt", "F_cnt", "P_cnt"))
 
   /** LEFT SEMI join (the EXISTS form): customers holding at least one
     * urgent order above a price threshold. The probe side never
