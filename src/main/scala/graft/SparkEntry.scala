@@ -489,6 +489,9 @@ object SparkEntry {
     // link-graph PageRank (crawl prioritization): 3 damped power
     // iterations, decimal-mediated so the ITERATED ranks hash-match
     "link_pagerank" -> ((s, dir) => LinkGraph.pageRank(s, dir)),
+    // degree-oriented triangle counting (clustering signal): wedges
+    // fan out under the O(sqrt m) orientation bound, never deg^2
+    "link_triangles" -> ((s, dir) => LinkGraph.triangles(s, dir)),
     // incremental refresh: prior snapshot's persisted verdicts ∪
     // fresh delta compute — the oracle recomputes EVERYTHING from
     // scratch, so hash equality pins incremental ≡ full
@@ -3020,6 +3023,60 @@ object SparkEntry {
     // CTEs. Float literals are written CAST(… AS DOUBLE) so DuckDB's
     // decimal-literal arithmetic can't diverge from the engine's
     // IEEE doubles ((1.0 - 0.85) is NOT the double 0.15).
+    // Triangle oracle: same md5 edge derivation, same degree
+    // orientation — DuckDB closes the wedges with plain joins. The
+    // unnest lives in its own CTE stage: DuckDB 1.0 has a binder bug
+    // (INTERNAL Error on "dst") when DISTINCT-over-LEAST consumes an
+    // unnest produced in the same chained projection.
+    "link_triangles" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |nv AS (
+        |  SELECT doc_id,
+        |    [ strpos('0123456789abcdef',
+        |        substr(md5(doc_id::VARCHAR || '#links'), i, 1)) - 1
+        |      for i in range(1, 16) ] AS v
+        |  FROM documents
+        |), e0 AS (
+        |  SELECT doc_id AS src,
+        |    [ (v[5*j+1]*65536 + v[5*j+2]*4096 + v[5*j+3]*256 +
+        |       v[5*j+4]*16 + v[5*j+5]) % n
+        |      for j in range(0, 3) ] AS ts
+        |  FROM nv CROSS JOIN nn
+        |), e AS (
+        |  SELECT src, unnest(ts) AS dst FROM e0
+        |), u AS (
+        |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+        |  FROM e WHERE src <> dst
+        |), deg AS (
+        |  SELECT node, count(*) AS dg FROM (
+        |    SELECT a AS node FROM u
+        |    UNION ALL
+        |    SELECT b AS node FROM u) GROUP BY 1
+        |), o AS (
+        |  SELECT
+        |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+        |         THEN a ELSE b END AS src,
+        |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+        |         THEN b ELSE a END AS dst,
+        |    CASE WHEN da.dg < db.dg OR (da.dg = db.dg AND a < b)
+        |         THEN db.dg ELSE da.dg END AS dd
+        |  FROM u
+        |  JOIN deg da ON da.node = u.a
+        |  JOIN deg db ON db.node = u.b
+        |), tri AS (
+        |  SELECT o1.src AS x, o1.dst AS y, o2.dst AS z
+        |  FROM o o1
+        |  JOIN o o2 ON o1.src = o2.src
+        |    AND (o1.dd < o2.dd OR (o1.dd = o2.dd AND o1.dst < o2.dst))
+        |  JOIN o o3 ON o3.src = o1.dst AND o3.dst = o2.dst
+        |)
+        |SELECT node, count(*) AS n_triangles FROM (
+        |  SELECT x AS node FROM tri
+        |  UNION ALL
+        |  SELECT y AS node FROM tri
+        |  UNION ALL
+        |  SELECT z AS node FROM tri) GROUP BY 1""".stripMargin,
     "link_pagerank" ->
       """WITH d AS (SELECT doc_id FROM documents),
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),

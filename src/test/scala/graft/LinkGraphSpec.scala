@@ -25,4 +25,40 @@ class LinkGraphSpec extends SparkSpec {
     // the graph is non-degenerate: ranks genuinely differ
     assert(ranks.distinct.length > n / 10)
   }
+
+  test("triangles match a brute-force all-triples recompute") {
+    val got = LinkGraph.triangles(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // rebuild the undirected simple graph the same way: md5 targets
+    val n = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ids = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0))
+    val edges = ids.flatMap { id =>
+      val h = md5hex(s"$id#links")
+      (0 until LinkGraph.OutDeg).map { j =>
+        val v = (0 until 5).map(k =>
+          Integer.parseInt(h.substring(5 * j + k, 5 * j + k + 1), 16)
+            .toLong * (1L << (4 * (4 - k)))).sum
+        (id, v % n)
+      }
+    }.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
+    val adj = edges.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var perNode = Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, b) <- edges
+      c <- adj(a).intersect(adj(b)) if c > b // a < b < c, once each
+    } {
+      perNode += a -> (perNode(a) + 1)
+      perNode += b -> (perNode(b) + 1)
+      perNode += c -> (perNode(c) + 1)
+    }
+    assert(got == perNode.iterator.toMap, s"got ${got.size} nodes, " +
+      s"want ${perNode.size}")
+  }
 }
