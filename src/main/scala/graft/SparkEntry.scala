@@ -471,6 +471,10 @@ object SparkEntry {
     // other columnar format and read back, row-level oracle equality
     "orc_roundtrip" -> ((s, dir) =>
       Bucketed.orcRoundTrip(s, dir, scratchDir("orc"))),
+    // z-order layout: two-dimensional clustering so min/max pruning
+    // bites on BOTH filter columns; result is layout-invariant
+    "zorder_scan" -> ((s, dir) =>
+      Bucketed.zorderScan(s, dir, scratchDir("zorder"))),
     // sitemap generation + StAX re-parse: per-host urlset XML with
     // real escaping (& in query strings), one host-keyed exchange
     "sitemap_urls" -> ((s, dir) => Sitemap.sitemapUrls(s, dir)),
@@ -2925,6 +2929,14 @@ object SparkEntry {
     "orc_roundtrip" ->
       """SELECT doc_id, source, n_chars, md5(text) AS text_fp
         |FROM documents""".stripMargin,
+    "zorder_scan" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 64 AND 127
+        |  AND l_suppkey BETWEEN 4 AND 7
+        |GROUP BY l_returnflag""".stripMargin,
 
     // Sitemap oracle: closed-form urls (the url_normalize derivation)
     // ordered by doc_id within host — the engine must reach the same

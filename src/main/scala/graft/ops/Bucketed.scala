@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bucketed co-located join — the storage-layout optimization for the
@@ -126,5 +126,53 @@ object Bucketed {
         md5(col("text").cast("binary")).as("text_fp"))
       .write.mode("overwrite").orc(s"$scratch/docs_orc")
     s.read.orc(s"$scratch/docs_orc")
+  }
+
+  /** Z-VALUE: bit-interleave two non-negative dimension keys into one
+    * sort key (bit i of dim1 → bit 2i, of dim2 → bit 2i+1). Rows
+    * close in BOTH dimensions land close in z-order, so sorting by z
+    * clusters the file layout for predicates on either or both
+    * columns — pure codegen'd bit arithmetic, no UDF.
+    */
+  def zvalue(c1: Column, c2: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftright(c1, i).bitwiseAND(lit(1L)), 2 * i)
+        .bitwiseOR(
+          shiftleft(shiftright(c2, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+
+  /** Z-ORDER layout demonstration: `lineitem` rewritten clustered by
+    * the (l_partkey, l_suppkey) z-value — range-partitioned and
+    * sorted by z, then split into small files — and scanned back with
+    * a predicate on BOTH dimensions. Single-column sorting can only
+    * cluster one of the two: the orthogonal predicate then touches
+    * nearly every file, while z-order keeps the touched-file count
+    * near the selectivity product (BucketedSpec measures exactly
+    * that, z-files < partkey-sorted files for the same scan). At
+    * 100 TB this is the difference between a two-dimensional filter
+    * reading ~3% of the corpus and reading ~30%: min/max row-group
+    * stats prune on both columns only when the layout gives both
+    * columns locality. The relation itself is layout-invariant — the
+    * oracle recomputes it straight off the raw table.
+    */
+  def zorderScan(
+      s: SparkSession, dir: String, scratch: String): DataFrame = {
+    val path = s"$scratch/lineitem_z"
+    s.read.parquet(s"$dir/lineitem.parquet")
+      .withColumn("zv",
+        zvalue(col("l_partkey").cast("long"),
+          col("l_suppkey").cast("long")))
+      .repartitionByRange(Buckets, col("zv"))
+      .sortWithinPartitions("zv")
+      .drop("zv")
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 1024)
+      .parquet(path)
+    s.read.parquet(path)
+      .where(col("l_partkey").between(64, 127) &&
+        col("l_suppkey").between(4, 7))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        Relational.sumd(col("l_extendedprice")).as("sum_price"))
   }
 }
