@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Catalog, Importer, Staging}
 import graft.ops.{BloomIndex, Bucketed, Classifier, CrawlOps, Dedup, Incremental, LinkGraph,
   Encoding, EventOps, Filtering, LshIndex, MediaHeaders, Multimodal,
-  PerceptualHash, Relational, Robots, Similarity, Sitemap, Sketches,
+  PerceptualHash, Relational, Robots, Scd, Similarity, Sitemap, Sketches,
   Frontier, TextOps, TrainPrep, UrlOps, VectorIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -100,6 +100,9 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1/S9 — the flagship keyed-update merge
     "merge_orders" -> ((s, dir) => mergeOrders(s, dir)),
+    // SCD Type-2: the historized merge — close old versions, open
+    // new ones, attribute-identical deltas are no-ops
+    "scd2_merge" -> ((s, dir) => Scd.scd2Customers(s, dir)),
     // J1 + P3 — null-key delta rows leave targets untouched
     "merge_customer_nullkeys" -> ((s, dir) => mergeCustomerNullKeys(s, dir)),
     // A4 — affected-row count
@@ -559,6 +562,21 @@ object SparkEntry {
       |  SELECT unnest(string_split(trim(word, '|'), '||')) AS sym, cnt
       |  FROM w20)
       |GROUP BY sym""".stripMargin),
+    "scd2_merge" ->
+      """WITH delta AS (
+        |  SELECT c_custkey, c_mktsegment || '+' AS seg,
+        |    c_acctbal + CAST(100 AS DOUBLE) AS bal
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |)
+        |SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal,
+        |  CAST(0 AS BIGINT) AS valid_from,
+        |  CASE WHEN d.c_custkey IS NOT NULL THEN CAST(1 AS BIGINT)
+        |       ELSE NULL END AS valid_to,
+        |  d.c_custkey IS NULL AS is_current
+        |FROM customer c LEFT JOIN delta d USING (c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, seg, bal, CAST(1 AS BIGINT), NULL, true
+        |FROM delta""".stripMargin,
     "merge_orders" ->
       """SELECT t.o_orderkey,
         |       t.o_custkey,
