@@ -334,6 +334,9 @@ object SparkEntry {
 
     // --- LLM-pipeline: similarity search over embeddings ---
     "sim_norms" -> ((s, dir) => Similarity.norms(s, dir)),
+    // JL Rademacher projection: fixed md5-derived sign matrix,
+    // row-local dot folds, zero exchanges
+    "sim_projection" -> ((s, dir) => Similarity.randomProjection(s, dir)),
     "sim_topk" -> ((s, dir) => Similarity.cosineTopK(s, dir)),
     // ANN paths: fully oracled — the md5-derived LSH coefficients and
     // the IVF centroid math are computable in plain SQL, so DuckDB
@@ -1948,6 +1951,30 @@ object SparkEntry {
          |  n / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE) AS frac_of_source,
          |  n / CAST(sum(n) OVER (PARTITION BY cell) AS DOUBLE) AS frac_of_cell
          |FROM c""".stripMargin,
+    "sim_projection" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), sg AS (
+        |  SELECT j,
+        |    [ CAST(1 - 2 * ((strpos('0123456789abcdef',
+        |          substr(md5('jl#' || j || '#' || (i - 1)), 2, 1)) - 1)
+        |        % 2) AS DOUBLE)
+        |      for i in range(1, 65) ] AS sgn
+        |  FROM range(0, 8) t(j)
+        |)
+        |SELECT vec_id,
+        |  max(CASE WHEN j = 0 THEN d END) AS p0,
+        |  max(CASE WHEN j = 1 THEN d END) AS p1,
+        |  max(CASE WHEN j = 2 THEN d END) AS p2,
+        |  max(CASE WHEN j = 3 THEN d END) AS p3,
+        |  max(CASE WHEN j = 4 THEN d END) AS p4,
+        |  max(CASE WHEN j = 5 THEN d END) AS p5,
+        |  max(CASE WHEN j = 6 THEN d END) AS p6,
+        |  max(CASE WHEN j = 7 THEN d END) AS p7
+        |FROM (
+        |  SELECT vec_id, j, list_dot_product(v, sgn) AS d
+        |  FROM e CROSS JOIN sg)
+        |GROUP BY vec_id""".stripMargin,
     "sim_norms" ->
       """SELECT vec_id,
         |  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2

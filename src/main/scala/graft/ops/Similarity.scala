@@ -61,6 +61,30 @@ object Similarity {
   def norms(s: SparkSession, dir: String): DataFrame =
     load(s, dir).select(col("vec_id"), l2norm(col("v")).as("l2"))
 
+  /** Johnson-Lindenstrauss RADEMACHER projection: the 64-dim
+    * embeddings reduced to `dims` coordinates against a FIXED ±1 sign
+    * matrix derived from md5 (data-independent, so the oracle
+    * rebuilds it bit-identically). Each output coordinate is one
+    * sequential-fold [[dot]] against a literal sign row — row-local,
+    * zero exchanges; at 100 TB this is the cheap distance-preserving
+    * compression (pairwise distances within 1±ε whp) that cuts every
+    * downstream ANN/cluster pass's bytes by dims/64.
+    */
+  def randomProjection(s: SparkSession, dir: String,
+      dims: Int = 8, srcDim: Int = 64): DataFrame = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def sign(j: Int, i: Int): Double = {
+      val b = md.digest(s"jl#$j#$i".getBytes("UTF-8"))(0) & 0xff
+      if ((b & 1) == 0) 1.0 else -1.0
+    }
+    val signRows = (0 until dims).map(j =>
+      (0 until srcDim).map(i => sign(j, i)))
+    val projCols = signRows.zipWithIndex.map { case (r, j) =>
+      dot(col("v"), typedLit(r)).as(s"p$j")
+    }
+    load(s, dir).select(col("vec_id") +: projCols: _*)
+  }
+
   /** Brute-force cosine top-k: the first `numQueries` vectors are the
     * query set (broadcast); every corpus vector is scored against each
     * query in one pass; per-query top-k via ranking window over the

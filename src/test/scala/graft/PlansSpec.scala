@@ -168,4 +168,32 @@ class PlansSpec extends SparkSpec {
     val plan = docs.queryExecution.executedPlan.toString
     assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[bloom_gram_count.*"), plan)
   }
+
+  test("JL projection preserves pairwise distances within JL distortion") {
+    import graft.ops.Similarity
+    val proj = Similarity.randomProjection(spark, sf()).collect()
+      .map(r => r.getLong(0) ->
+        (1 to 8).map(r.getDouble).toArray).toMap
+    val orig = Similarity.load(spark, sf()).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](r.fieldIndex("v")).toArray).toMap
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // E[||Px||²] = k·||x||² for a ±1 matrix: compare scaled distances
+    // over a deterministic pair sample; JL at k=8 is coarse, so the
+    // bound is loose but must hold on average and never be degenerate
+    val ids = proj.keys.toArray.sorted.take(40)
+    val ratios = for {
+      Seq(a, b) <- ids.toSeq.combinations(2).toSeq
+      od = d2(orig(a), orig(b)) if od > 1e-9
+    } yield d2(proj(a), proj(b)) / (8.0 * od)
+    val mean = ratios.sum / ratios.size
+    assert(math.abs(mean - 1.0) < 0.25, s"mean distortion $mean")
+    assert(ratios.count(r => r > 0.1 && r < 4.0) >= ratios.size * 9 / 10)
+    // and the plan is row-local: zero exchanges, one scan
+    val plan = Similarity.randomProjection(spark, sf()).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert(!"Exchange \\(\\d+\\)".r.findAllIn(plan).hasNext, plan.take(1500))
+  }
 }
