@@ -481,6 +481,10 @@ object SparkEntry {
     // bites on BOTH filter columns; result is layout-invariant
     "zorder_scan" -> ((s, dir) =>
       Bucketed.zorderScan(s, dir, scratchDir("zorder"))),
+    // CSV round-trip under adversarial quoting: delimiter, quote and
+    // newline inside every field, RFC 4180 doubled-quote escapes
+    "csv_roundtrip" -> ((s, dir) =>
+      Bucketed.csvRoundTrip(s, dir, scratchDir("csv"))),
     // sitemap generation + StAX re-parse: per-host urlset XML with
     // real escaping (& in query strings), one host-keyed exchange
     "sitemap_urls" -> ((s, dir) => Sitemap.sitemapUrls(s, dir)),
@@ -2973,6 +2977,10 @@ object SparkEntry {
     // engine must reach the same rows through the ORC write+read.
     "orc_roundtrip" ->
       """SELECT doc_id, source, n_chars, md5(text) AS text_fp
+        |FROM documents""".stripMargin,
+    "csv_roundtrip" ->
+      """SELECT doc_id, source, n_chars,
+        |  'x,"q"' || chr(10) || substr(text, 1, 16) AS tricky
         |FROM documents""".stripMargin,
     "zorder_scan" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -128,6 +128,41 @@ object Bucketed {
     s.read.orc(s"$scratch/docs_orc")
   }
 
+  /** CSV export round-trip under ADVERSARIAL content: every row
+    * carries a field holding the delimiter, a double quote, and a
+    * literal newline (derived from the text so the oracle can rebuild
+    * it), written with RFC 4180 quoting (`escape` = `"` — doubled
+    * quotes, not backslashes, which Spark does NOT default to) and
+    * read back with `multiLine` (a quoted newline otherwise splits
+    * the record). Losing any of those three options corrupts rows
+    * silently — the oracle recomputes the relation from the raw
+    * table, so hash equality pins the writer+reader pair lossless.
+    * Scale note: `multiLine` makes a file non-splittable; an export
+    * meant for re-ingestion at 100 TB keeps files small at write
+    * time (maxRecordsPerFile), which this does.
+    */
+  def csvRoundTrip(
+      s: SparkSession, dir: String, scratch: String): DataFrame = {
+    val path = s"$scratch/docs_csv"
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        concat(lit("x,\"q\"\n"), substring(col("text"), 1, 16))
+          .as("tricky"))
+      .write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      // the writer TRIMS field whitespace by default — a field ending
+      // in a space silently loses it without these two
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .option("maxRecordsPerFile", 4096)
+      .csv(path)
+    s.read
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      .schema("doc_id BIGINT, source STRING, n_chars BIGINT, tricky STRING")
+      .csv(path)
+  }
+
   /** Z-VALUE: bit-interleave two non-negative dimension keys into one
     * sort key (bit i of dim1 → bit 2i, of dim2 → bit 2i+1). Rows
     * close in BOTH dimensions land close in z-order, so sorting by z

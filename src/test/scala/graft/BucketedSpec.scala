@@ -83,6 +83,43 @@ class BucketedSpec extends SparkSpec {
       spark.read.parquet(s"${sf()}/documents.parquet").count())
   }
 
+  test("csv round-trip survives trailing spaces, CRLF, quotes, empties") {
+    import spark.implicits._
+    val dir = scratch + "/csv"
+    val rows = Seq(
+      (1L, "ends in space "), (2L, " leading"), (3L, "a,\"b\"\r\nc"),
+      (4L, ""), (5L, "\"\",\n,\""), (6L, "plain"))
+    rows.toDF("id", "s").write
+      .option("header", "true").option("escape", "\"")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(dir)
+    val back = spark.read
+      .option("header", "true").option("escape", "\"")
+      .option("multiLine", "true")
+      .schema("id BIGINT, s STRING").csv(dir)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { case (id, s) =>
+      val got = back(id)
+      // CSV cannot distinguish empty from null — both come back null;
+      // everything else must be byte-identical
+      if (s.isEmpty) assert(got == null, s"row $id")
+      else assert(got == s, s"row $id: got ${Option(got)}")
+    }
+    // the engine query path: full-table round-trip equality
+    val rt = Bucketed.csvRoundTrip(spark, sf(), scratch + "/csvq")
+      .select("doc_id", "tricky").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("x,\"q\"\n"),
+          org.apache.spark.sql.functions.substring(col("text"), 1, 16))
+          .as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rt == want)
+  }
+
   test("zvalue interleaves bits: bit i of dim1 -> 2i, dim2 -> 2i+1") {
     import spark.implicits._
     val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
