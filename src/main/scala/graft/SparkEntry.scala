@@ -192,6 +192,9 @@ object SparkEntry {
     "events_funnel" -> ((s, dir) => EventOps.funnel(s, dir)),
     // cohort retention matrix on epoch-week integers
     "events_retention" -> ((s, dir) => EventOps.retention(s, dir)),
+    // sweep-line max concurrency: tie-free collapsed deltas, hour-
+    // local prefix sums, carried offsets over O(hours) rows only
+    "events_concurrency" -> ((s, dir) => EventOps.concurrency(s, dir)),
     "events_tumbling" -> ((s, dir) => EventOps.tumblingAgg(s, dir)),
     "events_sliding" -> ((s, dir) => EventOps.slidingAgg(s, dir)),
     "events_sessionize" -> ((s, dir) => EventOps.sessionize(s, dir)),
@@ -893,6 +896,41 @@ object SparkEntry {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |    AS filled_value
         |FROM grid g LEFT JOIN hourly h USING (user_id, hour_us)""".stripMargin,
+    "events_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us FROM events
+        |), g AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |         WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |         ELSE 0 END AS new_s
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |), sess AS (
+        |  SELECT user_id,
+        |    CAST(sum(new_s) OVER (
+        |      PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id,
+        |    ts_us
+        |  FROM g
+        |), iv AS (
+        |  SELECT min(ts_us) AS s0, max(ts_us) + 1 AS s1
+        |  FROM sess GROUP BY user_id, session_id
+        |), pts AS (
+        |  SELECT t_us, CAST(sum(d) AS BIGINT) AS d FROM (
+        |    SELECT s0 AS t_us, 1 AS d FROM iv
+        |    UNION ALL
+        |    SELECT s1 AS t_us, -1 AS d FROM iv)
+        |  GROUP BY t_us
+        |), run AS (
+        |  SELECT t_us - (t_us % 3600000000) AS hour_us,
+        |    CAST(sum(d) OVER (ORDER BY t_us
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conc
+        |  FROM pts
+        |)
+        |SELECT hour_us, max(conc) AS max_concurrent,
+        |  count(*) AS n_changes
+        |FROM run GROUP BY hour_us""".stripMargin,
     "events_retention" ->
       """WITH e AS (
         |  SELECT user_id,

@@ -273,6 +273,43 @@ object EventOps {
           .otherwise(0).cast("int"))
   }
 
+  /** Per-hour MAX CONCURRENCY over the session intervals — the
+    * sweep-line aggregate, done scalably: sessions become ±1 deltas
+    * (half-open `[start, end+1)`), deltas COLLAPSE per timestamp
+    * first (groupBy — this removes tie-ordering from the semantics
+    * entirely, the cross-engine trap in any sweep), prefix-sum
+    * locally within each hour partition, and only the per-hour
+    * totals — O(spanned hours) rows, bounded by the calendar, not
+    * the data — flow through the one global-ordering window that
+    * computes each hour's carried-in offset. The naive spelling is
+    * a single global window over every change point: one reducer
+    * holding the corpus. This one never materializes an ordering
+    * wider than an hour's points.
+    */
+  def concurrency(s: SparkSession, dir: String,
+      gapMinutes: Int = 30): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val sess = sessionStats(s, dir, gapMinutes)
+    val deltas = sess
+      .select(col("session_start_us").as("t_us"), lit(1L).as("d"))
+      .unionAll(sess.select((col("session_end_us") + 1).as("t_us"),
+        lit(-1L).as("d")))
+    val pts = deltas.groupBy("t_us").agg(sum("d").as("d"))
+      .withColumn("hour_us", col("t_us") - pmod(col("t_us"), lit(hourUs)))
+    val wLocal = Window.partitionBy("hour_us").orderBy("t_us")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = pts.withColumn("local_sum", sum("d").over(wLocal))
+    val wHours = Window.orderBy("hour_us")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = pts.groupBy("hour_us").agg(sum("d").as("h_d"))
+      .withColumn("carried", coalesce(sum("h_d").over(wHours), lit(0L)))
+      .drop("h_d")
+    local.join(offsets, "hour_us")
+      .groupBy("hour_us")
+      .agg(max(col("local_sum") + col("carried")).as("max_concurrent"),
+        count(lit(1)).as("n_changes"))
+  }
+
   /** Cohort RETENTION matrix: users grouped by first-seen week
     * (epoch-week integer, no calendar/timezone semantics), counted
     * distinct in each subsequent week as (cohort_week, weeks_since,

@@ -134,6 +134,23 @@ class EventOpsSpec extends SparkSpec {
     rows.foreach { case ((c, _), n) => assert(n <= cohortSizes(c)) }
   }
 
+  test("concurrency: two-level sweep equals a brute instantaneous count") {
+    val got = EventOps.concurrency(spark, sf()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sess = EventOps.sessionStats(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("session_end_us")))
+    // brute force: at every change point, count sessions covering it
+    val points = sess.flatMap(s => Seq(s._1, s._2 + 1)).distinct.sorted
+    val conc = points.map(t =>
+      t -> sess.count(s => s._1 <= t && t <= s._2).toLong)
+    val wantByHour = conc.groupBy(_._1 / 3600000000L * 3600000000L)
+      .view.mapValues(_.map(_._2).max).toMap
+    assert(got == wantByHour)
+    // sanity: somewhere more than one session overlaps
+    assert(got.values.max > 1)
+  }
+
   test("binning yields an equi-join on bin, not BroadcastNestedLoopJoin") {
     val df = EventOps.rangeJoinActiveSessions(spark, sf())
     df.collect() // finalize AQE so the plan below is the executed one
