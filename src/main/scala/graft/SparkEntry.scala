@@ -420,6 +420,9 @@ object SparkEntry {
     // adaptive delta, coefficient table parsed from the fmt extension
     "mm_msadpcm_features" ->
       ((s, dir) => Multimodal.msAdpcmFeatures(s, dir)),
+    // palette + Adam7-interlace PNG through the real decoder: even
+    // docs interlaced, odd sequential, identical content either way
+    "mm_png_features" -> ((s, dir) => Multimodal.pngFeatures(s, dir)),
     // signal-level audio analysis (zcr/energy/autocorrelation) over
     // the decoded ADPCM samples — integer-exact end to end
     "mm_audio_analysis" -> ((s, dir) => Multimodal.audioAnalysis(s, dir)),
@@ -2434,6 +2437,29 @@ object SparkEntry {
         |  CAST(mn AS INTEGER) AS min_sample,
         |  CAST(mx AS INTEGER) AS max_sample
         |FROM walk WHERE i = 48""".stripMargin,
+
+    // PNG palette/Adam7 oracle: gray(p) = (m[p%32] % 16) * 17 (the
+    // grayscale palette makes BT.601 the identity), every position
+    // hit 8 times across the 16x16 surface — interlace must be
+    // content-invisible, so one expression covers both parities.
+    "mm_png_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 32) ] AS m
+        |  FROM t
+        |)
+        |SELECT doc_id AS media_id, 'png' AS codec,
+        |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |  CAST(8 * 17 * list_sum([ x % 16 for x in m ]) AS BIGINT)
+        |    AS sum_gray
+        |FROM g""".stripMargin,
 
     // Audio-analysis oracle: the same IMA replay, but accumulating
     // the decoded sample LIST so zcr/energy/autocorrelation are

@@ -118,10 +118,18 @@ object Codecs {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
   }
 
+  /** Adam7 pass geometry: (xStart, yStart, xStep, yStep) per pass. */
+  private[graft] val Adam7 = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
   /** PNG → grayscale: chunk walk, concatenated-IDAT inflate, per-
     * scanline unfilter, channel collapse. 8-bit depth, color types
-    * 0 (gray) / 2 (rgb) / 4 (gray+alpha) / 6 (rgba), non-interlaced;
-    * palette (3) and interlaced images are out of scope → None.
+    * 0 (gray) / 2 (rgb) / 3 (palette, PLTE lookup) / 4 (gray+alpha)
+    * / 6 (rgba); both interlace methods — Adam7 passes are each an
+    * independently-filtered sub-image (the `up`/`prior` references
+    * point at the SAME pass's previous scanline, never the full
+    * image's), unfiltered at pass geometry and scattered into place.
     */
   private[graft] def png(b: Array[Byte]): Option[Decoded] = {
     if (b.length < 33) return None
@@ -133,27 +141,41 @@ object Codecs {
     val w = be32(b, 16); val h = be32(b, 20)
     val bitDepth = u8(b, 24); val colorType = u8(b, 25)
     val interlace = u8(b, 28)
-    if (!saneDims(w, h) || bitDepth != 8 || interlace != 0) return None
+    if (!saneDims(w, h) || bitDepth != 8 || interlace > 1) return None
     val channels = colorType match {
-      case 0 => 1; case 2 => 3; case 4 => 2; case 6 => 4
+      case 0 | 3 => 1; case 2 => 3; case 4 => 2; case 6 => 4
       case _ => return None
     }
-    // gather IDAT payloads
+    // gather IDAT payloads (+ PLTE for palette images)
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Byte] = null
     var p = 33 // first chunk after IHDR (8 sig + 25 IHDR)
     var done = false
     while (!done && p + 8 <= b.length) {
       val len = be32(b, p)
       if (len < 0 || p + 12L + len > b.length) return None
       if (chunkTypeIs(b, p + 4, "IDAT")) idat.write(b, p + 8, len)
+      else if (palette == null && chunkTypeIs(b, p + 4, "PLTE"))
+        palette = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + len)
       else if (chunkTypeIs(b, p + 4, "IEND")) done = true
       p += 12 + len
     }
+    if (colorType == 3 && (palette == null || palette.isEmpty ||
+        palette.length % 3 != 0)) return None
     val comp = idat.toByteArray
     if (comp.isEmpty) return None
-    // inflate to exactly h * (1 filter byte + w*channels)
-    val stride = w * channels
-    val raw = new Array[Byte](h * (1 + stride))
+    val bpp = channels // bytes per pixel at depth 8
+    val passes = if (interlace == 0) Array((0, 0, 1, 1)) else Adam7
+    val passDims = passes.map { case (xs, ys, xst, yst) =>
+      val pw = if (w > xs) (w - xs + xst - 1) / xst else 0
+      val ph = if (h > ys) (h - ys + yst - 1) / yst else 0
+      (pw, ph)
+    }
+    val expected = passDims.map { case (pw, ph) =>
+      if (pw > 0 && ph > 0) ph.toLong * (1L + pw.toLong * bpp) else 0L
+    }.sum
+    if (expected <= 0 || expected > Int.MaxValue) return None
+    val raw = new Array[Byte](expected.toInt)
     val inf = new java.util.zip.Inflater()
     try {
       inf.setInput(comp)
@@ -171,40 +193,71 @@ object Codecs {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // unfilter in place into a filter-byte-free pixel buffer
-    val px = new Array[Byte](h * stride)
-    val bpp = channels // bytes per pixel at depth 8
-    var y = 0
-    while (y < h) {
-      val f = u8(raw, y * (1 + stride))
-      val rowIn = y * (1 + stride) + 1
-      val rowOut = y * stride
-      var x = 0
-      while (x < stride) {
-        val cur = u8(raw, rowIn + x)
-        val a = if (x >= bpp) u8(px, rowOut + x - bpp) else 0
-        val up = if (y > 0) u8(px, rowOut - stride + x) else 0
-        val c = if (x >= bpp && y > 0) u8(px, rowOut - stride + x - bpp) else 0
-        val v = f match {
-          case 0 => cur
-          case 1 => cur + a
-          case 2 => cur + up
-          case 3 => cur + (a + up) / 2
-          case 4 => cur + paeth(a, up, c)
-          case _ => return None
+    // unfilter each pass against its own previous scanline, then
+    // scatter pixels to their full-image positions
+    val px = new Array[Byte](w * h * bpp)
+    var off = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (xs, ys, xst, yst) = passes(pi)
+      val (pw, ph) = passDims(pi)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        val pass = new Array[Byte](ph * stride)
+        var y = 0
+        while (y < ph) {
+          val f = u8(raw, off + y * (1 + stride))
+          val rowIn = off + y * (1 + stride) + 1
+          val rowOut = y * stride
+          var x = 0
+          while (x < stride) {
+            val cur = u8(raw, rowIn + x)
+            val a = if (x >= bpp) u8(pass, rowOut + x - bpp) else 0
+            val up = if (y > 0) u8(pass, rowOut - stride + x) else 0
+            val c =
+              if (x >= bpp && y > 0) u8(pass, rowOut - stride + x - bpp)
+              else 0
+            val v = f match {
+              case 0 => cur
+              case 1 => cur + a
+              case 2 => cur + up
+              case 3 => cur + (a + up) / 2
+              case 4 => cur + paeth(a, up, c)
+              case _ => return None
+            }
+            pass(rowOut + x) = v.toByte
+            x += 1
+          }
+          y += 1
         }
-        px(rowOut + x) = v.toByte
-        x += 1
+        var yy = 0
+        while (yy < ph) {
+          var xx = 0
+          while (xx < pw) {
+            val src = (yy * pw + xx) * bpp
+            val dst = ((ys + yy * yst) * w + (xs + xx * xst)) * bpp
+            var ch = 0
+            while (ch < bpp) { px(dst + ch) = pass(src + ch); ch += 1 }
+            xx += 1
+          }
+          yy += 1
+        }
+        off += ph * (1 + stride)
       }
-      y += 1
+      pi += 1
     }
-    // collapse channels to gray (alpha ignored)
+    // collapse channels to gray (alpha ignored; palette → BT.601)
     val gray = new Array[Byte](w * h)
     var j = 0
     while (j < w * h) {
       val o = j * channels
       gray(j) =
-        if (channels >= 3) luma(u8(px, o), u8(px, o + 1), u8(px, o + 2))
+        if (colorType == 3) {
+          val idx = u8(px, o)
+          if (3 * idx + 2 >= palette.length) return None
+          luma(u8(palette, 3 * idx), u8(palette, 3 * idx + 1),
+            u8(palette, 3 * idx + 2))
+        } else if (channels >= 3) luma(u8(px, o), u8(px, o + 1), u8(px, o + 2))
         else px(o)
       j += 1
     }

@@ -698,6 +698,45 @@ object Multimodal {
         "min_sample", "max_sample")
   }
 
+  /** Fully-oracled palette + Adam7 PNG feature relation: each
+    * document becomes a 16×16 color-type-3 PNG (md5-derived palette
+    * indices over a 16-entry grayscale palette, r=g=b so BT.601
+    * collapse is the identity) — INTERLACED for even doc_ids,
+    * sequential for odd, with identical pixel content, so the oracle
+    * is one expression for both and hash equality pins that Adam7
+    * pass reassembly is invisible to content. Decode runs the real
+    * chain: chunk walk → PLTE → inflate → per-pass unfilter →
+    * scatter → palette lookup.
+    */
+  def pngFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def tokByte(toks: Seq[String], i: Int): Int =
+          md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+        val palette = Array.tabulate(48) { i =>
+          ((i / 3) * 17).toByte // entry k: r=g=b = 17k
+        }
+        it.map { case (id, toks) =>
+          val m = Array.tabulate(32)(i => tokByte(toks, i))
+          val idx = Array.tabulate(256)(p => (m(p % 32) % 16).toByte)
+          val png = PerceptualHash.encodePng(idx, 16, 16, palette,
+            interlaced = id % 2 == 0)
+          val d = Codecs.decode(png).getOrElse(
+            throw new IllegalStateException(
+              s"png fixture failed to decode for doc $id"))
+          var sum = 0L
+          d.gray.foreach(v => sum += (v & 0xff))
+          (id, "png", d.width, d.height, sum)
+        }
+      }
+      .toDF("media_id", "codec", "width", "height", "sum_gray")
+  }
+
   /** Fully-oracled audio ANALYSIS relation — the signal-level sibling
     * of the text-quality scores: zero-crossing rate, energy, and
     * autocorrelation at lags 1 and 4 over the 65 samples each

@@ -39,6 +39,68 @@ object PerceptualHash {
     * [[Codecs.bmp]]. r = g = b = gray, so the decoder's BT.601 luma
     * reconstructs the exact input byte ((299g+587g+114g)/1000 = g).
     */
+  /** Palette (color type 3, depth 8) PNG encoder — the write-side
+    * twin of [[Codecs.png]]'s palette + interlace paths. Rows are
+    * filter-0; with `interlaced` the index surface is emitted as the
+    * seven Adam7 passes (each pass its own scanline run), which the
+    * decoder must unfilter at pass geometry and scatter back — an
+    * interlaced and a sequential encode of the same surface MUST
+    * decode identically, and the oracled query pins exactly that.
+    */
+  def encodePng(idx: Array[Byte], w: Int, h: Int,
+      palette: Array[Byte], interlaced: Boolean): Array[Byte] = {
+    require(w > 0 && h > 0 && idx.length == w * h, "bad index surface")
+    require(palette.nonEmpty && palette.length % 3 == 0, "bad palette")
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(tag.getBytes).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tag.getBytes)
+      crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h)
+      .put(8.toByte).put(3.toByte) // depth 8, palette
+      .put(0.toByte).put(0.toByte)
+      .put(if (interlaced) 1.toByte else 0.toByte)
+      .array()
+    val passes =
+      if (interlaced) Codecs.Adam7 else Array((0, 0, 1, 1))
+    val rawOut = new java.io.ByteArrayOutputStream()
+    passes.foreach { case (xs, ys, xst, yst) =>
+      val pw = if (w > xs) (w - xs + xst - 1) / xst else 0
+      val ph = if (h > ys) (h - ys + yst - 1) / yst else 0
+      var y = 0
+      while (y < ph) {
+        rawOut.write(0) // filter type 0
+        var x = 0
+        while (x < pw) {
+          rawOut.write(idx((ys + y * yst) * w + (xs + x * xst)) & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    val raw = rawOut.toByteArray
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw)
+    deflater.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val outBytes = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) {
+      val n = deflater.deflate(buf)
+      outBytes.write(buf, 0, n)
+    }
+    deflater.end()
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("PLTE", palette) ++
+      chunk("IDAT", outBytes.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
   def encodeBmp(gray: Array[Byte], w: Int, h: Int): Array[Byte] = {
     // same pixel bound as the decoder: keeps rowSize*h (3x the pixel
     // count plus padding) safely inside Int arithmetic

@@ -606,4 +606,47 @@ class MultimodalSpec extends SparkSpec {
     assert(out((id, 0)) == (("rle8", 9, 8, mean0)))
     assert(out((id, 1)) == (("rle8", 9, 8, b(0).toDouble)))
   }
+
+  test("palette PNG: interlaced and sequential decode identically") {
+    import graft.ops.{Codecs, PerceptualHash}
+    val rnd = new scala.util.Random(11)
+    // non-multiple-of-8 dims so every Adam7 pass has ragged geometry
+    val (w, h) = (13, 9)
+    val palette = Array.tabulate(48)(i => ((i / 3) * 17).toByte)
+    val idx = Array.fill(w * h)((rnd.nextInt(16)).toByte)
+    val seq = Codecs.decode(
+      PerceptualHash.encodePng(idx, w, h, palette, interlaced = false)).get
+    val adam = Codecs.decode(
+      PerceptualHash.encodePng(idx, w, h, palette, interlaced = true)).get
+    assert(seq.kind == "png" && seq.width == w && seq.height == h)
+    assert(java.util.Arrays.equals(seq.gray, adam.gray))
+    // palette lookup is the identity on the grayscale palette
+    idx.zip(seq.gray).foreach { case (i, g) =>
+      assert((g & 0xff) == (i & 0xff) * 17)
+    }
+  }
+
+  test("palette PNG: malformed streams decline to None") {
+    import graft.ops.{Codecs, PerceptualHash}
+    val palette = Array.tabulate(12)(i => ((i / 3) * 80).toByte) // 4 entries
+    val good = PerceptualHash.encodePng(
+      Array.tabulate(16)(i => (i % 4).toByte), 4, 4, palette, false)
+    assert(Codecs.decode(good).isDefined)
+    // an index beyond the palette declines (entry 9 of 4)
+    val oob = PerceptualHash.encodePng(
+      Array.fill(16)(9.toByte), 4, 4, palette, false)
+    assert(Codecs.png(oob).isEmpty)
+    // dropping PLTE declines: rebuild without the PLTE chunk
+    val noPlte = {
+      val plteLen = 12 + palette.length
+      val ihdrEnd = 8 + 25
+      good.take(ihdrEnd) ++ good.drop(ihdrEnd + plteLen)
+    }
+    assert(Codecs.png(noPlte).isEmpty)
+    // truncated interlaced stream declines rather than mis-scatters
+    val inter = PerceptualHash.encodePng(
+      Array.tabulate(64)(i => (i % 4).toByte), 8, 8, palette, true)
+    assert(Codecs.png(inter).isDefined)
+    assert(Codecs.png(inter.dropRight(20)).isEmpty)
+  }
 }
