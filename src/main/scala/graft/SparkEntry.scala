@@ -423,6 +423,9 @@ object SparkEntry {
     // palette + Adam7-interlace PNG through the real decoder: even
     // docs interlaced, odd sequential, identical content either way
     "mm_png_features" -> ((s, dir) => Multimodal.pngFeatures(s, dir)),
+    // animated GIF through the real compositor: sub-rect frame with
+    // a transparency key showing the previous frame through
+    "mm_gif_frames" -> ((s, dir) => Multimodal.gifFrameFeatures(s, dir)),
     // signal-level audio analysis (zcr/energy/autocorrelation) over
     // the decoded ADPCM samples — integer-exact end to end
     "mm_audio_analysis" -> ((s, dir) => Multimodal.audioAnalysis(s, dir)),
@@ -2437,6 +2440,42 @@ object SparkEntry {
         |  CAST(mn AS INTEGER) AS min_sample,
         |  CAST(mx AS INTEGER) AS max_sample
         |FROM walk WHERE i = 48""".stripMargin,
+
+    // Animated-GIF oracle: frame 0 sum is the full md5 canvas; frame
+    // 1 adjusts only the 4x4 rect's NON-transparent positions
+    // (new - old, both closed-form from the same bytes) — pinning the
+    // compositor's transparency keying pixel-for-pixel.
+    "mm_gif_frames" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 32) ] AS m
+        |  FROM t
+        |), sums AS (
+        |  SELECT doc_id,
+        |    2 * 17 * list_sum([ x % 16 for x in m ]) AS s0,
+        |    17 * list_sum([
+        |      CASE WHEN (m[q + 1] % 16) <> (m[2] % 16)
+        |        THEN (m[q + 1] % 16)
+        |          - (m[(((2 + q // 4) * 8 + 2 + (q % 4)) % 32) + 1] % 16)
+        |        ELSE 0 END
+        |      for q in range(0, 16) ]) AS d1
+        |  FROM g
+        |)
+        |SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS frame_idx,
+        |  'gif' AS codec, CAST(8 AS INTEGER) AS width,
+        |  CAST(8 AS INTEGER) AS height, CAST(s0 AS BIGINT) AS sum_gray
+        |FROM sums
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INTEGER), 'gif', CAST(8 AS INTEGER),
+        |  CAST(8 AS INTEGER), CAST(s0 + d1 AS BIGINT)
+        |FROM sums""".stripMargin,
 
     // PNG palette/Adam7 oracle: gray(p) = (m[p%32] % 16) * 17 (the
     // grayscale palette makes BT.601 the identity), every position

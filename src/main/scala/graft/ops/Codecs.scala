@@ -506,6 +506,126 @@ object Codecs {
     None
   }
 
+  /** ANIMATED GIF → per-frame grayscale canvases: walks every image
+    * descriptor, compositing each frame's (possibly sub-rectangle,
+    * possibly transparent-keyed) pixels onto the logical screen with
+    * the GIF89a disposal semantics — 0/1 leave in place, 2 restore
+    * the rect to the background color, 3 restore the pre-frame
+    * canvas. Transparency (GCE flag + index) skips pixels, letting
+    * the previous frame show through — GIF's inter-frame prediction.
+    * Returns one full-canvas snapshot per frame; None on any
+    * malformed structure (rect outside the screen, missing palette,
+    * truncated LZW), never a partial sequence.
+    */
+  private[graft] def gifFrames(b: Array[Byte]): Option[Seq[Decoded]] = {
+    if (b.length < 14 || b(0) != 'G' || b(1) != 'I' || b(2) != 'F' ||
+      b(3) != '8' || (b(4) != '7' && b(4) != '9') || b(5) != 'a')
+      return None
+    val sw = le16(b, 6); val sh = le16(b, 8)
+    if (!saneDims(sw, sh)) return None
+    val gctFlag = (u8(b, 10) & 0x80) != 0
+    val gctSize = 2 << (u8(b, 10) & 0x07)
+    val bgIndex = u8(b, 11)
+    var p = 13
+    var gct: Array[Byte] = null
+    if (gctFlag) {
+      if (p + 3 * gctSize > b.length) return None
+      gct = java.util.Arrays.copyOfRange(b, p, p + 3 * gctSize)
+      p += 3 * gctSize
+    }
+    def lumaOf(pal: Array[Byte], idx: Int): Byte =
+      if (pal != null && 3 * idx + 2 < pal.length)
+        luma(u8(pal, 3 * idx), u8(pal, 3 * idx + 1), u8(pal, 3 * idx + 2))
+      else 0
+    val bgGray = lumaOf(gct, bgIndex)
+    val canvas = Array.fill[Byte](sw * sh)(bgGray)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Decoded]
+    var disposal = 0
+    var transparent = -1
+    while (p < b.length) {
+      u8(b, p) match {
+        case 0x3b =>
+          return if (frames.isEmpty) None else Some(frames.toSeq)
+        case 0x21 =>
+          if (p + 2 > b.length) return None
+          val label = u8(b, p + 1)
+          var q = p + 2
+          if (label == 0xf9 && q + 5 <= b.length && u8(b, q) >= 4) {
+            val packed = u8(b, q + 1)
+            disposal = (packed >> 2) & 7
+            transparent = if ((packed & 1) != 0) u8(b, q + 4) else -1
+          }
+          while (q < b.length && u8(b, q) != 0) q += 1 + u8(b, q)
+          p = q + 1
+        case 0x2c =>
+          if (p + 10 > b.length) return None
+          val fx = le16(b, p + 1); val fy = le16(b, p + 3)
+          val fw = le16(b, p + 5); val fh = le16(b, p + 7)
+          val packed = u8(b, p + 9)
+          val interlaced = (packed & 0x40) != 0
+          if (fw <= 0 || fh <= 0 || fx + fw > sw || fy + fh > sh)
+            return None
+          p += 10
+          var pal = gct
+          if ((packed & 0x80) != 0) {
+            val n = 2 << (packed & 0x07)
+            if (p + 3 * n > b.length) return None
+            pal = java.util.Arrays.copyOfRange(b, p, p + 3 * n)
+            p += 3 * n
+          }
+          if (pal == null || p >= b.length) return None
+          val minCode = u8(b, p); p += 1
+          if (minCode < 2 || minCode > 8) return None
+          val comp = new java.io.ByteArrayOutputStream()
+          while (p < b.length && u8(b, p) != 0) {
+            val n = u8(b, p)
+            if (p + 1 + n > b.length) return None
+            comp.write(b, p + 1, n)
+            p += 1 + n
+          }
+          p += 1 // block terminator
+          val idx = lzwDecode(minCode, comp.toByteArray, fw * fh)
+            .getOrElse(return None)
+          val before = if (disposal == 3) canvas.clone() else null
+          val order: Array[Int] =
+            if (!interlaced) Array.tabulate(fh)(identity)
+            else ((0 until fh by 8) ++ (4 until fh by 8) ++
+              (2 until fh by 4) ++ (1 until fh by 2)).toArray
+          var r = 0
+          var si = 0
+          while (r < fh) {
+            val dr = fy + order(r)
+            var x = 0
+            while (x < fw) {
+              val ci = idx(si) & 0xff
+              if (ci != transparent)
+                canvas(dr * sw + fx + x) = lumaOf(pal, ci)
+              si += 1; x += 1
+            }
+            r += 1
+          }
+          frames += Decoded("gif", sw, sh, canvas.clone())
+          disposal match {
+            case 2 =>
+              var yy = fy
+              while (yy < fy + fh) {
+                var xx = fx
+                while (xx < fx + fw) {
+                  canvas(yy * sw + xx) = bgGray; xx += 1
+                }
+                yy += 1
+              }
+            case 3 => System.arraycopy(before, 0, canvas, 0, canvas.length)
+            case _ => ()
+          }
+          disposal = 0
+          transparent = -1
+        case _ => return None
+      }
+    }
+    if (frames.isEmpty) None else Some(frames.toSeq)
+  }
+
   /** From-scratch GIF-variant LZW decode: codes read LSB-first at a
     * width that grows from `minCode`+1 to 12 as the dictionary fills,
     * `clear` resets the table, `end` stops. Returns exactly

@@ -737,6 +737,53 @@ object Multimodal {
       .toDF("media_id", "codec", "width", "height", "sum_gray")
   }
 
+  /** Fully-oracled ANIMATED-GIF feature relation: each document
+    * becomes a two-frame GIF89a — frame 0 paints the full 8×8 canvas
+    * from md5 palette indices; frame 1 is a 4×4 SUB-RECTANGLE at
+    * (2,2) whose pixels matching the transparent index show the
+    * previous frame through (GIF's inter-frame prediction), under
+    * disposal 1. The engine composites through the real chain (GCE
+    * parse → literal-LZW decode → transparency-keyed draw); the
+    * oracle recomputes both frame sums closed-form from the same md5
+    * bytes, so hash equality pins the compositing arithmetic
+    * including exactly which pixels the transparency key skipped.
+    */
+  def gifFrameFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def tokByte(toks: Seq[String], i: Int): Int =
+          md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+        val palette = Array.tabulate(48)(i => ((i / 3) * 17).toByte)
+        it.flatMap { case (id, toks) =>
+          val m = Array.tabulate(32)(i => tokByte(toks, i))
+          val t = m(1) % 16
+          val f0 = PerceptualHash.GifFrame(0, 0, 8, 8,
+            Array.tabulate(64)(p => (m(p % 32) % 16).toByte),
+            disposal = 1)
+          val f1 = PerceptualHash.GifFrame(2, 2, 4, 4,
+            Array.tabulate(16)(q => (m(q) % 16).toByte),
+            disposal = 1, transparent = t)
+          val gif = PerceptualHash.encodeGifAnim(8, 8, palette,
+            Seq(f0, f1))
+          val frames = Codecs.gifFrames(gif).getOrElse(
+            throw new IllegalStateException(
+              s"gif fixture failed to decode for doc $id"))
+          frames.zipWithIndex.map { case (d, fi) =>
+            var sum = 0L
+            d.gray.foreach(v => sum += (v & 0xff))
+            (id, fi, "gif", d.width, d.height, sum)
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "codec", "width", "height",
+        "sum_gray")
+  }
+
   /** Fully-oracled audio ANALYSIS relation — the signal-level sibling
     * of the text-quality scores: zero-crossing rate, energy, and
     * autocorrelation at lags 1 and 4 over the 65 samples each

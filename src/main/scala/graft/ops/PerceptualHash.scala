@@ -39,6 +39,97 @@ object PerceptualHash {
     * [[Codecs.bmp]]. r = g = b = gray, so the decoder's BT.601 luma
     * reconstructs the exact input byte ((299g+587g+114g)/1000 = g).
     */
+  /** GIF-variant LZW encode, literal codes only: every index is
+    * emitted as its own code while tracking the DECODER's dictionary
+    * growth (an entry per emitted code after the first, width bump
+    * when the size hits 2^width, cap 4096) so the bit widths stay in
+    * lockstep — the classic "uncompressed GIF" technique, wire-valid
+    * for any decoder and trivially deterministic.
+    */
+  private def lzwEncodeLiterals(idx: Array[Byte], minCode: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    var width = minCode + 1
+    var dictSize = clear + 2
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nBits = 0
+    def write(code: Int): Unit = {
+      acc |= code.toLong << nBits
+      nBits += width
+      while (nBits >= 8) {
+        out.write((acc & 0xff).toInt); acc >>= 8; nBits -= 8
+      }
+    }
+    write(clear)
+    var first = true
+    idx.foreach { i =>
+      write(i & 0xff)
+      if (first) first = false
+      else if (dictSize < 4096) {
+        dictSize += 1
+        if (dictSize == (1 << width) && width < 12) width += 1
+      }
+    }
+    write(end)
+    if (nBits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** One animated-GIF frame spec: a sub-rectangle of palette indices
+    * placed at (x, y), drawn with `disposal` and an optional
+    * transparent index. */
+  final case class GifFrame(
+      x: Int, y: Int, w: Int, h: Int, idx: Array[Byte],
+      disposal: Int = 0, transparent: Int = -1)
+
+  /** Animated GIF89a encoder — the write-side twin of
+    * [[Codecs.gifFrames]]: global color table, a graphic-control
+    * extension per frame (disposal + transparency), image descriptors
+    * at their offsets, literal-LZW pixel data.
+    */
+  def encodeGifAnim(sw: Int, sh: Int, gct: Array[Byte],
+      frames: Seq[GifFrame], bgIndex: Int = 0): Array[Byte] = {
+    require(gct.length % 3 == 0 && gct.nonEmpty, "bad palette")
+    val nColors = gct.length / 3
+    require(Integer.bitCount(nColors) == 1 && nColors >= 4,
+      "palette size must be a power of two >= 4")
+    val minCode = math.max(2, 32 - Integer.numberOfLeadingZeros(nColors - 1))
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write(v >> 8) }
+    le16(sw); le16(sh)
+    val sizeField = 31 - Integer.numberOfLeadingZeros(nColors) - 1
+    out.write(0x80 | sizeField) // GCT present
+    out.write(bgIndex); out.write(0)
+    out.write(gct, 0, gct.length)
+    frames.foreach { f =>
+      require(f.idx.length == f.w * f.h, "bad frame surface")
+      // graphic control extension
+      out.write(0x21); out.write(0xf9); out.write(4)
+      val packed = ((f.disposal & 7) << 2) |
+        (if (f.transparent >= 0) 1 else 0)
+      out.write(packed); le16(0)
+      out.write(if (f.transparent >= 0) f.transparent else 0)
+      out.write(0) // terminator
+      // image descriptor
+      out.write(0x2c)
+      le16(f.x); le16(f.y); le16(f.w); le16(f.h)
+      out.write(0) // no local table, not interlaced
+      out.write(minCode)
+      val lzw = lzwEncodeLiterals(f.idx, minCode)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n); out.write(lzw, off, n)
+        off += n
+      }
+      out.write(0) // data terminator
+    }
+    out.write(0x3b)
+    out.toByteArray
+  }
+
   /** Palette (color type 3, depth 8) PNG encoder — the write-side
     * twin of [[Codecs.png]]'s palette + interlace paths. Rows are
     * filter-0; with `interlaced` the index surface is emitted as the

@@ -626,6 +626,52 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("animated GIF: disposal 2/3 and transparency composite correctly") {
+    import graft.ops.{Codecs, PerceptualHash}
+    import PerceptualHash.GifFrame
+    // 4-entry palette, gray values 0, 80, 160, 240
+    val pal = Array.tabulate(12)(i => ((i / 3) * 80).toByte)
+    def gray(idx: Int): Byte = (idx * 80).toByte
+    val full = GifFrame(0, 0, 4, 4, Array.fill(16)(1.toByte))
+    // disposal 2: after the frame, its rect resets to background (0)
+    val d2 = Codecs.gifFrames(PerceptualHash.encodeGifAnim(4, 4, pal,
+      Seq(full.copy(disposal = 2),
+        GifFrame(0, 0, 2, 2, Array.fill(4)(3.toByte))))).get
+    assert(d2(0).gray.forall(_ == gray(1)))
+    // frame 2's canvas: background everywhere except the new 2x2
+    val f1 = d2(1).gray
+    assert(f1(0) == gray(3) && f1(1) == gray(3) &&
+      f1(4) == gray(3) && f1(5) == gray(3))
+    assert(f1(15) == gray(0)) // disposal-2 reset, not frame 0's 1s
+    // disposal 3: the canvas reverts to the PRE-frame state
+    val d3 = Codecs.gifFrames(PerceptualHash.encodeGifAnim(4, 4, pal,
+      Seq(full,
+        GifFrame(0, 0, 2, 2, Array.fill(4)(3.toByte), disposal = 3),
+        GifFrame(3, 3, 1, 1, Array(2.toByte))))).get
+    assert(d3(1).gray(0) == gray(3))
+    val f2 = d3(2).gray
+    assert(f2(0) == gray(1)) // frame 1's patch reverted
+    assert(f2(15) == gray(2))
+    // transparency: keyed pixels let the previous frame through
+    val tr = Codecs.gifFrames(PerceptualHash.encodeGifAnim(4, 4, pal,
+      Seq(full, GifFrame(0, 0, 4, 4,
+        Array.tabulate(16)(i => if (i % 2 == 0) 2.toByte else 0.toByte),
+        transparent = 0)))).get
+    val t1 = tr(1).gray
+    (0 until 16).foreach { i =>
+      assert(t1(i) == (if (i % 2 == 0) gray(2) else gray(1)), s"px $i")
+    }
+    // a rect outside the logical screen declines
+    assert(Codecs.gifFrames(PerceptualHash.encodeGifAnim(4, 4, pal,
+      Seq(GifFrame(3, 3, 2, 2, Array.fill(4)(1.toByte))))).isEmpty)
+    // single-frame animation equals the still decoder's view
+    val still = Codecs.decode(PerceptualHash.encodeGifAnim(4, 4, pal,
+      Seq(full))).get
+    assert(java.util.Arrays.equals(still.gray,
+      Codecs.gifFrames(PerceptualHash.encodeGifAnim(4, 4, pal,
+        Seq(full))).get.head.gray))
+  }
+
   test("palette PNG: malformed streams decline to None") {
     import graft.ops.{Codecs, PerceptualHash}
     val palette = Array.tabulate(12)(i => ((i / 3) * 80).toByte) // 4 entries
