@@ -494,6 +494,10 @@ object SparkEntry {
     // newline inside every field, RFC 4180 doubled-quote escapes
     "csv_roundtrip" -> ((s, dir) =>
       Bucketed.csvRoundTrip(s, dir, scratchDir("csv"))),
+    // JSONL round-trip under adversarial escaping: control chars,
+    // surrogate pairs, nested struct + array, FAILFAST read-back
+    "json_roundtrip" -> ((s, dir) =>
+      Bucketed.jsonRoundTrip(s, dir, scratchDir("json"))),
     // sitemap generation + StAX re-parse: per-host urlset XML with
     // real escaping (& in query strings), one host-keyed exchange
     "sitemap_urls" -> ((s, dir) => Sitemap.sitemapUrls(s, dir)),
@@ -3084,6 +3088,19 @@ object SparkEntry {
     "csv_roundtrip" ->
       """SELECT doc_id, source, n_chars,
         |  'x,"q"' || chr(10) || substr(text, 1, 16) AS tricky
+        |FROM documents""".stripMargin,
+
+    // JSONL oracle: rebuild the adversarial prefix (quote, backslash,
+    // newline, tab, C0 control, U+1D11E) and the flattened
+    // struct/array fields straight off the raw table — the engine
+    // must reach the same rows through encode -> escape -> parse.
+    "json_roundtrip" ->
+      """SELECT doc_id,
+        |  'q"b\' || chr(10) || chr(9) || chr(1) || chr(119070)
+        |    || substr(text, 1, 16) AS tricky,
+        |  source AS src, n_chars AS len,
+        |  CAST(n_chars % 7 AS INTEGER) AS a0,
+        |  CAST(n_chars % 11 AS INTEGER) AS a1
         |FROM documents""".stripMargin,
     "zorder_scan" ->
       """SELECT l_returnflag, count(*) AS n,

@@ -163,6 +163,47 @@ object Bucketed {
       .csv(path)
   }
 
+  /** JSONL export round-trip — the interchange format LLM training
+    * exports actually ship — under ADVERSARIAL content: every row's
+    * string field opens with a double quote, a backslash, a literal
+    * newline and tab, a C0 control character (must be u-escaped
+    * on the wire or the line framing breaks), and a non-BMP code point
+    * (U+1D11E, a surrogate pair in the JVM — truncating either half
+    * corrupts it), then carries real corpus text. Structure is
+    * exercised too: a nested struct and an int array survive the trip
+    * and are flattened for comparison. Read-back is FAILFAST — a
+    * malformed line fails the query rather than becoming a silent
+    * null row. The oracle rebuilds every field closed-form from the
+    * raw table, so hash equality pins the encoder+parser pair
+    * lossless, escapes included. Scale note: JSON lines are
+    * newline-framed (control chars escaped is what guarantees that),
+    * so unlike multiLine CSV the files stay SPLITTABLE — the format
+    * a 100 TB re-ingest wants.
+    */
+  def jsonRoundTrip(
+      s: SparkSession, dir: String, scratch: String): DataFrame = {
+    val path = s"$scratch/docs_json"
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        concat(lit("q\"b\\\n\t\u0001𝄞"),
+          substring(col("text"), 1, 16)).as("tricky"),
+        struct(col("source").as("src"), col("n_chars").as("len"))
+          .as("meta"),
+        array((col("n_chars") % 7).cast("int"),
+          (col("n_chars") % 11).cast("int")).as("arr"))
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", 4096)
+      .json(path)
+    s.read
+      .schema("doc_id BIGINT, tricky STRING, " +
+        "meta STRUCT<src: STRING, len: BIGINT>, arr ARRAY<INT>")
+      .option("mode", "FAILFAST")
+      .json(path)
+      .select(col("doc_id"), col("tricky"),
+        col("meta.src").as("src"), col("meta.len").as("len"),
+        col("arr").getItem(0).as("a0"), col("arr").getItem(1).as("a1"))
+  }
+
   /** Z-VALUE: bit-interleave two non-negative dimension keys into one
     * sort key (bit i of dim1 → bit 2i, of dim2 → bit 2i+1). Rows
     * close in BOTH dimensions land close in z-order, so sorting by z

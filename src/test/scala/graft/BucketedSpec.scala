@@ -120,6 +120,38 @@ class BucketedSpec extends SparkSpec {
     assert(rt == want)
   }
 
+  test("json round-trip: wire stays line-framed, escapes carry the payload") {
+    val dir = scratch + "/json"
+    val rt = Bucketed.jsonRoundTrip(spark, sf(), dir)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+    assert(rt.count() == docs.count())
+    // round-trip equality on the adversarial string, exact
+    val back = rt.select("doc_id", "tricky").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lit("q\"b\\\n\t\u0001𝄞"),
+        org.apache.spark.sql.functions.substring(col("text"), 1, 16))
+        .as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(back == want)
+    // SPLITTABILITY pin: no raw control byte below 0x20 survives on
+    // the wire except the record-framing newlines themselves — the
+    // embedded newline/tab/0x01 must ride as two-char escapes
+    // (multi-byte UTF-8 payload bytes are negative in JVM: mask first)
+    val files = new java.io.File(dir + "/docs_json").listFiles()
+      .filter(_.getName.endsWith(".json"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      bytes.zipWithIndex.foreach { case (b, i) =>
+        assert((b & 0xff) >= 0x20 || b == '\n',
+          s"raw control byte 0x${"%02x".format(b)} at ${f.getName}:$i " +
+            "breaks line framing")
+      }
+    }
+  }
+
   test("zvalue interleaves bits: bit i of dim1 -> 2i, dim2 -> 2i+1") {
     import spark.implicits._
     val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
