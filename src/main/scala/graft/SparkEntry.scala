@@ -426,6 +426,9 @@ object SparkEntry {
     // animated GIF through the real compositor: sub-rect frame with
     // a transparency key showing the previous frame through
     "mm_gif_frames" -> ((s, dir) => Multimodal.gifFrameFeatures(s, dir)),
+    // TIFF in both byte orders: MM+PackBits vs II+WhiteIsZero through
+    // one decoder — endianness/compression/photometric all earned
+    "mm_tiff_features" -> ((s, dir) => Multimodal.tiffFeatures(s, dir)),
     // signal-level audio analysis (zcr/energy/autocorrelation) over
     // the decoded ADPCM samples — integer-exact end to end
     "mm_audio_analysis" -> ((s, dir) => Multimodal.audioAnalysis(s, dir)),
@@ -2444,6 +2447,33 @@ object SparkEntry {
         |  CAST(mn AS INTEGER) AS min_sample,
         |  CAST(mx AS INTEGER) AS max_sample
         |FROM walk WHERE i = 48""".stripMargin,
+
+    // TIFF oracle: even rows r hold m[c] per column, odd rows are the
+    // constant m[r] — sum = 8*sum(m) + 16*sum(odd m). Byte order,
+    // PackBits, and WhiteIsZero inversion vary by doc parity but the
+    // CONTENT does not, so one expression pins all four variants.
+    "mm_tiff_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 16) ] AS m
+        |  FROM t
+        |)
+        |SELECT doc_id AS media_id, 'tiff' AS codec,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'packbits' ELSE 'none' END
+        |    AS compression,
+        |  CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        |  CAST(8 * list_sum(m)
+        |    + 16 * (m[2] + m[4] + m[6] + m[8] + m[10] + m[12] + m[14]
+        |            + m[16]) AS BIGINT) AS sum_gray
+        |FROM g""".stripMargin,
 
     // Animated-GIF oracle: frame 0 sum is the full md5 canvas; frame
     // 1 adjusts only the 4x4 rect's NON-transparent positions

@@ -626,6 +626,121 @@ object Codecs {
     if (frames.isEmpty) None else Some(frames.toSeq)
   }
 
+  /** Baseline grayscale TIFF, BOTH byte orders: `II`/`MM` header →
+    * IFD entry walk → strip assembly, honoring Compression 1 (none)
+    * and 32773 (PackBits) and PhotometricInterpretation 0/1 —
+    * WhiteIsZero (0) stores INVERTED samples, so a decoder ignoring
+    * the tag returns a negated image. Every multi-byte read (magic,
+    * IFD offset, tag/type/count, SHORT-in-value-field, external
+    * offset/count arrays) goes through the file's declared byte
+    * order; TIFF 6.0 left-justifies an inline value at the value
+    * field's first byte in both orders. Strip offset/count arrays may
+    * be SHORT or LONG. None on any malformed structure (bad magic,
+    * truncated IFD, strip overrun, PackBits not consuming its strip
+    * exactly), never a partial surface.
+    */
+  private[graft] def tiff(b: Array[Byte]): Option[Decoded] = {
+    if (b.length < 8) return None
+    val little = b(0) == 'I' && b(1) == 'I'
+    if (!little && !(b(0) == 'M' && b(1) == 'M')) return None
+    def r16(i: Int): Int =
+      if (i < 0 || i + 2 > b.length) -1
+      else if (little) le16(b, i) else (u8(b, i) << 8) | u8(b, i + 1)
+    def r32(i: Int): Long =
+      if (i < 0 || i + 4 > b.length) -1L
+      else if (little) le32(b, i) & 0xffffffffL else be32(b, i) & 0xffffffffL
+    if (r16(2) != 42) return None
+    val ifd = r32(4)
+    if (ifd < 8 || ifd + 2 > b.length) return None
+    val nEntries = r16(ifd.toInt)
+    if (nEntries <= 0 || ifd + 2 + 12L * nEntries + 4 > b.length) return None
+    // tag -> element values, widened to Long; SHORT(3) and LONG(4)
+    // only (the baseline grayscale set needs no rationals)
+    val tags = scala.collection.mutable.Map.empty[Int, Array[Long]]
+    var k = 0
+    while (k < nEntries) {
+      val e = ifd.toInt + 2 + 12 * k
+      val tag = r16(e); val typ = r16(e + 2); val cnt = r32(e + 4)
+      if (typ == 3 || typ == 4) {
+        val sz = if (typ == 3) 2 else 4
+        if (cnt < 0 || cnt > (1 << 16)) return None
+        val base =
+          if (cnt * sz <= 4) e + 8
+          else {
+            val off = r32(e + 8)
+            if (off < 0 || off + cnt * sz > b.length) return None
+            off.toInt
+          }
+        val vals = new Array[Long](cnt.toInt)
+        var j = 0
+        while (j < cnt) {
+          vals(j) = if (typ == 3) r16(base + 2 * j).toLong else r32(base + 4 * j)
+          if (vals(j) < 0) return None
+          j += 1
+        }
+        tags(tag) = vals
+      }
+      k += 1
+    }
+    def one(tag: Int): Option[Long] =
+      tags.get(tag).filter(_.length == 1).map(_.head)
+    val w = one(256).getOrElse(return None).toInt
+    val h = one(257).getOrElse(return None).toInt
+    if (!saneDims(w, h)) return None
+    if (one(258).getOrElse(8L) != 8L) return None
+    if (one(277).getOrElse(1L) != 1L) return None
+    val comp = one(259).getOrElse(1L)
+    if (comp != 1L && comp != 32773L) return None
+    val photo = one(262).getOrElse(return None)
+    if (photo != 0L && photo != 1L) return None
+    val rps = one(278).getOrElse(h.toLong).toInt
+    if (rps <= 0) return None
+    val nStrips = (h + rps - 1) / rps
+    val offs = tags.getOrElse(273, return None)
+    val cnts = tags.getOrElse(279, return None)
+    if (offs.length != nStrips || cnts.length != nStrips) return None
+    val gray = new Array[Byte](w * h)
+    var strip = 0
+    while (strip < nStrips) {
+      val rows = math.min(rps, h - strip * rps)
+      val need = rows * w
+      val off = offs(strip); val len = cnts(strip)
+      if (off < 0 || len < 0 || off + len > b.length) return None
+      val dst = strip * rps * w
+      if (comp == 1L) {
+        if (len != need) return None
+        System.arraycopy(b, off.toInt, gray, dst, need)
+      } else {
+        // PackBits: n>=0 copies n+1 literals; -127<=n<=-1 repeats the
+        // next byte 1-n times; -128 is a no-op. The strip must
+        // produce exactly its rows and consume exactly its bytes.
+        var i = off.toInt; val end = (off + len).toInt
+        var o = 0
+        while (o < need) {
+          if (i >= end) return None
+          val n = b(i); i += 1
+          if (n >= 0) {
+            val c = n + 1
+            if (i + c > end || o + c > need) return None
+            System.arraycopy(b, i, gray, dst + o, c); i += c; o += c
+          } else if (n != -128) {
+            val c = 1 - n
+            if (i >= end || o + c > need) return None
+            java.util.Arrays.fill(gray, dst + o, dst + o + c, b(i))
+            i += 1; o += c
+          }
+        }
+        if (i != end) return None
+      }
+      strip += 1
+    }
+    if (photo == 0L) {
+      var i = 0
+      while (i < gray.length) { gray(i) = (~gray(i)).toByte; i += 1 }
+    }
+    Some(Decoded("tiff", w, h, gray))
+  }
+
   /** From-scratch GIF-variant LZW decode: codes read LSB-first at a
     * width that grows from `minCode`+1 to 12 as the dictionary fills,
     * `clear` resets the table, `end` stops. Returns exactly
@@ -893,5 +1008,6 @@ object Codecs {
   def decode(payload: Array[Byte]): Option[Decoded] =
     if (payload == null || payload.length < 2) None
     else png(payload).orElse(bmp(payload)).orElse(gif(payload))
-      .orElse(wav(payload)).orElse(Jpeg.decode(payload))
+      .orElse(tiff(payload)).orElse(wav(payload))
+      .orElse(Jpeg.decode(payload))
 }

@@ -737,6 +737,50 @@ object Multimodal {
       .toDF("media_id", "codec", "width", "height", "sum_gray")
   }
 
+  /** Fully-oracled TIFF feature relation — the codec family's BYTE
+    * ORDER axis: each document becomes a 16×16 grayscale baseline
+    * TIFF, big-endian (`MM`) + PackBits for even doc_ids and
+    * little-endian (`II`) + uncompressed + WhiteIsZero (samples
+    * stored complemented) for odd. Even rows carry per-column md5
+    * bytes (literal packets), odd rows are constant (fill packets),
+    * so both PackBits packet kinds are live in every even stream.
+    * One decoder path serves all four variants; the single oracle
+    * expression pins that endianness, compression, and photometric
+    * inversion are invisible to content — a decoder hardwiring any
+    * of the three fails half the corpus.
+    */
+  def tiffFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def tokByte(toks: Seq[String], i: Int): Int =
+          md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+        it.map { case (id, toks) =>
+          val m = Array.tabulate(16)(i => tokByte(toks, i))
+          val gray = Array.tabulate(256) { p =>
+            val r = p / 16; val c = p % 16
+            (if (r % 2 == 0) m(c) else m(r)).toByte
+          }
+          val even = id % 2 == 0
+          val bytes = PerceptualHash.encodeTiff(gray, 16, 16,
+            bigEndian = even, packBits = even, whiteIsZero = !even)
+          val d = Codecs.decode(bytes).getOrElse(
+            throw new IllegalStateException(
+              s"tiff fixture failed to decode for doc $id"))
+          var sum = 0L
+          d.gray.foreach(v => sum += (v & 0xff))
+          (id, "tiff", if (even) "MM" else "II",
+            if (even) "packbits" else "none", d.width, d.height, sum)
+        }
+      }
+      .toDF("media_id", "codec", "byte_order", "compression",
+        "width", "height", "sum_gray")
+  }
+
   /** Fully-oracled ANIMATED-GIF feature relation: each document
     * becomes a two-frame GIF89a — frame 0 paints the full 8×8 canvas
     * from md5 palette indices; frame 1 is a 4×4 SUB-RECTANGLE at

@@ -130,6 +130,95 @@ object PerceptualHash {
     out.toByteArray
   }
 
+  /** PackBits encode (TIFF 6.0 §9): runs of ≥2 equal bytes become a
+    * fill packet (header 1-run, one byte), everything else literal
+    * packets (header n-1, n bytes), both capped at 128.
+    */
+  private def packBitsEncode(src: Array[Byte], from: Int, len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = from; val end = from + len
+    while (i < end) {
+      var run = 1
+      while (i + run < end && src(i + run) == src(i) && run < 128) run += 1
+      if (run >= 2) {
+        out.write(1 - run); out.write(src(i)); i += run
+      } else {
+        var lit = i + 1
+        while (lit < end && lit - i < 128 &&
+          !(lit + 1 < end && src(lit + 1) == src(lit))) lit += 1
+        out.write(lit - i - 1); out.write(src, i, lit - i)
+        i = lit
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Grayscale baseline TIFF encoder — the write-side twin of
+    * [[Codecs.tiff]], parameterized over the three axes the decoder
+    * must honor: byte order (`II` little / `MM` big — EVERY multi-byte
+    * field is written in it), Compression (none / PackBits per
+    * strip), and PhotometricInterpretation (WhiteIsZero stores the
+    * complement of each sample). Strips of `rowsPerStrip` rows; the
+    * IFD sits after the strip data with offset/count arrays external
+    * when they exceed the 4-byte inline value field.
+    */
+  def encodeTiff(gray: Array[Byte], w: Int, h: Int,
+      bigEndian: Boolean, packBits: Boolean, whiteIsZero: Boolean,
+      rowsPerStrip: Int = 4): Array[Byte] = {
+    require(gray.length == w * h, "bad surface")
+    val stored =
+      if (!whiteIsZero) gray
+      else gray.map(v => (~v).toByte)
+    val nStrips = (h + rowsPerStrip - 1) / rowsPerStrip
+    val strips = (0 until nStrips).map { s =>
+      val rows = math.min(rowsPerStrip, h - s * rowsPerStrip)
+      if (packBits) packBitsEncode(stored, s * rowsPerStrip * w, rows * w)
+      else java.util.Arrays.copyOfRange(
+        stored, s * rowsPerStrip * w, (s * rowsPerStrip + rows) * w)
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit =
+      if (bigEndian) { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+      else { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    def w32(v: Int): Unit =
+      if (bigEndian) { w16(v >>> 16); w16(v & 0xffff) }
+      else { w16(v & 0xffff); w16(v >>> 16) }
+    out.write(if (bigEndian) 'M' else 'I')
+    out.write(if (bigEndian) 'M' else 'I')
+    w16(42)
+    val stripBase = 8
+    val offsets = strips.scanLeft(stripBase)(_ + _.length)
+    val ifdOff = offsets.last
+    w32(ifdOff)
+    strips.foreach(s => out.write(s, 0, s.length))
+    // 9 entries, ascending tag order (TIFF requires it)
+    val entries = 9
+    val arraysOff = ifdOff + 2 + 12 * entries + 4
+    val inline = nStrips == 1
+    def entry(tag: Int, typ: Int, cnt: Int, value: Int): Unit = {
+      w16(tag); w16(typ); w32(cnt)
+      if (typ == 3 && cnt == 1) { w16(value); w16(0) } else w32(value)
+    }
+    w16(entries)
+    entry(256, 3, 1, w)                                   // ImageWidth
+    entry(257, 3, 1, h)                                   // ImageLength
+    entry(258, 3, 1, 8)                                   // BitsPerSample
+    entry(259, 3, 1, if (packBits) 32773 else 1)          // Compression
+    entry(262, 3, 1, if (whiteIsZero) 0 else 1)           // Photometric
+    entry(273, 4, nStrips,
+      if (inline) offsets(0) else arraysOff)              // StripOffsets
+    entry(277, 3, 1, 1)                                   // SamplesPerPixel
+    entry(278, 3, 1, rowsPerStrip)                        // RowsPerStrip
+    entry(279, 4, nStrips,
+      if (inline) strips(0).length else arraysOff + 4 * nStrips)
+    w32(0) // next-IFD terminator
+    if (!inline) {
+      offsets.init.foreach(w32)
+      strips.foreach(s => w32(s.length))
+    }
+    out.toByteArray
+  }
+
   /** Palette (color type 3, depth 8) PNG encoder — the write-side
     * twin of [[Codecs.png]]'s palette + interlace paths. Rows are
     * filter-0; with `interlaced` the index surface is emitted as the

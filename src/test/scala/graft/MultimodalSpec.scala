@@ -672,6 +672,52 @@ class MultimodalSpec extends SparkSpec {
         Seq(full))).get.head.gray))
   }
 
+  test("TIFF: endianness, PackBits, and WhiteIsZero are all honored") {
+    import graft.ops.{Codecs, PerceptualHash}
+    val gray = Array.tabulate(64)(i => (i * 3 + 7).toByte) // 8x8
+    // all four variant corners decode to the same logical surface
+    for (big <- Seq(false, true); pb <- Seq(false, true);
+         wz <- Seq(false, true)) {
+      val t = PerceptualHash.encodeTiff(gray, 8, 8, big, pb, wz)
+      val d = Codecs.tiff(t).getOrElse(fail(s"big=$big pb=$pb wz=$wz"))
+      assert(d.width == 8 && d.height == 8)
+      assert(java.util.Arrays.equals(d.gray, gray),
+        s"big=$big pb=$pb wz=$wz")
+    }
+    // WhiteIsZero is load-bearing: the stored strip bytes differ
+    val plain = PerceptualHash.encodeTiff(gray, 8, 8,
+      bigEndian = false, packBits = false, whiteIsZero = false)
+    val inv = PerceptualHash.encodeTiff(gray, 8, 8,
+      bigEndian = false, packBits = false, whiteIsZero = true)
+    assert(plain(8) == gray(0) && inv(8) == (~gray(0)).toByte)
+    // runs compress: a constant surface's PackBits stream is smaller
+    val flat = PerceptualHash.encodeTiff(Array.fill(64)(9.toByte), 8, 8,
+      bigEndian = true, packBits = true, whiteIsZero = false)
+    assert(flat.length < plain.length)
+    assert(java.util.Arrays.equals(
+      Codecs.tiff(flat).get.gray, Array.fill(64)(9.toByte)))
+    // decode() routes TIFF like any other still container
+    assert(Codecs.decode(plain).get.kind == "tiff")
+    // a single-strip image keeps offsets/counts inline in the IFD
+    val one = PerceptualHash.encodeTiff(gray, 8, 8,
+      bigEndian = false, packBits = false, whiteIsZero = false,
+      rowsPerStrip = 8)
+    assert(java.util.Arrays.equals(Codecs.tiff(one).get.gray, gray))
+    // malformed: bad magic, truncation anywhere, strip overrun all
+    // decline to None rather than throwing or returning partial rows
+    assert(Codecs.tiff("II? garbage".getBytes("ISO-8859-1")).isEmpty)
+    (1 until plain.length).foreach { n =>
+      Codecs.tiff(java.util.Arrays.copyOf(plain, n)) // must not throw
+    }
+    // strip length mismatch: the single-strip inline count sits in
+    // entry 9's value field (IFD at 8+64, value at +2+12*8+8); an
+    // uncompressed strip whose count is not rows*width declines
+    val overrun = one.clone()
+    assert(overrun(72 + 2 + 12 * 8 + 8) == 64)
+    overrun(72 + 2 + 12 * 8 + 8) = 65
+    assert(Codecs.tiff(overrun).isEmpty)
+  }
+
   test("palette PNG: malformed streams decline to None") {
     import graft.ops.{Codecs, PerceptualHash}
     val palette = Array.tabulate(12)(i => ((i / 3) * 80).toByte) // 4 entries
