@@ -255,6 +255,9 @@ object SparkEntry {
     // oracle; the pigeonhole banding is complete at maxDist=3, so the
     // oracle computes all-pairs hamming directly
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    // typo-level edit-distance pairs: FastSS deletion-neighborhood
+    // candidates + exact levenshtein verify; oracle brute-forces n^2
+    "dedup_edit" -> ((s, dir) => Dedup.editDistancePairs(s, dir)),
     // exact-substring duplication (windowed ExactSubstr): md5-keyed
     // 16-token windows, one gram-keyed + one doc-keyed shuffle
     "dedup_substring" -> ((s, dir) => Dedup.substringDupStats(s, dir)),
@@ -1346,6 +1349,32 @@ object SparkEntry {
         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
     // Full SimHash pin: bit i of a token's hash = bit (i%4) of md5 hex
     // nibble (i/16)*4 + 3-(i%16)/4 (the engine's four 16-bit
+    // Edit-distance oracle: rebuild each doc's mutated key closed-form
+    // and brute-force the O(n^2) levenshtein join the engine's
+    // deletion-neighborhood candidates + verify must equal exactly.
+    "dedup_edit" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    substr(md5(CAST(doc_id // 4 AS VARCHAR) || '#ed'), 1, 12)
+        |      AS base,
+        |    CAST(doc_id % 12 AS INTEGER) AS p,
+        |    doc_id % 4 AS v
+        |  FROM documents
+        |), keys AS (
+        |  SELECT doc_id,
+        |    CASE v
+        |      WHEN 1 THEN substr(base, 1, p) || 'z' || substr(base, p + 2)
+        |      WHEN 2 THEN substr(base, 1, p) || substr(base, p + 2)
+        |      WHEN 3 THEN substr(base, 1, p) || 'z' || substr(base, p + 1)
+        |      ELSE base
+        |    END AS key
+        |  FROM k
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(levenshtein(a.key, b.key) AS INTEGER) AS dist
+        |FROM keys a JOIN keys b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.key, b.key) <= 1""".stripMargin,
+
     // big-endian conv chunks, re-derived here by nibble); banding is
     // pigeonhole-complete at maxDist 3, so all-pairs hamming IS the
     // operator's result set

@@ -895,4 +895,61 @@ object Dedup {
         coalesce(when(col("max_run") > 0, col("max_run") + (w - 1))
             .otherwise(lit(0L)) < maxSpanTokens, lit(true)).as("keep"))
   }
+
+  /** EDIT-DISTANCE near-dup — the typo-level modality the token
+    * detectors (shingle/Jaccard, MinHash, SimHash) are blind to: a
+    * one-character substitution, deletion, or insertion in a short
+    * key (title, canonical URL, product code) leaves every
+    * surrounding shingle intact on long fields but MISSES entirely on
+    * keys shorter than the shingle width. Candidates come from the
+    * FastSS deletion neighborhood: each key emits itself plus its
+    * |key| single-deletion variants, and any two keys at
+    * levenshtein ≤ 1 provably share a variant (equal → self;
+    * substitution at i → both delete i; insertion → the longer key's
+    * deletion IS the shorter), so a variant-keyed equi-join is a
+    * COMPLETE candidate generator and exact `levenshtein` verifies.
+    * Never all-pairs: the shuffle carries |key|+1 rows per doc and
+    * candidates are bounded per variant bucket — the LSH-banding
+    * shape, with the oracle doing the naive O(n²) join instead, so
+    * hash equality is an equivalence proof for the decomposition.
+    * Fixture: groups of 4 docs share an md5 base key; members 1-3
+    * mutate it by one substitution/deletion/insertion at a
+    * group-varying position, giving true matches, near-misses at
+    * distance 2 (mutations at different positions), and cross-group
+    * non-matches.
+    */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val base = md5(concat((col("doc_id") / 4).cast("long").cast("string"),
+      lit("#ed"))).substr(1, 12)
+    val p = (col("doc_id") % 12).cast("int")
+    val v = col("doc_id") % 4
+    def sub(k: Column, at: Column): Column =
+      concat(k.substr(lit(1), at), lit("z"),
+        k.substr(at + 2, lit(64)))
+    def del(k: Column, at: Column): Column =
+      concat(k.substr(lit(1), at), k.substr(at + 2, lit(64)))
+    def ins(k: Column, at: Column): Column =
+      concat(k.substr(lit(1), at), lit("z"), k.substr(at + 1, lit(64)))
+    val keys = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        when(v === 1, sub(base, p))
+          .when(v === 2, del(base, p))
+          .when(v === 3, ins(base, p))
+          .otherwise(base).as("key"))
+    // self + all single-deletion variants, all codegen'd built-ins
+    val variants = keys.select(col("doc_id"), col("key"),
+      explode(concat(array(col("key")),
+        transform(sequence(lit(0), length(col("key")) - 1),
+          i => del(col("key"), i)))).as("variant"))
+    variants.as("a")
+      .join(variants.as("b"),
+        col("a.variant") === col("b.variant") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.key").as("key_a"), col("b.key").as("key_b"))
+      .distinct()
+      .filter(levenshtein(col("key_a"), col("key_b")) <= 1)
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("key_a"), col("key_b")).as("dist"))
+  }
 }

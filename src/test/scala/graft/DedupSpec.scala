@@ -616,4 +616,50 @@ class DedupSpec extends SparkSpec {
       assert(r.getAs[Int]("n_detectors") == expected)
     }
   }
+
+  test("edit-distance pairs equal the brute-force levenshtein join") {
+    val got = Dedup.editDistancePairs(spark, sf())
+    // JVM brute force over the same closed-form keys
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val ids = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    val keys = ids.map { id =>
+      val base = md5hex((id / 4).toString + "#ed").take(12)
+      val p = (id % 12).toInt
+      id -> ((id % 4) match {
+        case 1 => base.take(p) + "z" + base.drop(p + 1)
+        case 2 => base.take(p) + base.drop(p + 1)
+        case 3 => base.take(p) + "z" + base.drop(p)
+        case _ => base
+      })
+    }
+    val want = (for {
+      (ia, ka) <- keys; (ib, kb) <- keys
+      if ia < ib && lev(ka, kb) <= 1
+    } yield (ia, ib, lev(ka, kb))).toSet
+    assert(want.nonEmpty, "fixture must plant edit-distance matches")
+    val gotSet = got.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotSet == want)
+    // the plan is a variant-keyed equi-join: no nested-loop all-pairs
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      plan)
+  }
 }
