@@ -432,6 +432,9 @@ object SparkEntry {
     // TIFF in both byte orders: MM+PackBits vs II+WhiteIsZero through
     // one decoder — endianness/compression/photometric all earned
     "mm_tiff_features" -> ((s, dir) => Multimodal.tiffFeatures(s, dir)),
+    // FLAC-subset: Rice-coded fixed-predictor audio through real
+    // frame sync, UTF-8 frame numbers, and CRC-8/CRC-16 verification
+    "mm_flac_features" -> ((s, dir) => Multimodal.flacFeatures(s, dir)),
     // signal-level audio analysis (zcr/energy/autocorrelation) over
     // the decoded ADPCM samples — integer-exact end to end
     "mm_audio_analysis" -> ((s, dir) => Multimodal.audioAnalysis(s, dir)),
@@ -2476,6 +2479,37 @@ object SparkEntry {
         |  CAST(mn AS INTEGER) AS min_sample,
         |  CAST(mx AS INTEGER) AS max_sample
         |FROM walk WHERE i = 48""".stripMargin,
+
+    // FLAC oracle: lossless coding means the features come straight
+    // off the closed-form sample derivation — each m byte twice
+    // (constant docs: m[1] 64 times); the engine must earn the same
+    // integers through Rice decode + predictor + CRC verification.
+    "mm_flac_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 32) ] AS m
+        |  FROM t
+        |)
+        |SELECT doc_id AS media_id, 'flac' AS codec,
+        |  CASE CAST(doc_id % 4 AS INTEGER)
+        |    WHEN 0 THEN 'constant' WHEN 1 THEN 'verbatim'
+        |    WHEN 2 THEN 'fixed1' ELSE 'fixed2' END AS mode,
+        |  CAST(64 AS INTEGER) AS n_samples,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 64 * (m[1] - 128)
+        |    ELSE 2 * list_sum(m) - 64 * 128 END AS BIGINT)
+        |    AS sum_samples,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN m[1] - 128
+        |    ELSE list_min(m) - 128 END AS INTEGER) AS min_sample,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN m[1] - 128
+        |    ELSE list_max(m) - 128 END AS INTEGER) AS max_sample
+        |FROM g""".stripMargin,
 
     // TIFF oracle: even rows r hold m[c] per column, odd rows are the
     // constant m[r] — sum = 8*sum(m) + 16*sum(odd m). Byte order,

@@ -737,6 +737,49 @@ object Multimodal {
       .toDF("media_id", "codec", "width", "height", "sum_gray")
   }
 
+  /** Fully-oracled FLAC-subset feature relation — the first
+    * ENTROPY-CODED audio path: each document's 64 closed-form samples
+    * ride a real two-frame stream (sync codes, UTF-8 frame numbers,
+    * CRC-8/CRC-16) whose subframe type cycles with doc parity —
+    * constant, verbatim, fixed order 1, fixed order 2 — through Rice
+    * residual coding. Compression is lossless, so the oracle
+    * recomputes the features straight from the sample derivation; the
+    * engine must reach the identical integers through bit-level Rice
+    * decode + predictor reconstruction + CRC verification.
+    */
+  def flacFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val modes = Array("constant", "verbatim", "fixed1", "fixed2")
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def tokByte(toks: Seq[String], i: Int): Int =
+          md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0xff
+        it.map { case (id, toks) =>
+          val m = Array.tabulate(32)(i => tokByte(toks, i))
+          val v = (id % 4).toInt
+          val samples =
+            if (v == 0) Array.fill(64)(m(0) - 128)
+            else Array.tabulate(64)(i => m(i % 32) - 128)
+          val enc = Flac.encode(samples, blockSize = 32,
+            mode = Array(0, 1, 3, 4)(v))
+          val dec = Flac.decode(enc).getOrElse(
+            throw new IllegalStateException(
+              s"flac fixture failed to decode for doc $id"))
+          var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+          dec.foreach { x =>
+            sum += x; if (x < mn) mn = x; if (x > mx) mx = x
+          }
+          (id, "flac", modes(v), dec.length, sum, mn, mx)
+        }
+      }
+      .toDF("media_id", "codec", "mode", "n_samples", "sum_samples",
+        "min_sample", "max_sample")
+  }
+
   /** Fully-oracled TIFF feature relation — the codec family's BYTE
     * ORDER axis: each document becomes a 16×16 grayscale baseline
     * TIFF, big-endian (`MM`) + PackBits for even doc_ids and
