@@ -507,6 +507,14 @@ object SparkEntry {
     // surrogate pairs, nested struct + array, FAILFAST read-back
     "json_roundtrip" -> ((s, dir) =>
       Bucketed.jsonRoundTrip(s, dir, scratchDir("json"))),
+    // small-file compaction: 64 scattered files -> 4 key-clustered
+    // ones via one range-partitioned rewrite; relation is identity
+    "compact_files" -> ((s, dir) =>
+      Bucketed.compactFiles(s, dir, scratchDir("compact"))),
+    // mergeSchema union read over two file generations; NULLs land
+    // exactly where a generation predates the added column
+    "schema_evolution" -> ((s, dir) =>
+      Bucketed.schemaEvolution(s, dir, scratchDir("evolve"))),
     // sitemap generation + StAX re-parse: per-host urlset XML with
     // real escaping (& in query strings), one host-keyed exchange
     "sitemap_urls" -> ((s, dir) => Sitemap.sitemapUrls(s, dir)),
@@ -3181,6 +3189,21 @@ object SparkEntry {
     "csv_roundtrip" ->
       """SELECT doc_id, source, n_chars,
         |  'x,"q"' || chr(10) || substr(text, 1, 16) AS tricky
+        |FROM documents""".stripMargin,
+
+    // Compaction oracle: the rewrite must be IDENTITY on the relation
+    // — layout is the only thing allowed to change.
+    "compact_files" ->
+      "SELECT doc_id, source, n_chars FROM documents",
+
+    // Schema-evolution oracle: the union-schema read puts NULL len on
+    // every generation-1 (even doc_id) row and the real value on
+    // generation 2 — misaligning either direction breaks the hash.
+    "schema_evolution" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE n_chars END AS len,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS INTEGER)
+        |    AS gen
         |FROM documents""".stripMargin,
 
     // JSONL oracle: rebuild the adversarial prefix (quote, backslash,

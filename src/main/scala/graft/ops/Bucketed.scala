@@ -204,6 +204,62 @@ object Bucketed {
         col("arr").getItem(0).as("a0"), col("arr").getItem(1).as("a1"))
   }
 
+  /** SMALL-FILE COMPACTION — the maintenance pass every streaming or
+    * incremental ingest needs at 100 TB: micro-batch writers leave
+    * thousands of KB-sized files per partition, and scan cost then
+    * scales with FILE COUNT (open + footer + planning per file), not
+    * bytes. The fixture deliberately manufactures the problem (the
+    * corpus slice scattered across 64 files) and compacts it with one
+    * range-partitioned, sorted rewrite into 4 key-clustered files —
+    * the same shuffle shape as the z-order rewrite, paid once at
+    * maintenance time. Semantics must be IDENTITY on the relation
+    * (the oracle recomputes it from the raw table); BucketedSpec pins
+    * the operational claims — file count collapses 64 → 4, and the
+    * per-file doc_id ranges are pairwise DISJOINT after compaction
+    * (clustering restores min/max pruning that interleaved small
+    * files destroy).
+    */
+  def compactFiles(
+      s: SparkSession, dir: String, scratch: String): DataFrame = {
+    val small = s"$scratch/small"
+    val compacted = s"$scratch/compacted"
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    docs.repartition(64)
+      .write.mode("overwrite").parquet(small)
+    s.read.parquet(small)
+      .repartitionByRange(4, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite").parquet(compacted)
+    s.read.parquet(compacted)
+  }
+
+  /** SCHEMA EVOLUTION round-trip: generation 1 files carry the
+    * original columns, generation 2 adds `len` — the shape every
+    * long-lived corpus reaches once enrichment passes start landing
+    * next to historical files. `mergeSchema` widens the scan to the
+    * union schema with NULLs where a generation predates a column;
+    * the oracle recomputes exactly which rows carry NULL, so hash
+    * equality pins the union-schema read (a reader taking the first
+    * file's footer as truth loses the column or misaligns it). Scale
+    * note: mergeSchema footer-merging costs one pass over file
+    * metadata, not data — and the result shows why evolving columns
+    * beat rewriting 100 TB of history.
+    */
+  def schemaEvolution(
+      s: SparkSession, dir: String, scratch: String): DataFrame = {
+    val path = s"$scratch/evolving"
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("source"))
+      .write.mode("overwrite").parquet(s"$path/gen=1")
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("source"), col("n_chars").as("len"))
+      .write.mode("overwrite").parquet(s"$path/gen=2")
+    s.read.option("mergeSchema", "true").parquet(path)
+      .select(col("doc_id"), col("source"), col("len"), col("gen"))
+  }
+
   /** Z-VALUE: bit-interleave two non-negative dimension keys into one
     * sort key (bit i of dim1 → bit 2i, of dim2 → bit 2i+1). Rows
     * close in BOTH dimensions land close in z-order, so sorting by z

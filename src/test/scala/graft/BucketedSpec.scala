@@ -152,6 +152,33 @@ class BucketedSpec extends SparkSpec {
     }
   }
 
+  test("compaction: 64 files -> 4, disjoint key ranges, identity rows") {
+    val dir = scratch + "/compact"
+    val out = Bucketed.compactFiles(spark, sf(), dir)
+    def parquetFiles(p: String): Array[java.io.File] =
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(dir + "/small").length == 64)
+    assert(parquetFiles(dir + "/compacted").length == 4)
+    // rows survive exactly
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "source", "n_chars")
+    assert(out.count() == docs.count())
+    assert(out.exceptAll(docs).isEmpty && docs.exceptAll(out).isEmpty)
+    // clustering: per-file doc_id ranges are pairwise disjoint after
+    // compaction — the property min/max pruning needs
+    val ranges = out
+      .select(input_file_name().as("f"), col("doc_id"))
+      .groupBy("f")
+      .agg(org.apache.spark.sql.functions.min("doc_id").as("lo"),
+        org.apache.spark.sql.functions.max("doc_id").as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, ranges.mkString(","))
+      case _ => ()
+    }
+  }
+
   test("zvalue interleaves bits: bit i of dim1 -> 2i, dim2 -> 2i+1") {
     import spark.implicits._
     val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
