@@ -312,6 +312,9 @@ object SparkEntry {
     "corpus_bpe_train" -> ((s, dir) => TextOps.bpeTrain(s, dir)),
     // tokenize-apply: corpus token frequencies after the k merges
     "corpus_bpe_tokenize" -> ((s, dir) => TextOps.bpeTokens(s, dir)),
+    // WordPiece-style greedy max-munch over top-words + alphabet
+    // vocab; segmentation on the distinct-word relation only
+    "corpus_wordpiece" -> ((s, dir) => TextOps.wordpieceTokens(s, dir)),
     // composite keep/drop verdict with per-rule drop reasons; costs
     // exactly one text_repetition (signals ride the same exchanges)
     "quality_filter" -> ((s, dir) => Filtering.qualityFilter(s, dir)),
@@ -1307,6 +1310,43 @@ object SparkEntry {
     "decontaminate_incremental" -> bloomOracle,
     // rank assigned over the full vocab here vs after the limit in the
     // engine — identical because the limit selects by the same order
+    // WordPiece oracle: rebuild the vocab (top-50 words + alphabet),
+    // then replay greedy max-munch per distinct word in a recursive
+    // CTE — the correlated subquery picks the longest matching entry,
+    // so hash equality pins every cursor decision.
+    "corpus_wordpiece" ->
+      """WITH RECURSIVE w AS (
+        |  SELECT tok AS word, count(*) AS n FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(lower(text)),
+        |      '\s+')) AS tok
+        |    FROM documents) t
+        |  WHERE tok <> '' GROUP BY 1
+        |), topw AS (
+        |  SELECT word AS v FROM w ORDER BY n DESC, word LIMIT 50
+        |), chars AS (
+        |  SELECT DISTINCT unnest([ substr(word, i + 1, 1)
+        |    for i in range(0, length(word)) ]) AS v FROM w
+        |), vocab AS (
+        |  SELECT v FROM topw UNION SELECT v FROM chars
+        |), s AS (
+        |  SELECT word, n, CAST(1 AS BIGINT) AS pos,
+        |    CAST(NULL AS VARCHAR) AS piece
+        |  FROM w
+        |  UNION ALL
+        |  SELECT word, n,
+        |    pos + length((SELECT v FROM vocab
+        |      WHERE v = substr(s.word, s.pos, length(v))
+        |      ORDER BY length(v) DESC, v LIMIT 1)),
+        |    (SELECT v FROM vocab
+        |      WHERE v = substr(s.word, s.pos, length(v))
+        |      ORDER BY length(v) DESC, v LIMIT 1)
+        |  FROM s WHERE pos <= length(word)
+        |)
+        |SELECT piece, CAST(sum(n) AS BIGINT) AS n_occurrences
+        |FROM s WHERE piece IS NOT NULL
+        |GROUP BY piece
+        |ORDER BY n_occurrences DESC, piece LIMIT 40""".stripMargin,
+
     "corpus_vocab" ->
       """WITH tok AS (
         |  SELECT doc_id,

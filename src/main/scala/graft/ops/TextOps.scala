@@ -466,4 +466,63 @@ object TextOps {
         length(scrubbed).as("n_chars"),
         md5(scrubbed.cast("binary")).as("scrub_fp"))
   }
+
+  /** WordPiece-style GREEDY max-munch tokenization — the other half of
+    * the subword family next to BPE's merge-rule apply: the vocabulary
+    * is the corpus's top-`topWords` whole words plus its full
+    * character alphabet (so segmentation can never fail), and each
+    * word is consumed left to right by always taking the LONGEST
+    * vocabulary entry matching at the cursor. (Real WordPiece marks
+    * continuations with `##`; this engine's variant uses one flat
+    * vocabulary — the greedy max-munch control flow, which is what
+    * distinguishes it from BPE, is identical.)
+    *
+    * Scale shape: the corpus is touched exactly once (the word-count
+    * aggregation); segmentation runs over the DISTINCT-WORD relation
+    * (vocabulary-sized, not corpus-sized) with the bounded vocab
+    * (topWords + |alphabet| entries) broadcast, and piece counts
+    * weight each word by its corpus frequency — the same
+    * distinct-then-weight economics the BPE trainer uses. Driver
+    * state is the bounded vocabulary only. The DuckDB oracle replays
+    * the greedy cursor per word in a recursive CTE whose step picks
+    * the longest matching entry by correlated subquery — hash
+    * equality pins every max-munch decision.
+    */
+  def wordpieceTokens(s: SparkSession, dir: String,
+      topWords: Int = 50, topPieces: Int = 40): DataFrame = {
+    import s.implicits._
+    val words = docs(s, dir)
+      .select(explode(wsTokens).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .cache()
+    val top = words.orderBy(col("n").desc, col("word")).limit(topWords)
+      .select("word").as[String].collect()
+    val alphabet = words.select(explode(transform(
+        sequence(lit(0), length(col("word")) - 1),
+        i => col("word").substr(i + 1, lit(1)))).as("c"))
+      .distinct().as[String].collect()
+    val vocab = (top ++ alphabet).toSet
+    val maxLen = vocab.iterator.map(_.length).max
+    val bc = s.sparkContext.broadcast((vocab, maxLen))
+    val pieces = words.as[(String, Long)].mapPartitions { it =>
+      val (v, ml) = bc.value
+      it.flatMap { case (w, n) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+        var pos = 0
+        while (pos < w.length) {
+          var l = math.min(ml, w.length - pos)
+          while (l > 1 && !v.contains(w.substring(pos, pos + l))) l -= 1
+          // l == 1 always matches: the alphabet is in the vocabulary
+          out += ((w.substring(pos, pos + l), n))
+          pos += l
+        }
+        out
+      }
+    }.toDF("piece", "n")
+    pieces.groupBy("piece")
+      .agg(sum(col("n")).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("piece"))
+      .limit(topPieces)
+  }
 }

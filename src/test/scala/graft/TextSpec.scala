@@ -189,4 +189,37 @@ class TextSpec extends SparkSpec {
     a.foreach(r => assert(r.getAs[String]("merged") ==
       r.getAs[String]("left_sym") + r.getAs[String]("right_sym")))
   }
+
+  test("wordpiece: pieces tile every word, each cut is the longest match") {
+    val out = TextOps.wordpieceTokens(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.nonEmpty && out.exists(_._1.length > 1))
+    // counts are positive and ordering is (n desc, piece asc)
+    assert(out.forall(_._2 > 0))
+    assert(out.sameElements(out.sortBy { case (p, n) => (-n, p) }))
+    // reimplement greedy max-munch on the driver over the same corpus
+    // and vocab; piece totals must agree exactly
+    val words = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("explode(split(trim(lower(text)), '\\\\s+')) AS w")
+      .where("w <> ''")
+      .collect().map(_.getString(0))
+      .groupBy(identity).map { case (w, g) => w -> g.length.toLong }
+    val top = words.toSeq.sortBy { case (w, n) => (-n, w) }.take(50)
+      .map(_._1)
+    val vocab = (top ++ words.keys.flatMap(_.map(_.toString))).toSet
+    val maxLen = vocab.map(_.length).max
+    val counts = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, n) =>
+      var pos = 0
+      while (pos < w.length) {
+        var l = math.min(maxLen, w.length - pos)
+        while (l > 1 && !vocab.contains(w.substring(pos, pos + l))) l -= 1
+        val piece = w.substring(pos, pos + l)
+        counts(piece) = counts.getOrElse(piece, 0L) + n
+        pos += l
+      }
+    }
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(40)
+    assert(out.toSeq == want)
+  }
 }
