@@ -144,6 +144,9 @@ object SparkEntry {
     "q1_pricing" -> ((s, dir) => Relational.pricingSummary(s, dir)),
     "q5_revenue" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "rollup_agg" -> ((s, dir) => Relational.rollupAgg(s, dir)),
+    // regr_slope/intercept/r2 family over integer-cents moment sums:
+    // exact at any shuffle width, doubles only in the final formula
+    "stats_regression" -> ((s, dir) => Relational.regression(s, dir)),
     "cube_agg" -> ((s, dir) => Relational.cubeAgg(s, dir)),
     // pivot with an EXPLICIT value list (no distinct-value pre-scan)
     // and its inverse melt
@@ -691,6 +694,43 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+
+    // Regression oracle: integer-cents moments (round(v*100) as
+    // BIGINT — exact, no per-row decimal rounding mode), DECIMAL(38,0)
+    // accumulators, and the identical final double expression order —
+    // slope/intercept/r2 come out bit-equal.
+    "stats_regression" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS xc,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS yc
+        |  FROM lineitem
+        |), m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(xc AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(yc AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(xc * yc AS DECIMAL(38,0))) AS sxy,
+        |    SUM(CAST(xc * xc AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(yc * yc AS DECIMAL(38,0))) AS syy
+        |  FROM c GROUP BY l_returnflag
+        |), d AS (
+        |  SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS nd,
+        |    CAST(sx AS DOUBLE) / 100.0 AS sxd,
+        |    CAST(sy AS DOUBLE) / 100.0 AS syd,
+        |    CAST(sxy AS DOUBLE) / 10000.0 AS sxyd,
+        |    CAST(sxx AS DOUBLE) / 10000.0 AS sxxd,
+        |    CAST(syy AS DOUBLE) / 10000.0 AS syyd
+        |  FROM m
+        |)
+        |SELECT l_returnflag, n,
+        |  (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) AS slope,
+        |  (syd - ((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd))
+        |    * sxd) / nd AS intercept,
+        |  (nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+        |    / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS r2
+        |FROM d""".stripMargin,
+
     "rollup_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty

@@ -68,6 +68,49 @@ object Relational {
         .as("revenue"))
   }
 
+  /** Least-squares regression aggregates per group — the
+    * corr/covar/regr_* family, decimal-mediated so the result is
+    * bit-reproducible cross-engine: the five moment sums (Σx, Σy,
+    * Σxy, Σx², Σy²) accumulate as DECIMAL(38,12) — exact, so shuffle
+    * width and combine order are immaterial — and only the FINAL
+    * slope/intercept/r² expressions drop to IEEE doubles, written
+    * with identical operation order on both engines. (The built-in
+    * `regr_slope`/`corr` aggregate doubles directly: partial-combine
+    * order then changes low bits across partitionings, which is
+    * exactly what a 100 TB hash gate cannot tolerate.) One scan, one
+    * group-keyed exchange with map-side partials.
+    */
+  def regression(s: SparkSession, dir: String): DataFrame = {
+    // integer-cents mediation: round(v*100) is the same long on every
+    // engine (the inputs are 2-decimal money/quantity, never near a
+    // .5 at cent precision), so the five moment sums are exact
+    // integers with no per-row decimal-rounding mode in sight; the
+    // DECIMAL(38,0) accumulator keeps them exact at any corpus scale
+    val xc = round(col("l_quantity") * 100).cast("long")
+    val yc = round(col("l_extendedprice") * 100).cast("long")
+    def sumx(c: Column): Column = sum(c.cast(DecimalType(38, 0)))
+    val m = rd(s, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sumx(xc).as("sx"), sumx(yc).as("sy"),
+        sumx(xc * yc).as("sxy"),
+        sumx(xc * xc).as("sxx"),
+        sumx(yc * yc).as("syy"))
+    val n = col("n").cast("double")
+    val sx = col("sx").cast("double") / 100.0
+    val sy = col("sy").cast("double") / 100.0
+    val sxy = col("sxy").cast("double") / 10000.0
+    val sxx = col("sxx").cast("double") / 10000.0
+    val syy = col("syy").cast("double") / 10000.0
+    val covn = n * sxy - sx * sy   // n^2 * covariance
+    val varxn = n * sxx - sx * sx  // n^2 * variance(x)
+    val varyn = n * syy - sy * sy
+    m.select(col("l_returnflag"), col("n"),
+      (covn / varxn).as("slope"),
+      ((sy - (covn / varxn) * sx) / n).as("intercept"),
+      (covn * covn / (varxn * varyn)).as("r2"))
+  }
+
   /** Hierarchical aggregation: ROLLUP over (returnflag, linestatus). */
   def rollupAgg(s: SparkSession, dir: String): DataFrame =
     rd(s, dir, "lineitem")
