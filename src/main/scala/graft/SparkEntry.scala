@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
-import graft.ops.{BloomIndex, Bucketed, Classifier, CrawlOps, Dedup, Incremental, LinkGraph,
+import graft.ops.{Archives, BloomIndex, Bucketed, Classifier, CrawlOps, Dedup, Incremental, LinkGraph,
   Encoding, EventOps, Filtering, LshIndex, MediaHeaders, Multimodal,
   PerceptualHash, Relational, Robots, Scd, Similarity, Sitemap, Sketches,
   Frontier, TextOps, TrainPrep, UrlOps, VectorIndex}
@@ -524,6 +524,12 @@ object SparkEntry {
     // sitemap generation + StAX re-parse: per-host urlset XML with
     // real escaping (& in query strings), one host-keyed exchange
     "sitemap_urls" -> ((s, dir) => Sitemap.sitemapUrls(s, dir)),
+    // ustar walk: checksum-verified 512-block entries, octal sizes,
+    // dir + file members; zero-exchange codec plan
+    "tar_members" -> ((s, dir) => Archives.tarInventory(s, dir)),
+    // zip via the central directory (EOCD backward scan past the
+    // comment), stored + raw-deflate members, CRC-32 verified
+    "zip_members" -> ((s, dir) => Archives.zipInventory(s, dir)),
     // politeness-partitioned fetch plan: robots-admitted URLs ranked
     // per host, cut into bounded waves; one host-keyed window
     "fetch_waves" -> ((s, dir) => Frontier.fetchWaves(s, dir)),
@@ -3310,6 +3316,40 @@ object SparkEntry {
     // Sitemap oracle: closed-form urls (the url_normalize derivation)
     // ordered by doc_id within host — the engine must reach the same
     // rows through render -> escape -> StAX parse -> unescape.
+    // Archive oracles: names/flags/sizes/content-md5 recomputed
+    // closed-form from the same text slices the members carry; the
+    // engine must reach them through checksum/CRC-verified parses.
+    "tar_members" ->
+      """WITH e AS (
+        |  SELECT doc_id, i,
+        |    CASE WHEN i = 0 THEN 'docs/'
+        |      ELSE 'docs/part' || CAST(i - 1 AS VARCHAR) || '.txt' END
+        |      AS name,
+        |    CASE WHEN i = 0 THEN '5' ELSE '0' END AS flag,
+        |    CASE WHEN i = 0 THEN ''
+        |      ELSE substr(text, 1 + 16 * CAST(i - 1 AS INTEGER), 16) END
+        |      AS content
+        |  FROM documents, (SELECT unnest(range(4)) AS i) t
+        |)
+        |SELECT doc_id, CAST(i AS INTEGER) AS ordinal, name, flag,
+        |  CAST(strlen(content) AS BIGINT) AS size,
+        |  md5(content) AS payload_md5
+        |FROM e""".stripMargin,
+
+    "zip_members" ->
+      """WITH e AS (
+        |  SELECT doc_id, i,
+        |    'm' || CAST(i AS VARCHAR) || '.dat' AS name,
+        |    CASE WHEN i % 2 = 0 THEN 'stored' ELSE 'deflate' END
+        |      AS method,
+        |    substr(text, 1 + 20 * CAST(i AS INTEGER), 20) AS content
+        |  FROM documents, (SELECT unnest(range(3)) AS i) t
+        |)
+        |SELECT doc_id, CAST(i AS INTEGER) AS ordinal, name, method,
+        |  CAST(strlen(content) AS BIGINT) AS size,
+        |  md5(content) AS payload_md5
+        |FROM e""".stripMargin,
+
     "sitemap_urls" ->
       """WITH nb AS (
         |  SELECT doc_id, source,
