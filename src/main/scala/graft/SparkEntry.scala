@@ -321,6 +321,9 @@ object SparkEntry {
     // composite keep/drop verdict with per-rule drop reasons; costs
     // exactly one text_repetition (signals ride the same exchanges)
     "quality_filter" -> ((s, dir) => Filtering.qualityFilter(s, dir)),
+    // per-source PSI drift score vs the corpus length distribution;
+    // 12-decimal log mediation makes the transcendental score exact
+    "drift_psi" -> ((s, dir) => Filtering.driftPsi(s, dir)),
     // train<-test n-gram leakage audit over the hash-stable split
     "leakage_split" -> ((s, dir) => Filtering.splitLeakage(s, dir)),
 
@@ -1655,6 +1658,43 @@ object SparkEntry {
         |    AS INTEGER) AS rank
         |FROM p ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
     "quality_filter" -> qualityFilterOracle,
+
+    // PSI oracle: same smoothed integer ratios, same 12-decimal
+    // rounded log terms, same DECIMAL(28,12) sum.
+    "drift_psi" ->
+      """WITH d AS (
+        |  SELECT source, least(9, n_chars // 200) AS bin FROM documents
+        |), cell AS (
+        |  SELECT source, bin, count(*) AS c FROM d GROUP BY 1, 2
+        |), srct AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS t FROM cell GROUP BY 1
+        |), bint AS (
+        |  SELECT bin, CAST(sum(c) AS BIGINT) AS cb FROM cell GROUP BY 1
+        |), tt AS (SELECT CAST(sum(c) AS BIGINT) AS tt FROM cell
+        |), grid AS (
+        |  SELECT s.source, s.t, b.i AS bin
+        |  FROM srct s, (SELECT unnest(range(10)) AS i) b
+        |), f AS (
+        |  SELECT g.source, g.t,
+        |    COALESCE(c.c, 0) AS c, COALESCE(bt.cb, 0) AS cb, tt.tt
+        |  FROM grid g
+        |  LEFT JOIN cell c ON c.source = g.source AND c.bin = g.bin
+        |  LEFT JOIN bint bt ON bt.bin = g.bin
+        |  CROSS JOIN tt
+        |), terms AS (
+        |  SELECT source, t,
+        |    CAST(round(
+        |      ((CAST(c + 1 AS DOUBLE) / CAST(t + 10 AS DOUBLE))
+        |        - (CAST(cb + 1 AS DOUBLE) / CAST(tt + 10 AS DOUBLE)))
+        |      * round(ln((CAST(c + 1 AS DOUBLE) / CAST(t + 10 AS DOUBLE))
+        |          / (CAST(cb + 1 AS DOUBLE) / CAST(tt + 10 AS DOUBLE))),
+        |        12),
+        |      12) AS DECIMAL(28,12)) AS term
+        |  FROM f
+        |)
+        |SELECT source, max(t) AS n_docs,
+        |  round(CAST(sum(term) AS DOUBLE), 6) AS psi
+        |FROM terms GROUP BY source""".stripMargin,
     "leakage_split" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -133,4 +133,46 @@ object Filtering {
         coalesce(col("n_leaked_grams"), lit(0L)).as("n_leaked_grams"))
       .withColumn("leaked", col("n_leaked_grams") > 0)
   }
+
+  /** Distribution-drift monitor: per-source Population Stability
+    * Index of the document-length distribution against the whole
+    * corpus — the QA gate a versioned corpus runs before a new drop
+    * ships (PSI ≳ 0.2 is the classic "investigate" bar). Lengths land
+    * in 10 fixed 200-char bins (capped), counts are Laplace-smoothed
+    * ((c+1)/(t+bins), exact integer ratios so both engines derive
+    * identical IEEE doubles), and each (share-difference × log-ratio)
+    * term is rounded to 12 decimals and summed as DECIMAL(28,12) —
+    * the same decimal mediation that makes surprisal/PageRank
+    * hash-stable, here making a transcendental drift score
+    * cross-engine exact. Shape: one corpus scan into a
+    * (source, bin)-keyed aggregate; everything after is
+    * |sources|×|bins| rows.
+    */
+  def driftPsi(s: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    val cell = docs(s, dir)
+      .select(col("source"),
+        least(lit(nBins - 1L), (col("n_chars") / 200).cast("long"))
+          .as("bin"))
+      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val srcTot = cell.groupBy("source").agg(sum("c").as("t"))
+    val binTot = cell.groupBy("bin").agg(sum("c").as("cb"))
+    val tot = cell.agg(sum("c").as("tt"))
+    val grid = srcTot.crossJoin(
+      s.range(nBins).withColumnRenamed("id", "bin"))
+    val full = grid
+      .join(cell, Seq("source", "bin"), "left").na.fill(0L, Seq("c"))
+      .join(binTot, Seq("bin"), "left").na.fill(0L, Seq("cb"))
+      .crossJoin(broadcast(tot))
+    val p = (col("c") + 1).cast("double") /
+      (col("t") + nBins).cast("double")
+    val q = (col("cb") + 1).cast("double") /
+      (col("tt") + nBins).cast("double")
+    val term = round((p - q) * round(log(p / q), 12), 12)
+      .cast("decimal(28,12)")
+    full.select(col("source"), col("t"), term.as("term"))
+      .groupBy("source")
+      .agg(max(col("t")).as("n_docs"), sum("term").as("psi_sum"))
+      .select(col("source"), col("n_docs"),
+        round(col("psi_sum").cast("double"), 6).as("psi"))
+  }
 }
