@@ -190,6 +190,9 @@ object SparkEntry {
     // and RANGE-frame trailing aggregates (the irregular-spacing
     // window ROWS frames can't express)
     "events_gapfill" -> ((s, dir) => EventOps.gapfillLocf(s, dir)),
+    // EWMA smoothing + spike/dip labels: 12-decimal-rounded
+    // recurrence over the calendar-bounded hour relation
+    "events_ewma" -> ((s, dir) => EventOps.ewmaAnomaly(s, dir)),
     "events_running" -> ((s, dir) => EventOps.runningTotals(s, dir)),
     // ordered funnel: chained gated window minima, one exchange
     "events_funnel" -> ((s, dir) => EventOps.funnel(s, dir)),
@@ -952,6 +955,36 @@ object SparkEntry {
         |  lag(value) OVER w AS prev_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)""".stripMargin,
+    // EWMA oracle: the same recurrence replayed hour-rank by
+    // hour-rank in a recursive CTE, each step rounded to 12 decimals;
+    // the spike/dip compare reads the PRIOR smoothed level.
+    "events_ewma" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1
+        |), idx AS (
+        |  SELECT hour, c,
+        |    CAST(row_number() OVER (ORDER BY hour) AS BIGINT) AS i
+        |  FROM h
+        |), r AS (
+        |  SELECT i, hour, c, CAST(c AS DOUBLE) AS e,
+        |    CAST(NULL AS DOUBLE) AS prev
+        |  FROM idx WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.i, x.hour, x.c,
+        |    round(CAST(0.25 AS DOUBLE) * x.c
+        |      + CAST(0.75 AS DOUBLE) * r.e, 12),
+        |    r.e
+        |  FROM idx x JOIN r ON x.i = r.i + 1
+        |)
+        |SELECT hour, c AS n_events, round(e, 6) AS ewma,
+        |  CASE WHEN prev IS NULL THEN 'start'
+        |    WHEN c > 2.0 * prev THEN 'spike'
+        |    WHEN 2.0 * c < prev THEN 'dip'
+        |    ELSE 'normal' END AS label
+        |FROM r""".stripMargin,
+
     "events_gapfill" ->
       """WITH hourly AS (
         |  SELECT user_id,

@@ -351,4 +351,49 @@ object EventOps {
       sum(dec).over(wDay).cast("double").as("day_value"),
       count(lit(1)).over(wDay).as("day_n"))
   }
+
+  /** EWMA smoothing + spike/dip anomaly labels over hourly event
+    * counts — the iterated-recurrence sibling of the window family:
+    * e₁ = c₁, eᵢ = 0.25·cᵢ + 0.75·eᵢ₋₁ (coefficients chosen exactly
+    * representable in binary), each step rounded to 12 decimals so
+    * the sequential float recurrence is cross-engine exact (the
+    * surprisal/PageRank mediation). An hour is a `spike` when its
+    * count exceeds 2× the PRIOR smoothed level, a `dip` below half —
+    * the detector never reads its own hour, so one anomalous hour
+    * cannot mask itself.
+    *
+    * Scale shape: the only corpus-proportional stage is the hourly
+    * count aggregate (map-side partials); the recurrence runs over
+    * the calendar-bounded hour relation packed into ONE row
+    * (sort_array for deterministic order) and unrolled with the
+    * `aggregate` HOF — the same O(hours) ceiling the concurrency
+    * sweep rides. The DuckDB oracle replays the recurrence in a
+    * recursive CTE keyed by hour rank.
+    */
+  def ewmaAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val hourly = load(s, dir)
+      .select((col("ts_us") / 3600000000L).cast("long").as("hour"))
+      .groupBy("hour").agg(count(lit(1)).as("c"))
+    hourly
+      .agg(sort_array(collect_list(struct(col("hour"), col("c"))))
+        .as("hc"))
+      .withColumn("ew", expr(
+        """aggregate(hc, CAST(array() AS ARRAY<DOUBLE>),
+          |  (acc, x) -> array_append(acc,
+          |    CASE WHEN size(acc) = 0 THEN CAST(x.c AS DOUBLE)
+          |      ELSE round(CAST(0.25 AS DOUBLE) * x.c
+          |        + CAST(0.75 AS DOUBLE) * element_at(acc, -1), 12)
+          |    END))""".stripMargin))
+      .select(posexplode(col("hc")).as(Seq("pos", "x")), col("ew"))
+      .select(
+        col("x.hour").as("hour"),
+        col("x.c").as("n_events"),
+        round(element_at(col("ew"), col("pos") + 1), 6).as("ewma"),
+        when(col("pos") === 0, lit("start"))
+          .when(col("x.c") >
+            lit(2.0) * element_at(col("ew"), col("pos")), lit("spike"))
+          .when(lit(2.0) * col("x.c") <
+            element_at(col("ew"), col("pos")), lit("dip"))
+          .otherwise(lit("normal")).as("label"))
+  }
 }
