@@ -307,6 +307,9 @@ object SparkEntry {
     // corpus vocabulary: wordcount + doc frequency, top-k by count
     "corpus_vocab" -> ((s, dir) => TextOps.vocabTopK(s, dir)),
     "text_pii_scrub" -> ((s, dir) => TextOps.piiScrub(s, dir)),
+    // sentence segmentation stats: RE2-safe terminator runs, zero
+    // exchanges, per-doc count/length/fingerprint
+    "text_sentences" -> ((s, dir) => TextOps.sentences(s, dir)),
     // unigram-LM surprisal: decimal-mediated mean, token-keyed joins
     "text_surprisal" -> ((s, dir) => TextOps.surprisal(s, dir)),
     // BPE first-merge pair statistics: corpus touched once (wordcount),
@@ -1620,6 +1623,25 @@ object SparkEntry {
     // PII scrub: synthetic email/phone/SSN injected identically on
     // both sides, then the same RE2/Java-portable patterns count and
     // redact; the scrubbed text is compared by length + md5.
+    // Sentence oracle: same injected punctuation (translate), same
+    // terminator-run matches — RE2's plain + is linear and equals the
+    // JVM side's possessive ++ on these disjoint classes.
+    "text_sentences" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    regexp_extract_all(translate(text, 'eo', '.!'),
+        |      '[^.!?]+[.!?]') AS arr
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(arr) AS INTEGER) AS n_sentences,
+        |  CAST(COALESCE(list_sum([ length(x) for x in arr ]), 0)
+        |    AS BIGINT) AS total_chars,
+        |  CAST(COALESCE(list_max([ length(x) for x in arr ]), 0)
+        |    AS INTEGER) AS max_chars,
+        |  COALESCE(md5(arr[1]), 'none') AS first_fp
+        |FROM a""".stripMargin,
+
     "text_pii_scrub" ->
       """WITH aug AS (
         |  SELECT doc_id,

@@ -467,6 +467,38 @@ object TextOps {
         md5(scrubbed.cast("binary")).as("scrub_fp"))
   }
 
+  /** Sentence segmentation stats — the sentence-level sibling of the
+    * token/char quality scores: sentences are maximal runs ending in
+    * `.`/`!`/`?`, and the per-doc relation carries count, total/max
+    * sentence length, and the first sentence's fingerprint. The
+    * fixture corpus carries no sentence punctuation, so the operator
+    * first derives a punctuated variant via `translate` (mirrored in
+    * the oracle — the piiScrub injection convention). Trailing text
+    * with no terminator is deliberately not a sentence.
+    *
+    * Regex-engine note: the quantifier is POSSESSIVE (`++`) on the
+    * JVM side — with a greedy `+`, every unterminated tail is an
+    * O(n²) backtracking failure in `java.util.regex` (measured 3.5 ms
+    * per 460-char row before the fix); the disjoint character classes
+    * make possessive ≡ greedy in MATCH semantics, so DuckDB's RE2 —
+    * linear by construction, and without possessive syntax — uses
+    * plain `+` for identical results. Narrow built-ins, zero
+    * exchanges.
+    */
+  def sentences(s: SparkSession, dir: String): DataFrame = {
+    val punct = translate(col("text"), "eo", ".!")
+    val arr = regexp_extract_all(punct, lit("[^.!?]++[.!?]"), lit(0))
+    docs(s, dir).select(
+      col("doc_id"),
+      size(arr).as("n_sentences"),
+      aggregate(arr, lit(0L), (a, x) => a + length(x).cast("long"))
+        .as("total_chars"),
+      coalesce(array_max(transform(arr, x => length(x))), lit(0))
+        .as("max_chars"),
+      coalesce(md5(try_element_at(arr, lit(1)).cast("binary")), lit("none"))
+        .as("first_fp"))
+  }
+
   /** WordPiece-style GREEDY max-munch tokenization — the other half of
     * the subword family next to BPE's merge-rule apply: the vocabulary
     * is the corpus's top-`topWords` whole words plus its full
