@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
-import graft.ops.{Archives, BloomIndex, Bucketed, Classifier, CrawlOps, Dedup, Incremental, LinkGraph,
+import graft.ops.{Archives, Avro, BloomIndex, Bucketed, Classifier, CrawlOps, Dedup, Incremental, LinkGraph,
   Encoding, EventOps, Filtering, LshIndex, MediaHeaders, Multimodal,
   PerceptualHash, Relational, Robots, Scd, Similarity, Sitemap, Sketches,
   Frontier, TextOps, TrainPrep, UrlOps, VectorIndex}
@@ -536,6 +536,9 @@ object SparkEntry {
     // ustar walk: checksum-verified 512-block entries, octal sizes,
     // dir + file members; zero-exchange codec plan
     "tar_members" -> ((s, dir) => Archives.tarInventory(s, dir)),
+    // from-scratch Avro OCF: zigzag varints, metadata map, verified
+    // sync markers, null + deflate block codecs
+    "avro_records" -> ((s, dir) => Avro.avroRecords(s, dir)),
     // zip via the central directory (EOCD backward scan past the
     // comment), stored + raw-deflate members, CRC-32 verified
     "zip_members" -> ((s, dir) => Archives.zipInventory(s, dir)),
@@ -3414,6 +3417,25 @@ object SparkEntry {
     // Archive oracles: names/flags/sizes/content-md5 recomputed
     // closed-form from the same text slices the members carry; the
     // engine must reach them through checksum/CRC-verified parses.
+    // Avro oracle: ids/tags/scores recomputed closed-form (scores are
+    // integer-derived doubles, IEEE-exact through the 8-byte LE
+    // round-trip); the codec column comes from the PARSED metadata.
+    "avro_records" ->
+      """WITH e AS (
+        |  SELECT doc_id, i,
+        |    CASE i WHEN 0 THEN substr(text, 1, 8)
+        |      WHEN 1 THEN substr(text, 9, 8)
+        |      ELSE substr(text, 17, 8) END AS tag
+        |  FROM documents, (SELECT unnest(range(3)) AS i) t
+        |)
+        |SELECT doc_id, CAST(i AS INTEGER) AS ordinal,
+        |  doc_id * 3 + i AS rec_id, tag,
+        |  CAST(doc_id % 97 AS DOUBLE) / CAST(4 AS DOUBLE)
+        |    + CAST(i AS DOUBLE) AS score,
+        |  CASE WHEN doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END
+        |    AS codec
+        |FROM e""".stripMargin,
+
     "tar_members" ->
       """WITH e AS (
         |  SELECT doc_id, i,
