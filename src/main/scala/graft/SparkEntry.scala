@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
-import graft.ops.{Archives, Avro, BloomIndex, Bucketed, Classifier, CrawlOps, Dedup, Incremental, LinkGraph,
+import graft.ops.{Archives, Avro, BloomIndex, Proto, Bucketed, Classifier, CrawlOps, Dedup, Incremental, LinkGraph,
   Encoding, EventOps, Filtering, LshIndex, MediaHeaders, Multimodal,
   PerceptualHash, Relational, Robots, Scd, Similarity, Sitemap, Sketches,
   Frontier, TextOps, TrainPrep, UrlOps, VectorIndex}
@@ -539,6 +539,9 @@ object SparkEntry {
     // from-scratch Avro OCF: zigzag varints, metadata map, verified
     // sync markers, null + deflate block codecs
     "avro_records" -> ((s, dir) => Avro.avroRecords(s, dir)),
+    // protobuf wire format: tag dispatch, zigzag/packed/nested
+    // fields, unknown-field skipping load-bearing on odd docs
+    "proto_records" -> ((s, dir) => Proto.protoRecords(s, dir)),
     // zip via the central directory (EOCD backward scan past the
     // comment), stored + raw-deflate members, CRC-32 verified
     "zip_members" -> ((s, dir) => Archives.zipInventory(s, dir)),
@@ -3417,6 +3420,19 @@ object SparkEntry {
     // Archive oracles: names/flags/sizes/content-md5 recomputed
     // closed-form from the same text slices the members carry; the
     // engine must reach them through checksum/CRC-verified parses.
+    // Proto oracle: every decoded field recomputed closed-form — a
+    // decoder that cannot skip the unknown fields injected on odd
+    // docs desyncs and mismatches half the corpus.
+    "proto_records" ->
+      """SELECT doc_id, doc_id - 500 AS rec_id,
+        |  substr(text, 1, 12) AS name,
+        |  CAST(doc_id % 89 AS DOUBLE) / CAST(8 AS DOUBLE) AS weight,
+        |  (doc_id * 2654435761) % 4294967296 AS checksum,
+        |  CAST(4 AS INTEGER) AS n_vals,
+        |  doc_id % 7 + doc_id % 11 + doc_id % 13 + n_chars AS sum_vals,
+        |  lang, n_chars AS meta_n
+        |FROM documents""".stripMargin,
+
     // Avro oracle: ids/tags/scores recomputed closed-form (scores are
     // integer-derived doubles, IEEE-exact through the 8-byte LE
     // round-trip); the codec column comes from the PARSED metadata.
