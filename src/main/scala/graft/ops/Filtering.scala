@@ -149,11 +149,16 @@ object Filtering {
     * |sources|×|bins| rows.
     */
   def driftPsi(s: SparkSession, dir: String, nBins: Int = 10): DataFrame = {
+    // cached: four consumers (per-source totals, the grid join, bin
+    // totals, the corpus total) would otherwise each replay the
+    // corpus scan — with the |sources|x|bins| aggregate cached, the
+    // corpus is read ONCE and everything downstream reads rows
     val cell = docs(s, dir)
       .select(col("source"),
         least(lit(nBins - 1L), (col("n_chars") / 200).cast("long"))
           .as("bin"))
       .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+      .cache()
     val srcTot = cell.groupBy("source").agg(sum("c").as("t"))
     val binTot = cell.groupBy("bin").agg(sum("c").as("cb"))
     val tot = cell.agg(sum("c").as("tt"))
