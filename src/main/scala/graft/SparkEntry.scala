@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
-import graft.ops.{Archives, Avro, BloomIndex, Proto, Bucketed, Classifier, CrawlOps, Dedup, Incremental, LinkGraph,
+import graft.ops.{Archives, Avro, BloomIndex, Profiling, Proto, Bucketed, Classifier, CrawlOps, Dedup, Incremental, LinkGraph,
   Encoding, EventOps, Filtering, LshIndex, MediaHeaders, Multimodal,
   PerceptualHash, Relational, Robots, Scd, Similarity, Sitemap, Sketches,
   Frontier, TextOps, TrainPrep, UrlOps, VectorIndex}
@@ -327,6 +327,13 @@ object SparkEntry {
     // composite keep/drop verdict with per-rule drop reasons; costs
     // exactly one text_repetition (signals ride the same exchanges)
     "quality_filter" -> ((s, dir) => Filtering.qualityFilter(s, dir)),
+    // one-scan column profiling: exact distinct/nulls/min/max and a
+    // deterministically tie-broken top value per column
+    "profile_columns" -> ((s, dir) => Profiling.profileColumns(s, dir)),
+    // Deequ-shaped expectation suite: uniqueness, completeness,
+    // range, and cross-table referential integrity, exact metrics
+    "check_expectations" ->
+      ((s, dir) => Profiling.checkExpectations(s, dir)),
     // per-source PSI drift score vs the corpus length distribution;
     // 12-decimal log mediation makes the transcendental score exact
     "drift_psi" -> ((s, dir) => Filtering.driftPsi(s, dir)),
@@ -1719,6 +1726,63 @@ object SparkEntry {
         |    AS INTEGER) AS rank
         |FROM p ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
     "quality_filter" -> qualityFilterOracle,
+
+    // Profiling oracles: exact replays — the top value folds into
+    // lpad(count)|value strings so the tie-break is binary-collation
+    // max on both engines, not arg_max nondeterminism.
+    "profile_columns" ->
+      """WITH long AS (
+        |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v
+        |  FROM documents
+        |  UNION ALL SELECT 'text', text FROM documents
+        |  UNION ALL SELECT 'lang', lang FROM documents
+        |  UNION ALL SELECT 'source', source FROM documents
+        |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+        |  FROM documents
+        |), vc AS (
+        |  SELECT col_name, v, count(*) AS cnt FROM long GROUP BY 1, 2
+        |)
+        |SELECT col_name,
+        |  CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |  CAST(COALESCE(sum(cnt) FILTER (v IS NULL), 0) AS BIGINT)
+        |    AS n_nulls,
+        |  CAST(count(*) FILTER (v IS NOT NULL) AS BIGINT) AS n_distinct,
+        |  min(v) AS min_value, max(v) AS max_value,
+        |  substr(max(CASE WHEN v IS NOT NULL
+        |    THEN lpad(CAST(cnt AS VARCHAR), 12, '0') || '|' || v END),
+        |    14) AS top_value,
+        |  CAST(substr(max(CASE WHEN v IS NOT NULL
+        |    THEN lpad(CAST(cnt AS VARCHAR), 12, '0') || '|' || v END),
+        |    1, 12) AS BIGINT) AS top_count
+        |FROM vc GROUP BY col_name""".stripMargin,
+
+    "check_expectations" ->
+      """SELECT 'doc_id_unique' AS check_name, n = 0 AS passed,
+        |  n AS metric FROM (SELECT CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT doc_id FROM documents GROUP BY doc_id
+        |    HAVING count(*) > 1))
+        |UNION ALL
+        |SELECT 'doc_id_complete', n = 0, n FROM (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE doc_id IS NULL)
+        |UNION ALL
+        |SELECT 'n_chars_range', n = 0, n FROM (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE n_chars < 0 OR n_chars > 100000)
+        |UNION ALL
+        |SELECT 'lang_complete', n = 0, n FROM (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        |  WHERE lang IS NULL)
+        |UNION ALL
+        |SELECT 'orders_customer_fk', n = 0, n FROM (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM orders o
+        |  WHERE NOT EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL
+        |SELECT 'lineitem_orders_fk', n = 0, n FROM (
+        |  SELECT CAST(count(*) AS BIGINT) AS n FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey))""".stripMargin,
 
     // PSI oracle: same smoothed integer ratios, same 12-decimal
     // rounded log terms, same DECIMAL(28,12) sum.
