@@ -310,6 +310,8 @@ object SparkEntry {
     // sentence segmentation stats: RE2-safe terminator runs, zero
     // exchanges, per-doc count/length/fingerprint
     "text_sentences" -> ((s, dir) => TextOps.sentences(s, dir)),
+    // Flesch reading ease: exact integer counts, final double formula
+    "text_readability" -> ((s, dir) => TextOps.readability(s, dir)),
     // unigram-LM surprisal: decimal-mediated mean, token-keyed joins
     "text_surprisal" -> ((s, dir) => TextOps.surprisal(s, dir)),
     // BPE first-merge pair statistics: corpus touched once (wordcount),
@@ -1636,6 +1638,31 @@ object SparkEntry {
     // PII scrub: synthetic email/phone/SSN injected identically on
     // both sides, then the same RE2/Java-portable patterns count and
     // redact; the scrubbed text is compared by length + md5.
+    // Readability oracle: same counts, same formula order; constants
+    // cast from the same decimal literals land on the same doubles.
+    "text_readability" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    greatest(len(regexp_extract_all(
+        |      translate(text, 'eo', '.!'), '[^.!?]+[.!?]')), 1)
+        |      AS n_sent,
+        |    greatest(len(list_filter(regexp_split_to_array(
+        |      trim(lower(text)), '\s+'), w -> w <> '')), 1) AS n_words,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(n_words AS INTEGER) AS n_words,
+        |  CAST(n_sent AS INTEGER) AS n_sentences,
+        |  CAST(n_syll AS INTEGER) AS n_syllables,
+        |  round(CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE)
+        |      * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+        |    - CAST(84.6 AS DOUBLE)
+        |      * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |    6) AS flesch
+        |FROM a""".stripMargin,
+
     // Sentence oracle: same injected punctuation (translate), same
     // terminator-run matches — RE2's plain + is linear and equals the
     // JVM side's possessive ++ on these disjoint classes.

@@ -499,6 +499,37 @@ object TextOps {
         .as("first_fp"))
   }
 
+  /** Flesch reading-ease per document — the classic readability
+    * signal quality filters threshold on: words per sentence and
+    * syllables per word, where sentences use [[sentences]]' injected
+    * punctuation and syllables are vowel-group runs (the standard
+    * heuristic). Every count is an exact integer; the score's three
+    * constants and two ratios are integer-derived doubles computed
+    * in the same order on both engines, rounded to 6. Zero
+    * exchanges, all codegen'd built-ins.
+    */
+  def readability(s: SparkSession, dir: String): DataFrame = {
+    val punct = translate(col("text"), "eo", ".!")
+    val nSent = greatest(
+      size(regexp_extract_all(punct, lit("[^.!?]++[.!?]"), lit(0))),
+      lit(1))
+    val nWords = greatest(
+      size(filter(wsTokens, w => w =!= "")), lit(1))
+    val nSyll = size(
+      regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0)))
+    docs(s, dir).select(
+      col("doc_id"),
+      nWords.as("n_words"), nSent.as("n_sentences"),
+      nSyll.as("n_syllables"),
+      round(
+        lit(206.835)
+          - lit(1.015) *
+            (nWords.cast("double") / nSent.cast("double"))
+          - lit(84.6) *
+            (nSyll.cast("double") / nWords.cast("double")),
+        6).as("flesch"))
+  }
+
   /** WordPiece-style GREEDY max-munch tokenization — the other half of
     * the subword family next to BPE's merge-rule apply: the vocabulary
     * is the corpus's top-`topWords` whole words plus its full
