@@ -193,6 +193,9 @@ object SparkEntry {
     // EWMA smoothing + spike/dip labels: 12-decimal-rounded
     // recurrence over the calendar-bounded hour relation
     "events_ewma" -> ((s, dir) => EventOps.ewmaAnomaly(s, dir)),
+    // token-bucket admission per user: integer micro-token recurrence
+    // over per-user sorted arrays, one user-keyed exchange
+    "events_token_bucket" -> ((s, dir) => EventOps.tokenBucket(s, dir)),
     "events_running" -> ((s, dir) => EventOps.runningTotals(s, dir)),
     // ordered funnel: chained gated window minima, one exchange
     "events_funnel" -> ((s, dir) => EventOps.funnel(s, dir)),
@@ -973,6 +976,44 @@ object SparkEntry {
         |  lag(value) OVER w AS prev_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)""".stripMargin,
+    // Token-bucket oracle: the same integer recurrence replayed per
+    // (user, rank) in a recursive CTE — capacity 6e10 micro-tokens,
+    // refill = elapsed microseconds, admit costs 2e10 (20000 s).
+    "events_token_bucket" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS t,
+        |    CAST(row_number() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000) AS BIGINT) AS i
+        |  FROM events
+        |), n AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY 1
+        |), r AS (
+        |  SELECT user_id, i, t,
+        |    CAST(60000000000 - 20000000000 AS BIGINT) AS tok,
+        |    CAST(1 AS BIGINT) AS adm
+        |  FROM e WHERE i = 1
+        |  UNION ALL
+        |  SELECT x.user_id, x.i, x.t,
+        |    CASE WHEN least(60000000000, r.tok + (x.t - r.t)) >= 20000000000
+        |      THEN least(60000000000, r.tok + (x.t - r.t)) - 20000000000
+        |      ELSE least(60000000000, r.tok + (x.t - r.t)) END,
+        |    r.adm + CASE WHEN least(60000000000, r.tok + (x.t - r.t))
+        |      >= 20000000000 THEN 1 ELSE 0 END
+        |  FROM e x JOIN r ON x.user_id = r.user_id AND x.i = r.i + 1
+        |), last AS (
+        |  SELECT user_id, tok, adm,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY i DESC)
+        |      AS rn
+        |  FROM r
+        |)
+        |SELECT n.user_id, n.n_events,
+        |  CAST(l.adm AS BIGINT) AS n_admitted,
+        |  n.n_events - CAST(l.adm AS BIGINT) AS n_throttled,
+        |  CAST(l.tok AS BIGINT) AS final_micro_tokens
+        |FROM n JOIN last l ON l.user_id = n.user_id AND l.rn = 1"""
+        .stripMargin,
+
     // EWMA oracle: the same recurrence replayed hour-rank by
     // hour-rank in a recursive CTE, each step rounded to 12 decimals;
     // the spike/dip compare reads the PRIOR smoothed level.

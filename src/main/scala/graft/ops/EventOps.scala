@@ -352,6 +352,54 @@ object EventOps {
       count(lit(1)).over(wDay).as("day_n"))
   }
 
+  /** Token-bucket rate limiting per user — the admission-control
+    * decision a crawl/API front end applies, replayed EXACTLY:
+    * capacity 3 tokens, refill 1 token per 20000 s (sized to this
+    * fixture's inter-arrival distribution so BOTH paths are live —
+    * ~p05 gaps throttle, the median refills), one token per event.
+    * All arithmetic is integer micro-tokens (1 token = 2·10¹⁰ micro,
+    * refill = elapsed µs), so the per-user recurrence
+    * `tok' = min(cap, tok + dt); admit iff tok' ≥ cost` is
+    * cross-engine exact with no float in sight. Each user's event
+    * times pack into one sorted array (bounded by events-per-user,
+    * the same justification as sessionization's per-user windows) and
+    * the bucket unrolls with the `aggregate` HOF; the DuckDB oracle
+    * replays it per (user, rank) in a recursive CTE. One user-keyed
+    * Exchange is the only shuffle.
+    */
+  def tokenBucket(s: SparkSession, dir: String): DataFrame = {
+    val capMicro = 60000000000L // 3 tokens at 20000 s/token
+    load(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("ts_us"))).as("ts"))
+      .withColumn("st", expr(
+        s"""aggregate(ts,
+           |  named_struct('tok', CAST($capMicro AS BIGINT),
+           |    'last', CAST(NULL AS BIGINT), 'adm', CAST(0 AS BIGINT)),
+           |  (acc, t) -> named_struct(
+           |    'tok', CASE WHEN least(CAST($capMicro AS BIGINT),
+           |        acc.tok + coalesce(t - acc.last, CAST(0 AS BIGINT)))
+           |        >= CAST(20000000000 AS BIGINT)
+           |      THEN least(CAST($capMicro AS BIGINT),
+           |        acc.tok + coalesce(t - acc.last, CAST(0 AS BIGINT)))
+           |        - CAST(20000000000 AS BIGINT)
+           |      ELSE least(CAST($capMicro AS BIGINT),
+           |        acc.tok + coalesce(t - acc.last, CAST(0 AS BIGINT)))
+           |    END,
+           |    'last', t,
+           |    'adm', acc.adm + CASE WHEN least(CAST($capMicro AS BIGINT),
+           |        acc.tok + coalesce(t - acc.last, CAST(0 AS BIGINT)))
+           |        >= CAST(20000000000 AS BIGINT)
+           |      THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END))"""
+          .stripMargin))
+      .select(col("user_id"),
+        size(col("ts")).cast("long").as("n_events"),
+        col("st.adm").as("n_admitted"),
+        (size(col("ts")).cast("long") - col("st.adm"))
+          .as("n_throttled"),
+        col("st.tok").as("final_micro_tokens"))
+  }
+
   /** EWMA smoothing + spike/dip anomaly labels over hourly event
     * counts — the iterated-recurrence sibling of the window family:
     * e₁ = c₁, eᵢ = 0.25·cᵢ + 0.75·eᵢ₋₁ (coefficients chosen exactly
