@@ -165,4 +165,44 @@ class EventOpsSpec extends SparkSpec {
         || plan.contains("BroadcastHashJoin"),
       plan.take(3000))
   }
+
+  test("token bucket matches a driver-side replay; both paths live") {
+    import graft.ops.EventOps
+    val got = EventOps.tokenBucket(spark, sf()).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val cap = 60000000000L; val cost = 20000000000L
+    val byUser = EventOps.load(spark, sf())
+      .select("user_id", "ts_us").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).sorted }
+    byUser.foreach { case (u, ts) =>
+      var tok = cap; var last = -1L; var adm = 0L
+      ts.foreach { t =>
+        val t1 = math.min(cap, tok + (if (last < 0) 0L else t - last))
+        if (t1 >= cost) { adm += 1; tok = t1 - cost } else tok = t1
+        last = t
+      }
+      assert(got(u) == ((ts.length.toLong, adm, ts.length - adm, tok)),
+        s"user $u")
+    }
+    val totalThrottled = got.values.map(_._3).sum
+    assert(totalThrottled > 0, "fixture must exercise the deny path")
+    assert(got.values.map(_._2).sum > 0)
+  }
+
+  test("readability: counts positive, score formula consistent per row") {
+    import graft.ops.TextOps
+    val rows = TextOps.readability(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, sents, syl, f) = (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getDouble(4))
+      assert(w >= 1 && sents >= 1 && syl >= 0)
+      val want = BigDecimal(206.835 - 1.015 * (w.toDouble / sents) -
+        84.6 * (syl.toDouble / w))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(f - want) < 1e-9, s"doc ${r.getLong(0)}")
+    }
+  }
 }
