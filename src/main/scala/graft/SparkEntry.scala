@@ -315,6 +315,9 @@ object SparkEntry {
     "text_sentences" -> ((s, dir) => TextOps.sentences(s, dir)),
     // Flesch reading ease: exact integer counts, final double formula
     "text_readability" -> ((s, dir) => TextOps.readability(s, dir)),
+    // PMI collocations: exact bigram/unigram counts, fixed-order
+    // probability ratios, 12-decimal log — deterministic top-30
+    "corpus_pmi" -> ((s, dir) => TextOps.pmiCollocations(s, dir)),
     // unigram-LM surprisal: decimal-mediated mean, token-keyed joins
     "text_surprisal" -> ((s, dir) => TextOps.surprisal(s, dir)),
     // BPE first-merge pair statistics: corpus touched once (wordcount),
@@ -1679,6 +1682,38 @@ object SparkEntry {
     // PII scrub: synthetic email/phone/SSN injected identically on
     // both sides, then the same RE2/Java-portable patterns count and
     // redact; the scrubbed text is compared by length + md5.
+    // PMI oracle: same 1-based adjacent pairs, same count threshold,
+    // same division order and 12-decimal log rounding.
+    "corpus_pmi" ->
+      """WITH tk AS (
+        |  SELECT list_filter(regexp_split_to_array(trim(lower(text)),
+        |    '\s+'), w -> w <> '') AS t
+        |  FROM documents
+        |), u AS (
+        |  SELECT unnest(t) AS w FROM tk
+        |), uni AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS c1 FROM u GROUP BY 1
+        |), bg AS (
+        |  SELECT unnest([ {'w1': t[i], 'w2': t[i + 1]}
+        |    for i in range(1, len(t)) ], recursive := true)
+        |  FROM tk
+        |), big AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+        |  FROM bg GROUP BY 1, 2 HAVING count(*) >= 5
+        |), nt AS (SELECT CAST(sum(c1) AS BIGINT) AS n FROM uni
+        |), mt AS (SELECT CAST(sum(c2) AS BIGINT) AS m FROM big)
+        |SELECT w1, w2, c2,
+        |  round(ln(
+        |    (CAST(c2 AS DOUBLE) / CAST(m AS DOUBLE)) /
+        |      ((CAST(a.c1 AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |        (CAST(b.c1 AS DOUBLE) / CAST(n AS DOUBLE)))),
+        |    12) AS pmi
+        |FROM big
+        |JOIN uni a ON a.w = big.w1
+        |JOIN uni b ON b.w = big.w2
+        |CROSS JOIN nt CROSS JOIN mt
+        |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
+
     // Readability oracle: same counts, same formula order; constants
     // cast from the same decimal literals land on the same doubles.
     "text_readability" ->

@@ -499,6 +499,47 @@ object TextOps {
         .as("first_fp"))
   }
 
+  /** Collocation mining by pointwise mutual information: the top
+    * adjacent token pairs whose co-occurrence beats independence —
+    * PMI = ln(p(w1,w2) / (p(w1)·p(w2))) over exact corpus counts,
+    * thresholded at pair count ≥ 5 (the classic sparse-PMI guard).
+    * Bigrams explode ROW-LOCALLY from each token array (1-based
+    * `element_at`, mirroring the oracle's 1-based lists); the only
+    * corpus-proportional stages are the unigram and bigram count
+    * aggregations. The probability ratios divide exact longs in a
+    * fixed order (scale-safe — no integer products that could
+    * overflow past 2^53) and the one transcendental step rounds to
+    * 12 decimals, so the score hash-matches cross-engine. Output is
+    * deterministic: ORDER BY (pmi desc, w1, w2) LIMIT 30.
+    */
+  def pmiCollocations(s: SparkSession, dir: String,
+      minCount: Int = 5, k: Int = 30): DataFrame = {
+    val tk = docs(s, dir).select(filter(wsTokens, t => t =!= "").as("t"))
+    val uni = tk.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val big = tk.select(explode(expr(
+        """transform(sequence(1, size(t) - 1),
+          |  i -> struct(element_at(t, i) AS w1,
+          |    element_at(t, i + 1) AS w2))""".stripMargin)).as("bg"))
+      .select(col("bg.w1"), col("bg.w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .filter(col("c2") >= minCount)
+    val nTotal = uni.agg(sum("c1").as("n")).select(col("n"))
+    val mTotal = big.agg(sum("c2").as("m")).select(col("m"))
+    val u1 = uni.select(col("w").as("w1"), col("c1").as("c1a"))
+    val u2 = uni.select(col("w").as("w2"), col("c1").as("c1b"))
+    big.join(u1, "w1").join(u2, "w2")
+      .crossJoin(broadcast(nTotal)).crossJoin(broadcast(mTotal))
+      .select(col("w1"), col("w2"), col("c2"),
+        round(log(
+          (col("c2").cast("double") / col("m").cast("double")) /
+            ((col("c1a").cast("double") / col("n").cast("double")) *
+              (col("c1b").cast("double") / col("n").cast("double")))),
+          12).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
+
   /** Flesch reading-ease per document — the classic readability
     * signal quality filters threshold on: words per sentence and
     * syllables per word, where sentences use [[sentences]]' injected
