@@ -267,6 +267,9 @@ object SparkEntry {
     // typo-level edit-distance pairs: FastSS deletion-neighborhood
     // candidates + exact levenshtein verify; oracle brute-forces n^2
     "dedup_edit" -> ((s, dir) => Dedup.editDistancePairs(s, dir)),
+    // shuffle-skew diagnostic: df quantiles + hottest gram keys with
+    // mass shares — the pre-join report the salting guards exist for
+    "skew_report" -> ((s, dir) => Dedup.skewReport(s, dir)),
     // exact-substring duplication (windowed ExactSubstr): md5-keyed
     // 16-token windows, one gram-keyed + one doc-keyed shuffle
     "dedup_substring" -> ((s, dir) => Dedup.substringDupStats(s, dir)),
@@ -1544,6 +1547,57 @@ object SparkEntry {
         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
     // Full SimHash pin: bit i of a token's hash = bit (i%4) of md5 hex
     // nibble (i/16)*4 + 3-(i%16)/4 (the engine's four 16-bit
+    // Skew-report oracle: same 8-gram derivation, same rank
+    // arithmetic (r = ceil(q*n)), same fixed-order share division.
+    "skew_report" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id,
+        |      unnest([ array_to_string(t[i:i+7], ' ')
+        |        for i in range(1, len(t) - 6) ]) AS shingle
+        |    FROM tk WHERE len(t) >= 8)
+        |), d AS (
+        |  SELECT shingle, CAST(count(*) AS BIGINT) AS df
+        |  FROM sh GROUP BY 1
+        |), st AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        |    CAST(sum(df) AS BIGINT) AS mass
+        |  FROM d
+        |), hist AS (
+        |  SELECT df, count(*) AS k FROM d GROUP BY 1
+        |), cum AS (
+        |  SELECT df, sum(k) OVER (ORDER BY df
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM hist
+        |), quants AS (
+        |  SELECT 'p50_df' AS metric, CAST(min(df) AS DOUBLE) AS value,
+        |    CAST(NULL AS VARCHAR) AS key
+        |  FROM cum, st WHERE cum >= ceil(n_keys * 0.5)
+        |  UNION ALL
+        |  SELECT 'p90_df', CAST(min(df) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR)
+        |  FROM cum, st WHERE cum >= ceil(n_keys * 0.9)
+        |  UNION ALL
+        |  SELECT 'p99_df', CAST(min(df) AS DOUBLE),
+        |    CAST(NULL AS VARCHAR)
+        |  FROM cum, st WHERE cum >= ceil(n_keys * 0.99)
+        |), top AS (
+        |  SELECT 'hot_key_share' AS metric,
+        |    CAST(df AS DOUBLE) / CAST(mass AS DOUBLE) AS value,
+        |    shingle AS key
+        |  FROM d, st ORDER BY df DESC, shingle LIMIT 10
+        |)
+        |SELECT 'n_keys' AS metric, CAST(n_keys AS DOUBLE) AS value,
+        |  CAST(NULL AS VARCHAR) AS key FROM st
+        |UNION ALL
+        |SELECT 'mass', CAST(mass AS DOUBLE), CAST(NULL AS VARCHAR)
+        |FROM st
+        |UNION ALL SELECT * FROM quants
+        |UNION ALL SELECT * FROM top""".stripMargin,
+
     // Edit-distance oracle: rebuild each doc's mutated key closed-form
     // and brute-force the O(n^2) levenshtein join the engine's
     // deletion-neighborhood candidates + verify must equal exactly.

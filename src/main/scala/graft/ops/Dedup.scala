@@ -896,6 +896,63 @@ object Dedup {
             .otherwise(lit(0L)) < maxSpanTokens, lit(true)).as("keep"))
   }
 
+  /** Shuffle-skew diagnostic over the shingle key space — the report
+    * an operator owner reads BEFORE a 100 TB gram-keyed join: per-key
+    * document frequencies summarized as distinct-key count, total key
+    * mass, the exact df quantiles (p50/p90/p99 by rank arithmetic,
+    * the percentiles_sketch rule r = ceil(q·n)), and the 10 hottest
+    * keys with their mass share — exactly the keys the
+    * `leakage_split` salting and the LSH `maxDocFreq` guard exist
+    * for. Everything is an exact count; shares divide exact longs in
+    * a fixed order. Shape: the shingle relation's one keyed
+    * aggregation, then rank/top-k over the df RELATION, never the
+    * corpus — the top-10 leg is TakeOrdered (per-partition heaps) and
+    * the exact-quantile leg's global rank window is the one
+    * vocabulary-bounded stage: at true corpus scale a deployment
+    * swaps it for the histogram rule `percentiles_sketch` already
+    * carries (bucket counts + rank walk), trading exactness within
+    * a bucket width for a fully keyed plan.
+    */
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val df = shingles(s, dir, 8)
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .cache()
+    val stats = df.agg(
+      count(lit(1)).as("n_keys"), sum(col("df")).as("mass"))
+    // exact quantiles via the df-VALUE histogram: |distinct df|
+    // rows (df is a small integer), cumulative walk, smallest df
+    // whose cumulative key count reaches rank ceil(q*n) — identical
+    // to rank-selection, but the only window runs over the tiny
+    // histogram, never a global sort of the key space
+    val hist = df.groupBy("df").agg(count(lit(1)).as("k"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("k")).over(wh))
+      .crossJoin(broadcast(stats))
+    def quantile(q: Double, name: String) = cum
+      .filter(col("cum") >= ceil(col("n_keys") * q))
+      .agg(min(col("df")).as("v"))
+      .select(lit(name).as("metric"), col("v").cast("double").as("value"),
+        lit(null).cast("string").as("key"))
+    val quants = quantile(0.5, "p50_df")
+      .union(quantile(0.9, "p90_df"))
+      .union(quantile(0.99, "p99_df"))
+    val top = df.crossJoin(broadcast(stats))
+      .orderBy(col("df").desc, col("shingle")).limit(10)
+      .select(lit("hot_key_share").as("metric"),
+        (col("df").cast("double") / col("mass").cast("double"))
+          .as("value"),
+        col("shingle").as("key"))
+    val totals = stats.select(
+      lit("n_keys").as("metric"), col("n_keys").cast("double").as("value"),
+      lit(null).cast("string").as("key"))
+      .union(stats.select(lit("mass"), col("mass").cast("double"),
+        lit(null).cast("string")))
+    totals.union(quants).union(top)
+  }
+
   /** EDIT-DISTANCE near-dup — the typo-level modality the token
     * detectors (shingle/Jaccard, MinHash, SimHash) are blind to: a
     * one-character substitution, deletion, or insertion in a short
