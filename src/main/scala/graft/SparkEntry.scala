@@ -196,6 +196,9 @@ object SparkEntry {
     // token-bucket admission per user: integer micro-token recurrence
     // over per-user sorted arrays, one user-keyed exchange
     "events_token_bucket" -> ((s, dir) => EventOps.tokenBucket(s, dir)),
+    // first-order Markov transitions over per-user sequences: exact
+    // counts, row-normalized probabilities, |types|^2 output
+    "events_markov" -> ((s, dir) => EventOps.markovTransitions(s, dir)),
     "events_running" -> ((s, dir) => EventOps.runningTotals(s, dir)),
     // ordered funnel: chained gated window minima, one exchange
     "events_funnel" -> ((s, dir) => EventOps.funnel(s, dir)),
@@ -321,6 +324,9 @@ object SparkEntry {
     // PMI collocations: exact bigram/unigram counts, fixed-order
     // probability ratios, 12-decimal log — deterministic top-30
     "corpus_pmi" -> ((s, dir) => TextOps.pmiCollocations(s, dir)),
+    // per-source distinguishing terms: source-level TF-IDF, keyed
+    // top-5 window (WindowGroupLimit shape), exact counts
+    "corpus_tfidf" -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
     // unigram-LM surprisal: decimal-mediated mean, token-keyed joins
     "text_surprisal" -> ((s, dir) => TextOps.surprisal(s, dir)),
     // BPE first-merge pair statistics: corpus touched once (wordcount),
@@ -982,6 +988,26 @@ object SparkEntry {
         |  lag(value) OVER w AS prev_value
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)""".stripMargin,
+    // Markov oracle: same (ts, event_id) total order, same counts,
+    // one exact-long division per row.
+    "events_markov" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts) // 1000, event_id) AS from_type
+        |  FROM events
+        |), t AS (
+        |  SELECT from_type, event_type AS to_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM seq WHERE from_type IS NOT NULL GROUP BY 1, 2
+        |), ft AS (
+        |  SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM t GROUP BY 1
+        |)
+        |SELECT t.from_type, t.to_type, t.n,
+        |  CAST(t.n AS DOUBLE) / CAST(ft.tot AS DOUBLE) AS p
+        |FROM t JOIN ft USING (from_type)""".stripMargin,
+
     // Token-bucket oracle: the same integer recurrence replayed per
     // (user, rank) in a recursive CTE — capacity 6e10 micro-tokens,
     // refill = elapsed microseconds, admit costs 2e10 (20000 s).
@@ -1736,6 +1762,41 @@ object SparkEntry {
     // PII scrub: synthetic email/phone/SSN injected identically on
     // both sides, then the same RE2/Java-portable patterns count and
     // redact; the scrubbed text is compared by length + md5.
+    // TF-IDF oracle: same counts, same rounded idf, same ranking.
+    "corpus_tfidf" ->
+      """WITH tok AS (
+        |  SELECT source, t AS token FROM (
+        |    SELECT source, unnest(regexp_split_to_array(
+        |      trim(lower(text)) || ' kwa' || substr(md5(source), 1, 6)
+        |        || CASE WHEN doc_id % 2 = 0
+        |          THEN ' kwb' || substr(md5(source), 7, 6)
+        |          ELSE '' END,
+        |      '\s+')) AS t
+        |    FROM documents) WHERE t <> ''
+        |), tf AS (
+        |  SELECT source, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM tok GROUP BY 1, 2
+        |), d AS (
+        |  SELECT token, CAST(count(DISTINCT source) AS BIGINT) AS df
+        |  FROM tf GROUP BY 1
+        |), ns AS (
+        |  SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_src FROM tf
+        |), scored AS (
+        |  SELECT tf.source, tf.token, tf.tf, d.df,
+        |    CAST(tf.tf AS DOUBLE) *
+        |      round(ln(CAST(n_src AS DOUBLE) / CAST(d.df AS DOUBLE)),
+        |        12) AS score
+        |  FROM tf JOIN d USING (token) CROSS JOIN ns
+        |), ranked AS (
+        |  SELECT source, token, tf, df, score,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY score DESC, token) AS rank
+        |  FROM scored WHERE score > 0
+        |)
+        |SELECT source, CAST(rank AS INTEGER) AS rank, token, tf, df,
+        |  round(score, 6) AS score
+        |FROM ranked WHERE rank <= 5""".stripMargin,
+
     // PMI oracle: same 1-based adjacent pairs, same count threshold,
     // same division order and 12-decimal log rounding.
     "corpus_pmi" ->

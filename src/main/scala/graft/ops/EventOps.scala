@@ -352,6 +352,29 @@ object EventOps {
       count(lit(1)).over(wDay).as("day_n"))
   }
 
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences — the behavior model session analytics fit: for every
+    * (from, to) pair of consecutive events within a user's timeline
+    * (ordered by ts, event_id tie-break — the same total order every
+    * window operator here uses), the transition count and the
+    * row-normalized probability p = c(from,to)/c(from,*). Counts are
+    * exact; the probability divides exact longs once. One user-keyed
+    * window exchange (the lag), then a |types|²-bounded aggregate.
+    */
+  def markovTransitions(s: SparkSession, dir: String): DataFrame = {
+    val prev = lag("event_type", 1).over(userWindow)
+    val trans = load(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"),
+        col("event_id"))
+      .select(col("event_type").as("to_type"), prev.as("from_type"))
+      .filter(col("from_type").isNotNull)
+      .groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+    val fromTot = trans.groupBy("from_type").agg(sum("n").as("tot"))
+    trans.join(fromTot, "from_type")
+      .select(col("from_type"), col("to_type"), col("n"),
+        (col("n").cast("double") / col("tot").cast("double")).as("p"))
+  }
+
   /** Token-bucket rate limiting per user — the admission-control
     * decision a crawl/API front end applies, replayed EXACTLY:
     * capacity 3 tokens, refill 1 token per 20000 s (sized to this

@@ -499,6 +499,47 @@ object TextOps {
         .as("first_fp"))
   }
 
+  /** Per-source distinguishing terms by TF-IDF at the SOURCE
+    * granularity: tf = term count within the source, df = number of
+    * sources containing the term, idf = ln(n_sources/df) rounded to
+    * 12 decimals, score = tf·idf — the corpus-characterization pass
+    * that names what each slice is about. Exact counts throughout;
+    * the top-5 per source ranks (score desc, token) inside a
+    * source-partitioned window — keyed, WindowGroupLimit-shaped,
+    * never a global sort.
+    */
+  def tfidfTopTerms(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // the fixture shares one vocabulary across sources (idf would be
+    // ~0 everywhere), so each doc carries injected source markers —
+    // one universal per doc, one on even docs — mirrored in the
+    // oracle, the piiScrub injection convention
+    val aug = concat(trim(lower(col("text"))),
+      lit(" kwa"), substring(md5(col("source").cast("binary")), 1, 6),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" kwb"),
+          substring(md5(col("source").cast("binary")), 7, 6)))
+        .otherwise(lit("")))
+    val tok = docs(s, dir)
+      .select(col("source"), explode(split(aug, "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+    val tf = tok.groupBy("source", "token").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token")
+      .agg(countDistinct("source").as("df"))
+    val nSrc = tf.select(countDistinct("source").as("n_src"))
+    val scored = tf.join(df, "token").crossJoin(broadcast(nSrc))
+      .withColumn("score",
+        col("tf").cast("double") *
+          round(log(col("n_src").cast("double") /
+            col("df").cast("double")), 12))
+      .filter(col("score") > 0) // terms in every source carry idf 0
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("token"), col("tf"),
+        col("df"), round(col("score"), 6).as("score"))
+  }
+
   /** Collocation mining by pointwise mutual information: the top
     * adjacent token pairs whose co-occurrence beats independence —
     * PMI = ln(p(w1,w2) / (p(w1)·p(w2))) over exact corpus counts,
