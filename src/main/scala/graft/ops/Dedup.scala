@@ -669,16 +669,30 @@ object Dedup {
     * on `scope` (DataFrame.unpersist never reaches RDD-level
     * checkpoint storage — without the hook every call would leak its
     * final round's blocks for the session's lifetime).
+    *
+    * `checkpointDir`: when set, per-round truncation uses RELIABLE
+    * `checkpoint` into that directory instead of `localCheckpoint`.
+    * The tradeoff is explicit: localCheckpoint stores round state in
+    * executor block storage — fastest, but losing ANY executor
+    * mid-iteration kills the job (clean failure, never a wrong
+    * answer); a reliable checkpoint survives executor loss at the
+    * cost of one distributed-store round-trip per round. On a
+    * 1000-executor run where preemption is routine, pass the job's
+    * scratch prefix here; local/single-JVM runs keep the default.
     */
   private[graft] def connectedComponents(
       pairs: DataFrame, scope: CacheScope = new CacheScope,
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(true)
+      else df.localCheckpoint(true)
     // canonical directed form: big → small, no self-loops, distinct
     val init = pairs
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    var edges = init.localCheckpoint(true)
+    var edges = truncate(init)
     def signature(df: DataFrame): (Long, Long) = {
       val r = df.select(xxhash64(col("u"), col("v")).as("h"))
         .agg(count(lit(1)).as("c"), expr("bit_xor(h)").as("h"))
@@ -713,7 +727,7 @@ object Dedup {
       // it — every later round then recomputes the full growing
       // lineage (measured 2x slower at sf0.1). Eager pays one honest
       // materialization per round and truncates lineage for real.
-      val next = small.localCheckpoint(true)
+      val next = truncate(small)
       // fixpoint test: (count, content hash) of the distinct edge set —
       // equal signatures on consecutive rounds = star forest reached.
       // bit_xor, not sum: order-independent AND overflow-free (ANSI

@@ -278,17 +278,22 @@ object EventOps {
     * (half-open `[start, end+1)`), deltas COLLAPSE per timestamp
     * first (groupBy — this removes tie-ordering from the semantics
     * entirely, the cross-engine trap in any sweep), prefix-sum
-    * locally within each hour partition, and only the per-hour
-    * totals — O(spanned hours) rows, bounded by the calendar, not
-    * the data — flow through the one global-ordering window that
-    * computes each hour's carried-in offset. The naive spelling is
-    * a single global window over every change point: one reducer
-    * holding the corpus. This one never materializes an ordering
-    * wider than an hour's points.
+    * locally within each hour partition, and the carried-in offset
+    * per hour comes from a TWO-LEVEL prefix sum: hours group into
+    * fixed 1024-hour ranges, each range prefix-sums its own hours
+    * under a range-keyed window (parallel), and the per-range grand
+    * totals — O(spanned hours / 1024) rows, ~90 for a decade — fold
+    * into range offsets by a broadcast lower-triangle self-join, so
+    * NO single-partition window exists anywhere in the plan. The
+    * naive spelling is a single global window over every change
+    * point: one reducer holding the corpus. This one never
+    * materializes an ordering wider than an hour's points, and even
+    * the hour relation itself is range-partitioned.
     */
   def concurrency(s: SparkSession, dir: String,
       gapMinutes: Int = 30): DataFrame = {
     val hourUs = 3600L * 1000000L
+    val rangeUs = hourUs * 1024L
     val sess = sessionStats(s, dir, gapMinutes)
     val deltas = sess
       .select(col("session_start_us").as("t_us"), lit(1L).as("d"))
@@ -299,11 +304,26 @@ object EventOps {
     val wLocal = Window.partitionBy("hour_us").orderBy("t_us")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = pts.withColumn("local_sum", sum("d").over(wLocal))
-    val wHours = Window.orderBy("hour_us")
+    // level 1: strict prefix sum of hour totals WITHIN each range
+    // (keyed window); level 2: offsets of whole ranges via a
+    // broadcast lower-triangle self-join over the tiny range
+    // relation — an aggregation, deliberately not a window, so the
+    // plan has no unpartitioned ordering at any level
+    val hourTot = pts.groupBy("hour_us").agg(sum("d").as("h_d"))
+      .withColumn("rng", expr(s"hour_us div ${rangeUs}L"))
+    val wInRange = Window.partitionBy("rng").orderBy("hour_us")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = pts.groupBy("hour_us").agg(sum("d").as("h_d"))
-      .withColumn("carried", coalesce(sum("h_d").over(wHours), lit(0L)))
-      .drop("h_d")
+    val withLocalCarry = hourTot.withColumn("local_carried",
+      coalesce(sum("h_d").over(wInRange), lit(0L)))
+    val rngTot = hourTot.groupBy("rng").agg(sum("h_d").as("rng_d"))
+    val rngOff = rngTot.select(col("rng"))
+      .join(broadcast(rngTot.select(col("rng").as("rng2"), col("rng_d"))),
+        col("rng2") < col("rng"), "left")
+      .groupBy("rng")
+      .agg(coalesce(sum("rng_d"), lit(0L)).as("rng_carried"))
+    val offsets = withLocalCarry.join(broadcast(rngOff), "rng")
+      .select(col("hour_us"),
+        (col("local_carried") + col("rng_carried")).as("carried"))
     local.join(offsets, "hour_us")
       .groupBy("hour_us")
       .agg(max(col("local_sum") + col("carried")).as("max_concurrent"),

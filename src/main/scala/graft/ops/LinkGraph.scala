@@ -55,10 +55,22 @@ object LinkGraph {
   /** Ranks after `iters` damped power iterations, plus degree
     * columns. Rank column is the 12-decimal value both engines agree
     * on bit-for-bit.
+    *
+    * `checkpointDir`: when set, every iteration's rank relation is
+    * RELIABLY checkpointed into that directory, truncating lineage
+    * against executor loss (see
+    * [[graft.ops.Dedup.connectedComponents]] for the tradeoff — the
+    * default unrolled form is fastest but replays the whole chain if
+    * blocks vanish mid-job). The checkpoint adds one distributed
+    * write per iteration and changes no value: ranks are 12-decimal
+    * mediated, so the checkpointed and unrolled runs are
+    * bit-identical.
     */
   def pageRank(
       s: SparkSession, dir: String,
-      iters: Int = 3, damping: Double = 0.85): DataFrame = {
+      iters: Int = 3, damping: Double = 0.85,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"))
     val n = docs.count()
@@ -82,6 +94,7 @@ object LinkGraph {
           round(base + lit(damping) *
             coalesce(col("mass").cast("double"), lit(0.0)), 12)
             .as("rank"))
+      if (checkpointDir.isDefined) ranks = ranks.checkpoint(true)
     }
     val inDeg = e.groupBy("dst").agg(count(lit(1)).as("in_degree"))
     // ranks already carries exactly one row per doc — no docs re-join.

@@ -208,6 +208,39 @@ class DedupSpec extends SparkSpec {
     assert(cl.filter(col("keep")).count() == byComp.size.toLong)
   }
 
+  test("reliable-checkpoint mode yields identical components (executor-loss hardening)") {
+    import spark.implicits._
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("graft-cc-ck").toString
+    try {
+      val edgeDf = Seq(
+        (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), (14L, 15L),
+        (4L, 3L), (4L, 5L), (3L, 5L), (100L, 101L)).toDF("u", "v")
+      val local = Dedup.connectedComponents(edgeDf).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reliable = Dedup
+        .connectedComponents(edgeDf, checkpointDir = Some(ckDir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      // the reliable run actually wrote round state into the store —
+      // the property that survives executor loss
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(wrote > 0, "expected reliable checkpoint files on disk")
+      // pageRank's reliable mode is bit-identical too (12-decimal
+      // mediation makes the checkpointed and unrolled plans agree)
+      val pr = graft.ops.LinkGraph.pageRank(spark, sf()).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val prCk = graft.ops.LinkGraph
+        .pageRank(spark, sf(), checkpointDir = Some(ckDir)).collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(prCk == pr)
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(ckDir))
+    }
+  }
+
   test("CacheScope.release frees connected-components checkpoint blocks") {
     import spark.implicits._
     val before = spark.sparkContext.getPersistentRDDs.keySet

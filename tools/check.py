@@ -33,8 +33,11 @@ def main(sf_dir, out_dir):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     results = {}
     for name, sql in sorted(oracle.items()):
+        if only is not None and name not in only:
+            continue
         entry = {}
         try:
             exp = canon(con, con.sql(sql))
