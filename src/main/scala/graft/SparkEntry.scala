@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
 import graft.ops.{Archives, Avro, BloomIndex, Profiling, Proto, Bucketed, Classifier, CrawlOps, Dedup, Incremental, LinkGraph,
-  Encoding, EventOps, Filtering, LshIndex, MediaHeaders, Multimodal,
-  PerceptualHash, Relational, Robots, Scd, Similarity, Sitemap, Sketches,
-  Frontier, TextOps, TrainPrep, UrlOps, VectorIndex}
+  Encoding, EventOps, Filtering, LanguageModel, LshIndex, MediaHeaders,
+  Multimodal, PerceptualHash, Relational, Robots, Scd, Similarity, Sitemap,
+  Sketches, Frontier, TextOps, TrainPrep, UrlOps, VectorIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -329,6 +329,13 @@ object SparkEntry {
     "corpus_tfidf" -> ((s, dir) => TextOps.tfidfTopTerms(s, dir)),
     // unigram-LM surprisal: decimal-mediated mean, token-keyed joins
     "text_surprisal" -> ((s, dir) => TextOps.surprisal(s, dir)),
+    // CCNet-style KN 5-gram LM perplexity: trained in-engine on the
+    // hash-stable train split, every doc scored via nine n-gram-keyed
+    // joins, head/middle/tail buckets on fixed nll cuts
+    "text_perplexity" -> ((s, dir) => LanguageModel.knPerplexity(s, dir)),
+    // textcat-style char-trigram language ID: per-lang rank profiles
+    // from the train split, out-of-place distance, exact integers
+    "text_langid_ngram" -> ((s, dir) => TextOps.langIdNgram(s, dir)),
     // BPE first-merge pair statistics: corpus touched once (wordcount),
     // everything after is vocabulary-sized
     "corpus_bpe_pairs" -> ((s, dir) => TextOps.bpePairs(s, dir)),
@@ -1924,6 +1931,169 @@ object SparkEntry {
         |SELECT doc_id, n_tokens,
         |  round(CAST(sp_sum AS DOUBLE) / n_tokens, 6) AS surprisal
         |FROM p""".stripMargin,
+    // KN 5-gram perplexity: full training + scoring replay — counts
+    // at five orders (continuation counts = distinct higher-order
+    // grams with the first column dropped), the interpolation chain
+    // layered one CTE per order so the IEEE expression shape matches
+    // the engine's withColumn chain exactly; ln rounds to 12 and
+    // sums as DECIMAL(28,12), the mean rounds to 6.
+    "text_perplexity" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 1)) - 1
+        |        <= 13 THEN 'train'
+        |      WHEN strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 1)) - 1
+        |        = 14 THEN 'val' ELSE 'test' END AS split,
+        |    ['<s>','<s>','<s>','<s>'] || list_filter(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '') || ['</s>'] AS pad
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id, split,
+        |    pad[i-4] AS h1, pad[i-3] AS h2, pad[i-2] AS h3,
+        |    pad[i-1] AS h4, pad[i] AS w
+        |  FROM toks, unnest(range(5, len(pad) + 1)) AS t(i)
+        |), tp AS (
+        |  SELECT h1, h2, h3, h4, w FROM pos WHERE split = 'train'
+        |), c5 AS (
+        |  SELECT h1, h2, h3, h4, w, count(*) AS c FROM tp GROUP BY ALL
+        |), ctx5 AS (
+        |  SELECT h1, h2, h3, h4, CAST(sum(c) AS BIGINT) AS tot,
+        |    count(*) AS ty
+        |  FROM c5 GROUP BY ALL
+        |), cc4 AS (
+        |  SELECT h2 AS h1, h3 AS h2, h4 AS h3, w, count(*) AS c
+        |  FROM c5 GROUP BY ALL
+        |), ctx4 AS (
+        |  SELECT h1, h2, h3, CAST(sum(c) AS BIGINT) AS tot,
+        |    count(*) AS ty
+        |  FROM cc4 GROUP BY ALL
+        |), cc3 AS (
+        |  SELECT h2 AS h1, h3 AS h2, w, count(*) AS c
+        |  FROM cc4 GROUP BY ALL
+        |), ctx3 AS (
+        |  SELECT h1, h2, CAST(sum(c) AS BIGINT) AS tot, count(*) AS ty
+        |  FROM cc3 GROUP BY ALL
+        |), cc2 AS (
+        |  SELECT h2 AS h1, w, count(*) AS c FROM cc3 GROUP BY ALL
+        |), ctx2 AS (
+        |  SELECT h1, CAST(sum(c) AS BIGINT) AS tot, count(*) AS ty
+        |  FROM cc2 GROUP BY ALL
+        |), cc1 AS (
+        |  SELECT w, count(*) AS c FROM cc2 GROUP BY ALL
+        |), scal AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS cc1_tot, count(*) AS t1,
+        |    (SELECT count(DISTINCT w) FROM c5) + 1 AS v
+        |  FROM cc1
+        |), j AS (
+        |  SELECT p.doc_id, p.split,
+        |    COALESCE(n5.c, 0) AS c5c, COALESCE(x5.tot, 0) AS tot5,
+        |    COALESCE(x5.ty, 0) AS ty5,
+        |    COALESCE(n4.c, 0) AS c4c, COALESCE(x4.tot, 0) AS tot4,
+        |    COALESCE(x4.ty, 0) AS ty4,
+        |    COALESCE(n3.c, 0) AS c3c, COALESCE(x3.tot, 0) AS tot3,
+        |    COALESCE(x3.ty, 0) AS ty3,
+        |    COALESCE(n2.c, 0) AS c2c, COALESCE(x2.tot, 0) AS tot2,
+        |    COALESCE(x2.ty, 0) AS ty2,
+        |    COALESCE(n1.c, 0) AS c1c, s.cc1_tot, s.t1, s.v
+        |  FROM pos p
+        |  LEFT JOIN c5 n5 USING (h1, h2, h3, h4, w)
+        |  LEFT JOIN ctx5 x5 USING (h1, h2, h3, h4)
+        |  LEFT JOIN cc4 n4 ON n4.h1 = p.h2 AND n4.h2 = p.h3
+        |    AND n4.h3 = p.h4 AND n4.w = p.w
+        |  LEFT JOIN ctx4 x4 ON x4.h1 = p.h2 AND x4.h2 = p.h3
+        |    AND x4.h3 = p.h4
+        |  LEFT JOIN cc3 n3 ON n3.h1 = p.h3 AND n3.h2 = p.h4
+        |    AND n3.w = p.w
+        |  LEFT JOIN ctx3 x3 ON x3.h1 = p.h3 AND x3.h2 = p.h4
+        |  LEFT JOIN cc2 n2 ON n2.h1 = p.h4 AND n2.w = p.w
+        |  LEFT JOIN ctx2 x2 ON x2.h1 = p.h4
+        |  LEFT JOIN cc1 n1 ON n1.w = p.w
+        |  CROSS JOIN scal s
+        |), l1 AS (
+        |  SELECT *, (greatest(c1c - 0.75, 0.0)
+        |      + 0.75 * t1 * (1.0 / v)) / cc1_tot AS p1
+        |  FROM j
+        |), l2 AS (
+        |  SELECT *, CASE WHEN tot2 > 0 THEN (greatest(c2c - 0.75, 0.0)
+        |      + 0.75 * ty2 * p1) / tot2 ELSE p1 END AS p2
+        |  FROM l1
+        |), l3 AS (
+        |  SELECT *, CASE WHEN tot3 > 0 THEN (greatest(c3c - 0.75, 0.0)
+        |      + 0.75 * ty3 * p2) / tot3 ELSE p2 END AS p3
+        |  FROM l2
+        |), l4 AS (
+        |  SELECT *, CASE WHEN tot4 > 0 THEN (greatest(c4c - 0.75, 0.0)
+        |      + 0.75 * ty4 * p3) / tot4 ELSE p3 END AS p4
+        |  FROM l3
+        |), l5 AS (
+        |  SELECT *, CASE WHEN tot5 > 0 THEN (greatest(c5c - 0.75, 0.0)
+        |      + 0.75 * ty5 * p4) / tot5 ELSE p4 END AS p5
+        |  FROM l4
+        |), sc AS (
+        |  SELECT doc_id, split,
+        |    CAST(round(-ln(p5), 12) AS DECIMAL(28,12)) AS lp
+        |  FROM l5
+        |), agg AS (
+        |  SELECT doc_id, split, CAST(count(*) AS BIGINT) AS n_scored,
+        |    round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS nll
+        |  FROM sc GROUP BY doc_id, split
+        |)
+        |SELECT doc_id, split, n_scored, nll,
+        |  CASE WHEN nll < 0.95 THEN 'head'
+        |    WHEN nll < 1.05 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM agg""".stripMargin,
+    // textcat out-of-place distance: exact integer ranks throughout;
+    // the argmin folds into a binary-collation min over
+    // lpad(distance)||lang (the profile_columns tie-break trick)
+    "text_langid_ngram" ->
+      """WITH grams AS (
+        |  SELECT doc_id, lang, substr(p, i, 3) AS gram
+        |  FROM (
+        |    SELECT doc_id, lang, '_' || word || '_' AS p
+        |    FROM (
+        |      SELECT doc_id, lang,
+        |        unnest(list_filter(
+        |          regexp_split_to_array(trim(lower(text)), '\s+'),
+        |          x -> x <> '')) AS word
+        |      FROM documents)
+        |  ), unnest(range(1, len(p) - 1)) AS t(i)
+        |), train AS (
+        |  SELECT * FROM grams
+        |  WHERE strpos('0123456789abcdef',
+        |    substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 1)) - 1
+        |    <= 13
+        |), lang_prof AS (
+        |  SELECT lang, gram, rnk AS lang_rnk FROM (
+        |    SELECT lang, gram, row_number() OVER (PARTITION BY lang
+        |      ORDER BY count(*) DESC, gram) AS rnk
+        |    FROM train GROUP BY lang, gram)
+        |  WHERE rnk <= 40
+        |), doc_prof AS (
+        |  SELECT doc_id, gram, rnk FROM (
+        |    SELECT doc_id, gram, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY count(*) DESC, gram) AS rnk
+        |    FROM grams GROUP BY doc_id, gram)
+        |  WHERE rnk <= 20
+        |), langs AS (SELECT DISTINCT lang FROM lang_prof
+        |), dist AS (
+        |  SELECT d.doc_id, l.lang,
+        |    CAST(sum(COALESCE(abs(d.rnk - p.lang_rnk), 40)) AS BIGINT)
+        |      AS distance
+        |  FROM doc_prof d CROSS JOIN langs l
+        |  LEFT JOIN lang_prof p ON p.lang = l.lang AND p.gram = d.gram
+        |  GROUP BY d.doc_id, l.lang
+        |), best AS (
+        |  SELECT doc_id,
+        |    min(lpad(CAST(distance AS VARCHAR), 10, '0') || lang) AS m
+        |  FROM dist GROUP BY doc_id
+        |)
+        |SELECT b.doc_id, doc.lang AS lang_label, substr(b.m, 11) AS lang_pred,
+        |  CAST(substr(b.m, 1, 10) AS BIGINT) AS distance
+        |FROM best b
+        |JOIN (SELECT doc_id, lang FROM documents) doc USING (doc_id)""".stripMargin,
     "corpus_bpe_pairs" ->
       """WITH w AS (
         |  SELECT word, count(*) AS cnt FROM (

@@ -1,0 +1,207 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram language-model perplexity filtering: train an
+  * interpolated Kneser-Ney 5-gram LM in-engine on the corpus's own
+  * hash-stable train split, score EVERY document (train, val, test)
+  * by mean negative log probability, and bucket the scores — the
+  * canonical production quality pass (Wenzek et al., "CCNet:
+  * Extracting High Quality Monolingual Datasets from Web Crawl
+  * Data", LREC 2020) where low-perplexity ≈ fluent prose and the
+  * head/middle/tail split drives downstream sampling.
+  *
+  * Model definition (interpolated KN, fixed discount D = 0.75 at all
+  * orders — the Chen & Goodman formulation with one discount):
+  *
+  *  - highest order uses RAW counts: p5(w|h) =
+  *    (max(c5(h,w)−D, 0) + D·T5(h)·p4(w|h')) / ctx5(h), falling back
+  *    to p4 when the 4-token context h was never seen in training;
+  *  - lower orders use CONTINUATION counts — cc_n(u) = number of
+  *    DISTINCT words preceding the n-gram u — each derived from the
+  *    distinct (n+1)-gram relation by dropping its first column and
+  *    counting, which is exactly "how many distinct left extensions";
+  *  - the unigram floor interpolates with the uniform 1/V over the
+  *    train vocabulary plus one unknown slot, so out-of-vocabulary
+  *    words score finitely.
+  *
+  * Every sequence is padded with four BOS markers and one EOS, so
+  * every position (including the end-of-document prediction) has a
+  * full 4-token history and every corpus n-gram of order ≤ 4 appears
+  * as the tail of some 5-gram window — the property that lets ALL
+  * lower-order count relations derive from the single 5-gram
+  * aggregation instead of four more corpus scans.
+  *
+  * Shape at scale: the corpus is tokenized ONCE into the position
+  * relation (one row per token — the same cardinality any tokenizer
+  * pass already pays); training is a chain of groupBys that each
+  * shrink (5-gram types → 4-gram types → … → vocabulary); scoring is
+  * nine LEFT JOINs keyed by n-gram columns — all shuffle joins on
+  * purpose (at corpus scale no count table fits a broadcast) — plus
+  * one broadcast of the three model scalars. Nothing iterates,
+  * nothing collects; the whole model lives in relations.
+  *
+  * Determinism: counts are exact integers; the interpolation chain
+  * is IEEE double arithmetic in a fixed expression shape the DuckDB
+  * oracle mirrors operation-for-operation; `ln` — the one
+  * transcendental step — rounds to 12 decimals and sums as
+  * DECIMAL(28,12) (order-independent), with the final mean rounded
+  * to 6 (the repo-wide convention for libm-vs-JVM last-ulp drift).
+  */
+object LanguageModel {
+
+  private val D = 0.75
+
+  /** Bucket cut points on mean negative log probability: the fixture
+    * train split scores ≈1.0 nats/token and held-out docs ≈3.2-3.6,
+    * so the cuts straddle the train mode — CCNet's head/middle/tail
+    * with fixed (reproducible) thresholds instead of per-run
+    * quantiles.
+    */
+  private val HeadMax = 0.95
+  private val MiddleMax = 1.05
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** Hash-stable split marker — [[TrainPrep.splitAssign]]'s exact
+    * rule, inlined so the model trains on precisely the rows every
+    * other export sees as 'train'.
+    */
+  private val splitCol: Column = {
+    val nib = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit("#split"))), 1, 1),
+      16, 10).cast("int")
+    when(nib <= 13, "train").when(nib === 14, "val").otherwise("test")
+  }
+
+  /** One row per predicted position: (doc_id, split, h1..h4, w). */
+  private def positions(d: DataFrame): DataFrame = {
+    val toks = filter(split(trim(lower(col("text"))), "\\s+"),
+      t => t =!= "")
+    val pad = concat(
+      array(lit("<s>"), lit("<s>"), lit("<s>"), lit("<s>")),
+      toks, array(lit("</s>")))
+    d.select(col("doc_id"), splitCol.as("split"), pad.as("pad"))
+      .select(col("doc_id"), col("split"), explode(expr(
+        """transform(sequence(5, size(pad)),
+          |  i -> struct(
+          |    element_at(pad, i - 4) AS h1, element_at(pad, i - 3) AS h2,
+          |    element_at(pad, i - 2) AS h3, element_at(pad, i - 1) AS h4,
+          |    element_at(pad, i) AS w))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("split"),
+        col("g.h1"), col("g.h2"), col("g.h3"), col("g.h4"), col("g.w"))
+  }
+
+  /** KN perplexity of every document under the train-split 5-gram
+    * model: (doc_id, split, n_scored, nll, bucket).
+    */
+  def knPerplexity(s: SparkSession, dir: String): DataFrame =
+    knPerplexityOf(docs(s, dir))
+
+  /** [[knPerplexity]] over an explicit (doc_id, text) relation —
+    * the spec's entry point for synthetic fixtures (OOV words,
+    * forced split membership).
+    */
+  private[graft] def knPerplexityOf(d: DataFrame): DataFrame = {
+    val pos = positions(d)
+    val tp = pos.filter(col("split") === "train")
+      .select("h1", "h2", "h3", "h4", "w")
+
+    // order-5 raw counts and their context marginals
+    val c5 = tp.groupBy("h1", "h2", "h3", "h4", "w")
+      .agg(count(lit(1)).as("c"))
+    val ctx5 = c5.groupBy("h1", "h2", "h3", "h4")
+      .agg(sum("c").cast("long").as("tot"), count(lit(1)).as("ty"))
+    // each lower order's CONTINUATION counts: drop the distinct
+    // higher-order relation's first column, count rows per remainder
+    val cc4 = c5.groupBy(col("h2").as("h1"), col("h3").as("h2"),
+        col("h4").as("h3"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val ctx4 = cc4.groupBy("h1", "h2", "h3")
+      .agg(sum("c").cast("long").as("tot"), count(lit(1)).as("ty"))
+    val cc3 = cc4.groupBy(col("h2").as("h1"), col("h3").as("h2"),
+        col("w"))
+      .agg(count(lit(1)).as("c"))
+    val ctx3 = cc3.groupBy("h1", "h2")
+      .agg(sum("c").cast("long").as("tot"), count(lit(1)).as("ty"))
+    val cc2 = cc3.groupBy(col("h2").as("h1"), col("w"))
+      .agg(count(lit(1)).as("c"))
+    val ctx2 = cc2.groupBy("h1")
+      .agg(sum("c").cast("long").as("tot"), count(lit(1)).as("ty"))
+    val cc1 = cc2.groupBy("w").agg(count(lit(1)).as("c"))
+    // model scalars: total continuation mass, its type count, and the
+    // vocabulary size (+1 unknown slot) — one row, broadcast
+    val scal = cc1.agg(sum("c").cast("long").as("cc1_tot"),
+        count(lit(1)).as("t1"))
+      .crossJoin(c5.agg((countDistinct("w") + 1).as("v")))
+
+    def nz(c: Column): Column = coalesce(c, lit(0L))
+    val j = pos
+      .join(c5.withColumnsRenamed(Map("c" -> "c5c")),
+        Seq("h1", "h2", "h3", "h4", "w"), "left")
+      .join(ctx5.withColumnsRenamed(Map("tot" -> "tot5", "ty" -> "ty5")),
+        Seq("h1", "h2", "h3", "h4"), "left")
+      .join(cc4.select(col("h1").as("h2"), col("h2").as("h3"),
+          col("h3").as("h4"), col("w"), col("c").as("c4c")),
+        Seq("h2", "h3", "h4", "w"), "left")
+      .join(ctx4.select(col("h1").as("h2"), col("h2").as("h3"),
+          col("h3").as("h4"), col("tot").as("tot4"), col("ty").as("ty4")),
+        Seq("h2", "h3", "h4"), "left")
+      .join(cc3.select(col("h1").as("h3"), col("h2").as("h4"),
+          col("w"), col("c").as("c3c")),
+        Seq("h3", "h4", "w"), "left")
+      .join(ctx3.select(col("h1").as("h3"), col("h2").as("h4"),
+          col("tot").as("tot3"), col("ty").as("ty3")),
+        Seq("h3", "h4"), "left")
+      .join(cc2.select(col("h1").as("h4"), col("w"), col("c").as("c2c")),
+        Seq("h4", "w"), "left")
+      .join(ctx2.select(col("h1").as("h4"), col("tot").as("tot2"),
+          col("ty").as("ty2")),
+        Seq("h4"), "left")
+      .join(cc1.select(col("w"), col("c").as("c1c")), Seq("w"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("doc_id"), col("split"),
+        nz(col("c5c")).as("c5c"), nz(col("tot5")).as("tot5"),
+        nz(col("ty5")).as("ty5"),
+        nz(col("c4c")).as("c4c"), nz(col("tot4")).as("tot4"),
+        nz(col("ty4")).as("ty4"),
+        nz(col("c3c")).as("c3c"), nz(col("tot3")).as("tot3"),
+        nz(col("ty3")).as("ty3"),
+        nz(col("c2c")).as("c2c"), nz(col("tot2")).as("tot2"),
+        nz(col("ty2")).as("ty2"),
+        nz(col("c1c")).as("c1c"),
+        col("cc1_tot"), col("t1"), col("v"))
+
+    // the interpolation chain, one order per column — the same
+    // expression shape (and therefore the same IEEE result) as the
+    // oracle's layered CTEs
+    def knLevel(c: Column, tot: Column, ty: Column, lower: Column): Column =
+      when(tot > 0,
+        (greatest(c - lit(D), lit(0.0)) + lit(D) * ty * lower) / tot)
+        .otherwise(lower)
+    val scored = j
+      .withColumn("p1",
+        (greatest(col("c1c") - lit(D), lit(0.0)) +
+          lit(D) * col("t1") * (lit(1.0) / col("v"))) / col("cc1_tot"))
+      .withColumn("p2",
+        knLevel(col("c2c"), col("tot2"), col("ty2"), col("p1")))
+      .withColumn("p3",
+        knLevel(col("c3c"), col("tot3"), col("ty3"), col("p2")))
+      .withColumn("p4",
+        knLevel(col("c4c"), col("tot4"), col("ty4"), col("p3")))
+      .withColumn("p5",
+        knLevel(col("c5c"), col("tot5"), col("ty5"), col("p4")))
+      .select(col("doc_id"), col("split"),
+        round(-log(col("p5")), 12).cast("decimal(28,12)").as("lp"))
+
+    scored.groupBy("doc_id", "split")
+      .agg(count(lit(1)).as("n_scored"),
+        round(sum("lp").cast("double") / count(lit(1)), 6).as("nll"))
+      .withColumn("bucket",
+        when(col("nll") < HeadMax, "head")
+          .when(col("nll") < MiddleMax, "middle")
+          .otherwise("tail"))
+  }
+}

@@ -670,4 +670,68 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("piece"))
       .limit(topPieces)
   }
+
+  /** Textcat-style (Cavnar & Trenkle 1994) n-gram-profile language
+    * ID — the document-level upgrade over [[langId]]'s stopword
+    * voting: each language's profile is its top-`profN` padded char
+    * TRIGRAMS ranked by frequency on the hash-stable train split
+    * (labels come from the corpus's own `lang` column), each
+    * document's profile is its top-`docN` trigrams, and the score is
+    * the classic OUT-OF-PLACE distance — Σ |doc rank − lang rank|
+    * with a fixed `profN` penalty for grams absent from the language
+    * profile. Lowest distance wins; ties break lexicographically via
+    * the lpad-encoded min (binary-collation argmin on both engines,
+    * the profile_columns trick).
+    *
+    * Everything is exact integer arithmetic — no logs, no doubles —
+    * so the oracle replays it bit-for-bit. Shape at scale: ONE
+    * corpus tokenize/explode; profiles rank under keyed windows
+    * (per-lang, per-doc — WindowGroupLimit prunes); the scoring join
+    * is doc-top-grams × |languages| rows against a profile relation
+    * of |languages|·profN rows (broadcast). The fixture shares one
+    * vocabulary across its lang labels, so the interesting part is
+    * the deterministic rank/penalty plumbing — on real multilingual
+    * text the same plan separates scripts sharply.
+    */
+  def langIdNgram(s: SparkSession, dir: String,
+      profN: Int = 40, docN: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val nib = conv(substring(
+      md5(concat(col("doc_id").cast("string"), lit("#split"))), 1, 1),
+      16, 10).cast("int")
+    val grams = docs(s, dir)
+      .select(col("doc_id"), col("lang"), nib.as("nib"),
+        explode(filter(wsTokens, t => t =!= "")).as("word"))
+      .select(col("doc_id"), col("lang"), col("nib"),
+        concat(lit("_"), col("word"), lit("_")).as("p"))
+      .select(col("doc_id"), col("lang"), col("nib"),
+        explode(expr(
+          "transform(sequence(1, length(p) - 2), i -> substr(p, i, 3))"))
+          .as("gram"))
+    val langProf = grams.filter(col("nib") <= 13)
+      .groupBy("lang", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        w.partitionBy("lang").orderBy(col("cnt").desc, col("gram"))))
+      .filter(col("rnk") <= profN)
+      .select(col("lang"), col("gram"), col("rnk").as("lang_rnk"))
+    val docProf = grams
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rnk", row_number().over(
+        w.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram"))))
+      .filter(col("rnk") <= docN)
+      .select(col("doc_id"), col("gram"), col("rnk"))
+    val langs = langProf.select("lang").distinct()
+    val dist = docProf.crossJoin(broadcast(langs))
+      .join(broadcast(langProf), Seq("lang", "gram"), "left")
+      .groupBy("doc_id", "lang")
+      .agg(sum(coalesce(abs(col("rnk") - col("lang_rnk")),
+        lit(profN.toLong))).cast("long").as("distance"))
+    val best = dist.groupBy("doc_id")
+      .agg(min(concat(lpad(col("distance").cast("string"), 10, "0"),
+        col("lang"))).as("m"))
+    best.join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("doc_id"), col("lang").as("lang_label"),
+        substring(col("m"), 11, 10).as("lang_pred"),
+        substring(col("m"), 1, 10).cast("long").as("distance"))
+  }
 }

@@ -222,4 +222,57 @@ class TextSpec extends SparkSpec {
     val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(40)
     assert(out.toSeq == want)
   }
+
+  test("n-gram langid: confusion matrix vs fixture labels matches a driver recompute") {
+    val rows = graft.ops.TextOps.langIdNgram(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang_label"),
+        r.getAs[String]("lang_pred"), r.getAs[Long]("distance")))
+    // driver-side textcat recompute from the raw fixture: padded char
+    // trigram profiles (top-40 per lang on the hash-stable train
+    // split, top-20 per doc), out-of-place distance with penalty 40,
+    // argmin tie-broken by lang
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def isTrain(id: Long): Boolean =
+      Integer.parseInt(md5hex(id + "#split").substring(0, 1), 16) <= 13
+    def grams(t: String): Seq[String] =
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+        .map(w => s"_${w}_")
+        .flatMap(p => (0 to p.length - 3).map(i => p.substring(i, i + 3)))
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getAs[Long](0), r.getAs[String](1), r.getAs[String](2)))
+    def rank(gs: Seq[(String, Int)], n: Int): Map[String, Int] =
+      gs.sortBy { case (g, c) => (-c, g) }.take(n)
+        .zipWithIndex.map { case ((g, _), i) => g -> (i + 1) }.toMap
+    val langProf = docs.filter(d => isTrain(d._1))
+      .flatMap(d => grams(d._3).map(g => (d._2, g)))
+      .groupBy(_._1).map { case (lang, gs) =>
+        lang -> rank(gs.groupBy(_._2).map { case (g, v) => g -> v.length }
+          .toSeq, 40)
+      }
+    val langs = langProf.keys.toSeq.sorted
+    val want = docs.map { case (id, label, text) =>
+      val dp = rank(grams(text).groupBy(identity)
+        .map { case (g, v) => g -> v.length }.toSeq, 20)
+      val dists = langs.map { l =>
+        l -> dp.map { case (g, r) =>
+          langProf(l).get(g).map(lr => math.abs(r - lr).toLong)
+            .getOrElse(40L)
+        }.sum
+      }
+      val (bl, bd) = dists.minBy { case (l, d) => (d, l) }
+      (id, label, bl, bd)
+    }.toSet
+    assert(rows.toSet == want)
+    // the matrix covers every (label, pred) the recompute says it
+    // should, and no prediction class is empty (liveness: the scorer
+    // genuinely discriminates rather than constant-voting)
+    val matrix = rows.groupBy(r => (r._2, r._3)).map { case (k, v) => k -> v.length }
+    val wantMatrix = want.groupBy(r => (r._2, r._3)).map { case (k, v) => k -> v.size }
+    assert(matrix == wantMatrix)
+    assert(rows.map(_._3).distinct.length >= 3,
+      s"degenerate predictions: ${matrix.keys}")
+  }
 }
