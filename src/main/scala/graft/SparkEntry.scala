@@ -7,7 +7,7 @@ import graft.engine.{Catalog, Importer, Staging}
 import graft.ops.{Archives, Avro, BloomIndex, Profiling, Proto, Bucketed, Classifier, CrawlOps, Dedup, Incremental, LinkGraph,
   Encoding, EventOps, Filtering, LanguageModel, LshIndex, MediaHeaders,
   Multimodal, PerceptualHash, Relational, Robots, Scd, Similarity, Sitemap,
-  Sketches, Frontier, TextOps, TrainPrep, UrlOps, VectorIndex}
+  Sketches, Frontier, TextOps, TrainPrep, UnigramLm, UrlOps, VectorIndex}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -348,6 +348,10 @@ object SparkEntry {
     // WordPiece-style greedy max-munch over top-words + alphabet
     // vocab; segmentation on the distinct-word relation only
     "corpus_wordpiece" -> ((s, dir) => TextOps.wordpieceTokens(s, dir)),
+    // SentencePiece-style unigram-LM tokenizer: substring seed,
+    // hard-EM Viterbi rounds, prune+apply; corpus touched once, the
+    // oracle replays every lattice argmax through per-position CTEs
+    "corpus_unigram_lm" -> ((s, dir) => UnigramLm.unigramPieces(s, dir)),
     // composite keep/drop verdict with per-rule drop reasons; costs
     // exactly one text_repetition (signals ride the same exchanges)
     "quality_filter" -> ((s, dir) => Filtering.qualityFilter(s, dir)),
@@ -643,10 +647,151 @@ object SparkEntry {
     sb.toString
   }
 
+  /** One Viterbi lattice pass for the unigram-LM oracle: position
+    * CTEs `$p1..$p12` each keep, per word, the best (score, path)
+    * over the ≤4 predecessor states joined against the `$vocabLp`
+    * (piece, lp) relation — `row_number() OVER (PARTITION BY word
+    * ORDER BY score DESC, path)` is the exact argmax rule the
+    * engine's BigDecimal segmenter applies. `${p}fin` picks each
+    * word's full-length state. Scores are DECIMAL(28,12) sums of
+    * 12-decimal logs: every comparison is exact, so the chosen
+    * segmentation — not just its score — matches cross-engine.
+    */
+  private def unigramViterbiCtes(p: String, vocabLp: String): String = {
+    val sb = new StringBuilder
+    sb ++= s""",
+      |${p}0 AS (
+      |  SELECT word, cnt, CAST(0 AS DECIMAL(28,12)) AS score,
+      |    '' AS path
+      |  FROM uwords
+      |)""".stripMargin
+    for (i <- 1 to 12) {
+      val cands = (math.max(0, i - 4) until i).map { j =>
+        s"""    SELECT b.word, b.cnt,
+           |      CAST(b.score + v.lp AS DECIMAL(28,12)) AS score,
+           |      CASE WHEN b.path = '' THEN v.piece
+           |        ELSE concat(b.path, '|', v.piece) END AS path
+           |    FROM $p$j b JOIN $vocabLp v
+           |      ON v.piece = substr(b.word, ${j + 1}, ${i - j})
+           |    WHERE len(b.word) >= $i""".stripMargin
+      }.mkString("\n    UNION ALL\n")
+      sb ++= s""",
+        |$p$i AS MATERIALIZED (
+        |  SELECT word, cnt, score, path FROM (
+        |    SELECT word, cnt, score, path, row_number() OVER (
+        |      PARTITION BY word ORDER BY score DESC, path) AS rn
+        |    FROM (
+        |$cands))
+        |  WHERE rn = 1
+        |)""".stripMargin
+    }
+    sb ++= s""",
+      |${p}fin AS MATERIALIZED (
+      |""".stripMargin
+    sb ++= (1 to 12)
+      .map(i => s"  SELECT word, cnt, path FROM $p$i WHERE len(word) = $i")
+      .mkString("\n  UNION ALL\n")
+    sb ++= "\n)"
+    sb.toString
+  }
+
+  /** Piece re-count + single-char +1 floor + renormalized 12-decimal
+    * logs after a Viterbi pass — one EM M-step of the unigram-LM
+    * oracle.
+    */
+  private def unigramMStepCtes(
+      finCte: String, cntName: String, vName: String,
+      lpName: String): String =
+    s""",
+      |$cntName AS (
+      |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split(path, '|')) AS piece, cnt
+      |    FROM $finCte)
+      |  GROUP BY piece
+      |), $vName AS MATERIALIZED (
+      |  SELECT COALESCE(c.piece, ch.piece) AS piece,
+      |    COALESCE(c.cnt, 0) + CASE
+      |      WHEN len(COALESCE(c.piece, ch.piece)) = 1 THEN 1
+      |      ELSE 0 END AS cnt
+      |  FROM $cntName c
+      |  FULL JOIN (SELECT piece FROM chars) ch ON ch.piece = c.piece
+      |), $lpName AS MATERIALIZED (
+      |  SELECT piece, CAST(round(ln(CAST(cnt AS DOUBLE) /
+      |    (SELECT CAST(sum(cnt) AS BIGINT) FROM $vName)), 12)
+      |    AS DECIMAL(28,12)) AS lp
+      |  FROM $vName
+      |)""".stripMargin
+
+  /** Full unigram-LM tokenizer oracle: seed → EM×2 (Viterbi passes a,
+    * b with M-steps) → prune → apply pass c → top-40 piece counts.
+    */
+  private def unigramOracle: String = {
+    """WITH uwords AS MATERIALIZED (
+      |  SELECT word, count(*) AS cnt FROM (
+      |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |      AS word FROM documents)
+      |  WHERE word <> '' AND len(word) <= 12
+      |    AND NOT contains(word, '|')
+      |  GROUP BY word
+      |), sub AS MATERIALIZED (
+      |  SELECT substr(word, i, l) AS piece,
+      |    CAST(sum(cnt) AS BIGINT) AS cnt
+      |  FROM uwords,
+      |    unnest(range(1, len(word) + 1)) AS t(i),
+      |    unnest(range(1, 5)) AS u(l)
+      |  WHERE i + l <= len(word) + 1
+      |  GROUP BY piece
+      |), multi AS (
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, cnt,
+      |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+      |    FROM sub WHERE len(piece) >= 2 AND cnt >= 2)
+      |  WHERE rn <= 200
+      |), chars AS (
+      |  SELECT piece, cnt FROM sub WHERE len(piece) = 1
+      |), v0 AS (
+      |  SELECT piece, cnt FROM multi
+      |  UNION ALL SELECT piece, cnt FROM chars
+      |), lp0 AS MATERIALIZED (
+      |  SELECT piece, CAST(round(ln(CAST(cnt AS DOUBLE) /
+      |    (SELECT CAST(sum(cnt) AS BIGINT) FROM v0)), 12)
+      |    AS DECIMAL(28,12)) AS lp
+      |  FROM v0
+      |)""".stripMargin +
+      unigramViterbiCtes("a", "lp0") +
+      unigramMStepCtes("afin", "cnt1", "v1", "lp1") +
+      unigramViterbiCtes("b", "lp1") +
+      unigramMStepCtes("bfin", "cnt2", "v2", "lp2") +
+      """,
+        |keepv AS (
+        |  SELECT piece, cnt FROM (
+        |    SELECT piece, cnt,
+        |      row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+        |    FROM v2)
+        |  WHERE rn <= 24 OR len(piece) = 1
+        |), lpf AS MATERIALIZED (
+        |  SELECT piece, CAST(round(ln(CAST(cnt AS DOUBLE) /
+        |    (SELECT CAST(sum(cnt) AS BIGINT) FROM keepv)), 12)
+        |    AS DECIMAL(28,12)) AS lp
+        |  FROM keepv
+        |)""".stripMargin +
+      unigramViterbiCtes("c", "lpf") +
+      """
+        |SELECT piece, n_occurrences, rank FROM (
+        |  SELECT piece, CAST(sum(cnt) AS BIGINT) AS n_occurrences,
+        |    CAST(row_number() OVER (ORDER BY sum(cnt) DESC, piece)
+        |      AS INTEGER) AS rank
+        |  FROM (SELECT unnest(string_split(path, '|')) AS piece, cnt
+        |        FROM cfin)
+        |  GROUP BY piece)
+        |ORDER BY rank LIMIT 40""".stripMargin
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
+    "corpus_unigram_lm" -> unigramOracle,
     "corpus_bpe_train" -> (bpeOracleCtes(20) + "\n" +
       (1 to 20).map(j =>
         s"SELECT CAST($j AS INTEGER) AS rank, l AS left_sym, r AS right_sym," +
