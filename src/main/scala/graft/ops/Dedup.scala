@@ -679,6 +679,14 @@ object Dedup {
     * cost of one distributed-store round-trip per round. On a
     * 1000-executor run where preemption is routine, pass the job's
     * scratch prefix here; local/single-JVM runs keep the default.
+    *
+    * Two caveats callers own: `setCheckpointDir` mutates SESSION-
+    * GLOBAL SparkContext state (concurrent ops passing different dirs
+    * race — last setter wins; serialize such calls or share one dir),
+    * and reliable checkpoint files are NOT removed by
+    * [[CacheScope.release]] (which reaches block storage only) —
+    * point `checkpointDir` at a per-job scratch prefix the platform
+    * garbage-collects, or delete it after the action completes.
     */
   private[graft] def connectedComponents(
       pairs: DataFrame, scope: CacheScope = new CacheScope,

@@ -36,11 +36,23 @@ import org.apache.spark.sql.functions._
   * Shape at scale: the corpus is tokenized ONCE into the position
   * relation (one row per token — the same cardinality any tokenizer
   * pass already pays); training is a chain of groupBys that each
-  * shrink (5-gram types → 4-gram types → … → vocabulary); scoring is
-  * nine LEFT JOINs keyed by n-gram columns — all shuffle joins on
-  * purpose (at corpus scale no count table fits a broadcast) — plus
-  * one broadcast of the three model scalars. Nothing iterates,
-  * nothing collects; the whole model lives in relations.
+  * shrink (5-gram types → 4-gram types → … → vocabulary). Scoring
+  * exploits that the KN probability is a PURE FUNCTION of the
+  * 5-gram: the nine model LEFT JOINs run against the DISTINCT
+  * 5-gram-type relation (type cardinality, sublinear in corpus size
+  * — shared grams collapse), and one inner join keyed by a 128-bit
+  * n-gram fingerprint (two independent xxhash64 longs — 16 bytes on
+  * the wire instead of five strings; a cross-type collision needs
+  * both 64-bit halves to collide, ~2^-128 per pair, absent at any
+  * physical corpus size) carries each type's score back to the
+  * positions. The position relation therefore crosses the network
+  * exactly TWICE before the per-document rollup (the type distinct —
+  * map-side-combined down to per-partition types — and the
+  * fingerprint join), not once per model order; all joins stay
+  * shuffle joins on purpose (at corpus scale no count table fits a
+  * broadcast) plus one broadcast of the three model scalars.
+  * Nothing iterates, nothing collects; the whole model lives in
+  * relations.
   *
   * Determinism: counts are exact integers; the interpolation chain
   * is IEEE double arithmetic in a fixed expression shape the DuckDB
@@ -53,11 +65,14 @@ object LanguageModel {
 
   private val D = 0.75
 
-  /** Bucket cut points on mean negative log probability: the fixture
-    * train split scores ≈1.0 nats/token and held-out docs ≈3.2-3.6,
-    * so the cuts straddle the train mode — CCNet's head/middle/tail
-    * with fixed (reproducible) thresholds instead of per-run
-    * quantiles.
+  /** Default bucket cut points on mean negative log probability: the
+    * sf-corpus train split scores ≈1.0 nats/token and held-out docs
+    * ≈3.2-3.6, so these defaults straddle the train mode — CCNet's
+    * head/middle/tail with fixed (reproducible) thresholds instead of
+    * per-run quantiles. They are corpus-specific: on any real corpus
+    * the nll mode shifts, so callers pass cuts tuned per corpus
+    * (e.g. the observed tercile boundaries of a profiling run)
+    * through [[knPerplexity]]'s `headMax`/`middleMax` parameters.
     */
   private val HeadMax = 0.95
   private val MiddleMax = 1.05
@@ -95,16 +110,21 @@ object LanguageModel {
   }
 
   /** KN perplexity of every document under the train-split 5-gram
-    * model: (doc_id, split, n_scored, nll, bucket).
+    * model: (doc_id, split, n_scored, nll, bucket). `headMax` /
+    * `middleMax` are the bucket cut points in nats/token — tune them
+    * per corpus (the defaults fit the sf test corpus).
     */
-  def knPerplexity(s: SparkSession, dir: String): DataFrame =
-    knPerplexityOf(docs(s, dir))
+  def knPerplexity(s: SparkSession, dir: String,
+      headMax: Double = HeadMax, middleMax: Double = MiddleMax): DataFrame =
+    knPerplexityOf(docs(s, dir), headMax, middleMax)
 
   /** [[knPerplexity]] over an explicit (doc_id, text) relation —
     * the spec's entry point for synthetic fixtures (OOV words,
     * forced split membership).
     */
-  private[graft] def knPerplexityOf(d: DataFrame): DataFrame = {
+  private[graft] def knPerplexityOf(d: DataFrame,
+      headMax: Double = HeadMax,
+      middleMax: Double = MiddleMax): DataFrame = {
     val pos = positions(d)
     val tp = pos.filter(col("split") === "train")
       .select("h1", "h2", "h3", "h4", "w")
@@ -137,8 +157,13 @@ object LanguageModel {
         count(lit(1)).as("t1"))
       .crossJoin(c5.agg((countDistinct("w") + 1).as("v")))
 
+    // Distinct 5-gram types across ALL splits: the nine model joins
+    // below run on this (type-cardinality) relation, never on the
+    // position relation — at corpus scale the per-order count joins
+    // would otherwise each reshuffle one-row-per-token.
+    val types = pos.select("h1", "h2", "h3", "h4", "w").distinct()
     def nz(c: Column): Column = coalesce(c, lit(0L))
-    val j = pos
+    val j = types
       .join(c5.withColumnsRenamed(Map("c" -> "c5c")),
         Seq("h1", "h2", "h3", "h4", "w"), "left")
       .join(ctx5.withColumnsRenamed(Map("tot" -> "tot5", "ty" -> "ty5")),
@@ -162,7 +187,7 @@ object LanguageModel {
         Seq("h4"), "left")
       .join(cc1.select(col("w"), col("c").as("c1c")), Seq("w"), "left")
       .crossJoin(broadcast(scal))
-      .select(col("doc_id"), col("split"),
+      .select(col("h1"), col("h2"), col("h3"), col("h4"), col("w"),
         nz(col("c5c")).as("c5c"), nz(col("tot5")).as("tot5"),
         nz(col("ty5")).as("ty5"),
         nz(col("c4c")).as("c4c"), nz(col("tot4")).as("tot4"),
@@ -181,7 +206,16 @@ object LanguageModel {
       when(tot > 0,
         (greatest(c - lit(D), lit(0.0)) + lit(D) * ty * lower) / tot)
         .otherwise(lower)
-    val scored = j
+    // 128-bit n-gram fingerprint: two independent xxhash64 longs (the
+    // second salts the input) — the join key that carries each type's
+    // score back to its positions at 16 bytes/row instead of five
+    // variable-width strings. Both sides derive it from the same five
+    // columns, so the join is exact unless two DISTINCT types collide
+    // on BOTH halves (~2^-128 per pair — absent at any corpus size).
+    def fp1(c: Column*): Column = xxhash64(c: _*)
+    def fp2(c: Column*): Column = xxhash64((lit("kn#2") +: c): _*)
+    val gramCols = Seq(col("h1"), col("h2"), col("h3"), col("h4"), col("w"))
+    val scoredTypes = j
       .withColumn("p1",
         (greatest(col("c1c") - lit(D), lit(0.0)) +
           lit(D) * col("t1") * (lit(1.0) / col("v"))) / col("cc1_tot"))
@@ -193,15 +227,21 @@ object LanguageModel {
         knLevel(col("c4c"), col("tot4"), col("ty4"), col("p3")))
       .withColumn("p5",
         knLevel(col("c5c"), col("tot5"), col("ty5"), col("p4")))
-      .select(col("doc_id"), col("split"),
+      .select(fp1(gramCols: _*).as("gk1"), fp2(gramCols: _*).as("gk2"),
         round(-log(col("p5")), 12).cast("decimal(28,12)").as("lp"))
+    // inner join: `types` is pos's own distinct projection, so every
+    // position matches exactly one scored type
+    val scored = pos
+      .select(col("doc_id"), col("split"),
+        fp1(gramCols: _*).as("gk1"), fp2(gramCols: _*).as("gk2"))
+      .join(scoredTypes, Seq("gk1", "gk2"))
 
     scored.groupBy("doc_id", "split")
       .agg(count(lit(1)).as("n_scored"),
         round(sum("lp").cast("double") / count(lit(1)), 6).as("nll"))
       .withColumn("bucket",
-        when(col("nll") < HeadMax, "head")
-          .when(col("nll") < MiddleMax, "middle")
+        when(col("nll") < lit(headMax), "head")
+          .when(col("nll") < lit(middleMax), "middle")
           .otherwise("tail"))
   }
 }

@@ -64,7 +64,10 @@ object LinkGraph {
     * blocks vanish mid-job). The checkpoint adds one distributed
     * write per iteration and changes no value: ranks are 12-decimal
     * mediated, so the checkpointed and unrolled runs are
-    * bit-identical.
+    * bit-identical. Same caveats as `connectedComponents`:
+    * `setCheckpointDir` is session-global (concurrent different-dir
+    * callers race), and the checkpoint files outlive the call — use
+    * a platform-collected scratch prefix or delete after the action.
     */
   def pageRank(
       s: SparkSession, dir: String,

@@ -731,7 +731,7 @@ object TextOps {
         col("lang"))).as("m"))
     best.join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
       .select(col("doc_id"), col("lang").as("lang_label"),
-        substring(col("m"), 11, 10).as("lang_pred"),
+        expr("substring(m, 11)").as("lang_pred"),
         substring(col("m"), 1, 10).cast("long").as("distance"))
   }
 }

@@ -171,8 +171,16 @@ object UnigramLm {
     }.toDF("piece", "n")
       .groupBy("piece").agg(sum("n").as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("piece")).limit(TopK)
-    out.withColumn("rank", row_number().over(
-        Window.orderBy(col("n_occurrences").desc, col("piece")))
-      .cast("int"))
+      .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_occurrences").desc, col("piece")))
+        .cast("int"))
+    // The result is bounded (≤ TopK rows): materialize it eagerly so
+    // the word-count cache — needed by every EM pass above AND this
+    // final apply — can be released NOW instead of leaking for the
+    // session lifetime (returning the lazy plan would force a choice
+    // between an un-cached extra corpus scan and the leak).
+    val rows = out.as[(String, Long, Int)].collect().toSeq
+    words.unpersist(blocking = true)
+    rows.toDF("piece", "n_occurrences", "rank")
   }
 }

@@ -224,8 +224,10 @@ class DedupSpec extends SparkSpec {
       assert(reliable == local)
       // the reliable run actually wrote round state into the store —
       // the property that survives executor loss
-      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
-        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(ckDir))
+      val wrote =
+        try walk.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally walk.close()
       assert(wrote > 0, "expected reliable checkpoint files on disk")
       // pageRank's reliable mode is bit-identical too (12-decimal
       // mediation makes the checkpointed and unrolled plans agree)
