@@ -151,6 +151,21 @@ class EventOpsSpec extends SparkSpec {
     assert(got.values.max > 1)
   }
 
+  test("concurrency: executed plan has no single-partition stage") {
+    // The two-level prefix sum exists precisely so that NO operator —
+    // window, sort, or aggregate — ever funnels the corpus through one
+    // partition: every window is hour- or range-keyed and the
+    // cross-range carry is a broadcast self-join over range totals.
+    // A global window would plan `Exchange SinglePartition`; pin its
+    // absence in the FINALIZED adaptive plan.
+    val df = EventOps.concurrency(spark, sf())
+    df.collect()
+    val plan = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
+
   test("binning yields an equi-join on bin, not BroadcastNestedLoopJoin") {
     val df = EventOps.rangeJoinActiveSessions(spark, sf())
     df.collect() // finalize AQE so the plan below is the executed one

@@ -118,4 +118,59 @@ class LanguageModelSpec extends SparkSpec {
     assert(Set("head", "middle", "tail").subsetOf(buckets.keySet),
       s"degenerate bucket split: $buckets")
   }
+
+  test("KN scoring plan: model joins run on types, not positions") {
+    import org.apache.spark.sql.execution.ExplainMode
+    // The position relation (one row per corpus token) must cross the
+    // network exactly twice — the distinct-type projection and the
+    // per-document rollup — with the nine per-order model joins
+    // running on the distinct 5-gram-TYPE relation and their scores
+    // carried back through ONE (gk1, gk2) fingerprint join. Pin the
+    // finalized plan's signature of that shape:
+    //  - exactly one exchange partitioned by doc_id (the rollup);
+    //  - the fingerprint join columns exist;
+    //  - SinglePartition appears at most twice (the two one-row model
+    //    scalars, both fed by map-side partial aggregation);
+    //  - no window, cartesian, or nested-loop fallback anywhere.
+    val df = LanguageModel.knPerplexity(spark, sf())
+    df.collect()
+    val full = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the executed explain lists BOTH the final and the initial
+    // adaptive plan, and the details section covers both — scope all
+    // node counts to ids appearing in the final-plan TREE section
+    val fStart = full.indexOf("== Final Plan ==")
+    val iStart = full.indexOf("== Initial Plan ==")
+    assert(fStart >= 0, full.take(500))
+    val treeFinal =
+      full.substring(fStart, if (iStart > fStart) iStart else full.length)
+    val finalIds = "\\((\\d+)\\)".r.findAllMatchIn(treeFinal)
+      .map(_.group(1)).toSet
+    val header = "^\\((\\d+)\\) (\\w+)".r
+    var cur: Option[(String, String)] = None
+    var docEx = 0
+    var single = 0
+    full.linesIterator.foreach { ln =>
+      header.findFirstMatchIn(ln) match {
+        case Some(m) => cur = Some((m.group(1), m.group(2)))
+        case None => cur match {
+          case Some((id, "Exchange"))
+              if finalIds(id) && ln.startsWith("Arguments:") =>
+            if (ln.contains("hashpartitioning(doc_id")) docEx += 1
+            if (ln.contains("SinglePartition")) single += 1
+          case _ =>
+        }
+      }
+    }
+    assert(docEx == 1, s"expected 1 doc_id exchange, got $docEx")
+    assert(single <= 2, s"expected <=2 scalar exchanges, got $single")
+    assert(full.contains("gk1") && full.contains("gk2"), full.take(2000))
+    assert(!treeFinal.contains("CartesianProduct"), treeFinal.take(2000))
+    // the only nested-loop joins allowed are the broadcast one-row
+    // model-scalar attaches (Cross BuildRight on a 1-row side)
+    treeFinal.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => assert(l.contains("Cross BuildRight"), l))
+    assert(!treeFinal.contains("Window"), treeFinal.take(2000))
+  }
 }
