@@ -355,6 +355,9 @@ object SparkEntry {
     // composite keep/drop verdict with per-rule drop reasons; costs
     // exactly one text_repetition (signals ride the same exchanges)
     "quality_filter" -> ((s, dir) => Filtering.qualityFilter(s, dir)),
+    // heuristics ∧ CCNet LM gate in one verdict relation: r_lm is the
+    // perplexity bucket ≠ tail, lm_tail appends to drop_reasons
+    "quality_filter_lm" -> ((s, dir) => Filtering.qualityFilterLm(s, dir)),
     // one-scan column profiling: exact distinct/nulls/min/max and a
     // deterministically tie-broken top value per column
     "profile_columns" -> ((s, dir) => Profiling.profileColumns(s, dir)),
@@ -2083,113 +2086,8 @@ object SparkEntry {
     // the engine's withColumn chain exactly; ln rounds to 12 and
     // sums as DECIMAL(28,12), the mean rounds to 6.
     "text_perplexity" ->
-      """WITH toks AS (
-        |  SELECT doc_id,
-        |    CASE WHEN strpos('0123456789abcdef',
-        |      substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 1)) - 1
-        |        <= 13 THEN 'train'
-        |      WHEN strpos('0123456789abcdef',
-        |        substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 1)) - 1
-        |        = 14 THEN 'val' ELSE 'test' END AS split,
-        |    ['<s>','<s>','<s>','<s>'] || list_filter(
-        |      regexp_split_to_array(trim(lower(text)), '\s+'),
-        |      x -> x <> '') || ['</s>'] AS pad
-        |  FROM documents
-        |), pos AS (
-        |  SELECT doc_id, split,
-        |    pad[i-4] AS h1, pad[i-3] AS h2, pad[i-2] AS h3,
-        |    pad[i-1] AS h4, pad[i] AS w
-        |  FROM toks, unnest(range(5, len(pad) + 1)) AS t(i)
-        |), tp AS (
-        |  SELECT h1, h2, h3, h4, w FROM pos WHERE split = 'train'
-        |), c5 AS (
-        |  SELECT h1, h2, h3, h4, w, count(*) AS c FROM tp GROUP BY ALL
-        |), ctx5 AS (
-        |  SELECT h1, h2, h3, h4, CAST(sum(c) AS BIGINT) AS tot,
-        |    count(*) AS ty
-        |  FROM c5 GROUP BY ALL
-        |), cc4 AS (
-        |  SELECT h2 AS h1, h3 AS h2, h4 AS h3, w, count(*) AS c
-        |  FROM c5 GROUP BY ALL
-        |), ctx4 AS (
-        |  SELECT h1, h2, h3, CAST(sum(c) AS BIGINT) AS tot,
-        |    count(*) AS ty
-        |  FROM cc4 GROUP BY ALL
-        |), cc3 AS (
-        |  SELECT h2 AS h1, h3 AS h2, w, count(*) AS c
-        |  FROM cc4 GROUP BY ALL
-        |), ctx3 AS (
-        |  SELECT h1, h2, CAST(sum(c) AS BIGINT) AS tot, count(*) AS ty
-        |  FROM cc3 GROUP BY ALL
-        |), cc2 AS (
-        |  SELECT h2 AS h1, w, count(*) AS c FROM cc3 GROUP BY ALL
-        |), ctx2 AS (
-        |  SELECT h1, CAST(sum(c) AS BIGINT) AS tot, count(*) AS ty
-        |  FROM cc2 GROUP BY ALL
-        |), cc1 AS (
-        |  SELECT w, count(*) AS c FROM cc2 GROUP BY ALL
-        |), scal AS (
-        |  SELECT CAST(sum(c) AS BIGINT) AS cc1_tot, count(*) AS t1,
-        |    (SELECT count(DISTINCT w) FROM c5) + 1 AS v
-        |  FROM cc1
-        |), j AS (
-        |  SELECT p.doc_id, p.split,
-        |    COALESCE(n5.c, 0) AS c5c, COALESCE(x5.tot, 0) AS tot5,
-        |    COALESCE(x5.ty, 0) AS ty5,
-        |    COALESCE(n4.c, 0) AS c4c, COALESCE(x4.tot, 0) AS tot4,
-        |    COALESCE(x4.ty, 0) AS ty4,
-        |    COALESCE(n3.c, 0) AS c3c, COALESCE(x3.tot, 0) AS tot3,
-        |    COALESCE(x3.ty, 0) AS ty3,
-        |    COALESCE(n2.c, 0) AS c2c, COALESCE(x2.tot, 0) AS tot2,
-        |    COALESCE(x2.ty, 0) AS ty2,
-        |    COALESCE(n1.c, 0) AS c1c, s.cc1_tot, s.t1, s.v
-        |  FROM pos p
-        |  LEFT JOIN c5 n5 USING (h1, h2, h3, h4, w)
-        |  LEFT JOIN ctx5 x5 USING (h1, h2, h3, h4)
-        |  LEFT JOIN cc4 n4 ON n4.h1 = p.h2 AND n4.h2 = p.h3
-        |    AND n4.h3 = p.h4 AND n4.w = p.w
-        |  LEFT JOIN ctx4 x4 ON x4.h1 = p.h2 AND x4.h2 = p.h3
-        |    AND x4.h3 = p.h4
-        |  LEFT JOIN cc3 n3 ON n3.h1 = p.h3 AND n3.h2 = p.h4
-        |    AND n3.w = p.w
-        |  LEFT JOIN ctx3 x3 ON x3.h1 = p.h3 AND x3.h2 = p.h4
-        |  LEFT JOIN cc2 n2 ON n2.h1 = p.h4 AND n2.w = p.w
-        |  LEFT JOIN ctx2 x2 ON x2.h1 = p.h4
-        |  LEFT JOIN cc1 n1 ON n1.w = p.w
-        |  CROSS JOIN scal s
-        |), l1 AS (
-        |  SELECT *, (greatest(c1c - 0.75, 0.0)
-        |      + 0.75 * t1 * (1.0 / v)) / cc1_tot AS p1
-        |  FROM j
-        |), l2 AS (
-        |  SELECT *, CASE WHEN tot2 > 0 THEN (greatest(c2c - 0.75, 0.0)
-        |      + 0.75 * ty2 * p1) / tot2 ELSE p1 END AS p2
-        |  FROM l1
-        |), l3 AS (
-        |  SELECT *, CASE WHEN tot3 > 0 THEN (greatest(c3c - 0.75, 0.0)
-        |      + 0.75 * ty3 * p2) / tot3 ELSE p2 END AS p3
-        |  FROM l2
-        |), l4 AS (
-        |  SELECT *, CASE WHEN tot4 > 0 THEN (greatest(c4c - 0.75, 0.0)
-        |      + 0.75 * ty4 * p3) / tot4 ELSE p3 END AS p4
-        |  FROM l3
-        |), l5 AS (
-        |  SELECT *, CASE WHEN tot5 > 0 THEN (greatest(c5c - 0.75, 0.0)
-        |      + 0.75 * ty5 * p4) / tot5 ELSE p4 END AS p5
-        |  FROM l4
-        |), sc AS (
-        |  SELECT doc_id, split,
-        |    CAST(round(-ln(p5), 12) AS DECIMAL(28,12)) AS lp
-        |  FROM l5
-        |), agg AS (
-        |  SELECT doc_id, split, CAST(count(*) AS BIGINT) AS n_scored,
-        |    round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS nll
-        |  FROM sc GROUP BY doc_id, split
-        |)
-        |SELECT doc_id, split, n_scored, nll,
-        |  CASE WHEN nll < 0.95 THEN 'head'
-        |    WHEN nll < 1.05 THEN 'middle' ELSE 'tail' END AS bucket
-        |FROM agg""".stripMargin,
+      s"""WITH $knOracleCtes
+        |SELECT doc_id, split, n_scored, nll, bucket FROM kn_b""".stripMargin,
     // textcat out-of-place distance: exact integer ranks throughout;
     // the argmin folds into a binary-collation min over
     // lpad(distance)||lang (the profile_columns tie-break trick)
@@ -2259,6 +2157,34 @@ object SparkEntry {
         |    AS INTEGER) AS rank
         |FROM p ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
     "quality_filter" -> qualityFilterOracle,
+    // heuristic chain ⋈ KN chain on doc_id; keep and drop_reasons
+    // extend the quality_filter expressions with the LM-tail rule
+    "quality_filter_lm" ->
+      s"""WITH $qualityCtes, $knOracleCtes
+        |SELECT doc_id, n_tokens, mean_token_len, stop_ratio,
+        |  top2_frac, dup3_frac,
+        |  (n_tokens >= 20 AND n_tokens <= 1000) AS r_len,
+        |  (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
+        |    AS r_word_len,
+        |  (stop_ratio >= 0.01) AS r_stop,
+        |  coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18, true) AS r_rep,
+        |  nll, bucket, (bucket <> 'tail') AS r_lm,
+        |  ((n_tokens >= 20 AND n_tokens <= 1000) AND
+        |   (mean_token_len >= 2.0 AND mean_token_len <= 12.0) AND
+        |   stop_ratio >= 0.01 AND
+        |   coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18, true) AND
+        |   bucket <> 'tail') AS keep,
+        |  concat_ws(',',
+        |    CASE WHEN NOT (n_tokens >= 20 AND n_tokens <= 1000)
+        |      THEN 'len' END,
+        |    CASE WHEN NOT (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
+        |      THEN 'word_len' END,
+        |    CASE WHEN NOT (stop_ratio >= 0.01) THEN 'stop_ratio' END,
+        |    CASE WHEN NOT coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18,
+        |                           true)
+        |      THEN 'repetition' END,
+        |    CASE WHEN bucket = 'tail' THEN 'lm_tail' END) AS drop_reasons
+        |FROM j JOIN kn_b USING (doc_id)""".stripMargin,
 
     // Profiling oracles: exact replays — the top value folds into
     // lpad(count)|value strings so the tie-break is binary-collation
@@ -3554,7 +3480,7 @@ object SparkEntry {
     // layout CTEs (prefixed p*) into ONE relation — each block is the
     // same SQL its standalone oracle uses, over the survivor set.
     "pipeline_export" ->
-      s"""${clusterCtes(0.8)}, t AS (
+      s"""${clusterCtes(0.8)}, $knOracleCtes, t AS (
         |  SELECT doc_id, text,
         |    regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
         |  FROM documents
@@ -3601,6 +3527,8 @@ object SparkEntry {
         |  LEFT JOIN comp ON comp.doc_id = d.doc_id
         |  WHERE coalesce(comp.component_id, d.doc_id) = d.doc_id
         |    AND d.doc_id IN (SELECT doc_id FROM qkeep)
+        |    AND d.doc_id IN (SELECT doc_id FROM kn_b
+        |                     WHERE bucket <> 'tail')
         |    AND strpos('0123456789abcdef',
         |      substr(md5(d.doc_id::VARCHAR || '#split'), 1, 1)) - 1 <= 13
         |), ph AS (
@@ -4310,8 +4238,128 @@ object SparkEntry {
     * EVERYTHING from scratch is precisely the incremental ≡ full
     * identity being pinned).
     */
-  private val qualityFilterOracle: String =
-    """WITH t AS (
+  /** Kneser-Ney 5-gram training + scoring replay as a reusable CTE
+    * chain (all names `kn_`-prefixed so it composes into other
+    * oracles' WITH lists), ending at `kn_b`:
+    * (doc_id, split, n_scored, nll, bucket). Shared by
+    * `text_perplexity`, `quality_filter_lm`, and `pipeline_export`.
+    */
+  private val knOracleCtes: String =
+    """kn_toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |      substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 1)) - 1
+        |        <= 13 THEN 'train'
+        |      WHEN strpos('0123456789abcdef',
+        |        substr(md5(CAST(doc_id AS VARCHAR) || '#split'), 1, 1)) - 1
+        |        = 14 THEN 'val' ELSE 'test' END AS split,
+        |    ['<s>','<s>','<s>','<s>'] || list_filter(
+        |      regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      x -> x <> '') || ['</s>'] AS pad
+        |  FROM documents
+        |), kn_pos AS (
+        |  SELECT doc_id, split,
+        |    pad[i-4] AS h1, pad[i-3] AS h2, pad[i-2] AS h3,
+        |    pad[i-1] AS h4, pad[i] AS w
+        |  FROM kn_toks, unnest(range(5, len(pad) + 1)) AS t(i)
+        |), kn_tp AS (
+        |  SELECT h1, h2, h3, h4, w FROM kn_pos WHERE split = 'train'
+        |), kn_c5 AS (
+        |  SELECT h1, h2, h3, h4, w, count(*) AS c FROM kn_tp GROUP BY ALL
+        |), kn_ctx5 AS (
+        |  SELECT h1, h2, h3, h4, CAST(sum(c) AS BIGINT) AS tot,
+        |    count(*) AS ty
+        |  FROM kn_c5 GROUP BY ALL
+        |), kn_cc4 AS (
+        |  SELECT h2 AS h1, h3 AS h2, h4 AS h3, w, count(*) AS c
+        |  FROM kn_c5 GROUP BY ALL
+        |), kn_ctx4 AS (
+        |  SELECT h1, h2, h3, CAST(sum(c) AS BIGINT) AS tot,
+        |    count(*) AS ty
+        |  FROM kn_cc4 GROUP BY ALL
+        |), kn_cc3 AS (
+        |  SELECT h2 AS h1, h3 AS h2, w, count(*) AS c
+        |  FROM kn_cc4 GROUP BY ALL
+        |), kn_ctx3 AS (
+        |  SELECT h1, h2, CAST(sum(c) AS BIGINT) AS tot, count(*) AS ty
+        |  FROM kn_cc3 GROUP BY ALL
+        |), kn_cc2 AS (
+        |  SELECT h2 AS h1, w, count(*) AS c FROM kn_cc3 GROUP BY ALL
+        |), kn_ctx2 AS (
+        |  SELECT h1, CAST(sum(c) AS BIGINT) AS tot, count(*) AS ty
+        |  FROM kn_cc2 GROUP BY ALL
+        |), kn_cc1 AS (
+        |  SELECT w, count(*) AS c FROM kn_cc2 GROUP BY ALL
+        |), kn_scal AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS cc1_tot, count(*) AS t1,
+        |    (SELECT count(DISTINCT w) FROM kn_c5) + 1 AS v
+        |  FROM kn_cc1
+        |), kn_j AS (
+        |  SELECT p.doc_id, p.split,
+        |    COALESCE(n5.c, 0) AS c5c, COALESCE(x5.tot, 0) AS tot5,
+        |    COALESCE(x5.ty, 0) AS ty5,
+        |    COALESCE(n4.c, 0) AS c4c, COALESCE(x4.tot, 0) AS tot4,
+        |    COALESCE(x4.ty, 0) AS ty4,
+        |    COALESCE(n3.c, 0) AS c3c, COALESCE(x3.tot, 0) AS tot3,
+        |    COALESCE(x3.ty, 0) AS ty3,
+        |    COALESCE(n2.c, 0) AS c2c, COALESCE(x2.tot, 0) AS tot2,
+        |    COALESCE(x2.ty, 0) AS ty2,
+        |    COALESCE(n1.c, 0) AS c1c, s.cc1_tot, s.t1, s.v
+        |  FROM kn_pos p
+        |  LEFT JOIN kn_c5 n5 USING (h1, h2, h3, h4, w)
+        |  LEFT JOIN kn_ctx5 x5 USING (h1, h2, h3, h4)
+        |  LEFT JOIN kn_cc4 n4 ON n4.h1 = p.h2 AND n4.h2 = p.h3
+        |    AND n4.h3 = p.h4 AND n4.w = p.w
+        |  LEFT JOIN kn_ctx4 x4 ON x4.h1 = p.h2 AND x4.h2 = p.h3
+        |    AND x4.h3 = p.h4
+        |  LEFT JOIN kn_cc3 n3 ON n3.h1 = p.h3 AND n3.h2 = p.h4
+        |    AND n3.w = p.w
+        |  LEFT JOIN kn_ctx3 x3 ON x3.h1 = p.h3 AND x3.h2 = p.h4
+        |  LEFT JOIN kn_cc2 n2 ON n2.h1 = p.h4 AND n2.w = p.w
+        |  LEFT JOIN kn_ctx2 x2 ON x2.h1 = p.h4
+        |  LEFT JOIN kn_cc1 n1 ON n1.w = p.w
+        |  CROSS JOIN kn_scal s
+        |), kn_l1 AS (
+        |  SELECT *, (greatest(c1c - 0.75, 0.0)
+        |      + 0.75 * t1 * (1.0 / v)) / cc1_tot AS p1
+        |  FROM kn_j
+        |), kn_l2 AS (
+        |  SELECT *, CASE WHEN tot2 > 0 THEN (greatest(c2c - 0.75, 0.0)
+        |      + 0.75 * ty2 * p1) / tot2 ELSE p1 END AS p2
+        |  FROM kn_l1
+        |), kn_l3 AS (
+        |  SELECT *, CASE WHEN tot3 > 0 THEN (greatest(c3c - 0.75, 0.0)
+        |      + 0.75 * ty3 * p2) / tot3 ELSE p2 END AS p3
+        |  FROM kn_l2
+        |), kn_l4 AS (
+        |  SELECT *, CASE WHEN tot4 > 0 THEN (greatest(c4c - 0.75, 0.0)
+        |      + 0.75 * ty4 * p3) / tot4 ELSE p3 END AS p4
+        |  FROM kn_l3
+        |), kn_l5 AS (
+        |  SELECT *, CASE WHEN tot5 > 0 THEN (greatest(c5c - 0.75, 0.0)
+        |      + 0.75 * ty5 * p4) / tot5 ELSE p4 END AS p5
+        |  FROM kn_l4
+        |), kn_sc AS (
+        |  SELECT doc_id, split,
+        |    CAST(round(-ln(p5), 12) AS DECIMAL(28,12)) AS lp
+        |  FROM kn_l5
+        |), kn_agg AS (
+        |  SELECT doc_id, split, CAST(count(*) AS BIGINT) AS n_scored,
+        |    round(CAST(sum(lp) AS DOUBLE) / count(*), 6) AS nll
+        |  FROM kn_sc GROUP BY doc_id, split
+        |), kn_b AS (
+        |  SELECT doc_id, split, n_scored, nll,
+        |    CASE WHEN nll < 0.95 THEN 'head'
+        |      WHEN nll < 1.05 THEN 'middle' ELSE 'tail' END AS bucket
+        |  FROM kn_agg
+        |)""".stripMargin
+
+  /** Heuristic quality CTE chain (`t` → verdict relation `j`),
+    * shared by the quality-filter oracles; consumers append their
+    * final SELECT (and may JOIN `j` with other chains' relations).
+    */
+  private val qualityCtes: String =
+    """t AS (
         |  SELECT doc_id, text,
         |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
         |  FROM documents
@@ -4348,7 +4396,10 @@ object SparkEntry {
         |    coalesce(a.dup3_occ, 0) / CAST(a.n_grams3 AS DOUBLE)
         |      AS dup3_frac
         |  FROM q LEFT JOIN a USING (doc_id)
-        |)
+        |)""".stripMargin
+
+  private val qualityFilterOracle: String =
+    s"""WITH $qualityCtes
         |SELECT doc_id, n_tokens, mean_token_len, stop_ratio,
         |  top2_frac, dup3_frac,
         |  (n_tokens >= 20 AND n_tokens <= 1000) AS r_len,

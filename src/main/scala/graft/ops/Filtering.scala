@@ -68,6 +68,46 @@ object Filtering {
         ).as("drop_reasons"))
   }
 
+  /** [[qualityFilter]] with the CCNet language-model gate composed
+    * in: the heuristic verdict joined with
+    * [[LanguageModel.knPerplexity]]'s per-document perplexity bucket,
+    * adding rule `r_lm` (bucket ≠ `tail` — CCNet drops the
+    * high-perplexity tail), the `nll`/`bucket` evidence columns, and
+    * `lm_tail` as the last entry of `drop_reasons`. This is the
+    * filtering pass production pipelines actually run: cheap
+    * heuristics AND a trained LM verdict in one relation.
+    *
+    * Unlike the heuristic rules this composite is CORPUS-dependent —
+    * the LM trains on the corpus's own train split — so it must NOT
+    * be applied to an incremental delta alone (the
+    * [[qualityFilterOf]] delta identity does not hold here; re-score
+    * against a model trained on the full corpus instead).
+    *
+    * Shape at scale: one additional doc-keyed join; the LM subtree's
+    * own cost is [[LanguageModel.knPerplexity]]'s (two
+    * position-cardinality exchanges).
+    */
+  def qualityFilterLm(s: SparkSession, dir: String,
+      headMax: Double = 0.95, middleMax: Double = 1.05): DataFrame = {
+    val lm = LanguageModel.knPerplexity(s, dir, headMax, middleMax)
+      .select(col("doc_id"), col("nll"), col("bucket"))
+    val rLm = col("bucket") =!= "tail"
+    qualityFilter(s, dir).withColumnRenamed("keep", "keep_h")
+      .withColumnRenamed("drop_reasons", "dr_h")
+      .join(lm, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("mean_token_len"),
+        col("stop_ratio"), col("top2_frac"), col("dup3_frac"),
+        col("r_len"), col("r_word_len"), col("r_stop"), col("r_rep"),
+        col("nll"), col("bucket"), rLm.as("r_lm"),
+        (col("keep_h") && rLm).as("keep"),
+        // concat_ws drops nulls: heuristic reasons keep their stable
+        // order, lm_tail always appends last
+        concat_ws(",",
+          when(col("dr_h") =!= "", col("dr_h")),
+          when(!rLm, "lm_tail")).as("drop_reasons"))
+  }
+
   /** Train←test leakage audit: for every training document (under
     * [[TrainPrep.splitAssign]]'s hash-stable split), the number of its
     * distinct `n`-gram shingles that also occur in ANY test-split

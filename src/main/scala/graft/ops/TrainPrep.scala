@@ -99,16 +99,18 @@ object TrainPrep {
 
   /** The COMPOSED last mile — the proof the operators share keys and
     * stack: near-dup keep-set ([[Dedup.dedupedCorpus]]) ∧ quality
-    * keep ([[Filtering.qualityFilter]]) ∧ `train` split
-    * ([[splitAssign]]), then the packed-export layout over exactly
-    * that survivor set. This is the query a real pre-training run
-    * executes end-to-end; every stage is individually oracled
+    * keep ([[Filtering.qualityFilter]]) ∧ LM-perplexity keep
+    * ([[LanguageModel.knPerplexity]] bucket ≠ `tail` — the CCNet
+    * pass actually GATING the export, not just reporting) ∧ `train`
+    * split ([[splitAssign]]), then the packed-export layout over
+    * exactly that survivor set. This is the query a real pre-training
+    * run executes end-to-end; every stage is individually oracled
     * elsewhere, and the composition is oracled as one relation here
     * (the DuckDB side chains the same CTEs).
     *
-    * Shape at scale: the three verdict relations are doc-keyed and
-    * join on the corpus's own key — with the [[Bucketed]] layout all
-    * three joins are co-located; the packing adds its one shard-keyed
+    * Shape at scale: the four verdict relations are doc-keyed and
+    * join on the corpus's own key — with the [[Bucketed]] layout the
+    * joins are co-located; the packing adds its one shard-keyed
     * exchange. Nothing in the composition introduces a new
     * corpus-proportional shuffle beyond its parts.
     */
@@ -119,6 +121,8 @@ object TrainPrep {
       .select("doc_id")
       .join(Filtering.qualityFilter(s, dir).filter(col("keep"))
         .select("doc_id"), Seq("doc_id"))
+      .join(LanguageModel.knPerplexity(s, dir)
+        .filter(col("bucket") =!= "tail").select("doc_id"), Seq("doc_id"))
       .join(splitAssign(s, dir).filter(col("split") === "train")
         .select("doc_id"), Seq("doc_id"))
     packSequencesOf(docs(s, dir).join(survivors, Seq("doc_id")),

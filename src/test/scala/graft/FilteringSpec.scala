@@ -59,6 +59,35 @@ class FilteringSpec extends SparkSpec {
     }
   }
 
+  test("quality_filter_lm = heuristic verdict ∧ perplexity bucket gate") {
+    val base = Filtering.qualityFilter(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("drop_reasons"))).toMap
+    val lm = graft.ops.LanguageModel.knPerplexity(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("nll"), r.getAs[String]("bucket"))).toMap
+    val got = Filtering.qualityFilterLm(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Boolean]("keep"), r.getAs[String]("drop_reasons"),
+          r.getAs[Double]("nll"), r.getAs[String]("bucket"),
+          r.getAs[Boolean]("r_lm"))).toMap
+    assert(got.keySet == base.keySet)
+    got.foreach { case (id, (keep, reasons, nll, bucket, rLm)) =>
+      val (hKeep, hReasons) = base(id)
+      val (eNll, eBucket) = lm(id)
+      assert((nll, bucket) == ((eNll, eBucket)), s"doc $id lm cols")
+      assert(rLm == (bucket != "tail"), s"doc $id r_lm")
+      assert(keep == (hKeep && rLm), s"doc $id keep")
+      val want = Seq(hReasons, if (rLm) "" else "lm_tail")
+        .filter(_.nonEmpty).mkString(",")
+      assert(reasons == want, s"doc $id reasons: got $reasons want $want")
+    }
+    // liveness: at least one doc survives the heuristics but falls to
+    // the LM tail — the gate must actually change a verdict
+    assert(got.exists { case (_, (k, r, _, _, _)) => !k && r == "lm_tail" },
+      "no lm_tail-only drop at this SF — the composition is vacuous")
+  }
+
   test("split leakage matches a brute-force 8-gram overlap over the split") {
     def nib(id: Long): Int =
       Integer.parseInt(md5Hex(s"$id#split").substring(0, 1), 16)

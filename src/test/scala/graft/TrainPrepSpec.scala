@@ -301,18 +301,25 @@ class TrainPrepSpec extends SparkSpec {
     val composed = TrainPrep.pipelineExport(spark, dir)
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
-    // recompute the survivor set by hand from the three verdicts
+    // recompute the survivor set by hand from the four verdicts
     val keepDedup = Dedup.dedupedCorpus(spark, dir, 0.8)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     val keepQ = Filtering.qualityFilter(spark, dir)
       .filter(org.apache.spark.sql.functions.col("keep"))
       .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keepLm = graft.ops.LanguageModel.knPerplexity(spark, dir)
+      .filter("bucket <> 'tail'")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
     val keepSplit = TrainPrep.splitAssign(spark, dir)
       .filter("split = 'train'")
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val survivors = keepDedup & keepQ & keepSplit
+    val survivors = keepDedup & keepQ & keepLm & keepSplit
     assert(composed.map(_._1) == survivors,
-      "the composition must pack exactly the three-way intersection")
+      "the composition must pack exactly the four-way intersection")
+    // the LM gate is live at this SF: it removes at least one doc the
+    // other three verdicts would have kept (else the wire is vacuous)
+    assert((keepDedup & keepQ & keepSplit).diff(keepLm).nonEmpty,
+      "perplexity gate dropped nothing — fixture went vacuous")
     // every pack row matches packing the survivor set directly
     import spark.implicits._
     val base = spark.read.parquet(s"$dir/documents.parquet")
