@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
-import graft.ops.{Archives, Avro, BloomIndex, Profiling, Proto, Bucketed, Classifier, CrawlOps, Dedup, Incremental, LinkGraph,
+import graft.ops.{Archives, Avro, BloomIndex, Profiling, Proto, Bucketed, Classifier, CorpusSnapshot, CrawlOps, Dedup, Incremental, LinkGraph,
   Encoding, EventOps, Filtering, LanguageModel, LshIndex, MediaHeaders,
   Multimodal, PerceptualHash, Relational, Robots, Scd, Similarity, Sitemap,
   Sketches, Frontier, TextOps, TrainPrep, UnigramLm, UrlOps, VectorIndex}
@@ -236,6 +236,30 @@ object SparkEntry {
     "corpus_diff" -> ((s, dir) => Relational.corpusDiff(s, dir)),
     // deterministic training-export sharding (md5 shard + dense pos)
     "corpus_shard" -> ((s, dir) => Relational.shardAssignments(s, dir)),
+    // snapshot-manifest export (publish + manifest read in one timed
+    // unit): two versions staged+committed under marker protocol into
+    // a scratch root, then the FIRST version's per-shard file stats
+    // read back through its manifest — the oracle recomputes the
+    // byte-exact layout (shard, size-capped file_seq, line bytes)
+    // closed-form from the same carve
+    "corpus_snapshot_read" -> ((s, dir) => {
+      val root = scratchDir("snapread")
+      val (v0, _) = CorpusSnapshot.publishFixture(s, dir, root)
+      CorpusSnapshot.manifest(s, root, Some(v0))
+        .groupBy("shard_id")
+        .agg(count(lit(1)).as("n_files"),
+          sum("n_docs").cast("long").as("n_docs"),
+          sum("n_bytes").cast("long").as("n_bytes"),
+          min("min_doc").as("min_doc"), max("max_doc").as("max_doc"))
+    }),
+    // snapshot diff driven by the PUBLISHED snapshots (time-travel
+    // read of both versions, base64 decode, content-hash classify) —
+    // shares corpus_diff's oracle because the fixture carves match
+    "corpus_snapshot_diff" -> ((s, dir) => {
+      val root = scratchDir("snapdiff")
+      val (v0, v1) = CorpusSnapshot.publishFixture(s, dir, root)
+      CorpusSnapshot.diff(s, root, v0, v1)
+    }),
     // benchmark 8-gram decontamination; benchmark grams broadcast
     "decontaminate" -> ((s, dir) => Dedup.contamination(s, dir)),
     // same hygiene pass probed through an 8 KB Bloom bitmap: zero
@@ -1444,6 +1468,63 @@ object SparkEntry {
     // content-hash snapshot diff over the same deterministic carves
     // and the same simulated edit (uppercase at doc_id % 11 = 0)
     "corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS old_md5 FROM documents
+        |  WHERE doc_id % 7 <> 0
+        |), neu AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END)
+        |      AS new_md5
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |), d AS (
+        |  SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+        |    CASE WHEN old_md5 IS NULL THEN 'added'
+        |         WHEN new_md5 IS NULL THEN 'removed'
+        |         WHEN old_md5 = new_md5 THEN 'same'
+        |         ELSE 'changed' END AS status
+        |  FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM d GROUP BY status""".stripMargin,
+    // closed-form replay of the snapshot layout: the JSONL line's
+    // byte length (ASCII by construction: digits + base64), the
+    // md5-nibble shard, the (hash, doc_id) in-shard order, and the
+    // start-offset file capping at 16384 bytes — aggregated per shard
+    // exactly as the engine aggregates the published manifest
+    "corpus_snapshot_read" ->
+      """WITH s0 AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+        |), a AS (
+        |  SELECT doc_id,
+        |    md5(CAST(doc_id AS VARCHAR) || '#shard') AS h,
+        |    CAST(strlen('{"doc_id":' || CAST(doc_id AS VARCHAR) ||
+        |      ',"text_hex":"' || hex(encode(text)) || '"}') + 1
+        |      AS BIGINT) AS n_bytes
+        |  FROM s0
+        |), b AS (
+        |  SELECT doc_id, h, n_bytes,
+        |    CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8
+        |      AS INTEGER) AS shard_id
+        |  FROM a
+        |), c AS (
+        |  SELECT *, sum(n_bytes) OVER (PARTITION BY shard_id
+        |    ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM b
+        |), d AS (
+        |  SELECT *, CAST((cum - n_bytes) // 16384 AS BIGINT) AS file_seq
+        |  FROM c
+        |)
+        |SELECT shard_id,
+        |  CAST(count(DISTINCT file_seq) AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM d GROUP BY shard_id""".stripMargin,
+    // identical classification to corpus_diff — the engine side earns
+    // it through publish -> manifest -> shard-file read -> base64
+    // decode instead of carving in-plan
+    "corpus_snapshot_diff" ->
       """WITH old AS (
         |  SELECT doc_id, md5(text) AS old_md5 FROM documents
         |  WHERE doc_id % 7 <> 0

@@ -1,0 +1,233 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot manifests: the [[IndexCommit]] marker protocol
+  * generalized from index relations to the corpus EXPORT itself, plus
+  * the structured-output sink that writes the actual size-capped
+  * shard files [[Relational.shardAssignments]] only planned.
+  *
+  * A snapshot version `v=<id>` under the snapshot root holds
+  * {{{
+  *   v=<id>/shard=<k>/part-<seq>.jsonl   the document shard files
+  *   v=<id>/manifest/                    parquet: one row per file
+  *   commits/<id>, locks/<id>            the IndexCommit protocol
+  * }}}
+  * Writers stage the complete version directory and only then create
+  * the commit marker; readers resolve versions from `commits/` and
+  * the file list from the MANIFEST — never by listing data
+  * directories — so a writer killed at any point (mid-shard-write,
+  * after data but before the marker) leaves every previous version
+  * answering and the torn staging invisible forever. This is a table
+  * format's snapshot-pointer time travel shrunk to the operations an
+  * export pipeline needs: publish, read-as-of, diff, vacuum.
+  *
+  * Shard file format: one JSON line per document,
+  * `{"doc_id":<id>,"text_hex":"<hex of UTF-8 text>"}` — hex because
+  * an export must round-trip arbitrary corpus bytes without a
+  * JSON-escaping contract, the byte length of every line (the
+  * size-capping input) is then a closed-form expression both engines
+  * compute identically, and unlike base64 no engine chunks it with
+  * embedded line breaks (Spark's MIME-style `base64` would split the
+  * JSONL lines). Files cap at `maxBytes` by START
+  * OFFSET: a document whose cumulative pre-document offset lands in
+  * file k belongs to file k, so a file may overflow by at most one
+  * document — the same split rule block-based readers use, chosen
+  * over greedy best-fit because it is a single window expression
+  * instead of a sequential fold. Within a shard, documents order by
+  * (md5 salt hash, doc_id) — [[Relational.shardAssignments]]'s
+  * layout — so re-publishing the same corpus yields BYTE-IDENTICAL
+  * shard files (spec-pinned).
+  *
+  * Shape at scale: assignment and line rendering are narrow per-row
+  * expressions; ONE exchange keyed by shard id lands each shard in
+  * one task, which streams its files in order (open/close on group
+  * change — no per-file job, no driver data). The manifest aggregates
+  * per-file rows from the same relation (second pass over the
+  * line-length relation, not the text). Reading is
+  * manifest-enumerated `spark.read.text` over the listed files.
+  */
+object CorpusSnapshot {
+
+  /** Default size cap per shard file, chosen so the sf test corpora
+    * produce several files per shard (the capping path stays live).
+    */
+  val DefaultMaxBytes: Long = 16384L
+
+  /** The rendered JSONL line for a (doc_id, text) row — ASCII by
+    * construction, so `length(line)` is its byte size; +1 for the
+    * trailing newline the writer appends.
+    */
+  private def lineCol: Column =
+    concat(lit("{\"doc_id\":"), col("doc_id").cast("string"),
+      lit(",\"text_hex\":\""), hex(col("text").cast("binary")),
+      lit("\"}"))
+
+  /** (doc_id, shard_id, file_seq, cum, line) for a (doc_id, text)
+    * relation — the complete deterministic layout of one snapshot.
+    */
+  private[graft] def layout(
+      d: DataFrame, nShards: Int, maxBytes: Long): DataFrame = {
+    val hash = md5(concat(col("doc_id").cast("string"), lit("#shard")))
+    val shard = (conv(substring(hash, 1, 1), 16, 10).cast("int")
+      % nShards).as("shard_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard_id").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.select(col("doc_id"), hash.as("h"), shard, lineCol.as("line"))
+      .withColumn("n_bytes", (length(col("line")) + 1).cast("long"))
+      .withColumn("cum", sum("n_bytes").over(w))
+      .withColumn("file_seq",
+        expr(s"(cum - n_bytes) div ${maxBytes}L").cast("long"))
+  }
+
+  /** Stage version `id`'s data and manifest WITHOUT committing — the
+    * separation [[publish]] composes and the kill-a-writer spec
+    * exploits. Safe to abandon at any point: nothing reads `v=<id>`
+    * until the marker exists.
+    */
+  private[graft] def stage(
+      s: SparkSession, d: DataFrame, root: String, id: Long,
+      nShards: Int = 8, maxBytes: Long = DefaultMaxBytes): Unit = {
+    val vdir = IndexCommit.versionDir(root, id)
+    val lay = layout(d, nShards, maxBytes)
+    // one exchange: each shard lands wholly in one task (hash may
+    // co-locate several shards per task — the writer just switches
+    // files on group change), rows pre-sorted in final file order
+    lay.select(col("shard_id"), col("file_seq"), col("cum"), col("line"))
+      .repartition(nShards, col("shard_id"))
+      .sortWithinPartitions("shard_id", "file_seq", "cum")
+      .foreachPartition { it: Iterator[Row] =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        var cur: (Int, Long) = null
+        var out: java.io.OutputStream = null
+        try {
+          it.foreach { r =>
+            val key = (r.getInt(0), r.getLong(1))
+            if (key != cur) {
+              if (out != null) out.close()
+              val p = new Path(f"$vdir/shard=${key._1}%d/part-${key._2}%05d.jsonl")
+              out = p.getFileSystem(conf).create(p, true)
+              cur = key
+            }
+            out.write(r.getString(3).getBytes(
+              java.nio.charset.StandardCharsets.UTF_8))
+            out.write('\n')
+          }
+        } finally if (out != null) out.close()
+      }
+    // manifest: one row per written file, with an order-independent
+    // content fingerprint (bit_xor of per-line hashes) and the stats
+    // a reader needs to range-split without opening files
+    lay.groupBy("shard_id", "file_seq")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bytes").cast("long").as("n_bytes"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+        expr("bit_xor(xxhash64(line))").as("fp"))
+      .withColumn("path", format_string("shard=%d/part-%05d.jsonl",
+        col("shard_id"), col("file_seq")))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$vdir/manifest")
+  }
+
+  /** Publish a new snapshot of `d`: reserve an id, stage the complete
+    * version, then commit the marker. Returns the published id.
+    */
+  def publish(
+      s: SparkSession, d: DataFrame, root: String,
+      nShards: Int = 8, maxBytes: Long = DefaultMaxBytes): Long = {
+    val id = IndexCommit.reserve(s, root)
+    stage(s, d, root, id, nShards, maxBytes)
+    IndexCommit.commit(s, root, id)
+    id
+  }
+
+  /** The manifest of `version` (default: current) — one row per shard
+    * file. Fails fast if the root has no committed version or the
+    * requested one was never committed (a staged-only id is invisible
+    * by design).
+    */
+  def manifest(
+      s: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val ids = IndexCommit.committedIds(s, root)
+    val id = version match {
+      case Some(v) =>
+        require(ids.contains(v), s"version $v is not committed ($ids)")
+        v
+      case None =>
+        require(ids.nonEmpty, s"no committed snapshot under $root")
+        ids.last
+    }
+    s.read.parquet(s"${IndexCommit.versionDir(root, id)}/manifest")
+      .withColumn("version", lit(id))
+  }
+
+  /** Time-travel read: the (doc_id, text) relation of `version`
+    * (default: current), loaded through the MANIFEST's file list —
+    * never a directory listing, so torn stagings and foreign files
+    * are invisible. The file-count-sized path collect is bounded by
+    * the manifest, not the corpus.
+    */
+  def read(
+      s: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val m = manifest(s, root, version)
+    val id = m.select("version").head().getLong(0)
+    val vdir = IndexCommit.versionDir(root, id)
+    val paths = m.select("path").collect().map(r => s"$vdir/${r.getString(0)}")
+    s.read.text(paths.toIndexedSeq: _*)
+      .select(
+        get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+        unhex(get_json_object(col("value"), "$.text_hex"))
+          .cast("string").as("text"))
+  }
+
+  /** Snapshot diff over two COMMITTED versions — `corpus_diff`'s
+    * classification (added/removed/changed/same by content hash)
+    * driven by the published snapshots themselves instead of carved
+    * fixtures: one full-outer join on the corpus key comparing
+    * 32-byte digests computed inside each side's scan.
+    */
+  def diff(
+      s: SparkSession, root: String,
+      oldVersion: Long, newVersion: Long): DataFrame = {
+    val old = read(s, root, Some(oldVersion))
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val neu = read(s, root, Some(newVersion))
+      .select(col("doc_id"), md5(col("text")).as("new_md5"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") === col("new_md5"), "same")
+          .otherwise("changed").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
+
+  /** The deterministic two-version fixture the SparkEntry queries
+    * publish into a scratch root: v(first) = the `doc_id % 7 ≠ 0`
+    * carve, v(second) = the `doc_id % 5 ≠ 0` carve with `% 11 = 0`
+    * docs uppercased — [[Relational.corpusDiff]]'s exact carves, so
+    * the snapshot-driven diff shares its oracle. Resets the root
+    * first so every invocation publishes the same two ids.
+    */
+  private[graft] def publishFixture(
+      s: SparkSession, dir: String, root: String): (Long, Long) = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    IndexCommit.reset(s, root)
+    val v0 = publish(s, docs.filter(col("doc_id") % 7 =!= 0), root)
+    val v1 = publish(s,
+      docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 11 === 0, upper(col("text")))
+            .otherwise(col("text")).as("text")), root)
+    (v0, v1)
+  }
+}

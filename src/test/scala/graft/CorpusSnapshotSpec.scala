@@ -1,0 +1,147 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions.col
+import graft.ops.{CorpusSnapshot, IndexCommit}
+
+class CorpusSnapshotSpec extends SparkSpec {
+
+  private def tmpRoot(name: String): String = {
+    val p = Files.createTempDirectory(s"graft-snap-$name")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def docs() =
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .select(col("doc_id"), col("text"))
+
+  /** (relative path, md5) of every regular file under dir. */
+  private def fileHashes(dir: String): Map[String, String] = {
+    val base = Paths.get(dir)
+    val walk = Files.walk(base)
+    try walk.iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .map { p: Path =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        base.relativize(p).toString ->
+          md.digest(Files.readAllBytes(p)).map("%02x".format(_)).mkString
+      }.toMap
+    finally walk.close()
+  }
+
+  test("publish/read round-trips the corpus; shard files are size-capped") {
+    val root = tmpRoot("rt")
+    val id = CorpusSnapshot.publish(spark, docs(), root)
+    val got = CorpusSnapshot.read(spark, root, Some(id)).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = docs().collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want, "time-travel read must round-trip exactly")
+    // manifest stats agree with the files on disk, and the byte cap
+    // is LIVE: some shard splits into multiple files, and no file
+    // exceeds cap by more than its own last document (start-offset
+    // rule)
+    val man = CorpusSnapshot.manifest(spark, root, Some(id)).collect()
+    assert(man.map(_.getAs[Long]("file_seq")).max >= 1,
+      "cap never split a shard — raise corpus or lower cap")
+    val vdir = IndexCommit.versionDir(root, id)
+    man.foreach { r =>
+      val p = Paths.get(s"$vdir/${r.getAs[String]("path")}")
+      assert(Files.size(p) == r.getAs[Long]("n_bytes"),
+        s"manifest n_bytes vs disk for $p")
+      val lines = Files.readAllLines(p)
+      assert(lines.size == r.getAs[Long]("n_docs"))
+      val lastLen = lines.get(lines.size - 1).length + 1
+      assert(r.getAs[Long]("n_bytes") - lastLen < CorpusSnapshot.DefaultMaxBytes,
+        s"file $p starts a doc beyond the cap")
+    }
+  }
+
+  test("re-publishing the same corpus yields byte-identical shard files") {
+    val (r1, r2) = (tmpRoot("det1"), tmpRoot("det2"))
+    val id1 = CorpusSnapshot.publish(spark, docs(), r1)
+    val id2 = CorpusSnapshot.publish(spark, docs(), r2)
+    def shardFiles(root: String, id: Long) =
+      fileHashes(IndexCommit.versionDir(root, id))
+        .filter(_._1.endsWith(".jsonl"))
+    val h1 = shardFiles(r1, id1)
+    val h2 = shardFiles(r2, id2)
+    assert(h1.nonEmpty && h1 == h2,
+      "same corpus must produce the same file set with the same bytes")
+  }
+
+  test("a writer killed mid-publish leaves the old snapshot answering") {
+    val root = tmpRoot("kill")
+    val old = docs().filter(col("doc_id") % 2 === 0)
+    val v0 = CorpusSnapshot.publish(spark, old, root)
+    // simulate the crash: reserve + stage the full corpus, then die
+    // BEFORE the marker — exactly the torn state the protocol covers
+    val staged = IndexCommit.reserve(spark, root)
+    CorpusSnapshot.stage(spark, docs(), root, staged)
+    // data exists on disk...
+    assert(Files.exists(
+      Paths.get(IndexCommit.versionDir(root, staged), "manifest")))
+    // ...but the root still answers with v0, and the staged id is
+    // invisible to version resolution
+    assert(IndexCommit.committedIds(spark, root) == Seq(v0))
+    val got = CorpusSnapshot.read(spark, root).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == old.collect().map(_.getLong(0)).toSet)
+    intercept[IllegalArgumentException] {
+      CorpusSnapshot.manifest(spark, root, Some(staged))
+    }
+    // the writer's retry path: committing the already-staged id makes
+    // it current without rewriting a byte
+    IndexCommit.commit(spark, root, staged)
+    val after = CorpusSnapshot.read(spark, root).count()
+    assert(after == docs().count())
+  }
+
+  test("diff over committed versions classifies by content hash") {
+    val root = tmpRoot("diff")
+    val v0 = CorpusSnapshot.publish(spark,
+      docs().filter(col("doc_id") % 3 =!= 0), root)
+    val v1 = CorpusSnapshot.publish(spark,
+      docs().filter(col("doc_id") % 2 =!= 0)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.when(col("doc_id") % 5 === 0,
+            org.apache.spark.sql.functions.upper(col("text")))
+            .otherwise(col("text")).as("text")), root)
+    val got = CorpusSnapshot.diff(spark, root, v0, v1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // brute-force recompute off the same carves
+    val all = docs().collect().map(r => r.getLong(0) -> r.getString(1))
+    val o = all.filter(_._1 % 3 != 0).toMap
+    val n = all.filter(_._1 % 2 != 0)
+      .map { case (id, t) => id -> (if (id % 5 == 0) t.toUpperCase else t) }
+      .toMap
+    val want = (o.keySet ++ n.keySet).toSeq.map { id =>
+      (o.get(id), n.get(id)) match {
+        case (None, _)                    => "added"
+        case (_, None)                    => "removed"
+        case (Some(a), Some(b)) if a == b => "same"
+        case _                            => "changed"
+      }
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(got == want)
+    assert(got.keySet == Set("added", "removed", "same", "changed"),
+      s"fixture must exercise all four classes: $got")
+  }
+
+  test("vacuum retires old versions; current keeps answering") {
+    val root = tmpRoot("vac")
+    val v0 = CorpusSnapshot.publish(spark,
+      docs().filter(col("doc_id") % 2 === 0), root)
+    val v1 = CorpusSnapshot.publish(spark, docs(), root)
+    assert(IndexCommit.vacuum(spark, root, keep = 1) == Seq(v0))
+    intercept[IllegalArgumentException] {
+      CorpusSnapshot.manifest(spark, root, Some(v0))
+    }
+    assert(!Files.exists(Paths.get(IndexCommit.versionDir(root, v0))))
+    assert(CorpusSnapshot.read(spark, root).count() == docs().count())
+    assert(IndexCommit.committedIds(spark, root) == Seq(v1))
+  }
+}
