@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
 import graft.ops.{Archives, Avro, BloomIndex, Profiling, Proto, Bucketed, Classifier, CorpusSnapshot, CrawlOps, Dedup, Incremental, LinkGraph,
-  Encoding, EventOps, Filtering, LanguageModel, LshIndex, MediaHeaders,
+  Encoding, EventOps, Filtering, KnIndex, LanguageModel, LshIndex, MediaHeaders,
   Multimodal, PerceptualHash, Relational, Robots, Scd, Similarity, Sitemap,
   Sketches, Frontier, TextOps, TrainPrep, UnigramLm, UrlOps, VectorIndex}
 
@@ -357,6 +357,18 @@ object SparkEntry {
     // hash-stable train split, every doc scored via nine n-gram-keyed
     // joins, head/middle/tail buckets on fixed nll cuts
     "text_perplexity" -> ((s, dir) => LanguageModel.knPerplexity(s, dir)),
+    // the KN model PERSISTED (train + publish + frozen-model batch
+    // scoring in one timed unit): the batch is doc_id % 10 == 0,
+    // scored against the committed count relations — results must
+    // equal the one-job query's rows for those docs
+    "text_perplexity_index" -> ((s, dir) => {
+      val idx = scratchDir("knidx")
+      graft.ops.IndexCommit.reset(s, idx)
+      KnIndex.build(s, dir, idx)
+      KnIndex.score(s, idx,
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 10 === 0))
+    }),
     // textcat-style char-trigram language ID: per-lang rank profiles
     // from the train split, out-of-place distance, exact integers
     "text_langid_ngram" -> ((s, dir) => TextOps.langIdNgram(s, dir)),
@@ -2169,6 +2181,12 @@ object SparkEntry {
     "text_perplexity" ->
       s"""WITH $knOracleCtes
         |SELECT doc_id, split, n_scored, nll, bucket FROM kn_b""".stripMargin,
+    // the frozen model trains on the SAME reference corpus, so the
+    // index-scored batch must match the one-job rows for those docs
+    "text_perplexity_index" ->
+      s"""WITH $knOracleCtes
+        |SELECT doc_id, split, n_scored, nll, bucket FROM kn_b
+        |WHERE doc_id % 10 = 0""".stripMargin,
     // textcat out-of-place distance: exact integer ranks throughout;
     // the argmin folds into a binary-collation min over
     // lpad(distance)||lang (the profile_columns tie-break trick)

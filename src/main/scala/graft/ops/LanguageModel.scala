@@ -92,7 +92,7 @@ object LanguageModel {
   }
 
   /** One row per predicted position: (doc_id, split, h1..h4, w). */
-  private def positions(d: DataFrame): DataFrame = {
+  private[graft] def positions(d: DataFrame): DataFrame = {
     val toks = filter(split(trim(lower(col("text"))), "\\s+"),
       t => t =!= "")
     val pad = concat(
@@ -118,24 +118,27 @@ object LanguageModel {
       headMax: Double = HeadMax, middleMax: Double = MiddleMax): DataFrame =
     knPerplexityOf(docs(s, dir), headMax, middleMax)
 
-  /** [[knPerplexity]] over an explicit (doc_id, text) relation —
-    * the spec's entry point for synthetic fixtures (OOV words,
-    * forced split membership).
+  /** The trained model, as named relations — the unit [[KnIndex]]
+    * persists and [[scoreWith]] consumes. All are exact-integer count
+    * tables; `scal` is the one-row scalar bundle.
     */
-  private[graft] def knPerplexityOf(d: DataFrame,
-      headMax: Double = HeadMax,
-      middleMax: Double = MiddleMax): DataFrame = {
-    val pos = positions(d)
-    val tp = pos.filter(col("split") === "train")
-      .select("h1", "h2", "h3", "h4", "w")
+  private[graft] case class KnModel(
+      c5: DataFrame, ctx5: DataFrame, cc4: DataFrame, ctx4: DataFrame,
+      cc3: DataFrame, ctx3: DataFrame, cc2: DataFrame, ctx2: DataFrame,
+      cc1: DataFrame, scal: DataFrame)
 
-    // order-5 raw counts and their context marginals
+  /** Train the model from a (h1..h4, w) training-position relation:
+    * the order-5 raw counts, each lower order's CONTINUATION counts
+    * (derived by dropping the distinct higher-order relation's first
+    * column — valid because BOS padding makes every lower-order gram
+    * the tail of some 5-gram window), the per-order context
+    * marginals, and the scalar bundle.
+    */
+  private[graft] def train(tp: DataFrame): KnModel = {
     val c5 = tp.groupBy("h1", "h2", "h3", "h4", "w")
       .agg(count(lit(1)).as("c"))
     val ctx5 = c5.groupBy("h1", "h2", "h3", "h4")
       .agg(sum("c").cast("long").as("tot"), count(lit(1)).as("ty"))
-    // each lower order's CONTINUATION counts: drop the distinct
-    // higher-order relation's first column, count rows per remainder
     val cc4 = c5.groupBy(col("h2").as("h1"), col("h3").as("h2"),
         col("h4").as("h3"), col("w"))
       .agg(count(lit(1)).as("c"))
@@ -156,6 +159,31 @@ object LanguageModel {
     val scal = cc1.agg(sum("c").cast("long").as("cc1_tot"),
         count(lit(1)).as("t1"))
       .crossJoin(c5.agg((countDistinct("w") + 1).as("v")))
+    KnModel(c5, ctx5, cc4, ctx4, cc3, ctx3, cc2, ctx2, cc1, scal)
+  }
+
+  /** [[knPerplexity]] over an explicit (doc_id, text) relation —
+    * the spec's entry point for synthetic fixtures (OOV words,
+    * forced split membership).
+    */
+  private[graft] def knPerplexityOf(d: DataFrame,
+      headMax: Double = HeadMax,
+      middleMax: Double = MiddleMax): DataFrame = {
+    val pos = positions(d)
+    scoreWith(pos,
+      train(pos.filter(col("split") === "train")
+        .select("h1", "h2", "h3", "h4", "w")),
+      headMax, middleMax)
+  }
+
+  /** Score a position relation under a (possibly frozen, possibly
+    * [[KnIndex]]-loaded) model — the scoring half of
+    * [[knPerplexityOf]], shared verbatim so the persisted-index path
+    * is bit-identical to the one-job path.
+    */
+  private[graft] def scoreWith(pos: DataFrame, m: KnModel,
+      headMax: Double, middleMax: Double): DataFrame = {
+    import m._
 
     // Distinct 5-gram types across ALL splits: the nine model joins
     // below run on this (type-cardinality) relation, never on the

@@ -119,6 +119,44 @@ class LanguageModelSpec extends SparkSpec {
       s"degenerate bucket split: $buckets")
   }
 
+  test("persisted KN index: frozen-model scoring equals the one-job rows") {
+    import graft.ops.{IndexCommit, KnIndex}
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files.createTempDirectory("graft-knidx")
+    idx.toFile.deleteOnExit()
+    val root = idx.toString
+    val id = KnIndex.build(spark, sf(), root)
+    assert(IndexCommit.committedIds(spark, root) == Seq(id))
+    // all ten count relations persisted under the committed version
+    Seq("c5", "ctx5", "cc1", "scal").foreach { n =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(
+        IndexCommit.versionDir(root, id), n)), s"missing relation $n")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("split"), r.getAs[Long]("n_scored"),
+          r.getAs[Double]("nll"), r.getAs[String]("bucket"))).toMap
+    val batch = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+    val got = rows(KnIndex.score(spark, root, batch))
+    val want = rows(LanguageModel.knPerplexity(spark, sf())
+      .filter(col("doc_id") % 10 === 0))
+    assert(got.nonEmpty && got == want,
+      "index path must be bit-identical to the one-job path")
+    // frozen-model property: a document the reference corpus never
+    // contained scores finitely (OOV fallback) WITHOUT retraining,
+    // and a rebuilt index reproduces the same score exactly
+    import spark.implicits._
+    val novel = Seq((999999L, "zzfrozen words the model never saw"))
+      .toDF("doc_id", "text")
+    val s1 = rows(KnIndex.score(spark, root, novel))(999999L)
+    assert(!s1._3.isNaN && !s1._3.isInfinite)
+    val id2 = KnIndex.build(spark, sf(), root)
+    assert(id2 == id + 1, "rebuild must publish the next version")
+    assert(rows(KnIndex.score(spark, root, novel))(999999L) == s1,
+      "rebuilt model must score identically (deterministic training)")
+  }
+
   test("KN scoring plan: model joins run on types, not positions") {
     import org.apache.spark.sql.execution.ExplainMode
     // The position relation (one row per corpus token) must cross the
