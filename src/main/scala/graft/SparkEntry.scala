@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.engine.{Catalog, Importer, Staging}
-import graft.ops.{Archives, Avro, BloomIndex, Profiling, Proto, Bucketed, Classifier, CorpusSnapshot, CrawlOps, Dedup, Incremental, LinkGraph,
+import graft.ops.{Archives, Avro, BloomIndex, Profiling, Proto, Bucketed, Chunking, Classifier, CorpusSnapshot, CrawlOps, Dedup, Incremental, LinkGraph,
   Encoding, EventOps, Filtering, KnIndex, LanguageModel, LshIndex, MediaHeaders,
   Multimodal, PerceptualHash, Relational, Robots, Scd, Similarity, Sitemap,
   Sketches, Frontier, TextOps, TrainPrep, UnigramLm, UrlOps, VectorIndex}
@@ -426,6 +426,17 @@ object SparkEntry {
     // KMV distinct-token sketch: deterministic (unlike HLL), so the
     // sketch AND its estimate are oracle-able bit-for-bit
     "corpus_kmv" -> ((s, dir) => Sketches.kmvDistinctTokens(s, dir)),
+    // from-scratch HLL over 3-shingles: md5-derived registers, the
+    // harmonic denominator kept EXACT as 2^51-scaled int64, the
+    // __all__ row a true register-max merge — the whole sketch
+    // replayable in SQL, unlike approx_count_distinct's
+    "corpus_hll" -> ((s, dir) => Sketches.hllDistinctShingles(s, dir)),
+    // count-min grid (4×64) probed for the exact top-20 tokens, with
+    // the one-sided error (overcount >= 0) carried per row — all int64
+    "corpus_cms" -> ((s, dir) => Sketches.cmsHeavyHitters(s, dir)),
+    // sliding context-window chunking (len 32, stride 24): zero
+    // exchanges — the doc->training-unit step, embarrassingly parallel
+    "doc_chunks" -> ((s, dir) => Chunking.slidingChunks(s, dir)),
 
     // --- LLM-pipeline: similarity search over embeddings ---
     "sim_norms" -> ((s, dir) => Similarity.norms(s, dir)),
@@ -2571,6 +2582,102 @@ object SparkEntry {
         |            * CAST(1152921504606846976 AS BIGINT)
         |            / CAST(max(h) AS DOUBLE) END AS est_distinct
         |FROM un GROUP BY source""".stripMargin,
+    // Full HLL replay: same md5-60-bit hash, register index = low 10
+    // bits, rho via length(bin(rem)) (both engines strip leading
+    // zeros), Z exact as 2^51-scaled BIGINT, alpha written as the
+    // identical literal chain so the doubles agree bit-for-bit; the
+    // linear-counting ln rounds to 6 decimals (repo libm convention)
+    "corpus_hll" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+        |  FROM documents
+        |), sh AS (
+        |  SELECT DISTINCT source,
+        |    CAST('0x' || substr(md5(array_to_string(toks[g : g+2], ' ')),
+        |         1, 15) AS BIGINT) AS h
+        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2))
+        |                   AS g) s
+        |  WHERE len(toks) >= 3
+        |), rho AS (
+        |  SELECT source, h & 1023 AS j,
+        |    CASE WHEN (h >> 10) = 0 THEN 51
+        |         ELSE 51 - length(bin(h >> 10)) END AS rho
+        |  FROM sh
+        |), ps AS (
+        |  SELECT source, j, max(rho) AS mj FROM rho GROUP BY source, j
+        |), agg AS (
+        |  SELECT source, CAST(count(*) AS INTEGER) AS regs_used,
+        |    CAST(1024 - count(*) AS INTEGER) AS v_zero,
+        |    CAST(sum(1::BIGINT << (51 - mj))
+        |         + (1024 - count(*)) * 2251799813685248::BIGINT
+        |      AS BIGINT) AS z_scaled
+        |  FROM ps GROUP BY source
+        |  UNION ALL
+        |  SELECT '__all__', CAST(count(*) AS INTEGER),
+        |    CAST(1024 - count(*) AS INTEGER),
+        |    CAST(sum(1::BIGINT << (51 - mj))
+        |         + (1024 - count(*)) * 2251799813685248::BIGINT AS BIGINT)
+        |  FROM (SELECT j, max(mj) AS mj FROM ps GROUP BY j)
+        |)
+        |SELECT source, regs_used, v_zero, z_scaled,
+        |  round(CASE
+        |    WHEN 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
+        |         * 2251799813685248.0 / CAST(z_scaled AS DOUBLE) <= 2560.0
+        |         AND v_zero > 0
+        |    THEN 1024.0 * ln(1024.0 / CAST(v_zero AS DOUBLE))
+        |    ELSE 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
+        |         * 2251799813685248.0 / CAST(z_scaled AS DOUBLE)
+        |  END, 6) AS est_distinct
+        |FROM agg""".stripMargin,
+    // CMS replay: the 4x64 grid and the top-20 probe are all exact
+    // int64 — salted md5 buckets, count, min; no float anywhere
+    "corpus_cms" ->
+      """WITH toks AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |    AS tok
+        |  FROM documents
+        |), grid AS (
+        |  SELECT i,
+        |    CAST('0x' || substr(md5(i::VARCHAR || '#' || tok), 1, 15)
+        |      AS BIGINT) % 64 AS b,
+        |    count(*) AS cnt
+        |  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS i) d
+        |  GROUP BY 1, 2
+        |), top AS (
+        |  SELECT tok, count(*) AS exact_cnt,
+        |    CAST(row_number() OVER (ORDER BY count(*) DESC, tok)
+        |      AS INTEGER) AS rank
+        |  FROM toks GROUP BY tok
+        |  QUALIFY rank <= 20
+        |), probes AS (
+        |  SELECT t.rank, t.tok, t.exact_cnt, g.cnt
+        |  FROM (SELECT *, unnest(range(4)) AS i FROM top) t
+        |  JOIN grid g ON g.i = t.i
+        |    AND g.b = CAST('0x' || substr(md5(t.i::VARCHAR || '#' || t.tok),
+        |                   1, 15) AS BIGINT) % 64
+        |)
+        |SELECT rank, tok, exact_cnt, min(cnt) AS cms_est,
+        |  min(cnt) - exact_cnt AS overcount
+        |FROM probes GROUP BY rank, tok, exact_cnt""".stripMargin,
+    // Chunk replay: DuckDB list slices clamp like Spark's slice();
+    // the chunk count is the same integer expression
+    "doc_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS n
+        |  FROM documents WHERE length(trim(text)) > 0
+        |), c AS (
+        |  SELECT doc_id, toks,
+        |    1 + (greatest(n - 32, 0) + 23) // 24 AS nc
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+        |  CAST(k * 24 AS INTEGER) AS chunk_start,
+        |  CAST(len(toks[k*24 + 1 : k*24 + 32]) AS INTEGER) AS chunk_tokens,
+        |  array_to_string(toks[k*24 + 1 : k*24 + 32], ' ') AS chunk_text
+        |FROM c, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS k) g
+        |""".stripMargin,
     // Catalog scan vs DuckDB's information_schema over the same
     // parquet views, normalizing type renderings to Spark's
     // simpleString. One genuine divergence: parquet timestamps not

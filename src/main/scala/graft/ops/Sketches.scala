@@ -151,4 +151,139 @@ object Sketches {
         size(col("buckets")).as("n_buckets")) ++
         qs.map(q => est(q).as(s"p${(q * 100).round}_est")): _*)
   }
+
+  // --- HyperLogLog (Flajolet–Fusy–Gandouet–Meunier 2007) ------------
+
+  private val HllB = 10
+  private val HllM = 1 << HllB // 1024 registers
+  private val HllRhoMax = 60 - HllB + 1 // 51: rho of an all-zero remainder
+  private val TwoPow51 = 2251799813685248L
+  /** alpha_m · m² · 2^51, written as the exact literal chain the DuckDB
+    * oracle evaluates (left-assoc, one IEEE rounding per op) so both
+    * engines hold the same double.
+    */
+  private val HllAlphaNum =
+    0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 * 2251799813685248.0
+
+  /** From-scratch deterministic HyperLogLog over distinct 3-token
+    * shingles, per source plus the register-max merge as `__all__`.
+    *
+    * `approx_count_distinct` IS HLL, but its hash is engine-private so
+    * its estimate can never be oracled. Building the registers from the
+    * same md5-derived 60-bit hash [[kmvDistinctTokens]] uses makes the
+    * whole sketch replayable in plain SQL: register index = low `b`
+    * hash bits, rho = leading-zero count of the remaining 50 bits + 1
+    * (via `length(bin(rem))`, identical string semantics in Spark and
+    * DuckDB), register value = max rho. The harmonic-mean denominator
+    * Z = Σ 2^−M_j is kept EXACT by scaling with 2^51: every term
+    * 2^(51−M_j) is an integer (≤ 2^51 for an empty register), the sum
+    * is ≤ m·2^51 = 2^61 < 2^63, and summation becomes
+    * order-independent int64 arithmetic — no float-accumulation drift
+    * for the oracle to disagree with. Only the final division (and the
+    * small-range linear-counting branch m·ln(m/V), rounded to 6
+    * decimals per the repo-wide libm convention) is floating point.
+    *
+    * Merge = per-register max, exactly HLL's union semantics: the
+    * `__all__` row is computed FROM the per-source registers (an
+    * O(m·sources) relation), not by rescanning the corpus — the merge
+    * that lets 1000 executors sketch shards independently.
+    * [[SketchesSpec]] pins it equal to the direct whole-corpus sketch.
+    *
+    * Shape at scale: one (source, h)-keyed distinct exchange (the same
+    * dedup KMV pays), then one (source, j)-keyed exchange whose
+    * map-side partial max caps it at O(sources · m) rows; everything
+    * after rides register-cardinality relations.
+    */
+  def hllDistinctShingles(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir).select(col("source"),
+      split(trim(lower(col("text"))), "\\s+").as("toks"))
+    // 3-token shingles; a doc with <3 tokens contributes none (the
+    // sequence guard keeps Spark's descending-sequence trap out)
+    val sh = toks.filter(size(col("toks")) >= 3)
+      .select(col("source"),
+        explode(sequence(lit(1), size(col("toks")) - 2)).as("g"),
+        col("toks"))
+      .select(col("source"),
+        array_join(slice(col("toks"), col("g"), lit(3)), " ").as("sh"))
+    val hashed = sh.select(col("source"), h60(col("sh")).as("h")).distinct()
+    val rho = hashed.select(col("source"),
+      col("h").bitwiseAND(lit((HllM - 1).toLong)).as("j"),
+      shiftright(col("h"), HllB).as("rem"))
+      .withColumn("rho",
+        when(col("rem") === 0, lit(HllRhoMax))
+          .otherwise(lit(HllRhoMax) - length(bin(col("rem")))).cast("int"))
+    val perSrc = rho.groupBy("source", "j").agg(max("rho").as("mj"))
+    val merged = perSrc.groupBy("j").agg(max("mj").as("mj"))
+      .select(lit("__all__").as("source"), col("j"), col("mj"))
+    // finalize each register relation SEPARATELY before the union (a
+    // per-source scope that happens to be named '__all__' must yield
+    // its own row, never be register-summed into the merge — the KMV
+    // two-row shape, pinned by the merge spec's relabel trick)
+    def finalize(regs: DataFrame): DataFrame = regs
+      .groupBy("source")
+      .agg(count(lit(1)).cast("int").as("regs_used"),
+        sum(expr(s"shiftleft(cast(1 as bigint), $HllRhoMax - mj)"))
+          .as("z_present"))
+      .withColumn("v_zero", (lit(HllM) - col("regs_used")).cast("int"))
+      .withColumn("z_scaled",
+        col("z_present") + col("v_zero").cast("long") * lit(TwoPow51))
+      .withColumn("est_raw",
+        lit(HllAlphaNum) / col("z_scaled").cast("double"))
+      .withColumn("est_distinct", round(
+        when(col("est_raw") <= lit(2.5 * HllM) && col("v_zero") > 0,
+          lit(HllM.toDouble)
+            * log(lit(HllM.toDouble) / col("v_zero").cast("double")))
+          .otherwise(col("est_raw")), 6))
+      .select("source", "regs_used", "v_zero", "z_scaled", "est_distinct")
+    finalize(perSrc).unionByName(finalize(merged))
+  }
+
+  // --- Count-min sketch (Cormode–Muthukrishnan 2005) -----------------
+
+  /** Count-min heavy-hitter estimates over the token stream: a d×w
+    * counter grid keyed by d independent md5-salted hashes, probed for
+    * the exact top-k tokens so the output carries the estimate AND its
+    * one-sided error (`overcount = est − exact ≥ 0` — CMS never
+    * undercounts, the property [[SketchesSpec]] pins row-by-row).
+    *
+    * Everything is exact int64 — counters are plain counts, the
+    * estimate is a min over d counters — so the sketch hash-matches
+    * cross-engine with no float mediation at all. Counters MERGE by
+    * addition (spec-pinned: summing per-source grids equals the corpus
+    * grid), the same map-side partial aggregation Spark already runs.
+    *
+    * Shape at scale: the grid build is ONE (i, bucket)-keyed exchange
+    * whose map-side combine caps it at O(d·w) rows per task regardless
+    * of corpus size; the exact top-k uses `orderBy.limit` (per-
+    * partition top-k + driver merge, never a global window); the probe
+    * joins k·d rows against the broadcast-sized grid.
+    */
+  def cmsHeavyHitters(s: SparkSession, dir: String,
+      depth: Int = 4, width: Int = 64, topK: Int = 20): DataFrame = {
+    require(depth >= 1 && width >= 2 && topK >= 1,
+      s"bad CMS shape: depth=$depth width=$width topK=$topK")
+    val toks = docs(s, dir).select(
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+    def bucket(i: org.apache.spark.sql.Column,
+        tok: org.apache.spark.sql.Column) =
+      h60(concat(i.cast("string"), lit("#"), tok)) % lit(width.toLong)
+    val grid = toks
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("i"), col("tok"))
+      .select(col("i"), bucket(col("i"), col("tok")).as("b"))
+      .groupBy("i", "b").agg(count(lit(1)).as("cnt"))
+    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+    // scalable top-k: TakeOrderedAndProject, then a rank window over
+    // the k-row result only (bounded relation)
+    val top = exact.orderBy(col("exact_cnt").desc, col("tok").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("exact_cnt").desc, col("tok").asc)).cast("int"))
+    top.select(col("rank"), col("tok"), col("exact_cnt"),
+      explode(sequence(lit(0), lit(depth - 1))).as("i"))
+      .withColumn("b", bucket(col("i"), col("tok")))
+      .join(broadcast(grid), Seq("i", "b"))
+      .groupBy("rank", "tok", "exact_cnt")
+      .agg(min("cnt").as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+  }
 }

@@ -145,6 +145,158 @@ class SketchesSpec extends SparkSpec {
       ok.columns.contains("p99_est"))
   }
 
+  // --- HLL -----------------------------------------------------------
+
+  /** 60-bit md5 hash, the JVM twin of Sketches.h60 / the oracle's
+    * CAST('0x'||substr(md5(x),1,15) AS BIGINT).
+    */
+  private def h60jvm(x: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map("%02x".format(_)).mkString
+      .take(15), 16)
+  }
+
+  private def shinglesBySource(): Map[String, Set[String]] = {
+    spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("source", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1))
+      .groupBy(_._1).map { case (src, docs) =>
+        src -> docs.flatMap { case (_, text) =>
+          val toks = text.trim.toLowerCase.split("\\s+")
+          if (toks.length < 3) Seq.empty
+          else toks.sliding(3).map(_.mkString(" ")).toSeq
+        }.toSet
+      }
+  }
+
+  /** Independent JVM HLL: registers, exact 2^51-scaled Z, estimate. */
+  private def hllJvm(hashes: Set[Long]): (Int, Int, Long, Double) = {
+    val regs = scala.collection.mutable.Map.empty[Long, Int]
+    hashes.foreach { h =>
+      val j = h & 1023L
+      val rem = h >>> 10
+      val rho =
+        if (rem == 0) 51 else 51 - (64 - java.lang.Long.numberOfLeadingZeros(rem))
+      regs(j) = math.max(regs.getOrElse(j, 0), rho)
+    }
+    val vZero = 1024 - regs.size
+    val z = regs.values.map(mj => 1L << (51 - mj)).sum +
+      vZero.toLong * 2251799813685248L
+    val alphaNum =
+      0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 * 2251799813685248.0
+    val raw = alphaNum / z.toDouble
+    val est =
+      if (raw <= 2560.0 && vZero > 0) 1024.0 * math.log(1024.0 / vZero)
+      else raw
+    (regs.size, vZero, z,
+      BigDecimal(est).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("hll: bit-exact vs an independent JVM recompute, every scope") {
+    val bySrc = shinglesBySource()
+    val all = bySrc.values.flatten.toSet
+    val expected = (bySrc + ("__all__" -> all)).map { case (src, sh) =>
+      src -> hllJvm(sh.map(h60jvm))
+    }
+    val rows = Sketches.hllDistinctShingles(spark, sf()).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (regs, vz, z, est) = expected(r.getString(0))
+      assert(r.getAs[Int]("regs_used") == regs, s"${r.getString(0)} regs")
+      assert(r.getAs[Int]("v_zero") == vz)
+      assert(r.getAs[Long]("z_scaled") == z,
+        s"${r.getString(0)} exact scaled-Z must match the JVM recompute")
+      assert(r.getAs[Double]("est_distinct") == est,
+        s"${r.getString(0)} estimate must be bit-identical")
+    }
+  }
+
+  test("hll: the __all__ row is a true register-max merge") {
+    // the merged row must equal the sketch computed DIRECTLY over the
+    // whole corpus (same relabel trick as the KMV merge pin)
+    val all = Sketches.hllDistinctShingles(spark, sf())
+      .filter(col("source") === "__all__").collect()
+    assert(all.length == 1)
+    val tmp = java.nio.file.Files.createTempDirectory("hll_direct")
+    try {
+      spark.read.parquet(s"${sf()}/documents.parquet")
+        .withColumn("source", lit("__all__"))
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val direct = Sketches.hllDistinctShingles(spark, tmp.toString)
+        .filter(col("source") === "__all__").limit(1).collect()
+      assert(direct.length == 1)
+      Seq("regs_used", "v_zero").foreach(c =>
+        assert(all.head.getAs[Int](c) == direct.head.getAs[Int](c), c))
+      assert(all.head.getAs[Long]("z_scaled")
+        == direct.head.getAs[Long]("z_scaled"))
+      assert(all.head.getAs[Double]("est_distinct")
+        == direct.head.getAs[Double]("est_distinct"))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
+  test("hll: estimate tracks the exact cardinality") {
+    val bySrc = shinglesBySource()
+    val exact = bySrc.map { case (s, v) => s -> v.size } +
+      ("__all__" -> bySrc.values.flatten.toSet.size)
+    Sketches.hllDistinctShingles(spark, sf()).collect().foreach { r =>
+      val x = exact(r.getString(0)).toDouble
+      val e = r.getAs[Double]("est_distinct")
+      // linear-counting regime at this SF: well under the 3.25%
+      // standard error of the raw m=1024 estimator
+      assert(math.abs(e - x) / x < 0.15,
+        s"${r.getString(0)}: est $e vs exact $x")
+    }
+  }
+
+  // --- CMS -------------------------------------------------------------
+
+  test("cms: bit-exact vs JVM recompute; overcount is one-sided") {
+    val toks = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("text").collect()
+      .flatMap(_.getString(0).trim.toLowerCase.split("\\s+"))
+    val exact = toks.groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    // JVM grid: depth 4, width 64, salted md5 buckets — counts add, so
+    // this single-pass build IS the merge of any sharding
+    val grid = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    for (t <- toks; i <- 0 until 4) {
+      val b = h60jvm(s"$i#$t") % 64
+      grid((i, b)) = grid.getOrElse((i, b), 0L) + 1
+    }
+    def est(t: String): Long =
+      (0 until 4).map(i => grid((i, h60jvm(s"$i#$t") % 64))).min
+    val top = exact.toSeq.sortBy { case (t, c) => (-c, t) }.take(20)
+    val rows = Sketches.cmsHeavyHitters(spark, sf()).collect()
+    assert(rows.length == math.min(20, exact.size))
+    rows.foreach { r =>
+      val t = r.getAs[String]("tok")
+      assert(r.getAs[Long]("exact_cnt") == exact(t))
+      assert(r.getAs[Long]("cms_est") == est(t),
+        s"$t: CMS estimate must match the JVM grid")
+      assert(r.getAs[Long]("overcount") >= 0,
+        "CMS never undercounts — min over d counters >= true count")
+      assert(r.getAs[Long]("overcount")
+        == r.getAs[Long]("cms_est") - r.getAs[Long]("exact_cnt"))
+    }
+    // rank order pins the deterministic (count desc, token asc) top-k
+    val byRank = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[String]("tok"))
+    assert(byRank.toSeq == top.map(_._1))
+  }
+
+  test("cms: a wide grid leaves the heavy hitters collision-free") {
+    // width >> distinct tokens at this SF: every bucket is singly
+    // occupied with overwhelming probability, so est == exact — the
+    // knob a 100-TB run turns (w scales with the vocabulary, d stays 4)
+    val rows = Sketches.cmsHeavyHitters(spark, sf(), width = 65536).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("overcount") == 0L,
+      s"${r.getAs[String]("tok")} collided in a 4x65536 grid"))
+  }
+
   test("kmv: shuffle carries O(sources·k) — WindowGroupLimit in the plan") {
     import org.apache.spark.sql.execution.ExplainMode
     val plan = Sketches.kmvDistinctTokens(spark, sf())
