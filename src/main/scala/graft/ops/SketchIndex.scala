@@ -1,0 +1,134 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The cardinality/frequency sketches as PERSISTED, versioned indexes
+  * — the [[BloomIndex]]/[[KnIndex]] economics applied to
+  * [[Sketches]]: sketch the reference corpus once, freeze the tiny
+  * state (registers / counter grid — kilobytes at ANY corpus size),
+  * and fold arriving batches in WITHOUT re-reading the corpus. This
+  * is what makes corpus-health telemetry (distinct-shingle mass,
+  * heavy-hitter drift) a per-batch cost instead of a per-batch rescan
+  * at 100 TB.
+  *
+  * Both merges are the sketches' own union semantics, so the
+  * append path is BIT-IDENTICAL to one-job-over-the-union
+  * (spec-pinned, and both index queries share their one-job query's
+  * DuckDB oracle):
+  *   - HLL: per-register MAX. Max is idempotent — re-appending the
+  *     same batch is harmless (the Bloom filter's monotonicity
+  *     argument), so at-least-once delivery needs no dedup.
+  *   - CMS: per-cell ADD. Addition is NOT idempotent — appends must
+  *     be exactly-once. The streaming twin
+  *     ([[graft.streaming.StreamingSketch]]) restores idempotence by
+  *     staging per-batch-id grids and summing at read, so a replayed
+  *     micro-batch overwrites itself instead of double-counting.
+  *
+  * Layout under each index root ([[IndexCommit]] marker protocol — a
+  * torn publish is invisible, versions are additive, old versions
+  * keep answering until vacuum):
+  * {{{
+  *   hll:  v=<id>/regs   (source, j, mj) parquet   ≤ sources·1024 rows
+  *   cms:  v=<id>/grid   (i, b, cnt) parquet       d·w rows
+  *         meta          (depth, width) — build-owned, append/probe
+  *                       refuse a mismatched grid shape
+  * }}}
+  */
+object SketchIndex {
+
+  // ---- HLL ----------------------------------------------------------
+
+  /** Sketch `docs` and publish version 0's register relation. */
+  def buildHll(s: SparkSession, docs: DataFrame, path: String): Long =
+    publishHll(s, path, Sketches.hllRegistersOf(docs))
+
+  /** Fold a batch into the current registers by per-register max and
+    * publish the merge as a new version. Returns the committed id.
+    */
+  def appendHll(s: SparkSession, path: String, batch: DataFrame): Long =
+    publishHll(s, path,
+      loadHll(s, path).unionByName(Sketches.hllRegistersOf(batch))
+        .groupBy("source", "j").agg(max("mj").as("mj")))
+
+  private def publishHll(
+      s: SparkSession, path: String, regs: DataFrame): Long = {
+    val id = IndexCommit.reserve(s, path)
+    regs.write.mode("overwrite")
+      .parquet(s"${IndexCommit.versionDir(path, id)}/regs")
+    IndexCommit.commit(s, path, id)
+    id
+  }
+
+  private def loadHll(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"${IndexCommit.currentDir(s, path).getOrElse(
+      sys.error(s"no committed HLL index under $path"))}/regs")
+
+  /** Finalize the CURRENT committed registers — identical rows to
+    * [[Sketches.hllDistinctShingles]] over everything ever folded in.
+    */
+  def hllSketch(s: SparkSession, path: String): DataFrame =
+    Sketches.hllFinalize(loadHll(s, path))
+
+  // ---- CMS ----------------------------------------------------------
+
+  /** Grid-shape sidecar: build-owned (outside the version protocol,
+    * immutable for the index's lifetime) — an append or probe with a
+    * different (depth, width) would silently mis-bucket, so both load
+    * and `require` it.
+    */
+  private def writeCmsMeta(
+      s: SparkSession, path: String, depth: Int, width: Int): Unit = {
+    import s.implicits._
+    Seq((depth, width)).toDF("depth", "width")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def cmsMeta(s: SparkSession, path: String): (Int, Int) = {
+    val r = s.read.parquet(s"$path/meta").collect().head
+    (r.getAs[Int]("depth"), r.getAs[Int]("width"))
+  }
+
+  def buildCms(s: SparkSession, docs: DataFrame, path: String,
+      depth: Int = 4, width: Int = 64): Long = {
+    require(depth >= 1 && width >= 2, s"bad CMS shape: $depth x $width")
+    writeCmsMeta(s, path, depth, width)
+    publishCms(s, path,
+      Sketches.cmsGridOf(Sketches.cmsTokensOf(docs), depth, width))
+  }
+
+  /** Fold a batch into the current grid by per-cell addition and
+    * publish the sum as a new version. Exactly-once by contract (see
+    * the object doc); returns the committed id.
+    */
+  def appendCms(s: SparkSession, path: String, batch: DataFrame): Long = {
+    val (depth, width) = cmsMeta(s, path)
+    publishCms(s, path,
+      loadCms(s, path)
+        .unionByName(
+          Sketches.cmsGridOf(Sketches.cmsTokensOf(batch), depth, width))
+        .groupBy("i", "b").agg(sum("cnt").as("cnt")))
+  }
+
+  private def publishCms(
+      s: SparkSession, path: String, grid: DataFrame): Long = {
+    val id = IndexCommit.reserve(s, path)
+    grid.write.mode("overwrite")
+      .parquet(s"${IndexCommit.versionDir(path, id)}/grid")
+    IndexCommit.commit(s, path, id)
+    id
+  }
+
+  private def loadCms(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"${IndexCommit.currentDir(s, path).getOrElse(
+      sys.error(s"no committed CMS index under $path"))}/grid")
+
+  /** Estimate the probe tokens' counts off the CURRENT committed grid
+    * — identical rows to [[Sketches.cmsHeavyHitters]]'s probe stage
+    * when `top` is the same (rank, tok, exact_cnt) relation.
+    */
+  def cmsProbe(s: SparkSession, path: String, top: DataFrame): DataFrame = {
+    val (depth, width) = cmsMeta(s, path)
+    Sketches.cmsProbe(loadCms(s, path), top, depth, width)
+  }
+}

@@ -194,8 +194,16 @@ object Sketches {
     * map-side partial max caps it at O(sources · m) rows; everything
     * after rides register-cardinality relations.
     */
-  def hllDistinctShingles(s: SparkSession, dir: String): DataFrame = {
-    val toks = docs(s, dir).select(col("source"),
+  def hllDistinctShingles(s: SparkSession, dir: String): DataFrame =
+    hllFinalize(hllRegistersOf(docs(s, dir)))
+
+  /** The (source, j, mj) register relation of a documents batch — the
+    * HLL merge unit: registers of a union corpus are the per-register
+    * MAX of the parts' registers ([[graft.ops.SketchIndex]] appends
+    * and the streaming twin both lean on exactly this).
+    */
+  private[graft] def hllRegistersOf(d: DataFrame): DataFrame = {
+    val toks = d.select(col("source"),
       split(trim(lower(col("text"))), "\\s+").as("toks"))
     // 3-token shingles; a doc with <3 tokens contributes none (the
     // sequence guard keeps Spark's descending-sequence trap out)
@@ -206,13 +214,19 @@ object Sketches {
       .select(col("source"),
         array_join(slice(col("toks"), col("g"), lit(3)), " ").as("sh"))
     val hashed = sh.select(col("source"), h60(col("sh")).as("h")).distinct()
-    val rho = hashed.select(col("source"),
+    hashed.select(col("source"),
       col("h").bitwiseAND(lit((HllM - 1).toLong)).as("j"),
       shiftright(col("h"), HllB).as("rem"))
       .withColumn("rho",
         when(col("rem") === 0, lit(HllRhoMax))
           .otherwise(lit(HllRhoMax) - length(bin(col("rem")))).cast("int"))
-    val perSrc = rho.groupBy("source", "j").agg(max("rho").as("mj"))
+      .groupBy("source", "j").agg(max("rho").as("mj"))
+  }
+
+  /** Finalize a (source, j, mj) register relation into per-source rows
+    * plus the register-max-merged `__all__` row.
+    */
+  private[graft] def hllFinalize(perSrc: DataFrame): DataFrame = {
     val merged = perSrc.groupBy("j").agg(max("mj").as("mj"))
       .select(lit("__all__").as("source"), col("j"), col("mj"))
     // finalize each register relation SEPARATELY before the union (a
@@ -262,28 +276,55 @@ object Sketches {
       depth: Int = 4, width: Int = 64, topK: Int = 20): DataFrame = {
     require(depth >= 1 && width >= 2 && topK >= 1,
       s"bad CMS shape: depth=$depth width=$width topK=$topK")
-    val toks = docs(s, dir).select(
-      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-    def bucket(i: org.apache.spark.sql.Column,
-        tok: org.apache.spark.sql.Column) =
-      h60(concat(i.cast("string"), lit("#"), tok)) % lit(width.toLong)
-    val grid = toks
-      .select(explode(sequence(lit(0), lit(depth - 1))).as("i"), col("tok"))
-      .select(col("i"), bucket(col("i"), col("tok")).as("b"))
+    val toks = cmsTokensOf(docs(s, dir))
+    cmsProbe(cmsGridOf(toks, depth, width), cmsTopTokens(toks, topK),
+      depth, width)
+  }
+
+  /** The corpus token stream (with multiplicity — CMS counts, it does
+    * not dedup).
+    */
+  private[graft] def cmsTokensOf(d: DataFrame): DataFrame =
+    d.select(explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+
+  private def cmsBucket(width: Int)(i: org.apache.spark.sql.Column,
+      tok: org.apache.spark.sql.Column) =
+    h60(concat(i.cast("string"), lit("#"), tok)) % lit(width.toLong)
+
+  /** The (i, b, cnt) counter grid — the CMS merge unit: the union
+    * stream's grid is the per-cell SUM of the parts' grids (exactly
+    * the map-side combine that builds it; [[SketchIndex]] appends by
+    * the same addition).
+    */
+  private[graft] def cmsGridOf(
+      toks: DataFrame, depth: Int, width: Int): DataFrame =
+    toks.select(explode(sequence(lit(0), lit(depth - 1))).as("i"),
+      col("tok"))
+      .select(col("i"), cmsBucket(width)(col("i"), col("tok")).as("b"))
       .groupBy("i", "b").agg(count(lit(1)).as("cnt"))
-    val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
-    // scalable top-k: TakeOrderedAndProject, then a rank window over
-    // the k-row result only (bounded relation)
-    val top = exact.orderBy(col("exact_cnt").desc, col("tok").asc)
+
+  /** The exact top-k probe set: (rank, tok, exact_cnt), deterministic
+    * under the (count desc, token asc) order. Scalable top-k:
+    * TakeOrderedAndProject, then a rank window over the k-row result
+    * only (bounded relation).
+    */
+  private[graft] def cmsTopTokens(toks: DataFrame, topK: Int): DataFrame =
+    toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok").asc)
       .limit(topK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("exact_cnt").desc, col("tok").asc)).cast("int"))
+
+  /** Estimate each probe token's count off a counter grid: min over
+    * the d salted-hash cells, with the one-sided error carried.
+    */
+  private[graft] def cmsProbe(grid: DataFrame, top: DataFrame,
+      depth: Int, width: Int): DataFrame =
     top.select(col("rank"), col("tok"), col("exact_cnt"),
       explode(sequence(lit(0), lit(depth - 1))).as("i"))
-      .withColumn("b", bucket(col("i"), col("tok")))
+      .withColumn("b", cmsBucket(width)(col("i"), col("tok")))
       .join(broadcast(grid), Seq("i", "b"))
       .groupBy("rank", "tok", "exact_cnt")
       .agg(min("cnt").as("cms_est"))
       .withColumn("overcount", col("cms_est") - col("exact_cnt"))
-  }
 }

@@ -1,0 +1,116 @@
+package graft
+
+import graft.ops.{IndexCommit, Sketches, SketchIndex}
+import graft.streaming.StreamingSketch
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pins for the persisted/streaming sketch state: build+append must be
+  * BIT-identical to one job over the union (the merge algebra is the
+  * sketch's own union semantics), HLL appends are replay-idempotent,
+  * and the streaming per-batch-id layout makes even the non-idempotent
+  * CMS addition replay-safe.
+  */
+class SketchIndexSpec extends SparkSpec {
+
+  private def docs(): DataFrame =
+    spark.read.parquet(s"${sf()}/documents.parquet")
+
+  private def rowsOf(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def tmp(name: String): String =
+    java.nio.file.Files.createTempDirectory(name).toString
+
+  test("hll index: build + append == one job over the union") {
+    val path = tmp("hllidx")
+    val d = docs()
+    SketchIndex.buildHll(spark, d.filter(col("doc_id") % 2 === 0), path)
+    SketchIndex.appendHll(spark, path, d.filter(col("doc_id") % 2 === 1))
+    assert(rowsOf(SketchIndex.hllSketch(spark, path))
+      == rowsOf(Sketches.hllDistinctShingles(spark, sf())),
+      "register-max append must reproduce the one-job sketch exactly")
+  }
+
+  test("hll index: re-appending the same batch is a no-op (max is idempotent)") {
+    val path = tmp("hllidx2")
+    val d = docs()
+    val odd = d.filter(col("doc_id") % 2 === 1)
+    SketchIndex.buildHll(spark, d.filter(col("doc_id") % 2 === 0), path)
+    SketchIndex.appendHll(spark, path, odd)
+    val once = rowsOf(SketchIndex.hllSketch(spark, path))
+    val vBefore = IndexCommit.committedIds(spark, path)
+    SketchIndex.appendHll(spark, path, odd) // at-least-once delivery
+    assert(rowsOf(SketchIndex.hllSketch(spark, path)) == once,
+      "a replayed append must not change the registers")
+    // the replay still published a (content-identical) new version,
+    // and the PREVIOUS version remains fully readable — time travel
+    val vAfter = IndexCommit.committedIds(spark, path)
+    assert(vAfter.size == vBefore.size + 1)
+    val prev = spark.read.parquet(
+      s"${IndexCommit.versionDir(path, vBefore.last)}/regs")
+    assert(rowsOf(Sketches.hllFinalize(prev)) == once)
+  }
+
+  test("cms index: build + append == one job, at a non-default grid shape") {
+    val path = tmp("cmsidx")
+    val d = docs()
+    val toks = Sketches.cmsTokensOf(d)
+    SketchIndex.buildCms(spark, d.filter(col("doc_id") % 2 === 0), path,
+      depth = 3, width = 32)
+    SketchIndex.appendCms(spark, path, d.filter(col("doc_id") % 2 === 1))
+    val top = Sketches.cmsTopTokens(toks, 20)
+    // probe reads (depth, width) from the meta sidecar — equality with
+    // the one-job grid at the same shape pins both the counter-add
+    // merge and the meta round-trip
+    assert(rowsOf(SketchIndex.cmsProbe(spark, path, top))
+      == rowsOf(Sketches.cmsProbe(
+        Sketches.cmsGridOf(toks, 3, 32), top, 3, 32)),
+      "counter-add append must reproduce the one-job grid exactly")
+  }
+
+  test("streaming hll: batches merge to the one-job sketch; replay is safe") {
+    val out = tmp("hllstream")
+    val d = docs()
+    StreamingSketch.applyHllBatch(d.filter(col("doc_id") % 2 === 0), out, 0L)
+    StreamingSketch.applyHllBatch(d.filter(col("doc_id") % 2 === 1), out, 1L)
+    val expected = rowsOf(Sketches.hllDistinctShingles(spark, sf()))
+    assert(rowsOf(StreamingSketch.hllSketch(spark, out)) == expected)
+    // at-least-once: re-running batch 1 overwrites its own directory
+    StreamingSketch.applyHllBatch(d.filter(col("doc_id") % 2 === 1), out, 1L)
+    assert(rowsOf(StreamingSketch.hllSketch(spark, out)) == expected,
+      "a replayed micro-batch must not move the registers")
+  }
+
+  test("streaming cms: replay cannot double-count (per-batch-id layout)") {
+    val out = tmp("cmsstream")
+    val d = docs()
+    StreamingSketch.applyCmsBatch(
+      d.filter(col("doc_id") % 2 === 0), out, 4, 64, 0L)
+    StreamingSketch.applyCmsBatch(
+      d.filter(col("doc_id") % 2 === 1), out, 4, 64, 1L)
+    val oneJob = Sketches.cmsGridOf(Sketches.cmsTokensOf(d), 4, 64)
+    def gridRows(g: DataFrame) = g.select("i", "b", "cnt").collect()
+      .map(r => (r.getAs[Int]("i"), r.getLong(1), r.getLong(2))).toSet
+    assert(gridRows(StreamingSketch.cmsGrid(spark, out)) == gridRows(oneJob))
+    // the merge is ADDITION — a naive re-append would double batch 1's
+    // counts; the per-batch-id overwrite makes the replay exact
+    StreamingSketch.applyCmsBatch(
+      d.filter(col("doc_id") % 2 === 1), out, 4, 64, 1L)
+    assert(gridRows(StreamingSketch.cmsGrid(spark, out)) == gridRows(oneJob),
+      "a replayed micro-batch must overwrite, never add")
+  }
+
+  test("streaming hll: end-to-end through a real stream") {
+    val src = tmp("hllsrc")
+    val out = tmp("hllout")
+    val ck = tmp("hllck")
+    val d = docs()
+    d.write.mode("overwrite").parquet(src)
+    val stream = spark.readStream.schema(d.schema).parquet(src)
+    val q = StreamingSketch.hllStream(stream, out, ck)
+    q.awaitTermination(60000)
+    assert(rowsOf(StreamingSketch.hllSketch(spark, out))
+      == rowsOf(Sketches.hllDistinctShingles(spark, sf())))
+  }
+}
