@@ -434,9 +434,34 @@ object SparkEntry {
     // count-min grid (4×64) probed for the exact top-20 tokens, with
     // the one-sided error (overcount >= 0) carried per row — all int64
     "corpus_cms" -> ((s, dir) => Sketches.cmsHeavyHitters(s, dir)),
+    // the PERSISTED sketch indexes: build on the even-doc carve,
+    // fold the odd-doc carve in by the sketch's own union merge
+    // (register max / counter add) — the result must equal one job
+    // over the full corpus, so both share their one-job oracle
+    "corpus_hll_index" -> ((s, dir) => {
+      val path = scratchDir("hllidx")
+      graft.ops.IndexCommit.reset(s, path)
+      val d = rd(s, dir, "documents")
+      graft.ops.SketchIndex.buildHll(s, d.filter(col("doc_id") % 2 === 0), path)
+      graft.ops.SketchIndex.appendHll(s, path, d.filter(col("doc_id") % 2 === 1))
+      graft.ops.SketchIndex.hllSketch(s, path)
+    }),
+    "corpus_cms_index" -> ((s, dir) => {
+      val path = scratchDir("cmsidx")
+      graft.ops.IndexCommit.reset(s, path)
+      val d = rd(s, dir, "documents")
+      graft.ops.SketchIndex.buildCms(s, d.filter(col("doc_id") % 2 === 0), path)
+      graft.ops.SketchIndex.appendCms(s, path, d.filter(col("doc_id") % 2 === 1))
+      graft.ops.SketchIndex.cmsProbe(s, path,
+        Sketches.cmsTopTokens(Sketches.cmsTokensOf(d), 20))
+    }),
     // sliding context-window chunking (len 32, stride 24): zero
     // exchanges — the doc->training-unit step, embarrassingly parallel
     "doc_chunks" -> ((s, dir) => Chunking.slidingChunks(s, dir)),
+    // sentence-aware chunking: greedy sentence packing into a token
+    // budget via a row-local aggregate fold — boundaries never split
+    // a sentence, plan still has zero exchanges
+    "doc_chunks_sentences" -> ((s, dir) => Chunking.sentenceChunks(s, dir)),
 
     // --- LLM-pipeline: similarity search over embeddings ---
     "sim_norms" -> ((s, dir) => Similarity.norms(s, dir)),
@@ -2587,79 +2612,15 @@ object SparkEntry {
     // zeros), Z exact as 2^51-scaled BIGINT, alpha written as the
     // identical literal chain so the doubles agree bit-for-bit; the
     // linear-counting ln rounds to 6 decimals (repo libm convention)
-    "corpus_hll" ->
-      """WITH t AS (
-        |  SELECT source,
-        |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-        |  FROM documents
-        |), sh AS (
-        |  SELECT DISTINCT source,
-        |    CAST('0x' || substr(md5(array_to_string(toks[g : g+2], ' ')),
-        |         1, 15) AS BIGINT) AS h
-        |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2))
-        |                   AS g) s
-        |  WHERE len(toks) >= 3
-        |), rho AS (
-        |  SELECT source, h & 1023 AS j,
-        |    CASE WHEN (h >> 10) = 0 THEN 51
-        |         ELSE 51 - length(bin(h >> 10)) END AS rho
-        |  FROM sh
-        |), ps AS (
-        |  SELECT source, j, max(rho) AS mj FROM rho GROUP BY source, j
-        |), agg AS (
-        |  SELECT source, CAST(count(*) AS INTEGER) AS regs_used,
-        |    CAST(1024 - count(*) AS INTEGER) AS v_zero,
-        |    CAST(sum(1::BIGINT << (51 - mj))
-        |         + (1024 - count(*)) * 2251799813685248::BIGINT
-        |      AS BIGINT) AS z_scaled
-        |  FROM ps GROUP BY source
-        |  UNION ALL
-        |  SELECT '__all__', CAST(count(*) AS INTEGER),
-        |    CAST(1024 - count(*) AS INTEGER),
-        |    CAST(sum(1::BIGINT << (51 - mj))
-        |         + (1024 - count(*)) * 2251799813685248::BIGINT AS BIGINT)
-        |  FROM (SELECT j, max(mj) AS mj FROM ps GROUP BY j)
-        |)
-        |SELECT source, regs_used, v_zero, z_scaled,
-        |  round(CASE
-        |    WHEN 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
-        |         * 2251799813685248.0 / CAST(z_scaled AS DOUBLE) <= 2560.0
-        |         AND v_zero > 0
-        |    THEN 1024.0 * ln(1024.0 / CAST(v_zero AS DOUBLE))
-        |    ELSE 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
-        |         * 2251799813685248.0 / CAST(z_scaled AS DOUBLE)
-        |  END, 6) AS est_distinct
-        |FROM agg""".stripMargin,
+    "corpus_hll" -> hllOracle,
+    // the persisted index paths merge by the sketches' own union
+    // semantics over a full partition of the corpus, so one job over
+    // the whole table IS their oracle
+    "corpus_hll_index" -> hllOracle,
+    "corpus_cms_index" -> cmsOracle,
     // CMS replay: the 4x64 grid and the top-20 probe are all exact
     // int64 — salted md5 buckets, count, min; no float anywhere
-    "corpus_cms" ->
-      """WITH toks AS (
-        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
-        |    AS tok
-        |  FROM documents
-        |), grid AS (
-        |  SELECT i,
-        |    CAST('0x' || substr(md5(i::VARCHAR || '#' || tok), 1, 15)
-        |      AS BIGINT) % 64 AS b,
-        |    count(*) AS cnt
-        |  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS i) d
-        |  GROUP BY 1, 2
-        |), top AS (
-        |  SELECT tok, count(*) AS exact_cnt,
-        |    CAST(row_number() OVER (ORDER BY count(*) DESC, tok)
-        |      AS INTEGER) AS rank
-        |  FROM toks GROUP BY tok
-        |  QUALIFY rank <= 20
-        |), probes AS (
-        |  SELECT t.rank, t.tok, t.exact_cnt, g.cnt
-        |  FROM (SELECT *, unnest(range(4)) AS i FROM top) t
-        |  JOIN grid g ON g.i = t.i
-        |    AND g.b = CAST('0x' || substr(md5(t.i::VARCHAR || '#' || t.tok),
-        |                   1, 15) AS BIGINT) % 64
-        |)
-        |SELECT rank, tok, exact_cnt, min(cnt) AS cms_est,
-        |  min(cnt) - exact_cnt AS overcount
-        |FROM probes GROUP BY rank, tok, exact_cnt""".stripMargin,
+    "corpus_cms" -> cmsOracle,
     // Chunk replay: DuckDB list slices clamp like Spark's slice();
     // the chunk count is the same integer expression
     "doc_chunks" ->
@@ -2678,6 +2639,33 @@ object SparkEntry {
         |  array_to_string(toks[k*24 + 1 : k*24 + 32], ' ') AS chunk_text
         |FROM c, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS k) g
         |""".stripMargin,
+    // Sentence-packing replay: the greedy (chunk id, running tokens)
+    // recurrence as a recursive CTE — every boundary decision the
+    // engine's row-local fold makes is re-derived step by step
+    "doc_chunks_sentences" ->
+      """WITH RECURSIVE snt AS (
+        |  SELECT doc_id, g AS i, arr[g] AS sent,
+        |    CAST(len(regexp_split_to_array(trim(arr[g]), '\s+'))
+        |      AS INTEGER) AS tk
+        |  FROM (SELECT doc_id,
+        |          regexp_extract_all(translate(text, 'eo', '.!'),
+        |            '[^.!?]+[.!?]') AS arr
+        |        FROM documents) t,
+        |    LATERAL (SELECT unnest(generate_series(1, len(arr))) AS g) s
+        |), r AS (
+        |  SELECT doc_id, i, sent, tk, 0 AS cid, tk AS cur
+        |  FROM snt WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.doc_id, s.i, s.sent, s.tk,
+        |    CASE WHEN r.cur + s.tk > 20 THEN r.cid + 1 ELSE r.cid END,
+        |    CASE WHEN r.cur + s.tk > 20 THEN s.tk ELSE r.cur + s.tk END
+        |  FROM r JOIN snt s ON s.doc_id = r.doc_id AND s.i = r.i + 1
+        |)
+        |SELECT doc_id, CAST(cid AS INTEGER) AS chunk_id,
+        |  CAST(count(*) AS INTEGER) AS n_sentences,
+        |  CAST(sum(tk) AS INTEGER) AS n_tokens,
+        |  string_agg(sent, '' ORDER BY i) AS chunk_text
+        |FROM r GROUP BY doc_id, cid""".stripMargin,
     // Catalog scan vs DuckDB's information_schema over the same
     // parquet views, normalizing type renderings to Spark's
     // simpleString. One genuine divergence: parquet timestamps not
@@ -4859,6 +4847,88 @@ object SparkEntry {
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)""".stripMargin
+
+  /** Full HLL replay over the whole documents table — shared by
+    * `corpus_hll` (one job) and `corpus_hll_index` (build on the even
+    * carve + register-max append of the odd carve: the union IS the
+    * full table).
+    */
+  private lazy val hllOracle: String =
+    """WITH t AS (
+      |  SELECT source,
+      |    regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents
+      |), sh AS (
+      |  SELECT DISTINCT source,
+      |    CAST('0x' || substr(md5(array_to_string(toks[g : g+2], ' ')),
+      |         1, 15) AS BIGINT) AS h
+      |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2))
+      |                   AS g) s
+      |  WHERE len(toks) >= 3
+      |), rho AS (
+      |  SELECT source, h & 1023 AS j,
+      |    CASE WHEN (h >> 10) = 0 THEN 51
+      |         ELSE 51 - length(bin(h >> 10)) END AS rho
+      |  FROM sh
+      |), ps AS (
+      |  SELECT source, j, max(rho) AS mj FROM rho GROUP BY source, j
+      |), agg AS (
+      |  SELECT source, CAST(count(*) AS INTEGER) AS regs_used,
+      |    CAST(1024 - count(*) AS INTEGER) AS v_zero,
+      |    CAST(sum(1::BIGINT << (51 - mj))
+      |         + (1024 - count(*)) * 2251799813685248::BIGINT
+      |      AS BIGINT) AS z_scaled
+      |  FROM ps GROUP BY source
+      |  UNION ALL
+      |  SELECT '__all__', CAST(count(*) AS INTEGER),
+      |    CAST(1024 - count(*) AS INTEGER),
+      |    CAST(sum(1::BIGINT << (51 - mj))
+      |         + (1024 - count(*)) * 2251799813685248::BIGINT AS BIGINT)
+      |  FROM (SELECT j, max(mj) AS mj FROM ps GROUP BY j)
+      |)
+      |SELECT source, regs_used, v_zero, z_scaled,
+      |  round(CASE
+      |    WHEN 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
+      |         * 2251799813685248.0 / CAST(z_scaled AS DOUBLE) <= 2560.0
+      |         AND v_zero > 0
+      |    THEN 1024.0 * ln(1024.0 / CAST(v_zero AS DOUBLE))
+      |    ELSE 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
+      |         * 2251799813685248.0 / CAST(z_scaled AS DOUBLE)
+      |  END, 6) AS est_distinct
+      |FROM agg""".stripMargin
+
+  /** Full CMS replay over the whole documents table — shared by
+    * `corpus_cms` (one job) and `corpus_cms_index` (build on the even
+    * carve + counter-add append of the odd carve).
+    */
+  private lazy val cmsOracle: String =
+    """WITH toks AS (
+      |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+      |    AS tok
+      |  FROM documents
+      |), grid AS (
+      |  SELECT i,
+      |    CAST('0x' || substr(md5(i::VARCHAR || '#' || tok), 1, 15)
+      |      AS BIGINT) % 64 AS b,
+      |    count(*) AS cnt
+      |  FROM toks CROSS JOIN (SELECT unnest(range(4)) AS i) d
+      |  GROUP BY 1, 2
+      |), top AS (
+      |  SELECT tok, count(*) AS exact_cnt,
+      |    CAST(row_number() OVER (ORDER BY count(*) DESC, tok)
+      |      AS INTEGER) AS rank
+      |  FROM toks GROUP BY tok
+      |  QUALIFY rank <= 20
+      |), probes AS (
+      |  SELECT t.rank, t.tok, t.exact_cnt, g.cnt
+      |  FROM (SELECT *, unnest(range(4)) AS i FROM top) t
+      |  JOIN grid g ON g.i = t.i
+      |    AND g.b = CAST('0x' || substr(md5(t.i::VARCHAR || '#' || t.tok),
+      |                   1, 15) AS BIGINT) % 64
+      |)
+      |SELECT rank, tok, exact_cnt, min(cnt) AS cms_est,
+      |  min(cnt) - exact_cnt AS overcount
+      |FROM probes GROUP BY rank, tok, exact_cnt""".stripMargin
 
   /** Exact Jaccard restricted to pairs straddling the batch carve
     * (exactly one side has doc_id % 10 = 0), batch member first —
