@@ -423,6 +423,14 @@ object SparkEntry {
     "sample_weighted" -> ((s, dir) => TrainPrep.weightedSample(s, dir)),
     // per-domain contribution cap by salted-hash rank (WindowGroupLimit)
     "domain_cap" -> ((s, dir) => TrainPrep.domainCap(s, dir)),
+    // fill a token budget with the best-ranked docs: global running
+    // total via the two-level prefix sum (bucket-keyed window +
+    // broadcast triangle join over bucket totals) — no SinglePartition
+    "budget_select" -> ((s, dir) => TrainPrep.budgetSelect(s, dir)),
+    // quality-argmax survivor per near-dup cluster (vs the min-id
+    // default): doc-keyed join + component-keyed WindowGroupLimit
+    "dedup_best_rep" -> ((s, dir) =>
+      Dedup.bestRepresentatives(s, dir, maxDocFreq = Some(0.1))),
     // KMV distinct-token sketch: deterministic (unlike HLL), so the
     // sketch AND its estimate are oracle-able bit-for-bit
     "corpus_kmv" -> ((s, dir) => Sketches.kmvDistinctTokens(s, dir)),
@@ -1512,6 +1520,43 @@ object SparkEntry {
     // pinned against the same exact-Jaccard oracle at its threshold.
     "dedup_minhash_lsh" -> jaccardOracle(0.8),
     "dedup_clusters" -> clusterOracle(0.8),
+    // quality-argmax representative per component: same cluster CTEs,
+    // readability re-derived per member, rank-1 under (flesch desc,
+    // doc_id) — the window's RANGE/ROWS distinction is moot because
+    // doc_id makes the order unique
+    "dedup_best_rep" ->
+      s"""${clusterCtes(0.8)}, m AS (
+         |  SELECT d.doc_id, coalesce(c.component_id, d.doc_id)
+         |    AS component_id
+         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+         |), ra AS (
+         |  SELECT doc_id,
+         |    greatest(len(regexp_extract_all(
+         |      translate(text, 'eo', '.!'), '[^.!?]+[.!?]')), 1)
+         |      AS n_sent,
+         |    greatest(len(list_filter(regexp_split_to_array(
+         |      trim(lower(text)), '\\s+'), w -> w <> '')), 1) AS n_words,
+         |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+         |  FROM documents
+         |), rq AS (
+         |  SELECT doc_id,
+         |    round(CAST(206.835 AS DOUBLE)
+         |      - CAST(1.015 AS DOUBLE)
+         |        * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+         |      - CAST(84.6 AS DOUBLE)
+         |        * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)),
+         |      6) AS flesch
+         |  FROM ra
+         |), jn AS (
+         |  SELECT m.component_id, m.doc_id, rq.flesch,
+         |    row_number() OVER (PARTITION BY m.component_id
+         |                       ORDER BY rq.flesch DESC, m.doc_id) AS rk,
+         |    count(*) OVER (PARTITION BY m.component_id) AS n_members
+         |  FROM m JOIN rq ON rq.doc_id = m.doc_id
+         |)
+         |SELECT component_id, doc_id AS rep_doc, flesch AS rep_flesch,
+         |  CAST(n_members AS INTEGER) AS n_members
+         |FROM jn WHERE rk = 1""".stripMargin,
     "dedup_filtered" -> dedupFilteredOracle(0.8),
     // content-hash snapshot diff over the same deterministic carves
     // and the same simulated edit (uppercase at doc_id % 11 = 0)
@@ -2639,6 +2684,37 @@ object SparkEntry {
         |  array_to_string(toks[k*24 + 1 : k*24 + 32], ' ') AS chunk_text
         |FROM c, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS k) g
         |""".stripMargin,
+    // Budget-prefix replay: one plain cumulative window over the
+    // (flesch desc, doc_id) order — doc_id makes the order unique, so
+    // RANGE vs ROWS framing can't diverge; the engine's two-level
+    // bucket decomposition must reproduce this global cumsum exactly
+    "budget_select" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    greatest(len(regexp_extract_all(
+        |      translate(text, 'eo', '.!'), '[^.!?]+[.!?]')), 1)
+        |      AS n_sent,
+        |    greatest(len(list_filter(regexp_split_to_array(
+        |      trim(lower(text)), '\s+'), w -> w <> '')), 1) AS n_words,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+        |    round(CAST(206.835 AS DOUBLE)
+        |      - CAST(1.015 AS DOUBLE)
+        |        * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+        |      - CAST(84.6 AS DOUBLE)
+        |        * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |      6) AS flesch
+        |  FROM a
+        |), c AS (
+        |  SELECT doc_id, flesch, n_words,
+        |    CAST(sum(n_words) OVER (ORDER BY flesch DESC, doc_id)
+        |      AS BIGINT) AS cum_tokens
+        |  FROM r
+        |)
+        |SELECT doc_id, flesch, n_words, cum_tokens
+        |FROM c WHERE cum_tokens <= 10000""".stripMargin,
     // Sentence-packing replay: the greedy (chunk id, running tokens)
     // recurrence as a recursive CTE — every boundary decision the
     // engine's row-local fold makes is re-derived step by step

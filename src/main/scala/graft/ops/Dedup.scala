@@ -487,6 +487,43 @@ object Dedup {
       .select("doc_id", "lang", "source", "n_chars")
   }
 
+  /** Quality-argmax cluster representatives — what production dedup
+    * actually keeps: [[duplicateClusters]]' min-id `keep` rule is the
+    * cheap default, but when a per-doc quality score exists the right
+    * survivor is the BEST member of each near-dup cluster, not the
+    * lowest-numbered one. Representative = argmax (flesch desc,
+    * doc_id asc) over the cluster's members (singletons represent
+    * themselves); ties break on doc_id, so the pick is deterministic
+    * cross-engine (flesch is the 6-decimal hash-stable score).
+    *
+    * Shape at scale: one doc-keyed join (members × scores), then a
+    * component-keyed window — rank ≤ 1 rewrites to WindowGroupLimit,
+    * so each map task forwards one candidate row per component into
+    * the exchange; nothing is corpus-global.
+    */
+  def bestRepresentatives(
+      s: SparkSession, dir: String,
+      threshold: Double = 0.8, n: Int = 3,
+      maxDocFreq: Option[Double] = None,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    val members = duplicateClusters(s, dir, threshold, n, maxDocFreq, scope)
+      .select("doc_id", "component_id")
+    val quality = TextOps.readability(s, dir).select("doc_id", "flesch")
+    val byQuality = org.apache.spark.sql.expressions.Window
+      .partitionBy("component_id")
+      .orderBy(col("flesch").desc, col("doc_id").asc)
+    members.join(quality, Seq("doc_id"))
+      .withColumn("rk", row_number().over(byQuality))
+      .withColumn("n_members", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("component_id")))
+      .filter(col("rk") === 1)
+      .select(col("component_id"), col("doc_id").as("rep_doc"),
+        col("flesch").as("rep_flesch"),
+        col("n_members").cast("int").as("n_members"))
+  }
+
   /** Benchmark decontamination — the standard pre-training hygiene
     * pass (GPT-3 appendix C / The Pile: drop training docs sharing
     * long n-grams with an eval set). The benchmark here is carved

@@ -314,4 +314,45 @@ object TrainPrep {
         row_number().over(w).as("cap_rank"))
       .filter(col("cap_rank") <= cap)
   }
+
+  /** Token-budget-constrained selection — "fill a B-token training
+    * budget with the best documents": rank the corpus by quality
+    * (Flesch readability here — any deterministic per-doc score slots
+    * in), take the maximal prefix whose cumulative token count stays
+    * ≤ `budget`. Keep rule: a doc stays iff its INCLUSIVE running
+    * total ≤ B under the (flesch desc, doc_id asc) order — integer
+    * arithmetic, so the boundary doc is pinned cross-engine.
+    *
+    * The global running total NEVER plans a single-partition window —
+    * the same two-level prefix sum as `events_concurrency`: floor
+    * buckets of the score give the coarse level (the window is
+    * bucket-keyed; floor is monotone, so bucket-desc + in-bucket
+    * score-desc IS the global order), and the cross-bucket carry is a
+    * broadcast lower-triangle self-join over bucket totals — a
+    * relation bounded by the score's integer range, not the corpus.
+    * [[TrainPrepSpec]] pins `SinglePartition`'s absence on the
+    * finalized plan.
+    */
+  def budgetSelect(
+      s: SparkSession, dir: String, budget: Long = 10000L): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val r = TextOps.readability(s, dir)
+      .select(col("doc_id"), col("flesch"), col("n_words"))
+      .withColumn("bkt", floor(col("flesch")).cast("long"))
+    val w = Window.partitionBy("bkt")
+      .orderBy(col("flesch").desc, col("doc_id").asc)
+    val local = r.withColumn("local_cum",
+      sum(col("n_words").cast("long")).over(w))
+    val totals = r.groupBy("bkt")
+      .agg(sum(col("n_words").cast("long")).as("t"))
+    // tokens in strictly HIGHER buckets (better flesch) — the carry
+    val offsets = totals.as("a")
+      .join(broadcast(totals.as("b")), col("b.bkt") > col("a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.t")), lit(0L)).as("off"))
+    local.join(broadcast(offsets), Seq("bkt"))
+      .withColumn("cum_tokens", col("off") + col("local_cum"))
+      .filter(col("cum_tokens") <= budget)
+      .select("doc_id", "flesch", "n_words", "cum_tokens")
+  }
 }

@@ -697,4 +697,33 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
       plan)
   }
+
+  test("best representatives: quality argmax per cluster, every doc covered") {
+    val members = graft.ops.Dedup
+      .duplicateClusters(spark, sf(), maxDocFreq = Some(0.1)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("component_id"))
+    val flesch = graft.ops.TextOps.readability(spark, sf()).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("flesch")).toMap
+    // independent argmax: best (flesch desc, doc_id asc) per component
+    val expected = members.groupBy(_._2).map { case (comp, ms) =>
+      val best = ms.map(_._1).minBy(id => (-flesch(id), id))
+      comp -> ((best, flesch(best), ms.length))
+    }
+    val rows = graft.ops.Dedup
+      .bestRepresentatives(spark, sf(), maxDocFreq = Some(0.1)).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (rep, f, n) = expected(r.getAs[Long]("component_id"))
+      assert(r.getAs[Long]("rep_doc") == rep,
+        s"component ${r.getAs[Long]("component_id")} representative")
+      assert(r.getAs[Double]("rep_flesch") == f)
+      assert(r.getAs[Int]("n_members") == n)
+    }
+    // coverage: members across clusters partition the corpus, the
+    // argmax beats min-id somewhere (else the new rule is vacuous)
+    assert(rows.map(_.getAs[Int]("n_members")).sum == members.length)
+    val minIdReps = members.groupBy(_._2).map(_._2.map(_._1).min).toSet
+    assert(rows.exists(r => !minIdReps.contains(r.getAs[Long]("rep_doc"))),
+      "fixture never separates quality-argmax from min-id — vacuous")
+  }
 }

@@ -337,4 +337,58 @@ class TrainPrepSpec extends SparkSpec {
       full(id) != ((pid, off))
     }, "packing survivors must reflow relative to the full corpus")
   }
+
+  // --- token-budget selection ------------------------------------------
+
+  /** Independent JVM prefix: (doc_id, flesch, n_words, cum) selected
+    * under the (flesch desc, doc_id asc) order with inclusive-cum ≤ B.
+    */
+  private def jvmBudget(budget: Long): Seq[(Long, Double, Int, Long)] = {
+    val rows = graft.ops.TextOps.readability(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("flesch"),
+        r.getAs[Int]("n_words")))
+      .sortBy { case (id, f, _) => (-f, id) }
+    var cum = 0L
+    rows.flatMap { case (id, f, w) =>
+      cum += w
+      if (cum <= budget) Some((id, f, w, cum)) else None
+    }.toSeq
+  }
+
+  test("budget select: bit-exact vs a JVM global-cumsum recompute") {
+    val budget = 1000L
+    val expected = jvmBudget(budget).toSet
+    val got = graft.ops.TrainPrep.budgetSelect(spark, sf(), budget)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("flesch"),
+        r.getAs[Int]("n_words"), r.getAs[Long]("cum_tokens"))).toSet
+    assert(got == expected,
+      "two-level bucket cumsum must equal the global running total")
+    // the prefix is MAXIMAL: the next doc in quality order overflows
+    val all = jvmBudget(Long.MaxValue)
+    if (expected.size < all.size) {
+      val next = all(expected.size)
+      assert(expected.map(_._4).maxOption.getOrElse(0L) + next._3 > budget)
+    }
+  }
+
+  test("budget select: smaller budgets select prefixes of larger ones") {
+    def sel(b: Long) = graft.ops.TrainPrep.budgetSelect(spark, sf(), b)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val small = sel(500L)
+    val large = sel(1500L)
+    assert(small.subsetOf(large),
+      "budget selection must be prefix-monotone in the budget")
+    assert(small.size < large.size, "fixture budgets went vacuous")
+  }
+
+  test("budget select: no single-partition stage in the executed plan") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val df = graft.ops.TrainPrep.budgetSelect(spark, sf())
+    df.collect()
+    val plan = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("Window"), plan.take(2000))
+    assert(!plan.contains("SinglePartition"), plan.take(3000))
+  }
 }
