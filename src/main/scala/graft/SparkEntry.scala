@@ -431,6 +431,14 @@ object SparkEntry {
     // default): doc-keyed join + component-keyed WindowGroupLimit
     "dedup_best_rep" -> ((s, dir) =>
       Dedup.bestRepresentatives(s, dir, maxDocFreq = Some(0.1))),
+    // easy->hard curriculum: ntile-equivalent phases off a two-level
+    // global rank (bucket windows + broadcast count offsets), salted
+    // md5 within-phase shuffle key — no corpus-wide window anywhere
+    "curriculum_phases" -> ((s, dir) => TrainPrep.curriculumPhases(s, dir)),
+    // corpus-growth telemetry: distinct-shingle mass the 20% delta
+    // adds, by HLL register merge — v2 registers = v1 regs MAX delta
+    // regs, both parts scanned once (the SketchIndex economics)
+    "corpus_growth" -> ((s, dir) => Sketches.hllGrowth(s, dir)),
     // KMV distinct-token sketch: deterministic (unlike HLL), so the
     // sketch AND its estimate are oracle-able bit-for-bit
     "corpus_kmv" -> ((s, dir) => Sketches.kmvDistinctTokens(s, dir)),
@@ -2684,6 +2692,43 @@ object SparkEntry {
         |  array_to_string(toks[k*24 + 1 : k*24 + 32], ' ') AS chunk_text
         |FROM c, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS k) g
         |""".stripMargin,
+    // Curriculum replay: the engine's 1+((rank-1)k) div n formula IS
+    // ntile(k) — the oracle uses the window function directly, so any
+    // drift in the two-level rank machinery breaks the hash
+    "curriculum_phases" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    greatest(len(regexp_extract_all(
+        |      translate(text, 'eo', '.!'), '[^.!?]+[.!?]')), 1)
+        |      AS n_sent,
+        |    greatest(len(list_filter(regexp_split_to_array(
+        |      trim(lower(text)), '\s+'), w -> w <> '')), 1) AS n_words,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id,
+        |    round(CAST(206.835 AS DOUBLE)
+        |      - CAST(1.015 AS DOUBLE)
+        |        * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+        |      - CAST(84.6 AS DOUBLE)
+        |        * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)),
+        |      6) AS flesch
+        |  FROM a
+        |)
+        |SELECT doc_id, flesch,
+        |  CAST(ntile(3) OVER (ORDER BY flesch DESC, doc_id)
+        |    AS INTEGER) AS phase,
+        |  md5(CAST(doc_id AS VARCHAR) || '#curriculum') AS ord_key
+        |FROM r""".stripMargin,
+    // Growth replay: the full HLL pipeline twice (v1 carve, whole
+    // table) and the rounded estimate difference
+    "corpus_growth" ->
+      s"""WITH v1 AS (${hllEstSql("doc_id % 10 < 8")}),
+         |v2 AS (${hllEstSql("TRUE")})
+         |SELECT v2.source, coalesce(v1.est, 0.0) AS est_v1,
+         |  v2.est AS est_v2,
+         |  round(v2.est - coalesce(v1.est, 0.0), 6) AS est_new
+         |FROM v2 LEFT JOIN v1 ON v1.source = v2.source""".stripMargin,
     // Budget-prefix replay: one plain cumulative window over the
     // (flesch desc, doc_id) order — doc_id makes the order unique, so
     // RANGE vs ROWS framing can't diverge; the engine's two-level
@@ -4972,6 +5017,53 @@ object SparkEntry {
       |         * 2251799813685248.0 / CAST(z_scaled AS DOUBLE)
       |  END, 6) AS est_distinct
       |FROM agg""".stripMargin
+
+  /** The HLL estimate pipeline over a doc_id-carved documents view —
+    * (source, est) rows incl. the `__all__` merge — used twice by the
+    * `corpus_growth` oracle. A nested WITH inside the caller's CTE
+    * body keeps the chain self-contained.
+    */
+  private def hllEstSql(pred: String): String =
+    s"""WITH t AS (
+       |  SELECT source,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |  FROM documents WHERE $pred
+       |), sh AS (
+       |  SELECT DISTINCT source,
+       |    CAST('0x' || substr(md5(array_to_string(toks[g : g+2], ' ')),
+       |         1, 15) AS BIGINT) AS h
+       |  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 2))
+       |                   AS g) s
+       |  WHERE len(toks) >= 3
+       |), rho AS (
+       |  SELECT source, h & 1023 AS j,
+       |    CASE WHEN (h >> 10) = 0 THEN 51
+       |         ELSE 51 - length(bin(h >> 10)) END AS rho
+       |  FROM sh
+       |), ps AS (
+       |  SELECT source, j, max(rho) AS mj FROM rho GROUP BY source, j
+       |), agg AS (
+       |  SELECT source, CAST(1024 - count(*) AS INTEGER) AS v_zero,
+       |    CAST(sum(1::BIGINT << (51 - mj))
+       |         + (1024 - count(*)) * 2251799813685248::BIGINT
+       |      AS BIGINT) AS z_scaled
+       |  FROM ps GROUP BY source
+       |  UNION ALL
+       |  SELECT '__all__', CAST(1024 - count(*) AS INTEGER),
+       |    CAST(sum(1::BIGINT << (51 - mj))
+       |         + (1024 - count(*)) * 2251799813685248::BIGINT AS BIGINT)
+       |  FROM (SELECT j, max(mj) AS mj FROM ps GROUP BY j)
+       |)
+       |SELECT source,
+       |  round(CASE
+       |    WHEN 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
+       |         * 2251799813685248.0 / CAST(z_scaled AS DOUBLE) <= 2560.0
+       |         AND v_zero > 0
+       |    THEN 1024.0 * ln(1024.0 / CAST(v_zero AS DOUBLE))
+       |    ELSE 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0
+       |         * 2251799813685248.0 / CAST(z_scaled AS DOUBLE)
+       |  END, 6) AS est
+       |FROM agg""".stripMargin
 
   /** Full CMS replay over the whole documents table — shared by
     * `corpus_cms` (one job) and `corpus_cms_index` (build on the even

@@ -252,6 +252,38 @@ object Sketches {
     finalize(perSrc).unionByName(finalize(merged))
   }
 
+  /** Corpus-growth telemetry between two versions, off the HLL
+    * registers: v1 is the 80% doc_id-carve, v2 = v1 ∪ the delta, and
+    * `est_new = est(v2) − est(v1)` estimates how much DISTINCT
+    * shingle mass the delta actually added — near zero when the
+    * "new" crawl is a re-crawl, ≈ its own size when it is fresh
+    * content. The v2 registers come from MERGING v1's registers with
+    * the delta's (each part scanned once) — the index economics: at
+    * production scale v1's registers are [[SketchIndex]]-loaded
+    * kilobytes and only the delta is scanned.
+    *
+    * Every quantity is the deterministic HLL pipeline, so the whole
+    * report (including the difference) replays in the DuckDB oracle.
+    */
+  def hllGrowth(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val v1regs = hllRegistersOf(d.filter(col("doc_id") % 10 < 8))
+    val deltaRegs = hllRegistersOf(d.filter(col("doc_id") % 10 >= 8))
+    val v2regs = v1regs.unionByName(deltaRegs)
+      .groupBy("source", "j").agg(max("mj").as("mj"))
+    val est1 = hllFinalize(v1regs)
+      .select(col("source"), col("est_distinct").as("est_v1"))
+    val est2 = hllFinalize(v2regs)
+      .select(col("source"), col("est_distinct").as("est_v2"))
+    // v2 ⊇ v1 by construction, so v2's source set carries the join; a
+    // source born in the delta reads est_v1 = 0
+    est2.join(est1, Seq("source"), "left")
+      .select(col("source"),
+        coalesce(col("est_v1"), lit(0.0)).as("est_v1"), col("est_v2"),
+        round(col("est_v2") - coalesce(col("est_v1"), lit(0.0)), 6)
+          .as("est_new"))
+  }
+
   // --- Count-min sketch (Cormode–Muthukrishnan 2005) -----------------
 
   /** Count-min heavy-hitter estimates over the token stream: a d×w

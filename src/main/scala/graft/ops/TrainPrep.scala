@@ -355,4 +355,43 @@ object TrainPrep {
       .filter(col("cum_tokens") <= budget)
       .select("doc_id", "flesch", "n_words", "cum_tokens")
   }
+
+  /** Curriculum phases — easy→hard training order: documents split
+    * into `k` difficulty phases by quality rank (phase 1 = most
+    * readable), with a salted-hash order key for shuffling WITHIN a
+    * phase (curricula order phases, not documents; deterministic
+    * shuffle inside each band). The phase rule is exactly SQL
+    * `ntile(k)` over (flesch desc, doc_id asc) — the oracle uses the
+    * window function, the engine derives the same assignment as
+    * `1 + ((rank−1)·k) div n` from a scale-safe global rank:
+    *
+    * The rank never plans a corpus-wide window — [[budgetSelect]]'s
+    * two-level decomposition with unit weights: a bucket-keyed
+    * `row_number` plus a broadcast triangle join over bucket COUNTS;
+    * `n` is one scalar row. The within-phase key is just md5 — no
+    * rank minting, so phases stay window-free however large they are.
+    */
+  def curriculumPhases(
+      s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    require(k >= 1, s"need k >= 1 phases, got $k")
+    val r = TextOps.readability(s, dir)
+      .select(col("doc_id"), col("flesch"))
+      .withColumn("bkt", floor(col("flesch")).cast("long"))
+    val w = Window.partitionBy("bkt")
+      .orderBy(col("flesch").desc, col("doc_id").asc)
+    val local = r.withColumn("lr", row_number().over(w).cast("long"))
+    val counts = r.groupBy("bkt").agg(count(lit(1)).as("cnt"))
+    val offsets = counts.as("a")
+      .join(broadcast(counts.as("b")), col("b.bkt") > col("a.bkt"), "left")
+      .groupBy(col("a.bkt").as("bkt"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+    val n = counts.agg(sum("cnt").as("n"))
+    local.join(broadcast(offsets), Seq("bkt"))
+      .crossJoin(broadcast(n))
+      .withColumn("rank", col("off") + col("lr"))
+      .select(col("doc_id"), col("flesch"),
+        (expr(s"((rank - 1) * $k) div n") + 1).cast("int").as("phase"),
+        md5(concat(col("doc_id").cast("string"), lit("#curriculum")))
+          .as("ord_key"))
+  }
 }

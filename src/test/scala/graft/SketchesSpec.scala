@@ -253,6 +253,29 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hll growth: both legs equal their directly-computed sketches") {
+    val d = spark.read.parquet(s"${sf()}/documents.parquet")
+    val v1 = Sketches.hllFinalize(
+      Sketches.hllRegistersOf(d.filter(col("doc_id") % 10 < 8)))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est_distinct"))
+      .toMap
+    val v2 = Sketches.hllDistinctShingles(spark, sf())
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("est_distinct"))
+      .toMap
+    val rows = Sketches.hllGrowth(spark, sf()).collect()
+    assert(rows.length == v2.size)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      assert(r.getAs[Double]("est_v1") == v1.getOrElse(src, 0.0),
+        s"$src v1 leg must equal the carve's own sketch")
+      assert(r.getAs[Double]("est_v2") == v2(src),
+        s"$src merged registers must equal the full-corpus sketch")
+      // register max-merge only raises registers, so (on this fixture,
+      // both scopes inside one estimator branch) growth is one-sided
+      assert(r.getAs[Double]("est_new") >= 0.0)
+    }
+  }
+
   // --- CMS -------------------------------------------------------------
 
   test("cms: bit-exact vs JVM recompute; overcount is one-sided") {

@@ -391,4 +391,54 @@ class TrainPrepSpec extends SparkSpec {
     assert(plan.contains("Window"), plan.take(2000))
     assert(!plan.contains("SinglePartition"), plan.take(3000))
   }
+
+  // --- curriculum phases -----------------------------------------------
+
+  test("curriculum: phases equal SQL ntile, order key is the salted hash") {
+    val k = 3
+    val ordered = graft.ops.TextOps.readability(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("flesch")))
+      .sortBy { case (id, f) => (-f, id) }
+    val n = ordered.length
+    // independent ntile: the first n mod k groups take ceil(n/k) rows
+    val base = n / k
+    val extra = n % k
+    val expectedPhase = ordered.zipWithIndex.map { case ((id, _), i) =>
+      val cut = extra * (base + 1)
+      id -> (if (i < cut) i / (base + 1) + 1
+             else (i - cut) / base + extra + 1)
+    }.toMap
+    val rows = graft.ops.TrainPrep.curriculumPhases(spark, sf(), k).collect()
+    assert(rows.length == n)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("phase") == expectedPhase(id),
+        s"doc $id phase must match ntile($k)")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#curriculum".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getAs[String]("ord_key") == md)
+    }
+    // contiguity: walking the quality order never decreases the phase
+    val phaseInOrder = ordered.map { case (id, _) => expectedPhase(id) }
+    assert(phaseInOrder.sameElements(phaseInOrder.sorted))
+    assert(rows.map(_.getAs[Int]("phase")).distinct.sorted.toSeq
+      == (1 to k), "all phases populated")
+  }
+
+  test("curriculum: only the n scalar may plan a single partition") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val df = graft.ops.TrainPrep.curriculumPhases(spark, sf())
+    df.collect()
+    val plan = df.queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+    // the one-row n scalar legitimately prints SinglePartition twice
+    // (its partial-agg exchange and the broadcast that attaches it) —
+    // same allowance as the KN scoring plan pin; anything more would
+    // mean a corpus-wide funnel crept in
+    val singles = "SinglePartition".r.findAllIn(plan).size
+    assert(singles <= 2,
+      s"only the one-row n scalar may funnel: $singles\n${plan.take(3000)}")
+    assert(plan.contains("Window"), plan.take(2000))
+  }
 }
