@@ -471,12 +471,10 @@ object SparkEntry {
       graft.ops.SketchIndex.cmsProbe(s, path,
         Sketches.cmsTopTokens(Sketches.cmsTokensOf(d), 20))
     }),
-    // sliding context-window chunking (len 32, stride 24): zero
-    // exchanges — the doc->training-unit step, embarrassingly parallel
-    "doc_chunks" -> ((s, dir) => Chunking.slidingChunks(s, dir)),
     // sentence-aware chunking: greedy sentence packing into a token
     // budget via a row-local aggregate fold — boundaries never split
-    // a sentence, plan still has zero exchanges
+    // a sentence (the sliding-window variant is CrawlOps.docChunks
+    // under "doc_chunks"), plan has zero exchanges
     "doc_chunks_sentences" -> ((s, dir) => Chunking.sentenceChunks(s, dir)),
 
     // --- LLM-pipeline: similarity search over embeddings ---
@@ -2674,24 +2672,6 @@ object SparkEntry {
     // CMS replay: the 4x64 grid and the top-20 probe are all exact
     // int64 — salted md5 buckets, count, min; no float anywhere
     "corpus_cms" -> cmsOracle,
-    // Chunk replay: DuckDB list slices clamp like Spark's slice();
-    // the chunk count is the same integer expression
-    "doc_chunks" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks,
-        |    len(regexp_split_to_array(trim(text), '\s+')) AS n
-        |  FROM documents WHERE length(trim(text)) > 0
-        |), c AS (
-        |  SELECT doc_id, toks,
-        |    1 + (greatest(n - 32, 0) + 23) // 24 AS nc
-        |  FROM t
-        |)
-        |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
-        |  CAST(k * 24 AS INTEGER) AS chunk_start,
-        |  CAST(len(toks[k*24 + 1 : k*24 + 32]) AS INTEGER) AS chunk_tokens,
-        |  array_to_string(toks[k*24 + 1 : k*24 + 32], ' ') AS chunk_text
-        |FROM c, LATERAL (SELECT unnest(generate_series(0, nc - 1)) AS k) g
-        |""".stripMargin,
     // Curriculum replay: the engine's 1+((rank-1)k) div n formula IS
     // ntile(k) — the oracle uses the window function directly, so any
     // drift in the two-level rank machinery breaks the hash

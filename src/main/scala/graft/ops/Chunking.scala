@@ -1,81 +1,37 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Sliding context-window chunking — the step that turns documents
-  * into model-context-sized training/RAG units.
+/** Sentence-aware context-window chunking — the RAG-grade sibling of
+  * [[CrawlOps.docChunks]]' sliding token windows: chunk boundaries
+  * NEVER split a sentence.
   *
-  * A document of n whitespace tokens yields
-  * `1 + ceil(max(n − len, 0) / stride)` chunks starting at
-  * 0, stride, 2·stride, …; each chunk carries up to `len` tokens (the
-  * tail chunk may be shorter, never empty while stride ≤ len).
-  * Consecutive chunks overlap by `len − stride` tokens — the overlap
-  * that keeps boundary-spanning context visible to the model, the same
-  * scheme HF tokenizers call `stride`. With stride = len the chunks
-  * partition the stream exactly ([[ChunkingSpec]] pins both the
-  * partition round-trip and the overlap identity).
+  * Sentences (the engine's shared segmentation convention — see
+  * [[TextOps.sentences]]) are packed greedily in document order: a
+  * sentence joins the current chunk while the chunk's token count
+  * stays ≤ `budget`, else it starts the next chunk. A single sentence
+  * longer than the budget gets a chunk of its own (kept whole — an
+  * oversize chunk beats a mid-sentence cut for retrieval units;
+  * token-exact packing with overlap is [[CrawlOps.docChunks]]'s job).
   *
-  * Everything is integer arithmetic + array slicing on one row at a
-  * time: the plan is a single narrow projection with ZERO exchanges —
-  * chunking 100 TB is embarrassingly parallel and this formulation
-  * keeps it that way (no ids minted by window, no shuffle for
-  * ordering; chunk_id is derived from the doc's own token offsets).
+  * The greedy fold is a row-local `aggregate` over the doc's own
+  * sentence array and the chunk assembly a row-local
+  * `zip_with`/`filter` — the whole plan is one narrow projection with
+  * ZERO exchanges (spec-pinned): chunking 100 TB is embarrassingly
+  * parallel and this formulation keeps it that way (no window-minted
+  * ids, no ordering shuffle; chunk_id derives from the doc's own
+  * sentence offsets). The DuckDB oracle replays the same recurrence
+  * as a recursive CTE, so even the greedy boundary decisions are
+  * pinned cross-engine.
   */
 object Chunking {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** doc_id × (chunk_id, chunk_start, chunk_tokens, chunk_text).
-    * Case is preserved (chunks feed training; only the SPLIT is
-    * whitespace-normalized). Whitespace-only documents yield no
-    * chunks.
-    */
-  def slidingChunks(s: SparkSession, dir: String,
-      len: Int = 32, stride: Int = 24): DataFrame =
-    slidingChunksOf(docs(s, dir), len, stride)
-
-  private[graft] def slidingChunksOf(
-      d: DataFrame, len: Int, stride: Int): DataFrame = {
-    // stride > len would leave token gaps between chunks and can mint
-    // empty tail chunks; stride < 1 never advances
-    require(len >= 1 && stride >= 1 && stride <= len,
-      s"need 1 <= stride <= len, got len=$len stride=$stride")
-    val toks = d.filter(length(trim(col("text"))) > 0)
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("toks"))
-      .withColumn("n", size(col("toks")))
-    // integer chunk count: 1 + ceil(max(n-len,0)/stride); the +1 chunk
-    // always exists, so the explode sequence is never descending
-    val withCount = toks.withColumn("nc",
-      expr(s"1 + (greatest(n - $len, 0) + ${stride - 1}) div $stride"))
-    val chunk: Column = slice(col("toks"), col("k") * stride + 1, lit(len))
-    withCount
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), col("nc") - 1)).as("k"))
-      .select(col("doc_id"),
-        col("k").cast("int").as("chunk_id"),
-        (col("k") * stride).cast("int").as("chunk_start"),
-        size(chunk).as("chunk_tokens"),
-        array_join(chunk, " ").as("chunk_text"))
-  }
-
-  /** Sentence-aware chunking — the RAG-grade sibling of
-    * [[slidingChunks]]: chunk boundaries NEVER split a sentence.
-    * Sentences (the engine's shared segmentation convention — see
-    * [[TextOps.sentences]]) are packed greedily in document order:
-    * a sentence joins the current chunk while the chunk's token count
-    * stays ≤ `budget`, else it starts the next chunk. A single
-    * sentence longer than the budget gets a chunk of its own (kept
-    * whole — an oversize chunk beats a mid-sentence cut for retrieval
-    * units; token-exact packing is [[slidingChunks]]'s job).
-    *
-    * The greedy fold is a row-local `aggregate` over the doc's own
-    * sentence array and the chunk assembly a row-local
-    * `zip_with`/`filter` — like [[slidingChunksOf]] the whole plan is
-    * one narrow projection with ZERO exchanges (spec-pinned). The
-    * DuckDB oracle replays the same recurrence as a recursive CTE, so
-    * even the greedy boundary decisions are pinned cross-engine.
+  /** doc_id × (chunk_id, n_sentences, n_tokens, chunk_text). A text
+    * with no sentence boundary yields no chunks.
     */
   def sentenceChunks(s: SparkSession, dir: String,
       budget: Int = 20): DataFrame =
@@ -86,8 +42,7 @@ object Chunking {
     require(budget >= 1, s"need budget >= 1, got $budget")
     // shared sentence convention: fixture prose carries no terminal
     // punctuation, so 'e'/'o' are transliterated to './!' first (the
-    // TextOps.sentences rule); a text with no boundary yields no
-    // sentences and therefore no chunks
+    // TextOps.sentences rule)
     val sents = regexp_extract_all(
       translate(col("text"), "eo", ".!"), lit("[^.!?]++[.!?]"), lit(0))
     // greedy packer: fold (chunk id, tokens in current chunk) over the
