@@ -447,6 +447,12 @@ object SparkEntry {
     // __all__ row a true register-max merge — the whole sketch
     // replayable in SQL, unlike approx_count_distinct's
     "corpus_hll" -> ((s, dir) => Sketches.hllDistinctShingles(s, dir)),
+    // the same registers through the native TypedImperativeAggregate
+    // (hll_regs): map-side 1-KB buffers, pointwise-max partial merge —
+    // the custom-aggregate extension point, driver-gated on the same
+    // oracle as the declarative path
+    "corpus_hll_native" ->
+      ((s, dir) => Sketches.hllDistinctShinglesNative(s, dir)),
     // count-min grid (4×64) probed for the exact top-20 tokens, with
     // the one-sided error (overcount >= 0) carried per row — all int64
     "corpus_cms" -> ((s, dir) => Sketches.cmsHeavyHitters(s, dir)),
@@ -2664,6 +2670,7 @@ object SparkEntry {
     // identical literal chain so the doubles agree bit-for-bit; the
     // linear-counting ln rounds to 6 decimals (repo libm convention)
     "corpus_hll" -> hllOracle,
+    "corpus_hll_native" -> hllOracle,
     // the persisted index paths merge by the sketches' own union
     // semantics over a full partition of the corpus, so one job over
     // the whole table IS their oracle

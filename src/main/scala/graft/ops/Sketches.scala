@@ -189,10 +189,12 @@ object Sketches {
     * that lets 1000 executors sketch shards independently.
     * [[SketchesSpec]] pins it equal to the direct whole-corpus sketch.
     *
-    * Shape at scale: one (source, h)-keyed distinct exchange (the same
-    * dedup KMV pays), then one (source, j)-keyed exchange whose
-    * map-side partial max caps it at O(sources · m) rows; everything
-    * after rides register-cardinality relations.
+    * Shape at scale: ONE exchange total on the corpus path — the
+    * (source, j) register aggregation, capped at O(sources · m) rows
+    * by map-side partial max (no distinct pass: register max is
+    * idempotent, so the raw shingle stream aggregates directly —
+    * unlike KMV, whose rank semantics genuinely need the dedup);
+    * everything after rides register-cardinality relations.
     */
   def hllDistinctShingles(s: SparkSession, dir: String): DataFrame =
     hllFinalize(hllRegistersOf(docs(s, dir)))
@@ -213,15 +215,54 @@ object Sketches {
         col("toks"))
       .select(col("source"),
         array_join(slice(col("toks"), col("g"), lit(3)), " ").as("sh"))
-    val hashed = sh.select(col("source"), h60(col("sh")).as("h")).distinct()
-    hashed.select(col("source"),
-      col("h").bitwiseAND(lit((HllM - 1).toLong)).as("j"),
-      shiftright(col("h"), HllB).as("rem"))
+    // No distinct pass: register max is idempotent, so duplicate
+    // shingles can't move a register — the raw stream aggregates
+    // straight into (source, j) with map-side partial max. The ONLY
+    // exchange on the corpus path therefore carries O(sources·1024)
+    // register rows, never shingle-cardinality data (KMV genuinely
+    // needs its distinct; HLL never did).
+    sh.select(col("source"), h60(col("sh")).as("h"))
+      .select(col("source"),
+        col("h").bitwiseAND(lit((HllM - 1).toLong)).as("j"),
+        shiftright(col("h"), HllB).as("rem"))
       .withColumn("rho",
         when(col("rem") === 0, lit(HllRhoMax))
           .otherwise(lit(HllRhoMax) - length(bin(col("rem")))).cast("int"))
       .groupBy("source", "j").agg(max("rho").as("mj"))
   }
+
+  /** The same (source, j, mj) register relation built by the NATIVE
+    * [[graft.plans.HllRegisterAgg]] aggregate (`hll_regs`): hashes
+    * fold map-side into 1-KB byte buffers, partial buffers merge by
+    * pointwise max through Spark's normal partial-aggregation
+    * machinery, and the evaluated register array unrolls back into
+    * rows (posexplode of a 1024-element array per source — bounded).
+    * Downstream (finalize, merge row, oracle) is shared verbatim with
+    * [[hllRegistersOf]]; [[SketchesSpec]] pins row-set equality.
+    */
+  private[graft] def hllRegistersNativeOf(d: DataFrame): DataFrame = {
+    val toks = d.select(col("source"),
+      split(trim(lower(col("text"))), "\\s+").as("toks"))
+    val sh = toks.filter(size(col("toks")) >= 3)
+      .select(col("source"),
+        explode(sequence(lit(1), size(col("toks")) - 2)).as("g"),
+        col("toks"))
+      .select(col("source"),
+        array_join(slice(col("toks"), col("g"), lit(3)), " ").as("sh"))
+    sh.select(col("source"), h60(col("sh")).as("h"))
+      .groupBy("source")
+      .agg(expr("hll_regs(h)").as("regs"))
+      .select(col("source"), posexplode(col("regs")).as(Seq("j", "mj")))
+      .filter(col("mj") > 0)
+      .select(col("source"), col("j").cast("long").as("j"), col("mj"))
+  }
+
+  /** [[hllDistinctShingles]] computed through the native aggregate —
+    * same rows, same oracle; exists as the `corpus_hll_native` query
+    * so the custom-aggregate path is driver-gated too.
+    */
+  def hllDistinctShinglesNative(s: SparkSession, dir: String): DataFrame =
+    hllFinalize(hllRegistersNativeOf(docs(s, dir)))
 
   /** Finalize a (source, j, mj) register relation into per-source rows
     * plus the register-max-merged `__all__` row.

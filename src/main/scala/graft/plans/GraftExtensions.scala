@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.cosineSim)
     ext.injectFunction(GraftExtensions.dotProduct)
     ext.injectFunction(GraftExtensions.bloomGramCount)
+    ext.injectFunction(GraftExtensions.hllRegs)
   }
 }
 
@@ -50,6 +51,15 @@ object GraftExtensions {
           s"bloom_gram_count k must be an integer literal, got $other")
       }
       BloomGramCount(children.head, children(1), k)
+    }
+  )
+
+  val hllRegs: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hll_regs"),
+    new ExpressionInfo(classOf[HllRegisterAgg].getName, "hll_regs"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "hll_regs takes exactly 1 argument")
+      HllRegisterAgg(children.head)
     }
   )
 }

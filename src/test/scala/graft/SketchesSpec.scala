@@ -253,6 +253,27 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hll native aggregate: identical to the declarative registers") {
+    val decl = Sketches.hllDistinctShingles(spark, sf()).collect()
+      .map(_.toString).toSet
+    val native = Sketches.hllDistinctShinglesNative(spark, sf())
+    assert(native.collect().map(_.toString).toSet == decl,
+      "hll_regs must reproduce the declarative register pipeline")
+    // the TypedImperativeAggregate plans as ObjectHashAggregate with a
+    // real partial/final split — the 1-KB buffers are what shuffles
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    // partial-merge robustness: many input partitions, same registers
+    val d = spark.read.parquet(s"${sf()}/documents.parquet").repartition(7)
+    assert(Sketches.hllFinalize(Sketches.hllRegistersNativeOf(d))
+      .collect().map(_.toString).toSet == decl,
+      "pointwise-max buffer merge must be partition-layout-independent")
+    // and the SQL registration works (GraftExtensions); abs keeps the
+    // input inside the contract's non-negative hash domain
+    d.select(expr("hll_regs(abs(xxhash64(doc_id))) is not null").as("ok"))
+      .collect().foreach(r => assert(r.getBoolean(0)))
+  }
+
   test("hll growth: both legs equal their directly-computed sketches") {
     val d = spark.read.parquet(s"${sf()}/documents.parquet")
     val v1 = Sketches.hllFinalize(
