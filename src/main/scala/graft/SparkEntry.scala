@@ -502,6 +502,10 @@ object SparkEntry {
     // recall@10 of the ADC path vs brute-force ground truth, as an
     // oracled query — the continuous ANN-health metric, exact ratios
     "sim_recall_eval" -> ((s, dir) => Similarity.recallEval(s, dir)),
+    // dominant principal direction by 3 power iterations: native dot
+    // against the literal direction, per-dim decimal-mediated sums,
+    // 64-row per-round collects — the ITERATED loadings hash-match
+    "sim_pca" -> ((s, dir) => Similarity.pcaTopComponent(s, dir)),
     "sim_near_dup" -> ((s, dir) => Similarity.cosineNearDupPairs(s, dir)),
     // SemDeDup: k-means cells (same Lloyd arithmetic as sim_ann_ivf),
     // within-cell drop-if-similar-to-earlier-member — one cell-keyed
@@ -2671,6 +2675,7 @@ object SparkEntry {
     // linear-counting ln rounds to 6 decimals (repo libm convention)
     "corpus_hll" -> hllOracle,
     "corpus_hll_native" -> hllOracle,
+    "sim_pca" -> pcaOracle,
     // the persisted index paths merge by the sketches' own union
     // semantics over a full partition of the corpus, so one job over
     // the whole table IS their oracle
@@ -5051,6 +5056,43 @@ object SparkEntry {
        |         * 2251799813685248.0 / CAST(z_scaled AS DOUBLE)
        |  END, 6) AS est
        |FROM agg""".stripMargin
+
+  /** Power-iteration replay: the three rounds unrolled as chained
+    * CTEs — `list_dot_product` against the previous round's direction
+    * (collected back into a list in dim order), per-dim products
+    * rounded to 12 and summed as DECIMAL(28,12) (order-independent),
+    * normalization and 12-decimal re-round per round. Unrolled
+    * programmatically so the iteration count stays in one place.
+    */
+  private lazy val pcaOracle: String = {
+    val v0 = Seq.fill(64)("1.0").mkString("[", ", ", "]")
+    def iter(i: Int): String = {
+      val vPrev =
+        if (i == 1) v0 else s"(SELECT list(vv ORDER BY d) FROM v${i - 1})"
+      s"""s$i AS (
+         |  SELECT vec_id, v, list_dot_product(v, $vPrev) AS sc FROM e
+         |), w$i AS (
+         |  SELECT g - 1 AS d,
+         |    CAST(SUM(CAST(round(v[g] * sc, 12) AS DECIMAL(28,12)))
+         |      AS DOUBLE) AS w
+         |  FROM s$i, LATERAL (SELECT unnest(generate_series(1, 64)) AS g) t
+         |  GROUP BY g
+         |), n$i AS (
+         |  SELECT CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(28,12)))
+         |    AS DOUBLE) AS n2
+         |  FROM w$i
+         |), v$i AS (
+         |  SELECT d, round(w / sqrt(n2), 12) AS vv FROM w$i, n$i
+         |)""".stripMargin
+    }
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |),
+       |${(1 to 3).map(iter).mkString(",\n")}
+       |SELECT CAST(d AS INTEGER) AS dim, vv AS loading,
+       |  (SELECT sqrt(n2) FROM n3) AS sigma_est
+       |FROM v3""".stripMargin
+  }
 
   /** Full CMS replay over the whole documents table — shared by
     * `corpus_cms` (one job) and `corpus_cms_index` (build on the even

@@ -594,4 +594,59 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)).cast("double") /
           col("n_true").cast("double")).as("recall"))
   }
+
+  /** Dominant principal direction of the embedding cloud by POWER
+    * ITERATION — the variance-structure telemetry an embedding
+    * pipeline tracks (is the space collapsing toward one direction?)
+    * and the building block of PCA whitening / spectral re-ranking.
+    * Uncentered (top right singular vector of the stacked vectors /
+    * top eigenvector of the Gram matrix) — centering is one broadcast
+    * mean away and deliberately left out so the oracle replay stays a
+    * pure iteration chain.
+    *
+    * One iteration: s_i = e_i·v (the native sequential-fold
+    * [[dot]] against the CURRENT direction as a literal — bit-equal
+    * to DuckDB's `list_dot_product`), w = Σ_i e_i·s_i accumulated
+    * per dimension as `round(x·s, 12)` summed in DECIMAL(28,12) —
+    * exact integers in disguise, so the cross-row sum is
+    * order-independent and any partition layout produces identical
+    * bits (the PageRank mediation discipline) — then v' = w/‖w‖
+    * rounded to 12. The driver collects 64 rows per iteration (the
+    * bounded per-round collect [[graft.ops.UnigramLm]] established)
+    * to inline the next literal; the corpus is scanned once per
+    * iteration with ONE dimension-keyed 64-row exchange.
+    *
+    * Output: (dim, loading, sigma_est) — the unit direction after
+    * `iters` rounds and ‖w‖ of the last round (the dominant
+    * eigenvalue estimate of ΣeeT under a unit v).
+    */
+  def pcaTopComponent(
+      s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"need 1 <= iters <= 16: $iters")
+    val emb = load(s, dir)
+    val dims = emb.select(size(col("v")).as("n")).first().getInt(0)
+    // all-ones seed: exactly representable at any dimensionality (the
+    // iteration normalizes anyway); a fixture orthogonal to it cannot
+    // occur with continuous random embeddings
+    var v: Array[Double] = Array.fill(dims)(1.0)
+    var out: DataFrame = null
+    for (_ <- 1 to iters) {
+      val vlit = array(v.map(lit(_)): _*)
+      val scored = emb.select(col("v"), dot(col("v"), vlit).as("sc"))
+      val w = scored
+        .select(col("sc"), posexplode(col("v")).as(Seq("d", "x")))
+        .select(col("d"),
+          round(col("x") * col("sc"), 12).cast("decimal(28,12)").as("p"))
+        .groupBy("d").agg(sum("p").cast("double").as("w"))
+      val n2 = w.select(
+        sum(round(col("w") * col("w"), 12).cast("decimal(28,12)"))
+          .cast("double").as("n2"))
+      out = w.crossJoin(broadcast(n2))
+        .select(col("d").as("dim"),
+          round(col("w") / sqrt(col("n2")), 12).as("loading"),
+          sqrt(col("n2")).as("sigma_est"))
+      v = out.orderBy("dim").collect().map(_.getAs[Double]("loading"))
+    }
+    out
+  }
 }

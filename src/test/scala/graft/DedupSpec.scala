@@ -698,6 +698,56 @@ class DedupSpec extends SparkSpec {
       plan)
   }
 
+  test("pca: unit direction, agrees with an unmediated JVM power iteration") {
+    val rows = graft.ops.Similarity.pcaTopComponent(spark, sf()).collect()
+      .sortBy(_.getAs[Int]("dim"))
+    val v = rows.map(_.getAs[Double]("loading"))
+    // unit norm (loadings are 12-decimal rounded, so not exactly 1)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(rows.map(_.getAs[Double]("sigma_est")).distinct.length == 1)
+    assert(rows.head.getAs[Double]("sigma_est") > 0.0)
+    // independent plain-double power iteration (no decimal mediation):
+    // must agree in DIRECTION to ~1e-9 — the mediation only pins bits,
+    // it cannot move the math
+    val e = spark.read.parquet(s"${sf()}/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    var u = Array.fill(e.head.length)(1.0)
+    for (_ <- 1 to 3) {
+      val w = new Array[Double](u.length)
+      e.foreach { x =>
+        var s = 0.0
+        var i = 0
+        while (i < x.length) { s += x(i) * u(i); i += 1 }
+        i = 0
+        while (i < x.length) { w(i) += x(i) * s; i += 1 }
+      }
+      val n = math.sqrt(w.map(x => x * x).sum)
+      u = w.map(_ / n)
+    }
+    val cos = v.zip(u).map { case (a, b) => a * b }.sum
+    assert(math.abs(cos) > 0.999999,
+      s"engine direction diverged from the JVM recompute: cos=$cos")
+  }
+
+  test("pca: bit-identical across partition layouts (the mediation claim)") {
+    val base = graft.ops.Similarity.pcaTopComponent(spark, sf()).collect()
+      .map(_.toString).toSet
+    val tmp = java.nio.file.Files.createTempDirectory("pca_layout")
+    try {
+      spark.read.parquet(s"${sf()}/embeddings.parquet").repartition(7)
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val re = graft.ops.Similarity.pcaTopComponent(spark, tmp.toString)
+        .collect().map(_.toString).toSet
+      assert(re == base,
+        "decimal-mediated sums must make the loadings layout-independent")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("best representatives: quality argmax per cluster, every doc covered") {
     val members = graft.ops.Dedup
       .duplicateClusters(spark, sf(), maxDocFreq = Some(0.1)).collect()
