@@ -193,6 +193,9 @@ object SparkEntry {
     // EWMA smoothing + spike/dip labels: 12-decimal-rounded
     // recurrence over the calendar-bounded hour relation
     "events_ewma" -> ((s, dir) => EventOps.ewmaAnomaly(s, dir)),
+    // day-of-week x hour-of-day seasonal baseline: residual vs 2-sigma
+    // cell band, exact-count statistics, <=168-row broadcast back
+    "events_seasonal" -> ((s, dir) => EventOps.seasonalAnomaly(s, dir)),
     // token-bucket admission per user: integer micro-token recurrence
     // over per-user sorted arrays, one user-keyed exchange
     "events_token_bucket" -> ((s, dir) => EventOps.tokenBucket(s, dir)),
@@ -397,6 +400,9 @@ object SparkEntry {
     // one-scan column profiling: exact distinct/nulls/min/max and a
     // deterministically tie-broken top value per column
     "profile_columns" -> ((s, dir) => Profiling.profileColumns(s, dir)),
+    // per-column Shannon entropy (raw + ln(k)-normalized): 12-decimal
+    // ln terms summed as DECIMAL(28,12) — layout-independent
+    "profile_entropy" -> ((s, dir) => Profiling.columnEntropy(s, dir)),
     // Deequ-shaped expectation suite: uniqueness, completeness,
     // range, and cross-table referential integrity, exact metrics
     "check_expectations" ->
@@ -1326,6 +1332,40 @@ object SparkEntry {
         |    WHEN 2.0 * c < prev THEN 'dip'
         |    ELSE 'normal' END AS label
         |FROM r""".stripMargin,
+    // Seasonal replay: the same hourly relation keyed by
+    // (dow, hod); mean/variance from exact count sums in the same
+    // expression shape, variance floored at 0 before sqrt
+    "events_seasonal" ->
+      """WITH h AS (
+        |  SELECT (epoch_ns(ts) // 1000) // 3600000000 AS hour,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1
+        |), k AS (
+        |  SELECT hour, c, ((hour // 24) + 4) % 7 AS dow, hour % 24 AS hod
+        |  FROM h
+        |), se AS (
+        |  SELECT dow, hod, count(*) AS m,
+        |    CAST(sum(c) AS BIGINT) AS sc, CAST(sum(c * c) AS BIGINT) AS sc2
+        |  FROM k GROUP BY dow, hod
+        |), sm AS (
+        |  SELECT dow, hod,
+        |    CAST(sc AS DOUBLE) / CAST(m AS DOUBLE) AS mean,
+        |    (CAST(sc2 AS DOUBLE)
+        |      - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE) / CAST(m AS DOUBLE))
+        |      / CAST(m AS DOUBLE) AS var
+        |  FROM se
+        |)
+        |SELECT k.hour, CAST(k.dow AS INTEGER) AS dow,
+        |  CAST(k.hod AS INTEGER) AS hod, k.c AS n_events,
+        |  round(sm.mean, 6) AS seasonal_mean,
+        |  round(CAST(k.c AS DOUBLE) - sm.mean, 6) AS residual,
+        |  CASE
+        |    WHEN CAST(k.c AS DOUBLE) - sm.mean
+        |         > 2.0 * sqrt(greatest(var, 0.0)) THEN 'spike'
+        |    WHEN CAST(k.c AS DOUBLE) - sm.mean
+        |         < -(2.0 * sqrt(greatest(var, 0.0))) THEN 'dip'
+        |    ELSE 'normal' END AS label
+        |FROM k JOIN sm ON sm.dow = k.dow AND sm.hod = k.hod""".stripMargin,
 
     "events_gapfill" ->
       """WITH hourly AS (
@@ -2676,6 +2716,40 @@ object SparkEntry {
     "corpus_hll" -> hllOracle,
     "corpus_hll_native" -> hllOracle,
     "sim_pca" -> pcaOracle,
+    // Entropy replay: the same stacked value counts; each term
+    // (p·ln p) rounds to 12 and sums as DECIMAL(28,12), negate before
+    // the double cast (sign-symmetric rounding, same bits either way)
+    "profile_entropy" ->
+      """WITH lg AS (
+        |  SELECT col_name, v FROM (
+        |    SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v
+        |    FROM documents
+        |    UNION ALL SELECT 'text', text FROM documents
+        |    UNION ALL SELECT 'lang', lang FROM documents
+        |    UNION ALL SELECT 'source', source FROM documents
+        |    UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+        |    FROM documents)
+        |  WHERE v IS NOT NULL
+        |), vc AS (
+        |  SELECT col_name, v, count(*) AS cnt FROM lg GROUP BY 1, 2
+        |), t AS (
+        |  SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n, count(*) AS k
+        |  FROM vc GROUP BY 1
+        |), terms AS (
+        |  SELECT vc.col_name, t.n, t.k,
+        |    CAST(round((CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE))
+        |      * ln(CAST(cnt AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+        |      AS DECIMAL(28,12)) AS tm
+        |  FROM vc JOIN t ON t.col_name = vc.col_name
+        |)
+        |SELECT col_name, max(n) AS n_rows,
+        |  CAST(max(k) AS BIGINT) AS n_distinct,
+        |  round(CAST(-sum(tm) AS DOUBLE), 6) AS entropy,
+        |  CASE WHEN max(k) > 1
+        |    THEN round(CAST(-sum(tm) AS DOUBLE)
+        |      / round(ln(CAST(max(k) AS DOUBLE)), 12), 6)
+        |    ELSE 0.0 END AS norm_entropy
+        |FROM terms GROUP BY col_name""".stripMargin,
     // the persisted index paths merge by the sketches' own union
     // semantics over a full partition of the corpus, so one job over
     // the whole table IS their oracle

@@ -487,4 +487,50 @@ object EventOps {
             element_at(col("ew"), col("pos")), lit("dip"))
           .otherwise(lit("normal")).as("label"))
   }
+
+  /** Seasonal-baseline anomaly detection — the periodic complement of
+    * [[ewmaAnomaly]]'s trend smoothing: traffic has a weekly pulse,
+    * so each hour is judged against the mean of ITS OWN
+    * (day-of-week × hour-of-day) cell, not against the hours just
+    * before it (an EWMA flags every Monday morning; this doesn't).
+    * Residual = count − cell mean; |residual| > 2·cell-stddev labels
+    * spike/dip. All inputs are exact integer counts and the
+    * mean/variance arithmetic is one fixed expression shape per row
+    * (sums of counts and squared counts — no accumulation-order
+    * dependence), so the doubles hash-match cross-engine. The
+    * variance is floored at 0 before sqrt: the textbook
+    * E[c²]−E[c]² form can round to −ε when a cell's counts are
+    * constant.
+    *
+    * Shape at scale: the hourly partial-agg shuffle, then a ≤168-row
+    * (dow, hod) relation that broadcasts back onto the hours —
+    * nothing corpus-global.
+    */
+  def seasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val keyed = load(s, dir)
+      .select((col("ts_us") / 3600000000L).cast("long").as("hour"))
+      .groupBy("hour").agg(count(lit(1)).as("c"))
+      // epoch day 0 (1970-01-01) was a Thursday: +4 makes 0 = Sunday
+      .withColumn("dow", (expr("hour div 24") + 4) % 7)
+      .withColumn("hod", col("hour") % 24)
+    val season = keyed.groupBy("dow", "hod").agg(
+      count(lit(1)).as("m"), sum("c").as("sc"),
+      sum(col("c") * col("c")).as("sc2"))
+      .withColumn("mean", col("sc").cast("double") / col("m").cast("double"))
+      .withColumn("variance",
+        (col("sc2").cast("double")
+          - col("sc").cast("double") * col("sc").cast("double")
+            / col("m").cast("double")) / col("m").cast("double"))
+    val resid = col("c").cast("double") - col("mean")
+    val band = lit(2.0) * sqrt(greatest(col("variance"), lit(0.0)))
+    keyed.join(broadcast(season), Seq("dow", "hod"))
+      .select(col("hour"),
+        col("dow").cast("int").as("dow"), col("hod").cast("int").as("hod"),
+        col("c").as("n_events"),
+        round(col("mean"), 6).as("seasonal_mean"),
+        round(resid, 6).as("residual"),
+        when(resid > band, lit("spike"))
+          .when(resid < -band, lit("dip"))
+          .otherwise(lit("normal")).as("label"))
+  }
 }

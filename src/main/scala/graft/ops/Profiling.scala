@@ -54,6 +54,47 @@ object Profiling {
         expr("cast(substring(packed, 1, 12) as bigint)").as("top_count"))
   }
 
+  /** Shannon entropy per profiled column — the distribution-shape
+    * telemetry [[profileColumns]]' min/max/top-1 can't see: a column
+    * can keep its range while its mass collapses onto one value
+    * (entropy → 0) or fragments into noise (entropy → ln k). Reported
+    * both raw (nats) and normalized by ln(n_distinct) ∈ [0, 1].
+    *
+    * Determinism: counts are exact; each term rounds
+    * `(cnt/n)·ln(cnt/n)` to 12 decimals and sums as DECIMAL(28,12) —
+    * order-independent across any partition layout (the repo-wide ln
+    * convention); the final entropy rounds to 6. Shape at scale: the
+    * same stacked (col, value)-keyed count aggregation the profiler
+    * runs (map-side combines), then column-cardinality relations —
+    * the 5-row totals relation broadcasts.
+    */
+  def columnEntropy(s: SparkSession, dir: String): DataFrame = {
+    val long = s.read.parquet(s"$dir/documents.parquet")
+      .selectExpr(
+        """stack(5,
+          |  'doc_id', cast(doc_id as string),
+          |  'text', text,
+          |  'lang', lang,
+          |  'source', source,
+          |  'n_chars', cast(n_chars as string)) AS (col_name, v)"""
+          .stripMargin)
+      .filter(col("v").isNotNull)
+    val vc = long.groupBy("col_name", "v").agg(count(lit(1)).as("cnt"))
+    val totals = vc.groupBy("col_name")
+      .agg(sum("cnt").as("n"), count(lit(1)).as("k"))
+    val p = col("cnt").cast("double") / col("n").cast("double")
+    vc.join(broadcast(totals), Seq("col_name"))
+      .select(col("col_name"), col("n"), col("k"),
+        round(p * log(p), 12).cast("decimal(28,12)").as("t"))
+      .groupBy("col_name")
+      .agg(max("n").as("n_rows"), max("k").as("n_distinct"),
+        round((sum(col("t")) * lit(-1)).cast("double"), 6).as("entropy"),
+        when(max("k") > 1, round(
+          (sum(col("t")) * lit(-1)).cast("double")
+            / round(log(max("k").cast("double")), 12), 6))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+  }
+
   def checkExpectations(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val docs = s.read.parquet(s"$dir/documents.parquet")

@@ -220,4 +220,41 @@ class EventOpsSpec extends SparkSpec {
       assert(math.abs(f - want) < 1e-9, s"doc ${r.getLong(0)}")
     }
   }
+
+  test("seasonal anomaly: JVM cell-statistics recompute, labels exact") {
+    val hours = graft.ops.EventOps.load(spark, sf())
+      .select((org.apache.spark.sql.functions.col("ts_us") / 3600000000L)
+        .cast("long").as("hour"))
+      .groupBy("hour").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cells = hours.toSeq
+      .groupBy { case (h, _) => ((h / 24 + 4) % 7, h % 24) }
+    val rows = graft.ops.EventOps.seasonalAnomaly(spark, sf()).collect()
+    assert(rows.length == hours.size)
+    rows.foreach { r =>
+      val h = r.getAs[Long]("hour")
+      val c = hours(h)
+      assert(r.getAs[Long]("n_events") == c)
+      val cell = cells((r.getAs[Int]("dow").toLong, r.getAs[Int]("hod").toLong))
+      val m = cell.size.toDouble
+      val sc = cell.map(_._2).sum.toDouble
+      val sc2 = cell.map(x => x._2 * x._2).sum.toDouble
+      val mean = sc / m
+      val variance = (sc2 - sc * sc / m) / m
+      assert(math.abs(r.getAs[Double]("seasonal_mean") - mean) < 1e-6, s"h=$h")
+      assert(math.abs(r.getAs[Double]("residual") - (c - mean)) < 1e-6)
+      val band = 2.0 * math.sqrt(math.max(variance, 0.0))
+      val want =
+        if (c - mean > band) "spike"
+        else if (c - mean < -band) "dip"
+        else "normal"
+      assert(r.getAs[String]("label") == want, s"h=$h")
+    }
+    // per-cell residuals sum to ~0 — the mean really is the baseline
+    rows.groupBy(r => (r.getAs[Int]("dow"), r.getAs[Int]("hod")))
+      .foreach { case (cell, rs) =>
+        assert(math.abs(rs.map(_.getAs[Double]("residual")).sum) < 1e-4,
+          s"cell $cell residuals must balance")
+      }
+  }
 }
