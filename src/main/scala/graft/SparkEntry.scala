@@ -448,6 +448,16 @@ object SparkEntry {
     // KMV distinct-token sketch: deterministic (unlike HLL), so the
     // sketch AND its estimate are oracle-able bit-for-bit
     "corpus_kmv" -> ((s, dir) => Sketches.kmvDistinctTokens(s, dir)),
+    // KMV as a persisted index: k-minima state, set-union + re-rank
+    // append (idempotent), same oracle as the one-job sketch
+    "corpus_kmv_index" -> ((s, dir) => {
+      val path = scratchDir("kmvidx")
+      graft.ops.IndexCommit.reset(s, path)
+      val d = rd(s, dir, "documents")
+      graft.ops.SketchIndex.buildKmv(s, d.filter(col("doc_id") % 2 === 0), path)
+      graft.ops.SketchIndex.appendKmv(s, path, d.filter(col("doc_id") % 2 === 1))
+      graft.ops.SketchIndex.kmvSketch(s, path)
+    }),
     // from-scratch HLL over 3-shingles: md5-derived registers, the
     // harmonic denominator kept EXACT as 2^51-scaled int64, the
     // __all__ row a true register-max merge — the whole sketch
@@ -2680,34 +2690,8 @@ object SparkEntry {
     // minima), same (k−1)·2^60/kth estimate — all-integer until the
     // final IEEE-exact double arithmetic, so even the estimate
     // hash-matches
-    "corpus_kmv" ->
-      """WITH toks AS (
-        |  SELECT DISTINCT source,
-        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
-        |  FROM (SELECT source,
-        |          unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
-        |            AS tok
-        |        FROM documents)
-        |), ps AS (
-        |  SELECT source, h,
-        |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
-        |  FROM toks
-        |), pm AS (SELECT * FROM ps WHERE r <= 64
-        |), mu AS (
-        |  SELECT h, row_number() OVER (ORDER BY h) AS r
-        |  FROM (SELECT DISTINCT h FROM pm)
-        |), un AS (
-        |  SELECT * FROM pm
-        |  UNION ALL
-        |  SELECT '__all__' AS source, h, r FROM mu WHERE r <= 64
-        |)
-        |SELECT source, CAST(max(r) AS INTEGER) AS k_used,
-        |  max(h) AS kth_hash,
-        |  CASE WHEN max(r) < 64 THEN CAST(max(r) AS DOUBLE)
-        |       ELSE CAST(max(r) - 1 AS DOUBLE)
-        |            * CAST(1152921504606846976 AS BIGINT)
-        |            / CAST(max(h) AS DOUBLE) END AS est_distinct
-        |FROM un GROUP BY source""".stripMargin,
+    "corpus_kmv" -> kmvOracle,
+    "corpus_kmv_index" -> kmvOracle,
     // Full HLL replay: same md5-60-bit hash, register index = low 10
     // bits, rho via length(bin(rem)) (both engines strip leading
     // zeros), Z exact as 2^51-scaled BIGINT, alpha written as the
@@ -5034,6 +5018,41 @@ object SparkEntry {
       |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2
       |)""".stripMargin
+
+
+  /** KMV replay over the whole documents table — shared by
+    * `corpus_kmv` (one job) and `corpus_kmv_index` (build on the even
+    * carve + set-union/re-rank append of the odd carve: the union's
+    * k-minima are the k smallest of the merged minima).
+    */
+  private lazy val kmvOracle: String =
+      """WITH toks AS (
+        |  SELECT DISTINCT source,
+        |    CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+        |  FROM (SELECT source,
+        |          unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |            AS tok
+        |        FROM documents)
+        |), ps AS (
+        |  SELECT source, h,
+        |    row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        |  FROM toks
+        |), pm AS (SELECT * FROM ps WHERE r <= 64
+        |), mu AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS r
+        |  FROM (SELECT DISTINCT h FROM pm)
+        |), un AS (
+        |  SELECT * FROM pm
+        |  UNION ALL
+        |  SELECT '__all__' AS source, h, r FROM mu WHERE r <= 64
+        |)
+        |SELECT source, CAST(max(r) AS INTEGER) AS k_used,
+        |  max(h) AS kth_hash,
+        |  CASE WHEN max(r) < 64 THEN CAST(max(r) AS DOUBLE)
+        |       ELSE CAST(max(r) - 1 AS DOUBLE)
+        |            * CAST(1152921504606846976 AS BIGINT)
+        |            / CAST(max(h) AS DOUBLE) END AS est_distinct
+        |FROM un GROUP BY source""".stripMargin
 
   /** Full HLL replay over the whole documents table — shared by
     * `corpus_hll` (one job) and `corpus_hll_index` (build on the even

@@ -131,4 +131,65 @@ object SketchIndex {
     val (depth, width) = cmsMeta(s, path)
     Sketches.cmsProbe(loadCms(s, path), top, depth, width)
   }
+
+  // ---- KMV ----------------------------------------------------------
+
+  /** KMV completes the persisted-sketch family: the state is the
+    * per-source k-minima set (≤ k·sources hash rows), the merge is
+    * "k smallest of the union of the parts' minima" — a set union +
+    * re-rank, idempotent like the HLL max (re-appending the same batch
+    * adds nothing new to a set), so at-least-once delivery is safe.
+    * `k` lives in a build-owned meta sidecar like the CMS grid shape.
+    */
+  private def writeKmvMeta(s: SparkSession, path: String, k: Int): Unit = {
+    import s.implicits._
+    Seq(k).toDF("k").write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def kmvK(s: SparkSession, path: String): Int =
+    s.read.parquet(s"$path/meta").collect().head.getAs[Int]("k")
+
+  def buildKmv(s: SparkSession, docs: DataFrame, path: String,
+      k: Int = 64): Long = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    writeKmvMeta(s, path, k)
+    publishKmv(s, path,
+      Sketches.kmvMinima(Sketches.kmvHashesOf(docs), k).select("source", "h"))
+  }
+
+  /** Union the batch's minima into the current state, re-rank, publish
+    * as a new version. Returns the committed id.
+    */
+  def appendKmv(s: SparkSession, path: String, batch: DataFrame): Long = {
+    val k = kmvK(s, path)
+    publishKmv(s, path,
+      Sketches.kmvMinima(
+        loadKmv(s, path)
+          .unionByName(
+            Sketches.kmvMinima(Sketches.kmvHashesOf(batch), k)
+              .select("source", "h"))
+          .distinct(), k)
+        .select("source", "h"))
+  }
+
+  private def publishKmv(
+      s: SparkSession, path: String, minima: DataFrame): Long = {
+    val id = IndexCommit.reserve(s, path)
+    minima.write.mode("overwrite")
+      .parquet(s"${IndexCommit.versionDir(path, id)}/minima")
+    IndexCommit.commit(s, path, id)
+    id
+  }
+
+  private def loadKmv(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(s"${IndexCommit.currentDir(s, path).getOrElse(
+      sys.error(s"no committed KMV index under $path"))}/minima")
+
+  /** Finalize the CURRENT committed minima — identical rows to
+    * [[Sketches.kmvDistinctTokens]] over everything ever folded in.
+    */
+  def kmvSketch(s: SparkSession, path: String): DataFrame = {
+    val k = kmvK(s, path)
+    Sketches.kmvFinalize(Sketches.kmvMinima(loadKmv(s, path), k), k)
+  }
 }

@@ -60,16 +60,32 @@ object Sketches {
     // k = 1 would make the (k−1)/R estimator identically zero on any
     // non-exhausted scope — reject rather than return nonsense
     require(k >= 2, s"KMV needs k >= 2, got $k")
-    val tokens = docs(s, dir).select(
-      col("source"),
-      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
-    val hashed = tokens.select(col("source"), h60(col("tok")).as("h"))
-      .distinct()
+    kmvFinalize(kmvMinima(kmvHashesOf(docs(s, dir)), k), k)
+  }
 
-    def kminima(in: DataFrame): DataFrame = {
-      val w = Window.partitionBy("source").orderBy("h")
-      in.withColumn("r", row_number().over(w)).filter(col("r") <= k)
-    }
+  /** The distinct (source, h) hash relation KMV ranks — unlike HLL,
+    * KMV genuinely needs the dedup (rank semantics count each value
+    * once).
+    */
+  private[graft] def kmvHashesOf(d: DataFrame): DataFrame =
+    d.select(col("source"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("tok"))
+      .select(col("source"), h60(col("tok")).as("h")).distinct()
+
+  /** Per-source k smallest distinct hashes (with rank) — the KMV
+    * merge unit: the union's minima are the k smallest of the UNION
+    * of the parts' minima, so re-ranking merged state is lossless
+    * ([[SketchIndex]]'s append is exactly this re-rank).
+    */
+  private[graft] def kmvMinima(in: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("h")
+    in.withColumn("r", row_number().over(w)).filter(col("r") <= k)
+  }
+
+  /** Finalize per-source minima into sketch rows plus the re-ranked
+    * `__all__` merge row.
+    */
+  private[graft] def kmvFinalize(perSource: DataFrame, k: Int): DataFrame = {
     def sketch(minima: DataFrame): DataFrame =
       minima.groupBy("source").agg(
         max("r").cast("int").as("k_used"),
@@ -78,11 +94,9 @@ object Sketches {
           when(col("k_used") < k, col("k_used").cast("double"))
             .otherwise((col("k_used") - 1).cast("double")
               * lit(math.pow(2, 60)) / col("kth_hash").cast("double")))
-
-    val perSource = kminima(hashed)
     // corpus sketch by MERGE: re-rank the per-source minima only
-    val merged = kminima(
-      perSource.select(lit("__all__").as("source"), col("h")).distinct())
+    val merged = kmvMinima(
+      perSource.select(lit("__all__").as("source"), col("h")).distinct(), k)
     sketch(perSource).unionByName(sketch(merged))
   }
 

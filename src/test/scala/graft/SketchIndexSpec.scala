@@ -69,6 +69,36 @@ class SketchIndexSpec extends SparkSpec {
       "counter-add append must reproduce the one-job grid exactly")
   }
 
+  test("kmv index: build + append == one job; re-append is a set no-op") {
+    val path = tmp("kmvidx")
+    val d = docs()
+    val odd = d.filter(col("doc_id") % 2 === 1)
+    SketchIndex.buildKmv(spark, d.filter(col("doc_id") % 2 === 0), path)
+    SketchIndex.appendKmv(spark, path, odd)
+    val oneJob = rowsOf(Sketches.kmvDistinctTokens(spark, sf()))
+    assert(rowsOf(SketchIndex.kmvSketch(spark, path)) == oneJob,
+      "k smallest of merged minima must equal the one-job sketch")
+    SketchIndex.appendKmv(spark, path, odd) // at-least-once delivery
+    assert(rowsOf(SketchIndex.kmvSketch(spark, path)) == oneJob,
+      "a replayed append unions an already-present set — nothing moves")
+  }
+
+  test("kmv index: state stays bounded at k hashes per source") {
+    val path = tmp("kmvidx2")
+    val d = docs()
+    SketchIndex.buildKmv(spark, d, path, k = 5)
+    SketchIndex.appendKmv(spark, path, d.filter(col("doc_id") % 3 === 0))
+    val vdir = IndexCommit.currentDir(spark, path).get
+    val state = spark.read.parquet(s"$vdir/minima")
+      .groupBy("source").count().collect()
+    assert(state.nonEmpty)
+    state.foreach(r => assert(r.getLong(1) <= 5,
+      s"${r.getString(0)} spilled past k minima"))
+    // and the sketch built at k=5 matches the one-job k=5 sketch
+    assert(rowsOf(SketchIndex.kmvSketch(spark, path))
+      == rowsOf(Sketches.kmvDistinctTokens(spark, sf(), k = 5)))
+  }
+
   test("streaming hll: batches merge to the one-job sketch; replay is safe") {
     val out = tmp("hllstream")
     val d = docs()
