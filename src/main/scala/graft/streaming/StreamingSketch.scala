@@ -103,4 +103,42 @@ object StreamingSketch {
   def cmsGrid(s: SparkSession, outPath: String): DataFrame =
     s.read.parquet(outPath)
       .groupBy("i", "b").agg(sum("cnt").as("cnt"))
+
+  // ---- KMV ----------------------------------------------------------
+
+  def kmvStream(
+      docs: DataFrame,
+      outPath: String,
+      checkpointDir: String,
+      k: Int = 64,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyKmvBatch(batch, outPath, k, batchId); ()
+      }
+      .start()
+
+  /** One micro-batch: its own k-minima under `batch_id=<id>`. The
+    * read-side re-rank makes the union's minima exact (KMV's merge
+    * property), and the set semantics make replay a no-op like HLL's
+    * max.
+    */
+  private[graft] def applyKmvBatch(
+      batch: DataFrame, outPath: String, k: Int, batchId: Long): Unit =
+    Sketches.kmvMinima(Sketches.kmvHashesOf(batch), k)
+      .select("source", "h")
+      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+
+  /** Finalized sketch rows — identical to
+    * [[Sketches.kmvDistinctTokens]] over the union of all arrived
+    * batches (spec-pinned, including across a replay).
+    */
+  def kmvSketch(s: SparkSession, outPath: String, k: Int = 64): DataFrame =
+    Sketches.kmvFinalize(
+      Sketches.kmvMinima(
+        s.read.parquet(outPath).select("source", "h").distinct(), k), k)
 }

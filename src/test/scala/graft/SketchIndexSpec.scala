@@ -131,6 +131,19 @@ class SketchIndexSpec extends SparkSpec {
       "a replayed micro-batch must overwrite, never add")
   }
 
+  test("streaming kmv: batches merge to the one-job sketch; replay is safe") {
+    val out = tmp("kmvstream")
+    val d = docs()
+    StreamingSketch.applyKmvBatch(d.filter(col("doc_id") % 2 === 0), out, 64, 0L)
+    StreamingSketch.applyKmvBatch(d.filter(col("doc_id") % 2 === 1), out, 64, 1L)
+    val expected = rowsOf(Sketches.kmvDistinctTokens(spark, sf()))
+    assert(rowsOf(StreamingSketch.kmvSketch(spark, out)) == expected,
+      "read-side re-rank of per-batch minima must equal one job")
+    StreamingSketch.applyKmvBatch(d.filter(col("doc_id") % 2 === 1), out, 64, 1L)
+    assert(rowsOf(StreamingSketch.kmvSketch(spark, out)) == expected,
+      "a replayed micro-batch must not move the minima")
+  }
+
   test("streaming hll: end-to-end through a real stream") {
     val src = tmp("hllsrc")
     val out = tmp("hllout")
