@@ -397,6 +397,17 @@ object SparkEntry {
     // heuristics ∧ CCNet LM gate in one verdict relation: r_lm is the
     // perplexity bucket ≠ tail, lm_tail appends to drop_reasons
     "quality_filter_lm" -> ((s, dir) => Filtering.qualityFilterLm(s, dir)),
+    // the SAME verdict scored through the PERSISTED KN index (train +
+    // publish + frozen-model scoring in one timed unit): scoreWith is
+    // the shared scoring path, so the output is bit-identical to the
+    // inline form and the two queries share one oracle — this is the
+    // delta-economics form (the model never retrains per run)
+    "quality_filter_lm_indexed" -> ((s, dir) => {
+      val idx = scratchDir("qflmidx")
+      graft.ops.IndexCommit.reset(s, idx)
+      KnIndex.build(s, dir, idx)
+      Filtering.qualityFilterLmIndexed(s, dir, idx)
+    }),
     // one-scan column profiling: exact distinct/nulls/min/max and a
     // deterministically tie-broken top value per column
     "profile_columns" -> ((s, dir) => Profiling.profileColumns(s, dir)),
@@ -1351,7 +1362,12 @@ object SparkEntry {
         |    count(*) AS c
         |  FROM events GROUP BY 1
         |), k AS (
-        |  SELECT hour, c, ((hour // 24) + 4) % 7 AS dow, hour % 24 AS hod
+        |  -- // floors like the engine's exact floordiv; the +7/+24
+        |  -- re-mod makes dow/hod non-negative for pre-1970 hours,
+        |  -- matching the engine's pmod
+        |  SELECT hour, c,
+        |    (((((hour // 24) + 4) % 7) + 7) % 7) AS dow,
+        |    (((hour % 24) + 24) % 24) AS hod
         |  FROM h
         |), se AS (
         |  SELECT dow, hod, count(*) AS m,
@@ -1662,8 +1678,10 @@ object SparkEntry {
         |      AS BIGINT) AS n_bytes
         |  FROM s0
         |), b AS (
+        |  -- 4 hex nibbles (16 bits) % nShards, matching the engine's
+        |  -- publishAuto-capable shard derivation
         |  SELECT doc_id, h, n_bytes,
-        |    CAST((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) % 8
+        |    CAST(CAST('0x' || substr(h, 1, 4) AS BIGINT) % 8
         |      AS INTEGER) AS shard_id
         |  FROM a
         |), c AS (
@@ -2404,33 +2422,12 @@ object SparkEntry {
         |FROM p ORDER BY pair_count DESC, pair LIMIT 50""".stripMargin,
     "quality_filter" -> qualityFilterOracle,
     // heuristic chain ⋈ KN chain on doc_id; keep and drop_reasons
-    // extend the quality_filter expressions with the LM-tail rule
-    "quality_filter_lm" ->
-      s"""WITH $qualityCtes, $knOracleCtes
-        |SELECT doc_id, n_tokens, mean_token_len, stop_ratio,
-        |  top2_frac, dup3_frac,
-        |  (n_tokens >= 20 AND n_tokens <= 1000) AS r_len,
-        |  (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
-        |    AS r_word_len,
-        |  (stop_ratio >= 0.01) AS r_stop,
-        |  coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18, true) AS r_rep,
-        |  nll, bucket, (bucket <> 'tail') AS r_lm,
-        |  ((n_tokens >= 20 AND n_tokens <= 1000) AND
-        |   (mean_token_len >= 2.0 AND mean_token_len <= 12.0) AND
-        |   stop_ratio >= 0.01 AND
-        |   coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18, true) AND
-        |   bucket <> 'tail') AS keep,
-        |  concat_ws(',',
-        |    CASE WHEN NOT (n_tokens >= 20 AND n_tokens <= 1000)
-        |      THEN 'len' END,
-        |    CASE WHEN NOT (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
-        |      THEN 'word_len' END,
-        |    CASE WHEN NOT (stop_ratio >= 0.01) THEN 'stop_ratio' END,
-        |    CASE WHEN NOT coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18,
-        |                           true)
-        |      THEN 'repetition' END,
-        |    CASE WHEN bucket = 'tail' THEN 'lm_tail' END) AS drop_reasons
-        |FROM j JOIN kn_b USING (doc_id)""".stripMargin,
+    // extend the quality_filter expressions with the LM-tail rule.
+    // The indexed twin shares the SAME oracle: its frozen model is
+    // trained on the same reference corpus, and the engine's scoring
+    // path is shared verbatim between the two forms.
+    "quality_filter_lm" -> qualityFilterLmOracle,
+    "quality_filter_lm_indexed" -> qualityFilterLmOracle,
 
     // Profiling oracles: exact replays — the top value folds into
     // lpad(count)|value strings so the tie-break is binary-collation
@@ -5157,8 +5154,45 @@ object SparkEntry {
     * normalization and 12-decimal re-round per round. Unrolled
     * programmatically so the iteration count stays in one place.
     */
+  /** Heuristic chain ⋈ KN chain on doc_id — shared by
+    * `quality_filter_lm` (inline retrain) and
+    * `quality_filter_lm_indexed` (persisted-model scoring): the two
+    * engine paths share [[graft.ops.LanguageModel.scoreWith]]
+    * verbatim, so one replay pins both.
+    */
+  private lazy val qualityFilterLmOracle: String =
+    s"""WITH $qualityCtes, $knOracleCtes
+      |SELECT doc_id, n_tokens, mean_token_len, stop_ratio,
+      |  top2_frac, dup3_frac,
+      |  (n_tokens >= 20 AND n_tokens <= 1000) AS r_len,
+      |  (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
+      |    AS r_word_len,
+      |  (stop_ratio >= 0.01) AS r_stop,
+      |  coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18, true) AS r_rep,
+      |  nll, bucket, (bucket <> 'tail') AS r_lm,
+      |  ((n_tokens >= 20 AND n_tokens <= 1000) AND
+      |   (mean_token_len >= 2.0 AND mean_token_len <= 12.0) AND
+      |   stop_ratio >= 0.01 AND
+      |   coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18, true) AND
+      |   bucket <> 'tail') AS keep,
+      |  concat_ws(',',
+      |    CASE WHEN NOT (n_tokens >= 20 AND n_tokens <= 1000)
+      |      THEN 'len' END,
+      |    CASE WHEN NOT (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
+      |      THEN 'word_len' END,
+      |    CASE WHEN NOT (stop_ratio >= 0.01) THEN 'stop_ratio' END,
+      |    CASE WHEN NOT coalesce(top2_frac <= 0.2 AND dup3_frac <= 0.18,
+      |                           true)
+      |      THEN 'repetition' END,
+      |    CASE WHEN bucket = 'tail' THEN 'lm_tail' END) AS drop_reasons
+      |FROM j JOIN kn_b USING (doc_id)""".stripMargin
+
   private lazy val pcaOracle: String = {
-    val v0 = Seq.fill(64)("1.0").mkString("[", ", ", "]")
+    // dims comes from the ONE shared constant (Similarity.FixtureDims)
+    // so a fixture dimensionality change can't silently desync the
+    // inlined seed/unnest width from what the engine derives from data
+    val dims = Similarity.FixtureDims
+    val v0 = Seq.fill(dims)("1.0").mkString("[", ", ", "]")
     def iter(i: Int): String = {
       val vPrev =
         if (i == 1) v0 else s"(SELECT list(vv ORDER BY d) FROM v${i - 1})"
@@ -5168,7 +5202,7 @@ object SparkEntry {
          |  SELECT g - 1 AS d,
          |    CAST(SUM(CAST(round(v[g] * sc, 12) AS DECIMAL(28,12)))
          |      AS DOUBLE) AS w
-         |  FROM s$i, LATERAL (SELECT unnest(generate_series(1, 64)) AS g) t
+         |  FROM s$i, LATERAL (SELECT unnest(generate_series(1, $dims)) AS g) t
          |  GROUP BY g
          |), n$i AS (
          |  SELECT CAST(SUM(CAST(round(w * w, 12) AS DECIMAL(28,12)))

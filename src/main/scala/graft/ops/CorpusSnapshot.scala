@@ -71,7 +71,12 @@ object CorpusSnapshot {
   private[graft] def layout(
       d: DataFrame, nShards: Int, maxBytes: Long): DataFrame = {
     val hash = md5(concat(col("doc_id").cast("string"), lit("#shard")))
-    val shard = (conv(substring(hash, 1, 1), 16, 10).cast("int")
+    // FOUR hex nibbles (16 bits, uniform over 0..65535) → mod
+    // nShards: supports [[publishAuto]]'s size-derived shard counts
+    // up to 2^16 writers (a single nibble would silently cap real
+    // parallelism at 16 tasks no matter what nShards asked for).
+    // Modulo bias is ≤ nShards/2^16 — immaterial for layout balance.
+    val shard = (conv(substring(hash, 1, 4), 16, 10).cast("int")
       % nShards).as("shard_id")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("shard_id").orderBy(col("h"), col("doc_id"))
@@ -93,44 +98,54 @@ object CorpusSnapshot {
       s: SparkSession, d: DataFrame, root: String, id: Long,
       nShards: Int = 8, maxBytes: Long = DefaultMaxBytes): Unit = {
     val vdir = IndexCommit.versionDir(root, id)
+    // ONE source scan per publish: the layout (a scan + one window
+    // over it) feeds two actions — the shard-file writer and the
+    // manifest aggregation — so without a persist between them the
+    // corpus scan AND the layout window both run twice, a 2× publish
+    // I/O tax at 100 TB. MEMORY_AND_DISK because the persisted
+    // relation is corpus-sized (the rendered lines), not metadata.
     val lay = layout(d, nShards, maxBytes)
-    // one exchange: each shard lands wholly in one task (hash may
-    // co-locate several shards per task — the writer just switches
-    // files on group change), rows pre-sorted in final file order
-    lay.select(col("shard_id"), col("file_seq"), col("cum"), col("line"))
-      .repartition(nShards, col("shard_id"))
-      .sortWithinPartitions("shard_id", "file_seq", "cum")
-      .foreachPartition { it: Iterator[Row] =>
-        val conf = new org.apache.hadoop.conf.Configuration()
-        var cur: (Int, Long) = null
-        var out: java.io.OutputStream = null
-        try {
-          it.foreach { r =>
-            val key = (r.getInt(0), r.getLong(1))
-            if (key != cur) {
-              if (out != null) out.close()
-              val p = new Path(f"$vdir/shard=${key._1}%d/part-${key._2}%05d.jsonl")
-              out = p.getFileSystem(conf).create(p, true)
-              cur = key
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one exchange: each shard lands wholly in one task (hash may
+      // co-locate several shards per task — the writer just switches
+      // files on group change), rows pre-sorted in final file order
+      lay.select(col("shard_id"), col("file_seq"), col("cum"), col("line"))
+        .repartition(nShards, col("shard_id"))
+        .sortWithinPartitions("shard_id", "file_seq", "cum")
+        .foreachPartition { it: Iterator[Row] =>
+          val conf = new org.apache.hadoop.conf.Configuration()
+          var cur: (Int, Long) = null
+          var out: java.io.OutputStream = null
+          try {
+            it.foreach { r =>
+              val key = (r.getInt(0), r.getLong(1))
+              if (key != cur) {
+                if (out != null) out.close()
+                val p = new Path(f"$vdir/shard=${key._1}%d/part-${key._2}%05d.jsonl")
+                out = p.getFileSystem(conf).create(p, true)
+                cur = key
+              }
+              out.write(r.getString(3).getBytes(
+                java.nio.charset.StandardCharsets.UTF_8))
+              out.write('\n')
             }
-            out.write(r.getString(3).getBytes(
-              java.nio.charset.StandardCharsets.UTF_8))
-            out.write('\n')
-          }
-        } finally if (out != null) out.close()
-      }
-    // manifest: one row per written file, with an order-independent
-    // content fingerprint (bit_xor of per-line hashes) and the stats
-    // a reader needs to range-split without opening files
-    lay.groupBy("shard_id", "file_seq")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_bytes").cast("long").as("n_bytes"),
-        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
-        expr("bit_xor(xxhash64(line))").as("fp"))
-      .withColumn("path", format_string("shard=%d/part-%05d.jsonl",
-        col("shard_id"), col("file_seq")))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$vdir/manifest")
+          } finally if (out != null) out.close()
+        }
+      // manifest: one row per written file, with an order-independent
+      // content fingerprint (bit_xor of per-line hashes) and the stats
+      // a reader needs to range-split without opening files — reads
+      // the PERSISTED layout, not the source
+      lay.groupBy("shard_id", "file_seq")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_bytes").cast("long").as("n_bytes"),
+          min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+          expr("bit_xor(xxhash64(line))").as("fp"))
+        .withColumn("path", format_string("shard=%d/part-%05d.jsonl",
+          col("shard_id"), col("file_seq")))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$vdir/manifest")
+    } finally lay.unpersist()
   }
 
   /** Publish a new snapshot of `d`: reserve an id, stage the complete
@@ -143,6 +158,31 @@ object CorpusSnapshot {
     stage(s, d, root, id, nShards, maxBytes)
     IndexCommit.commit(s, root, id)
     id
+  }
+
+  /** [[publish]] with the shard count DERIVED from the input's
+    * Catalyst size estimate instead of a fixed default — the 100 TB
+    * posture: write parallelism equals one task per shard
+    * ([[stage]]'s repartition), so a fixed `nShards = 8` would cap a
+    * petabyte publish at 8 writers. `nShards =
+    * ceil(sizeInBytes / targetShardBytes)` clamped to
+    * [`minShards`, `maxShards`]; the estimate is plan statistics
+    * (file sizes for a scan) — free, no extra pass. Sharding is a
+    * layout detail (spec-pinned: any nShards reads back the same
+    * corpus), so an estimate being off only moves parallelism, never
+    * correctness. Returns (id, nShards used).
+    */
+  def publishAuto(
+      s: SparkSession, d: DataFrame, root: String,
+      targetShardBytes: Long = 1L << 30,
+      minShards: Int = 8, maxShards: Int = 1 << 16,
+      maxBytes: Long = DefaultMaxBytes): (Long, Int) = {
+    require(targetShardBytes > 0 && minShards >= 1 &&
+      maxShards >= minShards, "bad publishAuto bounds")
+    val est = d.queryExecution.optimizedPlan.stats.sizeInBytes
+    val want = (est + targetShardBytes - 1) / targetShardBytes
+    val n = want.min(maxShards).max(minShards).toInt
+    (publish(s, d, root, n, maxBytes), n)
   }
 
   /** The manifest of `version` (default: current) — one row per shard

@@ -33,7 +33,10 @@ object EventOps {
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val raw = s.read.parquet(s"$dir/events.parquet")
     val tsUs = raw.schema("ts").dataType match {
-      case LongType => expr("ts DIV 1000")
+      // FLOOR division (exact integers), not truncating DIV: a
+      // pre-1970 nanosecond belongs to the microsecond at or before
+      // it, matching DuckDB's epoch_ns(ts) // 1000
+      case LongType => expr("(ts - pmod(ts, 1000)) DIV 1000")
       case TimestampNTZType => expr(
         "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
       case _ => unix_micros(col("ts"))
@@ -507,12 +510,20 @@ object EventOps {
     * nothing corpus-global.
     */
   def seasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    // FLOOR division + pmod throughout (not Spark's truncating
+    // div/%): a pre-1970 timestamp must land in the calendar hour it
+    // belongs to (floor), with dow in [0,6] and hod in [0,23] —
+    // truncation would assign negative microseconds a negative dow
+    // and a cell the DuckDB oracle (whose // floors) never builds.
+    // Exact integer arithmetic: (x - pmod(x, d)) is divisible by d.
     val keyed = load(s, dir)
-      .select((col("ts_us") / 3600000000L).cast("long").as("hour"))
+      .select(expr(
+        "(ts_us - pmod(ts_us, 3600000000)) div 3600000000").as("hour"))
       .groupBy("hour").agg(count(lit(1)).as("c"))
       // epoch day 0 (1970-01-01) was a Thursday: +4 makes 0 = Sunday
-      .withColumn("dow", (expr("hour div 24") + 4) % 7)
-      .withColumn("hod", col("hour") % 24)
+      .withColumn("dow",
+        pmod(expr("(hour - pmod(hour, 24)) div 24") + 4, lit(7)))
+      .withColumn("hod", pmod(col("hour"), lit(24)))
     val season = keyed.groupBy("dow", "hod").agg(
       count(lit(1)).as("m"), sum("c").as("sc"),
       sum(col("c") * col("c")).as("sc2"))

@@ -77,22 +77,68 @@ object Filtering {
     * filtering pass production pipelines actually run: cheap
     * heuristics AND a trained LM verdict in one relation.
     *
-    * Unlike the heuristic rules this composite is CORPUS-dependent —
-    * the LM trains on the corpus's own train split — so it must NOT
-    * be applied to an incremental delta alone (the
-    * [[qualityFilterOf]] delta identity does not hold here; re-score
-    * against a model trained on the full corpus instead).
+    * Unlike the heuristic rules this inline composite is
+    * CORPUS-dependent — the LM trains on the corpus's own train split
+    * on every run — so it must NOT be applied to an incremental delta
+    * alone. [[qualityFilterLmIndexed]] is the same verdict scored
+    * through the persisted [[KnIndex]] model (bit-identical when the
+    * index was built on the same corpus), and
+    * [[qualityFilterLmBatch]] is the delta form that scores an
+    * arriving batch against the frozen model without any reference-
+    * corpus scan.
     *
     * Shape at scale: one additional doc-keyed join; the LM subtree's
     * own cost is [[LanguageModel.knPerplexity]]'s (two
     * position-cardinality exchanges).
     */
   def qualityFilterLm(s: SparkSession, dir: String,
-      headMax: Double = 0.95, middleMax: Double = 1.05): DataFrame = {
-    val lm = LanguageModel.knPerplexity(s, dir, headMax, middleMax)
-      .select(col("doc_id"), col("nll"), col("bucket"))
+      headMax: Double = 0.95, middleMax: Double = 1.05): DataFrame =
+    composeLm(qualityFilter(s, dir),
+      LanguageModel.knPerplexity(s, dir, headMax, middleMax))
+
+  /** [[qualityFilterLm]] scoring through a PERSISTED [[KnIndex]]
+    * instead of retraining the KN subtree inline: same verdict
+    * relation, but the model is the index's frozen count tables —
+    * [[LanguageModel.scoreWith]] is shared verbatim, so when the
+    * index was built on the same reference corpus the output is
+    * bit-identical to [[qualityFilterLm]] (spec-pinned, and the two
+    * SparkEntry queries share one oracle).
+    *
+    * This is what converts the LM gate from corpus-dependent to
+    * delta-able: the heuristics were always per-document, and the LM
+    * verdict now depends only on the committed model version — see
+    * [[qualityFilterLmBatch]] for the delta form.
+    */
+  def qualityFilterLmIndexed(
+      s: SparkSession, dir: String, idxPath: String,
+      headMax: Double = 0.95, middleMax: Double = 1.05): DataFrame =
+    composeLm(qualityFilter(s, dir),
+      KnIndex.score(s, idxPath, docs(s, dir), headMax, middleMax))
+
+  /** The DELTA form of the LM-gated filter: score an arriving batch
+    * of (doc_id, text) documents — heuristics AND frozen-model KN
+    * verdict — WITHOUT touching the reference corpus. Every input
+    * relation is the batch itself or the index's type-cardinality
+    * count tables; a spec pins that the plan contains no scan of the
+    * reference `documents.parquet`. This is the
+    * [[Dedup.incrementalDedupPairs]] candidate-volume economics
+    * applied to the LM gate: batch cost is batch-tokenize plus
+    * count-table joins, independent of corpus size.
+    */
+  def qualityFilterLmBatch(
+      s: SparkSession, idxPath: String, batch: DataFrame,
+      headMax: Double = 0.95, middleMax: Double = 1.05): DataFrame =
+    composeLm(qualityFilterOf(batch),
+      KnIndex.score(s, idxPath, batch, headMax, middleMax))
+
+  /** The heuristic⋈LM verdict composition shared by the inline,
+    * indexed, and delta forms: one doc-keyed join, rule `r_lm` =
+    * bucket ≠ tail, `lm_tail` appended last to `drop_reasons`.
+    */
+  private def composeLm(heur: DataFrame, lmScores: DataFrame): DataFrame = {
+    val lm = lmScores.select(col("doc_id"), col("nll"), col("bucket"))
     val rLm = col("bucket") =!= "tail"
-    qualityFilter(s, dir).withColumnRenamed("keep", "keep_h")
+    heur.withColumnRenamed("keep", "keep_h")
       .withColumnRenamed("drop_reasons", "dr_h")
       .join(lm, Seq("doc_id"))
       .select(

@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** The test fixture's embedding dimensionality — the ONE constant
+    * the DuckDB PCA oracle (whose SQL must inline the all-ones seed
+    * and the per-dimension unnest width as literals) shares with the
+    * fixture, so a dimensionality change breaks loudly in one place
+    * instead of silently desyncing engine and oracle. The ENGINE
+    * never reads this: [[pcaTopComponent]] derives dims from the
+    * data itself.
+    */
+  val FixtureDims: Int = 64
+
   /** Scan with float→double promotion (exact) for stable arithmetic. */
   def load(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
@@ -624,7 +634,13 @@ object Similarity {
       s: SparkSession, dir: String, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 16, s"need 1 <= iters <= 16: $iters")
     val emb = load(s, dir)
-    val dims = emb.select(size(col("v")).as("n")).first().getInt(0)
+    // loud empty-table guard: first() on an empty relation would
+    // surface as an opaque NoSuchElementException deep in the driver
+    val head = emb.select(size(col("v")).as("n")).limit(1).collect()
+    require(head.nonEmpty,
+      s"pcaTopComponent: embeddings table under $dir is empty — " +
+        "no dimensionality to derive a seed direction from")
+    val dims = head(0).getInt(0)
     // all-ones seed: exactly representable at any dimensionality (the
     // iteration normalizes anyway); a fixture orthogonal to it cannot
     // occur with continuous random embeddings

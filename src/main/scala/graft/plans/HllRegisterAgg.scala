@@ -37,10 +37,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * oracle replays (`51 − length(bin(rem))`, rem = 0 → 51); max-merge
   * is order-independent, so any partition layout yields identical
   * registers. Null inputs are skipped (SQL aggregate convention).
-  * Negative inputs are rejected at type check time they can't be —
-  * callers own the h60 domain; a negative long would index correctly
-  * (masked) but rho would see the sign bits, so the scaladoc contract
-  * is non-negative hashes, as everywhere else in the sketch family.
+  * Negative inputs CANNOT be rejected at type check time (the input
+  * type is plain bigint), so `update` enforces the non-negative h60
+  * contract with a cheap runtime `require` — a negative long would
+  * index correctly (masked) but rho would silently see the sign
+  * bits, corrupting the register. Callers own the h60 domain, as
+  * everywhere else in the sketch family; the guard makes a contract
+  * breach loud instead of wrong.
   */
 case class HllRegisterAgg(
     child: Expression,
@@ -67,6 +70,8 @@ case class HllRegisterAgg(
     val v = child.eval(input)
     if (v != null) {
       val h = v.asInstanceOf[Long]
+      require(h >= 0L,
+        s"hll_regs input must be a non-negative h60 hash, got $h")
       val j = (h & (M - 1)).toInt
       val rem = h >>> B
       val rho =

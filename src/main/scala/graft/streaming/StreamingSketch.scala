@@ -73,6 +73,20 @@ object StreamingSketch {
 
   // ---- CMS ----------------------------------------------------------
 
+  // CMS and KMV carry a SHAPE parameter ((depth, width) / k) that the
+  // read-side merge must agree with the writer on: a reader re-ranking
+  // per-batch TRUNCATED k-minima at a larger k than they were written
+  // with would produce a sketch equal to neither the writer-k nor the
+  // one-job result, silently. So both streams persist their shape in
+  // a `meta` sidecar under outPath at first write (the
+  // [[graft.ops.SketchIndex]] writeKmvMeta/cmsMeta discipline),
+  // subsequent batches REQUIRE an identical shape, and readers take
+  // the shape from the sidecar instead of trusting a caller. State
+  // therefore lives under `outPath/state/batch_id=<id>` — a meta
+  // directory next to bare `batch_id=` partitions would break
+  // partition discovery. HLL has no shape parameter and keeps the
+  // flat layout.
+
   def cmsStream(
       docs: DataFrame,
       outPath: String,
@@ -90,19 +104,50 @@ object StreamingSketch {
       }
       .start()
 
+  private def readMetaRow(
+      s: SparkSession, outPath: String): Option[org.apache.spark.sql.Row] =
+    try Some(s.read.parquet(s"$outPath/meta").collect().head)
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  private[graft] def cmsMeta(
+      s: SparkSession, outPath: String): (Int, Int) = {
+    val r = readMetaRow(s, outPath).getOrElse(
+      sys.error(s"no CMS stream meta under $outPath — nothing written yet"))
+    (r.getAs[Int]("depth"), r.getAs[Int]("width"))
+  }
+
+  private def ensureCmsMeta(
+      s: SparkSession, outPath: String, depth: Int, width: Int): Unit =
+    readMetaRow(s, outPath) match {
+      case Some(r) =>
+        val (d0, w0) = (r.getAs[Int]("depth"), r.getAs[Int]("width"))
+        require(d0 == depth && w0 == width,
+          s"CMS stream at $outPath was started with shape ${d0}x$w0; " +
+            s"cannot fold batches at ${depth}x$width")
+      case None =>
+        import s.implicits._
+        Seq((depth, width)).toDF("depth", "width")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
+    }
+
   private[graft] def applyCmsBatch(batch: DataFrame, outPath: String,
-      depth: Int, width: Int, batchId: Long): Unit =
+      depth: Int, width: Int, batchId: Long): Unit = {
+    ensureCmsMeta(batch.sparkSession, outPath, depth, width)
     Sketches.cmsGridOf(Sketches.cmsTokensOf(batch), depth, width)
-      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      .write.mode("overwrite").parquet(s"$outPath/state/batch_id=$batchId")
+  }
 
   /** The summed counter grid across everything that has arrived —
     * identical to one-pass [[Sketches.cmsGridOf]] over the union
     * (spec-pinned, including across a replay: a re-run batch
-    * overwrites its own partition, so nothing double-counts).
+    * overwrites its own partition, so nothing double-counts). The
+    * grid shape is whatever the WRITER persisted in the meta sidecar.
     */
-  def cmsGrid(s: SparkSession, outPath: String): DataFrame =
-    s.read.parquet(outPath)
+  def cmsGrid(s: SparkSession, outPath: String): DataFrame = {
+    cmsMeta(s, outPath) // loud failure on an un-written stream dir
+    s.read.parquet(s"$outPath/state")
       .groupBy("i", "b").agg(sum("cnt").as("cnt"))
+  }
 
   // ---- KMV ----------------------------------------------------------
 
@@ -122,23 +167,51 @@ object StreamingSketch {
       }
       .start()
 
-  /** One micro-batch: its own k-minima under `batch_id=<id>`. The
-    * read-side re-rank makes the union's minima exact (KMV's merge
-    * property), and the set semantics make replay a no-op like HLL's
-    * max.
+  private[graft] def kmvK(s: SparkSession, outPath: String): Int =
+    readMetaRow(s, outPath).getOrElse(
+      sys.error(s"no KMV stream meta under $outPath — nothing written yet")
+    ).getAs[Int]("k")
+
+  private def ensureKmvMeta(
+      s: SparkSession, outPath: String, k: Int): Unit =
+    readMetaRow(s, outPath) match {
+      case Some(r) =>
+        val k0 = r.getAs[Int]("k")
+        require(k0 == k,
+          s"KMV stream at $outPath was started with k=$k0; " +
+            s"cannot fold batches at k=$k")
+      case None =>
+        import s.implicits._
+        Seq(k).toDF("k")
+          .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
+    }
+
+  /** One micro-batch: its own k-minima under `state/batch_id=<id>`.
+    * The read-side re-rank makes the union's minima exact (KMV's
+    * merge property), and the set semantics make replay a no-op like
+    * HLL's max. First write persists `k` to the meta sidecar; later
+    * batches must match it.
     */
   private[graft] def applyKmvBatch(
-      batch: DataFrame, outPath: String, k: Int, batchId: Long): Unit =
+      batch: DataFrame, outPath: String, k: Int, batchId: Long): Unit = {
+    ensureKmvMeta(batch.sparkSession, outPath, k)
     Sketches.kmvMinima(Sketches.kmvHashesOf(batch), k)
       .select("source", "h")
-      .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      .write.mode("overwrite").parquet(s"$outPath/state/batch_id=$batchId")
+  }
 
   /** Finalized sketch rows — identical to
     * [[Sketches.kmvDistinctTokens]] over the union of all arrived
-    * batches (spec-pinned, including across a replay).
+    * batches (spec-pinned, including across a replay). `k` comes from
+    * the WRITER's persisted meta: per-batch minima are truncated at
+    * the writer's k, so re-ranking at any larger k would be a sketch
+    * equal to nothing well-defined — the reader has no k to choose.
     */
-  def kmvSketch(s: SparkSession, outPath: String, k: Int = 64): DataFrame =
+  def kmvSketch(s: SparkSession, outPath: String): DataFrame = {
+    val k = kmvK(s, outPath)
     Sketches.kmvFinalize(
       Sketches.kmvMinima(
-        s.read.parquet(outPath).select("source", "h").distinct(), k), k)
+        s.read.parquet(s"$outPath/state")
+          .select("source", "h").distinct(), k), k)
+  }
 }

@@ -257,4 +257,25 @@ class EventOpsSpec extends SparkSpec {
           s"cell $cell residuals must balance")
       }
   }
+
+  test("seasonal anomaly: pre-1970 timestamps floor into their " +
+    "calendar cell (dow/hod never negative)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-negevents").toString
+    import spark.implicits._
+    // 1969-12-31T23:00:30Z = -3 570 000 000 us -> hour floor = -1
+    //   (truncation would claim hour 0, i.e. New Year's Day)
+    // 1969-12-31T22:59:59Z = -3 601 000 000 us -> hour -2
+    // Dec 31 1969 was a WEDNESDAY: dow = 3 for both, hod = 23 / 22
+    Seq("1969-12-31T23:00:30Z", "1969-12-31T22:59:59Z")
+      .map(t => java.sql.Timestamp.from(java.time.Instant.parse(t)))
+      .toDF("ts").write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = EventOps.seasonalAnomaly(spark, dir).collect()
+      .map(r => r.getAs[Long]("hour") ->
+        (r.getAs[Int]("dow"), r.getAs[Int]("hod"), r.getAs[Long]("n_events")))
+      .toMap
+    assert(rows == Map(
+      -1L -> ((3, 23, 1L)),
+      -2L -> ((3, 22, 1L))))
+  }
 }

@@ -88,6 +88,50 @@ class FilteringSpec extends SparkSpec {
       "no lm_tail-only drop at this SF — the composition is vacuous")
   }
 
+  test("quality_filter_lm_indexed: bit-identical to the inline form; " +
+    "a delta batch scores with NO reference-corpus scan") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-qflm-idx").toString
+    graft.ops.KnIndex.build(spark, sf(), idx)
+    // (1) full-corpus indexed form == inline retrain form, exactly:
+    // scoreWith is shared verbatim, so every bit must agree
+    val inline = Filtering.qualityFilterLm(spark, sf()).collect()
+      .map(_.toString).toSet
+    val indexed = Filtering.qualityFilterLmIndexed(spark, sf(), idx)
+    assert(indexed.collect().map(_.toString).toSet == inline,
+      "persisted-model scoring must be bit-identical to inline retrain")
+    // (2) delta economics: a batch materialized OFF the corpus (local
+    // rows) must score against the frozen model without the plan ever
+    // touching documents.parquet — the dedup_incremental
+    // candidate-volume discipline applied to the LM gate
+    val batchRows = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 0)
+      .select("doc_id", "text").collect().toIndexedSeq
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType)))
+    val batch = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(batchRows).asJava),
+      schema)
+    val delta = Filtering.qualityFilterLmBatch(spark, idx, batch)
+    val plan = delta.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("documents.parquet"),
+      "delta scoring must not scan the reference corpus:\n" +
+        plan.linesIterator.filter(_.contains("parquet")).mkString("\n"))
+    // and the verdicts equal the full indexed run restricted to the
+    // batch (both signals are per-document under a frozen model)
+    val batchIds = batchRows.map(_.getLong(0)).toSet
+    val wantRows = indexed.collect()
+      .filter(r => batchIds(r.getAs[Long]("doc_id")))
+      .map(_.toString).toSet
+    assert(delta.collect().map(_.toString).toSet == wantRows,
+      "delta batch verdicts must equal the full run's rows for those docs")
+  }
+
   test("split leakage matches a brute-force 8-gram overlap over the split") {
     def nib(id: Long): Int =
       Integer.parseInt(md5Hex(s"$id#split").substring(0, 1), 16)

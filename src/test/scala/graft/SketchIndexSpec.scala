@@ -144,6 +144,31 @@ class SketchIndexSpec extends SparkSpec {
       "a replayed micro-batch must not move the minima")
   }
 
+  test("streaming kmv/cms: shape persists in meta — reader takes the " +
+    "writer's k, a mismatched batch is rejected") {
+    val out = tmp("kmvmeta")
+    val d = docs()
+    // writer k=5: the reader must re-rank at 5, NOT any caller default
+    StreamingSketch.applyKmvBatch(d.filter(col("doc_id") % 2 === 0), out, 5, 0L)
+    StreamingSketch.applyKmvBatch(d.filter(col("doc_id") % 2 === 1), out, 5, 1L)
+    assert(StreamingSketch.kmvK(spark, out) == 5)
+    assert(rowsOf(StreamingSketch.kmvSketch(spark, out))
+      == rowsOf(Sketches.kmvDistinctTokens(spark, sf(), k = 5)),
+      "read-side k must come from the persisted meta")
+    // a later batch at a different k would silently mix truncation
+    // levels — the meta guard rejects it
+    val e = intercept[IllegalArgumentException] {
+      StreamingSketch.applyKmvBatch(d.limit(1), out, 64, 2L)
+    }
+    assert(e.getMessage.contains("k=5"))
+    val outC = tmp("cmsmeta")
+    StreamingSketch.applyCmsBatch(d, outC, 4, 64, 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      StreamingSketch.applyCmsBatch(d.limit(1), outC, 4, 32, 1L)
+    }
+    assert(e2.getMessage.contains("4x64"))
+  }
+
   test("streaming hll: end-to-end through a real stream") {
     val src = tmp("hllsrc")
     val out = tmp("hllout")

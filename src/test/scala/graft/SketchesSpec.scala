@@ -272,6 +272,16 @@ class SketchesSpec extends SparkSpec {
     // input inside the contract's non-negative hash domain
     d.select(expr("hll_regs(abs(xxhash64(doc_id))) is not null").as("ok"))
       .collect().foreach(r => assert(r.getBoolean(0)))
+    // a negative input breaches the h60 contract — update() makes it
+    // LOUD (a masked index with sign-bit rho would be silently wrong)
+    val neg = intercept[Exception] {
+      d.select(expr("hll_regs(xxhash64(doc_id))")).collect()
+    }
+    assert(neg.getMessage != null &&
+      (neg.getMessage.contains("non-negative") ||
+        neg.getCause != null &&
+          neg.getCause.getMessage.contains("non-negative")),
+      s"want the h60 require, got: ${neg.getMessage}")
   }
 
   test("hll growth: both legs equal their directly-computed sketches") {
