@@ -234,6 +234,34 @@ object SparkEntry {
     // the deduplicated corpus itself: keep-set applied
     "dedup_filtered" -> ((s, dir) =>
       Dedup.dedupedCorpus(s, dir, maxDocFreq = Some(0.1))),
+    // persisted cluster index, built on the doc_id %10≠0 carve with
+    // the %10=0 batch APPENDED (probe + label-graph merge): the read
+    // back must equal the one-job clusters over the whole corpus —
+    // append ≡ build(A∪B), oracled
+    "dedup_clusters_index" -> ((s, dir) => {
+      val idx = scratchDir("clusteridx")
+      graft.ops.IndexCommit.reset(s, idx)
+      graft.ops.ClusterIndex.build(s, dir, idx, maxDocFreq = Some(0.1),
+        docFilter = Some(col("doc_id") % 10 =!= 0))
+      graft.ops.ClusterIndex.append(s, idx,
+        rd(s, dir, "documents").filter(col("doc_id") % 10 === 0))
+      graft.ops.ClusterIndex.clusters(s, idx)
+    }),
+    // downstream consumers PROBING the committed assignment instead
+    // of re-deriving the LSH→components subtree (one doc-keyed join
+    // each); share the one-job oracles
+    "dedup_filtered_indexed" -> ((s, dir) => {
+      val idx = scratchDir("clfidx")
+      graft.ops.IndexCommit.reset(s, idx)
+      graft.ops.ClusterIndex.build(s, dir, idx, maxDocFreq = Some(0.1))
+      graft.ops.ClusterIndex.filteredCorpus(s, dir, idx)
+    }),
+    "dedup_best_rep_indexed" -> ((s, dir) => {
+      val idx = scratchDir("clbidx")
+      graft.ops.IndexCommit.reset(s, idx)
+      graft.ops.ClusterIndex.build(s, dir, idx, maxDocFreq = Some(0.1))
+      graft.ops.ClusterIndex.bestRepresentatives(s, dir, idx)
+    }),
     // reproducible per-stratum sampling (hash pre-filter + rank)
     "sample_stratified" -> ((s, dir) => Relational.stratifiedSample(s, dir)),
     "corpus_diff" -> ((s, dir) => Relational.corpusDiff(s, dir)),
@@ -1602,44 +1630,16 @@ object SparkEntry {
     // pinned against the same exact-Jaccard oracle at its threshold.
     "dedup_minhash_lsh" -> jaccardOracle(0.8),
     "dedup_clusters" -> clusterOracle(0.8),
-    // quality-argmax representative per component: same cluster CTEs,
-    // readability re-derived per member, rank-1 under (flesch desc,
-    // doc_id) — the window's RANGE/ROWS distinction is moot because
-    // doc_id makes the order unique
-    "dedup_best_rep" ->
-      s"""${clusterCtes(0.8)}, m AS (
-         |  SELECT d.doc_id, coalesce(c.component_id, d.doc_id)
-         |    AS component_id
-         |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
-         |), ra AS (
-         |  SELECT doc_id,
-         |    greatest(len(regexp_extract_all(
-         |      translate(text, 'eo', '.!'), '[^.!?]+[.!?]')), 1)
-         |      AS n_sent,
-         |    greatest(len(list_filter(regexp_split_to_array(
-         |      trim(lower(text)), '\\s+'), w -> w <> '')), 1) AS n_words,
-         |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
-         |  FROM documents
-         |), rq AS (
-         |  SELECT doc_id,
-         |    round(CAST(206.835 AS DOUBLE)
-         |      - CAST(1.015 AS DOUBLE)
-         |        * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
-         |      - CAST(84.6 AS DOUBLE)
-         |        * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)),
-         |      6) AS flesch
-         |  FROM ra
-         |), jn AS (
-         |  SELECT m.component_id, m.doc_id, rq.flesch,
-         |    row_number() OVER (PARTITION BY m.component_id
-         |                       ORDER BY rq.flesch DESC, m.doc_id) AS rk,
-         |    count(*) OVER (PARTITION BY m.component_id) AS n_members
-         |  FROM m JOIN rq ON rq.doc_id = m.doc_id
-         |)
-         |SELECT component_id, doc_id AS rep_doc, flesch AS rep_flesch,
-         |  CAST(n_members AS INTEGER) AS n_members
-         |FROM jn WHERE rk = 1""".stripMargin,
+    "dedup_best_rep" -> bestRepOracle,
     "dedup_filtered" -> dedupFilteredOracle(0.8),
+    // the persisted-cluster-index family shares the one-job oracles:
+    // dedup_clusters_index pins append ≡ build(A∪B) (built on the
+    // %10≠0 carve, the %10=0 batch folded in), and the two probe
+    // queries read the committed assignment instead of re-deriving
+    // the LSH→components subtree
+    "dedup_clusters_index" -> clusterOracle(0.8),
+    "dedup_filtered_indexed" -> dedupFilteredOracle(0.8),
+    "dedup_best_rep_indexed" -> bestRepOracle,
     // content-hash snapshot diff over the same deterministic carves
     // and the same simulated edit (uppercase at doc_id % 11 = 0)
     "corpus_diff" ->
@@ -5377,4 +5377,45 @@ object SparkEntry {
        |SELECT d.doc_id, d.lang, d.source, d.n_chars
        |FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
        |WHERE coalesce(c.component_id, d.doc_id) = d.doc_id""".stripMargin
+
+  /** Quality-argmax representative per component: same cluster CTEs,
+    * readability re-derived per member, rank-1 under (flesch desc,
+    * doc_id) — the window's RANGE/ROWS distinction is moot because
+    * doc_id makes the order unique. Shared by `dedup_best_rep` and
+    * its index-probe twin (the engine's quality-argmax stage is
+    * shared code over either membership relation).
+    */
+  private lazy val bestRepOracle: String =
+    s"""${clusterCtes(0.8)}, m AS (
+       |  SELECT d.doc_id, coalesce(c.component_id, d.doc_id)
+       |    AS component_id
+       |  FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+       |), ra AS (
+       |  SELECT doc_id,
+       |    greatest(len(regexp_extract_all(
+       |      translate(text, 'eo', '.!'), '[^.!?]+[.!?]')), 1)
+       |      AS n_sent,
+       |    greatest(len(list_filter(regexp_split_to_array(
+       |      trim(lower(text)), '\\s+'), w -> w <> '')), 1) AS n_words,
+       |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syll
+       |  FROM documents
+       |), rq AS (
+       |  SELECT doc_id,
+       |    round(CAST(206.835 AS DOUBLE)
+       |      - CAST(1.015 AS DOUBLE)
+       |        * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+       |      - CAST(84.6 AS DOUBLE)
+       |        * (CAST(n_syll AS DOUBLE) / CAST(n_words AS DOUBLE)),
+       |      6) AS flesch
+       |  FROM ra
+       |), jn AS (
+       |  SELECT m.component_id, m.doc_id, rq.flesch,
+       |    row_number() OVER (PARTITION BY m.component_id
+       |                       ORDER BY rq.flesch DESC, m.doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY m.component_id) AS n_members
+       |  FROM m JOIN rq ON rq.doc_id = m.doc_id
+       |)
+       |SELECT component_id, doc_id AS rep_doc, flesch AS rep_flesch,
+       |  CAST(n_members AS INTEGER) AS n_members
+       |FROM jn WHERE rk = 1""".stripMargin
 }

@@ -506,9 +506,18 @@ object Dedup {
       threshold: Double = 0.8, n: Int = 3,
       maxDocFreq: Option[Double] = None,
       scope: CacheScope = new CacheScope
-  ): DataFrame = {
-    val members = duplicateClusters(s, dir, threshold, n, maxDocFreq, scope)
-      .select("doc_id", "component_id")
+  ): DataFrame =
+    bestRepresentativesOf(s, dir,
+      duplicateClusters(s, dir, threshold, n, maxDocFreq, scope)
+        .select("doc_id", "component_id"))
+
+  /** The quality-argmax stage over an explicit (doc_id, component_id)
+    * membership relation — shared by the one-job form above and the
+    * persisted-index probe ([[ClusterIndex.bestRepresentatives]]),
+    * so both produce identical rows by construction.
+    */
+  private[graft] def bestRepresentativesOf(
+      s: SparkSession, dir: String, members: DataFrame): DataFrame = {
     val quality = TextOps.readability(s, dir).select("doc_id", "flesch")
     val byQuality = org.apache.spark.sql.expressions.Window
       .partitionBy("component_id")
