@@ -612,6 +612,9 @@ object SparkEntry {
     // per-frame byte length and pixel mean, both oracle-recomputed
     "mm_frames" -> ((s, dir) => Multimodal.frameFeatures(s, dir)),
     "mm_rle_frames" -> ((s, dir) => Multimodal.rleFrameFeatures(s, dir)),
+    // RLE4 (biCompression=2): nibble runs/absolute mode through the
+    // same strl/strf dispatch, 16-entry inverted palette load-bearing
+    "mm_rle4_frames" -> ((s, dir) => Multimodal.rle4FrameFeatures(s, dir)),
     // MS Video 1 (CRAM) through the real inter-frame decoder: frame 1
     // keeps blocks via SKIP codes, so temporal prediction is on the
     // oracle-checked path
@@ -3378,6 +3381,28 @@ object SparkEntry {
         |FROM g
         |UNION ALL
         |SELECT doc_id, CAST(1 AS INTEGER), 'rle8', CAST(9 AS INTEGER),
+        |  CAST(8 AS INTEGER), CAST(px[1] AS DOUBLE)
+        |FROM g""".stripMargin,
+    // RLE4 oracle: same generative derivation with the LOW nibble and
+    // the inverted-stretched 16-entry palette (gray = 255 - 17*nib)
+    "mm_rle4_frames" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ 255 - 17 * (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1)
+        |      for i in range(0, 72) ] AS px
+        |  FROM t
+        |)
+        |SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS frame_idx,
+        |  'rle4' AS codec, CAST(9 AS INTEGER) AS width,
+        |  CAST(8 AS INTEGER) AS height,
+        |  list_sum(px) / 72.0 AS frame_mean
+        |FROM g
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INTEGER), 'rle4', CAST(9 AS INTEGER),
         |  CAST(8 AS INTEGER), CAST(px[1] AS DOUBLE)
         |FROM g""".stripMargin,
     // CRAM oracle: frame means recomputed arithmetically from the

@@ -16,9 +16,9 @@ package graft.ops
   *     collapse, 4-pass interlace.
   *   - AVI: uncompressed (`##db`) frame extraction from the RIFF
   *     tree; compressed (`##dc`) streams self-described by a `strf`
-  *     BITMAPINFOHEADER — Microsoft RLE8 (`biCompression = 1`)
-  *     expanded from scratch with its color table; headerless MJPEG
-  *     sniffed per chunk.
+  *     BITMAPINFOHEADER — Microsoft RLE8 (`biCompression = 1`) and
+  *     RLE4 (`biCompression = 2`, nibble runs) expanded from scratch
+  *     with their color tables; headerless MJPEG sniffed per chunk.
   *   - JPEG: sequential decode from scratch ([[Jpeg]]:
   *     DQT/DHT/DRI/SOF0-1/SOS, restart markers, dequant + IDCT) with
   *     BOTH entropy codings — baseline Huffman and SOF9 QM-arithmetic
@@ -29,7 +29,8 @@ package graft.ops
   * grayscale buffer (images: BT.601 integer luma; audio: 16-bit
   * samples quantized to bytes) — so the downstream feature pipeline
   * (histogram/mean/thumbnail in [[Multimodal]]) is format-agnostic.
-  * Only compressed AVI codecs other than MJPEG/RLE8/CRAM remain behind
+  * The classic-AVI codec family (MJPEG, RLE8, RLE4, CRAM) is
+  * complete as scoped; modern inter-frame codecs stay behind
   * [[Multimodal.FakeCodec]]'s declared stub.
   *
   * Pinned by MultimodalSpec against hand-assembled container bytes
@@ -846,6 +847,9 @@ object Codecs {
   /** BI_RLE8 — the `biCompression` code for Microsoft RLE8. */
   private[graft] val BiRle8 = 1
 
+  /** BI_RLE4 — the `biCompression` code for Microsoft RLE4. */
+  private[graft] val BiRle4 = 2
+
   private[graft] def aviVideoFormat(b: Array[Byte]): Option[AviFormat] = {
     if (b == null || b.length < 12 || b(0) != 'R' || b(1) != 'I' ||
       b(2) != 'F' || b(3) != 'F' || b(8) != 'A' || b(9) != 'V' ||
@@ -950,6 +954,79 @@ object Codecs {
           System.arraycopy(data, i, idx, y * w + x, lit)
           x += lit
           i += lit + (lit & 1)
+      }
+    }
+    val gray = new Array[Byte](w * h)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        gray(yy * w + xx) = grayLut(u8(idx, (h - 1 - yy) * w + xx))
+        xx += 1
+      }
+      yy += 1
+    }
+    Some(gray)
+  }
+
+  /** Microsoft RLE4 frame decode (BI_RLE4, `biCompression = 2`, the
+    * 4bpp sibling of [[rle8Decode]]): the same bottom-up state
+    * machine with NIBBLE payloads — an encoded run of `n` pixels
+    * ALTERNATES the two nibbles of its value byte (high first, so a
+    * solid run writes `(v<<4)|v`), absolute mode packs its `n`
+    * literal indices two nibbles per byte (then word-aligns the byte
+    * count exactly as RLE8 aligns its literal bytes), and the three
+    * escapes — end-of-line, end-of-bitmap, position delta — are
+    * byte-identical to RLE8's. Indices resolve through the same
+    * 256-entry `grayLut`; a 4bpp palette occupies entries 0–15 and
+    * the identity tail never fires. None on any structural
+    * violation, the all-or-nothing contract of the codec set.
+    */
+  private[graft] def rle4Decode(
+      data: Array[Byte], w: Int, h: Int,
+      grayLut: Array[Byte]): Option[Array[Byte]] = {
+    if (!saneDims(w, h) || grayLut.length != 256) return None
+    val idx = new Array[Byte](w * h) // bottom-up index surface
+    var x = 0
+    var y = 0 // bitmap space: row 0 is the BOTTOM row
+    var i = 0
+    var done = false
+    while (!done) {
+      if (i + 2 > data.length) return None // ran out before EOB
+      val n = u8(data, i)
+      val v = u8(data, i + 1)
+      i += 2
+      if (n > 0) {
+        if (y >= h || x + n > w) return None
+        val hi = ((v >> 4) & 0xf).toByte
+        val lo = (v & 0xf).toByte
+        var k = y * w + x
+        var j = 0
+        while (j < n) {
+          idx(k) = if ((j & 1) == 0) hi else lo
+          k += 1; j += 1
+        }
+        x += n
+      } else v match {
+        case 0 => x = 0; y += 1 // end of line
+        case 1 => done = true // end of bitmap
+        case 2 => // delta: skip right dx, up dy (bitmap space)
+          if (i + 2 > data.length) return None
+          x += u8(data, i); y += u8(data, i + 1); i += 2
+          if (x > w || y > h) return None
+        case lit => // absolute: lit literal NIBBLES, word-aligned bytes
+          if (y >= h || x + lit > w) return None
+          val nb = (lit + 1) / 2
+          if (i + nb + (nb & 1) > data.length) return None
+          var k = y * w + x
+          var j = 0
+          while (j < lit) {
+            val b = u8(data, i + (j >> 1))
+            idx(k) = (if ((j & 1) == 0) (b >> 4) & 0xf else b & 0xf).toByte
+            k += 1; j += 1
+          }
+          x += lit
+          i += nb + (nb & 1)
       }
     }
     val gray = new Array[Byte](w * h)

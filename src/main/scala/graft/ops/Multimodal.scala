@@ -352,6 +352,50 @@ object Multimodal {
         "frame_mean")
   }
 
+  /** Fully-oracled RLE4 feature relation — [[rleFrameFeatures]]' 4bpp
+    * sibling, closing the classic Microsoft RLE family: indices are
+    * the LOW NIBBLE of each md5 token byte, the 16-entry palette is
+    * inverted-and-stretched (index i → gray 255−17i, so the lookup is
+    * again load-bearing), frame 0's literal-heavy grid exercises
+    * absolute mode with nibble packing and the odd-width (9) rows pin
+    * the trailing-nibble + word-alignment path, frame 1's constant
+    * surface exercises solid runs (both nibbles equal). The oracle
+    * recomputes 255−17·(low nibble) means from the same md5
+    * derivation. Shape at scale: row-local encode+decode inside one
+    * documents scan — no shuffle, no driver state.
+    */
+  def rle4FrameFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .as[(Long, Seq[String])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val inverted = Array.tabulate(16)(i => (255 - 17 * i).toByte)
+        def tokNib(toks: Seq[String], i: Int): Byte =
+          (md.digest(toks(i % toks.size)
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))(0) & 0x0f)
+            .toByte
+        it.flatMap { case (id, toks) =>
+          val grid = Array.tabulate(9 * 8)(i => tokNib(toks, i))
+          val flat = Array.fill(9 * 8)(tokNib(toks, 0))
+          val avi = PerceptualHash.encodeRle4Avi(Seq(grid, flat), 9, 8,
+            inverted)
+          val (w, h, grays) = PerceptualHash.aviFrameGrays(avi)
+            .getOrElse(throw new IllegalStateException(
+              s"rle4 fixture failed to decode for doc $id"))
+          grays.zipWithIndex.map { case (g, fi) =>
+            var sum = 0L
+            var i = 0
+            while (i < g.length) { sum += g(i) & 0xff; i += 1 }
+            (id, fi, "rle4", w, h, sum.toDouble / g.length)
+          }
+        }
+      }
+      .toDF("media_id", "frame_idx", "codec", "width", "height",
+        "frame_mean")
+  }
+
   /** Fully-oracled MS Video 1 (CRAM) feature relation: each document
     * becomes a 2-frame 8×8 CRAM AVI exercising every block mode —
     * 2-color, solid, 8-color in frame 0; frame 1 keeps two blocks

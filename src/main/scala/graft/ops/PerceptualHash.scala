@@ -500,6 +500,57 @@ object PerceptualHash {
       Some(strl))
   }
 
+  /** Microsoft-RLE4 AVI encoder — [[encodeRle8Avi]]'s container with
+    * `biCompression = BI_RLE4`, 4bpp, and a 16-entry RGBQUAD color
+    * table; frames are top-down w×h surfaces of 4-bit indices
+    * (values 0–15). Write-side twin of [[Codecs.rle4Decode]].
+    */
+  def encodeRle4Avi(
+      frames: Seq[Array[Byte]], w: Int, h: Int,
+      palette: Array[Byte] = Array.tabulate(16)(i => (i * 17).toByte)
+  ): Array[Byte] = {
+    require(palette.length == 16, "RLE4 palette must have 16 entries")
+    require(frames.forall(f => f.length == w * h && f.forall(b => (b & 0xff) < 16)),
+      s"every frame must be ${w}x$h indices in 0..15")
+    def le32At(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
+      a(i + 2) = (v >> 16).toByte; a(i + 3) = (v >> 24).toByte
+    }
+    def le16At(a: Array[Byte], i: Int, v: Int): Unit = {
+      a(i) = v.toByte; a(i + 1) = (v >> 8).toByte
+    }
+    def put4cc(a: Array[Byte], i: Int, t: String): Unit =
+      t.zipWithIndex.foreach { case (c, k) => a(i + k) = c.toByte }
+    val strh = new Array[Byte](56)
+    put4cc(strh, 0, "vids"); put4cc(strh, 4, "MRLE")
+    le32At(strh, 32, frames.length) // dwLength
+    val strf = new Array[Byte](40 + 16 * 4)
+    le32At(strf, 0, 40) // biSize
+    le32At(strf, 4, w); le32At(strf, 8, h)
+    le16At(strf, 12, 1) // biPlanes
+    le16At(strf, 14, 4) // biBitCount
+    le32At(strf, 16, Codecs.BiRle4)
+    le32At(strf, 32, 16) // biClrUsed
+    var i = 0
+    while (i < 16) {
+      val v = palette(i)
+      val q = 40 + i * 4
+      strf(q) = v; strf(q + 1) = v; strf(q + 2) = v // b, g, r
+      i += 1
+    }
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + data.length + (data.length & 1))
+      put4cc(out, 0, fourcc)
+      le32At(out, 4, data.length)
+      System.arraycopy(data, 0, out, 8, data.length)
+      out
+    }
+    val strl = chunk("LIST",
+      "strl".getBytes("US-ASCII") ++ chunk("strh", strh) ++ chunk("strf", strf))
+    aviContainer(frames.map(rle4Encode(_, w, h)), compressed = true, w, h,
+      Some(strl))
+  }
+
   /** MS Video 1 (CRAM) AVI encoder — same self-describing container
     * as [[encodeRle8Avi]] with `biCompression = 'CRAM'` and per-frame
     * [[Cram.encodeFrame]] chunks, each encoded against the previous
@@ -595,6 +646,65 @@ object PerceptualHash {
             var k = 0
             while (k < lit) {
               out.write(1); out.write(idx(row + x + k) & 0xff); k += 1
+            }
+          }
+          x = end
+        }
+      }
+      out.write(0); out.write(0) // end of line
+      y -= 1
+    }
+    out.write(0); out.write(1) // end of bitmap
+    out.toByteArray
+  }
+
+  /** [[rle8Encode]]'s nibble sibling: solid runs emit `(n, (v<<4)|v)`
+    * (the decoder's alternation collapses on equal nibbles), literal
+    * stretches of ≥3 go absolute with two nibbles per byte and the
+    * byte count word-aligned, shorter stretches emit length-1 runs
+    * with the index in the HIGH nibble.
+    */
+  private def rle4Encode(idx: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var y = h - 1
+    while (y >= 0) { // file order is bottom-up
+      val row = y * w
+      var x = 0
+      while (x < w) {
+        var run = 1
+        while (x + run < w && run < 255 && idx(row + x + run) == idx(row + x))
+          run += 1
+        if (run >= 3) {
+          val v = idx(row + x) & 0xf
+          out.write(run); out.write((v << 4) | v)
+          x += run
+        } else {
+          // literal stretch: extend until the next ≥3 run or 253 cap
+          var end = x + run
+          var endRun = 0
+          while (end < w && end - x < 253 && endRun < 3) {
+            endRun = 1
+            while (end + endRun < w && endRun < 3 &&
+              idx(row + end + endRun) == idx(row + end)) endRun += 1
+            if (endRun < 3) end += endRun
+          }
+          val lit = end - x
+          if (lit >= 3) {
+            out.write(0); out.write(lit)
+            var b = 0
+            var k = 0
+            while (k < lit) {
+              val nib = idx(row + x + k) & 0xf
+              if ((k & 1) == 0) b = nib << 4
+              else { out.write(b | nib); b = 0 }
+              k += 1
+            }
+            if ((lit & 1) == 1) out.write(b) // trailing high nibble
+            if ((((lit + 1) / 2) & 1) == 1) out.write(0) // word alignment
+          } else {
+            var k = 0
+            while (k < lit) {
+              out.write(1); out.write((idx(row + x + k) & 0xf) << 4); k += 1
             }
           }
           x = end
@@ -936,7 +1046,8 @@ object PerceptualHash {
     * `##dc` chunks dispatch on the container's declared stream format
     * ([[Codecs.aviVideoFormat]]) the way a real AVI reader does: a
     * `strf` declaring `BI_RLE8` routes through [[Codecs.rle8Decode]]
-    * with its color table; anything else — including the headerless
+    * with its color table, `BI_RLE4` through [[Codecs.rle4Decode]]
+    * (4bpp palette); anything else — including the headerless
     * fixtures that predate `strl` support — falls back to
     * [[Jpeg.decode]] (MJPEG, a complete JPEG per chunk) and must
     * match the container dims. None when the payload is not an AVI or
@@ -972,6 +1083,9 @@ object PerceptualHash {
             case Some(f)
               if f.compression == Codecs.BiRle8 && f.bitCount == 8 =>
               Codecs.rle8Decode(data, hdr.width, hdr.height, f.grayLut)
+            case Some(f)
+              if f.compression == Codecs.BiRle4 && f.bitCount == 4 =>
+              Codecs.rle4Decode(data, hdr.width, hdr.height, f.grayLut)
             case _ => Jpeg.decode(data).collect {
               case d if d.width == hdr.width && d.height == hdr.height =>
                 d.gray

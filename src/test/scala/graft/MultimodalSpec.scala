@@ -607,6 +607,89 @@ class MultimodalSpec extends SparkSpec {
     assert(out((id, 1)) == (("rle8", 9, 8, b(0).toDouble)))
   }
 
+  // ---- Microsoft RLE4 AVI ----
+
+  test("RLE4: hand-built stream — nibble runs, absolute, delta, EOB") {
+    import graft.ops.Codecs
+    // 4x3, bottom-up: run of 4 ALTERNATES the value byte's nibbles;
+    // absolute packs 3 nibbles into 2 bytes (even count, no pad);
+    // delta backfills index 0; a 2-run shows high-then-low order
+    val stream = Array[Byte](
+      4, 0x75, 0, 0, // run: 7,5,7,5; EOL
+      0, 3, 0x12, 0x30, 1, 0x90.toByte, 0, 0, // absolute 1,2,3; (1,9); EOL
+      0, 2, 2, 0, 2, 0x5A, 0, 0, // delta +2,+0; run: 5,10; EOL
+      0, 1) // EOB
+    val got = Codecs.rle4Decode(stream, 4, 3, identityLut).get
+    assert(got.sameElements(Array[Byte](
+      0, 0, 5, 10, // top (visual) row: delta left indices 0
+      1, 2, 3, 9,
+      7, 5, 7, 5)))
+    // odd absolute count: 5 nibbles = 3 bytes, word-aligned to 4
+    val odd = Array[Byte](
+      0, 5, 0x12, 0x34, 0x50, 0, 1, 0x60, 0, 0, 0, 1)
+    assert(Codecs.rle4Decode(odd, 6, 1, identityLut).get
+      .sameElements(Array[Byte](1, 2, 3, 4, 5, 6)))
+    // palette lookup applied through the shared LUT path
+    val inv = Array.tabulate(256)(i => (255 - i).toByte)
+    val comp = Codecs.rle4Decode(stream, 4, 3, inv).get
+    assert(comp.zip(got).forall { case (c, g) => (c & 0xff) == 255 - (g & 0xff) })
+  }
+
+  test("RLE4: malformed streams decline — no EOB, overrun, missing pad") {
+    import graft.ops.Codecs
+    val lut = identityLut
+    assert(Codecs.rle4Decode(Array[Byte](4, 0x75, 0, 0), 4, 1, lut).isEmpty)
+    assert(Codecs.rle4Decode(Array[Byte](5, 0x75, 0, 0, 0, 1), 4, 1, lut).isEmpty)
+    // absolute of 5 nibbles truncated at 3 data bytes (pad missing)
+    assert(Codecs.rle4Decode(
+      Array[Byte](0, 5, 0x12, 0x34, 0x50), 6, 1, lut).isEmpty)
+    // more rows than the bitmap has
+    assert(Codecs.rle4Decode(
+      Array[Byte](4, 0x11, 0, 0, 4, 0x22, 0, 0, 0, 1), 4, 1, lut).isEmpty)
+  }
+
+  test("RLE4 AVI: self-describing container round-trips; 16-entry " +
+    "palette survives") {
+    import graft.ops.{Codecs, PerceptualHash}
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val noisy = Array.tabulate[Byte](9 * 8)(
+      i => (md.digest(s"t$i".getBytes)(0) & 0x0f).toByte)
+    val flat = Array.fill[Byte](9 * 8)(11)
+    val avi = PerceptualHash.encodeRle4Avi(Seq(noisy, flat), 9, 8)
+    val fmt = Codecs.aviVideoFormat(avi).get
+    assert(fmt.compression == Codecs.BiRle4 && fmt.bitCount == 4)
+    val (w, h, grays) = PerceptualHash.aviFrameGrays(avi).get
+    assert(w == 9 && h == 8 && grays.length == 2)
+    // default palette stretches indices: gray = 17 * index
+    assert(grays(0).sameElements(noisy.map(n => (n * 17).toByte)))
+    assert(grays(1).sameElements(flat.map(n => (n * 17).toByte)))
+    val inv = Array.tabulate[Byte](16)(i => (255 - 17 * i).toByte)
+    val (_, _, complemented) =
+      PerceptualHash.aviFrameGrays(
+        PerceptualHash.encodeRle4Avi(Seq(noisy), 9, 8, inv)).get
+    assert(complemented.head.zip(noisy).forall {
+      case (c, o) => (c & 0xff) == 255 - 17 * (o & 0xff)
+    })
+  }
+
+  test("rle4FrameFeatures matches the generative derivation end-to-end") {
+    import graft.ops.Multimodal
+    val out = Multimodal.rle4FrameFeatures(spark, sf())
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getString(2), r.getInt(3), r.getInt(4), r.getDouble(5)))).toMap
+    assert(out.nonEmpty && out.size % 2 == 0)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("doc_id", "lower(text) AS t").collect()
+    val (id, text) = (docs.head.getLong(0), docs.head.getString(1))
+    val toks = text.split("\\s+").toSeq
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def b(i: Int): Int =
+      255 - 17 * (md.digest(toks(i % toks.size).getBytes("UTF-8"))(0) & 0x0f)
+    val mean0 = (0 until 72).map(b).sum / 72.0
+    assert(out((id, 0)) == (("rle4", 9, 8, mean0)))
+    assert(out((id, 1)) == (("rle4", 9, 8, b(0).toDouble)))
+  }
+
   test("palette PNG: interlaced and sequential decode identically") {
     import graft.ops.{Codecs, PerceptualHash}
     val rnd = new scala.util.Random(11)
