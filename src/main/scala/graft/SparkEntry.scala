@@ -653,6 +653,20 @@ object SparkEntry {
     "partitioned_scan" -> ((s, dir) =>
       Bucketed.partitionedScan(s, dir, scratchDir("partitioned"))),
     "pipeline_export" -> ((s, dir) => TrainPrep.pipelineExport(s, dir)),
+    // the export with BOTH corpus-derived models probed from persisted
+    // indexes (ClusterIndex keep-set + frozen-KnIndex LM gate) — the
+    // delta-economics form; build cost is inside the timed unit, the
+    // point is the shared oracle pinning row-identity to the inline
+    // pipeline and the spec pinning zero model re-derivation
+    "pipeline_export_indexed" -> ((s, dir) => {
+      val cidx = scratchDir("pexclidx")
+      val kidx = scratchDir("pexknidx")
+      graft.ops.IndexCommit.reset(s, cidx)
+      graft.ops.IndexCommit.reset(s, kidx)
+      graft.ops.ClusterIndex.build(s, dir, cidx)
+      KnIndex.build(s, dir, kidx)
+      TrainPrep.pipelineExportIndexed(s, dir, cidx, kidx)
+    }),
     // REAL container sniffing (PNG/BMP/GIF/JPEG/WAV headers, no codec
     // needed) — on this fixture every payload is arbitrary text bytes,
     // so the oracle pins the no-false-positive contract: all rows
@@ -3866,78 +3880,11 @@ object SparkEntry {
     // quality CTEs (prefixed q*/g*), the split nibble, and the pack
     // layout CTEs (prefixed p*) into ONE relation — each block is the
     // same SQL its standalone oracle uses, over the survivor set.
-    "pipeline_export" ->
-      s"""${clusterCtes(0.8)}, $knOracleCtes, t AS (
-        |  SELECT doc_id, text,
-        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
-        |  FROM documents
-        |), q AS (
-        |  SELECT doc_id,
-        |    CAST(len(tk) AS INTEGER) AS n_tokens,
-        |    (length(text) - len(tk) + 1) / CAST(len(tk) AS DOUBLE)
-        |      AS mean_token_len,
-        |    len(list_filter(tk, x -> x IN ('a','the','of','and'))) /
-        |      CAST(len(tk) AS DOUBLE) AS stop_ratio
-        |  FROM t
-        |), g AS (
-        |  SELECT doc_id, unnest(list_concat(
-        |    [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))],
-        |    CASE WHEN len(tk) >= 3 THEN
-        |      [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
-        |       for i in range(1, len(tk) - 1)]
-        |    ELSE [] END)) AS gram
-        |  FROM t WHERE len(tk) >= 2
-        |), gc AS (
-        |  SELECT doc_id, c, len(string_split(gram, ' ')) AS n FROM (
-        |    SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
-        |), ga AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS n_grams2,
-        |    CAST(max(CASE WHEN n = 2 THEN c END) AS BIGINT) AS top2_cnt,
-        |    CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS n_grams3,
-        |    CAST(sum(CASE WHEN n = 3 AND c > 1 THEN c END) AS BIGINT)
-        |      AS dup3_occ
-        |  FROM gc GROUP BY doc_id
-        |), qkeep AS (
-        |  SELECT q.doc_id
-        |  FROM q LEFT JOIN ga USING (doc_id)
-        |  WHERE q.n_tokens >= 20 AND q.n_tokens <= 1000
-        |    AND q.mean_token_len >= 2.0 AND q.mean_token_len <= 12.0
-        |    AND q.stop_ratio >= 0.01
-        |    AND coalesce(
-        |      ga.top2_cnt / CAST(ga.n_grams2 AS DOUBLE) <= 0.2
-        |        AND coalesce(ga.dup3_occ, 0) /
-        |          CAST(ga.n_grams3 AS DOUBLE) <= 0.18, true)
-        |), surv AS (
-        |  SELECT d.doc_id, d.text
-        |  FROM documents d
-        |  LEFT JOIN comp ON comp.doc_id = d.doc_id
-        |  WHERE coalesce(comp.component_id, d.doc_id) = d.doc_id
-        |    AND d.doc_id IN (SELECT doc_id FROM qkeep)
-        |    AND d.doc_id IN (SELECT doc_id FROM kn_b
-        |                     WHERE bucket <> 'tail')
-        |    AND strpos('0123456789abcdef',
-        |      substr(md5(d.doc_id::VARCHAR || '#split'), 1, 1)) - 1 <= 13
-        |), ph AS (
-        |  SELECT doc_id, md5(doc_id::VARCHAR || '#shard') AS hx,
-        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
-        |      AS BIGINT) AS n_tokens
-        |  FROM surv
-        |), ps AS (
-        |  SELECT doc_id, hx, n_tokens,
-        |    CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8
-        |      AS INTEGER) AS shard_id
-        |  FROM ph
-        |), pc AS (
-        |  SELECT doc_id, shard_id, n_tokens,
-        |    sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY hx, doc_id
-        |      ROWS UNBOUNDED PRECEDING) AS cum
-        |  FROM ps
-        |)
-        |SELECT doc_id, shard_id, n_tokens,
-        |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
-        |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_off
-        |FROM pc""".stripMargin,
+    "pipeline_export" -> pipelineExportOracle,
+    // the indexed form (cluster keep-set probed from ClusterIndex,
+    // LM gate scored through the frozen KnIndex) is row-identical
+    // by construction, so ONE replay pins both engine paths
+    "pipeline_export_indexed" -> pipelineExportOracle,
     // Partition pruning is a physical layout choice — the oracle is
     // the plain filtered aggregate; BucketedSpec pins PartitionFilters
     // + selected-partition count on the executed plan.
@@ -5171,6 +5118,85 @@ object SparkEntry {
        |         * 2251799813685248.0 / CAST(z_scaled AS DOUBLE)
        |  END, 6) AS est
        |FROM agg""".stripMargin
+
+
+  /** `pipeline_export` / `pipeline_export_indexed` shared replay —
+    * the composed survivor relation and pack layout; the indexed
+    * engine path reads committed index versions but produces the
+    * same rows, so the one SQL adjudicates both.
+    */
+  private lazy val pipelineExportOracle: String =
+    s"""${clusterCtes(0.8)}, $knOracleCtes, t AS (
+      |  SELECT doc_id, text,
+      |    regexp_split_to_array(trim(lower(text)), '\\s+') AS tk
+      |  FROM documents
+      |), q AS (
+      |  SELECT doc_id,
+      |    CAST(len(tk) AS INTEGER) AS n_tokens,
+      |    (length(text) - len(tk) + 1) / CAST(len(tk) AS DOUBLE)
+      |      AS mean_token_len,
+      |    len(list_filter(tk, x -> x IN ('a','the','of','and'))) /
+      |      CAST(len(tk) AS DOUBLE) AS stop_ratio
+      |  FROM t
+      |), g AS (
+      |  SELECT doc_id, unnest(list_concat(
+      |    [tk[i] || ' ' || tk[i+1] for i in range(1, len(tk))],
+      |    CASE WHEN len(tk) >= 3 THEN
+      |      [tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |       for i in range(1, len(tk) - 1)]
+      |    ELSE [] END)) AS gram
+      |  FROM t WHERE len(tk) >= 2
+      |), gc AS (
+      |  SELECT doc_id, c, len(string_split(gram, ' ')) AS n FROM (
+      |    SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+      |), ga AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN n = 2 THEN c END) AS BIGINT) AS n_grams2,
+      |    CAST(max(CASE WHEN n = 2 THEN c END) AS BIGINT) AS top2_cnt,
+      |    CAST(sum(CASE WHEN n = 3 THEN c END) AS BIGINT) AS n_grams3,
+      |    CAST(sum(CASE WHEN n = 3 AND c > 1 THEN c END) AS BIGINT)
+      |      AS dup3_occ
+      |  FROM gc GROUP BY doc_id
+      |), qkeep AS (
+      |  SELECT q.doc_id
+      |  FROM q LEFT JOIN ga USING (doc_id)
+      |  WHERE q.n_tokens >= 20 AND q.n_tokens <= 1000
+      |    AND q.mean_token_len >= 2.0 AND q.mean_token_len <= 12.0
+      |    AND q.stop_ratio >= 0.01
+      |    AND coalesce(
+      |      ga.top2_cnt / CAST(ga.n_grams2 AS DOUBLE) <= 0.2
+      |        AND coalesce(ga.dup3_occ, 0) /
+      |          CAST(ga.n_grams3 AS DOUBLE) <= 0.18, true)
+      |), surv AS (
+      |  SELECT d.doc_id, d.text
+      |  FROM documents d
+      |  LEFT JOIN comp ON comp.doc_id = d.doc_id
+      |  WHERE coalesce(comp.component_id, d.doc_id) = d.doc_id
+      |    AND d.doc_id IN (SELECT doc_id FROM qkeep)
+      |    AND d.doc_id IN (SELECT doc_id FROM kn_b
+      |                     WHERE bucket <> 'tail')
+      |    AND strpos('0123456789abcdef',
+      |      substr(md5(d.doc_id::VARCHAR || '#split'), 1, 1)) - 1 <= 13
+      |), ph AS (
+      |  SELECT doc_id, md5(doc_id::VARCHAR || '#shard') AS hx,
+      |    CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+      |      AS BIGINT) AS n_tokens
+      |  FROM surv
+      |), ps AS (
+      |  SELECT doc_id, hx, n_tokens,
+      |    CAST((strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 8
+      |      AS INTEGER) AS shard_id
+      |  FROM ph
+      |), pc AS (
+      |  SELECT doc_id, shard_id, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY hx, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM ps
+      |)
+      |SELECT doc_id, shard_id, n_tokens,
+      |  CAST((cum - n_tokens) // 2048 AS BIGINT) AS pack_id,
+      |  CAST((cum - n_tokens) % 2048 AS BIGINT) AS pack_off
+      |FROM pc""".stripMargin
 
   /** Power-iteration replay: the three rounds unrolled as chained
     * CTEs — `list_dot_product` against the previous round's direction

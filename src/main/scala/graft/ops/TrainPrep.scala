@@ -129,6 +129,41 @@ object TrainPrep {
       nShards, capacity)
   }
 
+  /** [[pipelineExport]] with every corpus-derived MODEL probed from a
+    * persisted index instead of re-derived inline: the near-dup
+    * keep-set reads the committed [[ClusterIndex]] assignment (one
+    * doc-keyed join, zero LSH recomputation) and the LM gate scores
+    * through the frozen [[KnIndex]] count tables (zero KN training).
+    * The two per-document stages — the heuristic quality verdict and
+    * the split nibble — were always row-local and stay inline.
+    *
+    * Row-identical to [[pipelineExport]] whenever both indexes were
+    * built on the same corpus with the same parameters (spec-pinned;
+    * the SparkEntry query shares [[pipelineExport]]'s oracle), which
+    * is the point: the full pre-training export becomes re-runnable
+    * against committed index versions, so a delta ingest pays
+    * index-append + batch-score instead of two corpus-sized model
+    * rebuilds. At 100 TB the inline form re-derives the LSH→components
+    * pipeline AND the KN count tables on every export; this form
+    * reads kilobytes of manifests plus the type-cardinality model
+    * relations and touches corpus text only for the per-row stages.
+    */
+  def pipelineExportIndexed(
+      s: SparkSession, dir: String, clusterIdx: String, knIdx: String,
+      headMax: Double = 0.95, middleMax: Double = 1.05,
+      nShards: Int = 8, capacity: Long = 2048L): DataFrame = {
+    val survivors = ClusterIndex.clusters(s, clusterIdx)
+      .filter(col("keep")).select("doc_id")
+      .join(Filtering.qualityFilter(s, dir).filter(col("keep"))
+        .select("doc_id"), Seq("doc_id"))
+      .join(KnIndex.score(s, knIdx, docs(s, dir), headMax, middleMax)
+        .filter(col("bucket") =!= "tail").select("doc_id"), Seq("doc_id"))
+      .join(splitAssign(s, dir).filter(col("split") === "train")
+        .select("doc_id"), Seq("doc_id"))
+    packSequencesOf(docs(s, dir).join(survivors, Seq("doc_id")),
+      nShards, capacity)
+  }
+
   /** [[packSequences]] unrolled to the PER-PACK segment table a
     * fill-the-context-window loader actually consumes: one row per
     * (document, pack) intersection, with the in-pack offset and

@@ -338,6 +338,38 @@ class TrainPrepSpec extends SparkSpec {
     }, "packing survivors must reflow relative to the full corpus")
   }
 
+  test("pipelineExportIndexed: row-identical to the inline export, " +
+    "with zero dedup-model re-derivation in the plan") {
+    import graft.ops.{ClusterIndex, IndexCommit, KnIndex}
+    val dir = sf()
+    val mk = (n: String) => {
+      val p = java.nio.file.Files.createTempDirectory(s"graft-pex-$n")
+      p.toFile.deleteOnExit(); p.toString
+    }
+    val cidx = mk("cl")
+    val kidx = mk("kn")
+    IndexCommit.reset(spark, cidx)
+    IndexCommit.reset(spark, kidx)
+    ClusterIndex.build(spark, dir, cidx)
+    KnIndex.build(spark, dir, kidx)
+    val indexed = TrainPrep.pipelineExportIndexed(spark, dir, cidx, kidx)
+    // same-corpus indexes → the composed export is ROW-IDENTICAL to
+    // the inline form (this is what lets the two SparkEntry queries
+    // share one oracle)
+    val asSet = (df: org.apache.spark.sql.DataFrame) =>
+      df.collect().map(_.toString).toSet
+    assert(asSet(indexed) == asSet(TrainPrep.pipelineExport(spark, dir)))
+    // the near-dup keep-set is PROBED from the committed assignment:
+    // no exact-Jaccard band-bucket verification anywhere in the plan.
+    // (xxhash64 is NOT a usable marker here — the frozen-model KN
+    // scoring path carries its 128-bit fingerprint join on xxhash64
+    // by design; array_intersect appears ONLY in LSH verification.)
+    val plan = indexed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.toLowerCase.contains("array_intersect"),
+      "indexed export re-derives the dedup model (array_intersect found)")
+  }
+
   // --- token-budget selection ------------------------------------------
 
   /** Independent JVM prefix: (doc_id, flesch, n_words, cum) selected
