@@ -38,21 +38,31 @@ object KnIndex {
   /** Train on `dir`'s documents (hash-stable train split) and publish
     * a new index version. Returns the committed version id.
     */
-  def build(s: SparkSession, dir: String, path: String): Long = {
-    val docs = s.read.parquet(s"$dir/documents.parquet")
+  def build(s: SparkSession, dir: String, path: String): Long =
+    buildFrom(s, s.read.parquet(s"$dir/documents.parquet"), path)
+
+  /** [[build]] over an explicit (doc_id, text, …) relation. ONE
+    * corpus pass: each model relation is written as it is derived and
+    * read back, so every downstream level's lineage is its parent's
+    * PUBLISHED parquet (type-cardinality kilobytes) rather than the
+    * corpus tokenize — the pre-fix foreach-over-lazy-relations
+    * publish re-executed the tokenize + 5-gram aggregation once per
+    * relation, ~10 corpus passes per build. Spec-pinned by an
+    * accumulator in the source lineage (the CorpusSnapshot one-scan
+    * discipline).
+    */
+  private[graft] def buildFrom(
+      s: SparkSession, docs: DataFrame, path: String): Long = {
     val pos = LanguageModel.positions(docs)
-    val m = LanguageModel.train(
-      pos.filter(col("split") === "train")
-        .select("h1", "h2", "h3", "h4", "w"))
     val id = IndexCommit.reserve(s, path)
     val vdir = IndexCommit.versionDir(path, id)
-    Seq(m.c5 -> "c5", m.ctx5 -> "ctx5", m.cc4 -> "cc4",
-      m.ctx4 -> "ctx4", m.cc3 -> "cc3", m.ctx3 -> "ctx3",
-      m.cc2 -> "cc2", m.ctx2 -> "ctx2", m.cc1 -> "cc1",
-      m.scal -> "scal")
-      .foreach { case (df, name) =>
+    LanguageModel.train(
+      pos.filter(col("split") === "train")
+        .select("h1", "h2", "h3", "h4", "w"),
+      (df, name) => {
         df.write.mode("overwrite").parquet(s"$vdir/$name")
-      }
+        s.read.parquet(s"$vdir/$name")
+      })
     IndexCommit.commit(s, path, id)
     id
   }

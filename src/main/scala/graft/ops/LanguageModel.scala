@@ -134,31 +134,46 @@ object LanguageModel {
     * the tail of some 5-gram window), the per-order context
     * marginals, and the scalar bundle.
     */
-  private[graft] def train(tp: DataFrame): KnModel = {
-    val c5 = tp.groupBy("h1", "h2", "h3", "h4", "w")
-      .agg(count(lit(1)).as("c"))
-    val ctx5 = c5.groupBy("h1", "h2", "h3", "h4")
-      .agg(sum("c").cast("long").as("tot"), count(lit(1)).as("ty"))
-    val cc4 = c5.groupBy(col("h2").as("h1"), col("h3").as("h2"),
+  /** `mat` intercepts each model relation AS IT IS DERIVED: the
+    * default identity keeps the inline path's lazy plans untouched,
+    * while [[KnIndex.build]] passes write-then-read-back so every
+    * level's lineage is its PARENT'S published parquet. Without it a
+    * ten-relation publish re-executes each relation's full lineage —
+    * the corpus tokenize + the 5-gram aggregation ran ~10× per build
+    * (once per downstream write), which at 100 TB is ten corpus
+    * passes where one suffices.
+    */
+  private[graft] def train(
+      tp: DataFrame,
+      mat: (DataFrame, String) => DataFrame = (df, _) => df): KnModel = {
+    val c5 = mat(tp.groupBy("h1", "h2", "h3", "h4", "w")
+      .agg(count(lit(1)).as("c")), "c5")
+    val ctx5 = mat(c5.groupBy("h1", "h2", "h3", "h4")
+      .agg(sum("c").cast("long").as("tot"), count(lit(1)).as("ty")),
+      "ctx5")
+    val cc4 = mat(c5.groupBy(col("h2").as("h1"), col("h3").as("h2"),
         col("h4").as("h3"), col("w"))
-      .agg(count(lit(1)).as("c"))
-    val ctx4 = cc4.groupBy("h1", "h2", "h3")
-      .agg(sum("c").cast("long").as("tot"), count(lit(1)).as("ty"))
-    val cc3 = cc4.groupBy(col("h2").as("h1"), col("h3").as("h2"),
+      .agg(count(lit(1)).as("c")), "cc4")
+    val ctx4 = mat(cc4.groupBy("h1", "h2", "h3")
+      .agg(sum("c").cast("long").as("tot"), count(lit(1)).as("ty")),
+      "ctx4")
+    val cc3 = mat(cc4.groupBy(col("h2").as("h1"), col("h3").as("h2"),
         col("w"))
-      .agg(count(lit(1)).as("c"))
-    val ctx3 = cc3.groupBy("h1", "h2")
-      .agg(sum("c").cast("long").as("tot"), count(lit(1)).as("ty"))
-    val cc2 = cc3.groupBy(col("h2").as("h1"), col("w"))
-      .agg(count(lit(1)).as("c"))
-    val ctx2 = cc2.groupBy("h1")
-      .agg(sum("c").cast("long").as("tot"), count(lit(1)).as("ty"))
-    val cc1 = cc2.groupBy("w").agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("c")), "cc3")
+    val ctx3 = mat(cc3.groupBy("h1", "h2")
+      .agg(sum("c").cast("long").as("tot"), count(lit(1)).as("ty")),
+      "ctx3")
+    val cc2 = mat(cc3.groupBy(col("h2").as("h1"), col("w"))
+      .agg(count(lit(1)).as("c")), "cc2")
+    val ctx2 = mat(cc2.groupBy("h1")
+      .agg(sum("c").cast("long").as("tot"), count(lit(1)).as("ty")),
+      "ctx2")
+    val cc1 = mat(cc2.groupBy("w").agg(count(lit(1)).as("c")), "cc1")
     // model scalars: total continuation mass, its type count, and the
     // vocabulary size (+1 unknown slot) — one row, broadcast
-    val scal = cc1.agg(sum("c").cast("long").as("cc1_tot"),
+    val scal = mat(cc1.agg(sum("c").cast("long").as("cc1_tot"),
         count(lit(1)).as("t1"))
-      .crossJoin(c5.agg((countDistinct("w") + 1).as("v")))
+      .crossJoin(c5.agg((countDistinct("w") + 1).as("v"))), "scal")
     KnModel(c5, ctx5, cc4, ctx4, cc3, ctx3, cc2, ctx2, cc1, scal)
   }
 

@@ -157,6 +157,26 @@ class LanguageModelSpec extends SparkSpec {
       "rebuilt model must score identically (deterministic training)")
   }
 
+  test("KN index build tokenizes the corpus exactly once") {
+    import graft.ops.KnIndex
+    val idx = java.nio.file.Files.createTempDirectory("graft-kn1p")
+    idx.toFile.deleteOnExit()
+    val acc = spark.sparkContext.longAccumulator("kn-src-rows")
+    import spark.implicits._
+    val base = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect().toIndexedSeq
+    // accumulator INSIDE the source lineage: every re-execution of the
+    // corpus scan re-counts every row. Pre-fix, the ten lazy model
+    // writes each re-ran the tokenize — acc read ~10n; the
+    // materialize-per-level publish must read exactly n.
+    val src = spark.createDataset(base)
+      .map { t => acc.add(1); t }.toDF("doc_id", "text")
+    KnIndex.buildFrom(spark, src, idx.toString)
+    assert(acc.value == base.length,
+      s"corpus executed ${acc.value.toDouble / base.length}x — " +
+        "the publish must tokenize once")
+  }
+
   test("KN scoring plan: model joins run on types, not positions") {
     import org.apache.spark.sql.execution.ExplainMode
     // The position relation (one row per corpus token) must cross the
