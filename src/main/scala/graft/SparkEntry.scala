@@ -283,6 +283,30 @@ object SparkEntry {
           sum("n_bytes").cast("long").as("n_bytes"),
           min("min_doc").as("min_doc"), max("max_doc").as("max_doc"))
     }),
+    // incremental snapshot versioning: base full publish (%7≠0 carve),
+    // then ONE delta version carrying only the day's changes — adds
+    // (%7=0 ∧ %3=0), edits (uppercase the base's %11=0 docs) and
+    // tombstones (%13=0 ∧ %11≠0 of the base) — resolved by
+    // last-writer-wins chain read; the corpus-sized base is staged
+    // once, the delta stages only its own rows
+    "corpus_snapshot_delta" -> ((s, dir) => {
+      val root = scratchDir("snapdelta")
+      graft.ops.IndexCommit.reset(s, root)
+      val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+      CorpusSnapshot.publish(s, docs.filter(col("doc_id") % 7 =!= 0), root)
+      val changes = docs
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") % 3 === 0)
+        .unionByName(docs
+          .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 === 0)
+          .select(col("doc_id"), upper(col("text")).as("text")))
+      val removed = docs
+        .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 13 === 0 &&
+          col("doc_id") % 11 =!= 0)
+        .select("doc_id")
+      CorpusSnapshot.publishDelta(s, changes, removed, root)
+      CorpusSnapshot.readResolved(s, root)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+    }),
     // snapshot diff driven by the PUBLISHED snapshots (time-travel
     // read of both versions, base64 decode, content-hash classify) —
     // shares corpus_diff's oracle because the fixture carves match
@@ -1715,6 +1739,30 @@ object SparkEntry {
         |  CAST(sum(n_bytes) AS BIGINT) AS n_bytes,
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
         |FROM d GROUP BY shard_id""".stripMargin,
+    // last-writer-wins replay of the delta chain: changes win over
+    // the base, tombstones drop — the engine earns the same relation
+    // through publish -> delta publish -> chain-resolved shard-file
+    // read; hex round-trip makes md5(text) comparable bit-for-bit
+    "corpus_snapshot_delta" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+        |), changes AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0 AND doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, upper(text) FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0
+        |), removed AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 13 = 0 AND doc_id % 11 <> 0
+        |), resolved AS (
+        |  SELECT doc_id, text FROM changes
+        |  UNION ALL
+        |  SELECT b.doc_id, b.text FROM base b
+        |  WHERE b.doc_id NOT IN (SELECT doc_id FROM changes)
+        |    AND b.doc_id NOT IN (SELECT doc_id FROM removed)
+        |)
+        |SELECT doc_id, md5(text) AS digest FROM resolved""".stripMargin,
     // identical classification to corpus_diff — the engine side earns
     // it through publish -> manifest -> shard-file read -> base64
     // decode instead of carving in-plan

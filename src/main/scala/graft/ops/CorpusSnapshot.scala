@@ -250,6 +250,118 @@ object CorpusSnapshot {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
   }
 
+  /** Version lineage sidecar: ("delta", parent) for versions
+    * published by [[publishDelta]]; full versions (everything
+    * [[publish]] writes, including every pre-existing snapshot) have
+    * no sidecar and resolve to ("full", None) — backward-compatible
+    * by absence.
+    */
+  private def metaOf(
+      s: SparkSession, root: String, id: Long): (String, Option[Long]) = {
+    val p = new Path(s"${IndexCommit.versionDir(root, id)}/meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) ("full", None)
+    else {
+      val r = s.read.parquet(p.toString).head()
+      (r.getAs[String]("kind"), Option(r.getAs[Long]("parent")))
+    }
+  }
+
+  /** Publish a DELTA version: only `changes` (added or replaced
+    * documents, (doc_id, text)) land as shard files, plus a tombstone
+    * relation for `removedIds`, plus a parent pointer to the current
+    * version — so a 100 TB corpus that gained a day's crawl publishes
+    * the DAY, not the corpus. [[read]] of a delta version returns just
+    * its delta rows (the manifest-listed files, as always);
+    * [[readResolved]] resolves the whole chain. The staged layout,
+    * manifest, and marker protocol are [[publish]]'s verbatim —
+    * a torn delta is invisible exactly like a torn full publish.
+    *
+    * A version must not both write and tombstone a document (the
+    * resolution would be ambiguous at equal version rank) — guarded
+    * with a delta-proportional intersection check. Delta chains make
+    * [[IndexCommit.vacuum]] UNSAFE below the chain length (an ancestor
+    * a delta needs could retire); run [[compact]] first — it
+    * materializes the resolved corpus as a FULL version, after which
+    * vacuum down to one version is safe (spec-pinned).
+    */
+  def publishDelta(
+      s: SparkSession, changes: DataFrame, removedIds: DataFrame,
+      root: String, nShards: Int = 8,
+      maxBytes: Long = DefaultMaxBytes): Long = {
+    val ids = IndexCommit.committedIds(s, root)
+    require(ids.nonEmpty, s"publishDelta needs a committed parent under $root")
+    val parent = ids.last
+    val rm = removedIds.select(col("doc_id"))
+    require(changes.select("doc_id").join(rm, Seq("doc_id")).isEmpty,
+      "a delta must not both write and tombstone the same doc_id")
+    val id = IndexCommit.reserve(s, root)
+    stage(s, changes.select(col("doc_id"), col("text")), root, id,
+      nShards, maxBytes)
+    val vdir = IndexCommit.versionDir(root, id)
+    rm.write.mode("overwrite").parquet(s"$vdir/removed")
+    import s.implicits._
+    Seq(("delta", parent)).toDF("kind", "parent")
+      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+    IndexCommit.commit(s, root, id)
+    id
+  }
+
+  /** Time-travel read RESOLVING delta chains: walk parent pointers
+    * from `version` (default: current) back to the nearest FULL
+    * version, then last-writer-wins per document — the newest chain
+    * member that mentions a doc_id decides it (its text if written,
+    * absent if tombstoned), so a document removed in one delta and
+    * re-added in a later one resurfaces.
+    *
+    * Shape at scale: the chain walk is O(chain) metadata reads; the
+    * union carries each chain member's OWN rows (full base + deltas,
+    * not chain × corpus); resolution is ONE doc-keyed `max_by`
+    * aggregation — a single exchange on the corpus key, tombstones
+    * riding the same relation as null-text rows.
+    */
+  def readResolved(
+      s: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val ids = IndexCommit.committedIds(s, root)
+    require(ids.nonEmpty, s"no committed snapshot under $root")
+    val head = version.getOrElse(ids.last)
+    var chain = List(head)
+    while (metaOf(s, root, chain.head)._1 == "delta")
+      chain ::= metaOf(s, root, chain.head)._2.getOrElse(
+        sys.error(s"delta version ${chain.head} has no parent"))
+    val events = chain.map { v =>
+      val alive = read(s, root, Some(v))
+        .select(col("doc_id"), col("text"), lit(v).as("v"),
+          lit(true).as("alive"))
+      val rmPath = new Path(s"${IndexCommit.versionDir(root, v)}/removed")
+      val fs = rmPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(rmPath)) alive
+      else alive.unionByName(
+        s.read.parquet(rmPath.toString)
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit(v).as("v"), lit(false).as("alive")))
+    }.reduce(_ unionByName _)
+    events.groupBy("doc_id")
+      .agg(max_by(struct(col("alive"), col("text")), col("v")).as("w"))
+      .filter(col("w.alive"))
+      .select(col("doc_id"), col("w.text").as("text"))
+  }
+
+  /** Materialize the resolved chain as a FULL version (the table
+    * format's rewrite/compaction): one [[publish]] of
+    * [[readResolved]]'s relation. The new version reads identically
+    * to the chain it replaces and, because [[layout]] is
+    * deterministic in the corpus alone, its shard files are
+    * byte-identical to a fresh full publish of the same corpus.
+    * After compacting, [[IndexCommit.vacuum]] down to this version is
+    * safe.
+    */
+  def compact(
+      s: SparkSession, root: String, nShards: Int = 8,
+      maxBytes: Long = DefaultMaxBytes): Long =
+    publish(s, readResolved(s, root), root, nShards, maxBytes)
+
   /** The deterministic two-version fixture the SparkEntry queries
     * publish into a scratch root: v(first) = the `doc_id % 7 ≠ 0`
     * carve, v(second) = the `doc_id % 5 ≠ 0` carve with `% 11 = 0`

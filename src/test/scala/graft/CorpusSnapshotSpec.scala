@@ -190,4 +190,80 @@ class CorpusSnapshotSpec extends SparkSpec {
     assert(nAuto > 16, s"auto-derived nShards $nAuto — expected > 16")
     assert(readBack(rAuto) == want)
   }
+
+  test("delta chain: last-writer-wins, remove-then-re-add resurfaces, " +
+    "overlap guarded") {
+    import spark.implicits._
+    val root = tmpRoot("delta")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    CorpusSnapshot.publish(spark,
+      Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text"),
+      root)
+    // delta 1: edit 2, add 4, tombstone 3
+    CorpusSnapshot.publishDelta(spark,
+      Seq((2L, "two-v2"), (4L, "four")).toDF("doc_id", "text"),
+      Seq(3L).toDF("doc_id"), root)
+    assert(m(CorpusSnapshot.readResolved(spark, root))
+      == Map(1L -> "one", 2L -> "two-v2", 4L -> "four"))
+    // delta 2: re-add the tombstoned doc — the newer event wins
+    CorpusSnapshot.publishDelta(spark,
+      Seq((3L, "three-back")).toDF("doc_id", "text"),
+      Seq.empty[Long].toDF("doc_id"), root)
+    val want = Map(1L -> "one", 2L -> "two-v2",
+      3L -> "three-back", 4L -> "four")
+    assert(m(CorpusSnapshot.readResolved(spark, root)) == want)
+    // read() of a delta version stays delta-only (manifest contract)
+    val ids = IndexCommit.committedIds(spark, root)
+    assert(m(CorpusSnapshot.read(spark, root, Some(ids(1))))
+      == Map(2L -> "two-v2", 4L -> "four"))
+    // time travel resolves through the chain PREFIX
+    assert(m(CorpusSnapshot.readResolved(spark, root, Some(ids(1))))
+      == Map(1L -> "one", 2L -> "two-v2", 4L -> "four"))
+    // a version may not both write and tombstone a doc
+    intercept[IllegalArgumentException] {
+      CorpusSnapshot.publishDelta(spark,
+        Seq((5L, "five")).toDF("doc_id", "text"),
+        Seq(5L).toDF("doc_id"), root)
+    }
+  }
+
+  test("compact materializes the chain as a full version; vacuum to " +
+    "one version is then safe") {
+    import spark.implicits._
+    val root = tmpRoot("compact")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    CorpusSnapshot.publish(spark,
+      Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text"), root)
+    CorpusSnapshot.publishDelta(spark,
+      Seq((2L, "two-v2"), (3L, "three")).toDF("doc_id", "text"),
+      Seq(1L).toDF("doc_id"), root)
+    val want = m(CorpusSnapshot.readResolved(spark, root))
+    val cid = CorpusSnapshot.compact(spark, root)
+    // the compacted version is FULL: plain read equals the resolution
+    assert(m(CorpusSnapshot.read(spark, root, Some(cid))) == want)
+    // its shard files are byte-identical to a fresh full publish of
+    // the same corpus (layout is deterministic in the corpus alone)
+    val fresh = tmpRoot("compact-fresh")
+    val fid = CorpusSnapshot.publish(spark,
+      Seq((2L, "two-v2"), (3L, "three")).toDF("doc_id", "text"), fresh)
+    // (manifest parquet part names carry a per-job UUID, so compare
+    // shard files by path and the manifest by content hash)
+    def shardsAndManifest(dir: String) = {
+      val fh = fileHashes(dir)
+      (fh.filter(_._1.startsWith("shard=")),
+        fh.collect { case (p, h)
+          if p.startsWith("manifest/part-") && !p.endsWith(".crc") => h
+        }.toSet)
+    }
+    assert(shardsAndManifest(IndexCommit.versionDir(root, cid))
+      == shardsAndManifest(IndexCommit.versionDir(fresh, fid)),
+      "compact must write the byte-identical full layout")
+    // ancestors can now retire: vacuum to 1 keeps only the compacted
+    // full version and the resolution is unchanged
+    IndexCommit.vacuum(spark, root, keep = 1)
+    assert(IndexCommit.committedIds(spark, root) == Seq(cid))
+    assert(m(CorpusSnapshot.readResolved(spark, root)) == want)
+  }
 }
