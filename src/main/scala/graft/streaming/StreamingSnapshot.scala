@@ -1,0 +1,80 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.{CorpusSnapshot, IndexCommit}
+
+/** Continuous corpus EXPORT: arriving documents fold into the
+  * versioned snapshot one micro-batch at a time — the first batch on
+  * a fresh root publishes a FULL version, every later batch a DELTA
+  * ([[CorpusSnapshot.publishDelta]]), so the export stays
+  * delta-proportional forever while batch consumers read any
+  * committed version and [[CorpusSnapshot.readResolved]] serves the
+  * current corpus. Periodic [[CorpusSnapshot.compact]] (outside the
+  * stream, on a cadence) caps chain length and re-enables vacuum —
+  * the table-format maintenance loop, driven by Structured Streaming.
+  *
+  * Exactly-once over foreachBatch's at-least-once replay: the
+  * [[StreamingCluster]] batch-id marker LEDGER, reused verbatim
+  * (publishes are not naturally idempotent — each lands a version).
+  * The crash window (version committed, marker lost) degrades
+  * SAFELY: the replay publishes a duplicate delta whose documents
+  * are identical, and last-writer-wins resolution returns the same
+  * rows — relation-level idempotence, spec-pinned by deleting the
+  * marker and replaying.
+  *
+  * Streamed ingestion is ADDITIVE (a document stream has no
+  * tombstone rows); removals go through the batch
+  * [[CorpusSnapshot.publishDelta]] API between micro-batches, which
+  * interleaves safely because every publish is marker-atomic.
+  */
+object StreamingSnapshot {
+
+  def ingestStream(
+      docs: DataFrame,
+      root: String,
+      checkpointDir: String,
+      nShards: Int = 8,
+      maxBytes: Long = CorpusSnapshot.DefaultMaxBytes,
+      trigger: Trigger = Trigger.AvailableNow()
+  ): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, root, nShards, maxBytes, batchId)
+        ()
+      }
+      .start()
+
+  /** One micro-batch: skip ledgered ids and empty batches (an empty
+    * publish would land a contentless version per replayed empty
+    * trigger), else publish — full on a virgin root, delta after —
+    * and mark the ledger. Package-visible so the spec can drive
+    * batches (and replays) synchronously.
+    */
+  private[graft] def applyBatch(
+      batch: DataFrame,
+      root: String,
+      nShards: Int,
+      maxBytes: Long,
+      batchId: Long
+  ): Unit = {
+    val s = batch.sparkSession
+    if (!StreamingCluster.ledgerHas(s, root, batchId)) {
+      if (!batch.isEmpty) {
+        val d = batch.select("doc_id", "text")
+        import s.implicits._
+        if (IndexCommit.committedIds(s, root).isEmpty)
+          CorpusSnapshot.publish(s, d, root, nShards, maxBytes)
+        else
+          CorpusSnapshot.publishDelta(s, d,
+            Seq.empty[Long].toDF("doc_id"), root, nShards, maxBytes)
+        ()
+      }
+      StreamingCluster.markLedger(s, root, batchId)
+    }
+  }
+}
