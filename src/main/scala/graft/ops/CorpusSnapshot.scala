@@ -348,6 +348,30 @@ object CorpusSnapshot {
       .select(col("doc_id"), col("w.text").as("text"))
   }
 
+  /** [[diff]] with both sides CHAIN-RESOLVED — the correct diff when
+    * either version is a delta: [[diff]] compares each version's own
+    * shard files, so diffing a delta against its parent would
+    * misclassify every untouched base document as "removed". This
+    * form classifies the logical corpora the two versions denote.
+    */
+  def diffResolved(
+      s: SparkSession, root: String,
+      oldVersion: Long, newVersion: Long): DataFrame = {
+    val old = readResolved(s, root, Some(oldVersion))
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val neu = readResolved(s, root, Some(newVersion))
+      .select(col("doc_id"), md5(col("text")).as("new_md5"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_md5").isNull, "added")
+          .when(col("new_md5").isNull, "removed")
+          .when(col("old_md5") === col("new_md5"), "same")
+          .otherwise("changed").as("status"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+  }
+
   /** Materialize the resolved chain as a FULL version (the table
     * format's rewrite/compaction): one [[publish]] of
     * [[readResolved]]'s relation. The new version reads identically

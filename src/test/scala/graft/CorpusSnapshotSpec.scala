@@ -266,4 +266,26 @@ class CorpusSnapshotSpec extends SparkSpec {
     assert(IndexCommit.committedIds(spark, root) == Seq(cid))
     assert(m(CorpusSnapshot.readResolved(spark, root)) == want)
   }
+
+  test("diffResolved classifies the logical corpora of a delta chain") {
+    import spark.implicits._
+    val root = tmpRoot("diffres")
+    CorpusSnapshot.publish(spark,
+      Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text"),
+      root)
+    CorpusSnapshot.publishDelta(spark,
+      Seq((2L, "two-v2"), (4L, "four")).toDF("doc_id", "text"),
+      Seq(3L).toDF("doc_id"), root)
+    val ids = IndexCommit.committedIds(spark, root)
+    val got = CorpusSnapshot.diffResolved(spark, root, ids.head, ids.last)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("same" -> 1L, "changed" -> 1L,
+      "added" -> 1L, "removed" -> 1L))
+    // the raw diff over the same pair misreads the delta as the
+    // whole corpus — the exact misuse diffResolved exists to prevent
+    val raw = CorpusSnapshot.diff(spark, root, ids.head, ids.last)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(raw.getOrElse("removed", 0L) > 1L,
+      "raw diff of a delta version should show the misclassification")
+  }
 }
