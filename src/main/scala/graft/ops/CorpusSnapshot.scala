@@ -288,23 +288,63 @@ object CorpusSnapshot {
   def publishDelta(
       s: SparkSession, changes: DataFrame, removedIds: DataFrame,
       root: String, nShards: Int = 8,
-      maxBytes: Long = DefaultMaxBytes): Long = {
-    val ids = IndexCommit.committedIds(s, root)
-    require(ids.nonEmpty, s"publishDelta needs a committed parent under $root")
-    val parent = ids.last
-    val rm = removedIds.select(col("doc_id"))
-    require(changes.select("doc_id").join(rm, Seq("doc_id")).isEmpty,
-      "a delta must not both write and tombstone the same doc_id")
-    val id = IndexCommit.reserve(s, root)
-    stage(s, changes.select(col("doc_id"), col("text")), root, id,
-      nShards, maxBytes)
-    val vdir = IndexCommit.versionDir(root, id)
-    rm.write.mode("overwrite").parquet(s"$vdir/removed")
-    import s.implicits._
-    Seq(("delta", parent)).toDF("kind", "parent")
-      .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
-    IndexCommit.commit(s, root, id)
-    id
+      maxBytes: Long = DefaultMaxBytes): Long =
+    withDeltaLock(s, root) {
+      val ids = IndexCommit.committedIds(s, root)
+      require(ids.nonEmpty,
+        s"publishDelta needs a committed parent under $root")
+      val parent = ids.last
+      val rm = removedIds.select(col("doc_id"))
+      require(changes.select("doc_id").join(rm, Seq("doc_id")).isEmpty,
+        "a delta must not both write and tombstone the same doc_id")
+      val id = IndexCommit.reserve(s, root)
+      stage(s, changes.select(col("doc_id"), col("text")), root, id,
+        nShards, maxBytes)
+      val vdir = IndexCommit.versionDir(root, id)
+      rm.write.mode("overwrite").parquet(s"$vdir/removed")
+      import s.implicits._
+      Seq(("delta", parent)).toDF("kind", "parent")
+        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+      IndexCommit.commit(s, root, id)
+      id
+    }
+
+  /** Serialize delta publishes behind a root-level lock file
+    * (`<root>/delta.lock`, atomic create-new). Without it, two
+    * interleaved publishers can both read the same head as `parent`
+    * and fork the chain: [[readResolved]] walks only parent pointers,
+    * so the bypassed delta's changes and tombstones silently vanish
+    * from the resolved corpus. Full [[publish]]es stay lock-free —
+    * they are self-contained snapshots with no parent to race on.
+    *
+    * A publisher killed inside the critical section leaves a stale
+    * lock; waiters break locks older than `staleMs` (the data side is
+    * safe to abandon — an uncommitted reservation is invisible
+    * forever). Bounded wait, then a clear error naming the lock file.
+    */
+  private[graft] def withDeltaLock[T](
+      s: SparkSession, root: String,
+      timeoutMs: Long = 120000L, staleMs: Long = 600000L)(f: => T): T = {
+    val lock = new Path(s"$root/delta.lock")
+    val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(lock.getParent)
+    val deadline = System.currentTimeMillis() + timeoutMs
+    var held = false
+    while (!held) {
+      held = try fs.createNewFile(lock)
+      catch { case _: java.io.IOException => false }
+      if (!held) {
+        val age = try System.currentTimeMillis() -
+          fs.getFileStatus(lock).getModificationTime
+        catch { case _: java.io.FileNotFoundException => 0L }
+        if (age > staleMs) fs.delete(lock, false)
+        else if (System.currentTimeMillis() > deadline)
+          sys.error(s"timed out waiting for delta-publish lock $lock; " +
+            "if no publisher is live, delete the lock file to recover")
+        else Thread.sleep(50)
+      }
+    }
+    try f finally fs.delete(lock, false)
   }
 
   /** Time-travel read RESOLVING delta chains: walk parent pointers
@@ -327,9 +367,15 @@ object CorpusSnapshot {
     require(ids.nonEmpty, s"no committed snapshot under $root")
     val head = version.getOrElse(ids.last)
     var chain = List(head)
-    while (metaOf(s, root, chain.head)._1 == "delta")
-      chain ::= metaOf(s, root, chain.head)._2.getOrElse(
+    // one metaOf per hop — each call is a parquet metadata read, and
+    // chains are walked once per resolve
+    var meta = metaOf(s, root, head)
+    while (meta._1 == "delta") {
+      val p = meta._2.getOrElse(
         sys.error(s"delta version ${chain.head} has no parent"))
+      chain ::= p
+      meta = metaOf(s, root, p)
+    }
     val events = chain.map { v =>
       val alive = read(s, root, Some(v))
         .select(col("doc_id"), col("text"), lit(v).as("v"),

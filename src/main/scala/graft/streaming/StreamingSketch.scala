@@ -106,7 +106,9 @@ object StreamingSketch {
 
   private def readMetaRow(
       s: SparkSession, outPath: String): Option[org.apache.spark.sql.Row] =
-    try Some(s.read.parquet(s"$outPath/meta").collect().head)
+    // headOption: a meta dir that exists but yields zero rows (torn
+    // write) must read as "nothing written yet", not NoSuchElement
+    try s.read.parquet(s"$outPath/meta").collect().headOption
     catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   private[graft] def cmsMeta(

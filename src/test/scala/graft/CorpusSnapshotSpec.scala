@@ -3,7 +3,7 @@ package graft
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import graft.ops.{CorpusSnapshot, IndexCommit}
 
 class CorpusSnapshotSpec extends SparkSpec {
@@ -287,5 +287,70 @@ class CorpusSnapshotSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(raw.getOrElse("removed", 0L) > 1L,
       "raw diff of a delta version should show the misclassification")
+  }
+
+  test("delta-publish lock: critical sections serialize, a held lock " +
+    "times out with a recovery message, a stale lock is broken") {
+    val root = tmpRoot("dlock")
+    // serialization: two threads through the lock never interleave a
+    // deliberately non-atomic read-sleep-write sequence
+    @volatile var v = 0
+    var torn = false
+    val ts = (1 to 2).map(_ => new Thread(() =>
+      CorpusSnapshot.withDeltaLock(spark, root) {
+        val seen = v; Thread.sleep(150)
+        if (v != seen) torn = true
+        v = seen + 1
+      }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(!torn && v == 2, "lock must serialize the critical section")
+    // a FRESH foreign lock blocks until timeout, then errors clearly
+    val lockFile = Paths.get(root, "delta.lock")
+    Files.createFile(lockFile)
+    val e = intercept[RuntimeException] {
+      CorpusSnapshot.withDeltaLock(spark, root, timeoutMs = 200L) { () }
+    }
+    assert(e.getMessage.contains("delta-publish lock"))
+    // a STALE lock (mtime past staleMs) is broken and the publish runs
+    Files.setLastModifiedTime(lockFile,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis() - 3600000L))
+    var ran = false
+    CorpusSnapshot.withDeltaLock(spark, root, timeoutMs = 5000L) { ran = true }
+    assert(ran && !Files.exists(lockFile), "stale lock broken and released")
+  }
+
+  test("concurrent delta publishes keep the chain linear: every " +
+    "publisher's changes survive in the resolved corpus") {
+    import spark.implicits._
+    val root = tmpRoot("race")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    CorpusSnapshot.publish(spark,
+      Seq((1L, "one")).toDF("doc_id", "text"), root)
+    // 3 concurrent publishers, disjoint docs — without the lock two
+    // of them can record the same parent and fork the chain, dropping
+    // a delta from readResolved (the advice-reported race)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = (2 to 4).map(k => new Thread(() =>
+      try CorpusSnapshot.publishDelta(spark,
+        Seq((k.toLong, s"doc$k")).toDF("doc_id", "text"),
+        spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0), root)
+      catch { case t: Throwable => errs.add(t); () }))
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"publishers must not fail: ${errs.peek()}")
+    // linearity: each committed delta's parent is its immediate
+    // committed predecessor — no forks
+    val ids = IndexCommit.committedIds(spark, root)
+    ids.sliding(2).foreach { case Seq(prev, cur) =>
+      val meta = spark.read
+        .parquet(s"${IndexCommit.versionDir(root, cur)}/meta").head()
+      assert(meta.getAs[String]("kind") == "delta" &&
+        meta.getAs[Long]("parent") == prev,
+        s"version $cur must chain to $prev, not ${meta.get(1)}")
+    }
+    assert(m(CorpusSnapshot.readResolved(spark, root)) ==
+      Map(1L -> "one", 2L -> "doc2", 3L -> "doc3", 4L -> "doc4"),
+      "all three concurrent deltas must survive resolution")
   }
 }
