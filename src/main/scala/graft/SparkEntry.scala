@@ -3270,15 +3270,17 @@ object SparkEntry {
     // dHash bits folded rotate-then-xor (clip bit j = frame f's bit
     // (j - (3-f)) mod 64, summed mod 2) — the rotation keeps static
     // clips from collapsing to signature 0. The 288-token reach means
-    // only fully-identical token streams collide, and this corpus has
-    // none at verify scale — both sides must agree on empty (the
-    // sim_near_dup precedent); PerceptualHashSpec's planted clips pin
-    // the nonzero behavior
+    // the raw corpus never collides on its own, so the fixture PLANTS
+    // twins (doc_id+10000000 for doc_id%100=7): one column-0 pixel of
+    // frames 0-2 forced to 255, flipping ≤1 clip bit each — Hamming
+    // ≤3 guaranteed, the pigeonhole banding exhaustive at ≤3, so the
+    // oracle's positive path is live every round (>0 rows); the
+    // oracle recomputes the same twins arithmetically
     "mm_video_near_dup" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
         |  FROM documents
-        |), g AS (
+        |), g0 AS (
         |  SELECT doc_id,
         |    [ (strpos('0123456789abcdef',
         |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
@@ -3286,6 +3288,13 @@ object SparkEntry {
         |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
         |      for i in range(0, 288) ] AS px
         |  FROM t
+        |), g AS (
+        |  SELECT doc_id, px FROM g0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    [ CASE WHEN i IN (1, 82, 163) THEN 255 ELSE px[i] END
+        |      for i in range(1, 289) ] AS px
+        |  FROM g0 WHERE doc_id % 100 = 7
         |), s AS (
         |  SELECT doc_id,
         |    [ (  CASE WHEN px[  0 + (((j + 61) % 64) // 8) * 9 + (((j + 61) % 64) % 8) + 1]
@@ -3963,18 +3972,49 @@ object SparkEntry {
         |  CAST(32 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
         |  list_sum(px) / 8.0 AS gray_mean
         |FROM g""".stripMargin,
-    // Embedding near-dup at cosine >= 0.9: exact all-pairs oracle (the
-    // corpus has no such pairs — both sides must agree on empty).
+    // Embedding near-dup at cosine >= 0.9 over the fixture + planted
+    // twins (vec_id%100=7 → vec_id+10000000, first coord × 1.25 →
+    // cosine ≥ 0.99381 by construction). The oracle mirrors the
+    // engine's banded candidate generation (hyperplane LSH is not
+    // exhaustive, so an all-pairs oracle could only agree on empty —
+    // the vacuity this plant removes) then scores candidates exactly;
+    // same md5-parity planes as sim_ann_lsh.
     "sim_near_dup" ->
-      """WITH e AS (
+      """WITH e0 AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), e AS (
+        |  SELECT vec_id, v FROM e0
+        |  UNION ALL
+        |  SELECT vec_id + 10000000 AS vec_id,
+        |    list_concat([v[1] * 1.25], v[2:]) AS v
+        |  FROM e0 WHERE vec_id % 100 = 7
+        |), dims AS (
+        |  SELECT len(v) AS nd FROM e LIMIT 1
+        |), coef AS (
+        |  SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || ',' || d::VARCHAR), 2, 1)
+        |                      IN ('1','3','5','7','9','b','d','f')
+        |                 THEN 1.0 ELSE -1.0 END ORDER BY d) AS cl
+        |  FROM (SELECT p, unnest(range(nd)) AS d FROM range(16) t(p), dims)
+        |  GROUP BY p
+        |), sigb AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN list_dot_product(v, cl) > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS s
+        |  FROM e, coef GROUP BY vec_id
+        |), banded AS (
+        |  SELECT vec_id, b AS band, (s >> CAST(b * 4 AS INTEGER)) & 15 AS key
+        |  FROM sigb, range(4) t(b)
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM banded a JOIN banded b USING (band, key)
+        |  WHERE a.vec_id < b.vec_id
         |)
-        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-        |  list_dot_product(a.v, b.v) /
-        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS score
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v) /
-        |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.9""".stripMargin,
+        |SELECT vec_a, vec_b,
+        |  list_dot_product(av.v, bv.v) /
+        |    (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) AS score
+        |FROM cand c JOIN e av ON av.vec_id = c.vec_a
+        |            JOIN e bv ON bv.vec_id = c.vec_b
+        |WHERE list_dot_product(av.v, bv.v) /
+        |    (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) >= 0.9""".stripMargin,
     // same floor(x/scale + 0.5) quantizer — floor because the two
     // engines' round() tie conventions differ while floor is
     // IEEE-exact; scale left un-rounded (bit-deterministic on both

@@ -1216,6 +1216,17 @@ object PerceptualHash {
   /** Number of frames in each synthetic fixture video. */
   private val VideoFrames = 4
 
+  /** doc_id offset of the PLANTED near-duplicate twin clips/vectors —
+    * far above any fixture doc_id at any SF, and even so twin parity
+    * (codec selection) matches the original's.
+    */
+  private[graft] val TwinOffset = 10000000L
+
+  /** Which docs get a planted twin: sparse, and deliberately not a
+    * multiple of the %2 codec carve or the %10 index carves.
+    */
+  private[graft] def hasTwin(id: Long): Boolean = id % 100 == 7
+
   /** Deterministic video table over the documents fixture: doc k's
     * payload is a 4-frame AVI whose frame f carries the 72 values
     * v(f,i) = first md5 byte of token ((f·72 + i) mod ntokens) — the
@@ -1237,7 +1248,7 @@ object PerceptualHash {
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, toks) =>
+        it.flatMap { case (id, toks) =>
           val frames = (0 until VideoFrames).map { f =>
             val gray = new Array[Byte](GridW * GridH)
             var i = 0
@@ -1248,10 +1259,25 @@ object PerceptualHash {
             }
             gray
           }
-          val payload =
-            if (id % 2 == 0) encodeAvi(frames, GridW, GridH)
-            else encodeMjpegAvi(frames, GridW, GridH)
-          (id, payload)
+          def enc(fr: Seq[Array[Byte]]) =
+            if (id % 2 == 0) encodeAvi(fr, GridW, GridH)
+            else encodeMjpegAvi(fr, GridW, GridH)
+          val base = (id, enc(frames))
+          // PLANTED near-dup twins (doc_id + TwinOffset): one column-0
+          // pixel forced to 255 in each of frames 0-2 — each edit
+          // flips at most ONE dHash comparison of its frame, i.e. at
+          // most one clip-signature bit after the rotate-xor fold
+          // (clip bits 3, 10, 17 — two in band 0, one in band 1), so
+          // twin↔original Hamming ≤ 3 by construction and the
+          // pigeonhole banding ALWAYS surfaces the pair. Keeps the
+          // mm_video_near_dup oracle's positive path live: the md5
+          // token reach (288 positions) means the raw corpus never
+          // collides on its own.
+          if (hasTwin(id)) {
+            val tf = frames.map(_.clone())
+            tf(0)(0) = -1; tf(1)(GridW) = -1; tf(2)(2 * GridW) = -1
+            Seq(base, (id + TwinOffset, enc(tf)))
+          } else Seq(base)
         }
       }
       .toDF("doc_id", "payload")

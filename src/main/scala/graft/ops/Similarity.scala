@@ -363,14 +363,41 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** The embeddings fixture UNIONED with planted near-dup twins: for
+    * vec_id % 100 = 7, a twin at vec_id + [[PerceptualHash.TwinOffset]]
+    * whose first coordinate is scaled by exactly 1.25 (rest identical).
+    * cos(v, v') = (1 + t/4) / sqrt(1 + 9t/16) for t = v₀²/‖v‖² ∈ [0,1],
+    * minimized at t = 4/9 → ≥ 0.99381 — always above the 0.9 near-dup
+    * bar, never an exact duplicate. The raw corpus has NO pairs at
+    * 0.9, so without the plant the near-dup oracle is vacuous; the
+    * 1.25 factor (exactly representable) and the sequential-fold dot
+    * keep every planted score bit-reproducible cross-engine.
+    */
+  private[graft] def loadWithTwins(s: SparkSession, dir: String): DataFrame = {
+    val base = load(s, dir)
+    base.unionByName(
+      base.filter(col("vec_id") % 100 === 7)
+        .select((col("vec_id") + graft.ops.PerceptualHash.TwinOffset)
+          .as("vec_id"),
+          col("label"),
+          concat(array(col("v")(0) * lit(1.25)),
+            slice(col("v"), lit(2), size(col("v")) - 1)).as("v")))
+  }
+
   /** Embedding near-duplicate pairs above a cosine threshold, via LSH
-    * banding + exact verification (same shape as MinHash-LSH dedup).
+    * banding + exact verification (same shape as MinHash-LSH dedup),
+    * over the fixture WITH planted twins ([[loadWithTwins]]) so the
+    * positive path is exercised by the oracle every round. The oracle
+    * mirrors the banded candidate generation (the sim_ann_lsh
+    * precedent — hyperplane LSH is not exhaustive, so an all-pairs
+    * oracle could only ever agree on empty); recall vs brute force is
+    * pinned separately (sim_recall_eval, DedupSpec).
     */
   def cosineNearDupPairs(
       s: SparkSession, dir: String, threshold: Double = 0.9,
       numPlanes: Int = 16, numBands: Int = 4
   ): DataFrame =
-    cosineNearDupPairsDf(load(s, dir), threshold, numPlanes, numBands)
+    cosineNearDupPairsDf(loadWithTwins(s, dir), threshold, numPlanes, numBands)
 
   /** DataFrame-level variant for testing with planted vectors. */
   def cosineNearDupPairsDf(

@@ -431,6 +431,38 @@ class DedupSpec extends SparkSpec {
     assert(found == Set((1L, 100L)))
   }
 
+  test("sim_near_dup fixture twins surface; engine matches a JVM " +
+    "banding + exact-verify recompute") {
+    val got = Similarity.cosineNearDupPairs(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val vecs = Similarity.loadWithTwins(spark, sf())
+      .select("vec_id", "v").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val coefs = Similarity.planeCoefs(16, vecs.head._2.length)
+    def dot(a: Seq[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < b.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val sigs = vecs.map { case (id, v) =>
+      val s = (0 until 16).foldLeft(0L)((acc, p) =>
+        if (dot(coefs(p), v) > 0) acc | (1L << p) else acc)
+      (id, v, s)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      dot(a.toSeq, b) / (math.sqrt(dot(a.toSeq, a)) * math.sqrt(dot(b.toSeq, b)))
+    val expected = (for {
+      (ia, va, sa) <- sigs; (ib, vb, sb) <- sigs if ia < ib
+      if (0 until 4).exists(band =>
+        ((sa >> (band * 4)) & 15) == ((sb >> (band * 4)) & 15))
+      if cos(va, vb) >= 0.9
+    } yield (ia, ib)).toSet
+    assert(got == expected)
+    // non-vacuity: at least one planted twin pair banded together
+    assert(got.exists(p => p._2 == p._1 + graft.ops.PerceptualHash.TwinOffset),
+      "planted embedding twins must surface through the banding")
+  }
+
   test("exact dedup groups: all-unique corpus yields one group per doc") {
     val g = Dedup.exactGroups(spark, sf())
     val docs = spark.read.parquet(s"${sf()}/documents.parquet").count()

@@ -192,21 +192,40 @@ class PerceptualHashSpec extends SparkSpec {
       .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
         r.getAs[Int]("hamming"))).toSet
     val md = java.security.MessageDigest.getInstance("MD5")
+    def sigOf(px: Array[Byte]): Long = (0 until 4).map { f =>
+      PerceptualHash.dHashBits(
+        java.util.Arrays.copyOfRange(px, f * 72, (f + 1) * 72))
+    }.foldLeft(0L)((acc, h) => java.lang.Long.rotateLeft(acc, 1) ^ h)
     val sigs = spark.read.parquet(s"${sf()}/documents.parquet")
       .select("doc_id", "text").collect()
-      .map { r =>
+      .flatMap { r =>
         val toks = r.getAs[String]("text").toLowerCase.split("\\s+")
-        val sig = (0 until 4).map { f =>
-          PerceptualHash.dHashBits(Array.tabulate(72)(i => md.digest(
-            toks((f * 72 + i) % toks.length).getBytes("UTF-8"))(0)))
-        }.foldLeft(0L)((acc, h) => java.lang.Long.rotateLeft(acc, 1) ^ h)
-        r.getAs[Long]("doc_id") -> sig
+        val px = Array.tabulate(288)(i => md.digest(
+          toks(i % toks.length).getBytes("UTF-8"))(0))
+        val id = r.getAs[Long]("doc_id")
+        if (PerceptualHash.hasTwin(id)) {
+          val tp = px.clone()
+          tp(0) = -1; tp(81) = -1; tp(162) = -1
+          Seq(id -> sigOf(px), (id + PerceptualHash.TwinOffset) -> sigOf(tp))
+        } else Seq(id -> sigOf(px))
       }
     val expected = (for {
       (a, sa) <- sigs; (b, sb) <- sigs if a < b
       h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
     } yield (a, b, h)).toSet
     assert(got == expected)
+    // the planted twins make the positive path non-vacuous: every
+    // twinned doc MUST pair with its twin (Hamming ≤ 3 by construction)
+    val planted = sigs.collect {
+      // hasTwin also matches the twin ids themselves — restrict to
+      // corpus originals (below the offset)
+      case (id, _) if PerceptualHash.hasTwin(id) &&
+        id < PerceptualHash.TwinOffset =>
+        (id, id + PerceptualHash.TwinOffset)
+    }.toSet
+    assert(planted.nonEmpty, "fixture must contain twinned docs")
+    assert(planted.forall(p => got.exists(g => (g._1, g._2) == p)),
+      "every planted twin pair must surface through banding")
   }
 
   test("banding finds every pair at hamming <= 3 and verification rejects beyond") {
