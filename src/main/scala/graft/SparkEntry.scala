@@ -63,6 +63,60 @@ object SparkEntry {
       tablePk = Seq("o_orderkey")).updated
   }
 
+  /** S9/J1 upsert — the completed `insert` action (the reference
+    * declares it and raises, `importer.py:361-362`): urgent orders are
+    * UPDATED (the merge_orders delta) and synthetic new orders derived
+    * from high-priority ones are INSERTED (keys offset past the corpus,
+    * columns outside the subset null-filled). Both joins broadcast the
+    * delta side; the insert leg's matched-key probe is a broadcast
+    * semi join, so the target is never shuffled.
+    */
+  private def upsertOrders(s: SparkSession, dir: String): DataFrame = {
+    val orders = rd(s, dir, "orders")
+    val updates = orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(
+        col("o_orderkey"),
+        (col("o_totalprice") * expr("CAST(1.1 AS DOUBLE)")).as("o_totalprice"),
+        lit("F").as("o_orderstatus"))
+    val inserts = orders
+      .filter(col("o_orderpriority") === "2-HIGH")
+      .select(
+        (col("o_orderkey") + lit(20000000L)).as("o_orderkey"),
+        (col("o_totalprice") * expr("CAST(0.5 AS DOUBLE)")).as("o_totalprice"),
+        lit("N").as("o_orderstatus"))
+    new Importer(orders, updates.unionByName(inserts),
+      tablePk = Seq("o_orderkey"),
+      joinOn = Some(Seq("o_orderkey")),
+      subset = Some(Seq("o_totalprice", "o_orderstatus")))
+      .run(update = true, insert = true).updated
+  }
+
+  /** A4 both legs — updated/inserted row counts of the upsert. */
+  private def upsertRowCounts(s: SparkSession, dir: String): DataFrame = {
+    val orders = rd(s, dir, "orders")
+    val updates = orders
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(
+        col("o_orderkey"),
+        (col("o_totalprice") * expr("CAST(1.1 AS DOUBLE)")).as("o_totalprice"),
+        lit("F").as("o_orderstatus"))
+    val inserts = orders
+      .filter(col("o_orderpriority") === "2-HIGH")
+      .select(
+        (col("o_orderkey") + lit(20000000L)).as("o_orderkey"),
+        (col("o_totalprice") * expr("CAST(0.5 AS DOUBLE)")).as("o_totalprice"),
+        lit("N").as("o_orderstatus"))
+    val r = new Importer(orders, updates.unionByName(inserts),
+      tablePk = Seq("o_orderkey"),
+      joinOn = Some(Seq("o_orderkey")),
+      subset = Some(Seq("o_totalprice", "o_orderstatus")))
+      .run(update = true, insert = true)
+    import s.implicits._
+    Seq((r.rowCountUpdated, r.rowCountInserted))
+      .toDF("row_count_updated", "row_count_inserted")
+  }
+
   /** J1 + P3 — merge with null-keyed delta rows: rows whose key was
     * nulled out are dropped and their targets stay untouched
     * (`test_importer.py:166-189` semantics at fixture scale).
@@ -100,6 +154,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1/S9 — the flagship keyed-update merge
     "merge_orders" -> ((s, dir) => mergeOrders(s, dir)),
+    // S9 completion: MERGE WHEN MATCHED UPDATE / WHEN NOT MATCHED
+    // INSERT — the reference's declared-but-raising insert action
+    "upsert_orders" -> ((s, dir) => upsertOrders(s, dir)),
+    "upsert_row_counts" -> ((s, dir) => upsertRowCounts(s, dir)),
     // SCD Type-2: the historized merge — close old versions, open
     // new ones, attribute-identical deltas are no-ops
     "scd2_merge" -> ((s, dir) => Scd.scd2Customers(s, dir)),
@@ -1026,6 +1084,47 @@ object SparkEntry {
         |         'F' AS o_orderstatus
         |  FROM orders WHERE o_orderpriority = '1-URGENT'
         |) u ON t.o_orderkey = u.o_orderkey""".stripMargin,
+    // upsert: update leg identical to merge_orders, insert leg appends
+    // the unmatched synthetic orders with nulls outside the subset
+    "upsert_orders" ->
+      """WITH delta AS (
+        |  SELECT o_orderkey,
+        |         o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice,
+        |         'F' AS o_orderstatus
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000,
+        |         o_totalprice * CAST(0.5 AS DOUBLE),
+        |         'N'
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'
+        |)
+        |SELECT t.o_orderkey,
+        |       t.o_custkey,
+        |       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_orderstatus ELSE t.o_orderstatus END AS o_orderstatus,
+        |       CASE WHEN u.o_orderkey IS NOT NULL THEN u.o_totalprice ELSE t.o_totalprice END AS o_totalprice,
+        |       t.o_orderdate,
+        |       t.o_orderpriority
+        |FROM orders t LEFT JOIN delta u ON t.o_orderkey = u.o_orderkey
+        |UNION ALL
+        |SELECT d.o_orderkey,
+        |       CAST(NULL AS BIGINT) AS o_custkey,
+        |       d.o_orderstatus,
+        |       d.o_totalprice,
+        |       CAST(NULL AS TIMESTAMP) AS o_orderdate,
+        |       CAST(NULL AS VARCHAR) AS o_orderpriority
+        |FROM delta d
+        |WHERE NOT EXISTS (SELECT 1 FROM orders t WHERE t.o_orderkey = d.o_orderkey)""".stripMargin,
+    "upsert_row_counts" ->
+      """WITH delta AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey + 20000000 FROM orders WHERE o_orderpriority = '2-HIGH'
+        |)
+        |SELECT
+        |  (SELECT count(*) FROM orders t
+        |   WHERE EXISTS (SELECT 1 FROM delta d WHERE d.o_orderkey = t.o_orderkey)) AS row_count_updated,
+        |  (SELECT count(*) FROM delta d
+        |   WHERE NOT EXISTS (SELECT 1 FROM orders t WHERE t.o_orderkey = d.o_orderkey)) AS row_count_inserted""".stripMargin,
     "merge_customer_nullkeys" ->
       """SELECT t.c_custkey,
         |       t.c_name,

@@ -15,7 +15,8 @@ final case class MergeSpec(
     table: String,
     joinOn: Seq[String],
     subset: Seq[String],
-    schema: Option[String] = None)
+    schema: Option[String] = None,
+    insertUnmatched: Boolean = false)
 
 /** S9 — where a merge's effect lands. The reference's whole purpose is
   * the server-side write-back (`importer.py:293-359`: drop/create a
@@ -106,9 +107,15 @@ final class JdbcMergeSink(
             projected.toLocalIterator(),
             sqlTypes, chunkSize, () => conn.commit())
           finally ps.close()
-          val update = JdbcMergeSink.updateSql(
-            dialect, spec, if (dialect == "mssql") temp else s"temp.$temp")
-          val affected = st.executeUpdate(update).toLong
+          val stagingRef = if (dialect == "mssql") temp else s"temp.$temp"
+          val update = JdbcMergeSink.updateSql(dialect, spec, stagingRef)
+          var affected = st.executeUpdate(update).toLong
+          // upsert: the INSERT leg runs AFTER the update in the same
+          // transaction — matched staged rows were just applied, so
+          // the NOT EXISTS guard appends exactly the unmatched ones
+          if (spec.insertUnmatched)
+            affected += st.executeUpdate(
+              JdbcMergeSink.insertSql(dialect, spec, stagingRef)).toLong
           conn.commit()
           st.execute(SqlGen.dropTempTable(dialect, temp))
           affected
@@ -198,8 +205,11 @@ final class JdbcParallelMergeSink(
               }
             }
 
-          val affected = st.executeUpdate(
+          var affected = st.executeUpdate(
             JdbcMergeSink.updateSql(dia, spec, stage)).toLong
+          if (spec.insertUnmatched)
+            affected += st.executeUpdate(
+              JdbcMergeSink.insertSql(dia, spec, stage)).toLong
           driverConn.commit()
           st.execute(SqlGen.dropStagingTable(dia, stage))
           driverConn.commit()
@@ -255,6 +265,19 @@ object JdbcMergeSink {
         spec.schema.getOrElse("dbo"), spec.table, stagingRef,
         spec.joinOn, spec.subset)
       case _ => SqlGen.updateSqlite(
+        spec.table, stagingRef, spec.joinOn, spec.subset)
+    }
+
+  /** The dialect's NOT-EXISTS-guarded INSERT of unmatched staged rows
+    * (the upsert leg; see [[SqlGen.insertUnmatchedMssql]]).
+    */
+  private[engine] def insertSql(
+      dialect: String, spec: MergeSpec, stagingRef: String): String =
+    dialect match {
+      case "mssql" => SqlGen.insertUnmatchedMssql(
+        spec.schema.getOrElse("dbo"), spec.table, stagingRef,
+        spec.joinOn, spec.subset)
+      case _ => SqlGen.insertUnmatchedSqlite(
         spec.table, stagingRef, spec.joinOn, spec.subset)
     }
 

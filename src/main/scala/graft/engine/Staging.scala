@@ -145,6 +145,36 @@ object SqlGen {
     s"update $table set $sets where exists (select * from $temp where $cond)"
   }
 
+  /** Upsert INSERT leg — `MERGE WHEN NOT MATCHED THEN INSERT` over a
+    * filled staging table: append staged rows whose keys match no
+    * target row; the NOT EXISTS guard makes re-running it after the
+    * UPDATE leg exact (matched rows were just updated, unmatched rows
+    * are appended once). The reference declares this action and raises
+    * (`importer.py:361-362`); this is its completion.
+    */
+  def insertUnmatchedMssql(
+      schema: String, table: String, temp: String,
+      joinOn: Seq[String], subset: Seq[String]
+  ): String = {
+    val cols = joinOn ++ subset
+    val cond = joinOn.map(c => s"a.${q(c)} = b.${q(c)}").mkString(" and ")
+    s"insert into ${q(schema)}.${q(table)} (${cols.map(q).mkString(", ")}) " +
+      s"select ${cols.map(c => s"b.${q(c)}").mkString(", ")} from $temp as b " +
+      s"where not exists (select 1 from ${q(schema)}.${q(table)} as a where $cond)"
+  }
+
+  /** Sqlite-dialect insert leg — bare identifiers like [[updateSqlite]]. */
+  def insertUnmatchedSqlite(
+      table: String, temp: String,
+      joinOn: Seq[String], subset: Seq[String]
+  ): String = {
+    val cols = joinOn ++ subset
+    val cond = joinOn.map(c => s"a.$c = b.$c").mkString(" and ")
+    s"insert into $table (${cols.mkString(", ")}) " +
+      s"select ${cols.map(c => s"b.$c").mkString(", ")} from $temp as b " +
+      s"where not exists (select 1 from $table as a where $cond)"
+  }
+
   /** S7 — staging DDL (`importer.py:41-51`). */
   def createTempTable(
       dialect: String, table: String, temp: String, cols: Seq[String]

@@ -259,20 +259,51 @@ class ImporterSpec extends SparkSpec {
     assert(res.rowCountUpdated > 0 && res.rowCountUpdated <= li.count())
   }
 
-  /** `run` contract (`importer.py:293-310,361-362`): V11 and the
-    * declared-but-unimplemented insert path.
+  /** `run` contract (`importer.py:293-310,361-362`): V11; the insert
+    * action the reference declares-and-raises is COMPLETED here as the
+    * MERGE-upsert extension (round-12 VERDICT item #7).
     */
-  test("V11/run: no action rejected; insert unimplemented") {
-    val delta = df(Seq(Row("ID000001", "Apple", 15, 20.0)))
+  test("V11/run: no action rejected; insert leg upserts unmatched rows") {
+    val delta = df(Seq(
+      Row("ID000001", "Apple", 15, 20.0),   // matched → update
+      Row("ID000005", "Mango", 2, 30.0)))   // unmatched → insert
     val imp = new Importer(groceries, delta, tablePk = Seq("id"))
     val e = intercept[IllegalArgumentException] {
       imp.run(update = false, insert = false)
     }
     assert(e.getMessage == "at least one action must be performed")
-    intercept[UnsupportedOperationException] {
-      imp.run(update = true, insert = true)
-    }
-    assert(imp.run(update = true).rowCountUpdated == 1L)
+    // update-only: unmatched delta row ignored, matched row updated
+    val up = imp.run(update = true)
+    assert(up.rowCountUpdated == 1L && up.rowCountInserted == 0L)
+    assert(rowsOf(up.updated) == rowsOf(groceries) -
+      Row("ID000001", "Apple", 5, 10.0) + Row("ID000001", "Apple", 15, 20.0))
+    // full upsert: both legs
+    val both = imp.run(update = true, insert = true)
+    assert(both.rowCountUpdated == 1L && both.rowCountInserted == 1L)
+    assert(rowsOf(both.updated) == rowsOf(up.updated) +
+      Row("ID000005", "Mango", 2, 30.0))
+    // insert-only: matched row untouched, unmatched appended
+    val ins = imp.run(update = false, insert = true)
+    assert(ins.rowCountUpdated == 0L && ins.rowCountInserted == 1L)
+    assert(rowsOf(ins.updated) == rowsOf(groceries) +
+      Row("ID000005", "Mango", 2, 30.0))
+  }
+
+  /** Insert leg with a PARTIAL subset: target columns outside
+    * joinOn ∪ subset land as typed nulls on inserted rows.
+    */
+  test("upsert: inserted rows null-fill columns outside the subset") {
+    val slim = StructType(Seq(
+      StructField("id", StringType, nullable = true),
+      StructField("price", DoubleType, nullable = true)))
+    val delta = df(Seq(Row("ID000006", 42.0)), slim)
+    val imp = new Importer(groceries, delta, tablePk = Seq("id"))
+    val got = imp.run(update = true, insert = true)
+    assert(got.rowCountUpdated == 0L && got.rowCountInserted == 1L)
+    assert(rowsOf(got.updated) == rowsOf(groceries) +
+      Row("ID000006", null, null, 42.0))
+    // schema unchanged — nulls are cast to the target's types
+    assert(got.updated.schema == groceries.schema)
   }
 
   /** The merge plan must broadcast the delta side — the 100 TB-safe
@@ -287,5 +318,11 @@ class ImporterSpec extends SparkSpec {
     val plan = imp.updated.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("SortMergeJoin"), plan)
+    // the upsert adds a broadcast semi probe + broadcast anti join —
+    // still zero target shuffles (the 100 TB contract of the insert
+    // leg: a second scan instead of a corpus-sized build side)
+    val upPlan = imp.upserted.queryExecution.executedPlan.toString
+    assert(!upPlan.contains("SortMergeJoin"), upPlan)
+    assert(!upPlan.contains("ShuffledHashJoin"), upPlan)
   }
 }

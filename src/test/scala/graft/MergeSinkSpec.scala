@@ -116,6 +116,23 @@ class MergeSinkSpec extends SparkSpec {
       "prepare:insert into dbimport (o_orderkey, o_totalprice) values (?, ?)"))
     // one chunk (5 < 100): one executeBatch for the fill
     assert(rec.log.count(_ == "executeBatch") == 1)
+    // no insert leg unless the spec asks for it
+    assert(!rec.log.exists(_.contains("not exists")), rec.log.toString)
+  }
+
+  test("upsert SQL text: NOT-EXISTS-guarded insert leg, both dialects") {
+    assert(SqlGen.insertUnmatchedSqlite("orders", "temp.dbimport",
+      Seq("o_orderkey"), Seq("o_totalprice")) ==
+      "insert into orders (o_orderkey, o_totalprice) " +
+        "select b.o_orderkey, b.o_totalprice from temp.dbimport as b " +
+        "where not exists (select 1 from orders as a " +
+        "where a.o_orderkey = b.o_orderkey)")
+    assert(SqlGen.insertUnmatchedMssql("dbo", "orders", "#dbimport",
+      Seq("o_orderkey"), Seq("o_totalprice")) ==
+      "insert into [dbo].[orders] ([o_orderkey], [o_totalprice]) " +
+        "select b.[o_orderkey], b.[o_totalprice] from #dbimport as b " +
+        "where not exists (select 1 from [dbo].[orders] as a " +
+        "where a.[o_orderkey] = b.[o_orderkey])")
   }
 
   test("sqlite-dialect merge end-to-end on a real embedded database") {
@@ -202,6 +219,34 @@ class MergeSinkSpec extends SparkSpec {
 
     // the staging table is gone after the lifecycle (drop-after-update)
     assert(!new JdbcCatalog(() => conn()).listTables.contains("dbimport"))
+
+    // case 3 = the completed insert action (upsert): matched rows
+    // update, unmatched rows append, affected = updated + inserted
+    reset()
+    val delta3 = Seq(
+      ("ID000001", "Apple", 15, 20.0),   // matched → update
+      ("ID000005", "Mango", 2, 30.0),    // unmatched → insert
+      ("ID000006", "Plum", 9, 5.5))      // unmatched → insert
+      .toDF("id", "item", "quantity", "price")
+    val imp3 = new Importer(targetMirror, delta3, table = "groceries",
+      tablePk = Seq("id"))
+    val r3 = imp3.run(update = true, insert = true)
+    assert(r3.rowCountUpdated == 1L && r3.rowCountInserted == 2L)
+    val affected3 = sink.write(r3, imp3.data,
+      MergeSpec("groceries", imp3.joinOn, imp3.subset,
+        insertUnmatched = true))
+    assert(affected3 == 3L, "updated(1) + inserted(2)")
+    assert(state() == Seq(
+      ("ID000001", "Apple", 15, 20.0), ("ID000002", "Pear", 4, 9.0),
+      ("ID000003", "Orange", 3, 8.0), ("ID000004", "Lemon", 6, 7.0),
+      ("ID000005", "Mango", 2, 30.0), ("ID000006", "Plum", 9, 5.5)),
+      "upsert golden rows: one update, two appends, rest untouched")
+    // the server-side relation now equals the Spark-side upserted
+    // relation — the two sinks implement ONE semantics
+    assert(state().toSet == r3.updated.collect().toSet.map {
+      (r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3))
+    })
   }
 
   test("JdbcMergeSink rolls back BEFORE restoring autocommit on failure") {
