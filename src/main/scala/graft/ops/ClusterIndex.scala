@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted duplicate-CLUSTER index — the last-mile dedup relation
@@ -17,37 +18,93 @@ import org.apache.spark.sql.functions._
   *                        meta, its own commit protocol) — the pair
   *                        source for builds AND the probe target for
   *                        appends
-  *   v=<id>/clusters      the full (doc_id, component_id) assignment
+  *   meta                 the component-RANGE layout (num_parts,
+  *                        width), frozen at build
+  *   v=<id>/clusters/part=<b>   the assignment rows whose
+  *                        component_id falls in range b — only the
+  *                        partitions a version TOUCHED are present
+  *   v=<id>/partlist      which partitions this version owns (a
+  *                        touched partition may be empty — every row
+  *                        moved out — so presence is recorded
+  *                        explicitly, not inferred from directories)
   *   commits/<id>, locks/ [[IndexCommit]] markers for cluster versions
   * }}}
-  * The assignment is a FULL snapshot per version, not a delta
-  * segment: component merges rewrite labels of previously-assigned
-  * documents (an arriving batch can bridge two old clusters), so
-  * union-of-segments semantics cannot represent an append. The
-  * relation is 16 bytes/doc — corpus-CARDINALITY-proportional but
-  * text-free, the same economics as the LSH `sets` relation; a
-  * production deployment would partition it by component range and
-  * rewrite only touched partitions, which the marker protocol
-  * already permits (publish staged partitions, then commit).
+  *
+  * The assignment is partitioned by component range and versions are
+  * PARTIAL: [[append]] publishes only the partitions the label remap
+  * and the arriving batch touch; a reader resolves each partition to
+  * its newest owning version. Component merges rewrite labels of
+  * previously-assigned documents (an arriving batch can bridge two old
+  * clusters), but a merge's blast radius is exactly the partitions of
+  * the labels involved — with monotone doc ids a steady-state append
+  * touches the tail range plus the bridged components' ranges, NOT the
+  * corpus (at 100 TB: megabytes per micro-batch instead of the ~1.6 TB
+  * full-assignment rewrite this replaces).
   *
   * Scale contract: corpus TEXT is read exactly once, at [[build]].
   * [[append]] tokenizes only the batch (via [[LshIndex.append]] +
   * [[LshIndex.probe]]), runs connected components over the LABEL
   * graph (batch-edge-proportional, not corpus-proportional — old
-  * components enter as single label nodes), and rewrites the
-  * assignment relation with one doc-keyed join. Probe-side
-  * consumers ([[filteredCorpus]], [[bestRepresentatives]]) cost one
-  * doc-keyed join against the committed assignment.
+  * components enter as single label nodes), and rewrites only touched
+  * range partitions. Probe-side consumers ([[filteredCorpus]],
+  * [[bestRepresentatives]]) cost one doc-keyed join against the
+  * committed assignment.
+  *
+  * Vacuum caveat (the delta-chain economics of [[CorpusSnapshot]]):
+  * with partial versions, an OLD version can hold the live copy of an
+  * untouched partition, so [[IndexCommit.vacuum]] is unsafe unless a
+  * FULL version (all partitions — what [[build]] and [[compact]]
+  * publish) is among the kept versions. Run [[compact]] first; vacuum
+  * to 1 is then safe (spec-pinned).
   *
   * Guard caveat (shared with [[LshIndex.append]], documented there):
   * the hot-shingle guard persisted at build time is the BUILD
   * corpus's; a batch-only-hot shingle keeps feeding candidates until
   * the next rebuild. Degrades toward more candidates, never wrong
-  * answers — verification is exact either way.
+  * answers — verification is exact either way. [[LshIndex.guardDrift]]
+  * measures the drift.
   */
 object ClusterIndex {
 
+  /** Default component-range partition count of the assignment. At
+    * production scale this would be sized so a partition is a few GB
+    * (rewrite unit ≪ corpus); the principle — rewrite ∝ touched
+    * ranges — is what the fixtures pin.
+    */
+  val DefaultNumParts: Int = 16
+
   private def lshRoot(path: String): String = s"$path/lsh"
+
+  /** The frozen range layout: partition b covers component ids
+    * [b·width, (b+1)·width), with partition numParts-1 unbounded above
+    * (ids beyond the build corpus land in the tail range).
+    */
+  private[graft] final case class Layout(numParts: Int, width: Long)
+
+  private def writeLayout(
+      s: SparkSession, path: String, numParts: Int, maxId: Long): Layout = {
+    require(numParts >= 1, "numParts must be positive")
+    val width = math.max(1L, maxId / numParts + 1)
+    import s.implicits._
+    Seq((numParts, width)).toDF("num_parts", "width")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    Layout(numParts, width)
+  }
+
+  private[graft] def layout(s: SparkSession, path: String): Layout = {
+    val r = s.read.parquet(s"$path/meta").head()
+    Layout(r.getAs[Int]("num_parts"), r.getAs[Long]("width"))
+  }
+
+  /** Range partition of a component id. The subtraction-mediated
+    * integer division is exact in doubles for any id · width whose
+    * product of quotient×width stays below 2⁵³ — raw `c / width`
+    * rounds through an inexact double quotient and can misplace ids
+    * sitting on a range boundary.
+    */
+  private def partOf(c: Column, l: Layout): Column =
+    least(((c - pmod(c, lit(l.width))) / lit(l.width)).cast("long"),
+      lit((l.numParts - 1).toLong)).cast("int")
 
   private def segDirs(s: SparkSession, path: String): Seq[String] = {
     val lsh = lshRoot(path)
@@ -82,27 +139,85 @@ object ClusterIndex {
       .select("doc_a", "doc_b")
   }
 
-  private def publish(
-      s: SparkSession, path: String, assign: DataFrame): Long = {
+  /** Publish `assign` (restricted to `parts`) as a new version: rows
+    * land under `clusters/part=<b>`, the owned-partition list in the
+    * `partlist` sidecar, and the commit marker last — torn publishes
+    * invisible as ever.
+    */
+  private def publishParts(
+      s: SparkSession, path: String, assign: DataFrame,
+      l: Layout, parts: Seq[Int]): Long = {
     val id = IndexCommit.reserve(s, path)
-    assign.write.mode("overwrite")
-      .parquet(s"${IndexCommit.versionDir(path, id)}/clusters")
+    val vdir = IndexCommit.versionDir(path, id)
+    if (parts.nonEmpty)
+      assign.withColumn("part", partOf(col("component_id"), l))
+        .write.partitionBy("part").mode("overwrite")
+        .parquet(s"$vdir/clusters")
+    import s.implicits._
+    parts.toDF("part").coalesce(1)
+      .write.mode("overwrite").parquet(s"$vdir/partlist")
     IndexCommit.commit(s, path, id)
     id
   }
+
+  /** Resolve each partition (optionally restricted to `only`) to its
+    * newest owning committed version; returns the data directories.
+    * A partition owned by a version but absent on disk was rewritten
+    * EMPTY (all rows moved to other ranges) and contributes nothing.
+    * O(versions) tiny sidecar reads — [[compact]] + vacuum bound the
+    * version count.
+    */
+  private def partDirs(
+      s: SparkSession, path: String,
+      only: Option[Set[Int]] = None): Seq[String] = {
+    val ids = IndexCommit.committedIds(s, path)
+    require(ids.nonEmpty, s"no committed cluster index under $path")
+    val fs = new Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val chosen = scala.collection.mutable.Map.empty[Int, Option[String]]
+    for (id <- ids.reverse) {
+      val vdir = IndexCommit.versionDir(path, id)
+      val owned = s.read.parquet(s"$vdir/partlist")
+        .collect().map(_.getInt(0))
+      for (p <- owned if only.forall(_.contains(p)) && !chosen.contains(p)) {
+        val d = new Path(s"$vdir/clusters/part=$p")
+        chosen(p) = if (fs.exists(d)) Some(d.toString) else None
+      }
+    }
+    chosen.values.flatten.toSeq
+  }
+
+  private def assignmentOf(
+      s: SparkSession, path: String,
+      only: Option[Set[Int]] = None): DataFrame = {
+    val dirs = partDirs(s, path, only)
+    if (dirs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("component_id",
+            org.apache.spark.sql.types.LongType))))
+    else s.read.parquet(dirs: _*).select("doc_id", "component_id")
+  }
+
+  private def assignment(s: SparkSession, path: String): DataFrame =
+    assignmentOf(s, path)
 
   /** Build the index from the corpus at `dir` (optionally restricted
     * by `docFilter`): one [[LshIndex.build]] (the only corpus
     * tokenization), pairs derived from the persisted relations,
     * connected components, and the full assignment published as the
-    * base version. Returns the committed version id.
+    * base version across all `numParts` range partitions. Returns the
+    * committed version id.
     */
   def build(
       s: SparkSession, dir: String, path: String,
       threshold: Double = 0.8, n: Int = 3,
       numHashes: Int = 32, rowsPerBand: Int = 2,
       maxDocFreq: Option[Double] = None,
-      docFilter: Option[org.apache.spark.sql.Column] = None): Long = {
+      docFilter: Option[Column] = None,
+      numParts: Int = DefaultNumParts): Long = {
     LshIndex.build(s, dir, lshRoot(path), n, numHashes, rowsPerBand,
       maxDocFreq, docFilter)
     val scope = new CacheScope
@@ -112,12 +227,17 @@ object ClusterIndex {
           .select(col("doc_a").as("u"), col("doc_b").as("v")), scope)
       val d = docFilter.foldLeft(
         s.read.parquet(s"$dir/documents.parquet"))((x, f) => x.filter(f))
-      publish(s, path,
+      val maxId = Option(
+        d.agg(max(col("doc_id"))).head().getAs[java.lang.Long](0))
+        .map(_.longValue).getOrElse(0L)
+      val l = writeLayout(s, path, numParts, maxId)
+      publishParts(s, path,
         d.select("doc_id")
           .join(comp, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("component_id"), col("doc_id"))
-              .as("component_id")))
+              .as("component_id")),
+        l, 0 until numParts)
     } finally scope.release()
   }
 
@@ -127,11 +247,14 @@ object ClusterIndex {
     * one probe return both), then merge components over the LABEL
     * graph: each edge endpoint contracts to its current component id,
     * connected components run on that batch-proportional graph, and
-    * the assignment rewrite is one label-keyed join. Labels are
-    * component MINIMA, so the merged label (min of member labels) is
-    * the min doc_id over all merged members — [[append]] after
-    * [[build]](A) equals [[build]](A∪B) exactly whenever the hot-set
-    * guards coincide (spec-pinned; trivially true with no guard).
+    * ONLY the range partitions holding a remapped label, receiving a
+    * merged label, or gaining a batch singleton are rewritten — every
+    * other partition's files stay untouched on disk, resolved from
+    * their prior owning version. Labels are component MINIMA, so the
+    * merged label (min of member labels) is the min doc_id over all
+    * merged members — [[append]] after [[build]](A) equals
+    * [[build]](A∪B) exactly whenever the hot-set guards coincide
+    * (spec-pinned; trivially true with no guard).
     *
     * NOT idempotent under replay, like [[LshIndex.append]]: callers
     * dedup upstream or track applied batch ids. Atomic: both the LSH
@@ -147,6 +270,7 @@ object ClusterIndex {
     LshIndex.append(s, lshRoot(path), batch)
     val scope = new CacheScope
     try {
+      val l = layout(s, path)
       val edges = LshIndex.probe(s, lshRoot(path), batch, threshold, scope)
         .filter(col("doc_new") =!= col("doc_idx"))
         .select(col("doc_new").as("u"), col("doc_idx").as("v"))
@@ -161,26 +285,44 @@ object ClusterIndex {
         .select(coalesce(col("lu"), col("u")).as("u"),
           coalesce(col("lv"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
-      val remap = Dedup.connectedComponents(labelEdges, scope)
-        .toDF("old_label", "new_label")
+      // cached: the remap feeds the touched-partition scan, the
+      // rewrite join, and the touched-set collect
+      val remap = scope.cache(Dedup.connectedComponents(labelEdges, scope)
+        .toDF("old_label", "new_label"))
       // batch docs not present in the current assignment start as
       // their own singleton rows, then both populations remap
-      val added = batch.select("doc_id")
+      val added = scope.cache(batch.select("doc_id")
         .join(cur.select("doc_id"), Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("doc_id").as("component_id"))
-      publish(s, path,
-        cur.unionByName(added)
+        .select(col("doc_id"), col("doc_id").as("component_id")))
+      // the blast radius: partitions of remapped-from labels (rows
+      // leave), remapped-to labels (rows arrive), and batch singleton
+      // ids — a driver-side collect bounded by numParts
+      val touched = remap
+        .select(partOf(col("old_label"), l).as("part"))
+        .unionByName(remap.select(partOf(col("new_label"), l).as("part")))
+        .unionByName(added.select(partOf(col("component_id"), l).as("part")))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val curTouched = assignmentOf(s, path, Some(touched.toSet))
+      publishParts(s, path,
+        curTouched.unionByName(added)
           .join(remap,
             col("component_id") === col("old_label"), "left")
           .select(col("doc_id"),
             coalesce(col("new_label"), col("component_id"))
-              .as("component_id")))
+              .as("component_id")),
+        l, touched)
     } finally scope.release()
   }
 
-  private def assignment(s: SparkSession, path: String): DataFrame =
-    s.read.parquet(s"${IndexCommit.currentDir(s, path).getOrElse(
-      sys.error(s"no committed cluster index under $path"))}/clusters")
+  /** Materialize the resolved assignment as a FULL version (all range
+    * partitions under one version directory) — after which
+    * [[IndexCommit.vacuum]] down to one version is safe, exactly like
+    * [[CorpusSnapshot.compact]] for delta chains.
+    */
+  def compact(s: SparkSession, path: String): Long = {
+    val l = layout(s, path)
+    publishParts(s, path, assignment(s, path), l, 0 until l.numParts)
+  }
 
   /** The CURRENT committed cluster relation — identical rows to
     * [[Dedup.duplicateClusters]] over the indexed corpus:

@@ -101,6 +101,124 @@ class ClusterIndexSpec extends SparkSpec {
     }
   }
 
+  test("append rewrites ONLY touched range partitions; untouched " +
+    "partition files stay byte-identical in their prior version") {
+    // numParts=4, maxId=399 → width=100: part0=[0,100) part1=[100,200)
+    // part2=[200,300) part3=[300,∞). Docs 1 and 150 are near-dup-able
+    // ends; 250 and 399... 399 arrives as the batch BRIDGE.
+    val baseDir = writeDocs(Seq(
+      1L -> words(1, 30), 150L -> words(19, 48),
+      250L -> "completely unrelated text about something else entirely",
+      399L -> "another unrelated corner of the corpus standing alone"))
+    val idx = tmp("parts")
+    ClusterIndex.build(spark, baseDir, idx,
+      threshold = 0.5, rowsPerBand = 1, numParts = 4)
+    val v0 = IndexCommit.committedIds(spark, idx).last
+    val v0dir = IndexCommit.versionDir(idx, v0)
+    def fileBytes(dir: String): Map[String, Long] = {
+      val d = java.nio.file.Paths.get(dir)
+      if (!java.nio.file.Files.exists(d)) Map.empty
+      else {
+        val walk = java.nio.file.Files.walk(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          walk.iterator().asScala
+            .filter(java.nio.file.Files.isRegularFile(_))
+            .map(p => d.relativize(p).toString ->
+              java.nio.file.Files.size(p)).toMap
+        } finally walk.close()
+      }
+    }
+    val part2Before = fileBytes(s"$v0dir/clusters/part=2")
+    assert(part2Before.nonEmpty, "doc 250 must live in part 2 at build")
+    // batch doc 50 (part 0 singleton) bridges components 1 and 150:
+    // touched = part0 (new label 1 + added 50), part1 (old label 150
+    // moves out — rewritten EMPTY)
+    val batchDir = writeDocs(Seq(50L -> words(10, 39)))
+    ClusterIndex.append(spark, idx,
+      spark.read.parquet(s"$batchDir/documents.parquet"), threshold = 0.5)
+    val v1 = IndexCommit.committedIds(spark, idx).last
+    val v1dir = IndexCommit.versionDir(idx, v1)
+    // the new version owns exactly the touched partitions
+    val owned = spark.read.parquet(s"$v1dir/partlist")
+      .collect().map(_.getInt(0)).toSet
+    assert(owned == Set(0, 1), s"touched partitions must be {0,1}: $owned")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$v1dir/clusters/part=2")) &&
+      !java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$v1dir/clusters/part=3")),
+      "untouched partitions must not be rewritten")
+    // part 1 was rewritten EMPTY (doc 150's row moved to part 0) —
+    // owned but absent on disk, and the old row must NOT resurface
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$v1dir/clusters/part=1")),
+      "an emptied partition is owned via partlist, not a directory")
+    // untouched partition files in the PRIOR version are untouched
+    assert(fileBytes(s"$v0dir/clusters/part=2") == part2Before,
+      "prior version's untouched partition files must be byte-stable")
+    // resolution: merged state equals a from-scratch build over A∪B
+    val unionDir = writeDocs(Seq(
+      1L -> words(1, 30), 150L -> words(19, 48),
+      250L -> "completely unrelated text about something else entirely",
+      399L -> "another unrelated corner of the corpus standing alone",
+      50L -> words(10, 39)))
+    val idx2 = tmp("parts-union")
+    ClusterIndex.build(spark, unionDir, idx2,
+      threshold = 0.5, rowsPerBand = 1, numParts = 4)
+    val got = clusterMap(ClusterIndex.clusters(spark, idx))
+    assert(got == clusterMap(ClusterIndex.clusters(spark, idx2)),
+      s"partitioned append ≡ build(A∪B): $got")
+    assert(got(250L) == ((250L, true)),
+      "doc 250 must resolve from the prior version's partition")
+    assert(got(150L) == ((1L, false)),
+      "doc 150's row must have moved to part 0, not resurfaced from part 1")
+  }
+
+  test("vacuum is unsafe below a full version; compact then vacuum " +
+    "to one version preserves the resolution") {
+    val baseDir = writeDocs(Seq(
+      1L -> words(1, 30), 150L -> words(19, 48),
+      250L -> "completely unrelated text about something else entirely"))
+    val batchDir = writeDocs(Seq(50L -> words(10, 39)))
+    val idx = tmp("compact")
+    ClusterIndex.build(spark, baseDir, idx,
+      threshold = 0.5, rowsPerBand = 1, numParts = 4)
+    ClusterIndex.append(spark, idx,
+      spark.read.parquet(s"$batchDir/documents.parquet"), threshold = 0.5)
+    val want = clusterMap(ClusterIndex.clusters(spark, idx))
+    assert(want.contains(250L))
+    // compact publishes a FULL version; vacuum to 1 is then safe
+    ClusterIndex.compact(spark, idx)
+    IndexCommit.vacuum(spark, idx, keep = 1)
+    assert(IndexCommit.committedIds(spark, idx).size == 1)
+    assert(clusterMap(ClusterIndex.clusters(spark, idx)) == want,
+      "compacted single version must resolve identically")
+  }
+
+  test("dedup_clusters_index guard premise: the %10 carve and the " +
+    "full corpus derive the SAME hot-shingle set (fixture-drift alarm)") {
+    // the registered query builds its index on the doc_id%10!=0 carve
+    // with maxDocFreq=0.1 but is adjudicated against the full-corpus
+    // oracle; equality holds only while the two hot sets coincide —
+    // this assertion makes a fixture drift fail HERE, not as an
+    // inscrutable oracle hash mismatch (round-11 advice)
+    import graft.ops.LshIndex
+    for (dir <- Seq(sf(), sf("sf0.01"))) {
+      val full = tmp("hot-full"); val carve = tmp("hot-carve")
+      LshIndex.build(spark, dir, full, maxDocFreq = Some(0.1))
+      LshIndex.build(spark, dir, carve, maxDocFreq = Some(0.1),
+        docFilter = Some(col("doc_id") % 10 =!= 0))
+      val hf = spark.read.parquet(s"$full/hot")
+        .collect().map(_.getLong(0)).toSet
+      val hc = spark.read.parquet(s"$carve/hot")
+        .collect().map(_.getLong(0)).toSet
+      assert(hf == hc,
+        s"hot sets diverged at $dir: carve-only=${hc -- hf} " +
+          s"full-only=${hf -- hc} — dedup_clusters_index's oracle " +
+          "premise no longer holds; rebuild the query without the carve guard")
+    }
+  }
+
   test("an uncommitted cluster version is invisible (marker protocol)") {
     val dir = writeDocs(Seq(
       1L -> words(1, 30), 2L -> words(1, 30)))
