@@ -431,6 +431,22 @@ object SparkEntry {
         s.read.parquet(s"$dir/documents.parquet").filter(isBatch))
     }),
 
+    // guard-staleness telemetry (the rebuild-now signal): the index is
+    // built on the raw corpus (hot set frozen), then a batch with a
+    // DIVERGENT shared 6-token banner is appended — the 4 full-banner
+    // shingles ride every batch doc, cross the maxDocFreq cutoff over
+    // the grown corpus, and are invisible to the frozen guard; the
+    // report is their exact df histogram + candidate-pair impact
+    "lsh_guard_drift" -> ((s, dir) => {
+      val idx = scratchDir("lshdrift")
+      LshIndex.build(s, dir, idx, maxDocFreq = Some(0.1))
+      val banner = "zq0 zq1 zq2 zq3 zq4 zq5 "
+      LshIndex.append(s, idx,
+        rd(s, dir, "documents").filter(col("doc_id") % 5 === 3)
+          .select((col("doc_id") + lit(30000000L)).as("doc_id"),
+            concat(lit(banner), col("text")).as("text")))
+      LshIndex.guardDrift(s, idx, maxDocFreq = 0.1)
+    }),
     // consolidated duplicate report: one shingle scan feeds the
     // jaccard family; exact + simhash join in; per-pair detector flags
     "dedup_report" -> ((s, dir) =>
@@ -2150,6 +2166,52 @@ object SparkEntry {
         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
     // Full SimHash pin: bit i of a token's hash = bit (i%4) of md5 hex
     // nibble (i/16)*4 + 3-(i%16)/4 (the engine's four 16-bit
+    // Guard-drift oracle: rebuilds the engine's whole lifecycle
+    // arithmetically — build-time hot set over the raw corpus
+    // (cutoff = floor(0.1·N0), N0 = ALL docs, the build convention),
+    // the banner-batch union, post-guard document frequencies, the
+    // report cutoff over the docs the index holds (distinct doc_ids
+    // with ≥1 post-guard shingle — the sets-cardinality convention),
+    // and the identity-free df histogram. Text shingles here vs
+    // xxhash64 in the engine: counts agree absent hash collisions,
+    // the standing convention of the dedup oracle family.
+    "lsh_guard_drift" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS t
+        |  FROM documents
+        |), n0 AS (SELECT count(*) AS c FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id, shingle FROM (
+        |    SELECT doc_id, unnest([ array_to_string(t[i:i+2], ' ')
+        |      for i in range(1, len(t) - 1) ]) AS shingle
+        |    FROM tk WHERE len(t) >= 3)
+        |), hot0 AS (
+        |  SELECT shingle
+        |  FROM (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1), n0
+        |  WHERE df > CAST(floor(0.1 * c) AS BIGINT)
+        |), corpus AS (
+        |  SELECT doc_id, t FROM tk
+        |  UNION ALL
+        |  SELECT doc_id + 30000000 AS doc_id,
+        |    list_concat(['zq0','zq1','zq2','zq3','zq4','zq5'], t) AS t
+        |  FROM tk WHERE doc_id % 5 = 3
+        |), shg AS (
+        |  SELECT doc_id, shingle FROM (
+        |    SELECT DISTINCT doc_id, shingle FROM (
+        |      SELECT doc_id, unnest([ array_to_string(t[i:i+2], ' ')
+        |        for i in range(1, len(t) - 1) ]) AS shingle
+        |      FROM corpus WHERE len(t) >= 3)) s
+        |  WHERE NOT EXISTS (SELECT 1 FROM hot0 h WHERE h.shingle = s.shingle)
+        |), nn AS (SELECT count(DISTINCT doc_id) AS n FROM shg),
+        |drift AS (
+        |  SELECT df FROM
+        |    (SELECT shingle, CAST(count(*) AS BIGINT) AS df
+        |     FROM shg GROUP BY 1), nn
+        |  WHERE df > CAST(floor(0.1 * n) AS BIGINT)
+        |)
+        |SELECT df, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(count(*) * (df * (df - 1) // 2) AS BIGINT) AS worst_case_pairs
+        |FROM drift GROUP BY df""".stripMargin,
     // Skew-report oracle: same 8-gram derivation, same rank
     // arithmetic (r = ceil(q*n)), same fixed-order share division.
     "skew_report" ->

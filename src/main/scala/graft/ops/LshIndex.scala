@@ -155,6 +155,43 @@ object LshIndex {
     } finally scope.release()
   }
 
+  /** Hot-set drift report — the rebuild-now signal for the frozen
+    * guard documented on [[append]]: shingles whose CURRENT document
+    * frequency (over everything the index holds, base + appended
+    * segments) exceeds the `maxDocFreq` cutoff but which are ABSENT
+    * from the persisted hot set, i.e. skew the build-time guard can no
+    * longer see. Returns an identity-free df-histogram:
+    * (df, n_shingles, worst_case_pairs) with worst_case_pairs =
+    * n_shingles · df·(df−1)/2 — the candidate-pair volume those
+    * shingles can feed through band buckets, the operator's
+    * rebuild-cost signal. Identity-free because the index stores
+    * xxhash64 shingles, which a cross-engine oracle cannot recompute;
+    * exact counts pin the same facts (the [[Dedup.skewReport]]
+    * convention).
+    *
+    * Denominator: the documents the index HOLDS (sets cardinality —
+    * docs shorter than n tokens never entered). Cutoff arithmetic
+    * `df > (maxDocFreq · n).toLong` matches [[build]]'s exactly.
+    *
+    * Cost: one scan of the sets relation (text-free 8-byte shingles,
+    * never corpus bytes) + a kilobyte-scale aggregation — an offline
+    * diagnostic with [[Dedup.skewReport]] economics.
+    */
+  def guardDrift(
+      s: SparkSession, path: String, maxDocFreq: Double): DataFrame = {
+    val sets = s.read.parquet(segDirs(s, path).map(_ + "/sets"): _*)
+    val cutoff = (maxDocFreq * sets.count()).toLong
+    val hot = s.read.parquet(s"$path/hot")
+    sets.select(explode(col("shingles")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cutoff)
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+      .groupBy("df")
+      .agg(count(lit(1)).as("n_shingles"))
+      .select(col("df"), col("n_shingles"),
+        expr("n_shingles * (df * (df - 1) div 2)").as("worst_case_pairs"))
+  }
+
   def readMeta(s: SparkSession, path: String): Meta = {
     val r = s.read.parquet(s"$path/meta").head()
     Meta(r.getAs[Int]("n"), r.getAs[Int]("num_hashes"),

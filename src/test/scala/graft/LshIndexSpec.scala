@@ -97,6 +97,45 @@ class LshIndexSpec extends SparkSpec {
     assert(viaGrown == viaFull)
   }
 
+  test("guardDrift: empty right after build; grows as batch " +
+    "vocabulary diverges; exact df and pair arithmetic") {
+    import spark.implicits._
+    def driftRows(banner: String): Seq[(Long, Long, Long)] = {
+      val path = Files.createTempDirectory("lshdrift").toString
+      LshIndex.build(spark, sf(), path, maxDocFreq = Some(0.1))
+      assert(LshIndex.guardDrift(spark, path, 0.1).isEmpty,
+        "a fresh build has zero drift by definition")
+      val batch = spark.read.parquet(s"${sf()}/documents.parquet")
+        .filter(col("doc_id") % 5 === 3)
+        .select((col("doc_id") + 30000000L).as("doc_id"),
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit(banner),
+            col("text")).as("text"))
+      LshIndex.append(spark, path, batch)
+      LshIndex.guardDrift(spark, path, 0.1).collect()
+        .map(r => (r.getAs[Long]("df"), r.getAs[Long]("n_shingles"),
+          r.getAs[Long]("worst_case_pairs"))).toSeq
+    }
+    // a 4-token banner shares 2 full-banner 3-shingles across the
+    // batch; an 8-token banner shares 6 — drift mass grows with
+    // vocabulary divergence
+    val small = driftRows("zx0 zx1 zx2 zx3 ")
+    val big = driftRows("zx0 zx1 zx2 zx3 zx4 zx5 zx6 zx7 ")
+    val batchN = spark.read.parquet(s"${sf()}/documents.parquet")
+      .filter(col("doc_id") % 5 === 3).count()
+    def mass(rows: Seq[(Long, Long, Long)]) = rows.map(_._2).sum
+    assert(mass(small) == 2L && mass(big) == 6L,
+      s"full-banner shingle counts: $small vs $big")
+    assert(mass(big) > mass(small),
+      "drift must grow as the batch vocabulary diverges")
+    // every full-banner shingle rides every batch doc: df = |batch|,
+    // worst-case pairs = n·df·(df−1)/2 exactly
+    for (rows <- Seq(small, big); (df, n, pairs) <- rows) {
+      assert(df == batchN, s"banner shingles must ride every batch doc")
+      assert(pairs == n * df * (df - 1) / 2)
+    }
+  }
+
   private def buildIndexNoGuard(): String = {
     val path = Files.createTempDirectory("lshidx-f").toString
     LshIndex.build(spark, sf(), path, docFilter = Some(!isBatch))
