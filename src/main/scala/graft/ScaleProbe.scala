@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence probes for the round-12 verdict items: delta-chain
+  * resolve cost vs chain length, per-micro-batch cost of the
+  * streaming cluster/snapshot maintenance paths at 1× vs 10×
+  * accumulated corpus, and ADC recall at scale. Each mode prints one
+  * JSON line per measurement (the SCALE_r* raw-file convention).
+  *
+  * Usage: runMain graft.ScaleProbe <mode> <sfDir> [out]
+  *   chain        resolve seconds at delta-chain lengths 1/8/32 and
+  *                post-compact, fixed per-delta change size
+  *   clusterstream  StreamingCluster.applyBatch seconds for a FIXED
+  *                ~1k-doc batch against the accumulated corpus index
+  *   snapstream   StreamingSnapshot.applyBatch seconds for the same
+  *                fixed batch against the accumulated snapshot
+  *   recall       sim_recall_eval's recall@10 rows + seconds
+  */
+object ScaleProbe {
+
+  def main(args: Array[String]): Unit = {
+    val mode = args(0)
+    val dir = args(1)
+    val out = args.lift(2).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-scaleprobe").toString)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime
+      val r = f
+      (r, (System.nanoTime - t0) / 1e9)
+    }
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+
+    mode match {
+      case "chain" =>
+        import spark.implicits._
+        import graft.ops.CorpusSnapshot
+        val root = s"$out/chainroot"
+        graft.ops.IndexCommit.reset(spark, root)
+        // base = the corpus; each delta rewrites the same fixed ~1%
+        // slice with a version-stamped text (change-proportional)
+        val base = docs.select(col("doc_id"), col("text"))
+        CorpusSnapshot.publish(spark, base, root)
+        val slice = base.filter(col("doc_id") % 100 === 1)
+        var published = 0
+        for (target <- Seq(1, 8, 32)) {
+          while (published < target) {
+            CorpusSnapshot.publishDelta(spark,
+              slice.select(col("doc_id"),
+                concat(lit(s"v$published "), col("text")).as("text")),
+              Seq.empty[Long].toDF("doc_id"), root)
+            published += 1
+          }
+          val (n, secs) = timed(
+            CorpusSnapshot.readResolved(spark, root).count())
+          println(s"""{"probe":"chain","dir":"$dir","chain":$target,"docs":$n,"secs":$secs}""")
+        }
+        val (_, csecs) = timed(CorpusSnapshot.compact(spark, root))
+        val (n2, secs2) = timed(
+          CorpusSnapshot.readResolved(spark, root).count())
+        println(s"""{"probe":"chain","dir":"$dir","chain":0,"compact_secs":$csecs,"docs":$n2,"secs":$secs2}""")
+
+      case "clusterstream" =>
+        import graft.ops.ClusterIndex
+        val idx = s"$out/clidx"
+        graft.ops.IndexCommit.reset(spark, idx)
+        // fixed ~1k-doc batch regardless of corpus scale: shard-0 ids
+        // below 2000 exist at every scale
+        val isBatch = col("doc_id") < 2000
+        val (nb, bsecs) = timed(ClusterIndex.build(spark, dir, idx,
+          maxDocFreq = Some(0.1), docFilter = Some(!isBatch)))
+        val batch = docs.filter(isBatch)
+        val (_, asecs) = timed(
+          graft.streaming.StreamingCluster.applyBatch(
+            batch, idx, threshold = 0.8, batchId = 0L))
+        println(s"""{"probe":"clusterstream","dir":"$dir","batch_docs":${batch.count()},"build_secs":$bsecs,"microbatch_secs":$asecs,"build_version":$nb}""")
+
+      case "snapstream" =>
+        import graft.streaming.StreamingSnapshot
+        val root = s"$out/snaproot"
+        graft.ops.IndexCommit.reset(spark, root)
+        val isBatch = col("doc_id") < 2000
+        val base = docs.filter(!isBatch).select(col("doc_id"), col("text"))
+        val (_, psecs) = timed(
+          graft.ops.CorpusSnapshot.publish(spark, base, root))
+        val batch = docs.filter(isBatch).select(col("doc_id"), col("text"))
+        val (_, asecs) = timed(
+          StreamingSnapshot.applyBatch(batch, root,
+            nShards = 8, maxBytes = graft.ops.CorpusSnapshot.DefaultMaxBytes,
+            batchId = 1L))
+        println(s"""{"probe":"snapstream","dir":"$dir","batch_docs":${batch.count()},"base_publish_secs":$psecs,"microbatch_secs":$asecs}""")
+
+      case "recall" =>
+        val (rows, secs) = timed(
+          graft.ops.Similarity.recallEval(spark, dir).collect())
+        val rec = rows.map(r =>
+          s""""q${r.getAs[Long]("query_id")}":${r.getAs[Double]("recall")}""")
+          .mkString(",")
+        val minR = rows.map(_.getAs[Double]("recall")).min
+        println(s"""{"probe":"recall","dir":"$dir","secs":$secs,"min_recall":$minR,"recall":{$rec}}""")
+
+      case other => sys.error(s"unknown probe mode: $other")
+    }
+    spark.stop()
+  }
+}

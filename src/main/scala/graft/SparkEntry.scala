@@ -3432,7 +3432,7 @@ object SparkEntry {
     // (j - (3-f)) mod 64, summed mod 2) — the rotation keeps static
     // clips from collapsing to signature 0. The 288-token reach means
     // the raw corpus never collides on its own, so the fixture PLANTS
-    // twins (doc_id+10000000 for doc_id%100=7): one column-0 pixel of
+    // twins (doc_id+900000000 for doc_id%100=7): one column-0 pixel of
     // frames 0-2 forced to 255, flipping ≤1 clip bit each — Hamming
     // ≤3 guaranteed, the pigeonhole banding exhaustive at ≤3, so the
     // oracle's positive path is live every round (>0 rows); the
@@ -3452,7 +3452,7 @@ object SparkEntry {
         |), g AS (
         |  SELECT doc_id, px FROM g0
         |  UNION ALL
-        |  SELECT doc_id + 10000000 AS doc_id,
+        |  SELECT doc_id + 900000000 AS doc_id,
         |    [ CASE WHEN i IN (1, 82, 163) THEN 255 ELSE px[i] END
         |      for i in range(1, 289) ] AS px
         |  FROM g0 WHERE doc_id % 100 = 7
@@ -4134,7 +4134,7 @@ object SparkEntry {
         |  list_sum(px) / 8.0 AS gray_mean
         |FROM g""".stripMargin,
     // Embedding near-dup at cosine >= 0.9 over the fixture + planted
-    // twins (vec_id%100=7 → vec_id+10000000, first coord × 1.25 →
+    // twins (vec_id%100=7 → vec_id+900000000, first coord × 1.25 →
     // cosine ≥ 0.99381 by construction). The oracle mirrors the
     // engine's banded candidate generation (hyperplane LSH is not
     // exhaustive, so an all-pairs oracle could only agree on empty —
@@ -4146,7 +4146,7 @@ object SparkEntry {
         |), e AS (
         |  SELECT vec_id, v FROM e0
         |  UNION ALL
-        |  SELECT vec_id + 10000000 AS vec_id,
+        |  SELECT vec_id + 900000000 AS vec_id,
         |    list_concat([v[1] * 1.25], v[2:]) AS v
         |  FROM e0 WHERE vec_id % 100 = 7
         |), dims AS (

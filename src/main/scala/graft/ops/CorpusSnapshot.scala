@@ -322,29 +322,54 @@ object CorpusSnapshot {
     * safe to abandon — an uncommitted reservation is invisible
     * forever). Bounded wait, then a clear error naming the lock file.
     */
+  /** One monitor per root: same-JVM publishers (the realistic driver
+    * case — StreamingSnapshot's foreachBatch interleaving with a batch
+    * publisher in one Spark driver) serialize here without touching
+    * the filesystem; the lock FILE below covers cross-process
+    * publishers.
+    */
+  private val rootMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   private[graft] def withDeltaLock[T](
       s: SparkSession, root: String,
       timeoutMs: Long = 120000L, staleMs: Long = 600000L)(f: => T): T = {
     val lock = new Path(s"$root/delta.lock")
     val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.mkdirs(lock.getParent)
-    val deadline = System.currentTimeMillis() + timeoutMs
-    var held = false
-    while (!held) {
-      held = try fs.createNewFile(lock)
-      catch { case _: java.io.IOException => false }
-      if (!held) {
-        val age = try System.currentTimeMillis() -
-          fs.getFileStatus(lock).getModificationTime
-        catch { case _: java.io.FileNotFoundException => 0L }
-        if (age > staleMs) fs.delete(lock, false)
-        else if (System.currentTimeMillis() > deadline)
-          sys.error(s"timed out waiting for delta-publish lock $lock; " +
-            "if no publisher is live, delete the lock file to recover")
-        else Thread.sleep(50)
+    // Atomicity: Hadoop's LocalFileSystem.createNewFile is
+    // check-then-act (two same-host processes can both "win"), so
+    // local paths go through java.nio createFile (O_EXCL, atomic on
+    // POSIX); HDFS-like filesystems get create(overwrite=false),
+    // which the namenode serializes.
+    val localPath = Option(lock.toUri.getScheme).forall(_ == "file")
+    def tryAcquire(): Boolean =
+      try {
+        if (localPath) {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(lock.toUri.getPath))
+          true
+        } else fs.createNewFile(lock)
+      } catch { case _: java.io.IOException => false }
+    val monitor = rootMonitors.computeIfAbsent(root, _ => new Object)
+    monitor.synchronized {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var held = false
+      while (!held) {
+        held = tryAcquire()
+        if (!held) {
+          val age = try System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime
+          catch { case _: java.io.FileNotFoundException => 0L }
+          if (age > staleMs) fs.delete(lock, false)
+          else if (System.currentTimeMillis() > deadline)
+            sys.error(s"timed out waiting for delta-publish lock $lock; " +
+              "if no publisher is live, delete the lock file to recover")
+          else Thread.sleep(50)
+        }
       }
+      try f finally fs.delete(lock, false)
     }
-    try f finally fs.delete(lock, false)
   }
 
   /** Time-travel read RESOLVING delta chains: walk parent pointers
@@ -360,23 +385,36 @@ object CorpusSnapshot {
     * aggregation — a single exchange on the corpus key, tombstones
     * riding the same relation as null-text rows.
     */
-  def readResolved(
+  /** The delta chain `version` (default: current head) resolves
+    * through, oldest-first: the nearest FULL ancestor followed by
+    * every delta down to `version` itself. Chain length is the
+    * resolve-cost driver ([[readResolved]] unions one relation per
+    * member and pays one metadata read per hop), which is why
+    * [[maybeCompact]] exists — exposed so operators can watch it.
+    */
+  def chain(
       s: SparkSession, root: String,
-      version: Option[Long] = None): DataFrame = {
+      version: Option[Long] = None): Seq[Long] = {
     val ids = IndexCommit.committedIds(s, root)
     require(ids.nonEmpty, s"no committed snapshot under $root")
     val head = version.getOrElse(ids.last)
-    var chain = List(head)
+    var acc = List(head)
     // one metaOf per hop — each call is a parquet metadata read, and
     // chains are walked once per resolve
     var meta = metaOf(s, root, head)
     while (meta._1 == "delta") {
       val p = meta._2.getOrElse(
-        sys.error(s"delta version ${chain.head} has no parent"))
-      chain ::= p
+        sys.error(s"delta version ${acc.head} has no parent"))
+      acc ::= p
       meta = metaOf(s, root, p)
     }
-    val events = chain.map { v =>
+    acc
+  }
+
+  def readResolved(
+      s: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val events = chain(s, root, version).map { v =>
       val alive = read(s, root, Some(v))
         .select(col("doc_id"), col("text"), lit(v).as("v"),
           lit(true).as("alive"))
@@ -431,6 +469,25 @@ object CorpusSnapshot {
       s: SparkSession, root: String, nShards: Int = 8,
       maxBytes: Long = DefaultMaxBytes): Long =
     publish(s, readResolved(s, root), root, nShards, maxBytes)
+
+  /** The compact-cadence bound: compact iff the current chain carries
+    * at least `maxChain` deltas, so resolve cost — linear in chain
+    * length (one unioned relation + one metadata read per member,
+    * SCALE_r12) — stays ≤ (maxChain+1)/1 of a freshly-compacted read
+    * no matter how many deltas stream in. Call after each
+    * [[publishDelta]] (or on [[graft.streaming.StreamingSnapshot]]'s
+    * cadence); the compact itself costs one full read+publish, so
+    * amortized overhead is 1/maxChain full publishes per delta.
+    * Returns the compacted version id when it fired.
+    */
+  def maybeCompact(
+      s: SparkSession, root: String, maxChain: Int,
+      nShards: Int = 8, maxBytes: Long = DefaultMaxBytes): Option[Long] = {
+    require(maxChain >= 1, "maxChain must be positive")
+    if (chain(s, root).length - 1 >= maxChain)
+      Some(compact(s, root, nShards, maxBytes))
+    else None
+  }
 
   /** The deterministic two-version fixture the SparkEntry queries
     * publish into a scratch root: v(first) = the `doc_id % 7 ≠ 0`

@@ -1217,10 +1217,12 @@ object PerceptualHash {
   private val VideoFrames = 4
 
   /** doc_id offset of the PLANTED near-duplicate twin clips/vectors —
-    * far above any fixture doc_id at any SF, and even so twin parity
-    * (codec selection) matches the original's.
+    * far above any fixture doc_id at any SF AND above ScaleGen's
+    * k·10⁷ shard offsets (so scale-dir runs never alias a twin to a
+    * shard document); the even offset keeps twin parity (codec
+    * selection) matching the original's.
     */
-  private[graft] val TwinOffset = 10000000L
+  private[graft] val TwinOffset = 900000000L
 
   /** Which docs get a planted twin: sparse, and deliberately not a
     * multiple of the %2 codec carve or the %10 index carves.

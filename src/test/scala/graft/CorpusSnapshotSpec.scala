@@ -289,6 +289,41 @@ class CorpusSnapshotSpec extends SparkSpec {
       "raw diff of a delta version should show the misclassification")
   }
 
+  test("chain length drives resolve cost linearly and maybeCompact " +
+    "bounds it: chain never exceeds maxChain, resolution unchanged") {
+    import spark.implicits._
+    val root = tmpRoot("cadence")
+    CorpusSnapshot.publish(spark,
+      Seq((0L, "base")).toDF("doc_id", "text"), root)
+    val expected = scala.collection.mutable.Map(0L -> "base")
+    var maxSeen = 0
+    for (k <- 1 to 12) {
+      CorpusSnapshot.publishDelta(spark,
+        Seq((k.toLong, s"doc$k")).toDF("doc_id", "text"),
+        Seq.empty[Long].toDF("doc_id"), root)
+      expected(k.toLong) = s"doc$k"
+      // resolve cost is linear in chain length by construction: one
+      // relation per member — pin the structural count
+      val chainLen = CorpusSnapshot.chain(spark, root).length
+      maxSeen = math.max(maxSeen, chainLen - 1)
+      CorpusSnapshot.maybeCompact(spark, root, maxChain = 4)
+      assert(CorpusSnapshot.chain(spark, root).length - 1 < 4 ||
+        CorpusSnapshot.chain(spark, root).length - 1 == 0,
+        "cadence must cap the chain")
+    }
+    assert(maxSeen == 4, s"the cadence fired exactly at the bound: $maxSeen")
+    // post-compact the chain is a single full version and resolution
+    // is byte-for-byte the same corpus
+    assert(CorpusSnapshot.readResolved(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap == expected.toMap)
+    // a fresh head after compaction resolves through a length-1 chain
+    CorpusSnapshot.publishDelta(spark,
+      Seq((99L, "tail")).toDF("doc_id", "text"),
+      Seq.empty[Long].toDF("doc_id"), root)
+    assert(CorpusSnapshot.chain(spark, root).length == 2,
+      "post-compact chains restart from the compacted full version")
+  }
+
   test("delta-publish lock: critical sections serialize, a held lock " +
     "times out with a recovery message, a stale lock is broken") {
     val root = tmpRoot("dlock")
