@@ -341,6 +341,27 @@ class DedupSpec extends SparkSpec {
     assert(evalRows.values.map(_._2).sum / evalRows.size >= 0.8)
   }
 
+  test("ADC recall@10 holds the 0.8 bar as cells grow: 3x corpus") {
+    // ScaleGen's embedding formula (xxhash64(vec_id, dim) -> [-1,1])
+    // at 3x the fixture cardinality — denser IVF cells must not sink
+    // the multi-probe ADC recall below the serving bar (SCALE_r12
+    // pins the same at 10x on the full scale corpora)
+    val dir = java.nio.file.Files.createTempDirectory("recall3x").toString
+    val n = spark.read.parquet(s"${sf()}/embeddings.parquet").count() * 3
+    spark.range(n).select(col("id").as("vec_id"),
+        expr(
+          """transform(sequence(0, 63), d ->
+            |CAST(CAST(xxhash64(id, d) AS DOUBLE)
+            |  / 9.223372036854776e18 AS FLOAT))""".stripMargin)
+          .as("embedding"),
+        lit(0).as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rec = Similarity.recallEval(spark, dir).collect()
+      .map(_.getAs[Double]("recall"))
+    assert(rec.length == 5 && rec.min >= 0.8,
+      s"recall@10 must stay >= 0.8 at 3x density: ${rec.toSeq}")
+  }
+
   test("recallEval divides by the per-query truth count when k exceeds the corpus") {
     // 500 vectors at sf0.001: k=600 makes the brute leg return 499
     // rows per query, so recall must be n_hits/499, not n_hits/600 —
