@@ -4139,7 +4139,9 @@ object SparkEntry {
     // engine's banded candidate generation (hyperplane LSH is not
     // exhaustive, so an all-pairs oracle could only agree on empty —
     // the vacuity this plant removes) then scores candidates exactly;
-    // same md5-parity planes as sim_ann_lsh.
+    // same md5-parity plane derivation as sim_ann_lsh, but 64 planes
+    // in 4 bands of 16 bits — 4-bit keys go quadratic at corpus scale
+    // (SCALE_r12: 127x work at 10x data before this widening).
     "sim_near_dup" ->
       """WITH e0 AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -4155,15 +4157,15 @@ object SparkEntry {
         |  SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || ',' || d::VARCHAR), 2, 1)
         |                      IN ('1','3','5','7','9','b','d','f')
         |                 THEN 1.0 ELSE -1.0 END ORDER BY d) AS cl
-        |  FROM (SELECT p, unnest(range(nd)) AS d FROM range(16) t(p), dims)
+        |  FROM (SELECT p, unnest(range(nd)) AS d FROM range(64) t(p), dims)
         |  GROUP BY p
-        |), sigb AS (
-        |  SELECT vec_id,
-        |    CAST(sum(CASE WHEN list_dot_product(v, cl) > 0 THEN 1 << p ELSE 0 END) AS BIGINT) AS s
-        |  FROM e, coef GROUP BY vec_id
         |), banded AS (
-        |  SELECT vec_id, b AS band, (s >> CAST(b * 4 AS INTEGER)) & 15 AS key
-        |  FROM sigb, range(4) t(b)
+        |  SELECT vec_id, CAST(p // 16 AS INTEGER) AS band,
+        |    CAST(sum(CASE WHEN list_dot_product(v, cl) > 0
+        |      THEN CAST(1 AS BIGINT) << CAST(p % 16 AS INTEGER)
+        |      ELSE 0 END) AS BIGINT) AS key
+        |  FROM e, coef
+        |  GROUP BY vec_id, band
         |), cand AS (
         |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         |  FROM banded a JOIN banded b USING (band, key)

@@ -392,10 +392,19 @@ object Similarity {
     * precedent — hyperplane LSH is not exhaustive, so an all-pairs
     * oracle could only ever agree on empty); recall vs brute force is
     * pinned separately (sim_recall_eval, DedupSpec).
+    *
+    * Band-key width is the densify knob: 16 planes (4-bit keys, 16
+    * buckets/band) collapse at corpus scale — SCALE_r12 measured the
+    * candidate join going quadratic (127× work at 10× data) — so the
+    * default is 64 planes in 4 bands of 16 bits (65 536 buckets/band):
+    * signatures cost 4× more row-local dots, candidate volume drops to
+    * ≈ true-similar pairs, and the 10× growth lands sublinear. Beyond
+    * ~10⁶ vectors per bucket-space, shard by band-key prefix or move
+    * to the IVF path.
     */
   def cosineNearDupPairs(
       s: SparkSession, dir: String, threshold: Double = 0.9,
-      numPlanes: Int = 16, numBands: Int = 4
+      numPlanes: Int = 64, numBands: Int = 4
   ): DataFrame =
     cosineNearDupPairsDf(loadWithTwins(s, dir), threshold, numPlanes, numBands)
 

@@ -459,14 +459,14 @@ class DedupSpec extends SparkSpec {
     val vecs = Similarity.loadWithTwins(spark, sf())
       .select("vec_id", "v").collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
-    val coefs = Similarity.planeCoefs(16, vecs.head._2.length)
+    val coefs = Similarity.planeCoefs(64, vecs.head._2.length)
     def dot(a: Seq[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < b.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
     val sigs = vecs.map { case (id, v) =>
-      val s = (0 until 16).foldLeft(0L)((acc, p) =>
+      val s = (0 until 64).foldLeft(0L)((acc, p) =>
         if (dot(coefs(p), v) > 0) acc | (1L << p) else acc)
       (id, v, s)
     }
@@ -475,7 +475,7 @@ class DedupSpec extends SparkSpec {
     val expected = (for {
       (ia, va, sa) <- sigs; (ib, vb, sb) <- sigs if ia < ib
       if (0 until 4).exists(band =>
-        ((sa >> (band * 4)) & 15) == ((sb >> (band * 4)) & 15))
+        ((sa >>> (band * 16)) & 0xffffL) == ((sb >>> (band * 16)) & 0xffffL))
       if cos(va, vb) >= 0.9
     } yield (ia, ib)).toSet
     assert(got == expected)
