@@ -150,7 +150,13 @@ object ClusterIndex {
     val id = IndexCommit.reserve(s, path)
     val vdir = IndexCommit.versionDir(path, id)
     if (parts.nonEmpty)
+      // repartition on the partition key first: partitionBy alone
+      // writes one file per (upstream partition × part) — 32 shuffle
+      // partitions × 16 ranges = up to 512 shards of a relation that
+      // wants ≤ numParts files. One exchange, proportional to the
+      // rows being published (touched-partition rows on appends)
       assign.withColumn("part", partOf(col("component_id"), l))
+        .repartition(l.numParts, col("part"))
         .write.partitionBy("part").mode("overwrite")
         .parquet(s"$vdir/clusters")
     import s.implicits._
