@@ -173,19 +173,26 @@ object ClusterIndex {
     * O(versions) tiny sidecar reads — [[compact]] + vacuum bound the
     * version count.
     */
-  private def partDirs(
+  private[graft] def partDirs(
       s: SparkSession, path: String,
       only: Option[Set[Int]] = None): Seq[String] = {
     val ids = IndexCommit.committedIds(s, path)
     require(ids.nonEmpty, s"no committed cluster index under $path")
+    val want: Set[Int] =
+      only.getOrElse((0 until layout(s, path).numParts).toSet)
     val fs = new Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val chosen = scala.collection.mutable.Map.empty[Int, Option[String]]
-    for (id <- ids.reverse) {
-      val vdir = IndexCommit.versionDir(path, id)
+    // newest-first with EARLY EXIT once every wanted partition has an
+    // owner: resolution cost is the distance to the newest FULL
+    // version (one sidecar read right after a compact), not the total
+    // version count — [[maybeCompact]]'s cadence bounds that distance
+    val it = ids.reverseIterator
+    while (it.hasNext && !want.subsetOf(chosen.keySet)) {
+      val vdir = IndexCommit.versionDir(path, it.next())
       val owned = s.read.parquet(s"$vdir/partlist")
         .collect().map(_.getInt(0))
-      for (p <- owned if only.forall(_.contains(p)) && !chosen.contains(p)) {
+      for (p <- owned if want.contains(p) && !chosen.contains(p)) {
         val d = new Path(s"$vdir/clusters/part=$p")
         chosen(p) = if (fs.exists(d)) Some(d.toString) else None
       }
@@ -328,6 +335,27 @@ object ClusterIndex {
   def compact(s: SparkSession, path: String): Long = {
     val l = layout(s, path)
     publishParts(s, path, assignment(s, path), l, 0 until l.numParts)
+  }
+
+  /** The compact-cadence bound for long append streams (the
+    * [[CorpusSnapshot.maybeCompact]] convention): partition resolution
+    * walks versions newest-first until every partition has an owner —
+    * its cost is the distance to the newest FULL version, so a
+    * [[graft.streaming.StreamingCluster]] feed accumulating hundreds
+    * of partial versions would pay O(appends-since-full) sidecar reads
+    * per probe. Fired after appends, this compacts once `maxVersions`
+    * committed versions have accumulated, bounding resolution at
+    * maxVersions sidecar reads for one full-assignment rewrite per
+    * maxVersions appends; follow with [[IndexCommit.vacuum]] (the
+    * compacted version is full, so keeping it is safe) to also bound
+    * disk. Returns the compacted id when it fired.
+    */
+  def maybeCompact(
+      s: SparkSession, path: String, maxVersions: Int): Option[Long] = {
+    require(maxVersions >= 2, "maxVersions must be at least 2")
+    if (IndexCommit.committedIds(s, path).length >= maxVersions)
+      Some(compact(s, path))
+    else None
   }
 
   /** The CURRENT committed cluster relation — identical rows to

@@ -90,10 +90,15 @@ object IndexCommit {
     fs.create(new Path(commits, id.toString), false).close()
   }
 
-  /** Retire all but the newest `keep` committed versions. Each
-    * version is a full snapshot, so without this an append-heavy
-    * index retains every historical copy — O(appends × index size)
-    * disk. Order is the safety argument: the MARKER goes first (the
+  /** Retire all but the newest `keep` committed versions. For indexes
+    * whose versions are full snapshots this is always safe; for
+    * PARTIAL-version layouts ([[ClusterIndex]]'s range partitions,
+    * [[CorpusSnapshot]]'s delta chains) an old version can hold live
+    * state, so vacuum only after the owner's `compact` has placed a
+    * full version inside the kept window (both owners document and
+    * spec-pin this). Without vacuuming, an append-heavy index retains
+    * every historical copy — O(appends × index size) disk.
+    * Order is the safety argument: the MARKER goes first (the
     * version becomes unresolvable before any data byte disappears),
     * then the data directory; a vacuum killed between the two leaves
     * an invisible orphan, not a torn version. Reservations are

@@ -219,6 +219,40 @@ class ClusterIndexSpec extends SparkSpec {
     }
   }
 
+  test("maybeCompact + vacuum cadence bounds resolution distance and " +
+    "version count over an append stream") {
+    val idx = tmp("cadence")
+    val baseDir = writeDocs(Seq(
+      1L -> words(1, 30),
+      250L -> "completely unrelated text about something else entirely"))
+    ClusterIndex.build(spark, baseDir, idx,
+      threshold = 0.5, rowsPerBand = 1, numParts = 4)
+    var fired = 0
+    for (k <- 1 to 6) {
+      val bDir = writeDocs(Seq(
+        (1000L + k) -> s"fresh batch number $k with its own words w${k}a w${k}b"))
+      ClusterIndex.append(spark, idx,
+        spark.read.parquet(s"$bDir/documents.parquet"), threshold = 0.5)
+      // the operational recipe: compact at the cadence, then vacuum
+      // to the (full) compacted version
+      if (ClusterIndex.maybeCompact(spark, idx, maxVersions = 3).isDefined) {
+        fired += 1
+        IndexCommit.vacuum(spark, idx, keep = 1)
+        // right after a compact, resolution touches ONLY the
+        // compacted version (partDirs' early exit): one version dir
+        val dirs = ClusterIndex.partDirs(spark, idx)
+        assert(dirs.map(_.split("/clusters/").head).distinct.size == 1,
+          s"post-compact resolution must read one version: $dirs")
+      }
+      assert(IndexCommit.committedIds(spark, idx).length <= 3,
+        "cadence + vacuum must bound the committed version count")
+    }
+    assert(fired >= 2, s"the cadence must actually have fired: $fired")
+    val want = clusterMap(ClusterIndex.clusters(spark, idx))
+    assert(want.keySet == Set(1L, 250L) ++ (1 to 6).map(1000L + _),
+      s"every appended doc must survive the compact/vacuum loop: $want")
+  }
+
   test("an uncommitted cluster version is invisible (marker protocol)") {
     val dir = writeDocs(Seq(
       1L -> words(1, 30), 2L -> words(1, 30)))
