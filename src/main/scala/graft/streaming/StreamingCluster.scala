@@ -67,14 +67,15 @@ object StreamingCluster {
       indexPath: String,
       checkpointDir: String,
       threshold: Double = 0.8,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxVersions: Option[Int] = None
   ): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, indexPath, threshold, batchId)
+        applyBatch(batch, indexPath, threshold, batchId, maxVersions)
         ()
       }
       .start()
@@ -89,11 +90,20 @@ object StreamingCluster {
       batch: DataFrame,
       indexPath: String,
       threshold: Double,
-      batchId: Long
+      batchId: Long,
+      maxVersions: Option[Int] = None
   ): Unit = {
     val s = batch.sparkSession
     if (!ledgerHas(s, indexPath, batchId)) {
-      if (!batch.isEmpty) ClusterIndex.append(s, indexPath, batch, threshold)
+      if (!batch.isEmpty) {
+        ClusterIndex.append(s, indexPath, batch, threshold)
+        // in-stream compact cadence ([[ClusterIndex.maybeCompact]]):
+        // caps resolution at maxVersions sidecar reads. Outside the
+        // ledger guard on purpose — relation-level idempotent, a
+        // replayed compact is waste, never wrongness. Vacuum stays an
+        // operator action (staleness-window policy).
+        maxVersions.foreach(ClusterIndex.maybeCompact(s, indexPath, _))
+      }
       markLedger(s, indexPath, batchId)
     }
   }

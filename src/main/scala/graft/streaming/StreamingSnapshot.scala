@@ -37,14 +37,15 @@ object StreamingSnapshot {
       checkpointDir: String,
       nShards: Int = 8,
       maxBytes: Long = CorpusSnapshot.DefaultMaxBytes,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxChain: Option[Int] = None
   ): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, root, nShards, maxBytes, batchId)
+        applyBatch(batch, root, nShards, maxBytes, batchId, maxChain)
         ()
       }
       .start()
@@ -60,7 +61,8 @@ object StreamingSnapshot {
       root: String,
       nShards: Int,
       maxBytes: Long,
-      batchId: Long
+      batchId: Long,
+      maxChain: Option[Int] = None
   ): Unit = {
     val s = batch.sparkSession
     if (!StreamingCluster.ledgerHas(s, root, batchId)) {
@@ -72,6 +74,14 @@ object StreamingSnapshot {
         else
           CorpusSnapshot.publishDelta(s, d,
             Seq.empty[Long].toDF("doc_id"), root, nShards, maxBytes)
+        // the in-stream compact cadence: caps the resolve chain at
+        // maxChain deltas ([[CorpusSnapshot.maybeCompact]]). Outside
+        // the ledger guard's replay protection on purpose — a compact
+        // is relation-level idempotent (it publishes the resolved
+        // corpus), so a crash-replay double-compact is waste, never
+        // wrongness. Vacuum stays an operator action (its staleness
+        // window needs a policy, not a stream default).
+        maxChain.foreach(CorpusSnapshot.maybeCompact(s, root, _))
         ()
       }
       StreamingCluster.markLedger(s, root, batchId)

@@ -103,6 +103,30 @@ class StreamingClusterSpec extends SparkSpec {
       "an empty batch still ledgers its id")
   }
 
+  test("in-stream compact cadence caps resolution distance while the " +
+    "streamed state stays correct") {
+    val dir = writeDocs(base)
+    val idx = tmp("cadence")
+    ClusterIndex.build(spark, dir, idx, threshold = 0.45, numParts = 4)
+    for (k <- 0 to 5) {
+      StreamingCluster.applyBatch(
+        df(Seq((100L + k) -> words(1000 + 40 * k, 1030 + 40 * k))),
+        idx, 0.45, k.toLong, maxVersions = Some(3))
+      // after any compact the newest version is FULL, so resolution
+      // never walks more than maxVersions sidecars; structurally,
+      // every partition resolves within the newest 3 versions
+      val ids = IndexCommit.committedIds(spark, idx)
+      val resolved = ClusterIndex.partDirs(spark, idx)
+        .map(_.split("/v=")(1).split("/")(0).toLong).distinct
+      assert(resolved.forall(v => ids.reverse.take(3).contains(v)),
+        s"resolution must stay within the newest 3 versions: $resolved of $ids")
+    }
+    val got = clusterMap(ClusterIndex.clusters(spark, idx))
+    assert((100L to 105L).forall(id => got(id) == ((id, true))),
+      s"streamed singletons must all be present post-cadence: $got")
+    assert(got(1L)._1 == 1L && got(5L)._1 == 5L)
+  }
+
   test("end-to-end through a real AvailableNow stream") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -31,6 +31,20 @@ class StreamingSnapshotSpec extends SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("in-stream compact cadence caps the resolve chain at maxChain") {
+    val root = tmpRoot("cadence")
+    val expected = scala.collection.mutable.Map.empty[Long, String]
+    for (k <- 0 to 9) {
+      StreamingSnapshot.applyBatch(df(Seq(k.toLong -> s"doc$k")),
+        root, 8, CorpusSnapshot.DefaultMaxBytes, k.toLong,
+        maxChain = Some(3))
+      expected(k.toLong) = s"doc$k"
+      assert(CorpusSnapshot.chain(spark, root).length - 1 <= 3,
+        "the in-stream cadence must cap the delta chain")
+    }
+    assert(m(CorpusSnapshot.readResolved(spark, root)) == expected.toMap)
+  }
+
   test("first batch publishes full, later deltas; LWW resolve; ledger " +
     "no-op; torn replay keeps the rows; compact collapses the chain") {
     val root = tmpRoot("ingest")
