@@ -279,7 +279,22 @@ object ClusterIndex {
     */
   def append(
       s: SparkSession, path: String, batch: DataFrame,
-      threshold: Double = 0.8): Long = {
+      threshold: Double = 0.8): Long =
+    // serialize appends behind the root lock ([[IndexCommit.withLock]]
+    // — the publishDelta convention): an append reads the current
+    // assignment and publishes its successor, so two interleaved
+    // appenders would each rewrite from the same base and the later
+    // commit would silently drop the earlier one's touched-partition
+    // rewrites. The embedded LSH append inside stays concurrency-safe
+    // on its own (disjoint segments), but ordering it under the same
+    // lock keeps probe-visible state consistent with the assignment.
+    IndexCommit.withLock(s, path, "append.lock") {
+      appendLocked(s, path, batch, threshold)
+    }
+
+  private def appendLocked(
+      s: SparkSession, path: String, batch: DataFrame,
+      threshold: Double): Long = {
     LshIndex.append(s, lshRoot(path), batch)
     val scope = new CacheScope
     try {

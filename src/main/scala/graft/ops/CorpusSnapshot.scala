@@ -322,55 +322,10 @@ object CorpusSnapshot {
     * safe to abandon — an uncommitted reservation is invisible
     * forever). Bounded wait, then a clear error naming the lock file.
     */
-  /** One monitor per root: same-JVM publishers (the realistic driver
-    * case — StreamingSnapshot's foreachBatch interleaving with a batch
-    * publisher in one Spark driver) serialize here without touching
-    * the filesystem; the lock FILE below covers cross-process
-    * publishers.
-    */
-  private val rootMonitors =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
-
   private[graft] def withDeltaLock[T](
       s: SparkSession, root: String,
-      timeoutMs: Long = 120000L, staleMs: Long = 600000L)(f: => T): T = {
-    val lock = new Path(s"$root/delta.lock")
-    val fs = lock.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.mkdirs(lock.getParent)
-    // Atomicity: Hadoop's LocalFileSystem.createNewFile is
-    // check-then-act (two same-host processes can both "win"), so
-    // local paths go through java.nio createFile (O_EXCL, atomic on
-    // POSIX); HDFS-like filesystems get create(overwrite=false),
-    // which the namenode serializes.
-    val localPath = Option(lock.toUri.getScheme).forall(_ == "file")
-    def tryAcquire(): Boolean =
-      try {
-        if (localPath) {
-          java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(lock.toUri.getPath))
-          true
-        } else fs.createNewFile(lock)
-      } catch { case _: java.io.IOException => false }
-    val monitor = rootMonitors.computeIfAbsent(root, _ => new Object)
-    monitor.synchronized {
-      val deadline = System.currentTimeMillis() + timeoutMs
-      var held = false
-      while (!held) {
-        held = tryAcquire()
-        if (!held) {
-          val age = try System.currentTimeMillis() -
-            fs.getFileStatus(lock).getModificationTime
-          catch { case _: java.io.FileNotFoundException => 0L }
-          if (age > staleMs) fs.delete(lock, false)
-          else if (System.currentTimeMillis() > deadline)
-            sys.error(s"timed out waiting for delta-publish lock $lock; " +
-              "if no publisher is live, delete the lock file to recover")
-          else Thread.sleep(50)
-        }
-      }
-      try f finally fs.delete(lock, false)
-    }
-  }
+      timeoutMs: Long = 120000L, staleMs: Long = 600000L)(f: => T): T =
+    IndexCommit.withLock(s, root, "delta.lock", timeoutMs, staleMs)(f)
 
   /** Time-travel read RESOLVING delta chains: walk parent pointers
     * from `version` (default: current) back to the nearest FULL

@@ -120,6 +120,70 @@ object IndexCommit {
     drop
   }
 
+  /** One monitor per (root, lock-name): same-JVM writers (the
+    * realistic driver case — a streaming foreachBatch interleaving
+    * with a batch publisher in one Spark driver) serialize here
+    * without touching the filesystem; the lock FILE below covers
+    * cross-process writers.
+    */
+  private val lockMonitors =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Serialize a read-modify-write critical section behind a
+    * root-level lock file (atomic create-new). The marker protocol
+    * alone makes individual publishes atomic but cannot order two
+    * writers that each read state and publish a successor — delta
+    * chains ([[CorpusSnapshot.publishDelta]]) would fork and
+    * partial-version assignments ([[ClusterIndex.append]]) would lose
+    * one writer's rewrite. Used by both; full snapshot publishes and
+    * LSH segment appends stay lock-free (self-contained / disjoint).
+    *
+    * Atomicity: Hadoop's LocalFileSystem.createNewFile is
+    * check-then-act (two same-host processes can both "win"), so
+    * local paths go through java.nio createFile (O_EXCL, atomic on
+    * POSIX); HDFS-like filesystems get create(overwrite=false), which
+    * the namenode serializes. A writer killed inside the critical
+    * section leaves a stale lock; waiters break locks older than
+    * `staleMs` (safe — an uncommitted reservation is invisible
+    * forever). Bounded wait, then a clear error naming the lock file.
+    */
+  private[graft] def withLock[T](
+      s: SparkSession, root: String, name: String,
+      timeoutMs: Long = 120000L, staleMs: Long = 600000L)(f: => T): T = {
+    val lock = new Path(s"$root/$name")
+    val fs = hfs(s, root)
+    fs.mkdirs(lock.getParent)
+    val localPath = Option(lock.toUri.getScheme).forall(_ == "file")
+    def tryAcquire(): Boolean =
+      try {
+        if (localPath) {
+          java.nio.file.Files.createFile(
+            java.nio.file.Paths.get(lock.toUri.getPath))
+          true
+        } else fs.createNewFile(lock)
+      } catch { case _: java.io.IOException => false }
+    val monitor =
+      lockMonitors.computeIfAbsent(s"$root#$name", _ => new Object)
+    monitor.synchronized {
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var held = false
+      while (!held) {
+        held = tryAcquire()
+        if (!held) {
+          val age = try System.currentTimeMillis() -
+            fs.getFileStatus(lock).getModificationTime
+          catch { case _: java.io.FileNotFoundException => 0L }
+          if (age > staleMs) fs.delete(lock, false)
+          else if (System.currentTimeMillis() > deadline)
+            sys.error(s"timed out waiting for writer lock $lock; " +
+              "if no writer is live, delete the lock file to recover")
+          else Thread.sleep(50)
+        }
+      }
+      try f finally fs.delete(lock, false)
+    }
+  }
+
   /** Drop every version, marker, and reservation — the destructive
     * reset a rebuild starts from. Exclusive by contract: rebuilds run
     * on a fresh path (or during downtime), never under live readers.

@@ -253,6 +253,30 @@ class ClusterIndexSpec extends SparkSpec {
       s"every appended doc must survive the compact/vacuum loop: $want")
   }
 
+  test("concurrent appends serialize: no writer's rewrite is lost") {
+    // without the root lock, two appenders read the same assignment
+    // base and the later commit drops the earlier one's rows (the
+    // read-modify-write race the snapshot delta chain also had)
+    val idx = tmp("race")
+    val baseDir = writeDocs(Seq(1L -> words(1, 30)))
+    ClusterIndex.build(spark, baseDir, idx,
+      threshold = 0.5, rowsPerBand = 1, numParts = 4)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = (2 to 4).map { k =>
+      val bDir = writeDocs(Seq(
+        (100L * k) -> s"writer $k speaks its own words x${k}a x${k}b x${k}c"))
+      new Thread(() =>
+        try { ClusterIndex.append(spark, idx,
+          spark.read.parquet(s"$bDir/documents.parquet"), threshold = 0.5); () }
+        catch { case t: Throwable => errs.add(t); () })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"appenders must not fail: ${errs.peek()}")
+    val got = clusterMap(ClusterIndex.clusters(spark, idx))
+    assert(got.keySet == Set(1L, 200L, 300L, 400L),
+      s"every concurrent appender's docs must survive: $got")
+  }
+
   test("an uncommitted cluster version is invisible (marker protocol)") {
     val dir = writeDocs(Seq(
       1L -> words(1, 30), 2L -> words(1, 30)))

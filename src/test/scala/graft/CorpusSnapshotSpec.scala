@@ -345,7 +345,8 @@ class CorpusSnapshotSpec extends SparkSpec {
     val e = intercept[RuntimeException] {
       CorpusSnapshot.withDeltaLock(spark, root, timeoutMs = 200L) { () }
     }
-    assert(e.getMessage.contains("delta-publish lock"))
+    assert(e.getMessage.contains("writer lock") &&
+      e.getMessage.contains("delta.lock"))
     // a STALE lock (mtime past staleMs) is broken and the publish runs
     Files.setLastModifiedTime(lockFile,
       java.nio.file.attribute.FileTime.fromMillis(
