@@ -107,12 +107,22 @@ object BloomIndex {
     * concurrently-running streaming probe crosses the publish without
     * ever seeing torn files.
     *
-    * Appends are single-writer: two appends racing from the same base
-    * version would each publish a union missing the other's bits (the
-    * lost-update anomaly full snapshots can't merge away), so the
-    * stale-base case fails LOUDLY here instead of publishing silently.
+    * Appends serialize behind the root writer lock
+    * ([[IndexCommit.withLock]], the [[ClusterIndex.append]]
+    * convention): two appends racing from the same base version would
+    * each publish a union missing the other's bits (the lost-update
+    * anomaly full snapshots can't merge away). The stale-base check
+    * stays as defense-in-depth (it catches a writer that slipped past
+    * a broken stale lock) and still fails LOUDLY rather than
+    * publishing silently.
     */
-  def append(s: SparkSession, batch: DataFrame, path: String): Unit = {
+  def append(s: SparkSession, batch: DataFrame, path: String): Unit =
+    IndexCommit.withLock(s, path, "append.lock") {
+      appendLocked(s, batch, path)
+    }
+
+  private def appendLocked(
+      s: SparkSession, batch: DataFrame, path: String): Unit = {
     val baseIds = IndexCommit.committedIds(s, path)
     require(baseIds.nonEmpty, s"no committed bloom index version at $path")
     val base = baseIds.last

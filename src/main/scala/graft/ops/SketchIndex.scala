@@ -47,9 +47,14 @@ object SketchIndex {
     * publish the merge as a new version. Returns the committed id.
     */
   def appendHll(s: SparkSession, path: String, batch: DataFrame): Long =
-    publishHll(s, path,
-      loadHll(s, path).unionByName(Sketches.hllRegistersOf(batch))
-        .groupBy("source", "j").agg(max("mj").as("mj")))
+    // read-modify-write: serialize appenders or the later commit's
+    // registers miss the earlier batch's maxima (IndexCommit.withLock,
+    // the ClusterIndex.append convention)
+    IndexCommit.withLock(s, path, "append.lock") {
+      publishHll(s, path,
+        loadHll(s, path).unionByName(Sketches.hllRegistersOf(batch))
+          .groupBy("source", "j").agg(max("mj").as("mj")))
+    }
 
   private def publishHll(
       s: SparkSession, path: String, regs: DataFrame): Long = {
@@ -101,14 +106,16 @@ object SketchIndex {
     * publish the sum as a new version. Exactly-once by contract (see
     * the object doc); returns the committed id.
     */
-  def appendCms(s: SparkSession, path: String, batch: DataFrame): Long = {
-    val (depth, width) = cmsMeta(s, path)
-    publishCms(s, path,
-      loadCms(s, path)
-        .unionByName(
-          Sketches.cmsGridOf(Sketches.cmsTokensOf(batch), depth, width))
-        .groupBy("i", "b").agg(sum("cnt").as("cnt")))
-  }
+  def appendCms(s: SparkSession, path: String, batch: DataFrame): Long =
+    // serialized like appendHll — lost-update on the grid otherwise
+    IndexCommit.withLock(s, path, "append.lock") {
+      val (depth, width) = cmsMeta(s, path)
+      publishCms(s, path,
+        loadCms(s, path)
+          .unionByName(
+            Sketches.cmsGridOf(Sketches.cmsTokensOf(batch), depth, width))
+          .groupBy("i", "b").agg(sum("cnt").as("cnt")))
+    }
 
   private def publishCms(
       s: SparkSession, path: String, grid: DataFrame): Long = {
@@ -160,17 +167,19 @@ object SketchIndex {
   /** Union the batch's minima into the current state, re-rank, publish
     * as a new version. Returns the committed id.
     */
-  def appendKmv(s: SparkSession, path: String, batch: DataFrame): Long = {
-    val k = kmvK(s, path)
-    publishKmv(s, path,
-      Sketches.kmvMinima(
-        loadKmv(s, path)
-          .unionByName(
-            Sketches.kmvMinima(Sketches.kmvHashesOf(batch), k)
-              .select("source", "h"))
-          .distinct(), k)
-        .select("source", "h"))
-  }
+  def appendKmv(s: SparkSession, path: String, batch: DataFrame): Long =
+    // serialized like appendHll — lost-update on the minima otherwise
+    IndexCommit.withLock(s, path, "append.lock") {
+      val k = kmvK(s, path)
+      publishKmv(s, path,
+        Sketches.kmvMinima(
+          loadKmv(s, path)
+            .unionByName(
+              Sketches.kmvMinima(Sketches.kmvHashesOf(batch), k)
+                .select("source", "h"))
+            .distinct(), k)
+          .select("source", "h"))
+    }
 
   private def publishKmv(
       s: SparkSession, path: String, minima: DataFrame): Long = {

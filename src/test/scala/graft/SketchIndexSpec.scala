@@ -32,6 +32,27 @@ class SketchIndexSpec extends SparkSpec {
       "register-max append must reproduce the one-job sketch exactly")
   }
 
+  test("hll index: concurrent appends serialize — no batch's maxima lost") {
+    // read-modify-write appends racing from one base would each
+    // publish registers missing the other's maxima; the writer lock
+    // serializes them, so the final state equals the one-job sketch
+    val path = tmp("hllrace")
+    val d = docs()
+    SketchIndex.buildHll(spark, d.filter(col("doc_id") % 4 === 0), path)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]
+    val ts = (1 to 3).map { r =>
+      new Thread(() =>
+        try { SketchIndex.appendHll(spark, path,
+          d.filter(col("doc_id") % 4 === r)); () }
+        catch { case t: Throwable => errs.add(t); () })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    assert(errs.isEmpty, s"appenders must not fail: ${errs.peek()}")
+    assert(rowsOf(SketchIndex.hllSketch(spark, path))
+      == rowsOf(Sketches.hllDistinctShingles(spark, sf())),
+      "three concurrent appends must fold every batch's registers in")
+  }
+
   test("hll index: re-appending the same batch is a no-op (max is idempotent)") {
     val path = tmp("hllidx2")
     val d = docs()
