@@ -43,7 +43,10 @@ final class ParquetMergeSink(
   override def write(
       merge: MergeResult, delta: DataFrame, spec: MergeSpec): Long = {
     Staging.writeBatched(merge.updated, path, chunkSize)
-    merge.rowCountUpdated
+    // affected = both legs: for an upsert result `updated` already IS
+    // the upserted relation, so the count mirrors the JDBC sinks'
+    // update+insert total
+    merge.rowCountUpdated + merge.rowCountInserted
   }
 }
 

@@ -393,6 +393,27 @@ class MergeSinkSpec extends SparkSpec {
       .filter(col("o_totalprice") =!= col("orig"))
     assert(changed.count() == delta.count())
   }
+
+  test("ParquetMergeSink upsert: affected counts both legs, appended " +
+    "rows land in the lake") {
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("merge_sink_up").toString + "/groceries"
+    val target = Seq(("ID1", "Apple", 10.0), ("ID2", "Pear", 9.0))
+      .toDF("id", "item", "price")
+    val delta = Seq(("ID1", "Apple", 20.0), ("ID9", "Mango", 30.0))
+      .toDF("id", "item", "price")
+    val r = new Importer(target, delta, tablePk = Seq("id"))
+      .run(update = true, insert = true)
+    val affected = new ParquetMergeSink(dir).write(r, delta,
+      MergeSpec("groceries", Seq("id"), Seq("item", "price"),
+        insertUnmatched = true))
+    assert(affected == 2L, "one update + one insert")
+    val back = spark.read.parquet(dir).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getDouble(2))).toSet
+    assert(back == Set(("ID1", "Apple", 20.0), ("ID2", "Pear", 9.0),
+      ("ID9", "Mango", 30.0)))
+  }
 }
 
 /** JVM-shared recording fake for the parallel sink: executor closures
