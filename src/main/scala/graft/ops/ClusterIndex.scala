@@ -173,9 +173,17 @@ object ClusterIndex {
     * O(versions) tiny sidecar reads — [[compact]] + vacuum bound the
     * version count.
     */
-  private[graft] def partDirs(
+  /** Resolve every partition (optionally restricted to `only`) to the
+    * data dir of its newest owning committed version; partitions
+    * rewritten EMPTY resolve to None. Newest-first with EARLY EXIT
+    * once every wanted partition has an owner: resolution cost is the
+    * distance to the newest FULL version (one sidecar read right
+    * after a compact), not the total version count —
+    * [[maybeCompact]]'s cadence bounds that distance.
+    */
+  private[graft] def partDirMap(
       s: SparkSession, path: String,
-      only: Option[Set[Int]] = None): Seq[String] = {
+      only: Option[Set[Int]] = None): Map[Int, Option[String]] = {
     val ids = IndexCommit.committedIds(s, path)
     require(ids.nonEmpty, s"no committed cluster index under $path")
     val want: Set[Int] =
@@ -183,10 +191,6 @@ object ClusterIndex {
     val fs = new Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val chosen = scala.collection.mutable.Map.empty[Int, Option[String]]
-    // newest-first with EARLY EXIT once every wanted partition has an
-    // owner: resolution cost is the distance to the newest FULL
-    // version (one sidecar read right after a compact), not the total
-    // version count — [[maybeCompact]]'s cadence bounds that distance
     val it = ids.reverseIterator
     while (it.hasNext && !want.subsetOf(chosen.keySet)) {
       val vdir = IndexCommit.versionDir(path, it.next())
@@ -197,13 +201,16 @@ object ClusterIndex {
         chosen(p) = if (fs.exists(d)) Some(d.toString) else None
       }
     }
-    chosen.values.flatten.toSeq
+    chosen.toMap
   }
 
-  private def assignmentOf(
+  private[graft] def partDirs(
       s: SparkSession, path: String,
-      only: Option[Set[Int]] = None): DataFrame = {
-    val dirs = partDirs(s, path, only)
+      only: Option[Set[Int]] = None): Seq[String] =
+    partDirMap(s, path, only).values.flatten.toSeq
+
+  private def readParts(
+      s: SparkSession, dirs: Seq[String]): DataFrame =
     if (dirs.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
@@ -212,10 +219,9 @@ object ClusterIndex {
           org.apache.spark.sql.types.StructField("component_id",
             org.apache.spark.sql.types.LongType))))
     else s.read.parquet(dirs: _*).select("doc_id", "component_id")
-  }
 
   private def assignment(s: SparkSession, path: String): DataFrame =
-    assignmentOf(s, path)
+    readParts(s, partDirs(s, path))
 
   /** Build the index from the corpus at `dir` (optionally restricted
     * by `docFilter`): one [[LshIndex.build]] (the only corpus
@@ -302,7 +308,11 @@ object ClusterIndex {
       val edges = LshIndex.probe(s, lshRoot(path), batch, threshold, scope)
         .filter(col("doc_new") =!= col("doc_idx"))
         .select(col("doc_new").as("u"), col("doc_idx").as("v"))
-      val cur = assignment(s, path)
+      // one partlist resolution serves both the full current
+      // assignment (label contraction, anti-join) and the
+      // touched-partition rewrite below
+      val dirMap = partDirMap(s, path)
+      val cur = readParts(s, dirMap.values.flatten.toSeq)
       // contract edge endpoints to current labels (batch docs are
       // their own label until merged)
       val lu = cur.toDF("u", "lu")
@@ -330,7 +340,7 @@ object ClusterIndex {
         .unionByName(remap.select(partOf(col("new_label"), l).as("part")))
         .unionByName(added.select(partOf(col("component_id"), l).as("part")))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
-      val curTouched = assignmentOf(s, path, Some(touched.toSet))
+      val curTouched = readParts(s, touched.flatMap(dirMap.get).flatten)
       publishParts(s, path,
         curTouched.unionByName(added)
           .join(remap,
