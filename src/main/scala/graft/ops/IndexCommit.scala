@@ -66,6 +66,37 @@ object IndexCommit {
   def currentDir(s: SparkSession, path: String): Option[String] =
     committedIds(s, path).lastOption.map(versionDir(path, _))
 
+  /** Whether `fs` resolves to the driver's local disk. Classified by
+    * the RESOLVED filesystem, not the raw URI: a scheme-less path
+    * under `fs.defaultFS=hdfs://...` resolves remote, and treating it
+    * as local would create lock/reservation files via NIO on the
+    * driver while every other operation (mkdirs, stat, delete) goes
+    * through the Hadoop FileSystem — mutual exclusion silently void.
+    */
+  private def isLocalFs(fs: FileSystem): Boolean =
+    fs.getUri.getScheme == "file"
+
+  /** Atomic create-new, the primitive both [[reserve]] and
+    * [[withLock]] acquire through. Hadoop's
+    * `LocalFileSystem.createNewFile` is check-then-act (two same-host
+    * PROCESSES can both "win" — a JVM monitor can't help), so local
+    * filesystems go through NIO `createFile` (O_EXCL, atomic on
+    * POSIX); everything else gets `create(overwrite=false)`, which
+    * HDFS-like filesystems serialize at the namenode. The path is
+    * qualified against `fs` first so the NIO leg and the Hadoop legs
+    * always name the same file. Returns false when the file already
+    * exists (lost the race).
+    */
+  private def atomicCreate(fs: FileSystem, p: Path): Boolean =
+    try {
+      val q = fs.makeQualified(p)
+      if (isLocalFs(fs))
+        java.nio.file.Files.createFile(
+          java.nio.file.Paths.get(q.toUri.getPath))
+      else fs.create(q, false).close()
+      true
+    } catch { case _: java.io.IOException => false }
+
   /** Reserve the next id: atomically create `locks/<id>`, scanning
     * upward past ids other writers (live or dead) already own.
     */
@@ -75,7 +106,7 @@ object IndexCommit {
     fs.mkdirs(locks)
     var id = (idsIn(fs, locks) ++ committedIds(s, path))
       .foldLeft(-1L)(math.max) + 1
-    while (!fs.createNewFile(new Path(locks, id.toString))) id += 1
+    while (!atomicCreate(fs, new Path(locks, id.toString))) id += 1
     id
   }
 
@@ -138,46 +169,71 @@ object IndexCommit {
     * one writer's rewrite. Used by both; full snapshot publishes and
     * LSH segment appends stay lock-free (self-contained / disjoint).
     *
-    * Atomicity: Hadoop's LocalFileSystem.createNewFile is
-    * check-then-act (two same-host processes can both "win"), so
-    * local paths go through java.nio createFile (O_EXCL, atomic on
-    * POSIX); HDFS-like filesystems get create(overwrite=false), which
-    * the namenode serializes. A writer killed inside the critical
+    * Atomicity: acquisition goes through [[atomicCreate]] (NIO O_EXCL
+    * on local filesystems, namenode-serialized create-new elsewhere —
+    * classified by the RESOLVED filesystem, so a scheme-less path
+    * under a remote defaultFS locks remotely, where every other
+    * operation already goes). A writer killed inside the critical
     * section leaves a stale lock; waiters break locks older than
     * `staleMs` (safe — an uncommitted reservation is invisible
-    * forever). Bounded wait, then a clear error naming the lock file.
+    * forever). Breaking is arbitrated: the waiter re-stats the lock,
+    * and only if its mtime still matches the one judged stale RENAMES
+    * it to a unique tombstone before deleting — two waiters that both
+    * saw the same stale lock race on the rename, exactly one wins,
+    * and the loser goes back to waiting instead of deleting the
+    * winner's fresh lock (the lost-update the lock exists to
+    * prevent). Bounded wait, then a clear error naming the lock file.
     */
+  /** Break a lock previously judged stale at `observedMtime`: re-stat
+    * (a lock whose mtime moved is a NEW writer's — leave it), then
+    * RENAME to a unique tombstone before deleting. Rename is the
+    * arbiter: of two waiters that both judged the same lock stale,
+    * exactly one rename succeeds; the loser returns false and goes
+    * back to waiting instead of deleting the winner's fresh lock.
+    * Returns whether this caller won the break.
+    */
+  private[graft] def breakStale(
+      fs: FileSystem, lock: Path, observedMtime: Long): Boolean = {
+    val stillStale =
+      try fs.getFileStatus(lock).getModificationTime == observedMtime
+      catch { case _: java.io.FileNotFoundException => false }
+    val tomb = new Path(lock.getParent,
+      s"${lock.getName}.stale.${java.util.UUID.randomUUID()}")
+    val won = stillStale &&
+      (try fs.rename(lock, tomb)
+      catch { case _: java.io.IOException => false })
+    if (won) fs.delete(tomb, false)
+    won
+  }
+
   private[graft] def withLock[T](
       s: SparkSession, root: String, name: String,
       timeoutMs: Long = 120000L, staleMs: Long = 600000L)(f: => T): T = {
-    val lock = new Path(s"$root/$name")
     val fs = hfs(s, root)
+    val lock = fs.makeQualified(new Path(s"$root/$name"))
     fs.mkdirs(lock.getParent)
-    val localPath = Option(lock.toUri.getScheme).forall(_ == "file")
-    def tryAcquire(): Boolean =
-      try {
-        if (localPath) {
-          java.nio.file.Files.createFile(
-            java.nio.file.Paths.get(lock.toUri.getPath))
-          true
-        } else fs.createNewFile(lock)
-      } catch { case _: java.io.IOException => false }
+    def mtimeOf(): Option[Long] =
+      try Some(fs.getFileStatus(lock).getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
     val monitor =
       lockMonitors.computeIfAbsent(s"$root#$name", _ => new Object)
     monitor.synchronized {
       val deadline = System.currentTimeMillis() + timeoutMs
       var held = false
       while (!held) {
-        held = tryAcquire()
+        held = atomicCreate(fs, lock)
         if (!held) {
-          val age = try System.currentTimeMillis() -
-            fs.getFileStatus(lock).getModificationTime
-          catch { case _: java.io.FileNotFoundException => 0L }
-          if (age > staleMs) fs.delete(lock, false)
-          else if (System.currentTimeMillis() > deadline)
-            sys.error(s"timed out waiting for writer lock $lock; " +
-              "if no writer is live, delete the lock file to recover")
-          else Thread.sleep(50)
+          val stale = mtimeOf().filter(
+            System.currentTimeMillis() - _ > staleMs)
+          stale match {
+            case Some(m) =>
+              breakStale(fs, lock, m)
+            case None =>
+              if (System.currentTimeMillis() > deadline)
+                sys.error(s"timed out waiting for writer lock $lock; " +
+                  "if no writer is live, delete the lock file to recover")
+              else Thread.sleep(50)
+          }
         }
       }
       try f finally fs.delete(lock, false)

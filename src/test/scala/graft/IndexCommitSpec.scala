@@ -188,4 +188,77 @@ class IndexCommitSpec extends SparkSpec {
     IndexCommit.commit(spark, idx, ids.max)
     assert(IndexCommit.reserve(spark, idx) > ids.max)
   }
+
+  test("reserve under contention: concurrent reservers get distinct ids") {
+    // the O_EXCL pin: Hadoop's LocalFileSystem.createNewFile is
+    // check-then-act, so before reserve routed through the NIO
+    // create-new path two racing reservers could both win an id and
+    // co-stage into one v=<id> directory; 64 concurrent reserves must
+    // come back pairwise distinct
+    val idx = tmp("ic_reserve_race")
+    val won = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val dup = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 16).map { _ =>
+      new Thread(() => (1 to 4).foreach { _ =>
+        if (!won.add(IndexCommit.reserve(spark, idx)))
+          dup.incrementAndGet()
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(dup.get() == 0, "two reservers won the same id")
+    assert(won.size == 64)
+  }
+
+  test("breakStale: concurrent breakers of one stale lock — exactly one wins") {
+    val root = tmp("ic_break")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = fs.makeQualified(new org.apache.hadoop.fs.Path(s"$root/x.lock"))
+    val f = new java.io.File(lock.toUri.getPath)
+    assert(f.createNewFile())
+    val staleAt = System.currentTimeMillis() - 3600000L
+    assert(f.setLastModified(staleAt))
+    val observed = fs.getFileStatus(lock).getModificationTime
+    val wins = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 8).map { _ =>
+      new Thread(() =>
+        if (IndexCommit.breakStale(fs, lock, observed)) wins.incrementAndGet())
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(wins.get() == 1, s"expected exactly one break winner, got ${wins.get()}")
+    assert(!f.exists(), "the stale lock must be gone")
+    // and a breaker that observed a DIFFERENT mtime must refuse: the
+    // lock it judged stale no longer exists — this is the fresh lock
+    // of the writer that re-acquired
+    assert(f.createNewFile())
+    assert(!IndexCommit.breakStale(fs, lock, observed - 1),
+      "mtime mismatch must never break a live writer's lock")
+    assert(f.exists())
+  }
+
+  test("withLock: breaks a dead writer's stale lock, serializes, cleans up") {
+    val root = tmp("ic_lock")
+    // a dead process's lock, planted old enough to be stale
+    val lockFile = new java.io.File(s"$root/append.lock")
+    lockFile.getParentFile.mkdirs()
+    assert(lockFile.createNewFile())
+    assert(lockFile.setLastModified(System.currentTimeMillis() - 3600000L))
+    val inside = new java.util.concurrent.atomic.AtomicInteger(0)
+    val overlap = new java.util.concurrent.atomic.AtomicInteger(0)
+    val ran = new java.util.concurrent.atomic.AtomicInteger(0)
+    val threads = (1 to 4).map { _ =>
+      new Thread(() =>
+        IndexCommit.withLock(spark, root, "append.lock",
+          timeoutMs = 30000L, staleMs = 1000L) {
+          if (inside.incrementAndGet() > 1) overlap.incrementAndGet()
+          Thread.sleep(20)
+          inside.decrementAndGet()
+          ran.incrementAndGet()
+        })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(ran.get() == 4, "every waiter must eventually run")
+    assert(overlap.get() == 0, "critical sections overlapped")
+    assert(!lockFile.exists(), "the lock must be released after the last writer")
+  }
 }
