@@ -79,6 +79,22 @@ object ScaleGen {
     scaledDocs.repartition(cpus.toInt)
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // orders: the keyed-target twin for the upsert scale legs
+    // (upsert_orders / upsert_row_counts had no 10× row while ScaleGen
+    // carried only documents/embeddings). Copy k offsets every key by
+    // k·10⁹ — far past upsertOrders' +2·10⁷ synthetic-insert offset,
+    // so a scaled copy's inserts can never collide with a later
+    // copy's real keys (which would turn inserts into updates AND
+    // trip V10 duplicate-key detection). Priorities copy verbatim, so
+    // update/insert delta volume scales linearly by construction.
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val scaledOrders = (0 until copies).map { k =>
+      orders.withColumn("o_orderkey",
+        col("o_orderkey") + lit(k.toLong * 1000000000L))
+    }.reduce(_ union _)
+    scaledOrders.repartition(cpus.toInt)
+      .write.mode("overwrite").parquet(s"$out/orders.parquet")
+
     val nVec = spark.read.parquet(s"$src/embeddings.parquet").count()
     val dims = 64
     val scaledEmb = spark.range(nVec * copies)

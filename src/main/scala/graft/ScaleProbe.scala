@@ -101,6 +101,50 @@ object ScaleProbe {
             batchId = 1L))
         println(s"""{"probe":"snapstream","dir":"$dir","batch_docs":${batch.count()},"base_publish_secs":$psecs,"microbatch_secs":$asecs}""")
 
+      case "appendread" =>
+        // round-13 pin at scale: ClusterIndex.append's READ side is
+        // batch-proportional — the label-sidecar partitions it
+        // consults (lookup + both rewrites) must not grow toward
+        // numParts as the corpus grows, and the append seconds for a
+        // FIXED batch must stay ~flat from 1× to 10×
+        import graft.ops.ClusterIndex
+        val idx = s"$out/clidxread"
+        graft.ops.IndexCommit.reset(spark, idx)
+        val isBatch = col("doc_id") < 2000
+        val (_, bsecs) = timed(ClusterIndex.build(spark, dir, idx,
+          maxDocFreq = Some(0.1), docFilter = Some(!isBatch)))
+        ClusterIndex.lastAppendStats = None
+        val (_, asecs) = timed(
+          ClusterIndex.append(spark, idx, docs.filter(isBatch)))
+        val st = ClusterIndex.lastAppendStats.get
+        println(s"""{"probe":"appendread","dir":"$dir","build_secs":$bsecs,"append_secs":$asecs,"lookup_parts":${st.lookupDocParts.size},"rewrite_cluster_parts":${st.rewriteClusterParts.size},"rewrite_doc_parts":${st.rewriteDocParts.size},"num_parts":${st.numParts}}""")
+
+      case "videodecomp" =>
+        // round-13 decomposition of mm_video_near_dup's 10× growth:
+        // decode+hash (payload-proportional signature derivation)
+        // timed separately from the banded candidate join + verify
+        import graft.ops.PerceptualHash
+        val vids = PerceptualHash.syntheticVideos(spark, dir)
+        val (nSigs, sigSecs) = timed(
+          PerceptualHash.videoSignatures(vids).count())
+        val (nPairs, allSecs) = timed(
+          PerceptualHash.videoNearDupPairs(spark, dir).count())
+        println(s"""{"probe":"videodecomp","dir":"$dir","sigs":$nSigs,"sig_secs":$sigSecs,"pairs":$nPairs,"total_secs":$allSecs}""")
+
+      case "upsert" =>
+        // round-13 upsert scale leg (ScaleGen now carries orders):
+        // seconds + executed-plan audit — the target side must carry
+        // ZERO shuffle exchanges (broadcast-only contract) at any
+        // delta size
+        val (df, secs) = timed {
+          val d = SparkEntry.queries("upsert_orders")(spark, dir)
+          (d, d.count())
+        }
+        val plan = df._1.queryExecution.executedPlan.toString
+        val sortMerge = plan.contains("SortMergeJoin")
+        val shuffledHash = plan.contains("ShuffledHashJoin")
+        println(s"""{"probe":"upsert","dir":"$dir","rows":${df._2},"secs":$secs,"sort_merge_join":$sortMerge,"shuffled_hash_join":$shuffledHash}""")
+
       case "recall" =>
         val (rows, secs) = timed(
           graft.ops.Similarity.recallEval(spark, dir).collect())

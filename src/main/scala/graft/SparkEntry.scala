@@ -413,6 +413,18 @@ object SparkEntry {
     // exact-substring duplication (windowed ExactSubstr): md5-keyed
     // 16-token windows, one gram-keyed + one doc-keyed shuffle
     "dedup_substring" -> ((s, dir) => Dedup.substringDupStats(s, dir)),
+    // same semantics via the PERSISTED window index (tokenize-once):
+    // built on the doc_id %10≠0 carve, the %10=0 batch APPENDED
+    // (batch-only tokenize), stats derived from the frozen hashes —
+    // append ≡ build(A∪B), shared oracle with the one-job form
+    "dedup_substring_index" -> ((s, dir) => {
+      val idx = scratchDir("substridx")
+      graft.ops.SubstrIndex.build(s, dir, idx,
+        docFilter = Some(col("doc_id") % 10 =!= 0))
+      graft.ops.SubstrIndex.append(s, idx,
+        rd(s, dir, "documents").filter(col("doc_id") % 10 === 0))
+      graft.ops.SubstrIndex.stats(s, idx)
+    }),
     // index-reuse ingestion: new batch (doc_id % 10 == 0) probed
     // against the corpus's band buckets only — candidate volume is
     // batch-proportional, never a corpus self-join
@@ -659,7 +671,14 @@ object SparkEntry {
     // against the literal direction, per-dim decimal-mediated sums,
     // 64-row per-round collects — the ITERATED loadings hash-match
     "sim_pca" -> ((s, dir) => Similarity.pcaTopComponent(s, dir)),
-    "sim_near_dup" -> ((s, dir) => Similarity.cosineNearDupPairs(s, dir)),
+    // the twin plant is a FIXTURE concern and lives here, not in the
+    // operator: the raw corpus has no pairs at 0.9, so the oracle
+    // would be vacuous without it, but a production caller of
+    // cosineNearDupPairs must get exactly its own vectors
+    "sim_near_dup" -> ((s, dir) =>
+      Similarity.cosineNearDupPairsDf(
+        Similarity.loadWithTwins(s, dir), threshold = 0.9,
+        numPlanes = 64, numBands = 4)),
     // SemDeDup: k-means cells (same Lloyd arithmetic as sim_ann_ivf),
     // within-cell drop-if-similar-to-earlier-member — one cell-keyed
     // shuffle, pairwise cost bounded by cell size (the paper's knob)
@@ -2008,40 +2027,12 @@ object SparkEntry {
     // duplicated span (run + 15 tokens); keep = no span of 50+ tokens.
     // Short docs (< 16 tokens) have zero windows and a NULL dup_frac —
     // the LEFT JOIN padding mirrors the engine exactly.
-    "dedup_substring" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
-        |  FROM documents
-        |), w AS (
-        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
-        |    md5(array_to_string(toks[i:i+15], ' ')) AS wh
-        |  FROM t, unnest(range(1, len(toks) - 16 + 2)) r(i)
-        |  WHERE len(toks) >= 16
-        |), f AS (
-        |  SELECT wh, count(DISTINCT doc_id) AS wdf FROM w GROUP BY 1
-        |), fl AS (
-        |  SELECT w.doc_id, w.pos, f.wdf > 1 AS dup FROM w JOIN f USING (wh)
-        |), r2 AS (
-        |  SELECT doc_id, dup, grp, count(*) AS run FROM (
-        |    SELECT doc_id, dup,
-        |      pos - row_number() OVER (PARTITION BY doc_id, dup ORDER BY pos) AS grp
-        |    FROM fl
-        |  ) GROUP BY 1, 2, 3
-        |), pd AS (
-        |  SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_windows,
-        |    CAST(sum(CASE WHEN dup THEN run ELSE 0 END) AS BIGINT) AS dup_windows,
-        |    CAST(max(CASE WHEN dup THEN run ELSE 0 END) AS BIGINT) AS max_run
-        |  FROM r2 GROUP BY 1
-        |)
-        |SELECT d.doc_id,
-        |  coalesce(pd.n_windows, 0) AS n_windows,
-        |  coalesce(pd.dup_windows, 0) AS dup_windows,
-        |  pd.dup_windows / CAST(pd.n_windows AS DOUBLE) AS dup_frac,
-        |  coalesce(CASE WHEN pd.max_run > 0 THEN pd.max_run + 15 ELSE 0 END, 0)
-        |    AS max_span_tokens,
-        |  coalesce(CASE WHEN pd.max_run > 0 THEN pd.max_run + 15 ELSE 0 END, 0) < 50
-        |    AS keep
-        |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin,
+    "dedup_substring" -> substrStatsOracle,
+    // the persisted-index formulation reproduces the one-job rows
+    // exactly (doc partition is invisible to window df); engine-side
+    // equality is SubstrIndexSpec's pin, this row makes both
+    // independently DuckDB-hash-pinned
+    "dedup_substring_index" -> substrStatsOracle,
     // benchmark = every 50th doc_id; overlap = distinct shared 8-grams
     "decontaminate" ->
       """WITH toks AS (
@@ -5561,6 +5552,46 @@ object SparkEntry {
     * shared by `dedup_incremental` (one-job) and `dedup_index_probe`
     * (persisted index): both compute this same relation.
     */
+  /** Windowed-ExactSubstr stats oracle, shared by `dedup_substring`
+    * (one-job) and `dedup_substring_index` (persisted window index):
+    * the index stores the identical window-hash relation, so both
+    * forms denote these exact rows.
+    */
+  private lazy val substrStatsOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      |  FROM documents
+      |), w AS (
+      |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+      |    md5(array_to_string(toks[i:i+15], ' ')) AS wh
+      |  FROM t, unnest(range(1, len(toks) - 16 + 2)) r(i)
+      |  WHERE len(toks) >= 16
+      |), f AS (
+      |  SELECT wh, count(DISTINCT doc_id) AS wdf FROM w GROUP BY 1
+      |), fl AS (
+      |  SELECT w.doc_id, w.pos, f.wdf > 1 AS dup FROM w JOIN f USING (wh)
+      |), r2 AS (
+      |  SELECT doc_id, dup, grp, count(*) AS run FROM (
+      |    SELECT doc_id, dup,
+      |      pos - row_number() OVER (PARTITION BY doc_id, dup ORDER BY pos) AS grp
+      |    FROM fl
+      |  ) GROUP BY 1, 2, 3
+      |), pd AS (
+      |  SELECT doc_id, CAST(sum(run) AS BIGINT) AS n_windows,
+      |    CAST(sum(CASE WHEN dup THEN run ELSE 0 END) AS BIGINT) AS dup_windows,
+      |    CAST(max(CASE WHEN dup THEN run ELSE 0 END) AS BIGINT) AS max_run
+      |  FROM r2 GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |  coalesce(pd.n_windows, 0) AS n_windows,
+      |  coalesce(pd.dup_windows, 0) AS dup_windows,
+      |  pd.dup_windows / CAST(pd.n_windows AS DOUBLE) AS dup_frac,
+      |  coalesce(CASE WHEN pd.max_run > 0 THEN pd.max_run + 15 ELSE 0 END, 0)
+      |    AS max_span_tokens,
+      |  coalesce(CASE WHEN pd.max_run > 0 THEN pd.max_run + 15 ELSE 0 END, 0) < 50
+      |    AS keep
+      |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+
   private lazy val incrementalOracle: String =
     s"""WITH $jaccardCtes, p AS (
        |  SELECT doc_a, doc_b, i / (ca.n + cb.n - i) AS jaccard

@@ -10,13 +10,24 @@ import org.apache.spark.sql.types._
   * the [[Importer]] contract (table name, join keys, update subset),
   * mirroring the reference's (`schema`, `table`, `join_on`, `subset`)
   * constructor state (`/root/reference/dbimport/importer.py:73-101`).
+  *
+  * `updateMatched`/`insertUnmatched` mirror `Importer.run`'s
+  * (update, insert) flags so every run combination is expressible
+  * through a JDBC sink: update-only (the default), the full upsert,
+  * and insert-only — where matched target rows stay UNTOUCHED
+  * (before the flag existed, a caller wiring insert-only silently
+  * got an upsert). At least one leg must be on, like run's V11.
   */
 final case class MergeSpec(
     table: String,
     joinOn: Seq[String],
     subset: Seq[String],
     schema: Option[String] = None,
-    insertUnmatched: Boolean = false)
+    insertUnmatched: Boolean = false,
+    updateMatched: Boolean = true) {
+  require(updateMatched || insertUnmatched,
+    "at least one merge leg (updateMatched, insertUnmatched) must be on")
+}
 
 /** S9 — where a merge's effect lands. The reference's whole purpose is
   * the server-side write-back (`importer.py:293-359`: drop/create a
@@ -111,8 +122,13 @@ final class JdbcMergeSink(
             sqlTypes, chunkSize, () => conn.commit())
           finally ps.close()
           val stagingRef = if (dialect == "mssql") temp else s"temp.$temp"
-          val update = JdbcMergeSink.updateSql(dialect, spec, stagingRef)
-          var affected = st.executeUpdate(update).toLong
+          // insert-only (updateMatched=false) skips the UPDATE
+          // statement entirely: matched target rows stay untouched
+          var affected =
+            if (spec.updateMatched)
+              st.executeUpdate(
+                JdbcMergeSink.updateSql(dialect, spec, stagingRef)).toLong
+            else 0L
           // upsert: the INSERT leg runs AFTER the update in the same
           // transaction — matched staged rows were just applied, so
           // the NOT EXISTS guard appends exactly the unmatched ones
@@ -208,8 +224,11 @@ final class JdbcParallelMergeSink(
               }
             }
 
-          var affected = st.executeUpdate(
-            JdbcMergeSink.updateSql(dia, spec, stage)).toLong
+          var affected =
+            if (spec.updateMatched)
+              st.executeUpdate(
+                JdbcMergeSink.updateSql(dia, spec, stage)).toLong
+            else 0L
           if (spec.insertUnmatched)
             affected += st.executeUpdate(
               JdbcMergeSink.insertSql(dia, spec, stage)).toLong

@@ -18,37 +18,52 @@ import org.apache.spark.sql.functions._
   *                        meta, its own commit protocol) — the pair
   *                        source for builds AND the probe target for
   *                        appends
-  *   meta                 the component-RANGE layout (num_parts,
-  *                        width), frozen at build
+  *   meta                 the RANGE layout (num_parts, width), frozen
+  *                        at build — shared by both partition spaces
+  *                        below (component ids are member MINIMA, so
+  *                        they live in doc-id space)
   *   v=<id>/clusters/part=<b>   the assignment rows whose
   *                        component_id falls in range b — only the
   *                        partitions a version TOUCHED are present
-  *   v=<id>/partlist      which partitions this version owns (a
-  *                        touched partition may be empty — every row
-  *                        moved out — so presence is recorded
-  *                        explicitly, not inferred from directories)
+  *   v=<id>/partlist      which clusters/ partitions this version
+  *                        owns (a touched partition may be empty —
+  *                        every row moved out — so presence is
+  *                        recorded explicitly, not inferred from
+  *                        directories)
+  *   v=<id>/labels/part=<b>     the SAME rows partitioned by DOC-id
+  *                        range — the label sidecar [[append]] reads
+  *                        instead of the full assignment (a doc-keyed
+  *                        lookup can't prune the component-range
+  *                        layout; this twin makes the contraction
+  *                        join and the singleton anti-join
+  *                        batch-proportional)
+  *   v=<id>/doclist       which labels/ partitions this version owns
   *   commits/<id>, locks/ [[IndexCommit]] markers for cluster versions
   * }}}
   *
-  * The assignment is partitioned by component range and versions are
-  * PARTIAL: [[append]] publishes only the partitions the label remap
-  * and the arriving batch touch; a reader resolves each partition to
-  * its newest owning version. Component merges rewrite labels of
-  * previously-assigned documents (an arriving batch can bridge two old
-  * clusters), but a merge's blast radius is exactly the partitions of
-  * the labels involved — with monotone doc ids a steady-state append
-  * touches the tail range plus the bridged components' ranges, NOT the
-  * corpus (at 100 TB: megabytes per micro-batch instead of the ~1.6 TB
-  * full-assignment rewrite this replaces).
+  * Both relations are range-partitioned and versions are PARTIAL:
+  * [[append]] publishes only the partitions the label remap and the
+  * arriving batch touch (in each partition space); a reader resolves
+  * each partition to its newest owning version. Component merges
+  * rewrite labels of previously-assigned documents (an arriving batch
+  * can bridge two old clusters), but a merge's blast radius is exactly
+  * the partitions of the labels involved — with monotone doc ids a
+  * steady-state append touches the tail range plus the bridged
+  * components' ranges, NOT the corpus (at 100 TB: megabytes per
+  * micro-batch instead of the ~1.6 TB full-assignment rewrite this
+  * replaces).
   *
   * Scale contract: corpus TEXT is read exactly once, at [[build]].
   * [[append]] tokenizes only the batch (via [[LshIndex.append]] +
   * [[LshIndex.probe]]), runs connected components over the LABEL
   * graph (batch-edge-proportional, not corpus-proportional — old
-  * components enter as single label nodes), and rewrites only touched
-  * range partitions. Probe-side consumers ([[filteredCorpus]],
-  * [[bestRepresentatives]]) cost one doc-keyed join against the
-  * committed assignment.
+  * components enter as single label nodes), READS only the label-
+  * sidecar partitions covering the batch and its candidate endpoints
+  * plus the touched partitions it rewrites (never the full
+  * assignment — spec-pinned via [[lastAppendStats]]), and rewrites
+  * only touched range partitions in both spaces. Probe-side consumers
+  * ([[filteredCorpus]], [[bestRepresentatives]]) cost one doc-keyed
+  * join against the committed assignment.
   *
   * Vacuum caveat (the delta-chain economics of [[CorpusSnapshot]]):
   * with partial versions, an OLD version can hold the live copy of an
@@ -139,41 +154,61 @@ object ClusterIndex {
       .select("doc_a", "doc_b")
   }
 
-  /** Publish `assign` (restricted to `parts`) as a new version: rows
-    * land under `clusters/part=<b>`, the owned-partition list in the
-    * `partlist` sidecar, and the commit marker last — torn publishes
-    * invisible as ever.
+  /** Publish a new version holding `clusterRows` (restricted to the
+    * component-range partitions `clusterParts`) and `labelRows`
+    * (restricted to the doc-range partitions `docParts`): rows land
+    * under `clusters/part=<b>` / `labels/part=<b>`, the
+    * owned-partition lists in the `partlist` / `doclist` sidecars,
+    * and the commit marker last — torn publishes invisible as ever.
+    *
+    * `labelRows = None` means "the same rows as the clusters leg"
+    * (full publishes): the labels leg is then chained off the
+    * READ-BACK clusters parquet instead of the caller's DataFrame, so
+    * an expensive shared lineage (build's connected components)
+    * executes once, not once per leg.
     */
   private def publishParts(
-      s: SparkSession, path: String, assign: DataFrame,
-      l: Layout, parts: Seq[Int]): Long = {
+      s: SparkSession, path: String, l: Layout,
+      clusterRows: DataFrame, clusterParts: Seq[Int],
+      labelRows: Option[DataFrame], docParts: Seq[Int]): Long = {
     val id = IndexCommit.reserve(s, path)
     val vdir = IndexCommit.versionDir(path, id)
-    if (parts.nonEmpty)
-      // repartition on the partition key first: partitionBy alone
-      // writes one file per (upstream partition × part) — 32 shuffle
-      // partitions × 16 ranges = up to 512 shards of a relation that
-      // wants ≤ numParts files. One exchange, proportional to the
-      // rows being published (touched-partition rows on appends)
-      assign.withColumn("part", partOf(col("component_id"), l))
+    // repartition on the partition key first: partitionBy alone
+    // writes one file per (upstream partition × part) — 32 shuffle
+    // partitions × 16 ranges = up to 512 shards of a relation that
+    // wants ≤ numParts files. One exchange, proportional to the
+    // rows being published (touched-partition rows on appends)
+    def writeLeg(rows: DataFrame, key: Column, sub: String): Unit =
+      rows.withColumn("part", partOf(key, l))
         .repartition(l.numParts, col("part"))
         .write.partitionBy("part").mode("overwrite")
-        .parquet(s"$vdir/clusters")
+        .parquet(s"$vdir/$sub")
+    if (clusterParts.nonEmpty)
+      writeLeg(clusterRows, col("component_id"), "clusters")
+    val labelLeg = labelRows.getOrElse {
+      val fs = new Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val cdir = new Path(s"$vdir/clusters")
+      val dirs =
+        if (fs.exists(cdir))
+          fs.listStatus(cdir).toSeq.map(_.getPath)
+            .filter(_.getName.startsWith("part=")).map(_.toString)
+        else Nil
+      readParts(s, dirs)
+    }
+    if (docParts.nonEmpty)
+      writeLeg(labelLeg, col("doc_id"), "labels")
     import s.implicits._
-    parts.toDF("part").coalesce(1)
+    clusterParts.toDF("part").coalesce(1)
       .write.mode("overwrite").parquet(s"$vdir/partlist")
+    docParts.toDF("part").coalesce(1)
+      .write.mode("overwrite").parquet(s"$vdir/doclist")
     IndexCommit.commit(s, path, id)
     id
   }
 
-  /** Resolve each partition (optionally restricted to `only`) to its
-    * newest owning committed version; returns the data directories.
-    * A partition owned by a version but absent on disk was rewritten
-    * EMPTY (all rows moved to other ranges) and contributes nothing.
-    * O(versions) tiny sidecar reads — [[compact]] + vacuum bound the
-    * version count.
-    */
-  /** Resolve every partition (optionally restricted to `only`) to the
+  /** Resolve every partition (optionally restricted to `only`) of one
+    * relation (`clusters`/`partlist` or `labels`/`doclist`) to the
     * data dir of its newest owning committed version; partitions
     * rewritten EMPTY resolve to None. Newest-first with EARLY EXIT
     * once every wanted partition has an owner: resolution cost is the
@@ -183,7 +218,9 @@ object ClusterIndex {
     */
   private[graft] def partDirMap(
       s: SparkSession, path: String,
-      only: Option[Set[Int]] = None): Map[Int, Option[String]] = {
+      only: Option[Set[Int]] = None,
+      subdir: String = "clusters",
+      sidecar: String = "partlist"): Map[Int, Option[String]] = {
     val ids = IndexCommit.committedIds(s, path)
     require(ids.nonEmpty, s"no committed cluster index under $path")
     val want: Set[Int] =
@@ -194,10 +231,10 @@ object ClusterIndex {
     val it = ids.reverseIterator
     while (it.hasNext && !want.subsetOf(chosen.keySet)) {
       val vdir = IndexCommit.versionDir(path, it.next())
-      val owned = s.read.parquet(s"$vdir/partlist")
+      val owned = s.read.parquet(s"$vdir/$sidecar")
         .collect().map(_.getInt(0))
       for (p <- owned if want.contains(p) && !chosen.contains(p)) {
-        val d = new Path(s"$vdir/clusters/part=$p")
+        val d = new Path(s"$vdir/$subdir/part=$p")
         chosen(p) = if (fs.exists(d)) Some(d.toString) else None
       }
     }
@@ -250,15 +287,28 @@ object ClusterIndex {
         d.agg(max(col("doc_id"))).head().getAs[java.lang.Long](0))
         .map(_.longValue).getOrElse(0L)
       val l = writeLayout(s, path, numParts, maxId)
-      publishParts(s, path,
+      publishParts(s, path, l,
         d.select("doc_id")
           .join(comp, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("component_id"), col("doc_id"))
               .as("component_id")),
-        l, 0 until numParts)
+        0 until numParts, None, 0 until numParts)
     } finally scope.release()
   }
+
+  /** Which partitions the last [[append]] in this JVM actually READ —
+    * the spec hook pinning the batch-proportional contract (an append
+    * must never scan the full assignment): `lookupDocParts` are the
+    * label-sidecar ranges read for contraction + the singleton
+    * anti-join, `rewriteClusterParts`/`rewriteDocParts` the touched
+    * partitions read-and-rewritten in each space. Diagnostic only.
+    */
+  private[graft] final case class AppendStats(
+      lookupDocParts: Seq[Int], rewriteClusterParts: Seq[Int],
+      rewriteDocParts: Seq[Int], numParts: Int)
+
+  @volatile private[graft] var lastAppendStats: Option[AppendStats] = None
 
   /** Fold a batch of NEW documents into the index: append the batch
     * to the embedded LSH index, probe it for every new verified pair
@@ -305,50 +355,86 @@ object ClusterIndex {
     val scope = new CacheScope
     try {
       val l = layout(s, path)
-      val edges = LshIndex.probe(s, lshRoot(path), batch, threshold, scope)
-        .filter(col("doc_new") =!= col("doc_idx"))
-        .select(col("doc_new").as("u"), col("doc_idx").as("v"))
-      // one partlist resolution serves both the full current
-      // assignment (label contraction, anti-join) and the
-      // touched-partition rewrite below
-      val dirMap = partDirMap(s, path)
-      val cur = readParts(s, dirMap.values.flatten.toSeq)
+      // cached: the edges feed the lookup-range collect AND the label
+      // contraction — without the cache the LSH probe runs twice
+      val edges = scope.cache(
+        LshIndex.probe(s, lshRoot(path), batch, threshold, scope)
+          .filter(col("doc_new") =!= col("doc_idx"))
+          .select(col("doc_new").as("u"), col("doc_idx").as("v")))
+      val batchIds = scope.cache(batch.select("doc_id"))
+      // the doc-range label partitions the append READS: every edge
+      // endpoint's range (contraction) plus the batch's own ranges
+      // (singleton anti-join) — batch/candidate-proportional, never
+      // the corpus. A driver-side collect bounded by numParts.
+      val lookupParts = edges.select(partOf(col("u"), l).as("part"))
+        .unionByName(edges.select(partOf(col("v"), l).as("part")))
+        .unionByName(batchIds.select(partOf(col("doc_id"), l).as("part")))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val lookup = scope.cache(readParts(s,
+        partDirMap(s, path, Some(lookupParts.toSet), "labels", "doclist")
+          .values.flatten.toSeq))
       // contract edge endpoints to current labels (batch docs are
       // their own label until merged)
-      val lu = cur.toDF("u", "lu")
-      val lv = cur.toDF("v", "lv")
+      val lu = lookup.toDF("u", "lu")
+      val lv = lookup.toDF("v", "lv")
       val labelEdges = edges
         .join(lu, Seq("u"), "left")
         .join(lv, Seq("v"), "left")
         .select(coalesce(col("lu"), col("u")).as("u"),
           coalesce(col("lv"), col("v")).as("v"))
         .filter(col("u") =!= col("v"))
-      // cached: the remap feeds the touched-partition scan, the
-      // rewrite join, and the touched-set collect
+      // cached: the remap feeds the touched-partition scans and both
+      // rewrite joins
       val remap = scope.cache(Dedup.connectedComponents(labelEdges, scope)
         .toDF("old_label", "new_label"))
       // batch docs not present in the current assignment start as
-      // their own singleton rows, then both populations remap
-      val added = scope.cache(batch.select("doc_id")
-        .join(cur.select("doc_id"), Seq("doc_id"), "left_anti")
+      // their own singleton rows, then both populations remap — the
+      // anti-join runs against the batch-range label lookup, not the
+      // full assignment
+      val added = scope.cache(batchIds
+        .join(lookup.select("doc_id"), Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("doc_id").as("component_id")))
-      // the blast radius: partitions of remapped-from labels (rows
-      // leave), remapped-to labels (rows arrive), and batch singleton
-      // ids — a driver-side collect bounded by numParts
+      // component-space blast radius: partitions of remapped-from
+      // labels (rows leave), remapped-to labels (rows arrive), and
+      // batch singleton ids
       val touched = remap
         .select(partOf(col("old_label"), l).as("part"))
         .unionByName(remap.select(partOf(col("new_label"), l).as("part")))
         .unionByName(added.select(partOf(col("component_id"), l).as("part")))
         .distinct().collect().map(_.getInt(0)).toSeq.sorted
-      val curTouched = readParts(s, touched.flatMap(dirMap.get).flatten)
-      publishParts(s, path,
-        curTouched.unionByName(added)
-          .join(remap,
-            col("component_id") === col("old_label"), "left")
-          .select(col("doc_id"),
-            coalesce(col("new_label"), col("component_id"))
-              .as("component_id")),
-        l, touched)
+      // cached: feeds the clusters rewrite AND the doc-space
+      // blast-radius scan below
+      val curTouched = scope.cache(readParts(s,
+        touched.flatMap(partDirMap(s, path, Some(touched.toSet)).get)
+          .flatten))
+      val newClusterRows = curTouched.unionByName(added)
+        .join(remap, col("component_id") === col("old_label"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_label"), col("component_id"))
+            .as("component_id"))
+      // doc-space blast radius: the doc ranges of every document
+      // whose component remaps (all live in touched cluster parts —
+      // their component IS a remapped label) plus the batch's ranges
+      val touchedDocParts = curTouched
+        .join(remap, col("component_id") === col("old_label"))
+        .select(partOf(col("doc_id"), l).as("part"))
+        .unionByName(added.select(partOf(col("doc_id"), l).as("part")))
+        .distinct().collect().map(_.getInt(0)).toSeq.sorted
+      val curDocRows = readParts(s,
+        touchedDocParts.flatMap(
+          partDirMap(s, path, Some(touchedDocParts.toSet),
+            "labels", "doclist").get).flatten)
+      // added rows join the remap too: a batch doc that merged into a
+      // cluster carries the merged label, not its singleton self-label
+      val newDocRows = curDocRows.unionByName(added)
+        .join(remap, col("component_id") === col("old_label"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_label"), col("component_id"))
+            .as("component_id"))
+      lastAppendStats =
+        Some(AppendStats(lookupParts, touched, touchedDocParts, l.numParts))
+      publishParts(s, path, l,
+        newClusterRows, touched, Some(newDocRows), touchedDocParts)
     } finally scope.release()
   }
 
@@ -359,7 +445,28 @@ object ClusterIndex {
     */
   def compact(s: SparkSession, path: String): Long = {
     val l = layout(s, path)
-    publishParts(s, path, assignment(s, path), l, 0 until l.numParts)
+    publishParts(s, path, l, assignment(s, path),
+      0 until l.numParts, None, 0 until l.numParts)
+  }
+
+  /** Committed versions newer than the newest FULL version (one whose
+    * partlist owns every partition — what [[build]] and [[compact]]
+    * publish). This is the resolution depth [[partDirMap]] pays minus
+    * one, and the quantity [[maybeCompact]] gates on. O(distance)
+    * tiny sidecar reads, newest-first.
+    */
+  private[graft] def versionsSinceFull(s: SparkSession, path: String): Int = {
+    val n = layout(s, path).numParts.toLong
+    val ids = IndexCommit.committedIds(s, path)
+    var dist = 0
+    val it = ids.reverseIterator
+    var found = false
+    while (it.hasNext && !found) {
+      val vdir = IndexCommit.versionDir(path, it.next())
+      if (s.read.parquet(s"$vdir/partlist").count() == n) found = true
+      else dist += 1
+    }
+    dist
   }
 
   /** The compact-cadence bound for long append streams (the
@@ -368,17 +475,22 @@ object ClusterIndex {
     * its cost is the distance to the newest FULL version, so a
     * [[graft.streaming.StreamingCluster]] feed accumulating hundreds
     * of partial versions would pay O(appends-since-full) sidecar reads
-    * per probe. Fired after appends, this compacts once `maxVersions`
-    * committed versions have accumulated, bounding resolution at
-    * maxVersions sidecar reads for one full-assignment rewrite per
-    * maxVersions appends; follow with [[IndexCommit.vacuum]] (the
-    * compacted version is full, so keeping it is safe) to also bound
-    * disk. Returns the compacted id when it fired.
+    * per probe. Fired after appends, this compacts once the DISTANCE
+    * TO THE NEWEST FULL VERSION reaches maxVersions-1 — gating on
+    * distance rather than total version count means the trigger
+    * resets at every compact by itself (compact publishes a full
+    * version), so a long-lived stream that never vacuums still pays
+    * one full-assignment rewrite per maxVersions-1 appends, not one
+    * per batch once the count crosses the bar. Resolution stays
+    * bounded at maxVersions sidecar reads; follow with
+    * [[IndexCommit.vacuum]] (the compacted version is full, so
+    * keeping it is safe) to also bound disk. Returns the compacted id
+    * when it fired.
     */
   def maybeCompact(
       s: SparkSession, path: String, maxVersions: Int): Option[Long] = {
     require(maxVersions >= 2, "maxVersions must be at least 2")
-    if (IndexCommit.committedIds(s, path).length >= maxVersions)
+    if (versionsSinceFull(s, path) >= maxVersions - 1)
       Some(compact(s, path))
     else None
   }

@@ -13,6 +13,10 @@ import org.apache.spark.sql.functions._
   * {{{
   *   v=<id>/shard=<k>/part-<seq>.jsonl   the document shard files
   *   v=<id>/manifest/                    parquet: one row per file
+  *   v=<id>/dochash/                     parquet: (doc_id, doc_md5) —
+  *                                       the manifest-adjacent content
+  *                                       hashes diffs run on, so a
+  *                                       diff never opens shard files
   *   commits/<id>, locks/<id>            the IndexCommit protocol
   * }}}
   * Writers stage the complete version directory and only then create
@@ -145,6 +149,16 @@ object CorpusSnapshot {
           col("shard_id"), col("file_seq")))
         .coalesce(1)
         .write.mode("overwrite").parquet(s"$vdir/manifest")
+      // per-document content hashes, manifest-adjacent: one more
+      // projection over the PERSISTED layout (data already in hand,
+      // no extra source pass) so [[diff]]/[[diffResolved]] never
+      // re-read shard payloads — before this sidecar existed, every
+      // diff re-hashed both sides' full payload bytes (6.78× growth
+      // at 10×, SCALE_r12). md5 of the rendered LINE: injective in
+      // (doc_id, text), and recomputable from raw lines alone for
+      // pre-sidecar versions ([[docHashes]]' fallback).
+      lay.select(col("doc_id"), md5(col("line")).as("doc_md5"))
+        .write.mode("overwrite").parquet(s"$vdir/dochash")
     } finally lay.unpersist()
   }
 
@@ -226,20 +240,37 @@ object CorpusSnapshot {
           .cast("string").as("text"))
   }
 
-  /** Snapshot diff over two COMMITTED versions — `corpus_diff`'s
-    * classification (added/removed/changed/same by content hash)
-    * driven by the published snapshots themselves instead of carved
-    * fixtures: one full-outer join on the corpus key comparing
-    * 32-byte digests computed inside each side's scan.
+  /** Per-document content hashes of a committed version, read from
+    * the `dochash` sidecar [[stage]] publishes. A version published
+    * before the sidecar existed falls back to ONE payload pass
+    * computing the identical function (md5 of the raw line), so mixed
+    * chains compare correctly — backward-compatible by absence, like
+    * [[metaOf]].
     */
-  def diff(
-      s: SparkSession, root: String,
-      oldVersion: Long, newVersion: Long): DataFrame = {
-    val old = read(s, root, Some(oldVersion))
-      .select(col("doc_id"), md5(col("text")).as("old_md5"))
-    val neu = read(s, root, Some(newVersion))
-      .select(col("doc_id"), md5(col("text")).as("new_md5"))
-    old.join(neu, Seq("doc_id"), "full_outer")
+  private[graft] def docHashes(
+      s: SparkSession, root: String, version: Long): DataFrame = {
+    val p = new Path(s"${IndexCommit.versionDir(root, version)}/dochash")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) s.read.parquet(p.toString)
+    else {
+      val m = manifest(s, root, Some(version))
+      val vdir = IndexCommit.versionDir(root, version)
+      val paths = m.select("path").collect()
+        .map(r => s"$vdir/${r.getString(0)}")
+      s.read.text(paths.toIndexedSeq: _*)
+        .select(
+          get_json_object(col("value"), "$.doc_id").cast("long")
+            .as("doc_id"),
+          md5(col("value")).as("doc_md5"))
+    }
+  }
+
+  /** The added/removed/changed/same classification of two per-doc
+    * hash relations — shared by [[diff]] and [[diffResolved]].
+    */
+  private def classifyHashes(old: DataFrame, neu: DataFrame): DataFrame =
+    old.toDF("doc_id", "old_md5")
+      .join(neu.toDF("doc_id", "new_md5"), Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("old_md5").isNull, "added")
           .when(col("new_md5").isNull, "removed")
@@ -248,7 +279,21 @@ object CorpusSnapshot {
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-  }
+
+  /** Snapshot diff over two COMMITTED versions — `corpus_diff`'s
+    * classification (added/removed/changed/same by content hash)
+    * driven by the published snapshots themselves instead of carved
+    * fixtures: one full-outer join on the corpus key comparing
+    * 32-byte digests. MANIFEST-ONLY: both sides read the `dochash`
+    * sidecar (plan-pinned — no shard payload bytes move), so a diff
+    * of two 100 TB snapshots costs two metadata-sized scans + one
+    * doc-keyed join.
+    */
+  def diff(
+      s: SparkSession, root: String,
+      oldVersion: Long, newVersion: Long): DataFrame =
+    classifyHashes(
+      docHashes(s, root, oldVersion), docHashes(s, root, newVersion))
 
   /** Version lineage sidecar: ("delta", parent) for versions
     * published by [[publishDelta]]; full versions (everything
@@ -387,29 +432,47 @@ object CorpusSnapshot {
       .select(col("doc_id"), col("w.text").as("text"))
   }
 
+  /** [[readResolved]]'s last-writer-wins resolution applied to the
+    * per-doc HASH relations instead of the payloads: the chain's
+    * `dochash` sidecars union with tombstone events and one doc-keyed
+    * `max_by` picks each document's newest state — the whole resolve
+    * is metadata-sized, no shard file opens.
+    */
+  private def resolvedHashes(
+      s: SparkSession, root: String, version: Long): DataFrame = {
+    val events = chain(s, root, Some(version)).map { v =>
+      val alive = docHashes(s, root, v)
+        .select(col("doc_id"), col("doc_md5"),
+          lit(v).as("v"), lit(true).as("alive"))
+      val rmPath = new Path(s"${IndexCommit.versionDir(root, v)}/removed")
+      val fs = rmPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(rmPath)) alive
+      else alive.unionByName(
+        s.read.parquet(rmPath.toString)
+          .select(col("doc_id"),
+            lit(null).cast("string").as("doc_md5"),
+            lit(v).as("v"), lit(false).as("alive")))
+    }.reduce(_ unionByName _)
+    events.groupBy("doc_id")
+      .agg(max_by(struct(col("alive"), col("doc_md5")), col("v")).as("w"))
+      .filter(col("w.alive"))
+      .select(col("doc_id"), col("w.doc_md5").as("doc_md5"))
+  }
+
   /** [[diff]] with both sides CHAIN-RESOLVED — the correct diff when
     * either version is a delta: [[diff]] compares each version's own
     * shard files, so diffing a delta against its parent would
     * misclassify every untouched base document as "removed". This
     * form classifies the logical corpora the two versions denote.
+    * MANIFEST-ONLY like [[diff]]: the resolution runs over the
+    * chains' `dochash` sidecars + tombstones, never payloads.
     */
   def diffResolved(
       s: SparkSession, root: String,
-      oldVersion: Long, newVersion: Long): DataFrame = {
-    val old = readResolved(s, root, Some(oldVersion))
-      .select(col("doc_id"), md5(col("text")).as("old_md5"))
-    val neu = readResolved(s, root, Some(newVersion))
-      .select(col("doc_id"), md5(col("text")).as("new_md5"))
-    old.join(neu, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        when(col("old_md5").isNull, "added")
-          .when(col("new_md5").isNull, "removed")
-          .when(col("old_md5") === col("new_md5"), "same")
-          .otherwise("changed").as("status"))
-      .groupBy(col("status"))
-      .agg(count(lit(1)).as("n_docs"),
-        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
-  }
+      oldVersion: Long, newVersion: Long): DataFrame =
+    classifyHashes(
+      resolvedHashes(s, root, oldVersion),
+      resolvedHashes(s, root, newVersion))
 
   /** Materialize the resolved chain as a FULL version (the table
     * format's rewrite/compaction): one [[publish]] of

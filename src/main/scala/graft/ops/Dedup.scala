@@ -922,15 +922,33 @@ object Dedup {
   /** DataFrame-level variant (`doc_id`, `text`) for planted corpora. */
   private[graft] def substringDupStatsDf(
       in: DataFrame, w: Int, maxDocFreq: Int, maxSpanTokens: Int
-  ): DataFrame = {
-    val wins = in
-      .select(col("doc_id"),
+  ): DataFrame =
+    statsFromWindows(windowHashes(in, w), in.select(col("doc_id")),
+      w, maxDocFreq, maxSpanTokens)
+
+  /** The md5-keyed `w`-token sliding windows of each document —
+    * (doc_id, pos, wh). The tokenize-once relation [[SubstrIndex]]
+    * persists: everything downstream ([[statsFromWindows]]) derives
+    * from these hashes, never from text again.
+    */
+  private[graft] def windowHashes(in: DataFrame, w: Int): DataFrame =
+    in.select(col("doc_id"),
         split(trim(lower(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= w)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, size(toks) - $w),
            |          i -> md5(CAST(concat_ws(' ', slice(toks, i + 1, $w)) AS BINARY)))
            |""".stripMargin)).as(Seq("pos", "wh")))
+
+  /** The ExactSubstr stats pipeline from a window-hash relation
+    * ((doc_id, pos, wh) — computed inline by [[substringDupStatsDf]],
+    * or read back from a persisted [[SubstrIndex]]) plus the doc-id
+    * relation that pads short documents (< w tokens, no windows).
+    */
+  private[graft] def statsFromWindows(
+      wins: DataFrame, docIds: DataFrame,
+      w: Int, maxDocFreq: Int, maxSpanTokens: Int
+  ): DataFrame = {
     val docFreq = wins.groupBy("wh")
       .agg(countDistinct(col("doc_id")).as("wdf"))
     val flagged = wins.join(docFreq, "wh")
@@ -950,7 +968,7 @@ object Dedup {
       sum(when(col("dup"), col("run")).otherwise(lit(0L)))
         .as("dup_windows"),
       max(when(col("dup"), col("run")).otherwise(lit(0L))).as("max_run"))
-    in.select(col("doc_id"))
+    docIds.select(col("doc_id"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(
         col("doc_id"),

@@ -24,8 +24,9 @@ import org.apache.spark.sql.functions._
   *     this set so batch and index shingle sets stay consistent — a
   *     guard recomputed over a small batch would keep shingles the
   *     index dropped and skew every Jaccard it participates in.
-  *     Build-owned and immutable between rebuilds, outside the
-  *     segment protocol.
+  *     Build-owned, outside the segment protocol; [[refreshGuard]]
+  *     supersedes it with committed versions under `guard/v=<id>/hot`
+  *     when append-driven drift warrants (readers take the newest).
   *   - `meta`   — one row (n, num_hashes, rows_per_band): the hash
   *     configuration, read back at probe time so a probe can never run
   *     with mismatched shingle width or banding. Build-owned,
@@ -83,6 +84,9 @@ object LshIndex {
       // no marker protocol can make it safe beneath live probes;
       // APPEND is the hot-path-safe operation)
       IndexCommit.reset(s, path)
+      // the guard sub-protocol resets with the build: refreshed guard
+      // versions describe the PREVIOUS corpus's drift
+      IndexCommit.reset(s, guardRoot(path))
       hot.write.mode("overwrite").parquet(s"$path/hot")
       import s.implicits._
       Seq((n, numHashes, rowsPerBand))
@@ -110,6 +114,66 @@ object LshIndex {
     ids.map(IndexCommit.versionDir(path, _))
   }
 
+  private def guardRoot(path: String): String = s"$path/guard"
+
+  /** The guard every probe/append/drift read consults: the newest
+    * committed [[refreshGuard]] version when one exists, else the
+    * build-time `hot` relation — so a refresh lands atomically (its
+    * own [[IndexCommit]] marker sub-protocol under `guard/`) and an
+    * index that never refreshes behaves exactly as before.
+    */
+  private[graft] def currentHot(s: SparkSession, path: String): DataFrame =
+    IndexCommit.currentDir(s, guardRoot(path)) match {
+      case Some(d) => s.read.parquet(s"$d/hot")
+      case None    => s.read.parquet(s"$path/hot")
+    }
+
+  /** Act on [[guardDrift]]'s signal WITHOUT a rebuild: fold the
+    * currently-drifted hot shingles (df over everything the index
+    * holds exceeds the cutoff, absent from the current guard) into a
+    * NEW committed guard version — base hot ∪ drifted, a full
+    * kilobyte-scale snapshot under `guard/v=<id>`, marker-atomic.
+    *
+    * What the refresh changes, precisely: a bigger hot set only
+    * REMOVES shingles from future probe/append shingle sets. Against
+    * an indexed document whose persisted set still CARRIES the
+    * drifted shingles (appended before the refresh), a pair's
+    * verified Jaccard can only DECREASE (the intersection loses the
+    * boilerplate, the union keeps it) — boilerplate-bridged pairs
+    * shed, spec-pinned. Against a boilerplate-FREE indexed document
+    * the score can RISE toward the true content similarity (the
+    * union sheds junk the intersection never had) — that is the
+    * guard doing its job, the same direction a full [[build]] with
+    * the grown corpus's guard would move. The banded candidate set
+    * shrinks statistically rather than pointwise (smaller sets
+    * re-bucket signatures). Verification stays exact throughout.
+    * Already-persisted segments keep the shingles inside their
+    * bands/sets (erased at the next [[build]], as documented); the
+    * refresh stops NEW work from feeding the skew. Returns the
+    * committed guard version id.
+    */
+  def refreshGuard(
+      s: SparkSession, path: String, maxDocFreq: Double): Long = {
+    val sets = s.read.parquet(segDirs(s, path).map(_ + "/sets"): _*)
+    val cutoff = (maxDocFreq * sets.count()).toLong
+    val hot = currentHot(s, path)
+    val drifted = sets.select(explode(col("shingles")).as("shingle"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cutoff)
+      .select("shingle")
+      .join(broadcast(hot), Seq("shingle"), "left_anti")
+    val root = guardRoot(path)
+    val id = IndexCommit.reserve(s, root)
+    // hot sets are tiny by the guard's own definition (shingles in
+    // > maxDocFreq of the corpus) — one file keeps the broadcast read
+    // cheap
+    hot.unionByName(drifted).coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"${IndexCommit.versionDir(root, id)}/hot")
+    IndexCommit.commit(s, root, id)
+    id
+  }
+
   /** Fold a new batch of documents into an existing index: the batch's
     * bands and shingle sets are appended under the index's own hash
     * configuration and hot-shingle guard, so subsequent probes see the
@@ -122,7 +186,9 @@ object LshIndex {
     * [[build]]: the hot-shingle set stays the BUILD corpus's (a shingle
     * that becomes hot only through appends keeps feeding buckets until
     * rebuild — the guard degrades toward more candidates, never toward
-    * wrong answers, because verification is exact either way), and
+    * wrong answers, because verification is exact either way;
+    * [[refreshGuard]] folds measured drift back in without a
+    * rebuild), and
     * appended segments accumulate until compaction (standard log-
     * structured economics). NOT idempotent under replay — a re-run
     * append double-inserts its bands; callers that need at-least-once
@@ -141,7 +207,7 @@ object LshIndex {
     val meta = readMeta(s, path)
     val scope = new CacheScope
     try {
-      val hot = s.read.parquet(s"$path/hot")
+      val hot = currentHot(s, path)
       val sh = Dedup.hashedShingles(batch, meta.n, None, scope)
         .join(broadcast(hot), Seq("shingle"), "left_anti")
       val id = IndexCommit.reserve(s, path)
@@ -181,7 +247,7 @@ object LshIndex {
       s: SparkSession, path: String, maxDocFreq: Double): DataFrame = {
     val sets = s.read.parquet(segDirs(s, path).map(_ + "/sets"): _*)
     val cutoff = (maxDocFreq * sets.count()).toLong
-    val hot = s.read.parquet(s"$path/hot")
+    val hot = currentHot(s, path)
     sets.select(explode(col("shingles")).as("shingle"))
       .groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") > cutoff)
@@ -234,7 +300,7 @@ object LshIndex {
     // mid-probe (a candidate from a new band could otherwise miss its
     // verification set)
     val segs = segDirs(s, path)
-    val hot = s.read.parquet(s"$path/hot")
+    val hot = currentHot(s, path)
     // the index's guard, not a batch-local recount: anti-join against
     // the persisted hot set (broadcast — tiny by the guard's own
     // definition)

@@ -386,12 +386,16 @@ object Similarity {
 
   /** Embedding near-duplicate pairs above a cosine threshold, via LSH
     * banding + exact verification (same shape as MinHash-LSH dedup),
-    * over the fixture WITH planted twins ([[loadWithTwins]]) so the
-    * positive path is exercised by the oracle every round. The oracle
-    * mirrors the banded candidate generation (the sim_ann_lsh
-    * precedent — hyperplane LSH is not exhaustive, so an all-pairs
-    * oracle could only ever agree on empty); recall vs brute force is
-    * pinned separately (sim_recall_eval, DedupSpec).
+    * over the embeddings table AS STORED — fixture planting is the
+    * caller's business ([[graft.SparkEntry]]'s sim_near_dup
+    * registration unions [[loadWithTwins]] so its oracle exercises
+    * the positive path; a production caller pointing this at real
+    * embeddings gets exactly its own vectors, mirroring how
+    * [[Multimodal.videoTable]] is explicitly a fixture generator).
+    * The oracle mirrors the banded candidate generation (the
+    * sim_ann_lsh precedent — hyperplane LSH is not exhaustive, so an
+    * all-pairs oracle could only ever agree on empty); recall vs
+    * brute force is pinned separately (sim_recall_eval, DedupSpec).
     *
     * Band-key width is the densify knob: 16 planes (4-bit keys, 16
     * buckets/band) collapse at corpus scale — SCALE_r12 measured the
@@ -406,9 +410,10 @@ object Similarity {
       s: SparkSession, dir: String, threshold: Double = 0.9,
       numPlanes: Int = 64, numBands: Int = 4
   ): DataFrame =
-    cosineNearDupPairsDf(loadWithTwins(s, dir), threshold, numPlanes, numBands)
+    cosineNearDupPairsDf(load(s, dir), threshold, numPlanes, numBands)
 
-  /** DataFrame-level variant for testing with planted vectors. */
+  /** DataFrame-level variant — the fixture queries feed it
+    * [[loadWithTwins]]; specs feed it hand-planted vectors. */
   def cosineNearDupPairsDf(
       emb: DataFrame, threshold: Double,
       numPlanes: Int = 16, numBands: Int = 4

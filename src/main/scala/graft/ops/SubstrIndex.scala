@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted ExactSubstr window index — the storage form of
+  * [[Dedup.substringDupStats]] (Lee et al. 2022's windowed
+  * exact-substring dedup), closing the one dedup-family gap where the
+  * corpus-wide structure was re-derived from text every run: the
+  * md5-keyed 16-token window relation is tokenized ONCE and frozen
+  * under the [[IndexCommit]] marker protocol; appends tokenize only
+  * the arriving batch ([[LshIndex]]'s segment economics), and the
+  * stats read derives entirely from the persisted hashes.
+  *
+  * Index layout (all parquet, segmented via [[IndexCommit]] — each
+  * `v=<id>/` holds one batch's delta, readers union committed
+  * segments):
+  *   - `v=<id>/wins` — (doc_id, pos, wh): the document's sliding
+  *     window hashes, the gram-keyed side of the dup-frequency
+  *     aggregation.
+  *   - `v=<id>/docs` — (doc_id): every document the segment ingested,
+  *     INCLUDING short ones (< w tokens) that have no windows — the
+  *     stats padding needs them and they are not derivable from
+  *     `wins`.
+  *   - `meta` — one row (w): the window width, frozen at build so an
+  *     append can never mix widths (mixed-width hashes silently never
+  *     collide — zero dup counts, not an error).
+  *
+  * Segment appends are disjoint by doc contract (a document is
+  * ingested once — the [[LshIndex.append]] non-idempotence caveat):
+  * because each doc's windows live in exactly one segment, window
+  * document-frequencies union across segments without double
+  * counting, and append ≡ build(A∪B) holds exactly (spec-pinned).
+  *
+  * Scale: the persisted relation is corpus-proportional but TEXT-FREE
+  * (16-byte hashes + two longs per window). [[stats]] still pays the
+  * window-df aggregation over the hash relation — that is the
+  * operator's semantics (every document's flags can change when a
+  * batch adds colliding windows) — but never re-tokenizes: at 100 TB
+  * the text scan + tokenize + window explode happens once per
+  * document ever, and each re-score is a hash-relation aggregation
+  * (~2 shuffles over fixed-width rows).
+  */
+object SubstrIndex {
+
+  /** Window width frozen at build time. */
+  def width(s: SparkSession, path: String): Int =
+    s.read.parquet(s"$path/meta").head().getAs[Int]("w")
+
+  private def segDirs(s: SparkSession, path: String): Seq[String] = {
+    val ids = IndexCommit.committedIds(s, path)
+    require(ids.nonEmpty, s"no committed substring index segment at $path")
+    ids.map(IndexCommit.versionDir(path, _))
+  }
+
+  private def writeSegment(
+      s: SparkSession, path: String, docs: DataFrame, w: Int): Long = {
+    val id = IndexCommit.reserve(s, path)
+    val seg = IndexCommit.versionDir(path, id)
+    Dedup.windowHashes(docs, w)
+      .write.mode("overwrite").parquet(s"$seg/wins")
+    // a cheap second pass: doc_id-only column-pruned scan (short docs
+    // carry no windows, so the doc relation is not derivable from
+    // wins) — never a second tokenize
+    docs.select(col("doc_id"))
+      .write.mode("overwrite").parquet(s"$seg/docs")
+    IndexCommit.commit(s, path, id)
+    id
+  }
+
+  /** Build the index from the corpus at `dir` (optionally restricted
+    * by `docFilter`): the one corpus tokenization. Destructive reset
+    * by contract, like [[LshIndex.build]] — a rebuild changes the
+    * width every segment is interpreted under.
+    */
+  def build(
+      s: SparkSession, dir: String, path: String, w: Int = 16,
+      docFilter: Option[Column] = None): Long = {
+    require(w >= 2, "window width must be at least 2 tokens")
+    val docs = docFilter.foldLeft(
+      s.read.parquet(s"$dir/documents.parquet"))((d, f) => d.filter(f))
+    IndexCommit.reset(s, path)
+    import s.implicits._
+    Seq(w).toDF("w")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    writeSegment(s, path, docs, w)
+  }
+
+  /** Fold a batch of NEW documents into the index: tokenize the batch
+    * only, under the frozen width. NOT idempotent under replay
+    * (callers dedup upstream or ledger batch ids); atomic via the
+    * commit marker.
+    */
+  def append(s: SparkSession, path: String, batch: DataFrame): Long =
+    writeSegment(s, path, batch, width(s, path))
+
+  /** [[Dedup.substringDupStats]]' exact rows over the indexed corpus,
+    * derived from the persisted window hashes — zero text reads, zero
+    * re-tokenization (plan-pinned in SubstrIndexSpec).
+    */
+  def stats(
+      s: SparkSession, path: String,
+      maxDocFreq: Int = 1, maxSpanTokens: Int = 50): DataFrame = {
+    val segs = segDirs(s, path)
+    Dedup.statsFromWindows(
+      s.read.parquet(segs.map(_ + "/wins"): _*),
+      s.read.parquet(segs.map(_ + "/docs"): _*),
+      width(s, path), maxDocFreq, maxSpanTokens)
+  }
+}

@@ -31,6 +31,23 @@ import graft.ops.{CorpusSnapshot, IndexCommit}
   */
 object StreamingSnapshot {
 
+  /** Default in-stream compact cadence: without one, a long-lived
+    * stream grows the delta chain by one per micro-batch and every
+    * [[CorpusSnapshot.readResolved]] pays the ever-longer walk
+    * (measured linear, SCALE_r12 §1). 16 keeps amortized compact cost
+    * under ~7% of publishes while bounding resolve at a 16-delta
+    * chain. Override per stream; `None` disables.
+    */
+  val DefaultMaxChain: Int = 16
+
+  /** Default post-compact vacuum retention: a compact's version is
+    * FULL, so vacuuming right after it is safe; keeping 2 gives
+    * in-flight readers a full version of grace. Bounds DISK at
+    * ≤ maxChain + vacuumKeep committed versions over any stream
+    * length. `None` disables (vacuum becomes an operator action).
+    */
+  val DefaultVacuumKeep: Int = 2
+
   def ingestStream(
       docs: DataFrame,
       root: String,
@@ -38,14 +55,16 @@ object StreamingSnapshot {
       nShards: Int = 8,
       maxBytes: Long = CorpusSnapshot.DefaultMaxBytes,
       trigger: Trigger = Trigger.AvailableNow(),
-      maxChain: Option[Int] = None
+      maxChain: Option[Int] = Some(DefaultMaxChain),
+      vacuumKeep: Option[Int] = Some(DefaultVacuumKeep)
   ): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, root, nShards, maxBytes, batchId, maxChain)
+        applyBatch(batch, root, nShards, maxBytes, batchId, maxChain,
+          vacuumKeep)
         ()
       }
       .start()
@@ -62,7 +81,8 @@ object StreamingSnapshot {
       nShards: Int,
       maxBytes: Long,
       batchId: Long,
-      maxChain: Option[Int] = None
+      maxChain: Option[Int] = Some(DefaultMaxChain),
+      vacuumKeep: Option[Int] = Some(DefaultVacuumKeep)
   ): Unit = {
     val s = batch.sparkSession
     if (!StreamingCluster.ledgerHas(s, root, batchId)) {
@@ -79,9 +99,15 @@ object StreamingSnapshot {
         // the ledger guard's replay protection on purpose — a compact
         // is relation-level idempotent (it publishes the resolved
         // corpus), so a crash-replay double-compact is waste, never
-        // wrongness. Vacuum stays an operator action (its staleness
-        // window needs a policy, not a stream default).
-        maxChain.foreach(CorpusSnapshot.maybeCompact(s, root, _))
+        // wrongness. When a compact fired, its version is FULL, so
+        // the bounded vacuum is safe and caps disk at
+        // maxChain + vacuumKeep versions.
+        maxChain.foreach { mc =>
+          CorpusSnapshot.maybeCompact(s, root, mc, nShards, maxBytes)
+            .foreach { _ =>
+              vacuumKeep.foreach(IndexCommit.vacuum(s, root, _))
+            }
+        }
         ()
       }
       StreamingCluster.markLedger(s, root, batchId)

@@ -174,6 +174,85 @@ class ClusterIndexSpec extends SparkSpec {
       "doc 150's row must have moved to part 0, not resurfaced from part 1")
   }
 
+  test("append READS only batch-proportional partitions (label-sidecar " +
+    "pin) and the labels twin stays consistent with the assignment") {
+    // numParts=4, width=100: docs 1, 150, 250, 399 populate all four
+    // doc ranges. Batch doc 50 bridges components 1 and 150: every
+    // read the append performs — the contraction/anti-join lookup
+    // (label ranges of endpoints 1, 150 + batch 50) and the two
+    // rewrites — must stay inside parts {0,1}; parts 2 and 3 (docs
+    // 250, 399) must appear in NO read set. Before the label sidecar,
+    // the lookup was the FULL assignment — a ~1.6 TB scan per
+    // micro-batch at the 100 TB design point.
+    val baseDir = writeDocs(Seq(
+      1L -> words(1, 30), 150L -> words(19, 48),
+      250L -> "completely unrelated text about something else entirely",
+      399L -> "another unrelated corner of the corpus standing alone"))
+    val idx = tmp("readpin")
+    ClusterIndex.build(spark, baseDir, idx,
+      threshold = 0.5, rowsPerBand = 1, numParts = 4)
+    val batchDir = writeDocs(Seq(50L -> words(10, 39)))
+    ClusterIndex.lastAppendStats = None
+    ClusterIndex.append(spark, idx,
+      spark.read.parquet(s"$batchDir/documents.parquet"), threshold = 0.5)
+    val st = ClusterIndex.lastAppendStats.get
+    assert(st.numParts == 4)
+    val readSet = (st.lookupDocParts ++ st.rewriteClusterParts ++
+      st.rewriteDocParts).toSet
+    assert(readSet.subsetOf(Set(0, 1)),
+      s"append read partitions outside the batch's blast radius: $st")
+    assert(st.lookupDocParts.toSet == Set(0, 1),
+      s"the contraction lookup must cover the endpoint ranges: $st")
+    // the doc-range labels twin resolves to exactly the assignment
+    def rows(subdir: String, sidecar: String) = {
+      val dirs = ClusterIndex.partDirMap(spark, idx, None, subdir, sidecar)
+        .values.flatten.toSeq
+      spark.read.parquet(dirs: _*).select("doc_id", "component_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val viaClusters = rows("clusters", "partlist")
+    val viaLabels = rows("labels", "doclist")
+    assert(viaClusters == viaLabels,
+      s"labels sidecar diverged from the assignment: " +
+        s"$viaLabels vs $viaClusters")
+    assert(viaClusters == Map(1L -> 1L, 50L -> 1L, 150L -> 1L,
+      250L -> 250L, 399L -> 399L))
+  }
+
+  test("maybeCompact gates on distance to the newest FULL version, " +
+    "not total version count (no-vacuum stream stays cheap)") {
+    // the round-12 gate compared committedIds.length against
+    // maxVersions, which never resets without vacuum: once a
+    // no-vacuum stream crossed the bar, EVERY subsequent batch paid a
+    // full-assignment rewrite. The distance gate resets at each
+    // compact by itself.
+    val idx = tmp("distgate")
+    val baseDir = writeDocs(Seq(
+      1L -> words(1, 30),
+      250L -> "completely unrelated text about something else entirely"))
+    ClusterIndex.build(spark, baseDir, idx,
+      threshold = 0.5, rowsPerBand = 1, numParts = 4)
+    assert(ClusterIndex.versionsSinceFull(spark, idx) == 0)
+    var compacts = 0
+    for (k <- 1 to 9) {
+      val bDir = writeDocs(Seq(
+        (1000L + k) -> s"fresh batch number $k with its own words w${k}a w${k}b"))
+      ClusterIndex.append(spark, idx,
+        spark.read.parquet(s"$bDir/documents.parquet"), threshold = 0.5)
+      if (ClusterIndex.maybeCompact(spark, idx, maxVersions = 3).isDefined)
+        compacts += 1
+      // NO vacuum on purpose — the distance must still reset
+      assert(ClusterIndex.versionsSinceFull(spark, idx) <= 2,
+        "resolution distance must stay bounded without vacuum")
+    }
+    // 9 appends at a fire-every-2-appends cadence: 4 compacts, not 8
+    // (the old gate would fire on every append from the 2nd on)
+    assert(compacts == 4,
+      s"expected one compact per maxVersions-1 appends, got $compacts")
+    val got = clusterMap(ClusterIndex.clusters(spark, idx))
+    assert(got.keySet == Set(1L, 250L) ++ (1 to 9).map(1000L + _))
+  }
+
   test("vacuum is unsafe below a full version; compact then vacuum " +
     "to one version preserves the resolution") {
     val baseDir = writeDocs(Seq(

@@ -131,6 +131,40 @@ class CorpusSnapshotSpec extends SparkSpec {
       s"fixture must exercise all four classes: $got")
   }
 
+  test("diff is MANIFEST-ONLY (dochash sidecar, plan-pinned) and a " +
+    "pre-sidecar version falls back to one identical-hash payload pass") {
+    val root = tmpRoot("diffmanifest")
+    val v0 = CorpusSnapshot.publish(spark,
+      docs().filter(col("doc_id") % 3 =!= 0), root)
+    val v1 = CorpusSnapshot.publish(spark,
+      docs().filter(col("doc_id") % 2 =!= 0), root)
+    val d = CorpusSnapshot.diff(spark, root, v0, v1)
+    val want = d.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // plan pin: no payload parse anywhere — the shard .jsonl bytes
+    // never enter the diff; both scans are the dochash parquet
+    val plan = d.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    for (marker <- Seq("get_json_object", "unhex", ".jsonl"))
+      assert(!plan.contains(marker),
+        s"diff plan touches shard payloads ($marker found)")
+    assert(plan.contains("dochash"),
+      "diff must scan the dochash sidecar")
+    // fallback: a version published BEFORE the sidecar existed (here:
+    // sidecar deleted) still diffs identically — md5(raw line) is the
+    // same function the sidecar stores, so mixed pairs compare true
+    val side = new java.io.File(
+      s"${graft.ops.IndexCommit.versionDir(root, v0)}/dochash")
+    assert(side.exists)
+    def rmTree(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete(); ()
+    }
+    rmTree(side)
+    val mixed = CorpusSnapshot.diff(spark, root, v0, v1).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed == want,
+      "pre-sidecar fallback must classify identically to the sidecar path")
+  }
+
   test("vacuum retires old versions; current keeps answering") {
     val root = tmpRoot("vac")
     val v0 = CorpusSnapshot.publish(spark,

@@ -454,7 +454,9 @@ class DedupSpec extends SparkSpec {
 
   test("sim_near_dup fixture twins surface; engine matches a JVM " +
     "banding + exact-verify recompute") {
-    val got = Similarity.cosineNearDupPairs(spark, sf()).collect()
+    val got = Similarity.cosineNearDupPairsDf(
+      Similarity.loadWithTwins(spark, sf()), threshold = 0.9,
+      numPlanes = 64, numBands = 4).collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
     val vecs = Similarity.loadWithTwins(spark, sf())
       .select("vec_id", "v").collect()
@@ -482,6 +484,13 @@ class DedupSpec extends SparkSpec {
     // non-vacuity: at least one planted twin pair banded together
     assert(got.exists(p => p._2 == p._1 + graft.ops.PerceptualHash.TwinOffset),
       "planted embedding twins must surface through the banding")
+    // the PUBLIC operator never fabricates vectors: over the raw
+    // fixture it reports only stored ids (the plant lives in the
+    // SparkEntry registration, a fixture concern)
+    val clean = Similarity.cosineNearDupPairs(spark, sf()).collect()
+      .flatMap(r => Seq(r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")))
+    assert(clean.forall(_ < graft.ops.PerceptualHash.TwinOffset),
+      "cosineNearDupPairs over real embeddings must not plant twins")
   }
 
   test("exact dedup groups: all-unique corpus yields one group per doc") {

@@ -136,6 +136,61 @@ class LshIndexSpec extends SparkSpec {
     }
   }
 
+  test("refreshGuard folds measured drift into a committed guard " +
+    "version: drift zeroes, banner candidates shed, true pairs survive") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    val path = Files.createTempDirectory("lshrefresh").toString
+    // rowsPerBand=1 so the post-refresh twin match is probability-free
+    // (any of 32 single-hash bands colliding suffices)
+    LshIndex.build(spark, sf(), path, rowsPerBand = 1,
+      maxDocFreq = Some(0.1))
+    val banner = "zr0 zr1 zr2 zr3 zr4 zr5 "
+    def bannered(offset: Long) =
+      spark.read.parquet(s"${sf()}/documents.parquet")
+        .filter(col("doc_id") % 5 === 3)
+        .select((col("doc_id") + offset).as("doc_id"),
+          concat(lit(banner), col("text")).as("text"))
+    LshIndex.append(spark, path, bannered(30000000L))
+    assert(!LshIndex.guardDrift(spark, path, 0.1).isEmpty,
+      "the appended banner must register as drift")
+    // batch2 = the SAME bannered texts under new ids: every doc is a
+    // true near-dup twin of an indexed doc, and the banner also
+    // bridges UNRELATED docs at low thresholds (candidate inflation)
+    def scored(threshold: Double): Map[(Long, Long), Double] =
+      LshIndex.probe(spark, path, bannered(40000000L), threshold)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_idx")) ->
+          r.getAs[Double]("jaccard")).toMap
+    def pairs(threshold: Double) = scored(threshold).keySet
+    val beforeLow = scored(0.01)
+    val beforeTwins = pairs(0.5)
+    val twinWant = bannered(40000000L).select("doc_id").collect()
+      .map(_.getLong(0)).filter { id =>
+        // only docs long enough to have shingles can pair
+        beforeTwins.contains((id, id - 10000000L))
+      }.toSet
+    assert(twinWant.nonEmpty, "fixture must produce true twins")
+    // refresh: the drifted banner shingles join the committed guard
+    LshIndex.refreshGuard(spark, path, 0.1)
+    assert(LshIndex.guardDrift(spark, path, 0.1).isEmpty,
+      "refresh must zero the measured drift")
+    val afterLow = scored(0.01)
+    // one-sided against BANNER-CARRYING indexed docs (ids ≥ 3·10⁷ —
+    // their persisted sets keep the shingles): the intersection loses
+    // the boilerplate, the union keeps it, so Jaccard only decreases.
+    // Against banner-free base docs the score may legitimately RISE
+    // toward content-only similarity — the guard's purpose.
+    for ((p @ (_, idx), jAfter) <- afterLow if idx >= 30000000L;
+         jBefore <- beforeLow.get(p))
+      assert(jAfter <= jBefore + 1e-12,
+        s"pair $p scored HIGHER after the refresh: $jBefore -> $jAfter")
+    assert(afterLow.size < beforeLow.size,
+      "banner-driven cross-pairs must be shed after the refresh")
+    val afterTwins = pairs(0.5)
+    assert(twinWant.forall(id => afterTwins.contains((id, id - 10000000L))),
+      "true near-dup twins must survive the refresh")
+  }
+
   private def buildIndexNoGuard(): String = {
     val path = Files.createTempDirectory("lshidx-f").toString
     LshIndex.build(spark, sf(), path, docFilter = Some(!isBatch))

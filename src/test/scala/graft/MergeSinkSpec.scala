@@ -247,6 +247,35 @@ class MergeSinkSpec extends SparkSpec {
       (r: org.apache.spark.sql.Row) =>
         (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3))
     })
+
+    // case 4 = insert-only (run(update=false, insert=true)): matched
+    // target rows stay UNTOUCHED server-side — before
+    // MergeSpec.updateMatched a JDBC caller wiring insert-only
+    // silently got an upsert
+    reset()
+    val imp4 = new Importer(targetMirror, delta3, table = "groceries",
+      tablePk = Seq("id"))
+    val r4 = imp4.run(update = false, insert = true)
+    assert(r4.rowCountUpdated == 0L && r4.rowCountInserted == 2L)
+    val affected4 = sink.write(r4, imp4.data,
+      MergeSpec("groceries", imp4.joinOn, imp4.subset,
+        insertUnmatched = true, updateMatched = false))
+    assert(affected4 == 2L, "inserted(2), no update leg")
+    assert(state() == Seq(
+      ("ID000001", "Apple", 5, 10.0), ("ID000002", "Pear", 4, 9.0),
+      ("ID000003", "Orange", 3, 8.0), ("ID000004", "Lemon", 6, 7.0),
+      ("ID000005", "Mango", 2, 30.0), ("ID000006", "Plum", 9, 5.5)),
+      "insert-only golden rows: matched ID000001 must NOT update")
+    // and it matches the Spark-side run(update=false, insert=true)
+    assert(state().toSet == r4.updated.collect().toSet.map {
+      (r: org.apache.spark.sql.Row) =>
+        (r.getString(0), r.getString(1), r.getInt(2), r.getDouble(3))
+    }, "JDBC insert-only ≡ Spark-side insert-only relation")
+    // a no-leg spec is a contract violation, like run's V11
+    intercept[IllegalArgumentException] {
+      MergeSpec("groceries", imp4.joinOn, imp4.subset,
+        insertUnmatched = false, updateMatched = false)
+    }
   }
 
   test("JdbcMergeSink rolls back BEFORE restoring autocommit on failure") {

@@ -127,6 +127,26 @@ class StreamingClusterSpec extends SparkSpec {
     assert(got(1L)._1 == 1L && got(5L)._1 == 5L)
   }
 
+  test("default cadence + post-compact vacuum bound DISK: committed " +
+    "version count stays ≤ maxVersions + vacuumKeep over a long stream") {
+    val dir = writeDocs(base)
+    val idx = tmp("disk")
+    ClusterIndex.build(spark, dir, idx, threshold = 0.45, numParts = 4)
+    for (k <- 0 to 9) {
+      StreamingCluster.applyBatch(
+        df(Seq((200L + k) -> words(2000 + 40 * k, 2030 + 40 * k))),
+        idx, 0.45, k.toLong, maxVersions = Some(3), vacuumKeep = Some(2))
+      assert(IndexCommit.committedIds(spark, idx).length <= 5,
+        "version count must stay ≤ maxVersions + vacuumKeep without " +
+          "any operator-side vacuum")
+      assert(ClusterIndex.versionsSinceFull(spark, idx) <= 2,
+        "resolution distance must stay bounded")
+    }
+    val got = clusterMap(ClusterIndex.clusters(spark, idx))
+    assert((200L to 209L).forall(id => got(id) == ((id, true))),
+      s"no streamed doc may be lost to the vacuum: $got")
+  }
+
   test("end-to-end through a real AvailableNow stream") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -45,6 +45,24 @@ class StreamingSnapshotSpec extends SparkSpec {
     assert(m(CorpusSnapshot.readResolved(spark, root)) == expected.toMap)
   }
 
+  test("default cadence + post-compact vacuum bound DISK: committed " +
+    "version count stays ≤ maxChain + vacuumKeep over a long stream") {
+    val root = tmpRoot("disk")
+    val expected = scala.collection.mutable.Map.empty[Long, String]
+    for (k <- 0 to 11) {
+      StreamingSnapshot.applyBatch(df(Seq(k.toLong -> s"doc$k")),
+        root, 8, CorpusSnapshot.DefaultMaxBytes, k.toLong,
+        maxChain = Some(3), vacuumKeep = Some(2))
+      expected(k.toLong) = s"doc$k"
+      assert(IndexCommit.committedIds(spark, root).length <= 5,
+        "version count must stay ≤ maxChain + vacuumKeep without " +
+          "any operator-side vacuum")
+      assert(CorpusSnapshot.chain(spark, root).length - 1 <= 3)
+    }
+    assert(m(CorpusSnapshot.readResolved(spark, root)) == expected.toMap,
+      "no batch's documents may be lost to the vacuum")
+  }
+
   test("first batch publishes full, later deltas; LWW resolve; ledger " +
     "no-op; torn replay keeps the rows; compact collapses the chain") {
     val root = tmpRoot("ingest")
