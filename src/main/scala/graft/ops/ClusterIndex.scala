@@ -18,7 +18,10 @@ import org.apache.spark.sql.functions._
   *                        meta, its own commit protocol) — the pair
   *                        source for builds AND the probe target for
   *                        appends
-  *   meta                 the RANGE layout (num_parts, width), frozen
+  *   meta                 the RANGE layout (num_parts, width) as a
+  *                        text sidecar (driver-written scalars, no
+  *                        Spark job to read — likewise partlist/
+  *                        doclist below), frozen
   *                        at build — shared by both partition spaces
   *                        below (component ids are member MINIMA, so
   *                        they live in doc-id space)
@@ -100,15 +103,24 @@ object ClusterIndex {
       s: SparkSession, path: String, numParts: Int, maxId: Long): Layout = {
     require(numParts >= 1, "numParts must be positive")
     val width = math.max(1L, maxId / numParts + 1)
-    import s.implicits._
-    Seq((numParts, width)).toDF("num_parts", "width")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // driver-known scalars → text sidecar (no Spark job; see
+    // IndexCommit.writeTextSidecar)
+    IndexCommit.writeTextSidecar(s, s"$path/meta",
+      Seq(numParts.toString, width.toString))
     Layout(numParts, width)
   }
 
   private[graft] def layout(s: SparkSession, path: String): Layout = {
-    val r = s.read.parquet(s"$path/meta").head()
-    Layout(r.getAs[Int]("num_parts"), r.getAs[Long]("width"))
+    val p = new Path(s"$path/meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory) {
+      // pre-r13 indexes froze the layout as a one-row parquet dir
+      val r = s.read.parquet(p.toString).head()
+      Layout(r.getAs[Int]("num_parts"), r.getAs[Long]("width"))
+    } else {
+      val lines = IndexCommit.readTextSidecar(s, s"$path/meta")
+      Layout(lines(0).toInt, lines(1).toLong)
+    }
   }
 
   /** Range partition of a component id. The subtraction-mediated
@@ -198,13 +210,28 @@ object ClusterIndex {
     }
     if (docParts.nonEmpty)
       writeLeg(labelLeg, col("doc_id"), "labels")
-    import s.implicits._
-    clusterParts.toDF("part").coalesce(1)
-      .write.mode("overwrite").parquet(s"$vdir/partlist")
-    docParts.toDF("part").coalesce(1)
-      .write.mode("overwrite").parquet(s"$vdir/doclist")
+    // owned-partition lists are driver-side Seq[Int] — text sidecars,
+    // zero Spark jobs on publish AND on every later resolution walk
+    IndexCommit.writeTextSidecar(s, s"$vdir/partlist",
+      clusterParts.map(_.toString))
+    IndexCommit.writeTextSidecar(s, s"$vdir/doclist",
+      docParts.map(_.toString))
     IndexCommit.commit(s, path, id)
     id
+  }
+
+  /** One version's owned-partition sidecar (`partlist`/`doclist`).
+    * Pre-r13 versions wrote these as parquet dirs — read those too,
+    * so appending to an index built before the text-sidecar change
+    * keeps resolving its old versions.
+    */
+  private[graft] def sidecarParts(
+      s: SparkSession, path: String): Seq[Int] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory)
+      s.read.parquet(path).collect().map(_.getInt(0)).toSeq
+    else IndexCommit.readTextSidecar(s, path).map(_.toInt)
   }
 
   /** Resolve every partition (optionally restricted to `only`) of one
@@ -231,8 +258,7 @@ object ClusterIndex {
     val it = ids.reverseIterator
     while (it.hasNext && !want.subsetOf(chosen.keySet)) {
       val vdir = IndexCommit.versionDir(path, it.next())
-      val owned = s.read.parquet(s"$vdir/$sidecar")
-        .collect().map(_.getInt(0))
+      val owned = sidecarParts(s, s"$vdir/$sidecar")
       for (p <- owned if want.contains(p) && !chosen.contains(p)) {
         val d = new Path(s"$vdir/$subdir/part=$p")
         chosen(p) = if (fs.exists(d)) Some(d.toString) else None
@@ -456,14 +482,14 @@ object ClusterIndex {
     * tiny sidecar reads, newest-first.
     */
   private[graft] def versionsSinceFull(s: SparkSession, path: String): Int = {
-    val n = layout(s, path).numParts.toLong
+    val n = layout(s, path).numParts
     val ids = IndexCommit.committedIds(s, path)
     var dist = 0
     val it = ids.reverseIterator
     var found = false
     while (it.hasNext && !found) {
       val vdir = IndexCommit.versionDir(path, it.next())
-      if (s.read.parquet(s"$vdir/partlist").count() == n) found = true
+      if (sidecarParts(s, s"$vdir/partlist").length == n) found = true
       else dist += 1
     }
     dist

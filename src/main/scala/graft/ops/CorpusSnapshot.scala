@@ -301,14 +301,21 @@ object CorpusSnapshot {
     * no sidecar and resolve to ("full", None) — backward-compatible
     * by absence.
     */
-  private def metaOf(
+  private[graft] def metaOf(
       s: SparkSession, root: String, id: Long): (String, Option[Long]) = {
     val p = new Path(s"${IndexCommit.versionDir(root, id)}/meta")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) ("full", None)
-    else {
+    else if (fs.getFileStatus(p).isDirectory) {
+      // pre-r13 chains wrote the lineage as a one-row parquet DIR;
+      // read it so mixed old/new chains keep resolving
       val r = s.read.parquet(p.toString).head()
       (r.getAs[String]("kind"), Option(r.getAs[Long]("parent")))
+    } else {
+      // text sidecar (kind, then parent if any): a driver-side read,
+      // so a chain walk costs zero Spark jobs per hop
+      val lines = IndexCommit.readTextSidecar(s, p.toString)
+      (lines.head, lines.drop(1).headOption.map(_.toLong))
     }
   }
 
@@ -347,9 +354,8 @@ object CorpusSnapshot {
         nShards, maxBytes)
       val vdir = IndexCommit.versionDir(root, id)
       rm.write.mode("overwrite").parquet(s"$vdir/removed")
-      import s.implicits._
-      Seq(("delta", parent)).toDF("kind", "parent")
-        .coalesce(1).write.mode("overwrite").parquet(s"$vdir/meta")
+      IndexCommit.writeTextSidecar(s, s"$vdir/meta",
+        Seq("delta", parent.toString))
       IndexCommit.commit(s, root, id)
       id
     }

@@ -121,6 +121,45 @@ object IndexCommit {
     fs.create(new Path(commits, id.toString), false).close()
   }
 
+  /** Write a tiny metadata sidecar (version part-lists, frozen layout
+    * scalars) as ONE text file via the driver's FileSystem handle —
+    * no Spark job on either side. These values are driver-known
+    * scalars; round-tripping them through a one-row parquet write +
+    * a read job costs two cluster round-trips per access, which
+    * dominated the small-fixture latency of partial-version appends
+    * (each resolves several sidecars). One line per element, UTF-8,
+    * atomically visible under the caller's commit-marker protocol
+    * (the sidecar lands inside `v=<id>` before the marker).
+    */
+  def writeTextSidecar(
+      s: SparkSession, path: String, lines: Seq[String]): Unit = {
+    val fs = hfs(s, path)
+    val p = new Path(path)
+    fs.mkdirs(p.getParent)
+    // a pre-r13 writer may have left a one-row parquet DIRECTORY at
+    // this path; create(overwrite) replaces files only, so clear it
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) fs.delete(p, true)
+    val out = fs.create(p, true)
+    try out.write(lines.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read a [[writeTextSidecar]] file: the lines, empty-file → Nil. */
+  def readTextSidecar(s: SparkSession, path: String): Seq[String] = {
+    val fs = hfs(s, path)
+    val in = fs.open(new Path(path))
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      val text = new String(bytes.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (text.isEmpty) Nil else text.split("\n", -1).toSeq
+    } finally in.close()
+  }
+
   /** Retire all but the newest `keep` committed versions. For indexes
     * whose versions are full snapshots this is always safe; for
     * PARTIAL-version layouts ([[ClusterIndex]]'s range partitions,

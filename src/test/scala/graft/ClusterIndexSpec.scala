@@ -140,8 +140,7 @@ class ClusterIndexSpec extends SparkSpec {
     val v1 = IndexCommit.committedIds(spark, idx).last
     val v1dir = IndexCommit.versionDir(idx, v1)
     // the new version owns exactly the touched partitions
-    val owned = spark.read.parquet(s"$v1dir/partlist")
-      .collect().map(_.getInt(0)).toSet
+    val owned = ClusterIndex.sidecarParts(spark, s"$v1dir/partlist").toSet
     assert(owned == Set(0, 1), s"touched partitions must be {0,1}: $owned")
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$v1dir/clusters/part=2")) &&
@@ -372,5 +371,37 @@ class ClusterIndexSpec extends SparkSpec {
       .parquet(s"${IndexCommit.versionDir(idx, stale)}/clusters")
     assert(clusterMap(ClusterIndex.clusters(spark, idx)) == before,
       "a staged-but-uncommitted version must be invisible")
+  }
+
+  test("pre-r13 parquet sidecars (meta/partlist/doclist) still resolve") {
+    val dir = writeDocs(Seq(
+      1L -> words(1, 30), 2L -> words(1, 30)))
+    val idx = tmp("legacysidecar")
+    ClusterIndex.build(spark, dir, idx)
+    val before = clusterMap(ClusterIndex.clusters(spark, idx))
+    // rewrite v0's sidecars and the layout meta in the r12 format
+    // (one-row parquet DIRECTORIES) — an index built before the
+    // text-sidecar change must keep answering, and an append must
+    // keep resolving its old versions
+    import spark.implicits._
+    val l = ClusterIndex.layout(spark, idx)
+    val v0 = IndexCommit.versionDir(idx, 0L)
+    for (sc <- Seq("partlist", "doclist")) {
+      val parts = ClusterIndex.sidecarParts(spark, s"$v0/$sc")
+      Files.delete(java.nio.file.Paths.get(s"$v0/$sc"))
+      parts.toDF("part").coalesce(1).write.parquet(s"$v0/$sc")
+    }
+    Files.delete(java.nio.file.Paths.get(s"$idx/meta"))
+    Seq((l.numParts, l.width)).toDF("num_parts", "width")
+      .coalesce(1).write.parquet(s"$idx/meta")
+    assert(clusterMap(ClusterIndex.clusters(spark, idx)) == before,
+      "legacy parquet sidecars must resolve identically")
+    ClusterIndex.append(spark, idx,
+      spark.read.parquet(
+        s"${writeDocs(Seq(3L -> "unrelated new text entirely"))}" +
+          "/documents.parquet"))
+    assert(clusterMap(ClusterIndex.clusters(spark, idx)) ==
+      before + (3L -> ((3L, true))),
+      "append onto a legacy-sidecar index must merge correctly")
   }
 }

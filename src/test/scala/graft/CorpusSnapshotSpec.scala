@@ -413,14 +413,34 @@ class CorpusSnapshotSpec extends SparkSpec {
     // committed predecessor — no forks
     val ids = IndexCommit.committedIds(spark, root)
     ids.sliding(2).foreach { case Seq(prev, cur) =>
-      val meta = spark.read
-        .parquet(s"${IndexCommit.versionDir(root, cur)}/meta").head()
-      assert(meta.getAs[String]("kind") == "delta" &&
-        meta.getAs[Long]("parent") == prev,
-        s"version $cur must chain to $prev, not ${meta.get(1)}")
+      val meta = CorpusSnapshot.metaOf(spark, root, cur)
+      assert(meta == ("delta", Some(prev)),
+        s"version $cur must chain to $prev, not $meta")
     }
     assert(m(CorpusSnapshot.readResolved(spark, root)) ==
       Map(1L -> "one", 2L -> "doc2", 3L -> "doc3", 4L -> "doc4"),
       "all three concurrent deltas must survive resolution")
+  }
+
+  test("metaOf reads pre-r13 parquet lineage dirs (mixed chains)") {
+    import spark.implicits._
+    val root = tmpRoot("legacymeta")
+    CorpusSnapshot.publish(spark,
+      Seq((1L, "one")).toDF("doc_id", "text"), root)
+    val id = CorpusSnapshot.publishDelta(spark,
+      Seq((2L, "two")).toDF("doc_id", "text"),
+      Seq.empty[Long].toDF("doc_id"), root)
+    // rewrite the delta's meta in the r12 format: a one-row parquet
+    // DIRECTORY instead of the text file
+    val vdir = IndexCommit.versionDir(root, id)
+    Files.delete(Paths.get(s"$vdir/meta"))
+    Seq(("delta", id - 1)).toDF("kind", "parent")
+      .coalesce(1).write.parquet(s"$vdir/meta")
+    assert(CorpusSnapshot.metaOf(spark, root, id) == ("delta", Some(id - 1)),
+      "legacy parquet meta must resolve identically")
+    val m = CorpusSnapshot.readResolved(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "one", 2L -> "two"),
+      "a mixed old/new chain must resolve end-to-end")
   }
 }
