@@ -131,6 +131,26 @@ object ScaleProbe {
           PerceptualHash.videoNearDupPairs(spark, dir).count())
         println(s"""{"probe":"videodecomp","dir":"$dir","sigs":$nSigs,"sig_secs":$sigSecs,"pairs":$nPairs,"total_secs":$allSecs}""")
 
+      case "videopairs" =>
+        // decomposition companion to videodecomp: WHERE does the pair
+        // count grow? Hamming histogram of the emitted pairs + the
+        // largest identical-signature classes — if growth is C(n,2)
+        // over Hamming-0 classes, it's output volume (pair semantics
+        // over genuinely identical clips), not candidate waste
+        import graft.ops.PerceptualHash
+        val sigs = PerceptualHash.videoSignatures(
+          PerceptualHash.syntheticVideos(spark, dir))
+        val classes = sigs.groupBy("sig").count()
+          .filter(col("count") > 1)
+          .orderBy(col("count").desc).limit(10)
+          .collect().map(r => r.getLong(1))
+        val quadPairs = classes.map(n => n * (n - 1) / 2).sum
+        val pairs = PerceptualHash.videoNearDupPairs(spark, dir)
+        val hist = pairs.groupBy("hamming").count()
+          .orderBy("hamming").collect()
+          .map(r => s""""h${r.getInt(0)}":${r.getLong(1)}""").mkString(",")
+        println(s"""{"probe":"videopairs","dir":"$dir","hist":{$hist},"top_class_sizes":[${classes.mkString(",")}],"top_class_pairs":$quadPairs}""")
+
       case "upsert" =>
         // round-13 upsert scale leg (ScaleGen now carries orders):
         // seconds + executed-plan audit — the target side must carry

@@ -56,10 +56,23 @@ object BloomIndex {
       throw new IllegalStateException(
         s"no committed bloom index version at $path"))
 
-  def readMeta(s: SparkSession, path: String): Meta = {
-    val r = s.read.parquet(s"${cur(s, path)}/meta").head()
-    Meta(r.getAs[Int]("n_gram"), r.getAs[Int]("m_bits"),
-      r.getAs[Int]("k_hash"))
+  def readMeta(s: SparkSession, path: String): Meta =
+    metaIn(s, cur(s, path))
+
+  /** One version's hash-config sidecar; pre-r13 versions wrote it as
+    * a one-row parquet dir — read those too.
+    */
+  private def metaIn(s: SparkSession, dir: String): Meta = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory) {
+      val r = s.read.parquet(p.toString).head()
+      Meta(r.getAs[Int]("n_gram"), r.getAs[Int]("m_bits"),
+        r.getAs[Int]("k_hash"))
+    } else {
+      val lines = IndexCommit.readTextSidecar(s, s"$dir/meta")
+      Meta(lines(0).toInt, lines(1).toInt, lines(2).toInt)
+    }
   }
 
   /** Write a complete filter snapshot (words + meta) as version `id`
@@ -74,8 +87,9 @@ object BloomIndex {
     val dir = IndexCommit.versionDir(path, id)
     words.toDF("w", "bits").coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/words")
-    Seq((n, mBits, kHash)).toDF("n_gram", "m_bits", "k_hash")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+    // driver-known scalars → text sidecar (no Spark job per probe)
+    IndexCommit.writeTextSidecar(s, s"$dir/meta",
+      Seq(n, mBits, kHash).map(_.toString))
     IndexCommit.commit(s, path, id)
   }
 
@@ -153,9 +167,7 @@ object BloomIndex {
     */
   def probe(s: SparkSession, path: String, batch: DataFrame): DataFrame = {
     val dir = cur(s, path)
-    val m = s.read.parquet(s"$dir/meta").head()
-    val meta = Meta(m.getAs[Int]("n_gram"), m.getAs[Int]("m_bits"),
-      m.getAs[Int]("k_hash"))
+    val meta = metaIn(s, dir)
     val dense = Dedup.bloomDenseRow(
       s.read.parquet(s"$dir/words").select("w", "bits"), meta.mBits)
     Dedup.bloomProbe(

@@ -136,13 +136,20 @@ object IndexCommit {
     val fs = hfs(s, path)
     val p = new Path(path)
     fs.mkdirs(p.getParent)
-    // a pre-r13 writer may have left a one-row parquet DIRECTORY at
-    // this path; create(overwrite) replaces files only, so clear it
-    if (fs.exists(p) && fs.getFileStatus(p).isDirectory) fs.delete(p, true)
-    val out = fs.create(p, true)
+    // stage-then-rename: a writer killed mid-write leaves a .tmp
+    // file, never a half-written sidecar at the published name
+    // (readers outside a commit-marker protocol — the streaming
+    // sketch meta — treat an absent sidecar as "nothing yet")
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(lines.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // a pre-r13 writer may have left a one-row parquet DIRECTORY at
+    // this path; rename won't replace either form, so clear it
+    if (fs.exists(p)) fs.delete(p, true)
+    if (!fs.rename(tmp, p))
+      sys.error(s"could not publish sidecar $p")
   }
 
   /** Read a [[writeTextSidecar]] file: the lines, empty-file → Nil. */

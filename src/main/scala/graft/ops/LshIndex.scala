@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -27,7 +28,7 @@ import org.apache.spark.sql.functions._
   *     Build-owned, outside the segment protocol; [[refreshGuard]]
   *     supersedes it with committed versions under `guard/v=<id>/hot`
   *     when append-driven drift warrants (readers take the newest).
-  *   - `meta`   — one row (n, num_hashes, rows_per_band): the hash
+  *   - `meta`   — text sidecar (n, num_hashes, rows_per_band): the hash
   *     configuration, read back at probe time so a probe can never run
   *     with mismatched shingle width or banding. Build-owned,
   *     immutable.
@@ -88,10 +89,11 @@ object LshIndex {
       // versions describe the PREVIOUS corpus's drift
       IndexCommit.reset(s, guardRoot(path))
       hot.write.mode("overwrite").parquet(s"$path/hot")
-      import s.implicits._
-      Seq((n, numHashes, rowsPerBand))
-        .toDF("n", "num_hashes", "rows_per_band")
-        .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+      // driver-known scalars → text sidecar: probes (one per
+      // streaming micro-batch) read the hash config without a Spark
+      // job (see IndexCommit.writeTextSidecar)
+      IndexCommit.writeTextSidecar(s, s"$path/meta",
+        Seq(n, numHashes, rowsPerBand).map(_.toString))
       val id = IndexCommit.reserve(s, path)
       val seg = IndexCommit.versionDir(path, id)
       Dedup.bandedSignatures(sh, numHashes, rowsPerBand, scope)
@@ -259,9 +261,17 @@ object LshIndex {
   }
 
   def readMeta(s: SparkSession, path: String): Meta = {
-    val r = s.read.parquet(s"$path/meta").head()
-    Meta(r.getAs[Int]("n"), r.getAs[Int]("num_hashes"),
-      r.getAs[Int]("rows_per_band"))
+    val p = new Path(s"$path/meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.getFileStatus(p).isDirectory) {
+      // pre-r13 builds froze the config as a one-row parquet dir
+      val r = s.read.parquet(p.toString).head()
+      Meta(r.getAs[Int]("n"), r.getAs[Int]("num_hashes"),
+        r.getAs[Int]("rows_per_band"))
+    } else {
+      val lines = IndexCommit.readTextSidecar(s, s"$path/meta")
+      Meta(lines(0).toInt, lines(1).toInt, lines(2).toInt)
+    }
   }
 
   /** Probe the index with a batch of new documents (doc_id, text):

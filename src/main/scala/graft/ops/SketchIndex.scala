@@ -83,15 +83,24 @@ object SketchIndex {
     * and `require` it.
     */
   private def writeCmsMeta(
-      s: SparkSession, path: String, depth: Int, width: Int): Unit = {
-    import s.implicits._
-    Seq((depth, width)).toDF("depth", "width")
-      .write.mode("overwrite").parquet(s"$path/meta")
-  }
+      s: SparkSession, path: String, depth: Int, width: Int): Unit =
+    IndexCommit.writeTextSidecar(s, s"$path/meta",
+      Seq(depth, width).map(_.toString))
 
-  private def cmsMeta(s: SparkSession, path: String): (Int, Int) = {
-    val r = s.read.parquet(s"$path/meta").collect().head
-    (r.getAs[Int]("depth"), r.getAs[Int]("width"))
+  private def cmsMeta(s: SparkSession, path: String): (Int, Int) =
+    if (isLegacyMetaDir(s, path)) {
+      val r = s.read.parquet(s"$path/meta").collect().head
+      (r.getAs[Int]("depth"), r.getAs[Int]("width"))
+    } else {
+      val lines = IndexCommit.readTextSidecar(s, s"$path/meta")
+      (lines(0).toInt, lines(1).toInt)
+    }
+
+  /** Pre-r13 builds froze meta as a one-row parquet DIRECTORY. */
+  private def isLegacyMetaDir(s: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).isDirectory
   }
 
   def buildCms(s: SparkSession, docs: DataFrame, path: String,
@@ -148,13 +157,13 @@ object SketchIndex {
     * adds nothing new to a set), so at-least-once delivery is safe.
     * `k` lives in a build-owned meta sidecar like the CMS grid shape.
     */
-  private def writeKmvMeta(s: SparkSession, path: String, k: Int): Unit = {
-    import s.implicits._
-    Seq(k).toDF("k").write.mode("overwrite").parquet(s"$path/meta")
-  }
+  private def writeKmvMeta(s: SparkSession, path: String, k: Int): Unit =
+    IndexCommit.writeTextSidecar(s, s"$path/meta", Seq(k.toString))
 
   private def kmvK(s: SparkSession, path: String): Int =
-    s.read.parquet(s"$path/meta").collect().head.getAs[Int]("k")
+    if (isLegacyMetaDir(s, path))
+      s.read.parquet(s"$path/meta").collect().head.getAs[Int]("k")
+    else IndexCommit.readTextSidecar(s, s"$path/meta").head.toInt
 
   def buildKmv(s: SparkSession, docs: DataFrame, path: String,
       k: Int = 64): Long = {

@@ -45,7 +45,7 @@ object SubstrIndex {
 
   /** Window width frozen at build time. */
   def width(s: SparkSession, path: String): Int =
-    s.read.parquet(s"$path/meta").head().getAs[Int]("w")
+    IndexCommit.readTextSidecar(s, s"$path/meta").head.toInt
 
   private def segDirs(s: SparkSession, path: String): Seq[String] = {
     val ids = IndexCommit.committedIds(s, path)
@@ -80,9 +80,8 @@ object SubstrIndex {
     val docs = docFilter.foldLeft(
       s.read.parquet(s"$dir/documents.parquet"))((d, f) => d.filter(f))
     IndexCommit.reset(s, path)
-    import s.implicits._
-    Seq(w).toDF("w")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    // driver-known scalar → text sidecar (no Spark job per append)
+    IndexCommit.writeTextSidecar(s, s"$path/meta", Seq(w.toString))
     writeSegment(s, path, docs, w)
   }
 

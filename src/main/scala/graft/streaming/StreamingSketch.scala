@@ -104,32 +104,46 @@ object StreamingSketch {
       }
       .start()
 
-  private def readMetaRow(
-      s: SparkSession, outPath: String): Option[org.apache.spark.sql.Row] =
-    // headOption: a meta dir that exists but yields zero rows (torn
-    // write) must read as "nothing written yet", not NoSuchElement
-    try s.read.parquet(s"$outPath/meta").collect().headOption
-    catch { case _: org.apache.spark.sql.AnalysisException => None }
+  /** The stream's frozen meta ints, or None if nothing durable yet.
+    * Text sidecar going forward (no Spark job per micro-batch; write
+    * is stage-then-rename, so a torn write reads as absent); pre-r13
+    * streams froze it as a one-row parquet DIR, read via `legacyCols`
+    * — a zero-row dir (that format's torn write) also reads as None.
+    */
+  private def readMetaVals(
+      s: SparkSession, outPath: String,
+      legacyCols: Seq[String]): Option[Seq[Int]] = {
+    val p = new org.apache.hadoop.fs.Path(s"$outPath/meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else if (fs.getFileStatus(p).isDirectory)
+      (try s.read.parquet(p.toString).collect().headOption
+       catch { case _: org.apache.spark.sql.AnalysisException => None })
+        .map(r => legacyCols.map(c => r.getAs[Int](c)))
+    else Some(graft.ops.IndexCommit.readTextSidecar(s, p.toString)
+      .map(_.toInt))
+  }
+
+  private def writeMetaVals(
+      s: SparkSession, outPath: String, vals: Seq[Int]): Unit =
+    graft.ops.IndexCommit.writeTextSidecar(
+      s, s"$outPath/meta", vals.map(_.toString))
 
   private[graft] def cmsMeta(
       s: SparkSession, outPath: String): (Int, Int) = {
-    val r = readMetaRow(s, outPath).getOrElse(
+    val v = readMetaVals(s, outPath, Seq("depth", "width")).getOrElse(
       sys.error(s"no CMS stream meta under $outPath — nothing written yet"))
-    (r.getAs[Int]("depth"), r.getAs[Int]("width"))
+    (v(0), v(1))
   }
 
   private def ensureCmsMeta(
       s: SparkSession, outPath: String, depth: Int, width: Int): Unit =
-    readMetaRow(s, outPath) match {
-      case Some(r) =>
-        val (d0, w0) = (r.getAs[Int]("depth"), r.getAs[Int]("width"))
+    readMetaVals(s, outPath, Seq("depth", "width")) match {
+      case Some(Seq(d0, w0)) =>
         require(d0 == depth && w0 == width,
           s"CMS stream at $outPath was started with shape ${d0}x$w0; " +
             s"cannot fold batches at ${depth}x$width")
-      case None =>
-        import s.implicits._
-        Seq((depth, width)).toDF("depth", "width")
-          .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
+      case _ => writeMetaVals(s, outPath, Seq(depth, width))
     }
 
   private[graft] def applyCmsBatch(batch: DataFrame, outPath: String,
@@ -170,22 +184,18 @@ object StreamingSketch {
       .start()
 
   private[graft] def kmvK(s: SparkSession, outPath: String): Int =
-    readMetaRow(s, outPath).getOrElse(
+    readMetaVals(s, outPath, Seq("k")).getOrElse(
       sys.error(s"no KMV stream meta under $outPath — nothing written yet")
-    ).getAs[Int]("k")
+    ).head
 
   private def ensureKmvMeta(
       s: SparkSession, outPath: String, k: Int): Unit =
-    readMetaRow(s, outPath) match {
-      case Some(r) =>
-        val k0 = r.getAs[Int]("k")
+    readMetaVals(s, outPath, Seq("k")) match {
+      case Some(Seq(k0)) =>
         require(k0 == k,
           s"KMV stream at $outPath was started with k=$k0; " +
             s"cannot fold batches at k=$k")
-      case None =>
-        import s.implicits._
-        Seq(k).toDF("k")
-          .coalesce(1).write.mode("overwrite").parquet(s"$outPath/meta")
+      case _ => writeMetaVals(s, outPath, Seq(k))
     }
 
   /** One micro-batch: its own k-minima under `state/batch_id=<id>`.

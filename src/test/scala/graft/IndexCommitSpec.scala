@@ -69,7 +69,10 @@ class IndexCommitSpec extends SparkSpec {
     val dir = IndexCommit.versionDir(idx, id)
     val cur = IndexCommit.currentDir(spark, idx).get
     spark.read.parquet(s"$cur/words").write.parquet(s"$dir/words")
-    spark.read.parquet(s"$cur/meta").write.parquet(s"$dir/meta")
+    // meta is a text sidecar since r13 — copy it byte-for-byte
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$cur/meta"),
+      java.nio.file.Paths.get(s"$dir/meta"))
     assert(bloomVerdicts(idx) == before)
     // marker lands → the new (here: identical) version takes over
     IndexCommit.commit(spark, idx, id)
