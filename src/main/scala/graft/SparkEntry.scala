@@ -804,6 +804,13 @@ object SparkEntry {
     // container parser, per-frame dHash XOR-folded to a clip key
     "mm_video_near_dup" -> ((s, dir) =>
       PerceptualHash.videoNearDupPairs(s, dir)),
+    // the bounded-output cluster form: identical-signature classes
+    // collapse to one representative BEFORE the banded join, so a
+    // mirrored-clip class of n members costs n rows, never C(n,2)
+    // pairs (the pair form's output is inherently quadratic in class
+    // size — SCALE_r13 §2 measured classes growing with corpus)
+    "mm_video_clusters" -> ((s, dir) =>
+      PerceptualHash.videoClusters(s, dir)),
 
     // --- LLM-pipeline: crawl-ingestion front end ---
     // WARC/1.0 record inventory: from-scratch framing parse + real
@@ -3467,6 +3474,65 @@ object SparkEntry {
         |      AS INTEGER) AS hamming
         |  FROM s a JOIN s b ON a.doc_id < b.doc_id
         |) WHERE hamming <= 3""".stripMargin,
+    // Cluster form of the video near-dup graph: the same arithmetic
+    // signature recompute, then min-label connected components via a
+    // recursive transitive closure over the Hamming <= 3 pairs —
+    // every clip (base + planted twins) labeled, singletons
+    // themselves. The ENGINE collapses identical-signature classes
+    // before its banded join (bounded output); equivalence of the two
+    // derivations is also spec-pinned JVM-side.
+    "mm_video_clusters" ->
+      """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g0 AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 288) ] AS px
+        |  FROM t
+        |), g AS (
+        |  SELECT doc_id, px FROM g0
+        |  UNION ALL
+        |  SELECT doc_id + 900000000 AS doc_id,
+        |    [ CASE WHEN i IN (1, 82, 163) THEN 255 ELSE px[i] END
+        |      for i in range(1, 289) ] AS px
+        |  FROM g0 WHERE doc_id % 100 = 7
+        |), s AS (
+        |  SELECT doc_id,
+        |    [ (  CASE WHEN px[  0 + (((j + 61) % 64) // 8) * 9 + (((j + 61) % 64) % 8) + 1]
+        |              < px[  0 + (((j + 61) % 64) // 8) * 9 + (((j + 61) % 64) % 8) + 2] THEN 1 ELSE 0 END
+        |       + CASE WHEN px[ 72 + (((j + 62) % 64) // 8) * 9 + (((j + 62) % 64) % 8) + 1]
+        |              < px[ 72 + (((j + 62) % 64) // 8) * 9 + (((j + 62) % 64) % 8) + 2] THEN 1 ELSE 0 END
+        |       + CASE WHEN px[144 + (((j + 63) % 64) // 8) * 9 + (((j + 63) % 64) % 8) + 1]
+        |              < px[144 + (((j + 63) % 64) // 8) * 9 + (((j + 63) % 64) % 8) + 2] THEN 1 ELSE 0 END
+        |       + CASE WHEN px[216 + (j // 8) * 9 + (j % 8) + 1]
+        |              < px[216 + (j // 8) * 9 + (j % 8) + 2] THEN 1 ELSE 0 END
+        |      ) % 2 for j in range(0, 64) ] AS bits
+        |  FROM g
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE list_sum(list_transform(range(1, 65),
+        |    i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) <= 3
+        |), edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM p
+        |  UNION
+        |  SELECT doc_b, doc_a FROM p
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |), comp AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS component_id
+        |  FROM reach WHERE v <> u GROUP BY u
+        |)
+        |SELECT g.doc_id,
+        |  coalesce(c.component_id, g.doc_id) AS component_id,
+        |  coalesce(c.component_id, g.doc_id) = g.doc_id AS keep
+        |FROM g LEFT JOIN comp c USING (doc_id)""".stripMargin,
     // Audio envelope hash: 65 md5-derived samples, bit i compares
     // adjacent bins — 1-D, no grid arithmetic
     "mm_audio_near_dup" ->

@@ -1306,6 +1306,59 @@ object PerceptualHash {
     nearDupPairsOfSigs(videoSignatures(syntheticVideos(s, dir)),
       maxHamming, scope)
 
+  /** Duplicate-CLIP clusters: every fixture clip labeled with its
+    * connected component over the Hamming ≤ `maxHamming` near-dup
+    * graph — the bounded-output twin of [[videoNearDupPairs]]. Pair
+    * enumeration is inherently Ω(output), and output grows
+    * quadratically in identical-clip class sizes (a viral clip
+    * mirrored n times contributes C(n,2) pairs; the 10× scale leg
+    * measured the top identical-signature class growing 3 → 16
+    * members, SCALE_r13 §2). This form stays NODE-proportional:
+    * identical signatures collapse to one representative per class
+    * FIRST (one groupBy — an n-member class costs n rows, never
+    * C(n,2) join outputs), the banded join and components run over
+    * distinct-signature representatives only, and members inherit
+    * their representative's label. Exactly equivalent to components
+    * over ALL pairs: class members are at Hamming 0 of each other and
+    * at identical distances to every other clip, so they are
+    * interchangeable vertices (spec-pinned against the all-pairs
+    * derivation). Labels are component minima ([[graft.ops.Dedup]]'s
+    * convention): (doc_id, component_id, keep).
+    */
+  def videoClusters(
+      s: SparkSession, dir: String, maxHamming: Int = 3,
+      scope: CacheScope = new CacheScope): DataFrame =
+    videoClustersOfSigs(
+      videoSignatures(syntheticVideos(s, dir)), maxHamming, scope)
+
+  /** Collapse-first clustering over any (doc_id, sig) relation —
+    * split out so the spec can pin the class-collapse behavior on
+    * crafted identical-signature classes (the corpus fixture has none
+    * at spec scale; the 10× scale corpus is where they appear).
+    */
+  private[graft] def videoClustersOfSigs(
+      sigsDf: DataFrame, maxHamming: Int,
+      scope: CacheScope = new CacheScope): DataFrame = {
+    // cached: signatures feed the class groupBy AND the member-label
+    // join back
+    val sigs = scope.cache(sigsDf)
+    val classes = scope.cache(sigs.groupBy("sig")
+      .agg(min(col("doc_id")).as("rep")))
+    val repPairs = nearDupPairsOfSigs(
+      classes.select(col("rep").as("doc_id"), col("sig")),
+      maxHamming, scope)
+    val comp = Dedup.connectedComponents(
+      repPairs.select(col("doc_a").as("u"), col("doc_b").as("v")), scope)
+    // member → its class representative → the rep's component (a
+    // representative outside every pair keeps itself — which still
+    // clusters its identical-signature class under one label)
+    sigs.join(classes, Seq("sig"))
+      .join(comp.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component_id"), col("rep")).as("component_id"))
+      .withColumn("keep", col("doc_id") === col("component_id"))
+  }
+
   /** Near-duplicate image pairs at Hamming distance ≤ `maxHamming`
     * over the synthetic fixture images. Exhaustive for maxHamming < 4
     * (see class doc); larger thresholds would need more bands.

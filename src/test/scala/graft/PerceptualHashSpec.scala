@@ -228,6 +228,60 @@ class PerceptualHashSpec extends SparkSpec {
       "every planted twin pair must surface through banding")
   }
 
+  test("videoClusters (collapse-first) equals components over ALL pairs") {
+    // the bounded-output form must be EXACTLY the min-label connected
+    // components of the full Hamming <= 3 pair graph: identical-sig
+    // class members are interchangeable vertices, so collapsing each
+    // class to its min-id representative before the banded join
+    // changes the work, never the relation
+    val got = PerceptualHash.videoClusters(spark, sf())
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component_id"), r.getAs[Boolean]("keep"))).toMap
+    val pairs = PerceptualHash.videoNearDupPairs(spark, sf())
+      .collect().map(r =>
+        (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // driver-side union-find over the full pair graph
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = got.keySet.map { id =>
+      val c = find(id)
+      id -> ((c, id == c))
+    }.toMap
+    assert(got == expected,
+      "collapse-first clusters diverged from all-pairs components")
+  }
+
+  test("videoClusters collapses identical-signature classes (crafted)") {
+    // the corpus fixture has no identical signatures at spec scale
+    // (they appear in the 10x scale corpus — SCALE_r13 §2), so the
+    // collapse behavior is pinned on crafted signatures: {1,2,3}
+    // share one sig (an identical-clip class), 4 sits at Hamming 1
+    // from it (bridges via the class representative ONLY — pairs
+    // with members 2 and 3 exist in the full graph but are collapsed
+    // away), 5 is far from everything
+    import spark.implicits._
+    val sigs = Seq(
+      1L -> 0L, 2L -> 0L, 3L -> 0L,
+      4L -> 1L, // Hamming 1 from the class signature
+      5L -> -1L // Hamming 63 from 0, 62 from 1 — never a candidate
+    ).toDF("doc_id", "sig")
+    val got = graft.ops.PerceptualHash
+      .videoClustersOfSigs(sigs, maxHamming = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(got == Map(
+      1L -> ((1L, true)), 2L -> ((1L, false)), 3L -> ((1L, false)),
+      4L -> ((1L, false)), 5L -> ((5L, true))),
+      s"crafted class must cluster under its min id: $got")
+  }
+
   test("banding finds every pair at hamming <= 3 and verification rejects beyond") {
     import spark.implicits._
     // crafted signatures: doc 2 differs from doc 1 in 3 bits spread
