@@ -811,6 +811,12 @@ object SparkEntry {
     // size — SCALE_r13 §2 measured classes growing with corpus)
     "mm_video_clusters" -> ((s, dir) =>
       PerceptualHash.videoClusters(s, dir)),
+    // image and audio siblings of the cluster form — same
+    // collapse-first path (nearDupClustersOfSigs), different codecs
+    "mm_clusters" -> ((s, dir) =>
+      PerceptualHash.imageClusters(s, dir)),
+    "mm_audio_clusters" -> ((s, dir) =>
+      PerceptualHash.audioClusters(s, dir)),
 
     // --- LLM-pipeline: crawl-ingestion front end ---
     // WARC/1.0 record inventory: from-scratch framing parse + real
@@ -3533,6 +3539,46 @@ object SparkEntry {
         |  coalesce(c.component_id, g.doc_id) AS component_id,
         |  coalesce(c.component_id, g.doc_id) = g.doc_id AS keep
         |FROM g LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    // Image and audio cluster forms: the same signature recomputes as
+    // their pair oracles, closed into min-label components (the video
+    // technique); universe = every clip, singletons themselves
+    "mm_clusters" ->
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 72) ] AS px
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id,
+        |    [ CASE WHEN px[(i // 8) * 9 + (i % 8) + 1]
+        |              < px[(i // 8) * 9 + (i % 8) + 2]
+        |           THEN 1 ELSE 0 END for i in range(0, 64) ] AS bits
+        |  FROM g
+        |)$mediaClusterClosure""".stripMargin,
+    "mm_audio_clusters" ->
+      s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 65) ] AS px
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id,
+        |    [ CASE WHEN px[i] < px[i + 1] THEN 1 ELSE 0 END
+        |      for i in range(1, 65) ] AS bits
+        |  FROM g
+        |)$mediaClusterClosure""".stripMargin,
     // Audio envelope hash: 65 md5-derived samples, bit i compares
     // adjacent bins — 1-D, no grid arithmetic
     "mm_audio_near_dup" ->
@@ -5738,6 +5784,34 @@ object SparkEntry {
     * exact-Jaccard pair set: transitive closure, component = min
     * reachable id.
     */
+  /** Shared tail of the media cluster oracles: Hamming ≤ 3 pairs over
+    * a `s(doc_id, bits)` signature relation, closed into min-label
+    * components by a recursive transitive closure; every clip
+    * labeled, singletons themselves.
+    */
+  private val mediaClusterClosure: String =
+    """, p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+      |  WHERE list_sum(list_transform(range(1, 65),
+      |    i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) <= 3
+      |), edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM p
+      |  UNION
+      |  SELECT doc_b, doc_a FROM p
+      |), reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      |), comp AS (
+      |  SELECT u AS doc_id, least(u, min(v)) AS component_id
+      |  FROM reach WHERE v <> u GROUP BY u
+      |)
+      |SELECT s.doc_id,
+      |  coalesce(c.component_id, s.doc_id) AS component_id,
+      |  coalesce(c.component_id, s.doc_id) = s.doc_id AS keep
+      |FROM s LEFT JOIN comp c USING (doc_id)""".stripMargin
+
   private def clusterCtes(threshold: Double): String =
     s"""WITH RECURSIVE $jaccardCtes, pairs AS (
        |  SELECT doc_a, doc_b

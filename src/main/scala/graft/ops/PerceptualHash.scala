@@ -1328,15 +1328,35 @@ object PerceptualHash {
   def videoClusters(
       s: SparkSession, dir: String, maxHamming: Int = 3,
       scope: CacheScope = new CacheScope): DataFrame =
-    videoClustersOfSigs(
+    nearDupClustersOfSigs(
       videoSignatures(syntheticVideos(s, dir)), maxHamming, scope)
 
-  /** Collapse-first clustering over any (doc_id, sig) relation —
-    * split out so the spec can pin the class-collapse behavior on
-    * crafted identical-signature classes (the corpus fixture has none
-    * at spec scale; the 10× scale corpus is where they appear).
+  /** Image sibling of [[videoClusters]] — same collapse-first
+    * economics over the dHash signatures.
     */
-  private[graft] def videoClustersOfSigs(
+  def imageClusters(
+      s: SparkSession, dir: String, maxHamming: Int = 3,
+      scope: CacheScope = new CacheScope): DataFrame =
+    nearDupClustersOfSigs(
+      signatures(syntheticImages(s, dir)), maxHamming, scope)
+
+  /** Audio sibling of [[videoClusters]] — same collapse-first
+    * economics over the envelope hashes.
+    */
+  def audioClusters(
+      s: SparkSession, dir: String, maxHamming: Int = 3,
+      scope: CacheScope = new CacheScope): DataFrame =
+    nearDupClustersOfSigs(
+      audioSignatures(syntheticClips(s, dir)), maxHamming, scope)
+
+  /** Collapse-first clustering over any (doc_id, sig) relation —
+    * media-agnostic (the image/audio/video cluster forms all route
+    * here), and split out so the spec can pin the class-collapse
+    * behavior on crafted identical-signature classes (the corpus
+    * fixture has none at spec scale; the 10× scale corpus is where
+    * they appear).
+    */
+  private[graft] def nearDupClustersOfSigs(
       sigsDf: DataFrame, maxHamming: Int,
       scope: CacheScope = new CacheScope): DataFrame = {
     // cached: signatures feed the class groupBy AND the member-label

@@ -273,7 +273,7 @@ class PerceptualHashSpec extends SparkSpec {
       5L -> -1L // Hamming 63 from 0, 62 from 1 — never a candidate
     ).toDF("doc_id", "sig")
     val got = graft.ops.PerceptualHash
-      .videoClustersOfSigs(sigs, maxHamming = 3)
+      .nearDupClustersOfSigs(sigs, maxHamming = 3)
       .collect().map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("component_id"), r.getAs[Boolean]("keep"))).toMap
     assert(got == Map(
