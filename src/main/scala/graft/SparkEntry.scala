@@ -425,6 +425,17 @@ object SparkEntry {
         rd(s, dir, "documents").filter(col("doc_id") % 10 === 0))
       graft.ops.SubstrIndex.stats(s, idx)
     }),
+    // the PROBE form: batch flags against corpus∪batch computed
+    // WITHOUT ingesting or re-scoring the corpus — batch-only
+    // tokenize, committed per-segment df sidecars pruned against the
+    // batch hash set (the LshIndex.probe economics for ExactSubstr)
+    "dedup_substring_probe" -> ((s, dir) => {
+      val idx = scratchDir("substrprobe")
+      graft.ops.SubstrIndex.build(s, dir, idx,
+        docFilter = Some(col("doc_id") % 10 =!= 0))
+      graft.ops.SubstrIndex.probe(s, idx,
+        rd(s, dir, "documents").filter(col("doc_id") % 10 === 0))
+    }),
     // index-reuse ingestion: new batch (doc_id % 10 == 0) probed
     // against the corpus's band buckets only — candidate volume is
     // batch-proportional, never a corpus self-join
@@ -2040,12 +2051,17 @@ object SparkEntry {
     // duplicated span (run + 15 tokens); keep = no span of 50+ tokens.
     // Short docs (< 16 tokens) have zero windows and a NULL dup_frac —
     // the LEFT JOIN padding mirrors the engine exactly.
-    "dedup_substring" -> substrStatsOracle,
+    "dedup_substring" -> substrStatsOracle(),
     // the persisted-index formulation reproduces the one-job rows
     // exactly (doc partition is invisible to window df); engine-side
     // equality is SubstrIndexSpec's pin, this row makes both
     // independently DuckDB-hash-pinned
-    "dedup_substring_index" -> substrStatsOracle,
+    "dedup_substring_index" -> substrStatsOracle(),
+    // the probe form: the same stats restricted to the %10=0 batch —
+    // what stats-after-append reports for exactly those docs, which
+    // the engine computes batch-proportionally from the dfs sidecars
+    "dedup_substring_probe" ->
+      substrStatsOracle("\nWHERE d.doc_id % 10 = 0"),
     // benchmark = every 50th doc_id; overlap = distinct shared 8-grams
     "decontaminate" ->
       """WITH toks AS (
@@ -5669,9 +5685,9 @@ object SparkEntry {
     * the index stores the identical window-hash relation, so both
     * forms denote these exact rows.
     */
-  private lazy val substrStatsOracle: String =
-    """WITH t AS (
-      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+  private def substrStatsOracle(where: String = ""): String =
+    s"""WITH t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
       |  FROM documents
       |), w AS (
       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
@@ -5702,7 +5718,7 @@ object SparkEntry {
       |    AS max_span_tokens,
       |  coalesce(CASE WHEN pd.max_run > 0 THEN pd.max_run + 15 ELSE 0 END, 0) < 50
       |    AS keep
-      |FROM documents d LEFT JOIN pd USING (doc_id)""".stripMargin
+      |FROM documents d LEFT JOIN pd USING (doc_id)$where""".stripMargin
 
   private lazy val incrementalOracle: String =
     s"""WITH $jaccardCtes, p AS (

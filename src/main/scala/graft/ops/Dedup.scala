@@ -948,9 +948,21 @@ object Dedup {
   private[graft] def statsFromWindows(
       wins: DataFrame, docIds: DataFrame,
       w: Int, maxDocFreq: Int, maxSpanTokens: Int
+  ): DataFrame =
+    statsWithDf(wins,
+      wins.groupBy("wh").agg(countDistinct(col("doc_id")).as("wdf")),
+      docIds, w, maxDocFreq, maxSpanTokens)
+
+  /** [[statsFromWindows]] with the window document-frequency relation
+    * (`wh`, `wdf`) supplied by the caller — the hook
+    * [[SubstrIndex.probe]] uses to combine persisted per-segment df
+    * aggregates with a batch's own windows instead of recounting the
+    * corpus.
+    */
+  private[graft] def statsWithDf(
+      wins: DataFrame, docFreq: DataFrame, docIds: DataFrame,
+      w: Int, maxDocFreq: Int, maxSpanTokens: Int
   ): DataFrame = {
-    val docFreq = wins.groupBy("wh")
-      .agg(countDistinct(col("doc_id")).as("wdf"))
     val flagged = wins.join(docFreq, "wh")
       .select(col("doc_id"), col("pos"),
         (col("wdf") > maxDocFreq).as("dup"))

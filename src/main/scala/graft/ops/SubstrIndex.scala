@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
   *     INCLUDING short ones (< w tokens) that have no windows — the
   *     stats padding needs them and they are not derivable from
   *     `wins`.
-  *   - `meta` — one row (w): the window width, frozen at build so an
-  *     append can never mix widths (mixed-width hashes silently never
-  *     collide — zero dup counts, not an error).
+  *   - `v=<id>/dfs` — (wh, df): the segment's window document
+  *     frequencies, pre-aggregated at publish. Doc-disjoint segments
+  *     make dfs ADDITIVE, so [[stats]] sums sidecars instead of
+  *     recounting windows and [[probe]]'s committed side is a pruned
+  *     fixed-width join, never a text read.
+  *   - `meta` — text sidecar (w): the window width, frozen at build
+  *     so an append can never mix widths (mixed-width hashes silently
+  *     never collide — zero dup counts, not an error).
   *
   * Segment appends are disjoint by doc contract (a document is
   * ingested once — the [[LshIndex.append]] non-idempotence caveat):
@@ -59,6 +64,14 @@ object SubstrIndex {
     val seg = IndexCommit.versionDir(path, id)
     Dedup.windowHashes(docs, w)
       .write.mode("overwrite").parquet(s"$seg/wins")
+    // per-segment window document frequencies, pre-aggregated at
+    // publish: segments are doc-disjoint, so dfs ADD across segments
+    // — [[probe]]'s committed side and [[stats]]' df aggregation read
+    // these instead of recounting the window relation. Derived from
+    // the READ-BACK wins parquet, never a second tokenize.
+    s.read.parquet(s"$seg/wins").groupBy("wh")
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .write.mode("overwrite").parquet(s"$seg/dfs")
     // a cheap second pass: doc_id-only column-pruned scan (short docs
     // carry no windows, so the doc relation is not derivable from
     // wins) — never a second tokenize
@@ -101,9 +114,62 @@ object SubstrIndex {
       s: SparkSession, path: String,
       maxDocFreq: Int = 1, maxSpanTokens: Int = 50): DataFrame = {
     val segs = segDirs(s, path)
-    Dedup.statsFromWindows(
+    // df = sum of the pre-aggregated per-segment dfs (doc-disjoint
+    // segments → exact), not a recount of the full window relation
+    Dedup.statsWithDf(
       s.read.parquet(segs.map(_ + "/wins"): _*),
+      combinedDf(s, segs),
       s.read.parquet(segs.map(_ + "/docs"): _*),
       width(s, path), maxDocFreq, maxSpanTokens)
+  }
+
+  private def combinedDf(s: SparkSession, segs: Seq[String]): DataFrame =
+    s.read.parquet(segs.map(_ + "/dfs"): _*)
+      .groupBy("wh").agg(sum(col("df")).as("wdf"))
+
+  /** Batch-proportional PROBE: the [[stats]] rows a
+    * [[build]](corpus ∪ batch) would produce, restricted to the
+    * batch's documents, WITHOUT touching corpus text — the
+    * [[LshIndex.probe]] economics for ExactSubstr. Only the batch is
+    * tokenized; window document frequencies combine the persisted
+    * per-segment `dfs` aggregates with the batch's own windows
+    * (batch-internal duplication counts, matching the probe-covers-
+    * both convention of [[LshIndex.probe]]). The committed `dfs`
+    * relations stream past the batch-sized hash set in one hash-keyed
+    * join — fixed-width rows, no text, no window re-aggregation.
+    * Exact equality probe ≡ stats(build(A∪B))|batch is spec-pinned.
+    *
+    * Unlike [[append]], probing does NOT modify the index — the
+    * decontamination-style read. To also ingest the batch, append
+    * then stats, or probe first and append after (identical flags
+    * either way, by the equality above).
+    */
+  def probe(
+      s: SparkSession, path: String, batch: DataFrame,
+      maxDocFreq: Int = 1, maxSpanTokens: Int = 50): DataFrame = {
+    val w0 = width(s, path)
+    val segs = segDirs(s, path)
+    val scope = new CacheScope
+    try {
+      // cached: the batch windows feed the df combine AND the
+      // island scan
+      val bw = scope.cache(Dedup.windowHashes(
+        batch.select(col("doc_id"), col("text")), w0))
+      val bdf = scope.cache(bw.groupBy("wh")
+        .agg(countDistinct(col("doc_id")).as("bdf")))
+      // prune committed dfs against the batch hash set BEFORE the
+      // cross-segment sum: the segment relations stream past the
+      // (typically broadcastable) batch side, so the aggregation runs
+      // over batch-hash-proportional survivors, never the corpus's
+      // full hash universe
+      val committed = s.read.parquet(segs.map(_ + "/dfs"): _*)
+        .join(bdf.select("wh"), Seq("wh"))
+        .groupBy("wh").agg(sum(col("df")).as("cdf"))
+      val df = bdf.join(committed, Seq("wh"), "left")
+        .select(col("wh"),
+          (col("bdf") + coalesce(col("cdf"), lit(0L))).as("wdf"))
+      Dedup.statsWithDf(bw, df, batch.select(col("doc_id")),
+        w0, maxDocFreq, maxSpanTokens)
+    } finally scope.release()
   }
 }

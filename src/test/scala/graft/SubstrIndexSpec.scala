@@ -93,4 +93,45 @@ class SubstrIndexSpec extends SparkSpec {
     assert(rows(SubstrIndex.stats(spark, idx)) == before,
       "a staged-but-uncommitted segment must be invisible")
   }
+
+  test("probe ≡ stats(build(A∪B)) restricted to the batch, computed " +
+    "batch-proportionally (no corpus text in the plan)") {
+    val isBatch = col("doc_id") % 10 === 0
+    val idx = tmp("probe")
+    SubstrIndex.build(spark, sf(), idx, docFilter = Some(!isBatch))
+    val batch =
+      spark.read.parquet(s"${sf()}/documents.parquet").filter(isBatch)
+    val probed = SubstrIndex.probe(spark, idx, batch)
+    val idx2 = tmp("probe-union")
+    SubstrIndex.build(spark, sf(), idx2)
+    val want = rows(SubstrIndex.stats(spark, idx2))
+      .filter { case (id, _) => id % 10 == 0 }
+    assert(want.nonEmpty)
+    assert(want.exists(_._2._2 > 0),
+      "fixture must give some batch doc cross-corpus dup windows " +
+        "(else the committed-df leg is vacuous)")
+    assert(rows(probed) == want,
+      "probe must equal union-build stats on the batch docs")
+    // probe leaves the index untouched (decontamination-style read)
+    assert(IndexCommit.committedIds(spark, idx) == Seq(0L),
+      "probe must not publish a segment")
+    // the committed side of the probe is the per-segment df sidecars
+    // ONLY: every file scan in the plan is either the batch source
+    // (documents.parquet — the one tokenize) or an index dfs relation.
+    // In particular the index's full WINDOW relation (wins) is never
+    // read — the probe's corpus-side input is the pruned fixed-width
+    // df join, not a window rescan
+    val plan = probed.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val locations = plan.linesIterator
+      .filter(_.trim.startsWith("Location:")).toSeq
+    assert(locations.nonEmpty, "expected file scans in the probe plan")
+    locations.foreach { loc =>
+      assert(loc.contains("documents.parquet") || loc.contains("/dfs"),
+        s"probe plan scans something besides the batch and the df " +
+          s"sidecars: $loc")
+    }
+    assert(!plan.contains("/wins"),
+      "probe plan must not rescan the index's window relation")
+  }
 }
