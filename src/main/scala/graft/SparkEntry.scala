@@ -828,6 +828,22 @@ object SparkEntry {
       PerceptualHash.imageClusters(s, dir)),
     "mm_audio_clusters" -> ((s, dir) =>
       PerceptualHash.audioClusters(s, dir)),
+    // persisted signature index (the media twin of dedup_index_probe):
+    // corpus images decoded+hashed once into committed (doc_id, sig)
+    // segments — built on one carve, a second carve APPENDED — then
+    // the %10=0 batch probed for batch↔corpus pairs with a batch-only
+    // decode; band keys derive row-locally from the frozen signatures
+    "mm_sig_index_probe" -> ((s, dir) => {
+      val idx = scratchDir("sigidx")
+      val sigs = PerceptualHash.signatures(
+        PerceptualHash.syntheticImages(s, dir))
+      graft.ops.SigIndex.build(s, idx,
+        sigs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 =!= 0))
+      graft.ops.SigIndex.append(s, idx,
+        sigs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 === 0))
+      graft.ops.SigIndex.probe(s, idx,
+        sigs.filter(col("doc_id") % 10 === 0))
+    }),
 
     // --- LLM-pipeline: crawl-ingestion front end ---
     // WARC/1.0 record inventory: from-scratch framing parse + real
@@ -3555,6 +3571,38 @@ object SparkEntry {
         |  coalesce(c.component_id, g.doc_id) AS component_id,
         |  coalesce(c.component_id, g.doc_id) = g.doc_id AS keep
         |FROM g LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    // Persisted-signature-index probe: the image signature recompute,
+    // pairs restricted to batch (%10=0) x corpus (%10≠0) — the engine
+    // answers from committed segments + a batch-only decode, the
+    // oracle from the arithmetic derivation; equal rows pin both the
+    // segment union (build + append carves) and the banding
+    "mm_sig_index_probe" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 72) ] AS px
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id,
+        |    [ CASE WHEN px[(i // 8) * 9 + (i % 8) + 1]
+        |              < px[(i // 8) * 9 + (i % 8) + 2]
+        |           THEN 1 ELSE 0 END for i in range(0, 64) ] AS bits
+        |  FROM g
+        |)
+        |SELECT doc_new, doc_idx, hamming FROM (
+        |  SELECT a.doc_id AS doc_new, b.doc_id AS doc_idx,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END))
+        |      AS INTEGER) AS hamming
+        |  FROM s a JOIN s b
+        |    ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        |) WHERE hamming <= 3""".stripMargin,
     // Image and audio cluster forms: the same signature recomputes as
     // their pair oracles, closed into min-label components (the video
     // technique); universe = every clip, singletons themselves

@@ -1,0 +1,108 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted perceptual-signature index — the MEDIA twin of
+  * [[LshIndex]], closing the symmetry gap where text near-dup had
+  * persisted + incremental forms (`dedup_index_probe`,
+  * `dedup_incremental`) but every media near-dup query re-decoded and
+  * re-hashed the full corpus per run. The 64-bit dHash / envelope /
+  * clip signatures ([[PerceptualHash]]) are decoded ONCE and frozen
+  * under the [[IndexCommit]] marker protocol; an arriving batch is
+  * decoded batch-side only and probed against the committed
+  * signatures.
+  *
+  * Layout: `v=<id>/sigs` — (doc_id, sig) segments, one per
+  * build/append; readers union committed segments. Nothing else is
+  * persisted: the 4×16-bit band keys (pigeonhole-exhaustive at
+  * Hamming ≤ 3, [[PerceptualHash]]'s banding) are derived ROW-LOCALLY
+  * from the signature on both sides of the probe, so the index stores
+  * 16 bytes per clip and any future band-width change needs no
+  * migration.
+  *
+  * Segment appends are disjoint by doc contract (a clip is ingested
+  * once — [[LshIndex.append]]'s non-idempotence caveat); atomic via
+  * the commit marker (a killed append leaves the prior index
+  * answering).
+  *
+  * Scale: payload bytes are decoded exactly once per clip ever —
+  * at 100 TB of media the probe side reads only fixed-width
+  * (doc_id, sig) rows; the band equijoin streams the committed
+  * relation past the (typically broadcastable) batch side and exact
+  * `bit_count` verification is candidate-set-sized, nothing
+  * corpus-quadratic.
+  */
+object SigIndex {
+
+  private def segDirs(s: SparkSession, path: String): Seq[String] = {
+    val ids = IndexCommit.committedIds(s, path)
+    require(ids.nonEmpty, s"no committed signature index segment at $path")
+    ids.map(IndexCommit.versionDir(path, _))
+  }
+
+  private def writeSegment(
+      s: SparkSession, path: String, sigs: DataFrame): Long = {
+    val id = IndexCommit.reserve(s, path)
+    sigs.select(col("doc_id"), col("sig"))
+      .write.mode("overwrite")
+      .parquet(s"${IndexCommit.versionDir(path, id)}/sigs")
+    IndexCommit.commit(s, path, id)
+    id
+  }
+
+  /** Build the index from a (doc_id, sig) relation (one decode+hash
+    * pass — the caller owns which media table feeds it). Destructive
+    * reset by contract, like [[LshIndex.build]].
+    */
+  def build(s: SparkSession, path: String, sigs: DataFrame): Long = {
+    IndexCommit.reset(s, path)
+    writeSegment(s, path, sigs)
+  }
+
+  /** Fold a batch of NEW clips' signatures into the index (batch-only
+    * decode upstream). NOT idempotent under replay; atomic via the
+    * commit marker.
+    */
+  def append(s: SparkSession, path: String, sigs: DataFrame): Long =
+    writeSegment(s, path, sigs)
+
+  /** The committed (doc_id, sig) relation. */
+  def sigs(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(segDirs(s, path).map(_ + "/sigs"): _*)
+      .select("doc_id", "sig")
+
+  /** 4×16-bit band keys of a signature column — row-local, the
+    * pigeonhole decomposition that is exhaustive at Hamming < 4
+    * ([[PerceptualHash]]'s banding).
+    */
+  private def banded(df: DataFrame, id: String): DataFrame =
+    df.select(col("doc_id").as(id), col("sig").as(s"sig_$id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * 16)
+            .bitwiseAND(0xffffL).as("key"))): _*)).as("bk"))
+      .select(col(id), col(s"sig_$id"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+
+  /** Near-duplicate pairs between a batch's (doc_id, sig) relation
+    * and the committed index at Hamming ≤ `maxHamming`: (doc_new,
+    * doc_idx, hamming). Exhaustive for maxHamming < 4 by the
+    * pigeonhole banding; exact `bit_count` verification. The index
+    * side is never decoded — fixed-width signature rows stream past
+    * the batch bands. Works unchanged as a `foreachBatch` body.
+    */
+  def probe(
+      s: SparkSession, path: String, batch: DataFrame,
+      maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-band pigeonhole is exhaustive only below 4")
+    banded(batch, "doc_new")
+      .join(banded(sigs(s, path), "doc_idx"), Seq("band", "key"))
+      .select("doc_new", "doc_idx", "sig_doc_new", "sig_doc_idx")
+      .distinct()
+      .select(col("doc_new"), col("doc_idx"),
+        expr("bit_count(sig_doc_new ^ sig_doc_idx)").cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

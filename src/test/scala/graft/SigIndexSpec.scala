@@ -1,0 +1,90 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions.col
+
+import graft.ops.{IndexCommit, PerceptualHash, SigIndex}
+
+/** Pins for the persisted perceptual-signature index: probe over
+  * build+append segments equals a brute-force batch×corpus Hamming
+  * sweep (so the segment union and the banding are both load-bearing),
+  * the probe never decodes the corpus (its plan reads only the frozen
+  * sigs parquet), and an uncommitted segment is invisible (marker
+  * protocol).
+  */
+class SigIndexSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val p = Files.createTempDirectory(s"graft-sigidx-$name")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def pairs(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("doc_new"),
+      r.getAs[Long]("doc_idx"), r.getAs[Int]("hamming"))).toSet
+
+  test("probe over build+append equals brute force; corpus never " +
+    "decoded on the probe path") {
+    val all = PerceptualHash.signatures(
+      PerceptualHash.syntheticImages(spark, sf()))
+    val isBatch = col("doc_id") % 10 === 0
+    val idx = tmp("probe")
+    SigIndex.build(spark, idx,
+      all.filter(!isBatch && col("doc_id") % 3 =!= 0))
+    SigIndex.append(spark, idx,
+      all.filter(!isBatch && col("doc_id") % 3 === 0))
+    val got = pairs(SigIndex.probe(spark, idx, all.filter(isBatch)))
+    val sigMap = all.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("sig")).toMap
+    val expected = (for {
+      (a, sa) <- sigMap if a % 10 == 0
+      (b, sb) <- sigMap if b % 10 != 0
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(expected.nonEmpty,
+      "fixture must contain cross-carve near-dup pairs")
+    assert(got == expected,
+      "probe must equal the brute-force batch x corpus sweep")
+    // an appended-segment pair must be present, or the segment union
+    // is untested
+    assert(expected.exists(_._2 % 3 == 0),
+      "fixture must pair the batch against the APPENDED carve too")
+    // the probe's index side is the frozen sigs parquet only: with a
+    // materialized batch relation, no scan of documents.parquet (the
+    // decode source) remains in the plan
+    import spark.implicits._
+    val batchSigs = all.filter(isBatch).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      .toDF("doc_id", "sig")
+    val plan = SigIndex.probe(spark, idx, batchSigs)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("documents.parquet"),
+      "probe must not re-decode the corpus")
+    plan.linesIterator.filter(_.trim.startsWith("Location:")).foreach(l =>
+      assert(l.contains("/sigs"), s"unexpected probe-side scan: $l"))
+  }
+
+  test("an uncommitted segment is invisible (marker protocol)") {
+    import spark.implicits._
+    val idx = tmp("torn")
+    SigIndex.build(spark, idx, Seq((1L, 0L)).toDF("doc_id", "sig"))
+    val batch = Seq((100L, 0L)).toDF("doc_id", "sig")
+    assert(pairs(SigIndex.probe(spark, idx, batch)) == Set((100L, 1L, 0)))
+    // a writer that reserved + staged but died before the marker
+    val stale = IndexCommit.reserve(spark, idx)
+    Seq((2L, 0L)).toDF("doc_id", "sig")
+      .write.parquet(s"${IndexCommit.versionDir(idx, stale)}/sigs")
+    assert(pairs(SigIndex.probe(spark, idx, batch)) == Set((100L, 1L, 0)),
+      "a staged-but-uncommitted segment must be invisible")
+    // ...and a real append lands past the dead reservation
+    SigIndex.append(spark, idx, Seq((3L, -1L)).toDF("doc_id", "sig"))
+    assert(pairs(SigIndex.probe(spark, idx, batch)) == Set((100L, 1L, 0)),
+      "sig -1 is Hamming 64 from 0 — never a candidate")
+    assert(pairs(SigIndex.probe(spark, idx,
+      Seq((200L, -1L)).toDF("doc_id", "sig"))) == Set((200L, 3L, 0)),
+      "the appended segment must answer probes")
+  }
+}
