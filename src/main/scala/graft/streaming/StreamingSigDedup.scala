@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ops.{PerceptualHash, SigIndex}
+
+/** Continuous MEDIA near-duplicate detection: arriving clips probe a
+  * persisted perceptual-signature index ([[graft.ops.SigIndex]]) one
+  * micro-batch at a time — the media twin of [[StreamingDedup]]
+  * (which probes the text LSH index). Each batch is decoded + hashed
+  * BATCH-SIDE ONLY (`sigsOf`, defaulting to the image dHash path;
+  * pass [[PerceptualHash.audioSignatures]] /
+  * [[PerceptualHash.videoSignatures]] for the other codecs); the
+  * committed corpus signatures are never re-decoded.
+  *
+  * Output and replay semantics are [[StreamingDedup]]'s verbatim: the
+  * verified pairs land under `outPath/batch_id=<id>` — one
+  * OVERWRITTEN directory per micro-batch id, so foreachBatch's
+  * at-least-once replay re-creates the same directory instead of
+  * appending duplicates. The index is deliberately STATIC between
+  * rebuilds ([[StreamingDedup]]'s lambda-split rationale); out-of-band
+  * [[SigIndex.append]]s interleave safely — a probe reads one
+  * committed segment list for its whole batch.
+  */
+object StreamingSigDedup {
+
+  def probeStream(
+      clips: DataFrame,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      maxHamming: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow(),
+      sigsOf: DataFrame => DataFrame = PerceptualHash.signatures
+  ): StreamingQuery =
+    clips.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, indexPath, outPath, maxHamming, batchId, sigsOf)
+        ()
+      }
+      .start()
+
+  /** One micro-batch: decode+hash the batch, probe, (over)write its
+    * pair directory. Returns the pair count. Package-visible so the
+    * spec can drive batches (and replays) synchronously.
+    */
+  private[graft] def applyBatch(
+      batch: DataFrame,
+      indexPath: String,
+      outPath: String,
+      maxHamming: Int,
+      batchId: Long,
+      sigsOf: DataFrame => DataFrame = PerceptualHash.signatures
+  ): Long = {
+    // empty micro-batches still (over)write their directory: a
+    // replayed batch that previously wrote pairs but now matches
+    // nothing must erase its stale output, not keep it
+    val pairs = SigIndex.probe(
+      batch.sparkSession, indexPath, sigsOf(batch), maxHamming)
+    pairs.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    batch.sparkSession.read
+      .parquet(s"$outPath/batch_id=$batchId").count()
+  }
+
+  /** The accumulated pairs table (doc_new, doc_idx, hamming,
+    * batch_id) across every micro-batch written so far; EMPTY typed
+    * relation before the first batch commits ([[StreamingDedup.pairs]]
+    * convention).
+    */
+  def pairs(s: org.apache.spark.sql.SparkSession, outPath: String): DataFrame =
+    if (!StreamingDedup.hasBatchDirs(outPath))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_new BIGINT, doc_idx BIGINT, hamming INT, batch_id BIGINT"))
+    else s.read.option("basePath", outPath).parquet(outPath)
+      .select(col("doc_new"), col("doc_idx"), col("hamming"),
+        col("batch_id").cast("long").as("batch_id"))
+}

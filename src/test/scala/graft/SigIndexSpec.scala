@@ -87,4 +87,57 @@ class SigIndexSpec extends SparkSpec {
       Seq((200L, -1L)).toDF("doc_id", "sig"))) == Set((200L, 3L, 0)),
       "the appended segment must answer probes")
   }
+
+  test("StreamingSigDedup: e2e memory stream, batch-only decode, " +
+    "replay-idempotent output") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.StreamingSigDedup
+    // corpus: the %10≠0 images, frozen as signatures
+    val imgs = PerceptualHash.syntheticImages(spark, sf())
+    val idx = tmp("stream-idx")
+    SigIndex.build(spark, idx, PerceptualHash.signatures(
+      imgs.filter(col("doc_id") % 10 =!= 0)))
+    val out = tmp("stream-out")
+    val ckpt = tmp("stream-ckpt")
+    // stream: the %10=0 clips as (doc_id, payload) micro-batches
+    val batchRows = imgs.filter(col("doc_id") % 10 === 0)
+      .as[(Long, Array[Byte])].collect().toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Byte])]
+    // ProcessingTime(0): AvailableNow would terminate after draining
+    // the FIRST addData, silently skipping the second micro-batch
+    val q = StreamingSigDedup.probeStream(
+      input.toDF().toDF("doc_id", "payload"), idx, out, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    input.addData(batchRows.take(batchRows.size / 2))
+    q.processAllAvailable()
+    input.addData(batchRows.drop(batchRows.size / 2))
+    q.processAllAvailable()
+    q.stop()
+    val got = StreamingSigDedup.pairs(spark, out)
+      .select("doc_new", "doc_idx", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force expectation over the same signatures
+    val sigMap = PerceptualHash.signatures(imgs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      (a, sa) <- sigMap if a % 10 == 0
+      (b, sb) <- sigMap if b % 10 != 0
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(expected.nonEmpty && got == expected,
+      s"streamed pairs must equal brute force: $got vs $expected")
+    // at-least-once replay: re-running a batch id overwrites its
+    // directory with the same rows, never appends duplicates
+    StreamingSigDedup.applyBatch(
+      spark.createDataFrame(batchRows.take(batchRows.size / 2))
+        .toDF("doc_id", "payload"), idx, out, 3, 0L)
+    val replayed = StreamingSigDedup.pairs(spark, out)
+      .select("doc_new", "doc_idx", "hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(replayed.length == replayed.toSet.size &&
+      replayed.toSet == expected,
+      "a replayed micro-batch must not duplicate pairs")
+  }
 }
