@@ -145,11 +145,29 @@ object IndexCommit {
     try out.write(lines.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // a pre-r13 writer may have left a one-row parquet DIRECTORY at
-    // this path; rename won't replace either form, so clear it
-    if (fs.exists(p)) fs.delete(p, true)
-    if (!fs.rename(tmp, p))
-      sys.error(s"could not publish sidecar $p")
+    // Replace semantics: only a legacy one-row parquet DIRECTORY
+    // (pre-r13 layout) is cleared up front — rename cannot replace a
+    // directory on any filesystem. A plain FILE at the published name
+    // is replaced by the rename itself where the filesystem supports
+    // atomic replace (POSIX rename(2) on local disks): deleting it
+    // first would open a window where a concurrent reader sees the
+    // sidecar ABSENT, and readers outside the commit-marker protocol
+    // (StreamingSketch meta) treat absence as "nothing written yet" —
+    // a racing ensure*Meta could then silently re-initialize the
+    // shape meta past its own guard.
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
+      fs.delete(p, true)
+    if (!fs.rename(tmp, p)) {
+      // filesystems whose rename refuses to replace an existing
+      // destination (HDFS semantics): fall back to delete+rename.
+      // The absence window returns, but only on filesystems that
+      // offer no atomic file replace at all — and only for sidecars
+      // being REWRITTEN, which the commit-marker protocol's sidecars
+      // never are mid-read.
+      if (fs.exists(p)) fs.delete(p, false)
+      if (!fs.rename(tmp, p))
+        sys.error(s"could not publish sidecar $p")
+    }
   }
 
   /** Read a [[writeTextSidecar]] file: the lines, empty-file → Nil. */

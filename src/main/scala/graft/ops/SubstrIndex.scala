@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -48,9 +49,29 @@ import org.apache.spark.sql.functions._
   */
 object SubstrIndex {
 
-  /** Window width frozen at build time. */
-  def width(s: SparkSession, path: String): Int =
-    IndexCommit.readTextSidecar(s, s"$path/meta").head.toInt
+  /** Window width frozen at build time.
+    *
+    * Unlike [[LshIndex.readMeta]] / [[ClusterIndex.layout]], there is
+    * deliberately NO legacy-parquet branch here: SubstrIndex first
+    * shipped TOGETHER WITH the text-sidecar format (and
+    * [[writeSegment]] has written the per-segment `dfs` sidecars that
+    * [[stats]]/[[probe]] read since its first release), so no older
+    * on-disk form was ever persisted — a directory at `meta` or a
+    * missing `dfs` dir is corruption, not a legacy index, and the
+    * loud error below is the correct answer. The siblings carry
+    * their fallbacks because indexes of THEIR pre-sidecar layouts
+    * exist on disk; adding a reader for a layout that never existed
+    * would silently accept corrupt state instead.
+    */
+  def width(s: SparkSession, path: String): Int = {
+    val p = new Path(s"$path/meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(!fs.getFileStatus(p).isDirectory,
+      s"$p is a directory, not a SubstrIndex meta sidecar — no legacy " +
+        "SubstrIndex layout ever shipped, so this index is corrupt " +
+        "(or not a SubstrIndex); rebuild it")
+    IndexCommit.readTextSidecar(s, p.toString).head.toInt
+  }
 
   private def segDirs(s: SparkSession, path: String): Seq[String] = {
     val ids = IndexCommit.committedIds(s, path)

@@ -143,7 +143,15 @@ object StreamingSketch {
         require(d0 == depth && w0 == width,
           s"CMS stream at $outPath was started with shape ${d0}x$w0; " +
             s"cannot fold batches at ${depth}x$width")
-      case _ => writeMetaVals(s, outPath, Seq(depth, width))
+      // present-but-malformed meta (wrong line count — truncated, or
+      // another sketch kind's sidecar) must FAIL, not silently
+      // re-initialize past the shape guard; only None (nothing
+      // durable yet) may write
+      case Some(other) =>
+        sys.error(s"malformed CMS stream meta under $outPath " +
+          s"(${other.mkString(",")}) — expected 2 values (depth, width); " +
+          "refusing to overwrite")
+      case None => writeMetaVals(s, outPath, Seq(depth, width))
     }
 
   private[graft] def applyCmsBatch(batch: DataFrame, outPath: String,
@@ -195,7 +203,12 @@ object StreamingSketch {
         require(k0 == k,
           s"KMV stream at $outPath was started with k=$k0; " +
             s"cannot fold batches at k=$k")
-      case _ => writeMetaVals(s, outPath, Seq(k))
+      // same strictness as ensureCmsMeta: malformed ≠ absent
+      case Some(other) =>
+        sys.error(s"malformed KMV stream meta under $outPath " +
+          s"(${other.mkString(",")}) — expected 1 value (k); " +
+          "refusing to overwrite")
+      case None => writeMetaVals(s, outPath, Seq(k))
     }
 
   /** One micro-batch: its own k-minima under `state/batch_id=<id>`.

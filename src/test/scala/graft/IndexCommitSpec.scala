@@ -264,4 +264,24 @@ class IndexCommitSpec extends SparkSpec {
     assert(overlap.get() == 0, "critical sections overlapped")
     assert(!lockFile.exists(), "the lock must be released after the last writer")
   }
+
+  test("writeTextSidecar: rewrite replaces a plain file in place and " +
+    "clears a legacy parquet directory") {
+    val root = tmp("ic_sidecar")
+    val p = s"$root/meta"
+    IndexCommit.writeTextSidecar(spark, p, Seq("1", "2"))
+    assert(IndexCommit.readTextSidecar(spark, p) == Seq("1", "2"))
+    // the replace path: rename-over-file (atomic where the FS supports
+    // it; the delete+rename fallback covers the rest) — new content
+    // must land, and at no point may the sidecar read as ABSENT to a
+    // reader that treats absence as "nothing written yet"
+    IndexCommit.writeTextSidecar(spark, p, Seq("3"))
+    assert(IndexCommit.readTextSidecar(spark, p) == Seq("3"))
+    // legacy layout: a parquet DIRECTORY at the sidecar name (pre-r13
+    // one-row parquet) is cleared before publish
+    val legacy = s"$root/legacy"
+    spark.range(1).toDF("w").write.parquet(legacy)
+    IndexCommit.writeTextSidecar(spark, legacy, Seq("16"))
+    assert(IndexCommit.readTextSidecar(spark, legacy) == Seq("16"))
+  }
 }

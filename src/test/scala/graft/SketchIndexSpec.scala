@@ -190,6 +190,26 @@ class SketchIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("4x64"))
   }
 
+  test("streaming kmv/cms: present-but-MALFORMED meta fails loudly " +
+    "instead of silently re-initializing past the shape guard") {
+    val out = tmp("cmsbadmeta")
+    val d = docs()
+    // a truncated / wrong-kind sidecar (1 value where CMS needs 2):
+    // the old `case _ => write` routed this to a silent overwrite
+    graft.ops.IndexCommit.writeTextSidecar(spark, s"$out/meta", Seq("4"))
+    val e = intercept[RuntimeException] {
+      StreamingSketch.applyCmsBatch(d.limit(1), out, 4, 64, 0L)
+    }
+    assert(e.getMessage.contains("malformed"))
+    val outK = tmp("kmvbadmeta")
+    graft.ops.IndexCommit.writeTextSidecar(
+      spark, s"$outK/meta", Seq("4", "64"))
+    val e2 = intercept[RuntimeException] {
+      StreamingSketch.applyKmvBatch(d.limit(1), outK, 64, 0L)
+    }
+    assert(e2.getMessage.contains("malformed"))
+  }
+
   test("streaming hll: end-to-end through a real stream") {
     val src = tmp("hllsrc")
     val out = tmp("hllout")
