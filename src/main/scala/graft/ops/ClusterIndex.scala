@@ -174,10 +174,13 @@ object ClusterIndex {
     * and the commit marker last — torn publishes invisible as ever.
     *
     * `labelRows = None` means "the same rows as the clusters leg"
-    * (full publishes): the labels leg is then chained off the
-    * READ-BACK clusters parquet instead of the caller's DataFrame, so
-    * an expensive shared lineage (build's connected components)
-    * executes once, not once per leg.
+    * (full publishes): the shared relation is CACHED across the two
+    * legs, so an expensive shared lineage (build's connected
+    * components) executes once, not once per leg — and, unlike the
+    * earlier read-back-the-written-parquet formulation, the labels
+    * leg starts from in-memory blocks instead of paying a directory
+    * listing plus a second scan of the parquet it just wrote (one
+    * read-back exchange shaved off every [[build]]/[[compact]]).
     */
   private def publishParts(
       s: SparkSession, path: String, l: Layout,
@@ -195,21 +198,15 @@ object ClusterIndex {
         .repartition(l.numParts, col("part"))
         .write.partitionBy("part").mode("overwrite")
         .parquet(s"$vdir/$sub")
-    if (clusterParts.nonEmpty)
-      writeLeg(clusterRows, col("component_id"), "clusters")
-    val labelLeg = labelRows.getOrElse {
-      val fs = new Path(path)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      val cdir = new Path(s"$vdir/clusters")
-      val dirs =
-        if (fs.exists(cdir))
-          fs.listStatus(cdir).toSeq.map(_.getPath)
-            .filter(_.getName.startsWith("part=")).map(_.toString)
-        else Nil
-      readParts(s, dirs)
-    }
-    if (docParts.nonEmpty)
-      writeLeg(labelLeg, col("doc_id"), "labels")
+    val scope = new CacheScope
+    try {
+      val shared =
+        if (labelRows.isEmpty) scope.cache(clusterRows) else clusterRows
+      if (clusterParts.nonEmpty)
+        writeLeg(shared, col("component_id"), "clusters")
+      if (docParts.nonEmpty)
+        writeLeg(labelRows.getOrElse(shared), col("doc_id"), "labels")
+    } finally scope.release()
     // owned-partition lists are driver-side Seq[Int] — text sidecars,
     // zero Spark jobs on publish AND on every later resolution walk
     IndexCommit.writeTextSidecar(s, s"$vdir/partlist",
