@@ -690,6 +690,49 @@ object SparkEntry {
       Similarity.cosineNearDupPairsDf(
         Similarity.loadWithTwins(s, dir), threshold = 0.9,
         numPlanes = 64, numBands = 4)),
+    // bounded-output cluster form of the embedding near-dup graph:
+    // bit-identical vectors collapse to one representative BEFORE the
+    // banded join (interchangeable vertices — cosine exactly 1 to
+    // each other, identical signatures and scores elsewhere), so a
+    // mirrored-document class of n identical embeddings costs n rows,
+    // never C(n,2) pair outputs (the pair form is inherently
+    // Ω(output) — SCALE_r13 §2's video blow-up applies verbatim)
+    "sim_clusters" -> ((s, dir) =>
+      Similarity.cosineNearDupClustersDf(
+        Similarity.loadWithTwins(s, dir), threshold = 0.9,
+        numPlanes = 64, numBands = 4)),
+    // same rows answered FROM the committed hyperplane-signature
+    // index: the corpus is signed once into SimSigIndex segments
+    // (build + append carves, union = everything) and the clustering
+    // reads frozen (vec_id, sig) rows — plan-pinned free of the
+    // hyperplane projection (SimSigIndexSpec); shared oracle
+    "sim_clusters_index" -> ((s, dir) => {
+      val idx = scratchDir("simsigidx_cl")
+      val emb = Similarity.loadWithTwins(s, dir)
+      graft.ops.SimSigIndex.build(s, idx,
+        emb.filter(col("vec_id") % 3 =!= 0), planes = 64)
+      graft.ops.SimSigIndex.append(s, idx,
+        emb.filter(col("vec_id") % 3 === 0))
+      graft.ops.SimSigIndex.clusters(s, idx, threshold = 0.9, numBands = 4)
+    }),
+    // the batch-probe form (dedup_index_probe's economics for
+    // embeddings): corpus = everything except the %100=7 originals
+    // (their planted twins INCLUDED — the positive path crosses the
+    // carve), built + appended once; the batch signs only itself and
+    // probes the committed segments for batch↔corpus pairs
+    "sim_sig_index_probe" -> ((s, dir) => {
+      val idx = scratchDir("simsigidx_probe")
+      val emb = Similarity.loadWithTwins(s, dir)
+      val isBatch = col("vec_id") % 100 === 7 &&
+        col("vec_id") < graft.ops.PerceptualHash.TwinOffset
+      val corpus = emb.filter(!isBatch)
+      graft.ops.SimSigIndex.build(s, idx,
+        corpus.filter(col("vec_id") % 3 =!= 0), planes = 64)
+      graft.ops.SimSigIndex.append(s, idx,
+        corpus.filter(col("vec_id") % 3 === 0))
+      graft.ops.SimSigIndex.probe(s, idx, emb.filter(isBatch),
+        threshold = 0.9, numBands = 4)
+    }),
     // SemDeDup: k-means cells (same Lloyd arithmetic as sim_ann_ivf),
     // within-cell drop-if-similar-to-earlier-member — one cell-keyed
     // shuffle, pairwise cost bounded by cell size (the paper's knob)
@@ -843,6 +886,40 @@ object SparkEntry {
         sigs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 === 0))
       graft.ops.SigIndex.probe(s, idx,
         sigs.filter(col("doc_id") % 10 === 0))
+    }),
+    // cluster forms answered FROM the committed signature index (the
+    // r13 decode-once gap): the corpus is decoded+hashed exactly once
+    // into SigIndex segments — one build carve, one appended carve,
+    // union = every clip — and the collapse-first clustering runs
+    // over the frozen 16-byte signatures. Plan-pinned payload-free
+    // (SigIndexSpec); shared oracle with the decode forms, so equal
+    // hashes pin that the index route changes NOTHING but the decode
+    // count. At 100 TB of media this is the difference between
+    // re-decoding the corpus per clustering run and a fixed-width
+    // parquet job.
+    "mm_clusters_index" -> ((s, dir) => {
+      val idx = scratchDir("sigidx_img_cl")
+      val sigs = PerceptualHash.signatures(
+        PerceptualHash.syntheticImages(s, dir))
+      graft.ops.SigIndex.build(s, idx, sigs.filter(col("doc_id") % 3 =!= 0))
+      graft.ops.SigIndex.append(s, idx, sigs.filter(col("doc_id") % 3 === 0))
+      graft.ops.SigIndex.clusters(s, idx)
+    }),
+    "mm_audio_clusters_index" -> ((s, dir) => {
+      val idx = scratchDir("sigidx_aud_cl")
+      val sigs = PerceptualHash.audioSignatures(
+        PerceptualHash.syntheticClips(s, dir))
+      graft.ops.SigIndex.build(s, idx, sigs.filter(col("doc_id") % 3 =!= 0))
+      graft.ops.SigIndex.append(s, idx, sigs.filter(col("doc_id") % 3 === 0))
+      graft.ops.SigIndex.clusters(s, idx)
+    }),
+    "mm_video_clusters_index" -> ((s, dir) => {
+      val idx = scratchDir("sigidx_vid_cl")
+      val sigs = PerceptualHash.videoSignatures(
+        PerceptualHash.syntheticVideos(s, dir))
+      graft.ops.SigIndex.build(s, idx, sigs.filter(col("doc_id") % 3 =!= 0))
+      graft.ops.SigIndex.append(s, idx, sigs.filter(col("doc_id") % 3 === 0))
+      graft.ops.SigIndex.clusters(s, idx)
     }),
 
     // --- LLM-pipeline: crawl-ingestion front end ---
@@ -3518,59 +3595,15 @@ object SparkEntry {
     // every clip (base + planted twins) labeled, singletons
     // themselves. The ENGINE collapses identical-signature classes
     // before its banded join (bounded output); equivalence of the two
-    // derivations is also spec-pinned JVM-side.
-    "mm_video_clusters" ->
-      """WITH RECURSIVE t AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
-        |  FROM documents
-        |), g0 AS (
-        |  SELECT doc_id,
-        |    [ (strpos('0123456789abcdef',
-        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
-        |      + strpos('0123456789abcdef',
-        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
-        |      for i in range(0, 288) ] AS px
-        |  FROM t
-        |), g AS (
-        |  SELECT doc_id, px FROM g0
-        |  UNION ALL
-        |  SELECT doc_id + 900000000 AS doc_id,
-        |    [ CASE WHEN i IN (1, 82, 163) THEN 255 ELSE px[i] END
-        |      for i in range(1, 289) ] AS px
-        |  FROM g0 WHERE doc_id % 100 = 7
-        |), s AS (
-        |  SELECT doc_id,
-        |    [ (  CASE WHEN px[  0 + (((j + 61) % 64) // 8) * 9 + (((j + 61) % 64) % 8) + 1]
-        |              < px[  0 + (((j + 61) % 64) // 8) * 9 + (((j + 61) % 64) % 8) + 2] THEN 1 ELSE 0 END
-        |       + CASE WHEN px[ 72 + (((j + 62) % 64) // 8) * 9 + (((j + 62) % 64) % 8) + 1]
-        |              < px[ 72 + (((j + 62) % 64) // 8) * 9 + (((j + 62) % 64) % 8) + 2] THEN 1 ELSE 0 END
-        |       + CASE WHEN px[144 + (((j + 63) % 64) // 8) * 9 + (((j + 63) % 64) % 8) + 1]
-        |              < px[144 + (((j + 63) % 64) // 8) * 9 + (((j + 63) % 64) % 8) + 2] THEN 1 ELSE 0 END
-        |       + CASE WHEN px[216 + (j // 8) * 9 + (j % 8) + 1]
-        |              < px[216 + (j // 8) * 9 + (j % 8) + 2] THEN 1 ELSE 0 END
-        |      ) % 2 for j in range(0, 64) ] AS bits
-        |  FROM g
-        |), p AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
-        |  WHERE list_sum(list_transform(range(1, 65),
-        |    i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) <= 3
-        |), edges AS (
-        |  SELECT doc_a AS u, doc_b AS v FROM p
-        |  UNION
-        |  SELECT doc_b, doc_a FROM p
-        |), reach(u, v) AS (
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
-        |), comp AS (
-        |  SELECT u AS doc_id, least(u, min(v)) AS component_id
-        |  FROM reach WHERE v <> u GROUP BY u
-        |)
-        |SELECT g.doc_id,
-        |  coalesce(c.component_id, g.doc_id) AS component_id,
-        |  coalesce(c.component_id, g.doc_id) = g.doc_id AS keep
-        |FROM g LEFT JOIN comp c USING (doc_id)""".stripMargin,
+    // derivations is also spec-pinned JVM-side. The *_index twins
+    // below share each oracle verbatim: the engine answers them from
+    // the committed SigIndex segments (build + append carves whose
+    // union is the whole corpus) instead of re-decoding — identical
+    // rows by the shared-oracle contract.
+    "mm_video_clusters" -> mmVideoClustersOracle,
+    "mm_video_clusters_index" -> mmVideoClustersOracle,
+    "mm_clusters_index" -> mmClustersOracle,
+    "mm_audio_clusters_index" -> mmAudioClustersOracle,
     // Persisted-signature-index probe: the image signature recompute,
     // pairs restricted to batch (%10=0) x corpus (%10≠0) — the engine
     // answers from committed segments + a batch-only decode, the
@@ -3606,43 +3639,8 @@ object SparkEntry {
     // Image and audio cluster forms: the same signature recomputes as
     // their pair oracles, closed into min-label components (the video
     // technique); universe = every clip, singletons themselves
-    "mm_clusters" ->
-      s"""WITH RECURSIVE t AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
-        |  FROM documents
-        |), g AS (
-        |  SELECT doc_id,
-        |    [ (strpos('0123456789abcdef',
-        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
-        |      + strpos('0123456789abcdef',
-        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
-        |      for i in range(0, 72) ] AS px
-        |  FROM t
-        |), s AS (
-        |  SELECT doc_id,
-        |    [ CASE WHEN px[(i // 8) * 9 + (i % 8) + 1]
-        |              < px[(i // 8) * 9 + (i % 8) + 2]
-        |           THEN 1 ELSE 0 END for i in range(0, 64) ] AS bits
-        |  FROM g
-        |)$mediaClusterClosure""".stripMargin,
-    "mm_audio_clusters" ->
-      s"""WITH RECURSIVE t AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
-        |  FROM documents
-        |), g AS (
-        |  SELECT doc_id,
-        |    [ (strpos('0123456789abcdef',
-        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
-        |      + strpos('0123456789abcdef',
-        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
-        |      for i in range(0, 65) ] AS px
-        |  FROM t
-        |), s AS (
-        |  SELECT doc_id,
-        |    [ CASE WHEN px[i] < px[i + 1] THEN 1 ELSE 0 END
-        |      for i in range(1, 65) ] AS bits
-        |  FROM g
-        |)$mediaClusterClosure""".stripMargin,
+    "mm_clusters" -> mmClustersOracle,
+    "mm_audio_clusters" -> mmAudioClustersOracle,
     // Audio envelope hash: 65 md5-derived samples, bit i compares
     // adjacent bins — 1-D, no grid arithmetic
     "mm_audio_near_dup" ->
@@ -4309,42 +4307,49 @@ object SparkEntry {
     // same md5-parity plane derivation as sim_ann_lsh, but 64 planes
     // in 4 bands of 16 bits — 4-bit keys go quadratic at corpus scale
     // (SCALE_r12: 127x work at 10x data before this widening).
+    // Embedding near-dup at cosine >= 0.9: shared banded-candidate
+    // CTEs (simNearDupCtes) feed the pair oracle here and the
+    // cluster/index oracles below — one arithmetic derivation, four
+    // pins.
     "sim_near_dup" ->
-      """WITH e0 AS (
-        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        |), e AS (
-        |  SELECT vec_id, v FROM e0
-        |  UNION ALL
-        |  SELECT vec_id + 900000000 AS vec_id,
-        |    list_concat([v[1] * 1.25], v[2:]) AS v
-        |  FROM e0 WHERE vec_id % 100 = 7
-        |), dims AS (
-        |  SELECT len(v) AS nd FROM e LIMIT 1
-        |), coef AS (
-        |  SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || ',' || d::VARCHAR), 2, 1)
-        |                      IN ('1','3','5','7','9','b','d','f')
-        |                 THEN 1.0 ELSE -1.0 END ORDER BY d) AS cl
-        |  FROM (SELECT p, unnest(range(nd)) AS d FROM range(64) t(p), dims)
-        |  GROUP BY p
-        |), banded AS (
-        |  SELECT vec_id, CAST(p // 16 AS INTEGER) AS band,
-        |    CAST(sum(CASE WHEN list_dot_product(v, cl) > 0
-        |      THEN CAST(1 AS BIGINT) << CAST(p % 16 AS INTEGER)
-        |      ELSE 0 END) AS BIGINT) AS key
-        |  FROM e, coef
-        |  GROUP BY vec_id, band
-        |), cand AS (
-        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-        |  FROM banded a JOIN banded b USING (band, key)
-        |  WHERE a.vec_id < b.vec_id
-        |)
-        |SELECT vec_a, vec_b,
-        |  list_dot_product(av.v, bv.v) /
-        |    (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) AS score
-        |FROM cand c JOIN e av ON av.vec_id = c.vec_a
-        |            JOIN e bv ON bv.vec_id = c.vec_b
-        |WHERE list_dot_product(av.v, bv.v) /
-        |    (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) >= 0.9""".stripMargin,
+      s"""WITH $simNearDupCtes
+         |SELECT vec_a, vec_b,
+         |  list_dot_product(av.v, bv.v) /
+         |    (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) AS score
+         |FROM cand c JOIN e av ON av.vec_id = c.vec_a
+         |            JOIN e bv ON bv.vec_id = c.vec_b
+         |WHERE list_dot_product(av.v, bv.v) /
+         |    (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) >= 0.9""".stripMargin,
+    // Cluster form: the same banded pair graph closed into min-label
+    // components (the mediaClusterClosure technique in vec_id space);
+    // universe = every vector incl. planted twins, singletons
+    // themselves. The ENGINE collapses bit-identical vectors before
+    // its banded join (interchangeable vertices: cosine 1 to each
+    // other, identical signatures and scores elsewhere) — bounded
+    // output; the oracle derives components directly. The _index twin
+    // answers from committed SimSigIndex segments (frozen signatures,
+    // zero corpus re-projection) — identical rows by construction.
+    "sim_clusters" -> simClustersOracle,
+    "sim_clusters_index" -> simClustersOracle,
+    // Persisted-index probe: batch = the %100=7 originals, corpus =
+    // everything else incl. their twins (build + append carves); the
+    // engine signs only the batch and answers from committed
+    // segments, the oracle recomputes the banded candidates
+    // restricted to batch x corpus
+    "sim_sig_index_probe" ->
+      s"""WITH $simNearDupCtes, candp AS (
+         |  SELECT DISTINCT a.vec_id AS vec_new, b.vec_id AS vec_idx
+         |  FROM banded a JOIN banded b USING (band, key)
+         |  WHERE a.vec_id % 100 = 7 AND a.vec_id < 900000000
+         |    AND NOT (b.vec_id % 100 = 7 AND b.vec_id < 900000000)
+         |)
+         |SELECT vec_new, vec_idx,
+         |  list_dot_product(av.v, bv.v) /
+         |    (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) AS score
+         |FROM candp c JOIN e av ON av.vec_id = c.vec_new
+         |             JOIN e bv ON bv.vec_id = c.vec_idx
+         |WHERE list_dot_product(av.v, bv.v) /
+         |    (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) >= 0.9""".stripMargin,
     // same floor(x/scale + 0.5) quantizer — floor because the two
     // engines' round() tie conventions differ while floor is
     // IEEE-exact; scale left un-rounded (bit-deterministic on both
@@ -5853,6 +5858,167 @@ object SparkEntry {
     * components by a recursive transitive closure; every clip
     * labeled, singletons themselves.
     */
+  /** Shared CTE list of the embedding near-dup oracles: fixture +
+    * planted twins, md5-parity hyperplane coefficients, 64-plane
+    * signatures in 4 bands of 16 bits, distinct banded candidate
+    * pairs. No leading WITH so callers can prepend RECURSIVE.
+    */
+  private lazy val simNearDupCtes: String =
+    """e0 AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        |), e AS (
+        |  SELECT vec_id, v FROM e0
+        |  UNION ALL
+        |  SELECT vec_id + 900000000 AS vec_id,
+        |    list_concat([v[1] * 1.25], v[2:]) AS v
+        |  FROM e0 WHERE vec_id % 100 = 7
+        |), dims AS (
+        |  SELECT len(v) AS nd FROM e LIMIT 1
+        |), coef AS (
+        |  SELECT p, list(CASE WHEN substr(md5(p::VARCHAR || ',' || d::VARCHAR), 2, 1)
+        |                      IN ('1','3','5','7','9','b','d','f')
+        |                 THEN 1.0 ELSE -1.0 END ORDER BY d) AS cl
+        |  FROM (SELECT p, unnest(range(nd)) AS d FROM range(64) t(p), dims)
+        |  GROUP BY p
+        |), banded AS (
+        |  SELECT vec_id, CAST(p // 16 AS INTEGER) AS band,
+        |    CAST(sum(CASE WHEN list_dot_product(v, cl) > 0
+        |      THEN CAST(1 AS BIGINT) << CAST(p % 16 AS INTEGER)
+        |      ELSE 0 END) AS BIGINT) AS key
+        |  FROM e, coef
+        |  GROUP BY vec_id, band
+        |), cand AS (
+        |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        |  FROM banded a JOIN banded b USING (band, key)
+        |  WHERE a.vec_id < b.vec_id
+        |)""".stripMargin
+
+  /** Embedding cluster oracle, shared by `sim_clusters` and its
+    * committed-index twin: verified pairs closed into min-label
+    * components, every vector labeled, singletons themselves.
+    */
+  private lazy val simClustersOracle: String =
+    s"""WITH RECURSIVE $simNearDupCtes, p AS (
+       |  SELECT c.vec_a, c.vec_b
+       |  FROM cand c JOIN e av ON av.vec_id = c.vec_a
+       |              JOIN e bv ON bv.vec_id = c.vec_b
+       |  WHERE list_dot_product(av.v, bv.v) /
+       |    (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) >= 0.9
+       |), edges AS (
+       |  SELECT vec_a AS u, vec_b AS v FROM p
+       |  UNION
+       |  SELECT vec_b, vec_a FROM p
+       |), reach(u, v) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.u, e2.v FROM reach r JOIN edges e2 ON r.v = e2.u
+       |), comp AS (
+       |  SELECT u AS vec_id, least(u, min(v)) AS component_id
+       |  FROM reach WHERE v <> u GROUP BY u
+       |)
+       |SELECT e.vec_id,
+       |  coalesce(c.component_id, e.vec_id) AS component_id,
+       |  coalesce(c.component_id, e.vec_id) = e.vec_id AS keep
+       |FROM e LEFT JOIN comp c USING (vec_id)""".stripMargin
+
+  /** Media cluster oracles, shared verbatim between each decode-side
+    * cluster form and its committed-SigIndex twin (`*_clusters` /
+    * `*_clusters_index`): the index route must produce IDENTICAL
+    * rows — same signatures, same components — with zero payload
+    * decodes, which equal hashes against one oracle pin.
+    */
+  private lazy val mmVideoClustersOracle: String =
+    """WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g0 AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 288) ] AS px
+        |  FROM t
+        |), g AS (
+        |  SELECT doc_id, px FROM g0
+        |  UNION ALL
+        |  SELECT doc_id + 900000000 AS doc_id,
+        |    [ CASE WHEN i IN (1, 82, 163) THEN 255 ELSE px[i] END
+        |      for i in range(1, 289) ] AS px
+        |  FROM g0 WHERE doc_id % 100 = 7
+        |), s AS (
+        |  SELECT doc_id,
+        |    [ (  CASE WHEN px[  0 + (((j + 61) % 64) // 8) * 9 + (((j + 61) % 64) % 8) + 1]
+        |              < px[  0 + (((j + 61) % 64) // 8) * 9 + (((j + 61) % 64) % 8) + 2] THEN 1 ELSE 0 END
+        |       + CASE WHEN px[ 72 + (((j + 62) % 64) // 8) * 9 + (((j + 62) % 64) % 8) + 1]
+        |              < px[ 72 + (((j + 62) % 64) // 8) * 9 + (((j + 62) % 64) % 8) + 2] THEN 1 ELSE 0 END
+        |       + CASE WHEN px[144 + (((j + 63) % 64) // 8) * 9 + (((j + 63) % 64) % 8) + 1]
+        |              < px[144 + (((j + 63) % 64) // 8) * 9 + (((j + 63) % 64) % 8) + 2] THEN 1 ELSE 0 END
+        |       + CASE WHEN px[216 + (j // 8) * 9 + (j % 8) + 1]
+        |              < px[216 + (j // 8) * 9 + (j % 8) + 2] THEN 1 ELSE 0 END
+        |      ) % 2 for j in range(0, 64) ] AS bits
+        |  FROM g
+        |), p AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM s a JOIN s b ON a.doc_id < b.doc_id
+        |  WHERE list_sum(list_transform(range(1, 65),
+        |    i -> CASE WHEN a.bits[i] <> b.bits[i] THEN 1 ELSE 0 END)) <= 3
+        |), edges AS (
+        |  SELECT doc_a AS u, doc_b AS v FROM p
+        |  UNION
+        |  SELECT doc_b, doc_a FROM p
+        |), reach(u, v) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |), comp AS (
+        |  SELECT u AS doc_id, least(u, min(v)) AS component_id
+        |  FROM reach WHERE v <> u GROUP BY u
+        |)
+        |SELECT g.doc_id,
+        |  coalesce(c.component_id, g.doc_id) AS component_id,
+        |  coalesce(c.component_id, g.doc_id) = g.doc_id AS keep
+        |FROM g LEFT JOIN comp c USING (doc_id)""".stripMargin
+
+  private lazy val mmClustersOracle: String =
+    s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 72) ] AS px
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id,
+        |    [ CASE WHEN px[(i // 8) * 9 + (i % 8) + 1]
+        |              < px[(i // 8) * 9 + (i % 8) + 2]
+        |           THEN 1 ELSE 0 END for i in range(0, 64) ] AS bits
+        |  FROM g
+        |)$mediaClusterClosure""".stripMargin
+
+  private lazy val mmAudioClustersOracle: String =
+    s"""WITH RECURSIVE t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 65) ] AS px
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id,
+        |    [ CASE WHEN px[i] < px[i + 1] THEN 1 ELSE 0 END
+        |      for i in range(1, 65) ] AS bits
+        |  FROM g
+        |)$mediaClusterClosure""".stripMargin
+
   private val mediaClusterClosure: String =
     """, p AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b

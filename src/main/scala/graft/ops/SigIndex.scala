@@ -85,18 +85,43 @@ object SigIndex {
       .select(col(id), col(s"sig_$id"),
         col("bk.band").as("band"), col("bk.key").as("key"))
 
+  /** Duplicate-clip clusters over the COMMITTED signatures — the
+    * media twin of [[ClusterIndex.clusters]]' economics applied to
+    * perceptual hashes: every clip the index holds labeled with its
+    * connected component over the Hamming ≤ `maxHamming` near-dup
+    * graph, computed via [[PerceptualHash.nearDupClustersOfSigs]]'
+    * collapse-first path (identical-signature classes cost n rows,
+    * never C(n,2) pairs) WITHOUT re-decoding a single payload byte.
+    * This is what the index exists for at 100 TB of media: decode
+    * dominates every corpus-wide media query, the committed segments
+    * already hold the 16-byte answers, and re-clustering after an
+    * append is a fixed-width-relation job (plan-pinned payload-free
+    * in SigIndexSpec). Rows ≡ the decode-side cluster forms
+    * ([[PerceptualHash.videoClusters]] etc.) over the same corpus —
+    * the shared-oracle contract.
+    */
+  def clusters(
+      s: SparkSession, path: String, maxHamming: Int = 3,
+      scope: CacheScope = new CacheScope): DataFrame =
+    PerceptualHash.nearDupClustersOfSigs(sigs(s, path), maxHamming, scope)
+
   /** Near-duplicate pairs between a batch's (doc_id, sig) relation
     * and the committed index at Hamming ≤ `maxHamming`: (doc_new,
     * doc_idx, hamming). Exhaustive for maxHamming < 4 by the
     * pigeonhole banding; exact `bit_count` verification. The index
     * side is never decoded — fixed-width signature rows stream past
-    * the batch bands. Works unchanged as a `foreachBatch` body.
+    * the batch bands, and the batch side carries an explicit
+    * broadcast hint (a micro-batch is band-rows × 28 bytes — always
+    * driver-small next to a 100 TB corpus's banded index, and
+    * without the hint a size-estimator miss would sort-merge the
+    * FULL banded index by key; executed-plan-pinned in SigIndexSpec).
+    * Works unchanged as a `foreachBatch` body.
     */
   def probe(
       s: SparkSession, path: String, batch: DataFrame,
       maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4-band pigeonhole is exhaustive only below 4")
-    banded(batch, "doc_new")
+    broadcast(banded(batch, "doc_new"))
       .join(banded(sigs(s, path), "doc_idx"), Seq("band", "key"))
       .select("doc_new", "doc_idx", "sig_doc_new", "sig_doc_idx")
       .distinct()

@@ -1,0 +1,178 @@
+package graft.ops
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted hyperplane-signature index for embedding near-dup — the
+  * EMBEDDING twin of [[SigIndex]] (media) and [[LshIndex]] (text),
+  * closing the last near-dup family gap where the corpus side was
+  * re-projected against the hyperplanes on every run: the 64-bit
+  * hyperplane signatures ([[Similarity.lshSignaturesDf]]'s md5-parity
+  * planes) are computed ONCE per vector ever and frozen under the
+  * [[IndexCommit]] marker protocol; probes and re-clusterings read
+  * fixed-width rows.
+  *
+  * Layout under the index root (each `v=<id>/` one batch's delta,
+  * readers union committed segments — the [[LshIndex]] economics):
+  *   - `v=<id>/sigs` — (vec_id, sig): the packed sign bits, the
+  *     band-join side. 16 bytes per vector.
+  *   - `v=<id>/vecs` — (vec_id, v): the vectors themselves, read ONLY
+  *     for candidate-set-sized exact-cosine verification (unlike the
+  *     media index, a signature does not determine the exact score,
+  *     so verification needs the vectors — the [[LshIndex]] `sets`
+  *     relation's role). Kept as a separate relation so the banded
+  *     join never drags kilobyte arrays through its explode.
+  *   - `meta` — text sidecar (numPlanes): the signature space, frozen
+  *     at build so an append can never mix plane counts (mixed-width
+  *     signatures silently never collide — zero candidates, not an
+  *     error). Band COUNT stays a probe-time knob: band keys derive
+  *     row-locally from the signature on both sides, so any banding
+  *     whose width divides numPlanes needs no migration — the
+  *     [[SigIndex]] band-derivation convention.
+  *
+  * Segment appends are disjoint by vector contract (a vector is
+  * ingested once — [[LshIndex.append]]'s non-idempotence caveat;
+  * [[graft.streaming.StreamingSimIngest]] adds the batch-id ledger
+  * for at-least-once replay safety), atomic via the commit marker.
+  *
+  * Scale: signing is the expensive corpus pass (numPlanes dots per
+  * vector — at 64 planes, 4× the vector bytes in FLOPs) and happens
+  * exactly once per vector ever; a probe signs only its batch, the
+  * band equijoin streams the committed sigs past the broadcast batch
+  * bands, and the vectors relation is touched candidate-set-sized,
+  * never corpus-quadratic.
+  */
+object SimSigIndex {
+
+  /** The frozen plane count. */
+  def numPlanes(s: SparkSession, path: String): Int = {
+    val p = new Path(s"$path/meta")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(!fs.getFileStatus(p).isDirectory,
+      s"$p is a directory, not a SimSigIndex meta sidecar — no legacy " +
+        "SimSigIndex layout ever shipped; this is not a SimSigIndex")
+    IndexCommit.readTextSidecar(s, p.toString).head.toInt
+  }
+
+  private def segDirs(s: SparkSession, path: String): Seq[String] = {
+    val ids = IndexCommit.committedIds(s, path)
+    require(ids.nonEmpty,
+      s"no committed embedding signature index segment at $path")
+    ids.map(IndexCommit.versionDir(path, _))
+  }
+
+  private def writeSegment(
+      s: SparkSession, path: String, emb: DataFrame, planes: Int): Long = {
+    val id = IndexCommit.reserve(s, path)
+    val seg = IndexCommit.versionDir(path, id)
+    Similarity.lshSignaturesDf(emb.select("vec_id", "v"), planes)
+      .select("vec_id", "sig")
+      .write.mode("overwrite").parquet(s"$seg/sigs")
+    emb.select("vec_id", "v")
+      .write.mode("overwrite").parquet(s"$seg/vecs")
+    IndexCommit.commit(s, path, id)
+    id
+  }
+
+  /** Build from a (vec_id, v: array<double>) relation — the one
+    * corpus signing. Destructive reset by contract, like
+    * [[LshIndex.build]] (a rebuild changes the signature space every
+    * segment is interpreted under).
+    */
+  def build(
+      s: SparkSession, path: String, emb: DataFrame,
+      planes: Int = 64): Long = {
+    require(planes >= 1 && planes <= 64,
+      "signatures pack into one long — 1 to 64 planes")
+    IndexCommit.reset(s, path)
+    IndexCommit.writeTextSidecar(s, s"$path/meta", Seq(planes.toString))
+    writeSegment(s, path, emb, planes)
+  }
+
+  /** Fold a batch of NEW vectors into the index under the frozen
+    * plane count (batch-only signing). NOT idempotent under replay
+    * (callers dedup upstream or ledger batch ids —
+    * [[graft.streaming.StreamingSimIngest]]); atomic via the marker.
+    */
+  def append(s: SparkSession, path: String, emb: DataFrame): Long =
+    writeSegment(s, path, emb, numPlanes(s, path))
+
+  /** The committed (vec_id, sig) relation. */
+  def sigs(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(segDirs(s, path).map(_ + "/sigs"): _*)
+      .select("vec_id", "sig")
+
+  /** The committed (vec_id, v) relation. */
+  def vecs(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(segDirs(s, path).map(_ + "/vecs"): _*)
+      .select("vec_id", "v")
+
+  /** Row-local band keys of a signature column — width must divide
+    * the frozen plane count (the [[SigIndex.banded]] derivation with
+    * a configurable band count).
+    */
+  private def banded(
+      df: DataFrame, id: String, planes: Int, numBands: Int): DataFrame = {
+    val width = planes / numBands
+    df.select(col("vec_id").as(id),
+      explode(array((0 until numBands).map(b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("sig"), b * width)
+            .bitwiseAND((1L << width) - 1).as("key"))): _*)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Near-duplicate pairs between a batch's (vec_id, v) relation and
+    * the committed index at cosine ≥ `threshold`: (vec_new, vec_idx,
+    * score). Only the batch is signed; the committed sigs stream past
+    * the broadcast batch bands (a micro-batch is always driver-small
+    * next to a 100 TB corpus's index — without the hint a
+    * size-estimator miss would shuffle the full banded index); exact
+    * cosine verification touches the committed vectors
+    * candidate-set-sized. Candidate recall is the banding's, same as
+    * the one-job [[Similarity.cosineNearDupPairsDf]] — a pair the
+    * banding would surface there is surfaced here (identical
+    * signature derivation on both sides). Works unchanged as a
+    * `foreachBatch` body.
+    */
+  def probe(
+      s: SparkSession, path: String, batch: DataFrame,
+      threshold: Double = 0.9, numBands: Int = 4): DataFrame = {
+    val planes = numPlanes(s, path)
+    require(planes % numBands == 0, "band width must divide the planes")
+    val bSigs = Similarity.lshSignaturesDf(
+      batch.select("vec_id", "v"), planes)
+    val candIds = broadcast(banded(bSigs, "vec_new", planes, numBands))
+      .join(banded(sigs(s, path), "vec_idx", planes, numBands),
+        Seq("band", "key"))
+      .select("vec_new", "vec_idx").distinct()
+    broadcast(candIds
+      .join(broadcast(bSigs.select(col("vec_id").as("vec_new"),
+        col("v").as("v_new"))), Seq("vec_new")))
+      .join(vecs(s, path).select(col("vec_id").as("vec_idx"),
+        col("v").as("v_idx")), Seq("vec_idx"))
+      .select(col("vec_new"), col("vec_idx"),
+        Similarity.cosine(col("v_new"), col("v_idx")).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  /** Duplicate-vector clusters over the COMMITTED signatures and
+    * vectors — [[Similarity.cosineNearDupClustersOfSigs]]' exact
+    * rows (identical-vector collapse, banded candidates, exact
+    * verification, min-label components) with the corpus signed
+    * exactly once ever: the signatures come from the frozen segments,
+    * never a re-projection (plan-pinned free of the hyperplane
+    * literals in SimSigIndexSpec). The shared-oracle contract with
+    * the one-job cluster form pins identical rows.
+    */
+  def clusters(
+      s: SparkSession, path: String, threshold: Double = 0.9,
+      numBands: Int = 4,
+      scope: CacheScope = new CacheScope): DataFrame = {
+    val planes = numPlanes(s, path)
+    Similarity.cosineNearDupClustersOfSigs(
+      vecs(s, path).join(sigs(s, path), Seq("vec_id")),
+      threshold, planes, numBands, scope)
+  }
+}

@@ -417,11 +417,24 @@ object Similarity {
   def cosineNearDupPairsDf(
       emb: DataFrame, threshold: Double,
       numPlanes: Int = 16, numBands: Int = 4
+  ): DataFrame =
+    cosineNearDupPairsOfSigs(
+      lshSignaturesDf(emb, numPlanes), threshold, numPlanes, numBands)
+
+  /** Banding + exact-cosine verification over an ALREADY-SIGNED
+    * (vec_id, v, sig) relation — split out so a persisted signature
+    * index ([[SimSigIndex]]) can feed FROZEN signatures without
+    * re-projecting the corpus against the hyperplanes, exactly the
+    * [[PerceptualHash.nearDupPairsOfSigs]] factoring for media.
+    */
+  private[graft] def cosineNearDupPairsOfSigs(
+      sigsDf: DataFrame, threshold: Double,
+      numPlanes: Int, numBands: Int
   ): DataFrame = {
     val width = numPlanes / numBands
     // cached for the same reason as in [[annTopK]]: both band-join
     // sides and both vector re-attach joins consume this relation
-    val sigs = lshSignaturesDf(emb, numPlanes).cache()
+    val sigs = sigsDf.cache()
     val bandStructs = (0 until numBands).map { bnd =>
       val key = shiftright(col("sig"), bnd * width)
         .bitwiseAND((1L << width) - 1)
@@ -446,6 +459,80 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"),
         cosine(col("va"), col("vb")).as("score"))
       .filter(col("score") >= threshold)
+  }
+
+  /** Embedding near-duplicate CLUSTERS — the bounded-output twin of
+    * [[cosineNearDupPairsDf]], closing the one near-dup family gap
+    * where only the pair form existed (pair enumeration is inherently
+    * Ω(output), and output grows quadratically in duplicate-class
+    * size: a document mirrored n times with byte-identical embeddings
+    * contributes C(n,2) pairs — the exact blow-up SCALE_r13 §2
+    * measured for video). Every vector is labeled with its connected
+    * component over the verified-pair graph: (vec_id, component_id,
+    * keep), labels component minima, singletons themselves.
+    *
+    * The collapse-first step uses BIT-IDENTICAL VECTORS as the
+    * interchangeable-vertex class (the media forms collapse identical
+    * 64-bit signatures; an embedding's signature does NOT determine
+    * its exact cosine, so the sound collapse key here is the vector
+    * itself): members of a class have pairwise cosine exactly 1 ≥
+    * threshold (an intra-class edge always exists), identical
+    * hyperplane signatures (hence identical band candidacy), and
+    * identical scores against every other vector — so collapsing a
+    * class to its min-id representative before the banded join is
+    * EXACTLY equivalent to components over all pairs (spec-pinned
+    * against the direct derivation), while an n-member class costs n
+    * rows instead of C(n,2) join outputs. Zero vectors are their own
+    * singletons (their cosine is NaN against everything, including
+    * themselves — never an edge), kept out of the collapse so two
+    * zero vectors are never spuriously clustered.
+    */
+  def cosineNearDupClustersDf(
+      emb: DataFrame, threshold: Double,
+      numPlanes: Int = 64, numBands: Int = 4,
+      scope: CacheScope = new CacheScope
+  ): DataFrame =
+    cosineNearDupClustersOfSigs(
+      lshSignaturesDf(emb, numPlanes), threshold, numPlanes, numBands,
+      scope)
+
+  /** [[cosineNearDupClustersDf]] over an already-signed (vec_id, v,
+    * sig) relation — the [[SimSigIndex]] route, where the signatures
+    * are frozen on disk and the corpus is never re-projected.
+    */
+  private[graft] def cosineNearDupClustersOfSigs(
+      sigsDf: DataFrame, threshold: Double,
+      numPlanes: Int, numBands: Int,
+      scope: CacheScope = new CacheScope
+  ): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      "cosine(v, v) = 1 must clear the bar for the identical-vector " +
+        "collapse to be exact — threshold must be in (0, 1]")
+    val e = scope.cache(sigsDf.select("vec_id", "v", "sig"))
+    val nzCond = dot(col("v"), col("v")) > 0
+    // identical-vector classes: min id is the representative; the
+    // class's signature is any member's (identical vectors sign
+    // identically — min is a deterministic pick, not a choice)
+    val classes = scope.cache(e.filter(nzCond).groupBy("v")
+      .agg(min(col("vec_id")).as("rep"), min(col("sig")).as("sig")))
+    val pairs = cosineNearDupPairsOfSigs(
+      classes.select(col("rep").as("vec_id"), col("v"), col("sig")),
+      threshold, numPlanes, numBands)
+    val comp = Dedup.connectedComponents(
+      pairs.select(col("vec_a").as("u"), col("vec_b").as("v")), scope)
+    // member → its class representative → the rep's component (a rep
+    // in no verified pair keeps itself — which still collapses its
+    // identical-vector class under one label, cosine-1 edges being
+    // implicit in the class definition)
+    val labeled = e.filter(nzCond)
+      .join(classes.select("v", "rep"), Seq("v"))
+      .join(comp.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component_id"), col("rep")).as("component_id"))
+    val zeroSingletons = e.filter(!nzCond)
+      .select(col("vec_id"), col("vec_id").as("component_id"))
+    labeled.unionByName(zeroSingletons)
+      .withColumn("keep", col("vec_id") === col("component_id"))
   }
 
   /** Symmetric int8 scalar quantization (SQ8) of the embedding column —

@@ -1,6 +1,5 @@
 package graft.streaming
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -57,22 +56,16 @@ object StreamingCluster {
     */
   val DefaultVacuumKeep: Int = 2
 
-  private def ledgerPath(indexPath: String, batchId: Long): Path =
-    new Path(s"$indexPath/stream_ledger/$batchId")
-
+  // ledger primitives factored into [[BatchLedger]] (r14 — the other
+  // non-idempotent index appends gained ingestion streams); these
+  // delegates keep the original spec-visible surface
   private[graft] def ledgerHas(
-      s: SparkSession, indexPath: String, batchId: Long): Boolean = {
-    val p = ledgerPath(indexPath, batchId)
-    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
-  }
+      s: SparkSession, indexPath: String, batchId: Long): Boolean =
+    BatchLedger.has(s, indexPath, batchId)
 
   private[graft] def markLedger(
-      s: SparkSession, indexPath: String, batchId: Long): Unit = {
-    val p = ledgerPath(indexPath, batchId)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.mkdirs(p.getParent)
-    fs.createNewFile(p)
-  }
+      s: SparkSession, indexPath: String, batchId: Long): Unit =
+    BatchLedger.mark(s, indexPath, batchId)
 
   /** Fold a stream of (doc_id, text) documents into the index at
     * `indexPath` (which must already hold a committed

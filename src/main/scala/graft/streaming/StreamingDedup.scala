@@ -21,16 +21,37 @@ import graft.ops.{CacheScope, LshIndex}
   * directory instead of appending duplicates. Readers see one
   * partitioned pairs table at `outPath`.
   *
-  * The index is deliberately STATIC between rebuilds: folding each
-  * batch's signatures back into the index inside the hot path would
-  * make replay non-idempotent (a replayed batch would double-insert
-  * its bands) and turn the probe into a read-modify-write race under
-  * concurrent streams. Production shape: within-batch self-dups are
-  * caught by [[EventStreams.dedupStream]]-style keyed state upstream,
-  * batch-vs-index dups here, and the index is refreshed by a periodic
+  * The index is deliberately STATIC between rebuilds on the PROBE
+  * path: folding each batch's signatures back into the index inside
+  * the probe body would make replay non-idempotent (a replayed batch
+  * would double-insert its bands) and turn the probe into a
+  * read-modify-write race under concurrent streams. Production
+  * shape: within-batch self-dups are caught by
+  * [[EventStreams.dedupStream]]-style keyed state upstream,
+  * batch-vs-index dups here, and the index tracks the corpus through
+  * a SEPARATE [[maintainStream]] (exactly-once via the
+  * [[BatchLedger]] batch-id markers) or a periodic
   * [[LshIndex.build]] compaction — the standard lambda split.
+  *
+  * Guard drift under long-lived appends: the hot-shingle guard stays
+  * the build corpus's until someone acts ([[LshIndex.append]]'s
+  * documented degrade — more candidates, never wrong answers).
+  * [[probeStream]]'s opt-in `guardMaxDocFreq` cadence fires
+  * [[LshIndex.refreshGuard]] every `guardEvery` micro-batches — the
+  * in-stream [[StreamingCluster]] maybeCompact convention: outside
+  * any ledger on purpose, because a replayed refresh publishes a
+  * guard version with the same content (waste, never wrongness).
   */
 object StreamingDedup {
+
+  /** Default refresh cadence for [[probeStream]]'s opt-in guard
+    * maintenance: with [[LshIndex.refreshGuard]] costing one
+    * sets-relation scan, every 16 batches keeps the amortized cost
+    * per batch under ~7% while bounding how long append-driven skew
+    * can feed candidates ([[StreamingCluster.DefaultMaxVersions]]'
+    * reasoning applied to the guard).
+    */
+  val DefaultGuardEvery: Int = 16
 
   def probeStream(
       docs: DataFrame,
@@ -38,6 +59,57 @@ object StreamingDedup {
       outPath: String,
       checkpointDir: String,
       threshold: Double = 0.8,
+      trigger: Trigger = Trigger.AvailableNow(),
+      guardMaxDocFreq: Option[Double] = None,
+      guardEvery: Int = DefaultGuardEvery
+  ): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, indexPath, outPath, threshold, batchId)
+        maybeRefreshGuard(batch.sparkSession, indexPath, batchId,
+          guardMaxDocFreq, guardEvery)
+        ()
+      }
+      .start()
+
+  /** The opt-in guard cadence: after micro-batch `batchId`, refresh
+    * the hot-shingle guard when the 1-based batch count hits the
+    * cadence. Relation-level idempotent (a re-fired refresh commits
+    * an identical-content guard version), so it deliberately rides
+    * OUTSIDE any replay ledger. Package-visible for synchronous spec
+    * driving.
+    */
+  private[graft] def maybeRefreshGuard(
+      s: org.apache.spark.sql.SparkSession,
+      indexPath: String,
+      batchId: Long,
+      guardMaxDocFreq: Option[Double],
+      guardEvery: Int): Unit =
+    guardMaxDocFreq.foreach { f =>
+      if ((batchId + 1) % guardEvery == 0)
+        LshIndex.refreshGuard(s, indexPath, f)
+    }
+
+  /** Fold a stream of (doc_id, text) documents into the LSH index at
+    * `indexPath` (which must already hold a committed
+    * [[LshIndex.build]]) — the text ingestion twin of
+    * [[StreamingCluster.maintainStream]], for deployments that probe
+    * THROUGH [[LshIndex]] without the full [[graft.ops.ClusterIndex]]
+    * assignment. Exactly-once via the [[BatchLedger]] batch-id
+    * markers ([[LshIndex.append]] commits a segment per call, so it
+    * is not naturally idempotent); the crash window degrades safely —
+    * a re-appended batch's duplicate segment inflates band candidates
+    * only, and [[LshIndex.probe]]'s output is `distinct` over
+    * verified pairs (spec-pinned by replaying with the marker
+    * removed).
+    */
+  def maintainStream(
+      docs: DataFrame,
+      indexPath: String,
+      checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()
   ): StreamingQuery =
     docs.writeStream
@@ -45,9 +117,26 @@ object StreamingDedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, indexPath, outPath, threshold, batchId); ()
+        applyIngestBatch(batch, indexPath, batchId); ()
       }
       .start()
+
+  /** One ingestion micro-batch: ledger-skip replayed ids, skip empty
+    * batches (an empty append would commit a contentless segment per
+    * replayed empty trigger), else [[LshIndex.append]] then mark.
+    * Package-visible for synchronous spec driving.
+    */
+  private[graft] def applyIngestBatch(
+      batch: DataFrame,
+      indexPath: String,
+      batchId: Long): Unit = {
+    val s = batch.sparkSession
+    if (!BatchLedger.has(s, indexPath, batchId)) {
+      if (!batch.isEmpty)
+        LshIndex.append(s, indexPath, batch)
+      BatchLedger.mark(s, indexPath, batchId)
+    }
+  }
 
   /** One micro-batch: probe and write the batch's pair directory.
     * Returns the pair count. Package-visible so the spec can drive

@@ -23,6 +23,17 @@ import graft.ops.{PerceptualHash, SigIndex}
   * rebuilds ([[StreamingDedup]]'s lambda-split rationale); out-of-band
   * [[SigIndex.append]]s interleave safely — a probe reads one
   * committed segment list for its whole batch.
+  *
+  * [[maintainStream]] is the INGESTION half: arriving clips are
+  * decoded batch-side and their signatures FOLDED into the index —
+  * exactly-once via the [[BatchLedger]] batch-id markers
+  * ([[StreamingCluster]]'s proven pattern), because
+  * [[SigIndex.append]] is not naturally idempotent (each call commits
+  * a segment). The ledger's crash window (append committed, marker
+  * unwritten) degrades safely: the re-append stages a duplicate
+  * signature segment, which inflates band candidates only — probe
+  * output is `distinct` over verified pairs, so answers are unchanged
+  * (spec-pinned by replaying with the marker removed).
   */
 object StreamingSigDedup {
 
@@ -65,6 +76,52 @@ object StreamingSigDedup {
     pairs.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
     batch.sparkSession.read
       .parquet(s"$outPath/batch_id=$batchId").count()
+  }
+
+  /** Fold a stream of (doc_id, payload) clips into the signature
+    * index at `indexPath` (which must already hold a committed
+    * [[SigIndex.build]]): decode + hash BATCH-SIDE ONLY, then
+    * [[SigIndex.append]] under the batch-id ledger — the media
+    * ingestion twin of [[StreamingCluster.maintainStream]]. Batch
+    * consumers ([[SigIndex.probe]], [[SigIndex.clusters]]) read the
+    * evolving index without coordination (every micro-batch lands as
+    * a regular committed segment).
+    */
+  def maintainStream(
+      clips: DataFrame,
+      indexPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      sigsOf: DataFrame => DataFrame = PerceptualHash.signatures
+  ): StreamingQuery =
+    clips.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIngestBatch(batch, indexPath, batchId, sigsOf)
+        ()
+      }
+      .start()
+
+  /** One ingestion micro-batch: skip ids the ledger holds
+    * (exactly-once under replay), skip empty batches (an empty append
+    * would commit a contentless segment per replayed empty trigger),
+    * else append then mark. Package-visible so the spec can drive
+    * batches (and replays) synchronously.
+    */
+  private[graft] def applyIngestBatch(
+      batch: DataFrame,
+      indexPath: String,
+      batchId: Long,
+      sigsOf: DataFrame => DataFrame = PerceptualHash.signatures
+  ): Unit = {
+    val s = batch.sparkSession
+    if (!BatchLedger.has(s, indexPath, batchId)) {
+      if (!batch.isEmpty)
+        SigIndex.append(s, indexPath, sigsOf(batch))
+      BatchLedger.mark(s, indexPath, batchId)
+    }
   }
 
   /** The accumulated pairs table (doc_new, doc_idx, hamming,

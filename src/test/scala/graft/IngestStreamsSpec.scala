@@ -1,0 +1,193 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{IndexCommit, LshIndex, PerceptualHash, SigIndex,
+  Similarity, SimSigIndex}
+import graft.streaming.{StreamingDedup, StreamingSigDedup,
+  StreamingSimIngest}
+
+/** Exactly-once ingestion pins for the segment-append indexes
+  * (r13 verdict #3): each `maintainStream` folds batches into its
+  * index under the batch-id ledger — a replayed id is a no-op, and
+  * the crash-window replay (marker removed after a committed append)
+  * degrades to a duplicate segment whose extra candidates never
+  * change verified answers. Plus the opt-in guard-refresh cadence on
+  * [[StreamingDedup.probeStream]] (verdict #6).
+  */
+class IngestStreamsSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val p = Files.createTempDirectory(s"graft-ingest-$name")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def docs = spark.read.parquet(s"${sf()}/documents.parquet")
+
+  private def rmMarker(root: String, batchId: Long): Unit = {
+    val f = new java.io.File(s"$root/stream_ledger/$batchId")
+    assert(f.exists(), s"ledger marker $f should exist")
+    assert(f.delete())
+  }
+
+  test("LshIndex maintainStream: e2e real stream folds batches into " +
+    "the index; replay is a ledger no-op; crash-window replay is " +
+    "content-invisible") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val idx = tmp("lsh")
+    LshIndex.build(spark, sf(), idx,
+      docFilter = Some(col("doc_id") % 10 =!= 0))
+    val ingest = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text")
+    val rows = ingest.as[(Long, String)].collect().toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingDedup.maintainStream(
+      input.toDF().toDF("doc_id", "text"), idx, tmp("lshck"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    input.addData(rows.take(rows.size / 2))
+    q.processAllAvailable()
+    input.addData(rows.drop(rows.size / 2))
+    q.processAllAvailable()
+    q.stop()
+    val after = IndexCommit.committedIds(spark, idx)
+    assert(after.size == 3, s"build + 2 streamed segments: $after")
+    // the ingested docs are now part of the corpus: probing exact
+    // copies under fresh ids pairs them at jaccard 1
+    val twinBatch = ingest
+      .select((col("doc_id") + 40000000L).as("doc_id"), col("text"))
+    def probed() = LshIndex.probe(spark, idx, twinBatch, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs0 = probed()
+    val paired = pairs0.filter { case (n, i) => n - 40000000L == i }
+    assert(paired.nonEmpty,
+      "streamed-in docs must answer probes as corpus members")
+    // replay with the ledger intact: nothing changes
+    StreamingDedup.applyIngestBatch(
+      spark.createDataFrame(rows.take(rows.size / 2))
+        .toDF("doc_id", "text"), idx, 0L)
+    assert(IndexCommit.committedIds(spark, idx) == after,
+      "a ledgered batch id must skip the append entirely")
+    // crash-window replay (marker lost after the append committed):
+    // a duplicate segment lands, but verified answers are unchanged
+    rmMarker(idx, 0L)
+    StreamingDedup.applyIngestBatch(
+      spark.createDataFrame(rows.take(rows.size / 2))
+        .toDF("doc_id", "text"), idx, 0L)
+    assert(IndexCommit.committedIds(spark, idx).size == 4,
+      "the crash-window replay stages a duplicate segment")
+    assert(probed() == pairs0,
+      "duplicate segments may inflate candidates, never answers")
+  }
+
+  test("SigIndex maintainStream: batch-side decode ingestion, ledger " +
+    "replay no-op, crash-window replay content-invisible") {
+    val imgs = PerceptualHash.syntheticImages(spark, sf())
+    val idx = tmp("sig")
+    SigIndex.build(spark, idx, PerceptualHash.signatures(
+      imgs.filter(col("doc_id") % 10 =!= 0)))
+    val clips = imgs.filter(col("doc_id") % 10 === 0)
+    // two synchronous micro-batches through the foreachBatch body
+    StreamingSigDedup.applyIngestBatch(
+      clips.filter(col("doc_id") % 20 === 0), idx, 0L)
+    StreamingSigDedup.applyIngestBatch(
+      clips.filter(col("doc_id") % 20 =!= 0), idx, 1L)
+    val after = IndexCommit.committedIds(spark, idx)
+    assert(after.size == 3)
+    // ingested clips answer probes: identical payloads under new ids
+    // hit at Hamming 0
+    val twinSigs = PerceptualHash.signatures(clips)
+      .select((col("doc_id") + 40000000L).as("doc_id"), col("sig"))
+    def probed() = SigIndex.probe(spark, idx, twinSigs)
+      .filter(col("hamming") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs0 = probed()
+    assert(pairs0.exists { case (n, i) => n - 40000000L == i },
+      "streamed-in clips must answer probes as corpus members")
+    StreamingSigDedup.applyIngestBatch(
+      clips.filter(col("doc_id") % 20 === 0), idx, 0L)
+    assert(IndexCommit.committedIds(spark, idx) == after)
+    rmMarker(idx, 0L)
+    StreamingSigDedup.applyIngestBatch(
+      clips.filter(col("doc_id") % 20 === 0), idx, 0L)
+    assert(IndexCommit.committedIds(spark, idx).size == 4)
+    assert(probed() == pairs0,
+      "duplicate signature segments must not change verified pairs")
+  }
+
+  test("StreamingSimIngest: ledger replay no-op, crash-window replay " +
+    "content-invisible") {
+    val emb = Similarity.load(spark, sf())
+    val idx = tmp("sim")
+    SimSigIndex.build(spark, idx, emb.filter(col("vec_id") % 10 =!= 0))
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+      .select("vec_id", "v")
+    StreamingSimIngest.applyBatch(batch, idx, 0L)
+    val after = IndexCommit.committedIds(spark, idx)
+    assert(after.size == 2)
+    val twinBatch = batch
+      .select((col("vec_id") + 40000000L).as("vec_id"), col("v"))
+    def probed() = SimSigIndex.probe(spark, idx, twinBatch, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pairs0 = probed()
+    assert(pairs0.exists { case (n, i) => n - 40000000L == i },
+      "streamed-in vectors must answer probes as corpus members")
+    StreamingSimIngest.applyBatch(batch, idx, 0L)
+    assert(IndexCommit.committedIds(spark, idx) == after,
+      "a ledgered batch id must skip the append")
+    rmMarker(idx, 0L)
+    StreamingSimIngest.applyBatch(batch, idx, 0L)
+    assert(IndexCommit.committedIds(spark, idx).size == 3)
+    assert(probed() == pairs0,
+      "duplicate vector segments must not change verified pairs")
+  }
+
+  test("probeStream guard cadence: refreshGuard fires on schedule, " +
+    "sheds drift-driven candidates, leaves answers verified") {
+    val idx = tmp("guard")
+    LshIndex.build(spark, sf(), idx, rowsPerBand = 1,
+      maxDocFreq = Some(0.1))
+    val banner = "zr0 zr1 zr2 zr3 zr4 zr5 "
+    def bannered(offset: Long) = docs
+      .filter(col("doc_id") % 5 === 3)
+      .select((col("doc_id") + offset).as("doc_id"),
+        concat(lit(banner), col("text")).as("text"))
+    // drift source: a banner-heavy append the build-time guard never
+    // saw (the probe stream itself stays read-only)
+    LshIndex.append(spark, idx, bannered(30000000L))
+    assert(!LshIndex.guardDrift(spark, idx, 0.1).isEmpty)
+    def lowPairs() = LshIndex.probe(spark, idx, bannered(40000000L), 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = lowPairs()
+    // batches 0..14 at cadence 16: nothing may fire
+    (0L to 14L).foreach(b => StreamingDedup.maybeRefreshGuard(
+      spark, idx, b, Some(0.1), 16))
+    assert(IndexCommit.committedIds(spark, s"$idx/guard").isEmpty,
+      "the cadence must not fire early")
+    assert(lowPairs() == before)
+    // ...and nothing fires when the knob is off
+    StreamingDedup.maybeRefreshGuard(spark, idx, 15L, None, 16)
+    assert(IndexCommit.committedIds(spark, s"$idx/guard").isEmpty,
+      "guard refresh is strictly opt-in")
+    // batch 15 (the 16th): the refresh fires and the drift zeroes
+    StreamingDedup.maybeRefreshGuard(spark, idx, 15L, Some(0.1), 16)
+    assert(IndexCommit.committedIds(spark, s"$idx/guard").size == 1,
+      "the cadence must fire on the 16th batch")
+    assert(LshIndex.guardDrift(spark, idx, 0.1).isEmpty,
+      "the fired refresh must fold the measured drift in")
+    val after = lowPairs()
+    assert(after.size < before.size,
+      "banner-driven candidate pairs must shed after the refresh")
+    // true twins (same banner + same text → jaccard 1 content pairs)
+    // survive: verification stays exact throughout
+    val twinsAfter = LshIndex.probe(spark, idx, bannered(40000000L), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .filter(p => p._1 - 10000000L == p._2).toSet
+    assert(twinsAfter.nonEmpty,
+      "true near-dup twins must survive the guard refresh")
+  }
+}

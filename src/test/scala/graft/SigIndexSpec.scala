@@ -65,6 +65,41 @@ class SigIndexSpec extends SparkSpec {
       "probe must not re-decode the corpus")
     plan.linesIterator.filter(_.trim.startsWith("Location:")).foreach(l =>
       assert(l.contains("/sigs"), s"unexpected probe-side scan: $l"))
+    // the batch side carries an explicit broadcast hint: at corpus
+    // scale a size-estimator miss would otherwise sort-merge the FULL
+    // banded index by key — the plan must hash-join with the batch as
+    // the build side
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("BuildLeft"),
+      "probe must broadcast the batch bands")
+    assert(!plan.contains("SortMergeJoin"),
+      "the committed bands must never shuffle for a batch probe")
+  }
+
+  test("clusters from the committed index equal the decode-side " +
+    "cluster form; the plan never touches payload bytes") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component_id"),
+        r.getAs[Boolean]("keep"))).toSet
+    // video: the family member with planted twins, so components are
+    // non-trivial (clusters of ≥ 2 exist by construction)
+    val sigs = PerceptualHash.videoSignatures(
+      PerceptualHash.syntheticVideos(spark, sf()))
+    val idx = tmp("clusters")
+    SigIndex.build(spark, idx, sigs.filter(col("doc_id") % 3 =!= 0))
+    SigIndex.append(spark, idx, sigs.filter(col("doc_id") % 3 === 0))
+    val viaIndex = SigIndex.clusters(spark, idx)
+    val plan = viaIndex.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("documents.parquet") && !plan.contains("payload"),
+      "the index route must never re-decode the corpus")
+    plan.linesIterator.filter(_.trim.startsWith("Location:")).foreach(l =>
+      assert(l.contains("/sigs"), s"unexpected scan in cluster plan: $l"))
+    val got = rows(viaIndex)
+    val expected = rows(PerceptualHash.videoClusters(spark, sf()))
+    assert(expected.exists(r => !r._3),
+      "fixture must contain non-singleton clusters")
+    assert(got == expected,
+      "index-route clusters must equal the decode form row-for-row")
   }
 
   test("an uncommitted segment is invisible (marker protocol)") {

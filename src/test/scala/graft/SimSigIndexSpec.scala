@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Similarity, SimSigIndex}
+
+/** Pins for the embedding near-dup cluster form and its persisted
+  * hyperplane-signature index: the identical-vector collapse is
+  * exactly equivalent to components over ALL verified pairs (crafted
+  * identical classes + zero vectors), the index route equals the
+  * one-job cluster form while reading only frozen segments, and the
+  * probe equals the one-job pair form restricted to batch × corpus
+  * with the batch side broadcast.
+  */
+class SimSigIndexSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val p = Files.createTempDirectory(s"graft-simsig-$name")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  private def clusterRows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("vec_id"),
+      r.getAs[Long]("component_id"), r.getAs[Boolean]("keep"))).toSet
+
+  test("collapse-first clusters equal components over all verified " +
+    "pairs — identical-vector classes cluster, zero vectors stay " +
+    "singletons") {
+    import spark.implicits._
+    // ids 1-3: one identical-vector class; id 4: cosine 0.96 with it
+    // (signs identically under every ±1 plane since |x| > |y|, so the
+    // banding always surfaces the pair); id 5: orthogonal singleton;
+    // ids 6-7: IDENTICAL zero vectors — cosine NaN with everything
+    // including each other, so they must NOT be clustered together
+    // despite being bit-identical
+    val emb = Seq(
+      (1L, Seq(1.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(1.0, 0.0)),
+      (4L, Seq(0.96, 0.28)), (5L, Seq(0.0, 1.0)),
+      (6L, Seq(0.0, 0.0)), (7L, Seq(0.0, 0.0))
+    ).toDF("vec_id", "v")
+    val got = clusterRows(
+      Similarity.cosineNearDupClustersDf(emb, threshold = 0.9))
+    // direct derivation: union-find over the verified pair graph of
+    // the UNCOLLAPSED relation + cosine-1 intra-class edges implied
+    // by identity (1-2, 1-3 are real verified pairs here too)
+    val pairs = Similarity.cosineNearDupPairsDf(emb, 0.9, 64, 4)
+      .select("vec_a", "vec_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map((1L to 7L).map(i => i -> i): _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (1L to 7L).map { id =>
+      val c = find(id); (id, c, id == c)
+    }.toSet
+    assert(got == expected,
+      s"collapse-first must equal the all-pairs derivation: $got vs $expected")
+    assert(got.count { case (_, c, _) => c == 1L } == 4,
+      "the identical class and its verified neighbor must share one label")
+    assert(got.contains((6L, 6L, true)) && got.contains((7L, 7L, true)),
+      "identical ZERO vectors must stay separate singletons")
+  }
+
+  test("clusters from the committed index equal the one-job cluster " +
+    "form; the plan reads only frozen segments and never re-signs") {
+    val emb = Similarity.loadWithTwins(spark, sf())
+    val idx = tmp("clusters")
+    SimSigIndex.build(spark, idx, emb.filter(col("vec_id") % 3 =!= 0))
+    SimSigIndex.append(spark, idx, emb.filter(col("vec_id") % 3 === 0))
+    val viaIndex = SimSigIndex.clusters(spark, idx, threshold = 0.9)
+    val plan = viaIndex.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!plan.contains("embeddings.parquet"),
+      "the index route must not re-read the corpus")
+    plan.linesIterator.filter(_.trim.startsWith("Location:")).foreach(l =>
+      assert(l.contains("/sigs") || l.contains("/vecs"),
+        s"unexpected scan in index-cluster plan: $l"))
+    // signing projects against 64 LITERAL coefficient arrays — a plan
+    // that re-signs would carry dot_product(<vec>, [±1.0, ...]) calls;
+    // the frozen route only computes dot_product(v, v) (the zero-norm
+    // guard) and cosine_sim verification
+    assert(!"""dot_product\([^,)]*, \[""".r.findFirstIn(plan).isDefined,
+      "the index route must never re-project against the hyperplanes")
+    val got = clusterRows(viaIndex)
+    val expected = clusterRows(
+      Similarity.cosineNearDupClustersDf(emb, threshold = 0.9))
+    assert(expected.exists(r => !r._3),
+      "fixture must contain non-singleton clusters (planted twins)")
+    assert(got == expected,
+      "index-route clusters must equal the one-job form row-for-row")
+  }
+
+  test("probe equals the one-job pair form restricted to batch x " +
+    "corpus; the batch side is broadcast") {
+    val emb = Similarity.loadWithTwins(spark, sf())
+    val isBatch = col("vec_id") % 100 === 7 &&
+      col("vec_id") < graft.ops.PerceptualHash.TwinOffset
+    val idx = tmp("probe")
+    SimSigIndex.build(spark, idx,
+      emb.filter(!isBatch && col("vec_id") % 3 =!= 0))
+    SimSigIndex.append(spark, idx,
+      emb.filter(!isBatch && col("vec_id") % 3 === 0))
+    val probeDf = SimSigIndex.probe(spark, idx, emb.filter(isBatch))
+    val got = probeDf.collect()
+      .map(r => (r.getAs[Long]("vec_new"), r.getAs[Long]("vec_idx")) ->
+        r.getAs[Double]("score")).toMap
+    // one-job expectation: the full pair form's rows with one side in
+    // the batch carve, reoriented (vec_new = the batch member)
+    val batchIds = emb.filter(isBatch).select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val expected = Similarity
+      .cosineNearDupPairsDf(emb, 0.9, 64, 4).collect()
+      .flatMap { r =>
+        val (a, b, sc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        if (batchIds(a) && !batchIds(b)) Some((a, b) -> sc)
+        else if (batchIds(b) && !batchIds(a)) Some((b, a) -> sc)
+        else None
+      }.toMap
+    assert(expected.nonEmpty,
+      "fixture must pair batch originals with their corpus twins")
+    assert(got == expected,
+      "probe must equal the one-job pairs restricted to batch x corpus")
+    val plan = probeDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the batch side must broadcast")
+    assert(!plan.contains("SortMergeJoin"),
+      "the committed relations must never shuffle for a batch probe")
+  }
+
+  test("an uncommitted segment is invisible; append respects the " +
+    "frozen plane count") {
+    import spark.implicits._
+    val idx = tmp("torn")
+    val base = Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "v")
+    SimSigIndex.build(spark, idx, base, planes = 16)
+    assert(SimSigIndex.numPlanes(spark, idx) == 16)
+    val batch = Seq((100L, Seq(1.0, 0.0))).toDF("vec_id", "v")
+    def probed() = SimSigIndex.probe(spark, idx, batch, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed() == Set((100L, 1L)))
+    // a writer that reserved + staged but died before the marker
+    val stale = graft.ops.IndexCommit.reserve(spark, idx)
+    Seq((2L, 0L)).toDF("vec_id", "sig").write.parquet(
+      s"${graft.ops.IndexCommit.versionDir(idx, stale)}/sigs")
+    Seq((2L, Seq(1.0, 0.0))).toDF("vec_id", "v").write.parquet(
+      s"${graft.ops.IndexCommit.versionDir(idx, stale)}/vecs")
+    assert(probed() == Set((100L, 1L)),
+      "a staged-but-uncommitted segment must be invisible")
+    // a real append lands past the dead reservation and answers
+    SimSigIndex.append(spark, idx, Seq((3L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "v"))
+    assert(probed() == Set((100L, 1L), (100L, 3L)),
+      "the appended segment must answer probes")
+  }
+}
