@@ -37,6 +37,36 @@ object SparkEntry {
   private def rd(s: SparkSession, dir: String, t: String): DataFrame =
     s.read.parquet(s"$dir/$t.parquet")
 
+  /** Pre-staged fixture root for the BENCH-split snapshot probe rows:
+    * `stage` runs once per source dir — a `STAGED_FOR` sidecar records
+    * which dir the staging came from, and absence or mismatch forces a
+    * clean restage — so bench reps and subsequent runs time ONLY the
+    * probe, giving the change-proportional resolve/diff legs a direct
+    * measurement instead of riding behind a corpus-sized publish. A
+    * staging killed mid-run leaves no sidecar and restages; the
+    * sidecar is written LAST, so a present sidecar always names a
+    * complete staging.
+    */
+  private def stagedSnapshotRoot(
+      s: SparkSession, dir: String, name: String)(
+      stage: String => Unit): String = {
+    val root = scratchDir(s"staged_$name")
+    val marker = java.nio.file.Paths.get(root, "STAGED_FOR")
+    val current =
+      if (java.nio.file.Files.exists(marker))
+        new String(java.nio.file.Files.readAllBytes(marker),
+          java.nio.charset.StandardCharsets.UTF_8)
+      else ""
+    if (current != dir) {
+      java.nio.file.Files.deleteIfExists(marker)
+      graft.ops.IndexCommit.reset(s, root)
+      stage(root)
+      java.nio.file.Files.write(marker,
+        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    root
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     mergeOrders(spark, "/root/testdata/sf0.001")
@@ -372,6 +402,40 @@ object SparkEntry {
       val root = scratchDir("snapdiff")
       val (v0, v1) = CorpusSnapshot.publishFixture(s, dir, root)
       CorpusSnapshot.diff(s, root, v0, v1)
+    }),
+    // BENCH-split probe rows (r13 verdict #5): the rows above stage a
+    // corpus-sized base INSIDE their timed unit, so their bench/scale
+    // numbers measure publish throughput, not the change-proportional
+    // resolve/diff the delta design exists for. These rows stage the
+    // SAME fixtures once per source dir into a persistent scratch
+    // root (STAGED_FOR sidecar; reps and later runs find it staged)
+    // and time only the probe — shared oracles, isolated cost
+    "corpus_snapshot_resolve" -> ((s, dir) => {
+      val root = stagedSnapshotRoot(s, dir, "snapresolve") { r =>
+        val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+        CorpusSnapshot.publish(s, docs.filter(col("doc_id") % 7 =!= 0), r)
+        val changes = docs
+          .filter(col("doc_id") % 7 === 0 && col("doc_id") % 3 === 0)
+          .unionByName(docs
+            .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 === 0)
+            .select(col("doc_id"), upper(col("text")).as("text")))
+        val removed = docs
+          .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 13 === 0 &&
+            col("doc_id") % 11 =!= 0)
+          .select("doc_id")
+        CorpusSnapshot.publishDelta(s, changes, removed, r)
+        ()
+      }
+      CorpusSnapshot.readResolved(s, root)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
+    }),
+    "corpus_snapshot_diff_probe" -> ((s, dir) => {
+      val root = stagedSnapshotRoot(s, dir, "snapdiffp") { r =>
+        CorpusSnapshot.publishFixture(s, dir, r)
+        ()
+      }
+      val ids = graft.ops.IndexCommit.committedIds(s, root)
+      CorpusSnapshot.diff(s, root, ids(0), ids(1))
     }),
     // benchmark 8-gram decontamination; benchmark grams broadcast
     "decontaminate" -> ((s, dir) => Dedup.contamination(s, dir)),
@@ -1994,49 +2058,15 @@ object SparkEntry {
     // the base, tombstones drop — the engine earns the same relation
     // through publish -> delta publish -> chain-resolved shard-file
     // read; hex round-trip makes md5(text) comparable bit-for-bit
-    "corpus_snapshot_delta" ->
-      """WITH base AS (
-        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
-        |), changes AS (
-        |  SELECT doc_id, text FROM documents
-        |  WHERE doc_id % 7 = 0 AND doc_id % 3 = 0
-        |  UNION ALL
-        |  SELECT doc_id, upper(text) FROM documents
-        |  WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0
-        |), removed AS (
-        |  SELECT doc_id FROM documents
-        |  WHERE doc_id % 7 <> 0 AND doc_id % 13 = 0 AND doc_id % 11 <> 0
-        |), resolved AS (
-        |  SELECT doc_id, text FROM changes
-        |  UNION ALL
-        |  SELECT b.doc_id, b.text FROM base b
-        |  WHERE b.doc_id NOT IN (SELECT doc_id FROM changes)
-        |    AND b.doc_id NOT IN (SELECT doc_id FROM removed)
-        |)
-        |SELECT doc_id, md5(text) AS digest FROM resolved""".stripMargin,
+    "corpus_snapshot_delta" -> snapshotDeltaOracle,
+    // shared verbatim by the pre-staged probe row: same resolved
+    // relation, the base publish paid OUTSIDE the timed unit
+    "corpus_snapshot_resolve" -> snapshotDeltaOracle,
     // identical classification to corpus_diff — the engine side earns
     // it through publish -> manifest -> shard-file read -> base64
     // decode instead of carving in-plan
-    "corpus_snapshot_diff" ->
-      """WITH old AS (
-        |  SELECT doc_id, md5(text) AS old_md5 FROM documents
-        |  WHERE doc_id % 7 <> 0
-        |), neu AS (
-        |  SELECT doc_id,
-        |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END)
-        |      AS new_md5
-        |  FROM documents WHERE doc_id % 5 <> 0
-        |), d AS (
-        |  SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
-        |    CASE WHEN old_md5 IS NULL THEN 'added'
-        |         WHEN new_md5 IS NULL THEN 'removed'
-        |         WHEN old_md5 = new_md5 THEN 'same'
-        |         ELSE 'changed' END AS status
-        |  FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
-        |)
-        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
-        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
-        |FROM d GROUP BY status""".stripMargin,
+    "corpus_snapshot_diff" -> snapshotDiffOracle,
+    "corpus_snapshot_diff_probe" -> snapshotDiffOracle,
     // same two phases as the engine: md5-prefix pre-filter, then a
     // per-stratum rank over survivors
     "sample_stratified" ->
@@ -5858,6 +5888,55 @@ object SparkEntry {
     * components by a recursive transitive closure; every clip
     * labeled, singletons themselves.
     */
+  /** Snapshot oracles shared between the publish-inclusive rows and
+    * their pre-staged probe twins (`corpus_snapshot_resolve` /
+    * `corpus_snapshot_diff_probe`): identical relations — the probe
+    * rows only move the corpus-sized base publish OUTSIDE the timed
+    * unit so bench/scale measure the change-proportional legs
+    * directly.
+    */
+  private lazy val snapshotDeltaOracle: String =
+    """WITH base AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0
+        |), changes AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 7 = 0 AND doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT doc_id, upper(text) FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 11 = 0
+        |), removed AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 7 <> 0 AND doc_id % 13 = 0 AND doc_id % 11 <> 0
+        |), resolved AS (
+        |  SELECT doc_id, text FROM changes
+        |  UNION ALL
+        |  SELECT b.doc_id, b.text FROM base b
+        |  WHERE b.doc_id NOT IN (SELECT doc_id FROM changes)
+        |    AND b.doc_id NOT IN (SELECT doc_id FROM removed)
+        |)
+        |SELECT doc_id, md5(text) AS digest FROM resolved""".stripMargin
+
+  private lazy val snapshotDiffOracle: String =
+    """WITH old AS (
+        |  SELECT doc_id, md5(text) AS old_md5 FROM documents
+        |  WHERE doc_id % 7 <> 0
+        |), neu AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END)
+        |      AS new_md5
+        |  FROM documents WHERE doc_id % 5 <> 0
+        |), d AS (
+        |  SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id,
+        |    CASE WHEN old_md5 IS NULL THEN 'added'
+        |         WHEN new_md5 IS NULL THEN 'removed'
+        |         WHEN old_md5 = new_md5 THEN 'same'
+        |         ELSE 'changed' END AS status
+        |  FROM old FULL OUTER JOIN neu ON old.doc_id = neu.doc_id
+        |)
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc
+        |FROM d GROUP BY status""".stripMargin
+
   /** Shared CTE list of the embedding near-dup oracles: fixture +
     * planted twins, md5-parity hyperplane coefficients, 64-plane
     * signatures in 4 bands of 16 bits, distinct banded candidate
