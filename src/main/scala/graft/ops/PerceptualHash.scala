@@ -1298,6 +1298,16 @@ object PerceptualHash {
 
   /** Near-duplicate video pairs at clip-signature Hamming ≤
     * `maxHamming` over the synthetic fixture videos.
+    *
+    * Output bound: pair enumeration is inherently Ω(output), and
+    * output grows QUADRATICALLY in duplicate-class size — a clip
+    * mirrored n times contributes C(n,2) pairs (SCALE_r13 §2 measured
+    * 56× pair volume at 10× corpus as identical-signature classes
+    * grew 3 → 16 members). Use this form when the pairs themselves
+    * are the product (link tables, provenance audits); for dedup
+    * decisions at scale use [[videoClusters]] (node-proportional
+    * output, identical components) or, decode-free over a committed
+    * corpus, [[SigIndex.clusters]].
     */
   def videoNearDupPairs(
       s: SparkSession, dir: String, maxHamming: Int = 3,

@@ -405,6 +405,16 @@ object Similarity {
     * ≈ true-similar pairs, and the 10× growth lands sublinear. Beyond
     * ~10⁶ vectors per bucket-space, shard by band-key prefix or move
     * to the IVF path.
+    *
+    * Output bound: pair enumeration is inherently Ω(output), and
+    * output grows QUADRATICALLY in duplicate-class size — a document
+    * mirrored n times with byte-identical embeddings contributes
+    * C(n,2) pairs (the video pair form's measured blow-up, SCALE_r13
+    * §2, applies verbatim). Use this form when the pairs themselves
+    * are the product; for dedup decisions at scale use
+    * [[cosineNearDupClustersDf]] (node-proportional output, identical
+    * components) or, signing-free over a committed corpus,
+    * [[SimSigIndex.clusters]].
     */
   def cosineNearDupPairs(
       s: SparkSession, dir: String, threshold: Double = 0.9,
