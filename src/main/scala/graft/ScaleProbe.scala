@@ -165,6 +165,60 @@ object ScaleProbe {
         val shuffledHash = plan.contains("ShuffledHashJoin")
         println(s"""{"probe":"upsert","dir":"$dir","rows":${df._2},"secs":$secs,"sort_merge_join":$sortMerge,"shuffled_hash_join":$shuffledHash}""")
 
+      case "simdup" =>
+        // r14: the embedding duplicate-class blow-up, isolated — the
+        // corpus is the embeddings table copied VERBATIM k times
+        // (identical-vector classes of size k, modeling a document
+        // mirrored k ways; args(3) = k). The pair form must emit
+        // ~classes·C(k,2) rows (Ω(output)); the cluster form's output
+        // stays node-proportional and its runtime must grow like the
+        // candidate mass, not the pair mass.
+        import graft.ops.Similarity
+        val k = args.lift(3).map(_.toInt).getOrElse(4)
+        val base = Similarity.load(spark, dir).select("vec_id", "v")
+        val dup = (0 until k).map(i =>
+          base.select((col("vec_id") + lit(i.toLong * 10000000L))
+            .as("vec_id"), col("v"))).reduce(_ unionByName _)
+        val (nPairs, pairSecs) = timed(
+          Similarity.cosineNearDupPairsDf(dup, 0.9, 64, 4).count())
+        val (nClus, clusSecs) = timed(
+          Similarity.cosineNearDupClustersDf(dup, 0.9, 64, 4).count())
+        println(s"""{"probe":"simdup","dir":"$dir","copies":$k,"pairs":$nPairs,"pair_secs":$pairSecs,"cluster_rows":$nClus,"cluster_secs":$clusSecs}""")
+
+      case "simprobe" =>
+        // r14: SimSigIndex probe economics — the index is built
+        // UNTIMED over the corpus; the timed unit is a FIXED
+        // 200-vector batch probing the committed segments. Probe
+        // seconds must stay ~flat from 1× to 10× corpus (the
+        // batch-proportional contract; only the streamed index scan
+        // grows, across 32 cores).
+        import graft.ops.{Similarity, SimSigIndex}
+        val emb = Similarity.load(spark, dir).select("vec_id", "v")
+        val idx = s"$out/simsigidx"
+        val isBatch = col("vec_id") < 200
+        val (_, bsecs) = timed(
+          SimSigIndex.build(spark, idx, emb.filter(!isBatch)))
+        val (n, psecs) = timed(
+          SimSigIndex.probe(spark, idx, emb.filter(isBatch), 0.9).count())
+        println(s"""{"probe":"simprobe","dir":"$dir","build_secs":$bsecs,"probe_pairs":$n,"probe_secs":$psecs}""")
+
+      case "sigclusters" =>
+        // r14: the decode-once claim measured — SigIndex built UNTIMED
+        // from the corpus images (the one decode), then the timed unit
+        // is SigIndex.clusters over frozen 16-byte signatures vs the
+        // decode-side imageClusters re-deriving everything. The index
+        // route must shed the decode cost entirely (its growth is the
+        // fixed-width clustering job's, not the codec's).
+        import graft.ops.{PerceptualHash, SigIndex}
+        val idx = s"$out/sigidxcl"
+        val (_, bsecs) = timed(SigIndex.build(spark, idx,
+          PerceptualHash.signatures(
+            PerceptualHash.syntheticImages(spark, dir))))
+        val (nIdx, idxSecs) = timed(SigIndex.clusters(spark, idx).count())
+        val (nDec, decSecs) = timed(
+          PerceptualHash.imageClusters(spark, dir).count())
+        println(s"""{"probe":"sigclusters","dir":"$dir","build_secs":$bsecs,"index_rows":$nIdx,"index_secs":$idxSecs,"decode_rows":$nDec,"decode_secs":$decSecs}""")
+
       case "recall" =>
         val (rows, secs) = timed(
           graft.ops.Similarity.recallEval(spark, dir).collect())
