@@ -214,10 +214,39 @@ object ScaleProbe {
         val (_, bsecs) = timed(SigIndex.build(spark, idx,
           PerceptualHash.signatures(
             PerceptualHash.syntheticImages(spark, dir))))
-        val (nIdx, idxSecs) = timed(SigIndex.clusters(spark, idx).count())
-        val (nDec, decSecs) = timed(
+        // min of 2 per route: the first execution of either route in a
+        // fresh JVM absorbs one-time codegen/classloading (~5 s), which
+        // would bill whichever route happens to run first
+        def best(f: => Long): (Long, Double) = {
+          val r1 = timed(f); val r2 = timed(f)
+          if (r1._2 <= r2._2) r1 else r2
+        }
+        val (nIdx, idxSecs) = best(SigIndex.clusters(spark, idx).count())
+        val (nDec, decSecs) = best(
           PerceptualHash.imageClusters(spark, dir).count())
         println(s"""{"probe":"sigclusters","dir":"$dir","build_secs":$bsecs,"index_rows":$nIdx,"index_secs":$idxSecs,"decode_rows":$nDec,"decode_secs":$decSecs}""")
+
+      case "sigdebug" =>
+        import graft.ops.{PerceptualHash, SigIndex}
+        val idx = s"$out/sigdbg"
+        SigIndex.build(spark, idx, PerceptualHash.signatures(
+          PerceptualHash.syntheticImages(spark, dir)))
+        val (n0, t0) = timed(SigIndex.sigs(spark, idx).count())
+        val scope = new graft.ops.CacheScope
+        val sigs = scope.cache(SigIndex.sigs(spark, idx))
+        val (n1, t1) = timed(sigs.count())
+        val classes = scope.cache(sigs.groupBy("sig")
+          .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("rep")))
+        val (n2, t2) = timed(classes.count())
+        val repPairs = PerceptualHash.nearDupPairsOfSigs(
+          classes.select(col("rep").as("doc_id"), col("sig")), 3, scope)
+        val (n3, t3) = timed(repPairs.count())
+        val comp = graft.ops.Dedup.connectedComponents(
+          repPairs.select(col("doc_a").as("u"), col("doc_b").as("v")), scope)
+        val (n4, t4) = timed(comp.count())
+        val (n5, t5) = timed(SigIndex.clusters(spark, idx).count())
+        scope.release()
+        println(s"""{"probe":"sigdebug","dir":"$dir","sigs":$n0,"t_scan":$t0,"t_cache":$t1,"classes":$n2,"t_classes":$t2,"pairs":$n3,"t_pairs":$t3,"comps":$n4,"t_comp":$t4,"rows":$n5,"t_full":$t5}""")
 
       case "recall" =>
         val (rows, secs) = timed(
