@@ -135,7 +135,10 @@ object ClusterIndex {
 
   private def segDirs(s: SparkSession, path: String): Seq[String] = {
     val lsh = lshRoot(path)
-    val ids = IndexCommit.committedIds(s, lsh)
+    // liveIds, not committedIds: an operator may [[LshIndex.compact]]
+    // the embedded index — selfPairs must then read the full segment,
+    // not double-count it with the superseded deltas
+    val ids = IndexCommit.liveIds(s, lsh)
     require(ids.nonEmpty, s"no committed LSH segment under $lsh")
     ids.map(IndexCommit.versionDir(lsh, _))
   }

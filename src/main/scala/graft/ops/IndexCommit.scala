@@ -185,6 +185,96 @@ object IndexCommit {
     } finally in.close()
   }
 
+  /** FULL-segment marker for segment-UNION indexes ([[LshIndex]],
+    * [[SigIndex]], [[SimSigIndex]], [[SubstrIndex]]): their committed
+    * versions are DELTAS that readers union, so a compaction cannot
+    * simply add the union as another segment — between that commit
+    * and any cleanup, readers would see every document TWICE (which
+    * deduplicating probes shrug off but [[LshIndex.probe]]'s
+    * set-attach join would turn into duplicated output rows). The
+    * `_FULL` file inside `v=<id>` (written BEFORE the commit marker,
+    * so it appears atomically with the version) declares "this
+    * version supersedes everything older": [[liveIds]] resolves to
+    * the newest FULL version plus every version after it, so the
+    * moment a compact's marker lands, older deltas stop being read —
+    * no double-visibility window, no torn state on a killed compact
+    * (unmarked staging is invisible as ever). Versions older than the
+    * newest FULL are then safe to [[vacuum]] (their data lives in the
+    * full segment), with the usual in-flight-reader grace.
+    */
+  private def fullFlag(path: String, id: Long): Path =
+    new Path(s"${versionDir(path, id)}/_FULL")
+
+  def markFull(s: SparkSession, path: String, id: Long): Unit = {
+    val fs = hfs(s, path)
+    fs.create(fullFlag(path, id), false).close()
+  }
+
+  def isFull(s: SparkSession, path: String, id: Long): Boolean =
+    hfs(s, path).exists(fullFlag(path, id))
+
+  /** The version ids a segment-union reader must read: everything
+    * from the newest FULL version (inclusive) forward; with no FULL
+    * version, every committed id. O(live + 1) metadata probes walking
+    * newest-first — bounded by the compact cadence, not total
+    * history.
+    */
+  def liveIds(s: SparkSession, path: String): Seq[Long] = {
+    val ids = committedIds(s, path)
+    val cut = ids.lastIndexWhere(isFull(s, path, _))
+    if (cut < 0) ids else ids.drop(cut)
+  }
+
+  /** Stage and commit a FULL segment: resolves the live ids, hands
+    * the caller their data dirs plus a reserved staging dir to write
+    * the union into, then marks `_FULL` and commits — REFUSING to
+    * commit if a concurrent append committed a delta BETWEEN the
+    * compacted set and the reserved id (such a delta would be wrongly
+    * superseded the moment the full marker landed: [[liveIds]] is
+    * positional). Deltas committed AFTER the reserved id stay live on
+    * their own and are unaffected. The refusal leaves the staged
+    * segment uncommitted (invisible forever) — callers retry at the
+    * next cadence. In-stream cadences never hit this (foreachBatch
+    * serializes the appends the cadence rides on); it guards
+    * out-of-band operator compacts.
+    */
+  def commitFull(s: SparkSession, path: String)(
+      write: (Seq[String], String) => Unit): Long = {
+    val live = liveIds(s, path)
+    require(live.nonEmpty, s"nothing to compact at $path")
+    val id = reserve(s, path)
+    write(live.map(versionDir(path, _)), versionDir(path, id))
+    if (committedIds(s, path).exists(c => c > live.max && c < id))
+      sys.error(s"concurrent append committed during compact of $path; " +
+        "the staged full segment is left uncommitted — retry")
+    markFull(s, path, id)
+    commit(s, path, id)
+    id
+  }
+
+  /** Vacuum for segment-UNION indexes: retires only versions
+    * SUPERSEDED by the newest FULL segment (everything older than
+    * it), keeping the newest `grace` of them for in-flight readers
+    * that resolved their segment list just before the compact
+    * committed. Safe at ANY time — unlike the positional [[vacuum]],
+    * which keeps "newest keep" and would happily retire the full
+    * segment itself once enough post-compact deltas accumulate (live
+    * data loss). Marker first, data second, as in [[vacuum]]. Returns
+    * the retired ids.
+    */
+  def vacuumSuperseded(
+      s: SparkSession, path: String, grace: Int = 1): Seq[Long] = {
+    require(grace >= 0, "grace must be non-negative")
+    val fs = hfs(s, path)
+    val live = liveIds(s, path).toSet
+    val drop = committedIds(s, path).filterNot(live).dropRight(grace)
+    drop.foreach { id =>
+      fs.delete(new Path(s"$path/commits/$id"), false)
+      fs.delete(new Path(versionDir(path, id)), true)
+    }
+    drop
+  }
+
   /** Retire all but the newest `keep` committed versions. For indexes
     * whose versions are full snapshots this is always safe; for
     * PARTIAL-version layouts ([[ClusterIndex]]'s range partitions,

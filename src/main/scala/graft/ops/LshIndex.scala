@@ -107,13 +107,51 @@ object LshIndex {
     } finally scope.release()
   }
 
-  /** Committed segment dirs — loud failure on an index with no
-    * committed segment (never built, or killed mid-build).
+  /** LIVE segment dirs — the newest FULL segment ([[compact]]'s
+    * product) plus everything after it; loud failure on an index with
+    * no committed segment (never built, or killed mid-build).
     */
   private def segDirs(s: SparkSession, path: String): Seq[String] = {
-    val ids = IndexCommit.committedIds(s, path)
+    val ids = IndexCommit.liveIds(s, path)
     require(ids.nonEmpty, s"no committed LSH index segment at $path")
     ids.map(IndexCommit.versionDir(path, _))
+  }
+
+  /** Fold every live delta segment into ONE full segment — the
+    * log-structured compaction the append/ingestion economics assume
+    * (a [[graft.streaming.StreamingDedup.maintainStream]] feed
+    * commits one segment per micro-batch; probes union live segments,
+    * so resolution cost and file counts grow with stream length until
+    * someone compacts). The union lands behind a `_FULL` marker
+    * ([[IndexCommit.markFull]]): the moment its commit marker
+    * appears, older deltas stop being resolved — readers never see a
+    * document twice (which would DUPLICATE probe output rows through
+    * the sets-attach join), and a killed compact is invisible.
+    * Relation-level idempotent (re-running unions the same rows), so
+    * stream cadences may fire it outside any replay ledger. Follow
+    * with [[IndexCommit.vacuum]] (keep ≥ 2 for in-flight-probe grace)
+    * to reclaim the superseded deltas — safe because the full segment
+    * carries their data. Returns the committed full-segment id.
+    */
+  def compact(s: SparkSession, path: String): Long =
+    IndexCommit.commitFull(s, path) { (segs, dir) =>
+      s.read.parquet(segs.map(_ + "/bands"): _*)
+        .write.mode("overwrite").parquet(s"$dir/bands")
+      s.read.parquet(segs.map(_ + "/sets"): _*)
+        .write.mode("overwrite").parquet(s"$dir/sets")
+    }
+
+  /** Compact once the live-segment count reaches `maxSegments` — the
+    * [[ClusterIndex.maybeCompact]] cadence for segment-union indexes.
+    * The gate self-resets (a compact leaves exactly one live
+    * segment). Returns the compacted id when it fired.
+    */
+  def maybeCompact(
+      s: SparkSession, path: String, maxSegments: Int): Option[Long] = {
+    require(maxSegments >= 2, "maxSegments must be at least 2")
+    if (IndexCommit.liveIds(s, path).size >= maxSegments)
+      Some(compact(s, path))
+    else None
   }
 
   private def guardRoot(path: String): String = s"$path/guard"

@@ -56,10 +56,34 @@ object SimSigIndex {
   }
 
   private def segDirs(s: SparkSession, path: String): Seq[String] = {
-    val ids = IndexCommit.committedIds(s, path)
+    val ids = IndexCommit.liveIds(s, path)
     require(ids.nonEmpty,
       s"no committed embedding signature index segment at $path")
     ids.map(IndexCommit.versionDir(path, _))
+  }
+
+  /** Fold every live delta segment into ONE full segment (`_FULL`
+    * marker, [[IndexCommit.commitFull]]'s concurrent-append guard) —
+    * the [[LshIndex.compact]] economics for the embedding index; a
+    * [[graft.streaming.StreamingSimIngest]] feed commits a segment
+    * per micro-batch. Relation-idempotent; follow with
+    * [[IndexCommit.vacuum]] (keep ≥ 2) to reclaim superseded deltas.
+    */
+  def compact(s: SparkSession, path: String): Long =
+    IndexCommit.commitFull(s, path) { (segs, dir) =>
+      s.read.parquet(segs.map(_ + "/sigs"): _*)
+        .write.mode("overwrite").parquet(s"$dir/sigs")
+      s.read.parquet(segs.map(_ + "/vecs"): _*)
+        .write.mode("overwrite").parquet(s"$dir/vecs")
+    }
+
+  /** Compact at a live-segment cadence ([[LshIndex.maybeCompact]]). */
+  def maybeCompact(
+      s: SparkSession, path: String, maxSegments: Int): Option[Long] = {
+    require(maxSegments >= 2, "maxSegments must be at least 2")
+    if (IndexCommit.liveIds(s, path).size >= maxSegments)
+      Some(compact(s, path))
+    else None
   }
 
   private def writeSegment(

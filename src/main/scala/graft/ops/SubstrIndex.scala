@@ -74,9 +74,38 @@ object SubstrIndex {
   }
 
   private def segDirs(s: SparkSession, path: String): Seq[String] = {
-    val ids = IndexCommit.committedIds(s, path)
+    val ids = IndexCommit.liveIds(s, path)
     require(ids.nonEmpty, s"no committed substring index segment at $path")
     ids.map(IndexCommit.versionDir(path, _))
+  }
+
+  /** Fold every live delta segment into ONE full segment (`_FULL`
+    * marker, [[IndexCommit.commitFull]]'s concurrent-append guard).
+    * `wins` and `docs` union verbatim; the per-segment `dfs`
+    * aggregates SUM into one relation — exact because segments are
+    * doc-disjoint by the append contract, so the compacted sidecar
+    * equals what one segment ingesting everything would have
+    * published. Relation-idempotent; follow with
+    * [[IndexCommit.vacuum]] (keep ≥ 2) to reclaim superseded deltas.
+    */
+  def compact(s: SparkSession, path: String): Long =
+    IndexCommit.commitFull(s, path) { (segs, dir) =>
+      s.read.parquet(segs.map(_ + "/wins"): _*)
+        .write.mode("overwrite").parquet(s"$dir/wins")
+      s.read.parquet(segs.map(_ + "/docs"): _*)
+        .write.mode("overwrite").parquet(s"$dir/docs")
+      s.read.parquet(segs.map(_ + "/dfs"): _*)
+        .groupBy("wh").agg(sum(col("df")).as("df"))
+        .write.mode("overwrite").parquet(s"$dir/dfs")
+    }
+
+  /** Compact at a live-segment cadence ([[LshIndex.maybeCompact]]). */
+  def maybeCompact(
+      s: SparkSession, path: String, maxSegments: Int): Option[Long] = {
+    require(maxSegments >= 2, "maxSegments must be at least 2")
+    if (IndexCommit.liveIds(s, path).size >= maxSegments)
+      Some(compact(s, path))
+    else None
   }
 
   private def writeSegment(

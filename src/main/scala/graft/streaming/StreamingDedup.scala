@@ -106,34 +106,61 @@ object StreamingDedup {
     * verified pairs (spec-pinned by replaying with the marker
     * removed).
     */
+  /** Default in-stream segment-compact cadence: one committed delta
+    * per micro-batch means probes union ever more segments until a
+    * [[LshIndex.compact]] rebounds resolution to one —
+    * [[StreamingCluster.DefaultMaxVersions]]' reasoning applied to
+    * segment-union indexes. `None` disables (operator-managed
+    * maintenance).
+    */
+  val DefaultMaxSegments: Int = 16
+
   def maintainStream(
       docs: DataFrame,
       indexPath: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxSegments: Option[Int] = Some(DefaultMaxSegments),
+      vacuumGrace: Option[Int] = Some(1)
   ): StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyIngestBatch(batch, indexPath, batchId); ()
+        applyIngestBatch(batch, indexPath, batchId, maxSegments,
+          vacuumGrace)
+        ()
       }
       .start()
 
   /** One ingestion micro-batch: ledger-skip replayed ids, skip empty
     * batches (an empty append would commit a contentless segment per
     * replayed empty trigger), else [[LshIndex.append]] then mark.
-    * Package-visible for synchronous spec driving.
+    * The compact cadence rides OUTSIDE the ledger guard on purpose —
+    * compact is relation-idempotent (a replayed compact is waste,
+    * never wrongness), and the superseded-only vacuum
+    * ([[graft.ops.IndexCommit.vacuumSuperseded]]) never touches live
+    * segments, so firing it at any point is safe. Package-visible for
+    * synchronous spec driving.
     */
   private[graft] def applyIngestBatch(
       batch: DataFrame,
       indexPath: String,
-      batchId: Long): Unit = {
+      batchId: Long,
+      maxSegments: Option[Int] = None,
+      vacuumGrace: Option[Int] = Some(1)): Unit = {
     val s = batch.sparkSession
     if (!BatchLedger.has(s, indexPath, batchId)) {
-      if (!batch.isEmpty)
+      if (!batch.isEmpty) {
         LshIndex.append(s, indexPath, batch)
+        maxSegments.foreach { ms =>
+          LshIndex.maybeCompact(s, indexPath, ms).foreach { _ =>
+            vacuumGrace.foreach(
+              graft.ops.IndexCommit.vacuumSuperseded(s, indexPath, _))
+          }
+        }
+      }
       BatchLedger.mark(s, indexPath, batchId)
     }
   }

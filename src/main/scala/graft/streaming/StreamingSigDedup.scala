@@ -87,19 +87,26 @@ object StreamingSigDedup {
     * evolving index without coordination (every micro-batch lands as
     * a regular committed segment).
     */
+  /** Default in-stream segment-compact cadence
+    * ([[StreamingDedup.DefaultMaxSegments]]' reasoning). */
+  val DefaultMaxSegments: Int = 16
+
   def maintainStream(
       clips: DataFrame,
       indexPath: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      sigsOf: DataFrame => DataFrame = PerceptualHash.signatures
+      sigsOf: DataFrame => DataFrame = PerceptualHash.signatures,
+      maxSegments: Option[Int] = Some(DefaultMaxSegments),
+      vacuumGrace: Option[Int] = Some(1)
   ): StreamingQuery =
     clips.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyIngestBatch(batch, indexPath, batchId, sigsOf)
+        applyIngestBatch(batch, indexPath, batchId, sigsOf, maxSegments,
+          vacuumGrace)
         ()
       }
       .start()
@@ -107,19 +114,30 @@ object StreamingSigDedup {
   /** One ingestion micro-batch: skip ids the ledger holds
     * (exactly-once under replay), skip empty batches (an empty append
     * would commit a contentless segment per replayed empty trigger),
-    * else append then mark. Package-visible so the spec can drive
-    * batches (and replays) synchronously.
+    * else append then mark. The compact cadence rides outside the
+    * ledger ([[StreamingDedup.applyIngestBatch]]'s rationale).
+    * Package-visible so the spec can drive batches (and replays)
+    * synchronously.
     */
   private[graft] def applyIngestBatch(
       batch: DataFrame,
       indexPath: String,
       batchId: Long,
-      sigsOf: DataFrame => DataFrame = PerceptualHash.signatures
+      sigsOf: DataFrame => DataFrame = PerceptualHash.signatures,
+      maxSegments: Option[Int] = None,
+      vacuumGrace: Option[Int] = Some(1)
   ): Unit = {
     val s = batch.sparkSession
     if (!BatchLedger.has(s, indexPath, batchId)) {
-      if (!batch.isEmpty)
+      if (!batch.isEmpty) {
         SigIndex.append(s, indexPath, sigsOf(batch))
+        maxSegments.foreach { ms =>
+          SigIndex.maybeCompact(s, indexPath, ms).foreach { _ =>
+            vacuumGrace.foreach(
+              graft.ops.IndexCommit.vacuumSuperseded(s, indexPath, _))
+          }
+        }
+      }
       BatchLedger.mark(s, indexPath, batchId)
     }
   }

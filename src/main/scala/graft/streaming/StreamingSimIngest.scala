@@ -26,34 +26,51 @@ import graft.ops.SimSigIndex
   */
 object StreamingSimIngest {
 
+  /** Default in-stream segment-compact cadence
+    * ([[StreamingDedup.DefaultMaxSegments]]' reasoning). */
+  val DefaultMaxSegments: Int = 16
+
   def maintainStream(
       vectors: DataFrame,
       indexPath: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxSegments: Option[Int] = Some(DefaultMaxSegments),
+      vacuumGrace: Option[Int] = Some(1)
   ): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, indexPath, batchId); ()
+        applyBatch(batch, indexPath, batchId, maxSegments, vacuumGrace)
+        ()
       }
       .start()
 
   /** One micro-batch: ledger-skip replayed ids, skip empty batches,
     * else [[SimSigIndex.append]] (batch-only signing under the frozen
-    * plane count) then mark. Package-visible for synchronous spec
-    * driving.
+    * plane count) then mark. The compact cadence rides outside the
+    * ledger ([[StreamingDedup.applyIngestBatch]]'s rationale).
+    * Package-visible for synchronous spec driving.
     */
   private[graft] def applyBatch(
       batch: DataFrame,
       indexPath: String,
-      batchId: Long): Unit = {
+      batchId: Long,
+      maxSegments: Option[Int] = None,
+      vacuumGrace: Option[Int] = Some(1)): Unit = {
     val s = batch.sparkSession
     if (!BatchLedger.has(s, indexPath, batchId)) {
-      if (!batch.isEmpty)
+      if (!batch.isEmpty) {
         SimSigIndex.append(s, indexPath, batch)
+        maxSegments.foreach { ms =>
+          SimSigIndex.maybeCompact(s, indexPath, ms).foreach { _ =>
+            vacuumGrace.foreach(
+              graft.ops.IndexCommit.vacuumSuperseded(s, indexPath, _))
+          }
+        }
+      }
       BatchLedger.mark(s, indexPath, batchId)
     }
   }

@@ -146,6 +146,132 @@ class IngestStreamsSpec extends SparkSpec {
       "duplicate vector segments must not change verified pairs")
   }
 
+  test("LshIndex.compact: one full segment supersedes the deltas " +
+    "atomically — probe rows identical (multiset), superseded-vacuum " +
+    "reclaims, killed compact invisible") {
+    val idx = tmp("lshcompact")
+    LshIndex.build(spark, sf(), idx,
+      docFilter = Some(col("doc_id") % 10 =!= 0))
+    val ingest = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text")
+    LshIndex.append(spark, idx, ingest.filter(col("doc_id") % 20 === 0))
+    LshIndex.append(spark, idx, ingest.filter(col("doc_id") % 20 =!= 0))
+    val twinBatch = ingest
+      .select((col("doc_id") + 40000000L).as("doc_id"), col("text"))
+    // MULTISET of probe rows: a compact that left deltas visible next
+    // to the full segment would DUPLICATE rows through the sets join
+    def probed() = LshIndex.probe(spark, idx, twinBatch, 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val before = probed()
+    assert(before.nonEmpty && before == before.distinct,
+      "pre-compact probe must be duplicate-free")
+    // killed compact: reserve + stage + _FULL, no commit marker
+    val stale = IndexCommit.reserve(spark, idx)
+    val staleDir = IndexCommit.versionDir(idx, stale)
+    spark.range(1).selectExpr("id as doc_id", "id as band", "id as key")
+      .write.parquet(s"$staleDir/bands")
+    IndexCommit.markFull(spark, idx, stale)
+    assert(probed() == before,
+      "a staged-but-uncommitted full segment must be invisible")
+    val fullId = LshIndex.compact(spark, idx)
+    assert(IndexCommit.liveIds(spark, idx) == Seq(fullId),
+      "after compact exactly one live segment remains")
+    assert(probed() == before,
+      "compact must not change probe rows (or duplicate them)")
+    // an append after the compact stays live alongside the full seg
+    // (vocabulary-unique text: must not pair with the twin batch)
+    LshIndex.append(spark, idx, {
+      import spark.implicits._
+      Seq((999999999L, "qq0 qq1 qq2 qq3 qq4 qq5")).toDF("doc_id", "text")
+    })
+    assert(IndexCommit.liveIds(spark, idx).size == 2)
+    assert(probed() == before)
+    // superseded-only vacuum: old deltas reclaimed, the full segment
+    // and the post-compact delta stay, answers unchanged
+    val dropped = IndexCommit.vacuumSuperseded(spark, idx, grace = 0)
+    assert(dropped.nonEmpty && !dropped.contains(fullId))
+    assert(probed() == before,
+      "vacuumSuperseded must never touch live segments")
+  }
+
+  test("in-stream compact cadence bounds live segments; SigIndex and " +
+    "SimSigIndex compacts preserve probe answers") {
+    // LSH ingestion at maxSegments=3: build + 2 appends trip the
+    // cadence inside the third batch's apply
+    val idx = tmp("lshcadence")
+    LshIndex.build(spark, sf(), idx,
+      docFilter = Some(col("doc_id") % 10 =!= 0))
+    val ingest = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text")
+    StreamingDedup.applyIngestBatch(
+      ingest.filter(col("doc_id") % 20 === 0), idx, 0L,
+      maxSegments = Some(3), vacuumGrace = Some(0))
+    assert(IndexCommit.liveIds(spark, idx).size == 2,
+      "below the cadence nothing compacts")
+    StreamingDedup.applyIngestBatch(
+      ingest.filter(col("doc_id") % 20 =!= 0), idx, 1L,
+      maxSegments = Some(3), vacuumGrace = Some(0))
+    assert(IndexCommit.liveIds(spark, idx).size == 1,
+      "the third live segment must trip the compact")
+    assert(IndexCommit.committedIds(spark, idx).size == 1,
+      "the cadence's vacuum must reclaim the superseded deltas")
+    val twinBatch = ingest
+      .select((col("doc_id") + 40000000L).as("doc_id"), col("text"))
+    assert(LshIndex.probe(spark, idx, twinBatch, 0.9).collect()
+      .exists(r => r.getLong(0) - 40000000L == r.getLong(1)),
+      "post-cadence probes must still see every ingested doc")
+    // SigIndex: compact preserves Hamming-0 probe pairs
+    import spark.implicits._
+    val sidx = tmp("sigcompact")
+    SigIndex.build(spark, sidx, Seq((1L, 5L)).toDF("doc_id", "sig"))
+    SigIndex.append(spark, sidx, Seq((2L, -1L)).toDF("doc_id", "sig"))
+    val sbatch = Seq((100L, 5L), (200L, -1L)).toDF("doc_id", "sig")
+    def sigPairs() = SigIndex.probe(spark, sidx, sbatch)
+      .filter(col("hamming") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sBefore = sigPairs()
+    assert(sBefore == Set((100L, 1L), (200L, 2L)))
+    SigIndex.compact(spark, sidx)
+    assert(IndexCommit.liveIds(spark, sidx).size == 1)
+    assert(sigPairs() == sBefore)
+    // SimSigIndex: compact preserves cosine probe pairs
+    val vidx = tmp("simcompact")
+    SimSigIndex.build(spark, vidx,
+      Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "v"))
+    SimSigIndex.append(spark, vidx,
+      Seq((2L, Seq(0.0, 1.0))).toDF("vec_id", "v"))
+    val vbatch = Seq((100L, Seq(1.0, 0.0)), (200L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "v")
+    def vecPairs() = SimSigIndex.probe(spark, vidx, vbatch, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val vBefore = vecPairs()
+    assert(vBefore == Set((100L, 1L), (200L, 2L)))
+    SimSigIndex.compact(spark, vidx)
+    assert(IndexCommit.liveIds(spark, vidx).size == 1)
+    assert(vecPairs() == vBefore)
+  }
+
+  test("SubstrIndex.compact: summed dfs sidecar keeps stats and probe " +
+    "exact") {
+    import graft.ops.SubstrIndex
+    val idx = tmp("substrcompact")
+    SubstrIndex.build(spark, sf(), idx,
+      docFilter = Some(col("doc_id") % 10 =!= 0))
+    SubstrIndex.append(spark, idx,
+      docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text"))
+    def statRows() = SubstrIndex.stats(spark, idx).collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSet
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 40000000L).as("doc_id"), col("text"))
+    def probeRows() = SubstrIndex.probe(spark, idx, batch).collect()
+      .map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSet
+    val (s0, p0) = (statRows(), probeRows())
+    SubstrIndex.compact(spark, idx)
+    assert(IndexCommit.liveIds(spark, idx).size == 1)
+    assert(statRows() == s0, "stats must be exact over the full segment")
+    assert(probeRows() == p0, "probe df combine must survive the compact")
+  }
+
   test("probeStream guard cadence: refreshGuard fires on schedule, " +
     "sheds drift-driven candidates, leaves answers verified") {
     val idx = tmp("guard")
