@@ -205,49 +205,64 @@ object IndexCommit {
   private def fullFlag(path: String, id: Long): Path =
     new Path(s"${versionDir(path, id)}/_FULL")
 
-  def markFull(s: SparkSession, path: String, id: Long): Unit = {
-    val fs = hfs(s, path)
-    fs.create(fullFlag(path, id), false).close()
-  }
+  /** Declare version `id` FULL, superseding exactly the listed ids —
+    * an EXPLICIT list rather than "everything positionally older",
+    * because id order is reservation order, not commit order: an
+    * appender that reserved a lower id before the compact resolved
+    * its inputs can commit its delta AFTER the compact commits, and a
+    * positional rule would silently swallow that delta's data. With
+    * the list, anything not named stays live no matter how the ids
+    * interleave. One line per superseded id ([[writeTextSidecar]]).
+    */
+  def markFull(
+      s: SparkSession, path: String, id: Long,
+      supersedes: Seq[Long] = Nil): Unit =
+    writeTextSidecar(s, fullFlag(path, id).toString,
+      supersedes.map(_.toString))
 
   def isFull(s: SparkSession, path: String, id: Long): Boolean =
     hfs(s, path).exists(fullFlag(path, id))
 
-  /** The version ids a segment-union reader must read: everything
-    * from the newest FULL version (inclusive) forward; with no FULL
-    * version, every committed id. O(live + 1) metadata probes walking
-    * newest-first — bounded by the compact cadence, not total
-    * history.
-    */
-  def liveIds(s: SparkSession, path: String): Seq[Long] = {
-    val ids = committedIds(s, path)
-    val cut = ids.lastIndexWhere(isFull(s, path, _))
-    if (cut < 0) ids else ids.drop(cut)
+  private def liveIdsOf(
+      s: SparkSession, path: String, ids: Seq[Long]): Seq[Long] = {
+    val superseded = ids.filter(isFull(s, path, _))
+      .flatMap(f =>
+        readTextSidecar(s, fullFlag(path, f).toString).map(_.toLong))
+      .toSet
+    ids.filterNot(superseded)
   }
 
-  /** Stage and commit a FULL segment: resolves the live ids, hands
-    * the caller their data dirs plus a reserved staging dir to write
-    * the union into, then marks `_FULL` and commits — REFUSING to
-    * commit if a concurrent append committed a delta BETWEEN the
-    * compacted set and the reserved id (such a delta would be wrongly
-    * superseded the moment the full marker landed: [[liveIds]] is
-    * positional). Deltas committed AFTER the reserved id stay live on
-    * their own and are unaffected. The refusal leaves the staged
-    * segment uncommitted (invisible forever) — callers retry at the
-    * next cadence. In-stream cadences never hit this (foreachBatch
-    * serializes the appends the cadence rides on); it guards
-    * out-of-band operator compacts.
+  /** The version ids a segment-union reader must read: every
+    * committed id not named in a committed FULL version's supersedes
+    * list. O(versions) metadata probes + one tiny sidecar read per
+    * full version — bounded by the compact/vacuum cadence, not total
+    * history.
+    */
+  def liveIds(s: SparkSession, path: String): Seq[Long] =
+    liveIdsOf(s, path, committedIds(s, path))
+
+  /** Stage and commit a FULL segment: snapshots the committed id set,
+    * hands the caller the LIVE subset's data dirs plus a reserved
+    * staging dir to write the union into, then marks `_FULL` (naming
+    * the snapshot) and commits. Concurrency is free by construction:
+    * a delta committed concurrently — whatever its reserved id — is
+    * absent from the snapshot, so it is not named in the supersedes
+    * list and stays live next to the full segment; the next compact
+    * folds it in. The supersedes list records the WHOLE observed
+    * snapshot (live AND already-superseded ids), not just the inputs:
+    * a later [[vacuumSuperseded]] may delete an older full version —
+    * sidecar included — while deltas IT superseded are still
+    * committed under the grace window, and those must stay excluded
+    * through this full's list.
     */
   def commitFull(s: SparkSession, path: String)(
       write: (Seq[String], String) => Unit): Long = {
-    val live = liveIds(s, path)
+    val observed = committedIds(s, path)
+    val live = liveIdsOf(s, path, observed)
     require(live.nonEmpty, s"nothing to compact at $path")
     val id = reserve(s, path)
     write(live.map(versionDir(path, _)), versionDir(path, id))
-    if (committedIds(s, path).exists(c => c > live.max && c < id))
-      sys.error(s"concurrent append committed during compact of $path; " +
-        "the staged full segment is left uncommitted — retry")
-    markFull(s, path, id)
+    markFull(s, path, id, observed)
     commit(s, path, id)
     id
   }

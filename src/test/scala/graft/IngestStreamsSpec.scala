@@ -251,6 +251,40 @@ class IngestStreamsSpec extends SparkSpec {
     assert(vecPairs() == vBefore)
   }
 
+  test("a delta committed AFTER a concurrent compact resolved — with a " +
+    "positionally LOWER reserved id — stays live (explicit supersedes " +
+    "list, not id order)") {
+    import spark.implicits._
+    val idx = tmp("race")
+    SigIndex.build(spark, idx, Seq((1L, 5L)).toDF("doc_id", "sig"))
+    // the appender reserves its id FIRST but commits only after the
+    // compact — a positional "supersede everything older" rule would
+    // silently swallow this delta's data
+    val raced = IndexCommit.reserve(spark, idx)
+    Seq((2L, 9L)).toDF("doc_id", "sig").write.parquet(
+      s"${IndexCommit.versionDir(idx, raced)}/sigs")
+    val fullId = SigIndex.compact(spark, idx)
+    assert(fullId > raced, "the compact must reserve past the appender")
+    IndexCommit.commit(spark, idx, raced)
+    assert(IndexCommit.liveIds(spark, idx).toSet == Set(raced, fullId),
+      "the raced delta must stay live next to the full segment")
+    val got = SigIndex.probe(spark, idx,
+      Seq((100L, 9L)).toDF("doc_id", "sig"))
+      .filter(col("hamming") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((100L, 2L)),
+      "the raced delta's data must answer probes")
+    IndexCommit.vacuumSuperseded(spark, idx, grace = 0)
+    assert(IndexCommit.liveIds(spark, idx).toSet == Set(raced, fullId),
+      "superseded-vacuum must never touch the raced delta")
+    // the NEXT compact folds it in
+    val full2 = SigIndex.compact(spark, idx)
+    assert(IndexCommit.liveIds(spark, idx) == Seq(full2))
+    assert(SigIndex.probe(spark, idx,
+      Seq((100L, 9L)).toDF("doc_id", "sig"))
+      .filter(col("hamming") === 0).count() == 1)
+  }
+
   test("SubstrIndex.compact: summed dfs sidecar keeps stats and probe " +
     "exact") {
     import graft.ops.SubstrIndex
