@@ -226,6 +226,35 @@ object ScaleProbe {
           PerceptualHash.imageClusters(spark, dir).count())
         println(s"""{"probe":"sigclusters","dir":"$dir","build_secs":$bsecs,"index_rows":$nIdx,"index_secs":$idxSecs,"decode_rows":$nDec,"decode_secs":$decSecs}""")
 
+      case "segprobe" =>
+        // r14: what compaction buys — a FIXED batch probes the LSH
+        // index when the corpus arrived as ~32 streamed micro-batch
+        // segments vs after one compact. Same data, same answers
+        // (asserted); the delta is segment-resolution + many-small-
+        // files scan overhead, the cost a long-lived ingestion stream
+        // accumulates until the in-stream cadence fires.
+        import graft.ops.{IndexCommit, LshIndex}
+        val idx = s"$out/segprobe"
+        val isBatch = col("doc_id") % 50 === 0
+        LshIndex.build(spark, dir, idx,
+          docFilter = Some(!isBatch && col("doc_id") % 32 === 0))
+        for (k <- 1 until 32)
+          LshIndex.append(spark, idx, docs
+            .filter(!isBatch && col("doc_id") % 32 === k)
+            .select("doc_id", "text"))
+        val batch = docs.filter(isBatch).select("doc_id", "text")
+        def best(f: => Long): (Long, Double) = {
+          val r1 = timed(f); val r2 = timed(f)
+          if (r1._2 <= r2._2) r1 else r2
+        }
+        val nSegs = IndexCommit.liveIds(spark, idx).size
+        val (n1, fragSecs) = best(LshIndex.probe(spark, idx, batch).count())
+        LshIndex.compact(spark, idx)
+        IndexCommit.vacuumSuperseded(spark, idx, grace = 0)
+        val (n2, compSecs) = best(LshIndex.probe(spark, idx, batch).count())
+        require(n1 == n2, s"compact changed probe answers: $n1 != $n2")
+        println(s"""{"probe":"segprobe","dir":"$dir","segments":$nSegs,"frag_secs":$fragSecs,"compact_secs":$compSecs,"pairs":$n1}""")
+
       case "sigdebug" =>
         import graft.ops.{PerceptualHash, SigIndex}
         val idx = s"$out/sigdbg"

@@ -93,6 +93,15 @@ object StreamingDedup {
         LshIndex.refreshGuard(s, indexPath, f)
     }
 
+  /** Default in-stream segment-compact cadence: one committed delta
+    * per micro-batch means probes union ever more segments until a
+    * [[LshIndex.compact]] rebounds resolution to one —
+    * [[StreamingCluster.DefaultMaxVersions]]' reasoning applied to
+    * segment-union indexes. `None` disables (operator-managed
+    * maintenance).
+    */
+  val DefaultMaxSegments: Int = 16
+
   /** Fold a stream of (doc_id, text) documents into the LSH index at
     * `indexPath` (which must already hold a committed
     * [[LshIndex.build]]) — the text ingestion twin of
@@ -106,15 +115,6 @@ object StreamingDedup {
     * verified pairs (spec-pinned by replaying with the marker
     * removed).
     */
-  /** Default in-stream segment-compact cadence: one committed delta
-    * per micro-batch means probes union ever more segments until a
-    * [[LshIndex.compact]] rebounds resolution to one —
-    * [[StreamingCluster.DefaultMaxVersions]]' reasoning applied to
-    * segment-union indexes. `None` disables (operator-managed
-    * maintenance).
-    */
-  val DefaultMaxSegments: Int = 16
-
   def maintainStream(
       docs: DataFrame,
       indexPath: String,
@@ -133,6 +133,80 @@ object StreamingDedup {
         ()
       }
       .start()
+
+  /** Continuous PROBE-THEN-INGEST in one stream — the production
+    * shape [[graft.ops.LshIndex.append]]'s docs describe: each
+    * micro-batch's verified pairs against everything indexed BEFORE
+    * it land under `outPath/batch_id=<id>`, then the batch folds into
+    * the index, so the next batch probes a corpus that includes this
+    * one. Chained over batches B1..Bn this yields exactly the
+    * batch↔earlier edges the one-job incremental form would produce
+    * per batch (guard-coincidence caveats as ever).
+    *
+    * Exactly-once: the batch id ledger guards the WHOLE body. Crash
+    * windows degrade one-sidedly, never lose pairs: a crash between
+    * the pair write and the append re-probes an unchanged index (same
+    * pairs overwritten); a crash between the append and the marker
+    * re-probes an index that now CONTAINS the batch (and any batches
+    * ingested since) — self-pairs are filtered unconditionally, and
+    * the only delta is true pairs among the streamed docs appearing
+    * (batch-internal and batch-vs-later duplicates discovered early,
+    * the at-least-once direction; spec-pinned). The compact
+    * cadence rides outside the ledger as in [[applyIngestBatch]].
+    */
+  def probeAndMaintainStream(
+      docs: DataFrame,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      threshold: Double = 0.8,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxSegments: Option[Int] = Some(DefaultMaxSegments),
+      vacuumGrace: Option[Int] = Some(1)
+  ): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyProbeIngestBatch(batch, indexPath, outPath, threshold,
+          batchId, maxSegments, vacuumGrace)
+        ()
+      }
+      .start()
+
+  /** One probe-then-ingest micro-batch (see
+    * [[probeAndMaintainStream]]). Package-visible for synchronous
+    * spec driving.
+    */
+  private[graft] def applyProbeIngestBatch(
+      batch: DataFrame,
+      indexPath: String,
+      outPath: String,
+      threshold: Double,
+      batchId: Long,
+      maxSegments: Option[Int] = None,
+      vacuumGrace: Option[Int] = Some(1)): Unit = {
+    val s = batch.sparkSession
+    if (!BatchLedger.has(s, indexPath, batchId)) {
+      val scope = new CacheScope
+      try {
+        LshIndex.probe(s, indexPath, batch, threshold, scope)
+          .filter(col("doc_new") =!= col("doc_idx"))
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      } finally scope.release()
+      if (!batch.isEmpty) {
+        LshIndex.append(s, indexPath, batch)
+        maxSegments.foreach { ms =>
+          LshIndex.maybeCompact(s, indexPath, ms).foreach { _ =>
+            vacuumGrace.foreach(
+              graft.ops.IndexCommit.vacuumSuperseded(s, indexPath, _))
+          }
+        }
+      }
+      BatchLedger.mark(s, indexPath, batchId)
+    }
+  }
 
   /** One ingestion micro-batch: ledger-skip replayed ids, skip empty
     * batches (an empty append would commit a contentless segment per

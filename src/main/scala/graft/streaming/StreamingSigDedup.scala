@@ -78,6 +78,10 @@ object StreamingSigDedup {
       .parquet(s"$outPath/batch_id=$batchId").count()
   }
 
+  /** Default in-stream segment-compact cadence
+    * ([[StreamingDedup.DefaultMaxSegments]]' reasoning). */
+  val DefaultMaxSegments: Int = 16
+
   /** Fold a stream of (doc_id, payload) clips into the signature
     * index at `indexPath` (which must already hold a committed
     * [[SigIndex.build]]): decode + hash BATCH-SIDE ONLY, then
@@ -87,10 +91,6 @@ object StreamingSigDedup {
     * evolving index without coordination (every micro-batch lands as
     * a regular committed segment).
     */
-  /** Default in-stream segment-compact cadence
-    * ([[StreamingDedup.DefaultMaxSegments]]' reasoning). */
-  val DefaultMaxSegments: Int = 16
-
   def maintainStream(
       clips: DataFrame,
       indexPath: String,
@@ -138,6 +138,74 @@ object StreamingSigDedup {
           }
         }
       }
+      BatchLedger.mark(s, indexPath, batchId)
+    }
+  }
+
+  /** Continuous PROBE-THEN-INGEST in one stream — the media twin of
+    * [[StreamingDedup.probeAndMaintainStream]]: each micro-batch is
+    * decoded+hashed ONCE (the signatures feed both the probe and the
+    * append), its Hamming pairs against everything indexed before it
+    * land under `outPath/batch_id=<id>`, then the signatures fold
+    * into the index. Same ledger discipline and one-sided crash
+    * degrade (self-pairs filtered; a post-append replay can only ADD
+    * true pairs among the streamed clips — spec-pinned on the text
+    * twin).
+    */
+  def probeAndMaintainStream(
+      clips: DataFrame,
+      indexPath: String,
+      outPath: String,
+      checkpointDir: String,
+      maxHamming: Int = 3,
+      trigger: Trigger = Trigger.AvailableNow(),
+      sigsOf: DataFrame => DataFrame = PerceptualHash.signatures,
+      maxSegments: Option[Int] = Some(DefaultMaxSegments),
+      vacuumGrace: Option[Int] = Some(1)
+  ): StreamingQuery =
+    clips.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyProbeIngestBatch(batch, indexPath, outPath, maxHamming,
+          batchId, sigsOf, maxSegments, vacuumGrace)
+        ()
+      }
+      .start()
+
+  /** One probe-then-ingest micro-batch (see
+    * [[probeAndMaintainStream]]). Package-visible for synchronous
+    * spec driving.
+    */
+  private[graft] def applyProbeIngestBatch(
+      batch: DataFrame,
+      indexPath: String,
+      outPath: String,
+      maxHamming: Int,
+      batchId: Long,
+      sigsOf: DataFrame => DataFrame = PerceptualHash.signatures,
+      maxSegments: Option[Int] = None,
+      vacuumGrace: Option[Int] = Some(1)): Unit = {
+    val s = batch.sparkSession
+    if (!BatchLedger.has(s, indexPath, batchId)) {
+      // one decode for both legs: the cached signatures feed the
+      // probe's batch side AND the appended segment
+      val sigs = sigsOf(batch).cache()
+      try {
+        SigIndex.probe(s, indexPath, sigs, maxHamming)
+          .filter(col("doc_new") =!= col("doc_idx"))
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        if (!batch.isEmpty) {
+          SigIndex.append(s, indexPath, sigs)
+          maxSegments.foreach { ms =>
+            SigIndex.maybeCompact(s, indexPath, ms).foreach { _ =>
+              vacuumGrace.foreach(
+                graft.ops.IndexCommit.vacuumSuperseded(s, indexPath, _))
+            }
+          }
+        }
+      } finally sigs.unpersist()
       BatchLedger.mark(s, indexPath, batchId)
     }
   }

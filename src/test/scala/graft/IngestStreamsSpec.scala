@@ -251,6 +251,99 @@ class IngestStreamsSpec extends SparkSpec {
     assert(vecPairs() == vBefore)
   }
 
+  test("probeAndMaintainStream (text): each batch pairs against " +
+    "everything indexed before it, then joins the corpus; replay " +
+    "ledger-skips; post-append crash replay only ADDS true internal " +
+    "pairs") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val idx = tmp("pmlsh")
+    LshIndex.build(spark, sf(), idx,
+      docFilter = Some(col("doc_id") % 10 =!= 0))
+    val out = tmp("pmlshout")
+    val ingest = docs.filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text")
+    // B1 = fresh copies of corpus docs (cross pairs to the BUILD
+    // corpus); B2 = copies of B1's docs (cross pairs to B1 — only
+    // visible if B1 was folded in before B2 probed)
+    val b1 = docs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 40000000L).as("doc_id"), col("text"))
+    val b2 = b1.select((col("doc_id") + 10000000L).as("doc_id"), col("text"))
+    val rows1 = b1.as[(Long, String)].collect().toSeq
+    val rows2 = b2.as[(Long, String)].collect().toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = StreamingDedup.probeAndMaintainStream(
+      input.toDF().toDF("doc_id", "text"), idx, out, tmp("pmlshck"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    input.addData(rows1); q.processAllAvailable()
+    input.addData(rows2); q.processAllAvailable()
+    q.stop()
+    val pairs = StreamingDedup.pairs(spark, out)
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("doc_new"), r.getAs[Long]("doc_idx"))).toSet
+    assert(pairs.exists(p => p._1 == 0 && p._2 - 40000000L == p._3),
+      "batch 1 must pair with the build corpus")
+    assert(pairs.exists(p => p._1 == 1 && p._2 - 10000000L == p._3),
+      "batch 2 must pair with batch 1 — the fold-before-next contract")
+    assert(!pairs.exists(p => p._2 == p._3), "self-pairs are filtered")
+    // ledgered replay: a full no-op
+    val segsBefore = IndexCommit.liveIds(spark, idx)
+    StreamingDedup.applyProbeIngestBatch(
+      spark.createDataFrame(rows1).toDF("doc_id", "text"), idx, out,
+      0.8, 0L)
+    assert(IndexCommit.liveIds(spark, idx) == segsBefore)
+    assert(StreamingDedup.pairs(spark, out).collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[Long]("doc_new"),
+        r.getAs[Long]("doc_idx"))).toSet == pairs)
+    // crash-window replay (append committed, marker lost): the batch
+    // is already IN the index, so the re-probe may only ADD the
+    // batch's own internal pairs — never lose a cross pair
+    val f = new java.io.File(s"$idx/stream_ledger/0")
+    assert(f.delete())
+    StreamingDedup.applyProbeIngestBatch(
+      spark.createDataFrame(rows1).toDF("doc_id", "text"), idx, out,
+      0.8, 0L)
+    val replayed = StreamingDedup.pairs(spark, out)
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("doc_new"), r.getAs[Long]("doc_idx"))).toSet
+    assert(pairs.subsetOf(replayed),
+      "a crash-window replay must never lose pairs")
+    assert(!replayed.exists(p => p._2 == p._3),
+      "self-pairs stay filtered under replay")
+    // the re-probe's committed side now includes B1 itself AND the
+    // later-ingested B2, so additions are true pairs among the
+    // streamed docs (batch-internal + batch-vs-later) — never a new
+    // corpus pair, never a wrong one
+    assert((replayed -- pairs).forall(p =>
+      p._1 == 0 && p._2 >= 40000000L && p._3 >= 40000000L),
+      "additions must involve only streamed docs (true pairs)")
+  }
+
+  test("probeAndMaintainStream (media): one decode feeds probe and " +
+    "append; chained batches pair against earlier batches") {
+    val imgs = PerceptualHash.syntheticImages(spark, sf())
+    val idx = tmp("pmsig")
+    SigIndex.build(spark, idx, PerceptualHash.signatures(
+      imgs.filter(col("doc_id") % 10 =!= 0)))
+    val out = tmp("pmsigout")
+    val b1 = imgs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 40000000L).as("doc_id"), col("payload"))
+    val b2 = b1.select((col("doc_id") + 10000000L).as("doc_id"),
+      col("payload"))
+    StreamingSigDedup.applyProbeIngestBatch(b1, idx, out, 3, 0L)
+    StreamingSigDedup.applyProbeIngestBatch(b2, idx, out, 3, 1L)
+    val pairs = StreamingSigDedup.pairs(spark, out)
+      .filter(col("hamming") === 0)
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("doc_new"), r.getAs[Long]("doc_idx"))).toSet
+    assert(pairs.exists(p => p._1 == 0 && p._2 - 40000000L == p._3),
+      "batch 1 must pair with the build corpus at Hamming 0")
+    assert(pairs.exists(p => p._1 == 1 && p._2 - 10000000L == p._3),
+      "batch 2 must pair with batch 1 — one decode, both legs")
+    assert(!pairs.exists(p => p._2 == p._3), "self-pairs are filtered")
+  }
+
   test("a delta committed AFTER a concurrent compact resolved — with a " +
     "positionally LOWER reserved id — stays live (explicit supersedes " +
     "list, not id order)") {
