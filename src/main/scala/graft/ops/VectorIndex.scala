@@ -82,9 +82,35 @@ object VectorIndex {
     * committed segment (never built, or killed mid-build).
     */
   private def segDirs(s: SparkSession, path: String): Seq[String] = {
-    val ids = IndexCommit.committedIds(s, path)
+    val ids = IndexCommit.liveIds(s, path)
     require(ids.nonEmpty, s"no committed vector index segment at $path")
     ids.map(IndexCommit.versionDir(path, _))
+  }
+
+  /** Fold every live delta segment into ONE full segment (`_FULL`
+    * explicit-supersedes protocol, [[IndexCommit.commitFull]]) — the
+    * [[LshIndex.compact]] economics for the vector index: each
+    * [[append]] commits a segment, so a long ingestion feed grows
+    * probe resolution and file counts until a compact rebounds them.
+    * Vectors and codes land under ONE marker, as in [[append]].
+    * Relation-idempotent; follow with
+    * [[IndexCommit.vacuumSuperseded]] to reclaim superseded deltas.
+    */
+  def compact(s: SparkSession, path: String): Long =
+    IndexCommit.commitFull(s, path) { (segs, dir) =>
+      s.read.parquet(segs.map(_ + "/vectors"): _*)
+        .write.mode("overwrite").parquet(s"$dir/vectors")
+      s.read.parquet(segs.map(_ + "/codes"): _*)
+        .write.mode("overwrite").parquet(s"$dir/codes")
+    }
+
+  /** Compact at a live-segment cadence ([[LshIndex.maybeCompact]]). */
+  def maybeCompact(
+      s: SparkSession, path: String, maxSegments: Int): Option[Long] = {
+    require(maxSegments >= 2, "maxSegments must be at least 2")
+    if (IndexCommit.liveIds(s, path).size >= maxSegments)
+      Some(compact(s, path))
+    else None
   }
 
   /** Fold a new batch of vectors (vec_id, v) into an existing index:

@@ -58,6 +58,64 @@ object StreamingAnn {
     } finally { res.unpersist(); () }
   }
 
+  /** Default in-stream segment-compact cadence
+    * ([[StreamingDedup.DefaultMaxSegments]]' reasoning). */
+  val DefaultMaxSegments: Int = 16
+
+  /** Fold a stream of (vec_id, v) vectors into the IVF index at
+    * `indexPath` (which must already hold a committed
+    * [[VectorIndex.build]]) — the vector member of the ingestion-
+    * stream family: exactly-once via the [[BatchLedger]] batch-id
+    * markers ([[VectorIndex.append]] commits a segment per call), the
+    * in-stream compact cadence + superseded-only vacuum bounding
+    * segments and disk, crash-window replays degrading to duplicate
+    * segments that inflate candidate sets, never change ranked
+    * answers beyond the documented duplicate-id caveat of ingesting
+    * the same vector twice.
+    */
+  def maintainStream(
+      vectors: DataFrame,
+      indexPath: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxSegments: Option[Int] = Some(DefaultMaxSegments),
+      vacuumGrace: Option[Int] = Some(1)
+  ): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyIngestBatch(batch, indexPath, batchId, maxSegments,
+          vacuumGrace)
+        ()
+      }
+      .start()
+
+  /** One ingestion micro-batch ([[StreamingDedup.applyIngestBatch]]'s
+    * shape). Package-visible for synchronous spec driving.
+    */
+  private[graft] def applyIngestBatch(
+      batch: DataFrame,
+      indexPath: String,
+      batchId: Long,
+      maxSegments: Option[Int] = None,
+      vacuumGrace: Option[Int] = Some(1)): Unit = {
+    val s = batch.sparkSession
+    if (!BatchLedger.has(s, indexPath, batchId)) {
+      if (!batch.isEmpty) {
+        VectorIndex.append(s, indexPath, batch)
+        maxSegments.foreach { ms =>
+          VectorIndex.maybeCompact(s, indexPath, ms).foreach { _ =>
+            vacuumGrace.foreach(
+              graft.ops.IndexCommit.vacuumSuperseded(s, indexPath, _))
+          }
+        }
+      }
+      BatchLedger.mark(s, indexPath, batchId)
+    }
+  }
+
   /** The accumulated results table across every micro-batch so far;
     * empty (typed) before the first micro-batch commits — see
     * [[StreamingDedup.pairs]].

@@ -378,6 +378,45 @@ class IngestStreamsSpec extends SparkSpec {
       .filter(col("hamming") === 0).count() == 1)
   }
 
+  test("VectorIndex: ledgered ingestion stream + compact preserve " +
+    "probe rankings; cadence bounds segments") {
+    import graft.ops.{Similarity, VectorIndex}
+    import graft.streaming.StreamingAnn
+    val idx = tmp("vecingest")
+    val isBatch = col("vec_id") % 10 === 0
+    VectorIndex.build(spark, sf(), idx, vecFilter = Some(!isBatch))
+    val emb = Similarity.load(spark, sf())
+    val b = emb.filter(isBatch).select("vec_id", "v")
+    StreamingAnn.applyIngestBatch(b.filter(col("vec_id") % 20 === 0),
+      idx, 0L, maxSegments = Some(3), vacuumGrace = Some(0))
+    assert(IndexCommit.liveIds(spark, idx).size == 2)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    def ranked() = VectorIndex.probe(spark, idx, queries).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk")) ->
+        r.getAs[Long]("vec_id")).toMap
+    val before = ranked()
+    // ledgered replay: a content no-op
+    StreamingAnn.applyIngestBatch(b.filter(col("vec_id") % 20 === 0),
+      idx, 0L, maxSegments = Some(3), vacuumGrace = Some(0))
+    assert(IndexCommit.liveIds(spark, idx).size == 2)
+    assert(ranked() == before)
+    // second batch trips the maxSegments=3 cadence
+    StreamingAnn.applyIngestBatch(b.filter(col("vec_id") % 20 =!= 0),
+      idx, 1L, maxSegments = Some(3), vacuumGrace = Some(0))
+    assert(IndexCommit.liveIds(spark, idx).size == 1,
+      "the cadence must compact at the bound")
+    assert(IndexCommit.committedIds(spark, idx).size == 1,
+      "the superseded deltas must be vacuumed")
+    val after = ranked()
+    assert(after.nonEmpty && after.values.toSet.nonEmpty)
+    // the compacted index serves the same members; rankings against
+    // the full ingested corpus are stable across the compact
+    val recompact = { VectorIndex.compact(spark, idx); ranked() }
+    assert(recompact == after,
+      "a further compact must not move any ranking")
+  }
+
   test("SubstrIndex.compact: summed dfs sidecar keeps stats and probe " +
     "exact") {
     import graft.ops.SubstrIndex
