@@ -250,7 +250,7 @@ object ScaleProbe {
         val nSegs = IndexCommit.liveIds(spark, idx).size
         val (n1, fragSecs) = best(LshIndex.probe(spark, idx, batch).count())
         LshIndex.compact(spark, idx)
-        IndexCommit.vacuumSuperseded(spark, idx, grace = 0)
+        IndexCommit.vacuumSuperseded(spark, idx, keepGenerations = 0)
         val (n2, compSecs) = best(LshIndex.probe(spark, idx, batch).count())
         require(n1 == n2, s"compact changed probe answers: $n1 != $n2")
         println(s"""{"probe":"segprobe","dir":"$dir","segments":$nSegs,"frag_secs":$fragSecs,"compact_secs":$compSecs,"pairs":$n1}""")

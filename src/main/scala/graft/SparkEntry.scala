@@ -38,31 +38,37 @@ object SparkEntry {
     s.read.parquet(s"$dir/$t.parquet")
 
   /** Pre-staged fixture root for the BENCH-split snapshot probe rows:
-    * `stage` runs once per source dir — a `STAGED_FOR` sidecar records
-    * which dir the staging came from, and absence or mismatch forces a
-    * clean restage — so bench reps and subsequent runs time ONLY the
-    * probe, giving the change-proportional resolve/diff legs a direct
-    * measurement instead of riding behind a corpus-sized publish. A
-    * staging killed mid-run leaves no sidecar and restages; the
-    * sidecar is written LAST, so a present sidecar always names a
-    * complete staging.
+    * `stage` runs once per source CORPUS — the `STAGED_FOR` sidecar
+    * records the source dir PLUS a cheap content fingerprint (row
+    * count and max doc_id from a column-pruned scan), so a fixture
+    * regenerated IN PLACE at the same path restages instead of
+    * silently serving the old corpus's snapshot against a
+    * new-corpus oracle. Absence or any mismatch forces a clean
+    * restage; the sidecar is written LAST, so a present sidecar
+    * always names a complete staging (a killed staging restages).
+    * Bench reps and subsequent runs then time ONLY the probe, giving
+    * the change-proportional resolve/diff legs a direct measurement
+    * instead of riding behind a corpus-sized publish.
     */
   private def stagedSnapshotRoot(
       s: SparkSession, dir: String, name: String)(
       stage: String => Unit): String = {
     val root = scratchDir(s"staged_$name")
     val marker = java.nio.file.Paths.get(root, "STAGED_FOR")
+    val fpRow = rd(s, dir, "documents")
+      .agg(count(lit(1)), max(col("doc_id"))).head()
+    val want = s"$dir\n${fpRow.getLong(0)}\n${fpRow.getLong(1)}"
     val current =
       if (java.nio.file.Files.exists(marker))
         new String(java.nio.file.Files.readAllBytes(marker),
           java.nio.charset.StandardCharsets.UTF_8)
       else ""
-    if (current != dir) {
+    if (current != want) {
       java.nio.file.Files.deleteIfExists(marker)
       graft.ops.IndexCommit.reset(s, root)
       stage(root)
       java.nio.file.Files.write(marker,
-        dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        want.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     root
   }

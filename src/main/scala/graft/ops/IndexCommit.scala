@@ -244,45 +244,82 @@ object IndexCommit {
   /** Stage and commit a FULL segment: snapshots the committed id set,
     * hands the caller the LIVE subset's data dirs plus a reserved
     * staging dir to write the union into, then marks `_FULL` (naming
-    * the snapshot) and commits. Concurrency is free by construction:
-    * a delta committed concurrently — whatever its reserved id — is
-    * absent from the snapshot, so it is not named in the supersedes
-    * list and stays live next to the full segment; the next compact
-    * folds it in. The supersedes list records the WHOLE observed
-    * snapshot (live AND already-superseded ids), not just the inputs:
-    * a later [[vacuumSuperseded]] may delete an older full version —
-    * sidecar included — while deltas IT superseded are still
-    * committed under the grace window, and those must stay excluded
-    * through this full's list.
+    * the snapshot) and commits. Concurrent DELTAS are free by
+    * construction: a delta committed concurrently — whatever its
+    * reserved id — is absent from the snapshot, so it is not named in
+    * the supersedes list and stays live next to the full segment; the
+    * next compact folds it in. Concurrent COMPACTS are NOT free (two
+    * racing fulls would neither name the other, leaving two live
+    * copies of the corpus that double every probe row and get baked
+    * in by the next compact), so compaction serializes behind the
+    * root-level `compact.lock` ([[withLock]] — same-JVM monitor plus
+    * cross-process create-new file). The supersedes list records the
+    * WHOLE observed snapshot (live AND already-superseded ids), not
+    * just the inputs: a later [[vacuumSuperseded]] may delete an
+    * older full version — sidecar included — while deltas IT
+    * superseded are still committed under the grace window, and those
+    * must stay excluded through this full's list.
     */
   def commitFull(s: SparkSession, path: String)(
-      write: (Seq[String], String) => Unit): Long = {
-    val observed = committedIds(s, path)
-    val live = liveIdsOf(s, path, observed)
-    require(live.nonEmpty, s"nothing to compact at $path")
-    val id = reserve(s, path)
-    write(live.map(versionDir(path, _)), versionDir(path, id))
-    markFull(s, path, id, observed)
-    commit(s, path, id)
-    id
+      write: (Seq[String], String) => Unit): Long =
+    withLock(s, path, "compact.lock") {
+      val observed = committedIds(s, path)
+      val live = liveIdsOf(s, path, observed)
+      require(live.nonEmpty, s"nothing to compact at $path")
+      val id = reserve(s, path)
+      write(live.map(versionDir(path, _)), versionDir(path, id))
+      markFull(s, path, id, observed)
+      commit(s, path, id)
+      id
+    }
+
+  /** The live-segment compact cadence shared by the five
+    * segment-union indexes: run `compactFn` once the live count
+    * reaches `maxSegments`. The gate self-resets (a compact leaves
+    * exactly one live segment plus any raced deltas). Returns the
+    * compacted id when it fired.
+    */
+  def maybeCompactWith(
+      s: SparkSession, path: String, maxSegments: Int)(
+      compactFn: => Long): Option[Long] = {
+    require(maxSegments >= 2, "maxSegments must be at least 2")
+    if (liveIds(s, path).size >= maxSegments) Some(compactFn) else None
   }
 
-  /** Vacuum for segment-UNION indexes: retires only versions
-    * SUPERSEDED by the newest FULL segment (everything older than
-    * it), keeping the newest `grace` of them for in-flight readers
-    * that resolved their segment list just before the compact
-    * committed. Safe at ANY time — unlike the positional [[vacuum]],
-    * which keeps "newest keep" and would happily retire the full
-    * segment itself once enough post-compact deltas accumulate (live
-    * data loss). Marker first, data second, as in [[vacuum]]. Returns
-    * the retired ids.
+  /** Vacuum for segment-UNION indexes: retires superseded versions,
+    * deferred by `keepGenerations` FULL generations of grace.
+    *
+    * Why generations and not a count of segments: an in-flight reader
+    * that resolved its segment list just before a compact committed
+    * holds paths to the ENTIRE pre-compact live set — keeping "the
+    * newest N superseded segments" protects no such reader (it needs
+    * all of them). With `keepGenerations = 1` (the default and what
+    * the in-stream cadences use), a compact's own inputs survive
+    * until the NEXT compact: only ids named by an OLDER full's
+    * supersedes list are deleted, so any reader that resolved after
+    * the previous compact committed — at least a whole compact
+    * cadence ago, ≥16 micro-batches under the stream defaults — finds
+    * every path it holds. `keepGenerations = 0` deletes everything
+    * superseded immediately (downtime maintenance, specs). Disk stays
+    * bounded at ~2 full copies + ≤2 cadences of deltas.
+    *
+    * Safe w.r.t. live data at ANY time — unlike the positional
+    * [[vacuum]], which keeps "newest keep" versions and would happily
+    * retire the full segment itself once enough post-compact deltas
+    * accumulate (silent live-data loss). Marker first, data second,
+    * as in [[vacuum]]. Returns the retired ids.
     */
   def vacuumSuperseded(
-      s: SparkSession, path: String, grace: Int = 1): Seq[Long] = {
-    require(grace >= 0, "grace must be non-negative")
+      s: SparkSession, path: String, keepGenerations: Int = 1): Seq[Long] = {
+    require(keepGenerations >= 0, "keepGenerations must be non-negative")
     val fs = hfs(s, path)
-    val live = liveIds(s, path).toSet
-    val drop = committedIds(s, path).filterNot(live).dropRight(grace)
+    val ids = committedIds(s, path)
+    val fulls = ids.filter(isFull(s, path, _))
+    val effective =
+      if (keepGenerations == 0) fulls else fulls.dropRight(keepGenerations)
+    val dropSet = effective.flatMap(f =>
+      readTextSidecar(s, fullFlag(path, f).toString).map(_.toLong)).toSet
+    val drop = ids.filter(dropSet)
     drop.foreach { id =>
       fs.delete(new Path(s"$path/commits/$id"), false)
       fs.delete(new Path(versionDir(path, id)), true)

@@ -128,16 +128,23 @@ object LshIndex {
     * document twice (which would DUPLICATE probe output rows through
     * the sets-attach join), and a killed compact is invisible.
     * Relation-level idempotent (re-running unions the same rows), so
-    * stream cadences may fire it outside any replay ledger. Follow
-    * with [[IndexCommit.vacuum]] (keep ≥ 2 for in-flight-probe grace)
-    * to reclaim the superseded deltas — safe because the full segment
-    * carries their data. Returns the committed full-segment id.
+    * stream cadences may fire it outside any replay ledger. Reclaim
+    * superseded deltas with [[IndexCommit.vacuumSuperseded]] ONLY —
+    * the positional [[IndexCommit.vacuum]] keeps "newest keep"
+    * versions and would silently retire this full segment itself once
+    * enough post-compact deltas accumulate (live-data loss with no
+    * error). Returns the committed full-segment id.
     */
   def compact(s: SparkSession, path: String): Long =
     IndexCommit.commitFull(s, path) { (segs, dir) =>
-      s.read.parquet(segs.map(_ + "/bands"): _*)
+      // distinct: a crash-window duplicate segment (ingestion stream
+      // killed between append and ledger mark) must collapse here,
+      // not be baked verbatim into every future full segment — the
+      // probe-side pair dedup keeps answers right either way, but the
+      // compact is where the duplicate STATE gets reclaimed
+      s.read.parquet(segs.map(_ + "/bands"): _*).distinct()
         .write.mode("overwrite").parquet(s"$dir/bands")
-      s.read.parquet(segs.map(_ + "/sets"): _*)
+      s.read.parquet(segs.map(_ + "/sets"): _*).distinct()
         .write.mode("overwrite").parquet(s"$dir/sets")
     }
 
@@ -147,12 +154,8 @@ object LshIndex {
     * segment). Returns the compacted id when it fired.
     */
   def maybeCompact(
-      s: SparkSession, path: String, maxSegments: Int): Option[Long] = {
-    require(maxSegments >= 2, "maxSegments must be at least 2")
-    if (IndexCommit.liveIds(s, path).size >= maxSegments)
-      Some(compact(s, path))
-    else None
-  }
+      s: SparkSession, path: String, maxSegments: Int): Option[Long] =
+    IndexCommit.maybeCompactWith(s, path, maxSegments)(compact(s, path))
 
   private def guardRoot(path: String): String = s"$path/guard"
 
@@ -373,6 +376,14 @@ object LshIndex {
             size(array_intersect(col("sh_new"), col("sh_idx")))))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
+      // per-PAIR dedup, not just per-candidate: a doc whose sets row
+      // exists in TWO live segments (the crash window between an
+      // ingestion stream's append and its ledger marker re-appends
+      // the batch) would otherwise match each candidate against both
+      // copies and emit the same pair twice — the safety claim is
+      // "duplicated segments never change probe OUTPUT", and this is
+      // where it is enforced (pair-relation-sized, cheap)
+      .dropDuplicates("doc_new", "doc_idx")
       .select("doc_new", "doc_idx", "jaccard")
     res
   }

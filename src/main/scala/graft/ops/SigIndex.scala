@@ -47,23 +47,22 @@ object SigIndex {
     * [[graft.streaming.StreamingSigDedup.maintainStream]] feed
     * commits a segment per micro-batch, and probes union live
     * segments until a compact rebounds resolution to one dir.
-    * Relation-idempotent; follow with [[IndexCommit.vacuum]]
-    * (keep ≥ 2) to reclaim superseded deltas.
+    * Relation-idempotent; reclaim superseded deltas with
+    * [[IndexCommit.vacuumSuperseded]] ONLY (the positional vacuum can
+    * retire the full segment itself — see [[LshIndex.compact]]).
     */
   def compact(s: SparkSession, path: String): Long =
     IndexCommit.commitFull(s, path) { (segs, dir) =>
-      s.read.parquet(segs.map(_ + "/sigs"): _*)
+      // distinct: crash-window duplicate segments collapse at compact
+      // ([[LshIndex.compact]]'s rationale)
+      s.read.parquet(segs.map(_ + "/sigs"): _*).distinct()
         .write.mode("overwrite").parquet(s"$dir/sigs")
     }
 
   /** Compact at a live-segment cadence ([[LshIndex.maybeCompact]]). */
   def maybeCompact(
-      s: SparkSession, path: String, maxSegments: Int): Option[Long] = {
-    require(maxSegments >= 2, "maxSegments must be at least 2")
-    if (IndexCommit.liveIds(s, path).size >= maxSegments)
-      Some(compact(s, path))
-    else None
-  }
+      s: SparkSession, path: String, maxSegments: Int): Option[Long] =
+    IndexCommit.maybeCompactWith(s, path, maxSegments)(compact(s, path))
 
   private def writeSegment(
       s: SparkSession, path: String, sigs: DataFrame): Long = {
@@ -139,7 +138,12 @@ object SigIndex {
     * driver-small next to a 100 TB corpus's banded index, and
     * without the hint a size-estimator miss would sort-merge the
     * FULL banded index by key; executed-plan-pinned in SigIndexSpec).
-    * Works unchanged as a `foreachBatch` body.
+    * The hint is therefore a BATCH-SIZE PRECONDITION, not a
+    * preference: `batch` must fit a broadcast (the 8 GB hard cap /
+    * driver memory — comfortably millions of clips). For a
+    * corpus-scale backfill, slice the input and probe per slice (or
+    * read [[sigs]] and join without the hint) instead of one giant
+    * probe. Works unchanged as a `foreachBatch` body.
     */
   def probe(
       s: SparkSession, path: String, batch: DataFrame,

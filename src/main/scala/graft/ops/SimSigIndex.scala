@@ -66,25 +66,25 @@ object SimSigIndex {
     * marker, [[IndexCommit.commitFull]]'s concurrent-append guard) —
     * the [[LshIndex.compact]] economics for the embedding index; a
     * [[graft.streaming.StreamingSimIngest]] feed commits a segment
-    * per micro-batch. Relation-idempotent; follow with
-    * [[IndexCommit.vacuum]] (keep ≥ 2) to reclaim superseded deltas.
+    * per micro-batch. Relation-idempotent; reclaim superseded deltas
+    * with [[IndexCommit.vacuumSuperseded]] ONLY (the positional
+    * vacuum can retire the full segment itself — see
+    * [[LshIndex.compact]]).
     */
   def compact(s: SparkSession, path: String): Long =
     IndexCommit.commitFull(s, path) { (segs, dir) =>
-      s.read.parquet(segs.map(_ + "/sigs"): _*)
+      // distinct: crash-window duplicate segments collapse at compact
+      // ([[LshIndex.compact]]'s rationale)
+      s.read.parquet(segs.map(_ + "/sigs"): _*).distinct()
         .write.mode("overwrite").parquet(s"$dir/sigs")
-      s.read.parquet(segs.map(_ + "/vecs"): _*)
+      s.read.parquet(segs.map(_ + "/vecs"): _*).distinct()
         .write.mode("overwrite").parquet(s"$dir/vecs")
     }
 
   /** Compact at a live-segment cadence ([[LshIndex.maybeCompact]]). */
   def maybeCompact(
-      s: SparkSession, path: String, maxSegments: Int): Option[Long] = {
-    require(maxSegments >= 2, "maxSegments must be at least 2")
-    if (IndexCommit.liveIds(s, path).size >= maxSegments)
-      Some(compact(s, path))
-    else None
-  }
+      s: SparkSession, path: String, maxSegments: Int): Option[Long] =
+    IndexCommit.maybeCompactWith(s, path, maxSegments)(compact(s, path))
 
   private def writeSegment(
       s: SparkSession, path: String, emb: DataFrame, planes: Int): Long = {
@@ -139,11 +139,16 @@ object SimSigIndex {
   private def banded(
       df: DataFrame, id: String, planes: Int, numBands: Int): DataFrame = {
     val width = planes / numBands
+    // width = 64 (numBands = 1): (1L << 64) silently wraps to 1L, so
+    // the naive mask would be 0 and every signature would collapse to
+    // key 0 — a batch x corpus cross product. The full-word mask is
+    // -1L (and the shift is 0, so the key is the signature itself).
+    val mask = if (width >= 64) -1L else (1L << width) - 1
     df.select(col("vec_id").as(id),
       explode(array((0 until numBands).map(b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("sig"), b * width)
-            .bitwiseAND((1L << width) - 1).as("key"))): _*)).as("bk"))
+            .bitwiseAND(mask).as("key"))): _*)).as("bk"))
       .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
@@ -152,7 +157,10 @@ object SimSigIndex {
     * score). Only the batch is signed; the committed sigs stream past
     * the broadcast batch bands (a micro-batch is always driver-small
     * next to a 100 TB corpus's index — without the hint a
-    * size-estimator miss would shuffle the full banded index); exact
+    * size-estimator miss would shuffle the full banded index) — a
+    * BATCH-SIZE PRECONDITION, not a preference: `batch` (and its
+    * candidate set) must fit a broadcast; corpus-scale backfills
+    * probe in slices ([[SigIndex.probe]]'s caveat). Exact
     * cosine verification touches the committed vectors
     * candidate-set-sized. Candidate recall is the banding's, same as
     * the one-job [[Similarity.cosineNearDupPairsDf]] — a pair the
@@ -179,6 +187,11 @@ object SimSigIndex {
       .select(col("vec_new"), col("vec_idx"),
         Similarity.cosine(col("v_new"), col("v_idx")).as("score"))
       .filter(col("score") >= threshold)
+      // per-pair dedup against crash-window duplicate segments (a
+      // vector whose vecs row exists in two live segments would match
+      // twice) — [[LshIndex.probe]]'s enforcement of "duplicated
+      // segments never change probe output"
+      .dropDuplicates("vec_new", "vec_idx")
   }
 
   /** Duplicate-vector clusters over the COMMITTED signatures and

@@ -174,8 +174,12 @@ object Similarity {
     // re-runs the scan + numPlanes native dot products
     val sigs = lshSignatures(s, dir, numPlanes).cache()
     val bandStructs = (0 until numBands).map { bnd =>
+      // width-64 (numBands = 1): (1L << 64) wraps to 1L — use the
+      // full-word mask instead of a zero mask that would collapse
+      // every signature into one bucket (see SimSigIndex.banded)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       val key = shiftright(col("sig"), bnd * width)
-        .bitwiseAND((1L << width) - 1)
+        .bitwiseAND(mask)
       struct(lit(bnd).as("band"), key.as("key"))
     }
     // band on ids only: the distinct shuffles 16-byte pairs, never the
@@ -426,10 +430,12 @@ object Similarity {
     * [[loadWithTwins]]; specs feed it hand-planted vectors. */
   def cosineNearDupPairsDf(
       emb: DataFrame, threshold: Double,
-      numPlanes: Int = 16, numBands: Int = 4
+      numPlanes: Int = 16, numBands: Int = 4,
+      scope: CacheScope = new CacheScope
   ): DataFrame =
     cosineNearDupPairsOfSigs(
-      lshSignaturesDf(emb, numPlanes), threshold, numPlanes, numBands)
+      lshSignaturesDf(emb, numPlanes), threshold, numPlanes, numBands,
+      scope)
 
   /** Banding + exact-cosine verification over an ALREADY-SIGNED
     * (vec_id, v, sig) relation — split out so a persisted signature
@@ -439,15 +445,23 @@ object Similarity {
     */
   private[graft] def cosineNearDupPairsOfSigs(
       sigsDf: DataFrame, threshold: Double,
-      numPlanes: Int, numBands: Int
+      numPlanes: Int, numBands: Int,
+      scope: CacheScope = new CacheScope
   ): DataFrame = {
     val width = numPlanes / numBands
     // cached for the same reason as in [[annTopK]]: both band-join
-    // sides and both vector re-attach joins consume this relation
-    val sigs = sigsDf.cache()
+    // sides and both vector re-attach joins consume this relation —
+    // registered in the caller's scope so repeated re-clustering
+    // (the SimSigIndex.clusters usage) can release it instead of
+    // accumulating orphaned cache entries
+    val sigs = scope.cache(sigsDf)
     val bandStructs = (0 until numBands).map { bnd =>
+      // width-64 (numBands = 1): (1L << 64) wraps to 1L — use the
+      // full-word mask instead of a zero mask that would collapse
+      // every signature into one bucket (see SimSigIndex.banded)
+      val mask = if (width >= 64) -1L else (1L << width) - 1
       val key = shiftright(col("sig"), bnd * width)
-        .bitwiseAND((1L << width) - 1)
+        .bitwiseAND(mask)
       struct(lit(bnd).as("band"), key.as("key"))
     }
     // id-only banding + distinct, vectors re-attached post-dedup (see
@@ -527,7 +541,7 @@ object Similarity {
       .agg(min(col("vec_id")).as("rep"), min(col("sig")).as("sig")))
     val pairs = cosineNearDupPairsOfSigs(
       classes.select(col("rep").as("vec_id"), col("v"), col("sig")),
-      threshold, numPlanes, numBands)
+      threshold, numPlanes, numBands, scope)
     val comp = Dedup.connectedComponents(
       pairs.select(col("vec_a").as("u"), col("vec_b").as("v")), scope)
     // member → its class representative → the rep's component (a rep

@@ -85,8 +85,9 @@ object SubstrIndex {
     * aggregates SUM into one relation — exact because segments are
     * doc-disjoint by the append contract, so the compacted sidecar
     * equals what one segment ingesting everything would have
-    * published. Relation-idempotent; follow with
-    * [[IndexCommit.vacuum]] (keep ≥ 2) to reclaim superseded deltas.
+    * published. Relation-idempotent; reclaim superseded deltas with
+    * [[IndexCommit.vacuumSuperseded]] ONLY (the positional vacuum can
+    * retire the full segment itself — see [[LshIndex.compact]]).
     */
   def compact(s: SparkSession, path: String): Long =
     IndexCommit.commitFull(s, path) { (segs, dir) =>
@@ -101,12 +102,8 @@ object SubstrIndex {
 
   /** Compact at a live-segment cadence ([[LshIndex.maybeCompact]]). */
   def maybeCompact(
-      s: SparkSession, path: String, maxSegments: Int): Option[Long] = {
-    require(maxSegments >= 2, "maxSegments must be at least 2")
-    if (IndexCommit.liveIds(s, path).size >= maxSegments)
-      Some(compact(s, path))
-    else None
-  }
+      s: SparkSession, path: String, maxSegments: Int): Option[Long] =
+    IndexCommit.maybeCompactWith(s, path, maxSegments)(compact(s, path))
 
   private def writeSegment(
       s: SparkSession, path: String, docs: DataFrame, w: Int): Long = {

@@ -98,20 +98,18 @@ object VectorIndex {
     */
   def compact(s: SparkSession, path: String): Long =
     IndexCommit.commitFull(s, path) { (segs, dir) =>
-      s.read.parquet(segs.map(_ + "/vectors"): _*)
+      // distinct: crash-window duplicate segments collapse at compact
+      // ([[LshIndex.compact]]'s rationale)
+      s.read.parquet(segs.map(_ + "/vectors"): _*).distinct()
         .write.mode("overwrite").parquet(s"$dir/vectors")
-      s.read.parquet(segs.map(_ + "/codes"): _*)
+      s.read.parquet(segs.map(_ + "/codes"): _*).distinct()
         .write.mode("overwrite").parquet(s"$dir/codes")
     }
 
   /** Compact at a live-segment cadence ([[LshIndex.maybeCompact]]). */
   def maybeCompact(
-      s: SparkSession, path: String, maxSegments: Int): Option[Long] = {
-    require(maxSegments >= 2, "maxSegments must be at least 2")
-    if (IndexCommit.liveIds(s, path).size >= maxSegments)
-      Some(compact(s, path))
-    else None
-  }
+      s: SparkSession, path: String, maxSegments: Int): Option[Long] =
+    IndexCommit.maybeCompactWith(s, path, maxSegments)(compact(s, path))
 
   /** Fold a new batch of vectors (vec_id, v) into an existing index:
     * assign them to the PERSISTED centroids and append to `vectors`.

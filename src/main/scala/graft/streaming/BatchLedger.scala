@@ -40,4 +40,54 @@ private[graft] object BatchLedger {
     fs.mkdirs(p.getParent)
     fs.createNewFile(p)
   }
+
+  /** Run `body` at most once per batch id: skip when the ledger holds
+    * the id, mark after `body` returns. The crash window (body's
+    * effects durable, marker unwritten) is each caller's documented
+    * safe degrade.
+    */
+  def appliedOnce(
+      s: SparkSession, root: String, batchId: Long)(body: => Unit): Unit =
+    if (!has(s, root, batchId)) {
+      body
+      mark(s, root, batchId)
+    }
+
+  /** The shared ingestion-micro-batch shape, written once for the
+    * five segment-union indexes: ledger-guard, skip empty batches (an
+    * empty append would commit a contentless segment per replayed
+    * empty trigger), run `append`, then fire the compact cadence and
+    * the generations-graced superseded vacuum. The cadence is
+    * EFFECTIVELY outside the ledger (compact is relation-idempotent —
+    * a replay that skips it loses nothing but deferral; the next
+    * batch's cadence re-checks the same live count).
+    */
+  def ingest(
+      s: SparkSession, indexPath: String, batchId: Long,
+      batchIsEmpty: => Boolean,
+      maxSegments: Option[Int], vacuumKeepGens: Option[Int])(
+      append: => Unit)(
+      maybeCompact: Int => Option[Long]): Unit =
+    appliedOnce(s, indexPath, batchId) {
+      if (!batchIsEmpty) {
+        append
+        cadence(s, indexPath, maxSegments, vacuumKeepGens)(maybeCompact)
+      }
+    }
+
+  /** The compact-cadence tail of [[ingest]], reusable where the batch
+    * body has extra legs (the probe-then-ingest streams): fire the
+    * index's `maybeCompact` at the live-segment bound, then the
+    * generations-graced superseded vacuum.
+    */
+  def cadence(
+      s: SparkSession, indexPath: String,
+      maxSegments: Option[Int], vacuumKeepGens: Option[Int])(
+      maybeCompact: Int => Option[Long]): Unit =
+    maxSegments.foreach { ms =>
+      maybeCompact(ms).foreach { _ =>
+        vacuumKeepGens.foreach(
+          graft.ops.IndexCommit.vacuumSuperseded(s, indexPath, _))
+      }
+    }
 }

@@ -79,7 +79,7 @@ object StreamingAnn {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxSegments: Option[Int] = Some(DefaultMaxSegments),
-      vacuumGrace: Option[Int] = Some(1)
+      vacuumKeepGens: Option[Int] = Some(1)
   ): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
@@ -87,7 +87,7 @@ object StreamingAnn {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyIngestBatch(batch, indexPath, batchId, maxSegments,
-          vacuumGrace)
+          vacuumKeepGens)
         ()
       }
       .start()
@@ -100,21 +100,11 @@ object StreamingAnn {
       indexPath: String,
       batchId: Long,
       maxSegments: Option[Int] = None,
-      vacuumGrace: Option[Int] = Some(1)): Unit = {
-    val s = batch.sparkSession
-    if (!BatchLedger.has(s, indexPath, batchId)) {
-      if (!batch.isEmpty) {
-        VectorIndex.append(s, indexPath, batch)
-        maxSegments.foreach { ms =>
-          VectorIndex.maybeCompact(s, indexPath, ms).foreach { _ =>
-            vacuumGrace.foreach(
-              graft.ops.IndexCommit.vacuumSuperseded(s, indexPath, _))
-          }
-        }
-      }
-      BatchLedger.mark(s, indexPath, batchId)
-    }
-  }
+      vacuumKeepGens: Option[Int] = Some(1)): Unit =
+    BatchLedger.ingest(batch.sparkSession, indexPath, batchId,
+      batch.isEmpty, maxSegments, vacuumKeepGens)(
+      VectorIndex.append(batch.sparkSession, indexPath, batch))(
+      VectorIndex.maybeCompact(batch.sparkSession, indexPath, _))
 
   /** The accumulated results table across every micro-batch so far;
     * empty (typed) before the first micro-batch commits — see

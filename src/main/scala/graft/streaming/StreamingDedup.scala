@@ -89,6 +89,10 @@ object StreamingDedup {
       guardMaxDocFreq: Option[Double],
       guardEvery: Int): Unit =
     guardMaxDocFreq.foreach { f =>
+      // validated here, not just in probeStream: a zero cadence would
+      // throw ArithmeticException inside foreachBatch and kill the
+      // stream on its first micro-batch
+      require(guardEvery >= 1, "guardEvery must be at least 1")
       if ((batchId + 1) % guardEvery == 0)
         LshIndex.refreshGuard(s, indexPath, f)
     }
@@ -121,7 +125,7 @@ object StreamingDedup {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxSegments: Option[Int] = Some(DefaultMaxSegments),
-      vacuumGrace: Option[Int] = Some(1)
+      vacuumKeepGens: Option[Int] = Some(1)
   ): StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -129,7 +133,7 @@ object StreamingDedup {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyIngestBatch(batch, indexPath, batchId, maxSegments,
-          vacuumGrace)
+          vacuumKeepGens)
         ()
       }
       .start()
@@ -162,7 +166,7 @@ object StreamingDedup {
       threshold: Double = 0.8,
       trigger: Trigger = Trigger.AvailableNow(),
       maxSegments: Option[Int] = Some(DefaultMaxSegments),
-      vacuumGrace: Option[Int] = Some(1)
+      vacuumKeepGens: Option[Int] = Some(1)
   ): StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -170,7 +174,7 @@ object StreamingDedup {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyProbeIngestBatch(batch, indexPath, outPath, threshold,
-          batchId, maxSegments, vacuumGrace)
+          batchId, maxSegments, vacuumKeepGens)
         ()
       }
       .start()
@@ -186,9 +190,9 @@ object StreamingDedup {
       threshold: Double,
       batchId: Long,
       maxSegments: Option[Int] = None,
-      vacuumGrace: Option[Int] = Some(1)): Unit = {
+      vacuumKeepGens: Option[Int] = Some(1)): Unit = {
     val s = batch.sparkSession
-    if (!BatchLedger.has(s, indexPath, batchId)) {
+    BatchLedger.appliedOnce(s, indexPath, batchId) {
       val scope = new CacheScope
       try {
         LshIndex.probe(s, indexPath, batch, threshold, scope)
@@ -197,14 +201,9 @@ object StreamingDedup {
       } finally scope.release()
       if (!batch.isEmpty) {
         LshIndex.append(s, indexPath, batch)
-        maxSegments.foreach { ms =>
-          LshIndex.maybeCompact(s, indexPath, ms).foreach { _ =>
-            vacuumGrace.foreach(
-              graft.ops.IndexCommit.vacuumSuperseded(s, indexPath, _))
-          }
-        }
+        BatchLedger.cadence(s, indexPath, maxSegments, vacuumKeepGens)(
+          LshIndex.maybeCompact(s, indexPath, _))
       }
-      BatchLedger.mark(s, indexPath, batchId)
     }
   }
 
@@ -223,21 +222,11 @@ object StreamingDedup {
       indexPath: String,
       batchId: Long,
       maxSegments: Option[Int] = None,
-      vacuumGrace: Option[Int] = Some(1)): Unit = {
-    val s = batch.sparkSession
-    if (!BatchLedger.has(s, indexPath, batchId)) {
-      if (!batch.isEmpty) {
-        LshIndex.append(s, indexPath, batch)
-        maxSegments.foreach { ms =>
-          LshIndex.maybeCompact(s, indexPath, ms).foreach { _ =>
-            vacuumGrace.foreach(
-              graft.ops.IndexCommit.vacuumSuperseded(s, indexPath, _))
-          }
-        }
-      }
-      BatchLedger.mark(s, indexPath, batchId)
-    }
-  }
+      vacuumKeepGens: Option[Int] = Some(1)): Unit =
+    BatchLedger.ingest(batch.sparkSession, indexPath, batchId,
+      batch.isEmpty, maxSegments, vacuumKeepGens)(
+      LshIndex.append(batch.sparkSession, indexPath, batch))(
+      LshIndex.maybeCompact(batch.sparkSession, indexPath, _))
 
   /** One micro-batch: probe and write the batch's pair directory.
     * Returns the pair count. Package-visible so the spec can drive

@@ -98,7 +98,7 @@ object StreamingSigDedup {
       trigger: Trigger = Trigger.AvailableNow(),
       sigsOf: DataFrame => DataFrame = PerceptualHash.signatures,
       maxSegments: Option[Int] = Some(DefaultMaxSegments),
-      vacuumGrace: Option[Int] = Some(1)
+      vacuumKeepGens: Option[Int] = Some(1)
   ): StreamingQuery =
     clips.writeStream
       .outputMode("append")
@@ -106,7 +106,7 @@ object StreamingSigDedup {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyIngestBatch(batch, indexPath, batchId, sigsOf, maxSegments,
-          vacuumGrace)
+          vacuumKeepGens)
         ()
       }
       .start()
@@ -125,22 +125,12 @@ object StreamingSigDedup {
       batchId: Long,
       sigsOf: DataFrame => DataFrame = PerceptualHash.signatures,
       maxSegments: Option[Int] = None,
-      vacuumGrace: Option[Int] = Some(1)
-  ): Unit = {
-    val s = batch.sparkSession
-    if (!BatchLedger.has(s, indexPath, batchId)) {
-      if (!batch.isEmpty) {
-        SigIndex.append(s, indexPath, sigsOf(batch))
-        maxSegments.foreach { ms =>
-          SigIndex.maybeCompact(s, indexPath, ms).foreach { _ =>
-            vacuumGrace.foreach(
-              graft.ops.IndexCommit.vacuumSuperseded(s, indexPath, _))
-          }
-        }
-      }
-      BatchLedger.mark(s, indexPath, batchId)
-    }
-  }
+      vacuumKeepGens: Option[Int] = Some(1)
+  ): Unit =
+    BatchLedger.ingest(batch.sparkSession, indexPath, batchId,
+      batch.isEmpty, maxSegments, vacuumKeepGens)(
+      SigIndex.append(batch.sparkSession, indexPath, sigsOf(batch)))(
+      SigIndex.maybeCompact(batch.sparkSession, indexPath, _))
 
   /** Continuous PROBE-THEN-INGEST in one stream — the media twin of
     * [[StreamingDedup.probeAndMaintainStream]]: each micro-batch is
@@ -161,7 +151,7 @@ object StreamingSigDedup {
       trigger: Trigger = Trigger.AvailableNow(),
       sigsOf: DataFrame => DataFrame = PerceptualHash.signatures,
       maxSegments: Option[Int] = Some(DefaultMaxSegments),
-      vacuumGrace: Option[Int] = Some(1)
+      vacuumKeepGens: Option[Int] = Some(1)
   ): StreamingQuery =
     clips.writeStream
       .outputMode("append")
@@ -169,7 +159,7 @@ object StreamingSigDedup {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyProbeIngestBatch(batch, indexPath, outPath, maxHamming,
-          batchId, sigsOf, maxSegments, vacuumGrace)
+          batchId, sigsOf, maxSegments, vacuumKeepGens)
         ()
       }
       .start()
@@ -186,9 +176,9 @@ object StreamingSigDedup {
       batchId: Long,
       sigsOf: DataFrame => DataFrame = PerceptualHash.signatures,
       maxSegments: Option[Int] = None,
-      vacuumGrace: Option[Int] = Some(1)): Unit = {
+      vacuumKeepGens: Option[Int] = Some(1)): Unit = {
     val s = batch.sparkSession
-    if (!BatchLedger.has(s, indexPath, batchId)) {
+    BatchLedger.appliedOnce(s, indexPath, batchId) {
       // one decode for both legs: the cached signatures feed the
       // probe's batch side AND the appended segment
       val sigs = sigsOf(batch).cache()
@@ -198,15 +188,10 @@ object StreamingSigDedup {
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         if (!batch.isEmpty) {
           SigIndex.append(s, indexPath, sigs)
-          maxSegments.foreach { ms =>
-            SigIndex.maybeCompact(s, indexPath, ms).foreach { _ =>
-              vacuumGrace.foreach(
-                graft.ops.IndexCommit.vacuumSuperseded(s, indexPath, _))
-            }
-          }
+          BatchLedger.cadence(s, indexPath, maxSegments, vacuumKeepGens)(
+            SigIndex.maybeCompact(s, indexPath, _))
         }
       } finally sigs.unpersist()
-      BatchLedger.mark(s, indexPath, batchId)
     }
   }
 

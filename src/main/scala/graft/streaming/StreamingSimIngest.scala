@@ -36,14 +36,15 @@ object StreamingSimIngest {
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       maxSegments: Option[Int] = Some(DefaultMaxSegments),
-      vacuumGrace: Option[Int] = Some(1)
+      vacuumKeepGens: Option[Int] = Some(1)
   ): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, indexPath, batchId, maxSegments, vacuumGrace)
+        applyBatch(batch, indexPath, batchId, maxSegments,
+          vacuumKeepGens)
         ()
       }
       .start()
@@ -59,19 +60,9 @@ object StreamingSimIngest {
       indexPath: String,
       batchId: Long,
       maxSegments: Option[Int] = None,
-      vacuumGrace: Option[Int] = Some(1)): Unit = {
-    val s = batch.sparkSession
-    if (!BatchLedger.has(s, indexPath, batchId)) {
-      if (!batch.isEmpty) {
-        SimSigIndex.append(s, indexPath, batch)
-        maxSegments.foreach { ms =>
-          SimSigIndex.maybeCompact(s, indexPath, ms).foreach { _ =>
-            vacuumGrace.foreach(
-              graft.ops.IndexCommit.vacuumSuperseded(s, indexPath, _))
-          }
-        }
-      }
-      BatchLedger.mark(s, indexPath, batchId)
-    }
-  }
+      vacuumKeepGens: Option[Int] = Some(1)): Unit =
+    BatchLedger.ingest(batch.sparkSession, indexPath, batchId,
+      batch.isEmpty, maxSegments, vacuumKeepGens)(
+      SimSigIndex.append(batch.sparkSession, indexPath, batch))(
+      SimSigIndex.maybeCompact(batch.sparkSession, indexPath, _))
 }

@@ -60,9 +60,13 @@ class IngestStreamsSpec extends SparkSpec {
     // copies under fresh ids pairs them at jaccard 1
     val twinBatch = ingest
       .select((col("doc_id") + 40000000L).as("doc_id"), col("text"))
+    // MULTISET (sorted Seq), not Set: the crash-window duplicate
+    // segment must not duplicate probe OUTPUT ROWS through the sets
+    // join — the per-pair dedup in LshIndex.probe is what this pins
     def probed() = LshIndex.probe(spark, idx, twinBatch, 0.9)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     val pairs0 = probed()
+    assert(pairs0 == pairs0.distinct, "probe rows must be unique")
     val paired = pairs0.filter { case (n, i) => n - 40000000L == i }
     assert(paired.nonEmpty,
       "streamed-in docs must answer probes as corpus members")
@@ -81,7 +85,8 @@ class IngestStreamsSpec extends SparkSpec {
     assert(IndexCommit.committedIds(spark, idx).size == 4,
       "the crash-window replay stages a duplicate segment")
     assert(probed() == pairs0,
-      "duplicate segments may inflate candidates, never answers")
+      "duplicate segments may inflate candidates, never answers — " +
+        "and never duplicate output rows")
   }
 
   test("SigIndex maintainStream: batch-side decode ingestion, ledger " +
@@ -131,9 +136,11 @@ class IngestStreamsSpec extends SparkSpec {
     assert(after.size == 2)
     val twinBatch = batch
       .select((col("vec_id") + 40000000L).as("vec_id"), col("v"))
+    // multiset: duplicate vecs segments must not duplicate probe rows
     def probed() = SimSigIndex.probe(spark, idx, twinBatch, 0.99)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
     val pairs0 = probed()
+    assert(pairs0 == pairs0.distinct, "probe rows must be unique")
     assert(pairs0.exists { case (n, i) => n - 40000000L == i },
       "streamed-in vectors must answer probes as corpus members")
     StreamingSimIngest.applyBatch(batch, idx, 0L)
@@ -188,7 +195,7 @@ class IngestStreamsSpec extends SparkSpec {
     assert(probed() == before)
     // superseded-only vacuum: old deltas reclaimed, the full segment
     // and the post-compact delta stay, answers unchanged
-    val dropped = IndexCommit.vacuumSuperseded(spark, idx, grace = 0)
+    val dropped = IndexCommit.vacuumSuperseded(spark, idx, keepGenerations = 0)
     assert(dropped.nonEmpty && !dropped.contains(fullId))
     assert(probed() == before,
       "vacuumSuperseded must never touch live segments")
@@ -205,12 +212,12 @@ class IngestStreamsSpec extends SparkSpec {
       .select("doc_id", "text")
     StreamingDedup.applyIngestBatch(
       ingest.filter(col("doc_id") % 20 === 0), idx, 0L,
-      maxSegments = Some(3), vacuumGrace = Some(0))
+      maxSegments = Some(3), vacuumKeepGens = Some(0))
     assert(IndexCommit.liveIds(spark, idx).size == 2,
       "below the cadence nothing compacts")
     StreamingDedup.applyIngestBatch(
       ingest.filter(col("doc_id") % 20 =!= 0), idx, 1L,
-      maxSegments = Some(3), vacuumGrace = Some(0))
+      maxSegments = Some(3), vacuumKeepGens = Some(0))
     assert(IndexCommit.liveIds(spark, idx).size == 1,
       "the third live segment must trip the compact")
     assert(IndexCommit.committedIds(spark, idx).size == 1,
@@ -367,7 +374,7 @@ class IngestStreamsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((100L, 2L)),
       "the raced delta's data must answer probes")
-    IndexCommit.vacuumSuperseded(spark, idx, grace = 0)
+    IndexCommit.vacuumSuperseded(spark, idx, keepGenerations = 0)
     assert(IndexCommit.liveIds(spark, idx).toSet == Set(raced, fullId),
       "superseded-vacuum must never touch the raced delta")
     // the NEXT compact folds it in
@@ -388,7 +395,7 @@ class IngestStreamsSpec extends SparkSpec {
     val emb = Similarity.load(spark, sf())
     val b = emb.filter(isBatch).select("vec_id", "v")
     StreamingAnn.applyIngestBatch(b.filter(col("vec_id") % 20 === 0),
-      idx, 0L, maxSegments = Some(3), vacuumGrace = Some(0))
+      idx, 0L, maxSegments = Some(3), vacuumKeepGens = Some(0))
     assert(IndexCommit.liveIds(spark, idx).size == 2)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
@@ -398,12 +405,12 @@ class IngestStreamsSpec extends SparkSpec {
     val before = ranked()
     // ledgered replay: a content no-op
     StreamingAnn.applyIngestBatch(b.filter(col("vec_id") % 20 === 0),
-      idx, 0L, maxSegments = Some(3), vacuumGrace = Some(0))
+      idx, 0L, maxSegments = Some(3), vacuumKeepGens = Some(0))
     assert(IndexCommit.liveIds(spark, idx).size == 2)
     assert(ranked() == before)
     // second batch trips the maxSegments=3 cadence
     StreamingAnn.applyIngestBatch(b.filter(col("vec_id") % 20 =!= 0),
-      idx, 1L, maxSegments = Some(3), vacuumGrace = Some(0))
+      idx, 1L, maxSegments = Some(3), vacuumKeepGens = Some(0))
     assert(IndexCommit.liveIds(spark, idx).size == 1,
       "the cadence must compact at the bound")
     assert(IndexCommit.committedIds(spark, idx).size == 1,
@@ -436,6 +443,43 @@ class IngestStreamsSpec extends SparkSpec {
     assert(IndexCommit.liveIds(spark, idx).size == 1)
     assert(statRows() == s0, "stats must be exact over the full segment")
     assert(probeRows() == p0, "probe df combine must survive the compact")
+  }
+
+  test("vacuumSuperseded keepGenerations=1 defers reclamation one " +
+    "full generation; guardEvery=0 fails loudly") {
+    import spark.implicits._
+    val idx = tmp("vacgen")
+    SigIndex.build(spark, idx, Seq((1L, 5L)).toDF("doc_id", "sig"))
+    SigIndex.append(spark, idx, Seq((2L, 9L)).toDF("doc_id", "sig"))
+    SigIndex.compact(spark, idx)
+    // one generation of grace: the compact's own inputs survive —
+    // an in-flight reader holding the pre-compact segment list still
+    // finds every path
+    assert(IndexCommit.vacuumSuperseded(spark, idx).isEmpty,
+      "the newest full's inputs must survive the default vacuum")
+    assert(IndexCommit.committedIds(spark, idx).size == 3)
+    // after the NEXT compact, the first generation's inputs reclaim
+    SigIndex.append(spark, idx, Seq((3L, 5L)).toDF("doc_id", "sig"))
+    SigIndex.compact(spark, idx)
+    val dropped = IndexCommit.vacuumSuperseded(spark, idx)
+    assert(dropped.nonEmpty, "the older generation must reclaim")
+    val live = IndexCommit.liveIds(spark, idx)
+    assert(IndexCommit.committedIds(spark, idx).containsSlice(live))
+    def pairs() = SigIndex.probe(spark, idx,
+      Seq((100L, 5L), (200L, 9L)).toDF("doc_id", "sig"))
+      .filter(col("hamming") === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(pairs() == Seq((100L, 1L), (100L, 3L), (200L, 2L)),
+      "every ingested doc must answer after generational vacuum")
+    // keepGenerations=0 reclaims everything superseded immediately
+    assert(IndexCommit.vacuumSuperseded(spark, idx, 0).nonEmpty ||
+      IndexCommit.committedIds(spark, idx).size == live.size)
+    // guardEvery validation: a zero cadence must fail loudly, not
+    // divide by zero inside foreachBatch
+    val e = intercept[IllegalArgumentException] {
+      StreamingDedup.maybeRefreshGuard(spark, idx, 0L, Some(0.1), 0)
+    }
+    assert(e.getMessage.contains("guardEvery"))
   }
 
   test("probeStream guard cadence: refreshGuard fires on schedule, " +
