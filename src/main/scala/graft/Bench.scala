@@ -29,17 +29,27 @@ object Bench {
     * (BASELINE.md's canary rule): (sf basename, per-query quiet secs).
     * Parsed leniently from our own single-line JSON format; None when
     * the artifact is absent (fresh checkout subsets, CI sandboxes).
+    *
+    * Whitespace-tolerant by hard-won necessity: a pretty-printed
+    * composite (": " / ", " separators, the natural output of any
+    * json.dumps fold) silently disengaged this canary TWICE (rounds
+    * 8 and 14 — see BASELINE.md round 10 and VERDICT r14 "What's
+    * wrong" #1), turning every subsequent run's self-adjudication
+    * into `admissible: null`. The regexes below accept optional
+    * whitespace around `:`/`,`, and BenchReferenceSpec round-trips
+    * the COMMITTED artifact so a reformat can never ship unnoticed
+    * again. Public so the spec exercises the exact production path.
     */
-  private def loadReference(path: String): Option[(String, Map[String, Double])] =
+  private[graft] def loadReference(path: String): Option[(String, Map[String, Double])] =
     try {
       val txt = new String(
         java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
         java.nio.charset.StandardCharsets.UTF_8)
       for {
-        qm <- """"queries":\{([^}]*)\}""".r.findFirstMatchIn(txt)
-        sfm <- """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
+        qm <- """"queries"\s*:\s*\{([^}]*)\}""".r.findFirstMatchIn(txt)
+        sfm <- """"sf"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
       } yield {
-        val pairs = """"([^"]+)":([-0-9.eE+]+)""".r
+        val pairs = """"([^"]+)"\s*:\s*([-0-9.eE+]+)""".r
           .findAllMatchIn(qm.group(1))
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
         (sfm.group(1).split('/').last, pairs)
