@@ -449,12 +449,23 @@ object IndexCommit {
   /** Drop every version, marker, and reservation — the destructive
     * reset a rebuild starts from. Exclusive by contract: rebuilds run
     * on a fresh path (or during downtime), never under live readers.
+    *
+    * The stream ledger goes too: a rebuild-in-place followed by a
+    * restarted ingestion stream with a FRESH checkpoint restarts
+    * micro-batch ids at 0, and stale [[graft.streaming.BatchLedger]]
+    * markers from the pre-rebuild stream would make `appliedOnce`
+    * silently skip the first batches' appends — silent data loss in
+    * the rebuilt index. Wiping it here keeps the contract simple:
+    * reset = the index path is as-new, ledger included. (A restart
+    * that REUSES its checkpoint continues from the old batch ids and
+    * never needed the stale markers anyway.)
     */
   def reset(s: SparkSession, path: String): Unit = {
     val fs = hfs(s, path)
     (idsIn(fs, new Path(s"$path/locks"))
       .map(id => new Path(versionDir(path, id))) ++
-      Seq(new Path(s"$path/commits"), new Path(s"$path/locks")))
+      Seq(new Path(s"$path/commits"), new Path(s"$path/locks"),
+        new Path(s"$path/stream_ledger")))
       .foreach(p => fs.delete(p, true))
   }
 }

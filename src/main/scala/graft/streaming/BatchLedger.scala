@@ -75,10 +75,46 @@ private[graft] object BatchLedger {
       }
     }
 
+  /** Retire markers older than the newest `keepLast` batch ids.
+    *
+    * Without pruning the ledger grows one empty file per micro-batch
+    * forever — a year of 10 s triggers is ~3 M files in one directory,
+    * a real namenode/listing liability on the index filesystem even
+    * though each marker is zero bytes. Pruning is safe because
+    * foreachBatch's at-least-once replay only re-delivers ids at or
+    * after the checkpoint's last UNCOMMITTED batch — by the time a
+    * marker is `keepLast` batches old, the checkpoint has committed
+    * far past it and the id can never be offered again. `keepLast`
+    * defaults far above any real replay depth (replays reach back
+    * one, maybe two ids) so the margin costs nothing.
+    *
+    * O(listing) once per call; callers invoke it on the COMPACT
+    * cadence ([[cadence]]), not per batch, so the listing itself is
+    * amortized over `maxSegments` micro-batches.
+    */
+  def prune(
+      s: SparkSession, root: String, keepLast: Int = 64): Seq[Long] = {
+    require(keepLast >= 1, "keepLast must be positive")
+    val dir = new Path(s"$root/stream_ledger")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Seq.empty
+    else {
+      val ids = fs.listStatus(dir).toSeq
+        .flatMap(st => scala.util.Try(st.getPath.getName.toLong).toOption)
+        .sorted
+      val drop = ids.dropRight(keepLast)
+      drop.foreach(id => fs.delete(path(root, id), false))
+      drop
+    }
+  }
+
   /** The compact-cadence tail of [[ingest]], reusable where the batch
     * body has extra legs (the probe-then-ingest streams): fire the
     * index's `maybeCompact` at the live-segment bound, then the
-    * generations-graced superseded vacuum.
+    * generations-graced superseded vacuum, then the marker prune —
+    * all three maintenance legs share one cadence so a long-lived
+    * stream bounds segments, superseded disk, AND ledger file count
+    * together.
     */
   def cadence(
       s: SparkSession, indexPath: String,
@@ -88,6 +124,7 @@ private[graft] object BatchLedger {
       maybeCompact(ms).foreach { _ =>
         vacuumKeepGens.foreach(
           graft.ops.IndexCommit.vacuumSuperseded(s, indexPath, _))
+        prune(s, indexPath)
       }
     }
 }

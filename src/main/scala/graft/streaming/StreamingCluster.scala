@@ -121,6 +121,9 @@ object StreamingCluster {
         maxVersions.foreach { mv =>
           ClusterIndex.maybeCompact(s, indexPath, mv).foreach { _ =>
             vacuumKeep.foreach(graft.ops.IndexCommit.vacuum(s, indexPath, _))
+            // marker prune rides the same cadence: bounds the ledger
+            // directory's file count for arbitrarily long streams
+            BatchLedger.prune(s, indexPath)
           }
         }
       }
