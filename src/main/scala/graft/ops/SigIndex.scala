@@ -59,6 +59,15 @@ object SigIndex {
         .write.mode("overwrite").parquet(s"$dir/sigs")
     }
 
+  /** Default probe-batch ceiling: 10 M rows → ~40 M banded rows ×
+    * 28 bytes ≈ 1.1 GB broadcast — comfortably inside the 8 GB hard
+    * cap with margin for row-object overhead, and far above any real
+    * micro-batch. A genuine backfill trips the guard and gets the
+    * slice-the-batch remedy in the message instead of an executor
+    * OOM.
+    */
+  val DefaultMaxProbeBatchRows: Long = 10000000L
+
   /** Compact at a live-segment cadence ([[LshIndex.maybeCompact]]). */
   def maybeCompact(
       s: SparkSession, path: String, maxSegments: Int): Option[Long] =
@@ -126,7 +135,16 @@ object SigIndex {
   def clusters(
       s: SparkSession, path: String, maxHamming: Int = 3,
       scope: CacheScope = new CacheScope): DataFrame =
-    PerceptualHash.nearDupClustersOfSigs(sigs(s, path), maxHamming, scope)
+    // dropDuplicates: the crash-window safe-degrade (a replayed
+    // append stages a duplicate segment) must hold for the CLUSTER
+    // form too, not just probes — without it a doc whose sig row is
+    // live in two segments re-expands in the final label join and the
+    // relation emits duplicate (doc_id, component_id) rows while the
+    // duplicate segment awaits compaction. doc_id determines sig by
+    // the ingested-once contract, so the id-keyed dedup of 16-byte
+    // rows is exact and cheap.
+    PerceptualHash.nearDupClustersOfSigs(
+      sigs(s, path).dropDuplicates("doc_id"), maxHamming, scope)
 
   /** Near-duplicate pairs between a batch's (doc_id, sig) relation
     * and the committed index at Hamming ≤ `maxHamming`: (doc_new,
@@ -145,10 +163,39 @@ object SigIndex {
     * read [[sigs]] and join without the hint) instead of one giant
     * probe. Works unchanged as a `foreachBatch` body.
     */
+  /** The batch-size precondition the probe broadcasts enforce, made
+    * ACTIONABLE: the hint is unconditional, so a corpus-scale batch
+    * would fail deep in the exchange as an 8 GB broadcast cap hit or
+    * an executor OOM — a stack trace naming neither the cause nor the
+    * remedy. This guard fails FIRST with both. `limit(n+1).count()`
+    * keeps the check batch-proportional-bounded: the scan stops at
+    * the ceiling instead of counting a corpus. Opt out (ceiling
+    * <= 0) for callers that pre-size their batches.
+    */
+  private[ops] def requireProbeSized(
+      batch: DataFrame, maxBatchRows: Long, what: String): Unit =
+    if (maxBatchRows > 0) {
+      // limit takes an Int; the ceiling is Long-typed for API
+      // symmetry with row counts, so clamp (an Int.MaxValue ceiling
+      // is already far beyond any broadcastable batch)
+      val lim = math.min(maxBatchRows, Int.MaxValue - 1L).toInt
+      val n = batch.limit(lim + 1).count()
+      require(n <= lim,
+        s"$what probe batch exceeds $maxBatchRows rows: the probe " +
+          "BROADCASTS the batch's banded side by design (a micro-batch " +
+          "is always driver-small next to the committed index), so a " +
+          "corpus-scale batch would hit the 8 GB broadcast cap or OOM " +
+          "an executor. Slice the input and probe per slice, raise " +
+          "maxBatchRows if the batch genuinely fits a broadcast, or " +
+          "join against the committed relation without the hint.")
+    }
+
   def probe(
       s: SparkSession, path: String, batch: DataFrame,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBatchRows: Long = SigIndex.DefaultMaxProbeBatchRows): DataFrame = {
     require(maxHamming < 4, "4-band pigeonhole is exhaustive only below 4")
+    requireProbeSized(batch, maxBatchRows, "SigIndex")
     broadcast(banded(batch, "doc_new"))
       .join(banded(sigs(s, path), "doc_idx"), Seq("band", "key"))
       .select("doc_new", "doc_idx", "sig_doc_new", "sig_doc_idx")

@@ -170,9 +170,13 @@ object SimSigIndex {
     */
   def probe(
       s: SparkSession, path: String, batch: DataFrame,
-      threshold: Double = 0.9, numBands: Int = 4): DataFrame = {
+      threshold: Double = 0.9, numBands: Int = 4,
+      maxBatchRows: Long = SigIndex.DefaultMaxProbeBatchRows): DataFrame = {
     val planes = numPlanes(s, path)
     require(planes % numBands == 0, "band width must divide the planes")
+    // actionable batch-size precondition ([[SigIndex.requireProbeSized]]):
+    // fail first with the slice-the-batch remedy, not an exchange OOM
+    SigIndex.requireProbeSized(batch, maxBatchRows, "SimSigIndex")
     val bSigs = Similarity.lshSignaturesDf(
       batch.select("vec_id", "v"), planes)
     val candIds = broadcast(banded(bSigs, "vec_new", planes, numBands))
@@ -208,8 +212,15 @@ object SimSigIndex {
       numBands: Int = 4,
       scope: CacheScope = new CacheScope): DataFrame = {
     val planes = numPlanes(s, path)
+    // dropDuplicates: extends the crash-window safe-degrade to the
+    // cluster form — a vector live in two segments (replayed append,
+    // marker unwritten) would otherwise join vecs x sigs into 4
+    // copies and emit duplicate (vec_id, component_id) rows. vec_id
+    // determines v and sig by the ingested-once contract, so the
+    // id-keyed dedup is exact; it rides the join's own shuffle key.
     Similarity.cosineNearDupClustersOfSigs(
-      vecs(s, path).join(sigs(s, path), Seq("vec_id")),
+      vecs(s, path).join(sigs(s, path), Seq("vec_id"))
+        .dropDuplicates("vec_id"),
       threshold, planes, numBands, scope)
   }
 }

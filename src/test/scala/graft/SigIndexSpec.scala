@@ -102,6 +102,42 @@ class SigIndexSpec extends SparkSpec {
       "index-route clusters must equal the decode form row-for-row")
   }
 
+  test("clusters are crash-window safe: a live duplicate segment " +
+    "changes no cluster row and duplicates none (multiset compare)") {
+    val sigs = PerceptualHash.videoSignatures(
+      PerceptualHash.syntheticVideos(spark, sf()))
+    val idx = tmp("dupseg")
+    SigIndex.build(spark, idx, sigs)
+    def rows() = SigIndex.clusters(spark, idx).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component_id"),
+        r.getAs[Boolean]("keep"))).toSeq.sorted
+    val before = rows()
+    // a replayed append whose ledger marker was never written leaves
+    // an exact duplicate segment live until compaction
+    SigIndex.append(spark, idx, sigs.filter(col("doc_id") % 4 === 0))
+    assert(rows() == before,
+      "duplicate live segment must not change or DUPLICATE cluster " +
+        "rows — a set compare would hide the duplication")
+  }
+
+  test("probe rejects an oversized batch with the slice-the-batch " +
+    "remedy instead of an exchange OOM") {
+    import spark.implicits._
+    val idx = tmp("guard")
+    SigIndex.build(spark, idx, Seq((1L, 0L)).toDF("doc_id", "sig"))
+    val batch = (100L to 110L).map((_, 0L)).toDF("doc_id", "sig")
+    val e = intercept[IllegalArgumentException] {
+      SigIndex.probe(spark, idx, batch, maxBatchRows = 5L)
+    }
+    assert(e.getMessage.contains("Slice the input"),
+      s"guard message must name the remedy: ${e.getMessage}")
+    // a sized batch passes under the same ceiling; ceiling <= 0 opts out
+    assert(pairs(SigIndex.probe(spark, idx, batch.limit(3),
+      maxBatchRows = 5L)).nonEmpty)
+    assert(pairs(SigIndex.probe(spark, idx, batch,
+      maxBatchRows = 0L)).nonEmpty)
+  }
+
   test("an uncommitted segment is invisible (marker protocol)") {
     import spark.implicits._
     val idx = tmp("torn")

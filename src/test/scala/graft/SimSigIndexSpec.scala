@@ -134,6 +134,42 @@ class SimSigIndexSpec extends SparkSpec {
       "the committed relations must never shuffle for a batch probe")
   }
 
+  test("clusters are crash-window safe: a live duplicate segment " +
+    "changes no cluster row and duplicates none (multiset compare)") {
+    val emb = Similarity.loadWithTwins(spark, sf())
+    val idx = tmp("dupseg")
+    SimSigIndex.build(spark, idx, emb)
+    def rows() = SimSigIndex.clusters(spark, idx, threshold = 0.9)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("component_id"),
+        r.getAs[Boolean]("keep"))).toSeq.sorted
+    val before = rows()
+    // a replayed append whose ledger marker was never written leaves
+    // an exact duplicate segment live until compaction — both vecs
+    // and sigs rows exist twice, so an unguarded join re-expands 4x
+    SimSigIndex.append(spark, idx, emb.filter(col("vec_id") % 4 === 0))
+    assert(rows() == before,
+      "duplicate live segment must not change or DUPLICATE cluster " +
+        "rows — a set compare would hide the duplication")
+  }
+
+  test("probe rejects an oversized batch with the slice-the-batch " +
+    "remedy instead of an exchange OOM") {
+    import spark.implicits._
+    val idx = tmp("guard")
+    SimSigIndex.build(spark, idx,
+      Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "v"))
+    val batch = (100L to 110L).map(i => (i, Seq(1.0, 0.0)))
+      .toDF("vec_id", "v")
+    val e = intercept[IllegalArgumentException] {
+      SimSigIndex.probe(spark, idx, batch, maxBatchRows = 5L)
+    }
+    assert(e.getMessage.contains("Slice the input"),
+      s"guard message must name the remedy: ${e.getMessage}")
+    assert(SimSigIndex.probe(spark, idx, batch.limit(3), maxBatchRows = 5L)
+      .count() > 0)
+  }
+
   test("an uncommitted segment is invisible; append respects the " +
     "frozen plane count") {
     import spark.implicits._
