@@ -803,6 +803,26 @@ object SparkEntry {
       graft.ops.SimSigIndex.probe(s, idx, emb.filter(isBatch),
         threshold = 0.9, numBands = 4)
     }),
+    // hot-band drift telemetry from the committed signature index —
+    // the embedding sibling of the text side's skew_report/maxDocFreq
+    // machinery: band buckets whose population exceeds the cap, as an
+    // identity-free (bucket_size, n_keys, worst_case_pairs) histogram
+    // = the candidate volume a dense near-identical region would feed
+    // an unguarded self-join (the star-cap in cosineNearDupPairsOfSigs
+    // is the remedy the report sizes). Answered from frozen sigs —
+    // zero vector bytes touched. Cap 1 keeps the fixture non-vacuous
+    // (natural + twin collisions at this scale); production caps are
+    // thousands.
+    "sim_guard_drift" -> ((s, dir) => {
+      val idx = scratchDir("simsigidx_drift")
+      val emb = Similarity.loadWithTwins(s, dir)
+      graft.ops.SimSigIndex.build(s, idx,
+        emb.filter(col("vec_id") % 3 =!= 0), planes = 64)
+      graft.ops.SimSigIndex.append(s, idx,
+        emb.filter(col("vec_id") % 3 === 0))
+      graft.ops.SimSigIndex.guardDrift(s, idx, maxBandFreq = 1L,
+        numBands = 4)
+    }),
     // SemDeDup: k-means cells (same Lloyd arithmetic as sim_ann_ivf),
     // within-cell drop-if-similar-to-earlier-member — one cell-keyed
     // shuffle, pairwise cost bounded by cell size (the paper's knob)
@@ -4386,6 +4406,19 @@ object SparkEntry {
          |             JOIN e bv ON bv.vec_id = c.vec_idx
          |WHERE list_dot_product(av.v, bv.v) /
          |    (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) >= 0.9""".stripMargin,
+    // hot-band drift histogram over the same banded derivation: the
+    // oracle recomputes the bucket sizes the engine reads from frozen
+    // sigs (identity-free counts — the skew_report convention; band
+    // keys themselves are md5-plane slices no human acts on)
+    "sim_guard_drift" ->
+      s"""WITH $simNearDupCtes, bsz AS (
+         |  SELECT band, key, CAST(count(*) AS BIGINT) AS bucket_size
+         |  FROM banded GROUP BY band, key
+         |)
+         |SELECT bucket_size, CAST(count(*) AS BIGINT) AS n_keys,
+         |  CAST(count(*) * (bucket_size * (bucket_size - 1) // 2) AS BIGINT)
+         |    AS worst_case_pairs
+         |FROM bsz WHERE bucket_size > 1 GROUP BY bucket_size""".stripMargin,
     // same floor(x/scale + 0.5) quantizer — floor because the two
     // engines' round() tie conventions differ while floor is
     // IEEE-exact; scale left un-rounded (bit-deterministic on both

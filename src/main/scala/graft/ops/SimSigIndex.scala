@@ -210,7 +210,8 @@ object SimSigIndex {
   def clusters(
       s: SparkSession, path: String, threshold: Double = 0.9,
       numBands: Int = 4,
-      scope: CacheScope = new CacheScope): DataFrame = {
+      scope: CacheScope = new CacheScope,
+      maxBandFreq: Option[Long] = None): DataFrame = {
     val planes = numPlanes(s, path)
     // dropDuplicates: extends the crash-window safe-degrade to the
     // cluster form — a vector live in two segments (replayed append,
@@ -221,6 +222,33 @@ object SimSigIndex {
     Similarity.cosineNearDupClustersOfSigs(
       vecs(s, path).join(sigs(s, path), Seq("vec_id"))
         .dropDuplicates("vec_id"),
-      threshold, planes, numBands, scope)
+      threshold, planes, numBands, scope, maxBandFreq)
   }
+
+  /** Hot-band drift telemetry over the COMMITTED signatures — the
+    * embedding sibling of [[LshIndex.guardDrift]], answered without
+    * touching a vector byte: band buckets whose population exceeds
+    * `maxBandFreq`, as the identity-free (bucket_size, n_keys,
+    * worst_case_pairs) histogram of [[Similarity.bandBucketDrift]].
+    * A dense region of near-identical (not bit-identical, so never
+    * collapsed) vectors accreted through appends shows up here as
+    * one bucket per band holding the region — the signal to pass
+    * `maxBandFreq` to [[clusters]] (star-capped candidates, same
+    * components for true near-dup cliques) or to re-cluster with a
+    * tighter threshold. Unlike the text guard there is NOTHING to
+    * refresh or persist: band keys derive row-locally from the frozen
+    * signatures and the cap never skews a score (verification is
+    * exact cosine either way), so drift telemetry and cap are both
+    * pure reads of committed state.
+    *
+    * Cost: one scan of the fixed-width sigs relation + kilobyte
+    * aggregation. The crash-window dropDuplicates keeps a live
+    * duplicate segment from double-counting a bucket.
+    */
+  def guardDrift(
+      s: SparkSession, path: String, maxBandFreq: Long,
+      numBands: Int = 4): DataFrame =
+    Similarity.bandBucketDrift(
+      sigs(s, path).dropDuplicates("vec_id"),
+      numPlanes(s, path), numBands, maxBandFreq)
 }

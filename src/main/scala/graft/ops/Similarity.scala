@@ -431,11 +431,12 @@ object Similarity {
   def cosineNearDupPairsDf(
       emb: DataFrame, threshold: Double,
       numPlanes: Int = 16, numBands: Int = 4,
-      scope: CacheScope = new CacheScope
+      scope: CacheScope = new CacheScope,
+      maxBandFreq: Option[Long] = None
   ): DataFrame =
     cosineNearDupPairsOfSigs(
       lshSignaturesDf(emb, numPlanes), threshold, numPlanes, numBands,
-      scope)
+      scope, maxBandFreq)
 
   /** Banding + exact-cosine verification over an ALREADY-SIGNED
     * (vec_id, v, sig) relation — split out so a persisted signature
@@ -446,15 +447,34 @@ object Similarity {
   private[graft] def cosineNearDupPairsOfSigs(
       sigsDf: DataFrame, threshold: Double,
       numPlanes: Int, numBands: Int,
-      scope: CacheScope = new CacheScope
+      scope: CacheScope = new CacheScope,
+      maxBandFreq: Option[Long] = None
   ): DataFrame = {
-    val width = numPlanes / numBands
     // cached for the same reason as in [[annTopK]]: both band-join
     // sides and both vector re-attach joins consume this relation —
     // registered in the caller's scope so repeated re-clustering
     // (the SimSigIndex.clusters usage) can release it instead of
     // accumulating orphaned cache entries
     val sigs = scope.cache(sigsDf)
+    val candIds = bandedCandidateIds(
+      sigs, numPlanes, numBands, maxBandFreq, scope)
+    val vecs = sigs.select(col("vec_id"), col("v"))
+    candIds
+      .join(vecs.toDF("vec_a", "va"), "vec_a")
+      .join(vecs.toDF("vec_b", "vb"), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        cosine(col("va"), col("vb")).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
+  /** The (band, key) decomposition of a signed relation — row-local,
+    * shared by candidate generation and the [[bandBucketDrift]]
+    * telemetry so the guard measures EXACTLY the buckets the join
+    * would pay for.
+    */
+  private def bandedKeys(
+      sigs: DataFrame, numPlanes: Int, numBands: Int): DataFrame = {
+    val width = numPlanes / numBands
     val bandStructs = (0 until numBands).map { bnd =>
       // width-64 (numBands = 1): (1L << 64) wraps to 1L — use the
       // full-word mask instead of a zero mask that would collapse
@@ -464,26 +484,104 @@ object Similarity {
         .bitwiseAND(mask)
       struct(lit(bnd).as("band"), key.as("key"))
     }
-    // id-only banding + distinct, vectors re-attached post-dedup (see
-    // annTopK) — the candidate shuffle carries 16-byte pairs, not
-    // kilobyte arrays
-    val banded = sigs.select(col("vec_id"),
+    // id-only banding, vectors re-attached post-dedup (see annTopK) —
+    // the candidate shuffle carries 16-byte pairs, not kilobyte arrays
+    sigs.select(col("vec_id"),
         explode(array(bandStructs: _*)).as("bk"))
       .select(col("vec_id"),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.toDF("vec_a", "band", "key")
-    val b = banded.toDF("vec_b", "band", "key")
-    val candIds = a.join(b, Seq("band", "key"))
-      .filter(col("vec_a") < col("vec_b"))
-      .select("vec_a", "vec_b").distinct()
-    val vecs = sigs.select(col("vec_id"), col("v"))
-    candIds
-      .join(vecs.toDF("vec_a", "va"), "vec_a")
-      .join(vecs.toDF("vec_b", "vb"), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        cosine(col("va"), col("vb")).as("score"))
-      .filter(col("score") >= threshold)
   }
+
+  /** Banded candidate pairs (vec_a < vec_b), optionally under the
+    * HOT-BAND guard — the embedding sibling of [[LshIndex]]'s
+    * hot-shingle `maxDocFreq` (the text guard's failure mode, re-read
+    * for vectors: a dense region of NEAR-identical — not bit-identical,
+    * so the upstream identical-vector collapse never sees them —
+    * vectors signs identically on every plane, lands its whole
+    * population in ONE bucket per band, and the bucket self-join goes
+    * quadratic in the region's size).
+    *
+    * With `maxBandFreq = Some(cap)`, a bucket larger than `cap` is
+    * STAR-CAPPED instead of all-paired: every member joins only the
+    * bucket's min-id representative — n−1 candidates instead of
+    * C(n,2). Unlike the text guard, nothing needs persisting: band
+    * keys derive row-locally from frozen signatures and verification
+    * is exact cosine on the full vectors either way, so the cap is a
+    * pure query-time knob — scores are never skewed, only WHICH pairs
+    * are surfaced changes. Degrade direction, documented: within a
+    * truly dense near-dup clique (the case that makes buckets hot)
+    * member↔rep edges all verify and connected components are
+    * UNCHANGED — linear cost, same clusters; if a hot bucket spans a
+    * region wider than the threshold, pairs between non-rep members
+    * are not surfaced (pair-form recall degrades toward the star;
+    * components can under-merge) — candidates stay bounded, answers
+    * stay exact-verified, never wrong. [[bandBucketDrift]] is the
+    * telemetry that says WHEN the cap is live.
+    */
+  private[graft] def bandedCandidateIds(
+      sigs: DataFrame, numPlanes: Int, numBands: Int,
+      maxBandFreq: Option[Long] = None,
+      scope: CacheScope = new CacheScope): DataFrame = {
+    val banded = bandedKeys(sigs, numPlanes, numBands)
+    maxBandFreq match {
+      case None =>
+        val a = banded.toDF("vec_a", "band", "key")
+        val b = banded.toDF("vec_b", "band", "key")
+        a.join(b, Seq("band", "key"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select("vec_a", "vec_b").distinct()
+      case Some(cap) =>
+        require(cap >= 1, "maxBandFreq must be at least 1")
+        // bucket stats ride the join's own (band, key) shuffle key;
+        // cached because the cold self-join consumes it twice
+        val withSz = scope.cache(banded
+          .join(banded.groupBy("band", "key")
+            .agg(count(lit(1)).as("sz"), min(col("vec_id")).as("rep")),
+            Seq("band", "key")))
+        val cold = withSz.filter(col("sz") <= cap)
+          .select("vec_id", "band", "key")
+        val coldPairs = cold.toDF("vec_a", "band", "key")
+          .join(cold.toDF("vec_b", "band", "key"), Seq("band", "key"))
+          .filter(col("vec_a") < col("vec_b"))
+          .select("vec_a", "vec_b")
+        // rep = the bucket's min id, so (rep, member) is already
+        // orientation-correct
+        val hotStars = withSz
+          .filter(col("sz") > cap && col("vec_id") =!= col("rep"))
+          .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
+        coldPairs.unionByName(hotStars).distinct()
+    }
+  }
+
+  /** Hot-band drift telemetry — the embedding sibling of
+    * [[LshIndex.guardDrift]]: band buckets whose population exceeds
+    * `maxBandFreq`, as an identity-free histogram (bucket_size,
+    * n_keys, worst_case_pairs) with worst_case_pairs = n_keys ·
+    * C(bucket_size, 2), the candidate volume those buckets feed an
+    * UNGUARDED self-join. This is the operator's turn-the-cap-on /
+    * size-the-cap signal: a dense region of near-identical vectors
+    * (never collapsed — they differ in some bit) shows up here as one
+    * bucket per band holding the whole region. Identity-free because
+    * keys are md5-plane signature slices a human can't act on
+    * directly; counts pin the same facts (the [[Dedup.skewReport]]
+    * convention) — and ARE cross-engine oracle-checkable, since the
+    * plane derivation is plain SQL.
+    *
+    * Cost: one scan of the 16-byte signature rows + a kilobyte-scale
+    * aggregation — [[LshIndex.guardDrift]] economics, minus even the
+    * sets explode (signatures are already fixed-width).
+    */
+  private[graft] def bandBucketDrift(
+      sigs: DataFrame, numPlanes: Int, numBands: Int,
+      maxBandFreq: Long): DataFrame =
+    bandedKeys(sigs, numPlanes, numBands)
+      .groupBy("band", "key").agg(count(lit(1)).as("bucket_size"))
+      .filter(col("bucket_size") > maxBandFreq)
+      .groupBy("bucket_size")
+      .agg(count(lit(1)).as("n_keys"))
+      .select(col("bucket_size"), col("n_keys"),
+        expr("n_keys * (bucket_size * (bucket_size - 1) div 2)")
+          .as("worst_case_pairs"))
 
   /** Embedding near-duplicate CLUSTERS — the bounded-output twin of
     * [[cosineNearDupPairsDf]], closing the one near-dup family gap
@@ -514,11 +612,12 @@ object Similarity {
   def cosineNearDupClustersDf(
       emb: DataFrame, threshold: Double,
       numPlanes: Int = 64, numBands: Int = 4,
-      scope: CacheScope = new CacheScope
+      scope: CacheScope = new CacheScope,
+      maxBandFreq: Option[Long] = None
   ): DataFrame =
     cosineNearDupClustersOfSigs(
       lshSignaturesDf(emb, numPlanes), threshold, numPlanes, numBands,
-      scope)
+      scope, maxBandFreq)
 
   /** [[cosineNearDupClustersDf]] over an already-signed (vec_id, v,
     * sig) relation — the [[SimSigIndex]] route, where the signatures
@@ -527,7 +626,8 @@ object Similarity {
   private[graft] def cosineNearDupClustersOfSigs(
       sigsDf: DataFrame, threshold: Double,
       numPlanes: Int, numBands: Int,
-      scope: CacheScope = new CacheScope
+      scope: CacheScope = new CacheScope,
+      maxBandFreq: Option[Long] = None
   ): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       "cosine(v, v) = 1 must clear the bar for the identical-vector " +
@@ -539,9 +639,13 @@ object Similarity {
     // identically — min is a deterministic pick, not a choice)
     val classes = scope.cache(e.filter(nzCond).groupBy("v")
       .agg(min(col("vec_id")).as("rep"), min(col("sig")).as("sig")))
+    // the hot-band cap (if any) applies over class REPRESENTATIVES:
+    // bit-identical duplicates already collapsed, so a hot bucket
+    // here is genuinely a dense NEAR-identical region — the case the
+    // star-cap exists for ([[bandedCandidateIds]]'s degrade contract)
     val pairs = cosineNearDupPairsOfSigs(
       classes.select(col("rep").as("vec_id"), col("v"), col("sig")),
-      threshold, numPlanes, numBands, scope)
+      threshold, numPlanes, numBands, scope, maxBandFreq)
     val comp = Dedup.connectedComponents(
       pairs.select(col("vec_a").as("u"), col("vec_b").as("v")), scope)
     // member → its class representative → the rep's component (a rep

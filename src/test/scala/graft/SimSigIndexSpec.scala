@@ -134,6 +134,67 @@ class SimSigIndexSpec extends SparkSpec {
       "the committed relations must never shuffle for a batch probe")
   }
 
+  test("hot-band guard: star-cap bounds candidates linearly where the " +
+    "unguarded join is quadratic; clusters unchanged on a dense " +
+    "clique; guardDrift reports the buckets") {
+    import spark.implicits._
+    // a dense region of NEAR-identical (never bit-identical, so the
+    // collapse can't see them) vectors: all sign identically on every
+    // md5 plane (the 1e-6 perturbation never flips sign against the
+    // unit first coordinate), so the whole region lands in ONE bucket
+    // per band — the embedding analog of a hot shingle
+    def dense(n: Int) =
+      (1L to n.toLong).map(i => (i, Seq(1.0, i * 1e-6, 0.0)))
+    val bg = (1000L to 1019L).map(i =>
+      (i, Seq(-1.0, 0.1 * (i - 1000), 1.0)))
+    def emb(n: Int) = (dense(n) ++ bg).toDF("vec_id", "v")
+    def candidates(n: Int, cap: Option[Long]): Long = {
+      val scope = new graft.ops.CacheScope
+      try Similarity.bandedCandidateIds(
+        Similarity.lshSignaturesDf(emb(n), 64), 64, 4, cap, scope).count()
+      finally scope.release()
+    }
+    // unguarded: C(n,2) within the dense bucket — QUADRATIC (4.0x
+    // candidates for 2x vectors); the planted region is exactly the
+    // shape SCALE_r12 measured going 127x on text before widening
+    val un200 = candidates(200, None)
+    val un400 = candidates(400, None)
+    assert(un200 >= 19900L && un400 >= 79800L,
+      s"dense bucket must all-pair unguarded: $un200 / $un400")
+    assert(un400.toDouble / un200 > 3.5,
+      "fixture must demonstrate quadratic growth unguarded")
+    // star-capped: n-1 member->rep candidates — LINEAR (2.0x for 2x)
+    val g200 = candidates(200, Some(50L))
+    val g400 = candidates(400, Some(50L))
+    assert(g400 <= 1000L,
+      s"capped candidates must stay region-linear: $g400")
+    assert(g400.toDouble / g200 < 2.5,
+      s"capped growth must be linear: $g200 -> $g400")
+    // on a true near-dup clique the star verifies edge-for-edge, so
+    // CLUSTERS are unchanged under the cap (the guard's degrade
+    // contract: bounded candidates, never different answers here)
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("component_id"),
+        r.getAs[Boolean]("keep"))).toSeq.sorted
+    assert(
+      rows(Similarity.cosineNearDupClustersDf(emb(400), 0.9, 64, 4,
+        maxBandFreq = Some(50L))) ==
+      rows(Similarity.cosineNearDupClustersDf(emb(400), 0.9, 64, 4)),
+      "star-capped clusters must equal unguarded on a dense clique")
+    // drift telemetry from the COMMITTED index names the hot buckets
+    // and their unguarded pair volume — the turn-the-cap-on signal
+    val idx = tmp("drift")
+    SimSigIndex.build(spark, idx, emb(400), planes = 64)
+    val drift = SimSigIndex.guardDrift(spark, idx, maxBandFreq = 50L)
+      .collect().map(r => (r.getAs[Long]("bucket_size"),
+        r.getAs[Long]("n_keys"), r.getAs[Long]("worst_case_pairs")))
+    assert(drift.exists { case (sz, nk, wc) =>
+      sz >= 400L && wc == nk * sz * (sz - 1) / 2 },
+      s"guardDrift must report the dense region's buckets: ${drift.toSeq}")
+    assert(SimSigIndex.guardDrift(spark, idx, maxBandFreq = 1000L)
+      .count() == 0, "no bucket exceeds a cap above the region size")
+  }
+
   test("clusters are crash-window safe: a live duplicate segment " +
     "changes no cluster row and duplicates none (multiset compare)") {
     val emb = Similarity.loadWithTwins(spark, sf())
