@@ -166,7 +166,9 @@ object StreamingDedup {
       threshold: Double = 0.8,
       trigger: Trigger = Trigger.AvailableNow(),
       maxSegments: Option[Int] = Some(DefaultMaxSegments),
-      vacuumKeepGens: Option[Int] = Some(1)
+      vacuumKeepGens: Option[Int] = Some(1),
+      guardMaxDocFreq: Option[Double] = None,
+      guardEvery: Int = DefaultGuardEvery
   ): StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -175,6 +177,12 @@ object StreamingDedup {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyProbeIngestBatch(batch, indexPath, outPath, threshold,
           batchId, maxSegments, vacuumKeepGens)
+        // the guard cadence matters MOST here: this is the stream
+        // where the index actually grows, so append-driven hot-shingle
+        // drift actually accrues ([[probeStream]]'s knob, same
+        // outside-the-ledger idempotence argument)
+        maybeRefreshGuard(batch.sparkSession, indexPath, batchId,
+          guardMaxDocFreq, guardEvery)
         ()
       }
       .start()

@@ -482,6 +482,100 @@ class IngestStreamsSpec extends SparkSpec {
     assert(e.getMessage.contains("guardEvery"))
   }
 
+  test("probeAndMaintainStream (embeddings): e2e real stream — each " +
+    "batch pairs against everything indexed before it, then joins " +
+    "the corpus; replay ledger-skips; crash-window replay only ADDS " +
+    "true streamed-vector pairs") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val emb = Similarity.loadWithTwins(spark, sf())
+      .filter(col("vec_id") < graft.ops.PerceptualHash.TwinOffset)
+    val idx = tmp("pmsim")
+    SimSigIndex.build(spark, idx, emb, planes = 64)
+    val out = tmp("pmsimout")
+    // B1 = exact copies of corpus vectors under fresh ids (cosine 1
+    // cross pairs to the BUILD corpus); B2 = copies of B1 (cross
+    // pairs to B1 — only visible if B1 folded in before B2 probed)
+    val b1 = emb.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 40000000L).as("vec_id"), col("v"))
+    val b2 = b1.select((col("vec_id") + 10000000L).as("vec_id"), col("v"))
+    val rows1 = b1.as[(Long, Seq[Double])].collect().toSeq
+    val rows2 = b2.as[(Long, Seq[Double])].collect().toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Seq[Double])]
+    val q = StreamingSimIngest.probeAndMaintainStream(
+      input.toDF().toDF("vec_id", "v"), idx, out, tmp("pmsimck"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
+    input.addData(rows1); q.processAllAvailable()
+    input.addData(rows2); q.processAllAvailable()
+    q.stop()
+    def pairsNow() = StreamingSimIngest.pairs(spark, out)
+      .collect().map(r => (r.getAs[Long]("batch_id"),
+        r.getAs[Long]("vec_new"), r.getAs[Long]("vec_idx"))).toSet
+    val pairs = pairsNow()
+    assert(pairs.exists(p => p._1 == 0 && p._2 - 40000000L == p._3),
+      "batch 1 must pair with the build corpus at cosine 1")
+    assert(pairs.exists(p => p._1 == 1 && p._2 - 10000000L == p._3),
+      "batch 2 must pair with batch 1 — the fold-before-next contract")
+    assert(!pairs.exists(p => p._2 == p._3), "self-pairs are filtered")
+    // ledgered replay: a full no-op
+    val segsBefore = IndexCommit.liveIds(spark, idx)
+    StreamingSimIngest.applyProbeIngestBatch(
+      rows1.toDF("vec_id", "v"), idx, out, 0.9, 4, 0L)
+    assert(IndexCommit.liveIds(spark, idx) == segsBefore)
+    assert(pairsNow() == pairs)
+    // crash-window replay (append committed, marker lost): the batch
+    // is already IN the index — re-probe may only ADD true pairs
+    // among the streamed vectors, never lose a cross pair
+    val f = new java.io.File(s"$idx/stream_ledger/0")
+    assert(f.delete())
+    StreamingSimIngest.applyProbeIngestBatch(
+      rows1.toDF("vec_id", "v"), idx, out, 0.9, 4, 0L)
+    val replayed = pairsNow()
+    assert(pairs.subsetOf(replayed),
+      "a crash-window replay must never lose pairs")
+    assert((replayed -- pairs).forall(p =>
+      p._1 == 0 && p._2 >= 40000000L && p._3 >= 40000000L),
+      "additions must involve only streamed vectors (true pairs)")
+  }
+
+  test("probeAndMaintainStream guard cadence: refreshGuard fires at " +
+    "the bound on a drifting COMPOSED stream — the stream that grows " +
+    "the index is the one that accrues drift") {
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val idx = tmp("pmguard")
+    LshIndex.build(spark, sf(), idx, rowsPerBand = 1,
+      maxDocFreq = Some(0.1))
+    val banner = "zq0 zq1 zq2 zq3 zq4 zq5 "
+    def bannered(offset: Long) = docs
+      .filter(col("doc_id") % 5 === 3)
+      .select((col("doc_id") + offset).as("doc_id"),
+        concat(lit(banner), col("text")).as("text"))
+    val rows1 = bannered(30000000L).as[(Long, String)].collect().toSeq
+    val rows2 = bannered(50000000L).as[(Long, String)].collect().toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    // guardEvery = 2: batch 0 must NOT fire, batch 1 must — and the
+    // drift it folds in is drift THIS stream's own appends created
+    val q = StreamingDedup.probeAndMaintainStream(
+      input.toDF().toDF("doc_id", "text"), idx, tmp("pmguardout"),
+      tmp("pmguardck"),
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime(0),
+      guardMaxDocFreq = Some(0.1), guardEvery = 2)
+    input.addData(rows1); q.processAllAvailable()
+    assert(IndexCommit.committedIds(spark, s"$idx/guard").isEmpty,
+      "the cadence must not fire before the bound")
+    assert(!LshIndex.guardDrift(spark, idx, 0.1).isEmpty,
+      "the banner appended by batch 0 must register as drift")
+    input.addData(rows2); q.processAllAvailable()
+    q.stop()
+    assert(IndexCommit.committedIds(spark, s"$idx/guard").size == 1,
+      "the cadence must fire at the bound")
+    assert(LshIndex.guardDrift(spark, idx, 0.1).isEmpty,
+      "the fired refresh must fold the stream's own drift in")
+  }
+
   test("probeStream guard cadence: refreshGuard fires on schedule, " +
     "sheds drift-driven candidates, leaves answers verified") {
     val idx = tmp("guard")
