@@ -57,7 +57,10 @@ object SparkEntry {
     val marker = java.nio.file.Paths.get(root, "STAGED_FOR")
     val fpRow = rd(s, dir, "documents")
       .agg(count(lit(1)), max(col("doc_id"))).head()
-    val want = s"$dir\n${fpRow.getLong(0)}\n${fpRow.getLong(1)}"
+    // layout=2: manifests gained min_h/max_h/n_shards (the point-
+    // lookup prune triple) in r15 — bumping the fingerprint re-stages
+    // roots staged under the old manifest schema exactly once
+    val want = s"$dir\n${fpRow.getLong(0)}\n${fpRow.getLong(1)}\nlayout=2"
     val current =
       if (java.nio.file.Files.exists(marker))
         new String(java.nio.file.Files.readAllBytes(marker),
@@ -442,6 +445,36 @@ object SparkEntry {
       }
       val ids = graft.ops.IndexCommit.committedIds(s, root)
       CorpusSnapshot.diff(s, root, ids(0), ids(1))
+    }),
+    // POINT-LOOKUP time travel over the SAME staged base+delta chain
+    // as corpus_snapshot_resolve: a fixed arithmetic doc set
+    // (doc_id % 101 = 5) resolved through manifest pruning — the
+    // driver computes each id's shard and position hash and opens
+    // only the covering shard files (≤ |docs| per chain member; the
+    // plan's touched-files audit is spec-pinned). Shared-relation
+    // oracle: the full resolve's rows restricted to the same set.
+    "corpus_snapshot_resolve_subset" -> ((s, dir) => {
+      val root = stagedSnapshotRoot(s, dir, "snapresolve") { r =>
+        val docs = rd(s, dir, "documents").select(col("doc_id"), col("text"))
+        CorpusSnapshot.publish(s, docs.filter(col("doc_id") % 7 =!= 0), r)
+        val changes = docs
+          .filter(col("doc_id") % 7 === 0 && col("doc_id") % 3 === 0)
+          .unionByName(docs
+            .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 === 0)
+            .select(col("doc_id"), upper(col("text")).as("text")))
+        val removed = docs
+          .filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 13 === 0 &&
+            col("doc_id") % 11 =!= 0)
+          .select("doc_id")
+        CorpusSnapshot.publishDelta(s, changes, removed, r)
+        ()
+      }
+      // the requested ids: driver-known point set (%101=5 over the
+      // doc-id domain), the lookup shape the API contracts
+      val mx = rd(s, dir, "documents").agg(max(col("doc_id")))
+        .head().getLong(0)
+      CorpusSnapshot.readResolvedSubset(s, root, 5L to mx by 101L)
+        .select(col("doc_id"), md5(col("text")).as("digest"))
     }),
     // benchmark 8-gram decontamination; benchmark grams broadcast
     "decontaminate" -> ((s, dir) => Dedup.contamination(s, dir)),
@@ -2088,6 +2121,13 @@ object SparkEntry {
     // shared verbatim by the pre-staged probe row: same resolved
     // relation, the base publish paid OUTSIDE the timed unit
     "corpus_snapshot_resolve" -> snapshotDeltaOracle,
+    // the point-lookup form: the SAME resolved relation restricted to
+    // the fixed %101=5 id set the engine passes explicitly — the
+    // subset-of-shared-oracle contract (any pruning bug that loses or
+    // invents a doc diverges from the full resolve's rows here)
+    "corpus_snapshot_resolve_subset" ->
+      s"""WITH r AS ($snapshotDeltaOracle)
+         |SELECT doc_id, digest FROM r WHERE doc_id % 101 = 5""".stripMargin,
     // identical classification to corpus_diff — the engine side earns
     // it through publish -> manifest -> shard-file read -> base64
     // decode instead of carving in-plan

@@ -140,11 +140,23 @@ object CorpusSnapshot {
       // content fingerprint (bit_xor of per-line hashes) and the stats
       // a reader needs to range-split without opening files — reads
       // the PERSISTED layout, not the source
+      // min_h/max_h + n_shards: the point-lookup pruning triple.
+      // Shard id and in-shard order are pure functions of doc_id
+      // (md5(doc_id#shard)), so a reader holding a doc id can compute
+      // its shard AND its position hash driver-side; since each file
+      // covers one contiguous slice of the shard's hash-ordered
+      // sequence, (shard match ∧ min_h ≤ h ≤ max_h) names the ONE
+      // file that can hold the doc — [[readResolvedSubset]]'s flat
+      // time-travel read. min/max_doc alone cannot do this: the
+      // layout is hash-ordered, so every file's doc-id range spans
+      // ~the whole domain.
       lay.groupBy("shard_id", "file_seq")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_bytes").cast("long").as("n_bytes"),
           min("doc_id").as("min_doc"), max("doc_id").as("max_doc"),
+          min("h").as("min_h"), max("h").as("max_h"),
           expr("bit_xor(xxhash64(line))").as("fp"))
+        .withColumn("n_shards", lit(nShards))
         .withColumn("path", format_string("shard=%d/part-%05d.jsonl",
           col("shard_id"), col("file_seq")))
         .coalesce(1)
@@ -233,12 +245,17 @@ object CorpusSnapshot {
     val id = m.select("version").head().getLong(0)
     val vdir = IndexCommit.versionDir(root, id)
     val paths = m.select("path").collect().map(r => s"$vdir/${r.getString(0)}")
-    s.read.text(paths.toIndexedSeq: _*)
-      .select(
-        get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
-        unhex(get_json_object(col("value"), "$.text_hex"))
-          .cast("string").as("text"))
+    parseJsonl(s.read.text(paths.toIndexedSeq: _*))
   }
+
+  /** The shard-file line decode shared by [[read]] and
+    * [[readResolvedSubset]] — inverse of [[lineCol]].
+    */
+  private def parseJsonl(lines: DataFrame): DataFrame =
+    lines.select(
+      get_json_object(col("value"), "$.doc_id").cast("long").as("doc_id"),
+      unhex(get_json_object(col("value"), "$.text_hex"))
+        .cast("string").as("text"))
 
   /** Per-document content hashes of a committed version, read from
     * the `dochash` sidecar [[stage]] publishes. A version published
@@ -429,6 +446,95 @@ object CorpusSnapshot {
       if (!fs.exists(rmPath)) alive
       else alive.unionByName(
         s.read.parquet(rmPath.toString)
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit(v).as("v"), lit(false).as("alive")))
+    }.reduce(_ unionByName _)
+    events.groupBy("doc_id")
+      .agg(max_by(struct(col("alive"), col("text")), col("v")).as("w"))
+      .filter(col("w.alive"))
+      .select(col("doc_id"), col("w.text").as("text"))
+  }
+
+  /** POINT-LOOKUP time travel: [[readResolved]] restricted to an
+    * explicit doc-id set, with the shard files each chain member must
+    * open pruned by the MANIFEST before any data byte is read — the
+    * read a user actually issues against a 100 TB snapshot store
+    * ("give me these documents as of version v"), where resolving the
+    * whole chain to serve a handful of ids is the difference between
+    * a metadata-sized job and a corpus scan.
+    *
+    * Pruning is exact, not heuristic, because the layout is a pure
+    * function of doc_id: shard = md5(doc_id#shard) 16-bit prefix mod
+    * n_shards, and files slice each shard's (h, doc_id)-ordered
+    * sequence — so a requested id's shard AND position hash are
+    * computable driver-side, and (shard match ∧ min_h ≤ h ≤ max_h ∧
+    * min_doc ≤ id ≤ max_doc) keeps exactly the one file per chain
+    * member that can hold the doc (plus md5-collision ghosts, i.e.
+    * none). Touched files ≤ |docs| × chain length NO MATTER how many
+    * files the corpus has — flat at any scale for a fixed doc set.
+    * Versions published before the manifest carried min_h/n_shards
+    * (pre-r15) degrade soundly to the min/max_doc prune. Tombstones
+    * are consulted regardless of file pruning (the removed relation
+    * is metadata-sized), so a deleted doc resolves to ABSENT exactly
+    * as in the full [[readResolved]].
+    *
+    * Cost: O(|docs| × files) driver-side prune arithmetic over the
+    * collected manifests (the same file-count-sized collect [[read]]
+    * already does) + ≤ |docs| file opens per chain member. The doc
+    * set is a POINT-LOOKUP contract — driver-known ids, thousands at
+    * most; a corpus-scale id relation wants [[readResolved]] + join.
+    */
+  def readResolvedSubset(
+      s: SparkSession, root: String, docIds: Seq[Long],
+      version: Option[Long] = None): DataFrame = {
+    require(docIds.nonEmpty, "readResolvedSubset needs at least one id")
+    val ids = docIds.distinct
+    // the layout's own placement function, computed driver-side:
+    // md5 hex of "<id>#shard" (lowercase, same collation as the
+    // manifest's string min/max)
+    val hx: Seq[(Long, String)] = ids.map { id =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#shard".getBytes("UTF-8"))
+      id -> d.map(b => f"$b%02x").mkString
+    }
+    val emptyAlive = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, text STRING, v BIGINT, alive BOOLEAN"))
+    val events = chain(s, root, version).map { v =>
+      val vdir = IndexCommit.versionDir(root, v)
+      val m = manifest(s, root, Some(v))
+      val pointable = m.columns.contains("min_h") &&
+        m.columns.contains("n_shards")
+      val keep = m.collect().filter { r =>
+        val (mnD, mxD) =
+          (r.getAs[Long]("min_doc"), r.getAs[Long]("max_doc"))
+        if (!pointable) ids.exists(id => id >= mnD && id <= mxD)
+        else {
+          val n = r.getAs[Int]("n_shards")
+          val sh = r.getAs[Int]("shard_id")
+          val (mnH, mxH) =
+            (r.getAs[String]("min_h"), r.getAs[String]("max_h"))
+          hx.exists { case (id, h) =>
+            id >= mnD && id <= mxD &&
+              java.lang.Integer.parseInt(h.substring(0, 4), 16) % n == sh &&
+              mnH <= h && h <= mxH
+          }
+        }
+      }
+      val alive =
+        if (keep.isEmpty) emptyAlive
+        else parseJsonl(s.read.text(
+            keep.map(r => s"$vdir/${r.getAs[String]("path")}").toIndexedSeq: _*))
+          .filter(col("doc_id").isin(ids: _*))
+          .select(col("doc_id"), col("text"), lit(v).as("v"),
+            lit(true).as("alive"))
+      val rmPath = new Path(s"$vdir/removed")
+      val fs = rmPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(rmPath)) alive
+      else alive.unionByName(
+        s.read.parquet(rmPath.toString)
+          .filter(col("doc_id").isin(ids: _*))
           .select(col("doc_id"), lit(null).cast("string").as("text"),
             lit(v).as("v"), lit(false).as("alive")))
     }.reduce(_ unionByName _)

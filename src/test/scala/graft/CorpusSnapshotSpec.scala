@@ -262,6 +262,56 @@ class CorpusSnapshotSpec extends SparkSpec {
     }
   }
 
+  test("readResolvedSubset: point lookups equal the full resolve " +
+    "restricted; touched files bounded by |docs| x chain, not corpus") {
+    val root = tmpRoot("subset")
+    val base = docs()
+    // base: everything but %7=0; delta: edit %11=0 (upper), tombstone
+    // %13=0 — the snapresolve fixture shape, on a real corpus so the
+    // base publish spreads over many shard files
+    CorpusSnapshot.publish(spark, base.filter(col("doc_id") % 7 =!= 0),
+      root, nShards = 8)
+    CorpusSnapshot.publishDelta(spark,
+      base.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 11 === 0)
+        .select(col("doc_id"),
+          org.apache.spark.sql.functions.upper(col("text")).as("text")),
+      base.filter(col("doc_id") % 7 =!= 0 && col("doc_id") % 13 === 0 &&
+        col("doc_id") % 11 =!= 0).select("doc_id"),
+      root)
+    val full = CorpusSnapshot.readResolved(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val totalFiles = Seq(0, 1).map(i =>
+      CorpusSnapshot.manifest(spark, root,
+        Some(IndexCommit.committedIds(spark, root)(i))).count()).sum
+    // the point set crosses every resolution class: kept-as-base,
+    // delta-edited, tombstoned, never-published (%7=0), absent id
+    val ids = Seq(1L, 2L, 11L, 13L, 14L, 22L, 26L, 7L, 999999L)
+    val sub = CorpusSnapshot.readResolvedSubset(spark, root, ids)
+    val got = sub.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == ids.flatMap(id => full.get(id).map(id -> _)).toMap,
+      "subset resolve must equal the full resolve restricted to the ids")
+    assert(!got.contains(13L) && !got.contains(26L),
+      "tombstoned docs must resolve ABSENT through the prune")
+    assert(got(11L) == full(11L) && got(11L) == got(11L).toUpperCase,
+      "delta-edited docs must resolve to the NEWEST content")
+    // the flat-read claim, audited on the executed relation: the text
+    // scans open at most |ids| files per chain member — and far fewer
+    // than the corpus's file population
+    val touched = sub.inputFiles.count(_.endsWith(".jsonl"))
+    assert(touched <= ids.size * 2,
+      s"point lookup opened $touched shard files for ${ids.size} ids " +
+        "over a 2-member chain")
+    assert(touched < totalFiles,
+      s"prune must beat the full file population ($totalFiles)")
+    // single-id lookup: at most one file per chain member
+    val one = CorpusSnapshot.readResolvedSubset(spark, root, Seq(11L))
+    assert(one.inputFiles.count(_.endsWith(".jsonl")) <= 2)
+    assert(one.collect().map(r => r.getLong(0)).toSeq == Seq(11L))
+    intercept[IllegalArgumentException] {
+      CorpusSnapshot.readResolvedSubset(spark, root, Seq.empty)
+    }
+  }
+
   test("compact materializes the chain as a full version; vacuum to " +
     "one version is then safe") {
     import spark.implicits._
