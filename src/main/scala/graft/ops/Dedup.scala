@@ -462,12 +462,45 @@ object Dedup {
     val d = docs(s, dir)
     val pairs = minhashLshPairsDf(d, threshold, n, 32, 2, maxDocFreq, scope)
       .select(col("doc_a").as("u"), col("doc_b").as("v"))
-    val comp = connectedComponents(pairs, scope)
-    d.select("doc_id")
-      .join(comp, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component_id"), col("doc_id")).as("component_id"))
-      .withColumn("keep", col("doc_id") === col("component_id"))
+    // identity collapse: every document is its own class (text pairs
+    // come from content-verified Jaccard, no cheap pre-collapse key)
+    labelComponents(
+      d.select(col("doc_id"), col("doc_id").as("rep")), "doc_id",
+      pairs, scope)
+  }
+
+  /** The shared LAST MILE of every collapse-first cluster form — one
+    * implementation of the collapse→components→label argument instead
+    * of three hand-synchronized copies (text here, media in
+    * [[PerceptualHash.nearDupClustersOfSigs]], embeddings in
+    * [[Similarity.cosineNearDupClustersOfSigs]]; the multiset-vs-set
+    * spec bug r14 caught is exactly the drift risk of keeping them
+    * separate).
+    *
+    * Contract: `members` maps every universe element to its collapse
+    * class's min-id representative — (idCol, rep), identity rows for
+    * uncollapsed elements (and for elements that must stay singletons
+    * regardless, e.g. zero vectors: map them to themselves and keep
+    * them out of `repPairs`). `repPairs` is the verified near-dup
+    * graph (u, v) BETWEEN representatives. Each family owns WHY its
+    * collapse key is sound (identical media sig determines every
+    * Hamming distance; a bit-identical vector determines every
+    * cosine); this helper owns the shared consequence: label = the
+    * rep's component when it joined any pair, else the rep itself —
+    * which still folds the whole class under one label, intra-class
+    * edges being implicit in the class definition. `keep` marks the
+    * component minimum (singletons keep themselves).
+    */
+  private[graft] def labelComponents(
+      members: DataFrame, idCol: String,
+      repPairs: DataFrame,
+      scope: CacheScope = new CacheScope): DataFrame = {
+    val comp = connectedComponents(repPairs, scope)
+    members
+      .join(comp.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
+      .select(col(idCol),
+        coalesce(col("component_id"), col("rep")).as("component_id"))
+      .withColumn("keep", col(idCol) === col("component_id"))
   }
 
   /** The deduplicated corpus itself — what a training pipeline

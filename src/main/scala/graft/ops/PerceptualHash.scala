@@ -1372,21 +1372,18 @@ object PerceptualHash {
     // cached: signatures feed the class groupBy AND the member-label
     // join back
     val sigs = scope.cache(sigsDf)
+    // collapse key = the signature itself, sound because an identical
+    // sig determines every Hamming distance (unlike embeddings, where
+    // a signature does not determine the exact cosine)
     val classes = scope.cache(sigs.groupBy("sig")
       .agg(min(col("doc_id")).as("rep")))
     val repPairs = nearDupPairsOfSigs(
       classes.select(col("rep").as("doc_id"), col("sig")),
       maxHamming, scope)
-    val comp = Dedup.connectedComponents(
+    Dedup.labelComponents(
+      sigs.join(classes, Seq("sig")).select(col("doc_id"), col("rep")),
+      "doc_id",
       repPairs.select(col("doc_a").as("u"), col("doc_b").as("v")), scope)
-    // member → its class representative → the rep's component (a
-    // representative outside every pair keeps itself — which still
-    // clusters its identical-signature class under one label)
-    sigs.join(classes, Seq("sig"))
-      .join(comp.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
-      .select(col("doc_id"),
-        coalesce(col("component_id"), col("rep")).as("component_id"))
-      .withColumn("keep", col("doc_id") === col("component_id"))
   }
 
   /** Near-duplicate image pairs at Hamming distance ≤ `maxHamming`

@@ -646,21 +646,16 @@ object Similarity {
     val pairs = cosineNearDupPairsOfSigs(
       classes.select(col("rep").as("vec_id"), col("v"), col("sig")),
       threshold, numPlanes, numBands, scope, maxBandFreq)
-    val comp = Dedup.connectedComponents(
-      pairs.select(col("vec_a").as("u"), col("vec_b").as("v")), scope)
-    // member → its class representative → the rep's component (a rep
-    // in no verified pair keeps itself — which still collapses its
-    // identical-vector class under one label, cosine-1 edges being
-    // implicit in the class definition)
-    val labeled = e.filter(nzCond)
+    // zero vectors map to THEMSELVES and never enter the pair graph
+    // (their cosine is NaN against everything, including each other),
+    // so two identical zero vectors are never spuriously clustered
+    val members = e.filter(nzCond)
       .join(classes.select("v", "rep"), Seq("v"))
-      .join(comp.withColumnRenamed("doc_id", "rep"), Seq("rep"), "left")
-      .select(col("vec_id"),
-        coalesce(col("component_id"), col("rep")).as("component_id"))
-    val zeroSingletons = e.filter(!nzCond)
-      .select(col("vec_id"), col("vec_id").as("component_id"))
-    labeled.unionByName(zeroSingletons)
-      .withColumn("keep", col("vec_id") === col("component_id"))
+      .select(col("vec_id"), col("rep"))
+      .unionByName(e.filter(!nzCond)
+        .select(col("vec_id"), col("vec_id").as("rep")))
+    Dedup.labelComponents(members, "vec_id",
+      pairs.select(col("vec_a").as("u"), col("vec_b").as("v")), scope)
   }
 
   /** Symmetric int8 scalar quantization (SQ8) of the embedding column —
