@@ -255,6 +255,76 @@ object ScaleProbe {
         require(n1 == n2, s"compact changed probe answers: $n1 != $n2")
         println(s"""{"probe":"segprobe","dir":"$dir","segments":$nSegs,"frag_secs":$fragSecs,"compact_secs":$compSecs,"pairs":$n1}""")
 
+      case "simguard" =>
+        // r15: the hot-band guard measured where it matters — the
+        // corpus is the dir's embeddings PLUS a planted dense region
+        // of args(3) NEAR-identical vectors (1e-9-perturbed, never
+        // bit-identical, so the collapse can't touch them; they sign
+        // identically on every plane and land in ONE bucket per
+        // band). Candidate generation is timed unguarded (C(n,2)
+        // within the bucket) vs star-capped (n-1): counts prove the
+        // quadratic-vs-linear shape, seconds prove the cap's cost at
+        // probe scale, guardDrift seconds price the telemetry.
+        import graft.ops.{CacheScope, Similarity}
+        val n = args.lift(3).map(_.toInt).getOrElse(4000)
+        val emb = Similarity.load(spark, dir).select("vec_id", "v")
+        val dims = emb.select(size(col("v"))).head().getInt(0)
+        val dense = spark.range(n.toLong).select(
+          (col("id") + 100000000L).as("vec_id"),
+          array((0 until dims).map {
+            case 0 => lit(1.0)
+            case 1 => col("id").cast("double") * lit(1e-9)
+            case _ => lit(0.0)
+          }: _*).as("v"))
+        val corpus = emb.unionByName(dense)
+        def cand(cap: Option[Long]): (Long, Double) = {
+          val scope = new CacheScope
+          try timed(Similarity.bandedCandidateIds(
+            Similarity.lshSignaturesDf(corpus, 64), 64, 4, cap, scope)
+            .count())
+          finally scope.release()
+        }
+        val (unN, unS) = cand(None)
+        val (gN, gS) = cand(Some(1000L))
+        val (driftRows, dS) = timed(Similarity.bandBucketDrift(
+          Similarity.lshSignaturesDf(corpus, 64), 64, 4, 1000L).count())
+        println(s"""{"probe":"simguard","dir":"$dir","dense":$n,"unguarded_cands":$unN,"unguarded_secs":$unS,"capped_cands":$gN,"capped_secs":$gS,"drift_rows":$driftRows,"drift_secs":$dS}""")
+
+      case "snapsubset" =>
+        // r15: the point-lookup read priced — base + one delta staged
+        // UNTIMED (corpus-proportional by design), then a FIXED
+        // 20-doc readResolvedSubset vs the full readResolved. Subset
+        // seconds and touched shard files must stay ~flat 1×→10×
+        // (≤ |docs| × chain by the manifest prune); the full resolve
+        // grows with the corpus by semantics.
+        import spark.implicits._
+        import graft.ops.CorpusSnapshot
+        val root = s"$out/snapsub"
+        graft.ops.IndexCommit.reset(spark, root)
+        val base = docs.select(col("doc_id"), col("text"))
+        CorpusSnapshot.publish(spark, base, root)
+        CorpusSnapshot.publishDelta(spark,
+          base.filter(col("doc_id") % 100 === 1)
+            .select(col("doc_id"), concat(lit("v1 "), col("text"))
+              .as("text")),
+          base.filter(col("doc_id") % 100 === 2)
+            .limit(50).select("doc_id"), root)
+        val ids = (1L to 20L).map(_ * 97L)
+        def best[T](f: => T): (T, Double) = {
+          val r1 = timed(f); val r2 = timed(f)
+          if (r1._2 <= r2._2) r1 else r2
+        }
+        val sub = CorpusSnapshot.readResolvedSubset(spark, root, ids)
+        val touched = sub.inputFiles.count(_.endsWith(".jsonl"))
+        val totalFiles = graft.ops.IndexCommit.committedIds(spark, root)
+          .map(v => CorpusSnapshot.manifest(spark, root, Some(v)).count())
+          .sum
+        val (nSub, subSecs) = best(
+          CorpusSnapshot.readResolvedSubset(spark, root, ids).count())
+        val (nFull, fullSecs) = best(
+          CorpusSnapshot.readResolved(spark, root).count())
+        println(s"""{"probe":"snapsubset","dir":"$dir","ids":${ids.size},"touched_files":$touched,"total_files":$totalFiles,"subset_docs":$nSub,"subset_secs":$subSecs,"full_docs":$nFull,"full_secs":$fullSecs}""")
+
       case "sigdebug" =>
         import graft.ops.{PerceptualHash, SigIndex}
         val idx = s"$out/sigdbg"
