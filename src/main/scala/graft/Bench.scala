@@ -126,7 +126,7 @@ object Bench {
     // Only adjudicates at the reference's scale factor; "admissible"
     // is null when no comparable reference exists.
     val refPath = sys.env.getOrElse(
-      "SPARK_GRAFT_BENCH_REF", "bench/BENCH_r14_reference_composite.json")
+      "SPARK_GRAFT_BENCH_REF", "bench/BENCH_r15_reference_composite.json")
     val verdict = loadReference(refPath) match {
       case Some((refSf, refQ))
           if sfDir.split('/').last == refSf && only.isEmpty =>
