@@ -344,6 +344,25 @@ object SparkEntry {
         rd(s, dir, "documents").filter(col("doc_id") % 10 === 0))
       graft.ops.ClusterIndex.clusters(s, idx)
     }),
+    // POINT LOOKUP into the committed assignment — the serving-path
+    // read ("is this doc a dup? what's its canonical id?"): the index
+    // staged once per source dir (STAGED_FOR; build + append carves,
+    // so the lookup crosses partial-version doclist resolution), the
+    // timed unit reads ONLY the doc-range labels partitions covering
+    // the fixed %101=5 id set. Shared-relation oracle: the one-job
+    // cluster oracle restricted to the same set.
+    "dedup_clusters_lookup" -> ((s, dir) => {
+      val root = stagedSnapshotRoot(s, dir, "clidxlookup") { r =>
+        graft.ops.ClusterIndex.build(s, dir, r, maxDocFreq = Some(0.1),
+          docFilter = Some(col("doc_id") % 10 =!= 0))
+        graft.ops.ClusterIndex.append(s, r,
+          rd(s, dir, "documents").filter(col("doc_id") % 10 === 0))
+        ()
+      }
+      val mx = rd(s, dir, "documents").agg(max(col("doc_id")))
+        .head().getLong(0)
+      graft.ops.ClusterIndex.lookup(s, root, 5L to mx by 101L)
+    }),
     // downstream consumers PROBING the committed assignment instead
     // of re-deriving the LSH→components subtree (one doc-keyed join
     // each); share the one-job oracles
@@ -2053,6 +2072,14 @@ object SparkEntry {
     // queries read the committed assignment instead of re-deriving
     // the LSH→components subtree
     "dedup_clusters_index" -> clusterOracle(0.8),
+    // the point-lookup form: the same cluster relation restricted to
+    // the fixed %101=5 id set the engine passes explicitly (any
+    // partition-pruning bug that loses or mislabels a doc diverges
+    // from the one-job rows here)
+    "dedup_clusters_lookup" ->
+      s"""WITH r AS (${clusterOracle(0.8)})
+         |SELECT doc_id, component_id, keep FROM r
+         |WHERE doc_id % 101 = 5""".stripMargin,
     "dedup_filtered_indexed" -> dedupFilteredOracle(0.8),
     "dedup_best_rep_indexed" -> bestRepOracle,
     // content-hash snapshot diff over the same deterministic carves

@@ -530,6 +530,37 @@ object ClusterIndex {
     assignment(s, path)
       .withColumn("keep", col("doc_id") === col("component_id"))
 
+  /** POINT LOOKUP into the committed assignment: the cluster rows of
+    * an explicit doc-id set, read from ONLY the doc-range `labels`
+    * partitions that can hold the requested ids — the serving-path
+    * read a dedup deployment actually issues at 100 TB ("is this doc
+    * a duplicate? what's its canonical id?"), where answering from
+    * [[clusters]] means scanning the corpus-sized assignment. The
+    * doc-range layout is the same frozen (numParts, width) meta the
+    * writers partition by, so each id's partition is driver
+    * arithmetic; [[partDirMap]] resolves each partition to its newest
+    * owning version (cost = distance to the newest full version, the
+    * [[maybeCompact]] cadence bound, NOT total history). Docs the
+    * index never assigned are simply absent — point-lookup semantics,
+    * exactly [[CorpusSnapshot.readResolvedSubset]]'s contract. The
+    * doc set is driver-known (thousands at most); a corpus-scale id
+    * relation wants [[clusters]] + join.
+    */
+  def lookup(
+      s: SparkSession, path: String, docIds: Seq[Long]): DataFrame = {
+    require(docIds.nonEmpty, "lookup needs at least one doc id")
+    val ids = docIds.distinct
+    val l = layout(s, path)
+    val parts = ids.map(id =>
+      math.min(Math.floorDiv(id, l.width), (l.numParts - 1).toLong).toInt)
+      .toSet
+    val dirs = partDirMap(s, path, Some(parts), "labels", "doclist")
+      .values.flatten.toSeq
+    readParts(s, dirs)
+      .filter(col("doc_id").isin(ids: _*))
+      .withColumn("keep", col("doc_id") === col("component_id"))
+  }
+
   /** The deduplicated corpus via the index — [[Dedup.dedupedCorpus]]'s
     * rows from one doc-keyed join against the committed keep-set,
     * zero dedup recomputation.

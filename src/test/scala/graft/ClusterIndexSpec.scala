@@ -218,6 +218,45 @@ class ClusterIndexSpec extends SparkSpec {
       250L -> 250L, 399L -> 399L))
   }
 
+  test("lookup: point reads equal the full cluster relation restricted; " +
+    "only covering doc-range labels partitions are scanned") {
+    val idx = tmp("lookup")
+    ClusterIndex.build(spark, sf(), idx, maxDocFreq = Some(0.1),
+      numParts = 8, docFilter = Some(col("doc_id") % 10 =!= 0))
+    ClusterIndex.append(spark, idx,
+      spark.read.parquet(s"${sf()}/documents.parquet")
+        .filter(col("doc_id") % 10 === 0))
+    val full = ClusterIndex.clusters(spark, idx).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component_id"), r.getAs[Boolean]("keep"))).toMap
+    // a mixed set: build-carve docs, appended docs, an absent id
+    val ids = Seq(1L, 3L, 10L, 20L, 57L, 999999L)
+    val sub = ClusterIndex.lookup(spark, idx, ids)
+    val got = sub.collect().map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("component_id"), r.getAs[Boolean]("keep"))).toMap
+    assert(got == ids.flatMap(id => full.get(id).map(id -> _)).toMap,
+      "lookup must equal the full relation restricted to the ids")
+    assert(!got.contains(999999L), "absent ids resolve to no row")
+    assert(got.contains(10L) && got.contains(20L),
+      "appended docs must answer through partial-version doclists")
+    // partition-prune audit: only labels/ partitions covering the
+    // requested doc ranges are in the executed scan — never clusters/
+    // partitions, never non-covering label ranges
+    val l = ClusterIndex.layout(spark, idx)
+    val wantParts = ids.map(id => math.min(
+      Math.floorDiv(id, l.width), (l.numParts - 1).toLong).toInt).toSet
+    val files = sub.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("/labels/")),
+      s"lookup must read the doc-range labels leg only: ${files.take(3).toSeq}")
+    val touchedParts = files.flatMap(
+      "/part=(\\d+)/".r.findFirstMatchIn(_).map(_.group(1).toInt)).toSet
+    assert(touchedParts.subsetOf(wantParts),
+      s"scanned partitions $touchedParts must cover only the ids' " +
+        s"ranges $wantParts")
+    assert(touchedParts.size < l.numParts,
+      "the prune must beat the full partition population")
+  }
+
   test("maybeCompact gates on distance to the newest FULL version, " +
     "not total version count (no-vacuum stream stays cheap)") {
     // the round-12 gate compared committedIds.length against
