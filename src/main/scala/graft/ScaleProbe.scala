@@ -325,6 +325,34 @@ object ScaleProbe {
           CorpusSnapshot.readResolved(spark, root).count())
         println(s"""{"probe":"snapsubset","dir":"$dir","ids":${ids.size},"touched_files":$touched,"total_files":$totalFiles,"subset_docs":$nSub,"subset_secs":$subSecs,"full_docs":$nFull,"full_secs":$fullSecs}""")
 
+      case "clusterlookup" =>
+        // r15: ClusterIndex.lookup priced — the index built+appended
+        // UNTIMED (corpus-proportional by design), then a FIXED
+        // 20-doc lookup vs the full clusters read. Lookup seconds and
+        // touched labels partitions must stay ~flat 1×→10× (driver
+        // arithmetic + covering partitions only); the full read grows
+        // with the corpus by semantics.
+        import graft.ops.{ClusterIndex, IndexCommit}
+        val idx = s"$out/cllookup"
+        IndexCommit.reset(spark, idx)
+        ClusterIndex.build(spark, dir, idx, maxDocFreq = Some(0.1),
+          docFilter = Some(col("doc_id") % 10 =!= 0))
+        ClusterIndex.append(spark, idx,
+          docs.filter(col("doc_id") % 10 === 0))
+        val ids = (1L to 20L).map(_ * 97L)
+        def best[T](f: => T): (T, Double) = {
+          val r1 = timed(f); val r2 = timed(f)
+          if (r1._2 <= r2._2) r1 else r2
+        }
+        val touched = ClusterIndex.lookup(spark, idx, ids).inputFiles
+          .flatMap("/part=(\\d+)/".r.findFirstMatchIn(_)
+            .map(_.group(1).toInt)).toSet.size
+        val (nSub, subSecs) = best(
+          ClusterIndex.lookup(spark, idx, ids).count())
+        val (nFull, fullSecs) = best(
+          ClusterIndex.clusters(spark, idx).count())
+        println(s"""{"probe":"clusterlookup","dir":"$dir","ids":${ids.size},"touched_parts":$touched,"lookup_rows":$nSub,"lookup_secs":$subSecs,"full_rows":$nFull,"full_secs":$fullSecs}""")
+
       case "sigdebug" =>
         import graft.ops.{PerceptualHash, SigIndex}
         val idx = s"$out/sigdbg"
