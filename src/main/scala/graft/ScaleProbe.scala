@@ -40,6 +40,14 @@ object ScaleProbe {
       val r = f
       (r, (System.nanoTime - t0) / 1e9)
     }
+    // min of 2 executions: the first run of a route in a fresh JVM
+    // absorbs one-time codegen/classloading (~5 s) that would bill
+    // whichever route happens to run first — one policy for every
+    // probe mode, so they all measure under the same repeat rule
+    def best[T](f: => T): (T, Double) = {
+      val r1 = timed(f); val r2 = timed(f)
+      if (r1._2 <= r2._2) r1 else r2
+    }
     val docs = spark.read.parquet(s"$dir/documents.parquet")
 
     mode match {
@@ -214,13 +222,6 @@ object ScaleProbe {
         val (_, bsecs) = timed(SigIndex.build(spark, idx,
           PerceptualHash.signatures(
             PerceptualHash.syntheticImages(spark, dir))))
-        // min of 2 per route: the first execution of either route in a
-        // fresh JVM absorbs one-time codegen/classloading (~5 s), which
-        // would bill whichever route happens to run first
-        def best(f: => Long): (Long, Double) = {
-          val r1 = timed(f); val r2 = timed(f)
-          if (r1._2 <= r2._2) r1 else r2
-        }
         val (nIdx, idxSecs) = best(SigIndex.clusters(spark, idx).count())
         val (nDec, decSecs) = best(
           PerceptualHash.imageClusters(spark, dir).count())
@@ -243,10 +244,6 @@ object ScaleProbe {
             .filter(!isBatch && col("doc_id") % 32 === k)
             .select("doc_id", "text"))
         val batch = docs.filter(isBatch).select("doc_id", "text")
-        def best(f: => Long): (Long, Double) = {
-          val r1 = timed(f); val r2 = timed(f)
-          if (r1._2 <= r2._2) r1 else r2
-        }
         val nSegs = IndexCommit.liveIds(spark, idx).size
         val (n1, fragSecs) = best(LshIndex.probe(spark, idx, batch).count())
         LshIndex.compact(spark, idx)
@@ -310,10 +307,6 @@ object ScaleProbe {
           base.filter(col("doc_id") % 100 === 2)
             .limit(50).select("doc_id"), root)
         val ids = (1L to 20L).map(_ * 97L)
-        def best[T](f: => T): (T, Double) = {
-          val r1 = timed(f); val r2 = timed(f)
-          if (r1._2 <= r2._2) r1 else r2
-        }
         val sub = CorpusSnapshot.readResolvedSubset(spark, root, ids)
         val touched = sub.inputFiles.count(_.endsWith(".jsonl"))
         val totalFiles = graft.ops.IndexCommit.committedIds(spark, root)
@@ -340,10 +333,6 @@ object ScaleProbe {
         ClusterIndex.append(spark, idx,
           docs.filter(col("doc_id") % 10 === 0))
         val ids = (1L to 20L).map(_ * 97L)
-        def best[T](f: => T): (T, Double) = {
-          val r1 = timed(f); val r2 = timed(f)
-          if (r1._2 <= r2._2) r1 else r2
-        }
         val touched = ClusterIndex.lookup(spark, idx, ids).inputFiles
           .flatMap("/part=(\\d+)/".r.findFirstMatchIn(_)
             .map(_.group(1).toInt)).toSet.size

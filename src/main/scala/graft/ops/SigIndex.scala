@@ -68,6 +68,38 @@ object SigIndex {
     */
   val DefaultMaxProbeBatchRows: Long = 10000000L
 
+  /** The batch-size precondition the probe broadcasts enforce, made
+    * ACTIONABLE: the hint is unconditional, so a corpus-scale batch
+    * would fail deep in the exchange as an 8 GB broadcast cap hit or
+    * an executor OOM — a stack trace naming neither the cause nor the
+    * remedy. This guard fails FIRST with both. `limit(n+1).count()`
+    * keeps the check batch-proportional-bounded: the scan stops at
+    * the ceiling instead of counting a corpus. Opt out (ceiling
+    * <= 0) for callers that pre-size their batches; a ceiling beyond
+    * Int.MaxValue-1 (the largest limit a plan can express) is also
+    * treated as opt-out rather than silently tightened to the clamp —
+    * the caller explicitly admitted more rows than the check can
+    * count. Cost note: the count is one extra action over the batch's
+    * lineage — parquet-backed and cached batches pay ~nothing (the
+    * probe-then-ingest media stream counts its already-cached
+    * signatures), but a probe over an expensive UNCACHED derived
+    * batch should cache it first, as that stream does.
+    */
+  private[ops] def requireProbeSized(
+      batch: DataFrame, maxBatchRows: Long, what: String): Unit =
+    if (maxBatchRows > 0 && maxBatchRows <= Int.MaxValue - 1L) {
+      val lim = maxBatchRows.toInt
+      val n = batch.limit(lim + 1).count()
+      require(n <= lim,
+        s"$what probe batch exceeds $maxBatchRows rows: the probe " +
+          "BROADCASTS the batch's banded side by design (a micro-batch " +
+          "is always driver-small next to the committed index), so a " +
+          "corpus-scale batch would hit the 8 GB broadcast cap or OOM " +
+          "an executor. Slice the input and probe per slice, raise " +
+          "maxBatchRows if the batch genuinely fits a broadcast, or " +
+          "join against the committed relation without the hint.")
+    }
+
   /** Compact at a live-segment cadence ([[LshIndex.maybeCompact]]). */
   def maybeCompact(
       s: SparkSession, path: String, maxSegments: Int): Option[Long] =
@@ -163,33 +195,6 @@ object SigIndex {
     * read [[sigs]] and join without the hint) instead of one giant
     * probe. Works unchanged as a `foreachBatch` body.
     */
-  /** The batch-size precondition the probe broadcasts enforce, made
-    * ACTIONABLE: the hint is unconditional, so a corpus-scale batch
-    * would fail deep in the exchange as an 8 GB broadcast cap hit or
-    * an executor OOM — a stack trace naming neither the cause nor the
-    * remedy. This guard fails FIRST with both. `limit(n+1).count()`
-    * keeps the check batch-proportional-bounded: the scan stops at
-    * the ceiling instead of counting a corpus. Opt out (ceiling
-    * <= 0) for callers that pre-size their batches.
-    */
-  private[ops] def requireProbeSized(
-      batch: DataFrame, maxBatchRows: Long, what: String): Unit =
-    if (maxBatchRows > 0) {
-      // limit takes an Int; the ceiling is Long-typed for API
-      // symmetry with row counts, so clamp (an Int.MaxValue ceiling
-      // is already far beyond any broadcastable batch)
-      val lim = math.min(maxBatchRows, Int.MaxValue - 1L).toInt
-      val n = batch.limit(lim + 1).count()
-      require(n <= lim,
-        s"$what probe batch exceeds $maxBatchRows rows: the probe " +
-          "BROADCASTS the batch's banded side by design (a micro-batch " +
-          "is always driver-small next to the committed index), so a " +
-          "corpus-scale batch would hit the 8 GB broadcast cap or OOM " +
-          "an executor. Slice the input and probe per slice, raise " +
-          "maxBatchRows if the batch genuinely fits a broadcast, or " +
-          "join against the committed relation without the hint.")
-    }
-
   def probe(
       s: SparkSession, path: String, batch: DataFrame,
       maxHamming: Int = 3,
