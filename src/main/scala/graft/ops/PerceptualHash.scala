@@ -1368,7 +1368,8 @@ object PerceptualHash {
     */
   private[graft] def nearDupClustersOfSigs(
       sigsDf: DataFrame, maxHamming: Int,
-      scope: CacheScope = new CacheScope): DataFrame = {
+      scope: CacheScope = new CacheScope,
+      maxBandFreq: Option[Long] = None): DataFrame = {
     // cached: signatures feed the class groupBy AND the member-label
     // join back
     val sigs = scope.cache(sigsDf)
@@ -1379,7 +1380,7 @@ object PerceptualHash {
       .agg(min(col("doc_id")).as("rep")))
     val repPairs = nearDupPairsOfSigs(
       classes.select(col("rep").as("doc_id"), col("sig")),
-      maxHamming, scope)
+      maxHamming, scope, maxBandFreq)
     Dedup.labelComponents(
       sigs.join(classes, Seq("sig")).select(col("doc_id"), col("rep")),
       "doc_id",
@@ -1399,29 +1400,69 @@ object PerceptualHash {
   /** Banding + verification over any (doc_id, sig) relation — split
     * out so the spec can pin the pigeonhole contract on crafted
     * signatures.
+    *
+    * `maxBandFreq` is the HOT-BAND guard, the media port of
+    * [[Similarity.bandedCandidateIds]]' star-cap (media band keys are
+    * the same 64-plane/4-band decomposition, so the shared candidate
+    * machinery applies verbatim): the identical-signature collapse
+    * upstream handles exact duplicate classes, but a dense region of
+    * NEAR-identical signatures — distinct sigs sharing 3 of 4 band
+    * keys, e.g. a template image family differing in a few low-band
+    * bits — still lands its whole population in the shared buckets
+    * and the self-join goes quadratic in the region size. Buckets
+    * above the cap are star-capped (member↔min-id rep, n−1 candidates
+    * instead of C(n,2)); verification stays exact `bit_count` either
+    * way, so nothing persists and no score is ever skewed. Degrade
+    * direction, documented: the 4-band pigeonhole exhaustiveness at
+    * Hamming < 4 holds WITHIN the cap — pairs between non-rep members
+    * of a hot bucket are surfaced only through their other (cold)
+    * bands or not at all, and components can under-merge across a
+    * region wider than the threshold; on a true Hamming-clique (every
+    * member ≤ maxHamming from the rep) components are unchanged.
+    * [[SigIndex.guardDrift]] is the telemetry that says when the cap
+    * is live.
     */
   private[graft] def nearDupPairsOfSigs(
       sigsDf: DataFrame, maxHamming: Int,
-      scope: CacheScope = new CacheScope
+      scope: CacheScope = new CacheScope,
+      maxBandFreq: Option[Long] = None
   ): DataFrame = {
     require(maxHamming < 4, "4-band pigeonhole is exhaustive only below 4")
     // cached: the signature scan (decode + hash per payload) feeds
     // both sides of the band self-join
     val sigs = scope.cache(sigsDf)
-    val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("sig"), b * 16)
-            .bitwiseAND(0xffffL).as("key"))): _*)).as("bk"))
-      .select(col("doc_id"), col("sig"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val a = banded.toDF("doc_a", "sig_a", "band", "key")
-    val b = banded.toDF("doc_b", "sig_b", "band", "key")
-    a.join(b, Seq("band", "key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
-      .select(col("doc_a"), col("doc_b"),
-        expr("bit_count(sig_a ^ sig_b)").cast("int").as("hamming"))
-      .filter(col("hamming") <= maxHamming)
+    maxBandFreq match {
+      case None =>
+        val banded = sigs.select(col("doc_id"), col("sig"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("sig"), b * 16)
+                .bitwiseAND(0xffffL).as("key"))): _*)).as("bk"))
+          .select(col("doc_id"), col("sig"),
+            col("bk.band").as("band"), col("bk.key").as("key"))
+        val a = banded.toDF("doc_a", "sig_a", "band", "key")
+        val b = banded.toDF("doc_b", "sig_b", "band", "key")
+        a.join(b, Seq("band", "key"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sig_a", "sig_b").distinct()
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(sig_a ^ sig_b)").cast("int").as("hamming"))
+          .filter(col("hamming") <= maxHamming)
+      case Some(_) =>
+        // id-only star-capped candidates via the shared machinery,
+        // signatures re-attached post-dedup (16-byte rows — the
+        // Similarity convention)
+        val candIds = Similarity.bandedCandidateIds(
+          sigs.select(col("doc_id").as("vec_id"), col("sig")),
+          numPlanes = 64, numBands = 4, maxBandFreq, scope)
+          .toDF("doc_a", "doc_b")
+        val s16 = sigs.select(col("doc_id"), col("sig"))
+        candIds
+          .join(s16.toDF("doc_a", "sig_a"), "doc_a")
+          .join(s16.toDF("doc_b", "sig_b"), "doc_b")
+          .select(col("doc_a"), col("doc_b"),
+            expr("bit_count(sig_a ^ sig_b)").cast("int").as("hamming"))
+          .filter(col("hamming") <= maxHamming)
+    }
   }
 }

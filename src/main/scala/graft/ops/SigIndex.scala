@@ -166,7 +166,8 @@ object SigIndex {
     */
   def clusters(
       s: SparkSession, path: String, maxHamming: Int = 3,
-      scope: CacheScope = new CacheScope): DataFrame =
+      scope: CacheScope = new CacheScope,
+      maxBandFreq: Option[Long] = None): DataFrame =
     // dropDuplicates: the crash-window safe-degrade (a replayed
     // append stages a duplicate segment) must hold for the CLUSTER
     // form too, not just probes — without it a doc whose sig row is
@@ -176,7 +177,28 @@ object SigIndex {
     // the ingested-once contract, so the id-keyed dedup of 16-byte
     // rows is exact and cheap.
     PerceptualHash.nearDupClustersOfSigs(
-      sigs(s, path).dropDuplicates("doc_id"), maxHamming, scope)
+      sigs(s, path).dropDuplicates("doc_id"), maxHamming, scope,
+      maxBandFreq)
+
+  /** Hot-band drift telemetry over the COMMITTED media signatures —
+    * the media sibling of [[SimSigIndex.guardDrift]], answered from
+    * the frozen 16-byte rows (zero payload decode): band buckets
+    * whose population exceeds `maxBandFreq`, as the identity-free
+    * (bucket_size, n_keys, worst_case_pairs) histogram of the SHARED
+    * [[Similarity.bandBucketDrift]] (media band keys are the same
+    * 64-plane/4-band decomposition). A template-image/clip family —
+    * DISTINCT signatures sharing band keys, which the
+    * identical-signature collapse cannot touch — shows up here as hot
+    * buckets; the remedy is [[clusters]]' `maxBandFreq` star-cap.
+    * Pure read of committed state, nothing persists or refreshes
+    * ([[SimSigIndex.guardDrift]]'s argument verbatim).
+    */
+  def guardDrift(
+      s: SparkSession, path: String, maxBandFreq: Long): DataFrame =
+    Similarity.bandBucketDrift(
+      sigs(s, path).dropDuplicates("doc_id")
+        .select(col("doc_id").as("vec_id"), col("sig")),
+      numPlanes = 64, numBands = 4, maxBandFreq)
 
   /** Near-duplicate pairs between a batch's (doc_id, sig) relation
     * and the committed index at Hamming ≤ `maxHamming`: (doc_new,

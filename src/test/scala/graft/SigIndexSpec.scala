@@ -102,6 +102,60 @@ class SigIndexSpec extends SparkSpec {
       "index-route clusters must equal the decode form row-for-row")
   }
 
+  test("media hot-band guard: star-cap keeps clusters exact on a " +
+    "Hamming-clique, bounds candidates where distinct sigs share " +
+    "bands, guardDrift reports from frozen sigs") {
+    import spark.implicits._
+    // a Hamming-CLIQUE of 17 DISTINCT signatures (base + 16 single-
+    // low-bit flips, pairwise Hamming <= 2): identical band keys in
+    // bands 1-3, so three hot buckets of 17 — the template-family
+    // shape the identical-signature collapse cannot touch
+    val base = 1L << 40
+    val clique = (base +: (0 until 16).map(a => base ^ (1L << a)))
+      .zipWithIndex.map { case (sg, i) => (i.toLong, sg) }
+    val cliqueDf = clique.toDF("doc_id", "sig")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component_id"),
+        r.getAs[Boolean]("keep"))).toSeq.sorted
+    val un = rows(graft.ops.PerceptualHash
+      .nearDupClustersOfSigs(cliqueDf, maxHamming = 3))
+    assert(un.forall(_._2 == 0L), "fixture must be one clique")
+    assert(rows(graft.ops.PerceptualHash.nearDupClustersOfSigs(
+      cliqueDf, maxHamming = 3, maxBandFreq = Some(5L))) == un,
+      "star-capped clusters must equal unguarded on a Hamming-clique")
+    // quadratic shape: n DISTINCT sigs = 0..n-1 share bands 1-3
+    // (keys 0) — candidates C(n,2) unguarded, linear under the cap
+    // (the shared Similarity machinery is the implementation, so the
+    // counts pin the media banding's equivalence to it)
+    def cands(n: Int, cap: Option[Long]): Long = {
+      val scope = new graft.ops.CacheScope
+      try graft.ops.Similarity.bandedCandidateIds(
+        (0L until n.toLong).map(i => (i, i)).toDF("vec_id", "sig"),
+        64, 4, cap, scope).count()
+      finally scope.release()
+    }
+    assert(cands(400, None) >= 79800L && cands(400, Some(50L)) <= 1200L,
+      "cap must bound the shared-band candidate blow-up")
+    // guarded pairs are a subset of unguarded (exact verification
+    // either way — the cap only drops candidates, never invents)
+    val sigs400 = (0L until 400L).map(i => (i, i)).toDF("doc_id", "sig")
+    def pairSet(cap: Option[Long]) = graft.ops.PerceptualHash
+      .nearDupPairsOfSigs(sigs400, 3, new graft.ops.CacheScope, cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = pairSet(Some(50L))
+    assert(capped.subsetOf(pairSet(None)) && capped.nonEmpty,
+      "capped pairs must be a verified subset")
+    // drift telemetry from the committed index, payload-free
+    val idx = tmp("mmdrift")
+    SigIndex.build(spark, idx, sigs400)
+    val drift = SigIndex.guardDrift(spark, idx, maxBandFreq = 50L)
+      .collect().map(r => (r.getAs[Long]("bucket_size"),
+        r.getAs[Long]("n_keys"), r.getAs[Long]("worst_case_pairs")))
+    assert(drift.exists { case (sz, nk, wc) =>
+      sz == 400L && nk == 3L && wc == nk * sz * (sz - 1) / 2 },
+      s"guardDrift must report the three shared-band buckets: ${drift.toSeq}")
+  }
+
   test("clusters are crash-window safe: a live duplicate segment " +
     "changes no cluster row and duplicates none (multiset compare)") {
     val sigs = PerceptualHash.videoSignatures(
