@@ -287,6 +287,48 @@ object ScaleProbe {
           Similarity.lshSignaturesDf(corpus, 64), 64, 4, 1000L).count())
         println(s"""{"probe":"simguard","dir":"$dir","dense":$n,"unguarded_cands":$unN,"unguarded_secs":$unS,"capped_cands":$gN,"capped_secs":$gS,"drift_rows":$driftRows,"drift_secs":$dS}""")
 
+      case "probeguard" =>
+        // r16: the PROBE-side star-cap priced (VERDICT r15 top_next)
+        // — the committed corpus is the dir's embeddings PLUS a
+        // planted dense region of args(3) near-identical vectors,
+        // signed into a SimSigIndex UNTIMED (corpus signing is the
+        // one-time build cost by design); then a FIXED 100-vector
+        // batch (50 landing inside the dense region's hot bucket, 50
+        // background) probes it unguarded vs star-capped. Unguarded,
+        // every dense batch member pulls the whole region as
+        // candidates (50·n verifications — grows linearly with the
+        // corpus-side region, the per-micro-batch cost a template
+        // family inflicts forever); capped, each pulls the min-id rep
+        // (50·1). Pair counts prove the shape, seconds price the cap.
+        import graft.ops.{IndexCommit, SimSigIndex, Similarity}
+        val n = args.lift(3).map(_.toInt).getOrElse(4000)
+        val emb = Similarity.load(spark, dir).select("vec_id", "v")
+        val dims = emb.select(size(col("v"))).head().getInt(0)
+        def denseVecs(count: Int, idBase: Long, perturbBase: Int) =
+          spark.range(count.toLong).select(
+            (col("id") + idBase).as("vec_id"),
+            array((0 until dims).map {
+              case 0 => lit(1.0)
+              case 1 => (col("id") + perturbBase).cast("double") * lit(1e-9)
+              case _ => lit(0.0)
+            }: _*).as("v"))
+        val corpus = emb.unionByName(denseVecs(n, 100000000L, 0))
+        val idx = s"$out/probeguard"
+        IndexCommit.reset(spark, idx)
+        SimSigIndex.build(spark, idx, corpus, planes = 64)
+        val batch = denseVecs(50, 200000000L, n)
+          .unionByName(emb.limit(50)
+            .select((col("vec_id") + 300000000L).as("vec_id"), col("v")))
+          .cache()
+        batch.count()
+        def probePairs(cap: Option[Long]): (Long, Double) = best(
+          SimSigIndex.probe(spark, idx, batch, 0.9, 4,
+            maxBandFreq = cap).count())
+        val (unPairs, unS) = probePairs(None)
+        val (gPairs, gS) = probePairs(Some(1000L))
+        batch.unpersist()
+        println(s"""{"probe":"probeguard","dir":"$dir","dense":$n,"unguarded_pairs":$unPairs,"unguarded_secs":$unS,"capped_pairs":$gPairs,"capped_secs":$gS}""")
+
       case "snapsubset" =>
         // r15: the point-lookup read priced — base + one delta staged
         // UNTIMED (corpus-proportional by design), then a FIXED

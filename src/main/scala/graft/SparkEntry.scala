@@ -861,6 +861,26 @@ object SparkEntry {
       graft.ops.SimSigIndex.probe(s, idx, emb.filter(isBatch),
         threshold = 0.9, numBands = 4)
     }),
+    // the probe-side hot-band guard LIVE on the oracled surface
+    // (VERDICT r15 top_next): the build commits a GuardMeta default
+    // cap of 1, so EVERY corpus band bucket holding 2+ vectors is
+    // star-capped to its min-id representative — the probe resolves
+    // the committed default (no per-call knob) and returns the
+    // verified subset the oracle recomputes from the same banding
+    "sim_sig_index_probe_guarded" -> ((s, dir) => {
+      val idx = scratchDir("simsigidx_probe_g")
+      val emb = Similarity.loadWithTwins(s, dir)
+      val isBatch = col("vec_id") % 100 === 7 &&
+        col("vec_id") < graft.ops.PerceptualHash.TwinOffset
+      val corpus = emb.filter(!isBatch)
+      graft.ops.SimSigIndex.build(s, idx,
+        corpus.filter(col("vec_id") % 3 =!= 0), planes = 64,
+        guardMaxBandFreq = Some(1L))
+      graft.ops.SimSigIndex.append(s, idx,
+        corpus.filter(col("vec_id") % 3 === 0))
+      graft.ops.SimSigIndex.probe(s, idx, emb.filter(isBatch),
+        threshold = 0.9, numBands = 4)
+    }),
     // hot-band drift telemetry from the committed signature index —
     // the embedding sibling of the text side's skew_report/maxDocFreq
     // machinery: band buckets whose population exceeds the cap, as an
@@ -1030,6 +1050,23 @@ object SparkEntry {
         PerceptualHash.syntheticImages(s, dir))
       graft.ops.SigIndex.build(s, idx,
         sigs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 =!= 0))
+      graft.ops.SigIndex.append(s, idx,
+        sigs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 === 0))
+      graft.ops.SigIndex.probe(s, idx,
+        sigs.filter(col("doc_id") % 10 === 0))
+    }),
+    // the media probe under a LIVE hot-band star-cap (cap 1 committed
+    // as the build-owned GuardMeta default): corpus buckets holding
+    // 2+ signatures contribute only their min-id rep, so the probe
+    // output is the verified subset — the oracle recomputes the
+    // 16-bit band keys from the bit grid and applies the same cap
+    "mm_sig_index_probe_guarded" -> ((s, dir) => {
+      val idx = scratchDir("sigidx_probe_g")
+      val sigs = PerceptualHash.signatures(
+        PerceptualHash.syntheticImages(s, dir))
+      graft.ops.SigIndex.build(s, idx,
+        sigs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 =!= 0),
+        guardMaxBandFreq = Some(1L))
       graft.ops.SigIndex.append(s, idx,
         sigs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 === 0))
       graft.ops.SigIndex.probe(s, idx,
@@ -3766,6 +3803,57 @@ object SparkEntry {
         |  FROM s a JOIN s b
         |    ON a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
         |) WHERE hamming <= 3""".stripMargin,
+    // Guarded probe: the same signature recompute, but candidates
+    // pass through the corpus-side star-cap at cap 1 — a corpus
+    // (band, key) bucket with 2+ members contributes only its min-id
+    // rep. The oracle recomputes the engine's 16-bit band keys from
+    // the bit grid (bit i of the signature = bits[i+1], so band b's
+    // key = sum of bits[b*16+j+1] << j), so equal rows pin the key
+    // derivation AND the cap semantics cross-engine
+    "mm_sig_index_probe_guarded" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    [ (strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef',
+        |         substr(md5(tk[(i % len(tk)) + 1]), 2, 1)) - 1
+        |      for i in range(0, 72) ] AS px
+        |  FROM t
+        |), s AS (
+        |  SELECT doc_id,
+        |    [ CASE WHEN px[(i // 8) * 9 + (i % 8) + 1]
+        |              < px[(i // 8) * 9 + (i % 8) + 2]
+        |           THEN 1 ELSE 0 END for i in range(0, 64) ] AS bits
+        |  FROM g
+        |), bb AS (
+        |  SELECT doc_id, bd.band AS band,
+        |    CAST(list_sum(list_transform(range(0, 16),
+        |      j -> CAST(bits[bd.band * 16 + j + 1] AS BIGINT)
+        |           * (CAST(1 AS BIGINT) << j))) AS BIGINT) AS key
+        |  FROM s, (SELECT unnest(range(0, 4)) AS band) bd
+        |), cb AS (
+        |  SELECT doc_id, band, key FROM bb WHERE doc_id % 10 <> 0
+        |), st AS (
+        |  SELECT band, key, count(*) AS sz, min(doc_id) AS rep
+        |  FROM cb GROUP BY band, key
+        |), candg AS (
+        |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_idx
+        |  FROM bb a
+        |  JOIN cb b ON a.band = b.band AND a.key = b.key
+        |  JOIN st ON st.band = a.band AND st.key = a.key
+        |  WHERE a.doc_id % 10 = 0 AND (st.sz <= 1 OR b.doc_id = st.rep)
+        |)
+        |SELECT doc_new, doc_idx, hamming FROM (
+        |  SELECT c.doc_new, c.doc_idx,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CASE WHEN sa.bits[i] <> sb.bits[i] THEN 1 ELSE 0 END))
+        |      AS INTEGER) AS hamming
+        |  FROM candg c JOIN s sa ON sa.doc_id = c.doc_new
+        |               JOIN s sb ON sb.doc_id = c.doc_idx
+        |) WHERE hamming <= 3""".stripMargin,
     // Image and audio cluster forms: the same signature recomputes as
     // their pair oracles, closed into min-label components (the video
     // technique); universe = every clip, singletons themselves
@@ -4477,6 +4565,33 @@ object SparkEntry {
          |  list_dot_product(av.v, bv.v) /
          |    (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) AS score
          |FROM candp c JOIN e av ON av.vec_id = c.vec_new
+         |             JOIN e bv ON bv.vec_id = c.vec_idx
+         |WHERE list_dot_product(av.v, bv.v) /
+         |    (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) >= 0.9""".stripMargin,
+    // Guarded probe: banded candidates under the corpus-side star-cap
+    // at cap 1 (bucket stats + min-id rep recomputed in SQL over the
+    // corpus carve) — equal rows pin that the engine's committed
+    // GuardMeta default and the star-cap surface the same verified
+    // subset the arithmetic derivation does
+    "sim_sig_index_probe_guarded" ->
+      s"""WITH $simNearDupCtes, cbg AS (
+         |  SELECT vec_id, band, key FROM banded
+         |  WHERE NOT (vec_id % 100 = 7 AND vec_id < 900000000)
+         |), stg AS (
+         |  SELECT band, key, count(*) AS sz, min(vec_id) AS rep
+         |  FROM cbg GROUP BY band, key
+         |), candg AS (
+         |  SELECT DISTINCT a.vec_id AS vec_new, b.vec_id AS vec_idx
+         |  FROM banded a
+         |  JOIN cbg b ON a.band = b.band AND a.key = b.key
+         |  JOIN stg ON stg.band = a.band AND stg.key = a.key
+         |  WHERE a.vec_id % 100 = 7 AND a.vec_id < 900000000
+         |    AND (stg.sz <= 1 OR b.vec_id = stg.rep)
+         |)
+         |SELECT vec_new, vec_idx,
+         |  list_dot_product(av.v, bv.v) /
+         |    (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) AS score
+         |FROM candg c JOIN e av ON av.vec_id = c.vec_new
          |             JOIN e bv ON bv.vec_id = c.vec_idx
          |WHERE list_dot_product(av.v, bv.v) /
          |    (sqrt(list_dot_product(av.v, av.v)) * sqrt(list_dot_product(bv.v, bv.v))) >= 0.9""".stripMargin,

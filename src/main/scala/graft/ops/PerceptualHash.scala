@@ -1451,12 +1451,19 @@ object PerceptualHash {
       case Some(_) =>
         // id-only star-capped candidates via the shared machinery,
         // signatures re-attached post-dedup (16-byte rows — the
-        // Similarity convention)
+        // Similarity convention). dropDuplicates("doc_id"): duplicate
+        // input rows (a doc live in two index segments) must not
+        // re-expand through the two sig-attach joins into duplicate
+        // pairs — the unguarded branch gets this from its 4-column
+        // distinct, so the guarded branch dedups explicitly (doc_id
+        // determines sig by the ingested-once contract, so the
+        // id-keyed dedup of 16-byte rows is exact; ADVICE r15)
+        val uniq = sigs.dropDuplicates("doc_id")
         val candIds = Similarity.bandedCandidateIds(
-          sigs.select(col("doc_id").as("vec_id"), col("sig")),
+          uniq.select(col("doc_id").as("vec_id"), col("sig")),
           numPlanes = 64, numBands = 4, maxBandFreq, scope)
           .toDF("doc_a", "doc_b")
-        val s16 = sigs.select(col("doc_id"), col("sig"))
+        val s16 = uniq.select(col("doc_id"), col("sig"))
         candIds
           .join(s16.toDF("doc_a", "sig_a"), "doc_a")
           .join(s16.toDF("doc_b", "sig_b"), "doc_b")

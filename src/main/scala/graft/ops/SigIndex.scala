@@ -75,23 +75,26 @@ object SigIndex {
     * remedy. This guard fails FIRST with both. `limit(n+1).count()`
     * keeps the check batch-proportional-bounded: the scan stops at
     * the ceiling instead of counting a corpus. Opt out (ceiling
-    * <= 0) for callers that pre-size their batches; a ceiling beyond
-    * Int.MaxValue-1 (the largest limit a plan can express) is also
-    * treated as opt-out rather than silently tightened to the clamp —
-    * the caller explicitly admitted more rows than the check can
-    * count. Cost note: the count is one extra action over the batch's
+    * <= 0) for callers that pre-size their batches — the opt-out is
+    * ONLY the explicit non-positive sentinel: a ceiling beyond
+    * Int.MaxValue-1 (the largest limit a plan can express) is CLAMPED
+    * to Int.MaxValue-1 rather than silently disabling the check (a
+    * caller passing 5e9 expecting a bound still gets one — two
+    * billion rows is far past broadcastable anyway, so the clamped
+    * check trips exactly when the unclamped one would have; ADVICE
+    * r15). Cost note: the count is one extra action over the batch's
     * lineage — parquet-backed and cached batches pay ~nothing (the
     * probe-then-ingest media stream counts its already-cached
     * signatures), but a probe over an expensive UNCACHED derived
     * batch should cache it first, as that stream does.
     */
-  private[ops] def requireProbeSized(
+  private[graft] def requireProbeSized(
       batch: DataFrame, maxBatchRows: Long, what: String): Unit =
-    if (maxBatchRows > 0 && maxBatchRows <= Int.MaxValue - 1L) {
-      val lim = maxBatchRows.toInt
+    if (maxBatchRows > 0) {
+      val lim = math.min(maxBatchRows, Int.MaxValue - 1L).toInt
       val n = batch.limit(lim + 1).count()
       require(n <= lim,
-        s"$what probe batch exceeds $maxBatchRows rows: the probe " +
+        s"$what probe batch exceeds $lim rows: the probe " +
           "BROADCASTS the batch's banded side by design (a micro-batch " +
           "is always driver-small next to the committed index), so a " +
           "corpus-scale batch would hit the 8 GB broadcast cap or OOM " +
@@ -118,9 +121,22 @@ object SigIndex {
   /** Build the index from a (doc_id, sig) relation (one decode+hash
     * pass — the caller owns which media table feeds it). Destructive
     * reset by contract, like [[LshIndex.build]].
+    *
+    * `guardMaxBandFreq` commits the index's DEFAULT hot-band cap
+    * ([[GuardMeta]]): readers resolve it when their own knob is
+    * `None`, so the cap a deployment chose from [[guardDrift]]
+    * telemetry is versioned config, not a per-call convention. `None`
+    * CLEARS any predecessor's sidecar — a rebuild never silently
+    * inherits a cap it didn't ask for.
     */
-  def build(s: SparkSession, path: String, sigs: DataFrame): Long = {
+  def build(
+      s: SparkSession, path: String, sigs: DataFrame,
+      guardMaxBandFreq: Option[Long] = None): Long = {
     IndexCommit.reset(s, path)
+    guardMaxBandFreq match {
+      case Some(cap) => GuardMeta.set(s, path, cap)
+      case None => GuardMeta.clear(s, path)
+    }
     writeSegment(s, path, sigs)
   }
 
@@ -178,7 +194,7 @@ object SigIndex {
     // rows is exact and cheap.
     PerceptualHash.nearDupClustersOfSigs(
       sigs(s, path).dropDuplicates("doc_id"), maxHamming, scope,
-      maxBandFreq)
+      GuardMeta.resolve(s, path, maxBandFreq))
 
   /** Hot-band drift telemetry over the COMMITTED media signatures —
     * the media sibling of [[SimSigIndex.guardDrift]], answered from
@@ -216,15 +232,34 @@ object SigIndex {
     * corpus-scale backfill, slice the input and probe per slice (or
     * read [[sigs]] and join without the hint) instead of one giant
     * probe. Works unchanged as a `foreachBatch` body.
+    *
+    * `maxBandFreq` is the HOT-BAND guard on the CORPUS side
+    * ([[Similarity.starCapProbeSide]] — the r15 self-join star-cap's
+    * probe symmetry): a committed bucket larger than the cap
+    * contributes only its min-id representative, so a batch clip
+    * hitting a 10M-member template family pulls 1 candidate, not 10M,
+    * per micro-batch forever. Guarded output is a VERIFIED SUBSET of
+    * unguarded (exact `bit_count` verification unchanged; the
+    * representative pair — the canonical id — always survives).
+    * `None` resolves the index's committed [[GuardMeta]] default;
+    * `Some(GuardMeta.Off)` forces unguarded.
     */
   def probe(
       s: SparkSession, path: String, batch: DataFrame,
       maxHamming: Int = 3,
-      maxBatchRows: Long = SigIndex.DefaultMaxProbeBatchRows): DataFrame = {
+      maxBatchRows: Long = SigIndex.DefaultMaxProbeBatchRows,
+      maxBandFreq: Option[Long] = None): DataFrame = {
     require(maxHamming < 4, "4-band pigeonhole is exhaustive only below 4")
     requireProbeSized(batch, maxBatchRows, "SigIndex")
-    broadcast(banded(batch, "doc_new"))
-      .join(banded(sigs(s, path), "doc_idx"), Seq("band", "key"))
+    val bBand = banded(batch, "doc_new")
+    val corpusBand = banded(sigs(s, path), "doc_idx")
+    val corpusSide = GuardMeta.resolve(s, path, maxBandFreq) match {
+      case None => corpusBand
+      case Some(cap) =>
+        Similarity.starCapProbeSide(corpusBand, "doc_idx", bBand, cap)
+    }
+    broadcast(bBand)
+      .join(corpusSide, Seq("band", "key"))
       .select("doc_new", "doc_idx", "sig_doc_new", "sig_doc_idx")
       .distinct()
       .select(col("doc_new"), col("doc_idx"),

@@ -106,11 +106,18 @@ object SimSigIndex {
     */
   def build(
       s: SparkSession, path: String, emb: DataFrame,
-      planes: Int = 64): Long = {
+      planes: Int = 64,
+      guardMaxBandFreq: Option[Long] = None): Long = {
     require(planes >= 1 && planes <= 64,
       "signatures pack into one long — 1 to 64 planes")
     IndexCommit.reset(s, path)
     IndexCommit.writeTextSidecar(s, s"$path/meta", Seq(planes.toString))
+    // build-owned default hot-band cap ([[GuardMeta]]; SigIndex.build's
+    // contract): Some commits it, None clears a predecessor's
+    guardMaxBandFreq match {
+      case Some(cap) => GuardMeta.set(s, path, cap)
+      case None => GuardMeta.clear(s, path)
+    }
     writeSegment(s, path, emb, planes)
   }
 
@@ -171,7 +178,8 @@ object SimSigIndex {
   def probe(
       s: SparkSession, path: String, batch: DataFrame,
       threshold: Double = 0.9, numBands: Int = 4,
-      maxBatchRows: Long = SigIndex.DefaultMaxProbeBatchRows): DataFrame = {
+      maxBatchRows: Long = SigIndex.DefaultMaxProbeBatchRows,
+      maxBandFreq: Option[Long] = None): DataFrame = {
     val planes = numPlanes(s, path)
     require(planes % numBands == 0, "band width must divide the planes")
     // actionable batch-size precondition ([[SigIndex.requireProbeSized]]):
@@ -179,9 +187,23 @@ object SimSigIndex {
     SigIndex.requireProbeSized(batch, maxBatchRows, "SimSigIndex")
     val bSigs = Similarity.lshSignaturesDf(
       batch.select("vec_id", "v"), planes)
-    val candIds = broadcast(banded(bSigs, "vec_new", planes, numBands))
-      .join(banded(sigs(s, path), "vec_idx", planes, numBands),
-        Seq("band", "key"))
+    val bBand = banded(bSigs, "vec_new", planes, numBands)
+    val corpusBand = banded(sigs(s, path), "vec_idx", planes, numBands)
+    // hot-band guard on the CORPUS side ([[Similarity.starCapProbeSide]]
+    // — [[SigIndex.probe]]'s contract for embeddings): a committed
+    // bucket larger than the cap contributes only its min-id rep as a
+    // candidate, so a batch vector landing in a dense region of size H
+    // costs 1 candidate + 1 exact-cosine verification, not H, every
+    // micro-batch. Guarded output is a VERIFIED SUBSET of unguarded
+    // (the rep pair always survives). None resolves the committed
+    // [[GuardMeta]] default; Some(GuardMeta.Off) forces unguarded.
+    val corpusSide = GuardMeta.resolve(s, path, maxBandFreq) match {
+      case None => corpusBand
+      case Some(cap) =>
+        Similarity.starCapProbeSide(corpusBand, "vec_idx", bBand, cap)
+    }
+    val candIds = broadcast(bBand)
+      .join(corpusSide, Seq("band", "key"))
       .select("vec_new", "vec_idx").distinct()
     broadcast(candIds
       .join(broadcast(bSigs.select(col("vec_id").as("vec_new"),
@@ -222,7 +244,8 @@ object SimSigIndex {
     Similarity.cosineNearDupClustersOfSigs(
       vecs(s, path).join(sigs(s, path), Seq("vec_id"))
         .dropDuplicates("vec_id"),
-      threshold, planes, numBands, scope, maxBandFreq)
+      threshold, planes, numBands, scope,
+      GuardMeta.resolve(s, path, maxBandFreq))
   }
 
   /** Hot-band drift telemetry over the COMMITTED signatures — the

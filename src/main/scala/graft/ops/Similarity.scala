@@ -553,6 +553,62 @@ object Similarity {
     }
   }
 
+  /** Corpus-side star-cap for the PROBE paths — the r15 self-join
+    * guard ([[bandedCandidateIds]]) extended to the batch×corpus
+    * join, closing the asymmetry VERDICT r15 named top_next: the text
+    * probe inherits its persisted build-time guard, but the
+    * media/embedding probes joined the batch's band keys against the
+    * FULL frozen bucket — one batch member landing in a hot
+    * template-family bucket of size H pulled H candidates and H
+    * verifications, per matching batch member, every micro-batch.
+    *
+    * Semantics: among the corpus buckets the batch actually touches,
+    * a bucket within `cap` contributes all members (probe output
+    * unchanged), a hot bucket contributes ONLY its min-id
+    * representative — so a batch member hitting a 10M-member family
+    * costs 1 candidate, not 10M. Verification stays exact downstream,
+    * so guarded output is a VERIFIED SUBSET of unguarded output (the
+    * self-join star-cap's documented degrade direction, re-read for
+    * probes: a batch doc near-dup of a hot family still surfaces its
+    * pair with the family's representative — the canonical id a dedup
+    * deployment wants — and only the redundant pairs with the other
+    * H−1 members are dropped).
+    *
+    * Shape at scale, and why stats are restricted FIRST: the batch's
+    * distinct (band, key) set is broadcast (probe-batch-sized by the
+    * callers' `requireProbeSized` precondition) and semi-joins the
+    * corpus bands — so the bucket-size aggregation runs over only the
+    * touched buckets' rows, with map-side partial aggregation, never
+    * a corpus-wide shuffle; per-bucket counts are identical whether
+    * or not untouched buckets participate. The hot set is broadcast
+    * back: its cardinality is ≤ touched_rows / cap by definition
+    * (every hot bucket holds > cap members), kilobytes at any real
+    * cap. Cost vs unguarded: one extra scan of the fixed-width
+    * corpus-side rows (the stats leg re-reads the touched subset).
+    *
+    * Crash-window note: a duplicate live segment double-counts its
+    * docs in a bucket's size — the cap can only trip EARLIER
+    * (conservative direction), and output stays a verified subset.
+    *
+    * `corpusBanded` must carry (idCol, ..., band, key); all non-key
+    * columns ride through untouched.
+    */
+  private[ops] def starCapProbeSide(
+      corpusBanded: DataFrame, idCol: String, batchKeys: DataFrame,
+      cap: Long): DataFrame = {
+    require(cap >= 1, "maxBandFreq must be at least 1")
+    val touched = corpusBanded.join(
+      broadcast(batchKeys.select("band", "key").distinct()),
+      Seq("band", "key"), "leftsemi")
+    val hot = touched.groupBy("band", "key")
+      .agg(count(lit(1)).as("sz"), min(col(idCol)).as("__star_rep"))
+      .filter(col("sz") > cap)
+      .select(col("band"), col("key"), col("__star_rep"))
+    touched.join(broadcast(hot), Seq("band", "key"), "left")
+      .filter(col("__star_rep").isNull || col(idCol) === col("__star_rep"))
+      .drop("__star_rep")
+  }
+
   /** Hot-band drift telemetry — the embedding sibling of
     * [[LshIndex.guardDrift]]: band buckets whose population exceeds
     * `maxBandFreq`, as an identity-free histogram (bucket_size,

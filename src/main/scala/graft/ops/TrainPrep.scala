@@ -41,10 +41,18 @@ object TrainPrep {
     * scan. Zero exchanges, zero driver state — the assignment column
     * can ride any downstream plan for free.
     */
-  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
+    splitAssignOf(docs(s, dir))
+
+  /** [[splitAssign]] over an explicit (doc_id, ...) relation — the
+    * delta form the streaming export gates micro-batches with
+    * (membership is a pure function of doc_id, so batch-local
+    * assignment IS the corpus assignment).
+    */
+  private[graft] def splitAssignOf(base: DataFrame): DataFrame = {
     val hash = md5(concat(col("doc_id").cast("string"), lit("#split")))
     val nib = conv(substring(hash, 1, 1), 16, 10).cast("int")
-    docs(s, dir).select(
+    base.select(
       col("doc_id"),
       nib.as("split_bucket"),
       when(nib <= 13, "train")

@@ -26,6 +26,21 @@ import org.apache.spark.sql.SparkSession
   */
 private[graft] object BatchLedger {
 
+  /** Default marker-retention window for [[prune]] — the assumed
+    * MAXIMUM replay depth: foreachBatch re-delivers ids at or after
+    * the checkpoint's last uncommitted batch (reach-back of one,
+    * maybe two ids in practice), so 64 is a ~32× margin. The one
+    * operation that can exceed it is a checkpoint ROLLED BACK (or
+    * hand-edited) more than 64 batches behind the ledger head: its
+    * replayed ids would be pruned already and re-apply as duplicate
+    * segments until compaction collapses them. Operators planning
+    * deeper rollbacks widen the window via the `ledgerKeepLast` knob
+    * on [[cadence]]/[[ingest]] and the stream entry points that
+    * expose it (ADVICE r15 — previously hard-coded at both call
+    * sites).
+    */
+  val DefaultKeepLast: Int = 64
+
   private def path(root: String, batchId: Long): Path =
     new Path(s"$root/stream_ledger/$batchId")
 
@@ -65,13 +80,15 @@ private[graft] object BatchLedger {
   def ingest(
       s: SparkSession, indexPath: String, batchId: Long,
       batchIsEmpty: => Boolean,
-      maxSegments: Option[Int], vacuumKeepGens: Option[Int])(
+      maxSegments: Option[Int], vacuumKeepGens: Option[Int],
+      ledgerKeepLast: Int = DefaultKeepLast)(
       append: => Unit)(
       maybeCompact: Int => Option[Long]): Unit =
     appliedOnce(s, indexPath, batchId) {
       if (!batchIsEmpty) {
         append
-        cadence(s, indexPath, maxSegments, vacuumKeepGens)(maybeCompact)
+        cadence(s, indexPath, maxSegments, vacuumKeepGens,
+          ledgerKeepLast)(maybeCompact)
       }
     }
 
@@ -93,7 +110,8 @@ private[graft] object BatchLedger {
     * amortized over `maxSegments` micro-batches.
     */
   def prune(
-      s: SparkSession, root: String, keepLast: Int = 64): Seq[Long] = {
+      s: SparkSession, root: String,
+      keepLast: Int = DefaultKeepLast): Seq[Long] = {
     require(keepLast >= 1, "keepLast must be positive")
     val dir = new Path(s"$root/stream_ledger")
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -118,13 +136,14 @@ private[graft] object BatchLedger {
     */
   def cadence(
       s: SparkSession, indexPath: String,
-      maxSegments: Option[Int], vacuumKeepGens: Option[Int])(
+      maxSegments: Option[Int], vacuumKeepGens: Option[Int],
+      ledgerKeepLast: Int = DefaultKeepLast)(
       maybeCompact: Int => Option[Long]): Unit =
     maxSegments.foreach { ms =>
       maybeCompact(ms).foreach { _ =>
         vacuumKeepGens.foreach(
           graft.ops.IndexCommit.vacuumSuperseded(s, indexPath, _))
-        prune(s, indexPath)
+        prune(s, indexPath, ledgerKeepLast)
       }
     }
 }

@@ -100,9 +100,10 @@ object StreamingAnn {
       indexPath: String,
       batchId: Long,
       maxSegments: Option[Int] = None,
-      vacuumKeepGens: Option[Int] = Some(1)): Unit =
+      vacuumKeepGens: Option[Int] = Some(1),
+      ledgerKeepLast: Int = BatchLedger.DefaultKeepLast): Unit =
     BatchLedger.ingest(batch.sparkSession, indexPath, batchId,
-      batch.isEmpty, maxSegments, vacuumKeepGens)(
+      batch.isEmpty, maxSegments, vacuumKeepGens, ledgerKeepLast)(
       VectorIndex.append(batch.sparkSession, indexPath, batch))(
       VectorIndex.maybeCompact(batch.sparkSession, indexPath, _))
 

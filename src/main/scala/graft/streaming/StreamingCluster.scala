@@ -81,7 +81,8 @@ object StreamingCluster {
       threshold: Double = 0.8,
       trigger: Trigger = Trigger.AvailableNow(),
       maxVersions: Option[Int] = Some(DefaultMaxVersions),
-      vacuumKeep: Option[Int] = Some(DefaultVacuumKeep)
+      vacuumKeep: Option[Int] = Some(DefaultVacuumKeep),
+      ledgerKeepLast: Int = BatchLedger.DefaultKeepLast
   ): StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -89,7 +90,7 @@ object StreamingCluster {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, indexPath, threshold, batchId, maxVersions,
-          vacuumKeep)
+          vacuumKeep, ledgerKeepLast)
         ()
       }
       .start()
@@ -106,7 +107,8 @@ object StreamingCluster {
       threshold: Double,
       batchId: Long,
       maxVersions: Option[Int] = Some(DefaultMaxVersions),
-      vacuumKeep: Option[Int] = Some(DefaultVacuumKeep)
+      vacuumKeep: Option[Int] = Some(DefaultVacuumKeep),
+      ledgerKeepLast: Int = BatchLedger.DefaultKeepLast
   ): Unit = {
     val s = batch.sparkSession
     if (!ledgerHas(s, indexPath, batchId)) {
@@ -123,7 +125,10 @@ object StreamingCluster {
             vacuumKeep.foreach(graft.ops.IndexCommit.vacuum(s, indexPath, _))
             // marker prune rides the same cadence: bounds the ledger
             // directory's file count for arbitrarily long streams
-            BatchLedger.prune(s, indexPath)
+            // (window widened via ledgerKeepLast for operators that
+            // roll checkpoints back deeper than the default — see
+            // [[BatchLedger.DefaultKeepLast]])
+            BatchLedger.prune(s, indexPath, ledgerKeepLast)
           }
         }
       }

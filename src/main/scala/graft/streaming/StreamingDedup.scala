@@ -198,7 +198,8 @@ object StreamingDedup {
       threshold: Double,
       batchId: Long,
       maxSegments: Option[Int] = None,
-      vacuumKeepGens: Option[Int] = Some(1)): Unit = {
+      vacuumKeepGens: Option[Int] = Some(1),
+      ledgerKeepLast: Int = BatchLedger.DefaultKeepLast): Unit = {
     val s = batch.sparkSession
     BatchLedger.appliedOnce(s, indexPath, batchId) {
       val scope = new CacheScope
@@ -209,8 +210,8 @@ object StreamingDedup {
       } finally scope.release()
       if (!batch.isEmpty) {
         LshIndex.append(s, indexPath, batch)
-        BatchLedger.cadence(s, indexPath, maxSegments, vacuumKeepGens)(
-          LshIndex.maybeCompact(s, indexPath, _))
+        BatchLedger.cadence(s, indexPath, maxSegments, vacuumKeepGens,
+          ledgerKeepLast)(LshIndex.maybeCompact(s, indexPath, _))
       }
     }
   }
@@ -230,9 +231,10 @@ object StreamingDedup {
       indexPath: String,
       batchId: Long,
       maxSegments: Option[Int] = None,
-      vacuumKeepGens: Option[Int] = Some(1)): Unit =
+      vacuumKeepGens: Option[Int] = Some(1),
+      ledgerKeepLast: Int = BatchLedger.DefaultKeepLast): Unit =
     BatchLedger.ingest(batch.sparkSession, indexPath, batchId,
-      batch.isEmpty, maxSegments, vacuumKeepGens)(
+      batch.isEmpty, maxSegments, vacuumKeepGens, ledgerKeepLast)(
       LshIndex.append(batch.sparkSession, indexPath, batch))(
       LshIndex.maybeCompact(batch.sparkSession, indexPath, _))
 

@@ -44,14 +44,16 @@ object StreamingSigDedup {
       checkpointDir: String,
       maxHamming: Int = 3,
       trigger: Trigger = Trigger.AvailableNow(),
-      sigsOf: DataFrame => DataFrame = PerceptualHash.signatures
+      sigsOf: DataFrame => DataFrame = PerceptualHash.signatures,
+      maxBandFreq: Option[Long] = None
   ): StreamingQuery =
     clips.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        applyBatch(batch, indexPath, outPath, maxHamming, batchId, sigsOf)
+        applyBatch(batch, indexPath, outPath, maxHamming, batchId, sigsOf,
+          maxBandFreq)
         ()
       }
       .start()
@@ -66,13 +68,15 @@ object StreamingSigDedup {
       outPath: String,
       maxHamming: Int,
       batchId: Long,
-      sigsOf: DataFrame => DataFrame = PerceptualHash.signatures
+      sigsOf: DataFrame => DataFrame = PerceptualHash.signatures,
+      maxBandFreq: Option[Long] = None
   ): Long = {
     // empty micro-batches still (over)write their directory: a
     // replayed batch that previously wrote pairs but now matches
     // nothing must erase its stale output, not keep it
     val pairs = SigIndex.probe(
-      batch.sparkSession, indexPath, sigsOf(batch), maxHamming)
+      batch.sparkSession, indexPath, sigsOf(batch), maxHamming,
+      maxBandFreq = maxBandFreq)
     pairs.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
     batch.sparkSession.read
       .parquet(s"$outPath/batch_id=$batchId").count()
@@ -125,10 +129,11 @@ object StreamingSigDedup {
       batchId: Long,
       sigsOf: DataFrame => DataFrame = PerceptualHash.signatures,
       maxSegments: Option[Int] = None,
-      vacuumKeepGens: Option[Int] = Some(1)
+      vacuumKeepGens: Option[Int] = Some(1),
+      ledgerKeepLast: Int = BatchLedger.DefaultKeepLast
   ): Unit =
     BatchLedger.ingest(batch.sparkSession, indexPath, batchId,
-      batch.isEmpty, maxSegments, vacuumKeepGens)(
+      batch.isEmpty, maxSegments, vacuumKeepGens, ledgerKeepLast)(
       SigIndex.append(batch.sparkSession, indexPath, sigsOf(batch)))(
       SigIndex.maybeCompact(batch.sparkSession, indexPath, _))
 
@@ -151,7 +156,8 @@ object StreamingSigDedup {
       trigger: Trigger = Trigger.AvailableNow(),
       sigsOf: DataFrame => DataFrame = PerceptualHash.signatures,
       maxSegments: Option[Int] = Some(DefaultMaxSegments),
-      vacuumKeepGens: Option[Int] = Some(1)
+      vacuumKeepGens: Option[Int] = Some(1),
+      maxBandFreq: Option[Long] = None
   ): StreamingQuery =
     clips.writeStream
       .outputMode("append")
@@ -159,7 +165,7 @@ object StreamingSigDedup {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyProbeIngestBatch(batch, indexPath, outPath, maxHamming,
-          batchId, sigsOf, maxSegments, vacuumKeepGens)
+          batchId, sigsOf, maxSegments, vacuumKeepGens, maxBandFreq)
         ()
       }
       .start()
@@ -176,20 +182,23 @@ object StreamingSigDedup {
       batchId: Long,
       sigsOf: DataFrame => DataFrame = PerceptualHash.signatures,
       maxSegments: Option[Int] = None,
-      vacuumKeepGens: Option[Int] = Some(1)): Unit = {
+      vacuumKeepGens: Option[Int] = Some(1),
+      maxBandFreq: Option[Long] = None,
+      ledgerKeepLast: Int = BatchLedger.DefaultKeepLast): Unit = {
     val s = batch.sparkSession
     BatchLedger.appliedOnce(s, indexPath, batchId) {
       // one decode for both legs: the cached signatures feed the
       // probe's batch side AND the appended segment
       val sigs = sigsOf(batch).cache()
       try {
-        SigIndex.probe(s, indexPath, sigs, maxHamming)
+        SigIndex.probe(s, indexPath, sigs, maxHamming,
+            maxBandFreq = maxBandFreq)
           .filter(col("doc_new") =!= col("doc_idx"))
           .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
         if (!batch.isEmpty) {
           SigIndex.append(s, indexPath, sigs)
-          BatchLedger.cadence(s, indexPath, maxSegments, vacuumKeepGens)(
-            SigIndex.maybeCompact(s, indexPath, _))
+          BatchLedger.cadence(s, indexPath, maxSegments, vacuumKeepGens,
+            ledgerKeepLast)(SigIndex.maybeCompact(s, indexPath, _))
         }
       } finally sigs.unpersist()
     }

@@ -61,9 +61,10 @@ object StreamingSimIngest {
       indexPath: String,
       batchId: Long,
       maxSegments: Option[Int] = None,
-      vacuumKeepGens: Option[Int] = Some(1)): Unit =
+      vacuumKeepGens: Option[Int] = Some(1),
+      ledgerKeepLast: Int = BatchLedger.DefaultKeepLast): Unit =
     BatchLedger.ingest(batch.sparkSession, indexPath, batchId,
-      batch.isEmpty, maxSegments, vacuumKeepGens)(
+      batch.isEmpty, maxSegments, vacuumKeepGens, ledgerKeepLast)(
       SimSigIndex.append(batch.sparkSession, indexPath, batch))(
       SimSigIndex.maybeCompact(batch.sparkSession, indexPath, _))
 
@@ -99,7 +100,8 @@ object StreamingSimIngest {
       numBands: Int = 4,
       trigger: Trigger = Trigger.AvailableNow(),
       maxSegments: Option[Int] = Some(DefaultMaxSegments),
-      vacuumKeepGens: Option[Int] = Some(1)
+      vacuumKeepGens: Option[Int] = Some(1),
+      maxBandFreq: Option[Long] = None
   ): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
@@ -107,7 +109,7 @@ object StreamingSimIngest {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyProbeIngestBatch(batch, indexPath, outPath, threshold,
-          numBands, batchId, maxSegments, vacuumKeepGens)
+          numBands, batchId, maxSegments, vacuumKeepGens, maxBandFreq)
         ()
       }
       .start()
@@ -124,19 +126,33 @@ object StreamingSimIngest {
       numBands: Int,
       batchId: Long,
       maxSegments: Option[Int] = None,
-      vacuumKeepGens: Option[Int] = Some(1)): Unit = {
+      vacuumKeepGens: Option[Int] = Some(1),
+      maxBandFreq: Option[Long] = None,
+      ledgerKeepLast: Int = BatchLedger.DefaultKeepLast): Unit = {
     val s = batch.sparkSession
     BatchLedger.appliedOnce(s, indexPath, batchId) {
-      // empty micro-batches still (over)write their directory: a
-      // replayed batch that previously wrote pairs must erase stale
-      // output, not keep it
-      SimSigIndex.probe(s, indexPath, batch, threshold, numBands)
-        .filter(col("vec_new") =!= col("vec_idx"))
-        .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-      if (!batch.isEmpty) {
-        SimSigIndex.append(s, indexPath, batch)
-        BatchLedger.cadence(s, indexPath, maxSegments, vacuumKeepGens)(
-          SimSigIndex.maybeCompact(s, indexPath, _))
+      // persist: the micro-batch lineage feeds at least three actions
+      // (requireProbeSized's bounded count, the probe/pair write, the
+      // append's re-sign) — cache once, release in finally, as the
+      // probe-then-ingest media stream does for its signatures
+      // (ADVICE r15)
+      val b = batch.persist()
+      try {
+        // empty micro-batches still (over)write their directory: a
+        // replayed batch that previously wrote pairs must erase stale
+        // output, not keep it
+        SimSigIndex.probe(s, indexPath, b, threshold, numBands,
+            maxBandFreq = maxBandFreq)
+          .filter(col("vec_new") =!= col("vec_idx"))
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        if (!b.isEmpty) {
+          SimSigIndex.append(s, indexPath, b)
+          BatchLedger.cadence(s, indexPath, maxSegments, vacuumKeepGens,
+            ledgerKeepLast)(SimSigIndex.maybeCompact(s, indexPath, _))
+        }
+      } finally {
+        b.unpersist()
+        ()
       }
     }
   }

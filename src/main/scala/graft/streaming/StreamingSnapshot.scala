@@ -56,7 +56,8 @@ object StreamingSnapshot {
       maxBytes: Long = CorpusSnapshot.DefaultMaxBytes,
       trigger: Trigger = Trigger.AvailableNow(),
       maxChain: Option[Int] = Some(DefaultMaxChain),
-      vacuumKeep: Option[Int] = Some(DefaultVacuumKeep)
+      vacuumKeep: Option[Int] = Some(DefaultVacuumKeep),
+      ledgerKeepLast: Int = BatchLedger.DefaultKeepLast
   ): StreamingQuery =
     docs.writeStream
       .outputMode("append")
@@ -64,7 +65,7 @@ object StreamingSnapshot {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(batch, root, nShards, maxBytes, batchId, maxChain,
-          vacuumKeep)
+          vacuumKeep, ledgerKeepLast)
         ()
       }
       .start()
@@ -82,7 +83,8 @@ object StreamingSnapshot {
       maxBytes: Long,
       batchId: Long,
       maxChain: Option[Int] = Some(DefaultMaxChain),
-      vacuumKeep: Option[Int] = Some(DefaultVacuumKeep)
+      vacuumKeep: Option[Int] = Some(DefaultVacuumKeep),
+      ledgerKeepLast: Int = BatchLedger.DefaultKeepLast
   ): Unit = {
     val s = batch.sparkSession
     if (!StreamingCluster.ledgerHas(s, root, batchId)) {
@@ -106,6 +108,12 @@ object StreamingSnapshot {
           CorpusSnapshot.maybeCompact(s, root, mc, nShards, maxBytes)
             .foreach { _ =>
               vacuumKeep.foreach(IndexCommit.vacuum(s, root, _))
+              // marker prune rides the same cadence — this stream was
+              // the ONE ledgered stream whose cadence compacted and
+              // vacuumed but never pruned (VERDICT r15 #5's re-opened
+              // marker liability), so an unbounded publish stream
+              // accreted one ledger file per micro-batch forever
+              BatchLedger.prune(s, root, ledgerKeepLast)
             }
         }
         ()

@@ -45,6 +45,86 @@ class BatchLedgerSpec extends SparkSpec {
     assert(BatchLedger.prune(spark, tmp("empty")).isEmpty)
   }
 
+  test("ledger-prune parity: every ledgered stream's cadence bounds " +
+    "its marker directory after a long stream (VERDICT r15 #5)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val keep = 4
+    val batches = 10
+    // bound = keepLast + one cadence of accumulation between compact
+    // firings (compact at maxSegments/maxChain/maxVersions = 2 fires
+    // at least every other batch here); strictly < batches pins that
+    // the prune actually ran, not just that the bound is generous
+    def assertBounded(root: String, what: String): Unit = {
+      val n = markerCount(root)
+      assert(n <= keep + 3 && n < batches,
+        s"$what ledger unbounded: $n markers after $batches batches")
+    }
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota"
+    // text LSH ingestion (StreamingDedup)
+    val lsh = tmp("par-lsh")
+    graft.ops.LshIndex.build(spark, sf(), lsh,
+      docFilter = Some(col("doc_id") < 20))
+    (0 until batches).foreach { i =>
+      graft.streaming.StreamingDedup.applyIngestBatch(
+        Seq((10000L + i, words)).toDF("doc_id", "text"), lsh, i.toLong,
+        maxSegments = Some(2), ledgerKeepLast = keep)
+    }
+    assertBounded(lsh, "LshIndex")
+    // media signatures (StreamingSigDedup; sigsOf = identity feeds
+    // pre-hashed rows — the decode is not what this pin is about)
+    val sig = tmp("par-sig")
+    graft.ops.SigIndex.build(spark, sig, Seq((1L, 5L)).toDF("doc_id", "sig"))
+    (0 until batches).foreach { i =>
+      graft.streaming.StreamingSigDedup.applyIngestBatch(
+        Seq((100L + i, i.toLong)).toDF("doc_id", "sig"), sig, i.toLong,
+        sigsOf = identity, maxSegments = Some(2), ledgerKeepLast = keep)
+    }
+    assertBounded(sig, "SigIndex")
+    // embedding signatures (StreamingSimIngest)
+    val sim = tmp("par-sim")
+    graft.ops.SimSigIndex.build(spark, sim,
+      Seq((1L, Seq(1.0, 0.0))).toDF("vec_id", "v"))
+    (0 until batches).foreach { i =>
+      graft.streaming.StreamingSimIngest.applyBatch(
+        Seq((100L + i, Seq(0.1 * i, 1.0))).toDF("vec_id", "v"), sim,
+        i.toLong, maxSegments = Some(2), ledgerKeepLast = keep)
+    }
+    assertBounded(sim, "SimSigIndex")
+    // IVF vectors (StreamingAnn)
+    val ann = tmp("par-ann")
+    graft.ops.VectorIndex.build(spark, sf(), ann,
+      numCells = 2, lloydIters = 1)
+    val v0 = graft.ops.Similarity.load(spark, sf())
+      .select("v").head.getSeq[Double](0)
+    (0 until batches).foreach { i =>
+      graft.streaming.StreamingAnn.applyIngestBatch(
+        Seq((900000L + i, v0)).toDF("vec_id", "v"), ann, i.toLong,
+        maxSegments = Some(2), ledgerKeepLast = keep)
+    }
+    assertBounded(ann, "VectorIndex")
+    // cluster assignment (StreamingCluster)
+    val cl = tmp("par-cl")
+    graft.ops.ClusterIndex.build(spark, sf(), cl,
+      docFilter = Some(col("doc_id") < 20))
+    (0 until batches).foreach { i =>
+      graft.streaming.StreamingCluster.applyBatch(
+        Seq((10000L + i, words + s" ${i}")).toDF("doc_id", "text"), cl,
+        0.8, i.toLong, maxVersions = Some(2), ledgerKeepLast = keep)
+    }
+    assertBounded(cl, "ClusterIndex")
+    // corpus snapshots (StreamingSnapshot — the ONE stream whose
+    // cadence compacted + vacuumed but never pruned before r16)
+    val snap = tmp("par-snap")
+    (0 until batches).foreach { i =>
+      graft.streaming.StreamingSnapshot.applyBatch(
+        Seq((10000L + i, words)).toDF("doc_id", "text"), snap, 2,
+        graft.ops.CorpusSnapshot.DefaultMaxBytes, i.toLong,
+        maxChain = Some(2), ledgerKeepLast = keep)
+    }
+    assertBounded(snap, "CorpusSnapshot")
+  }
+
   test("IndexCommit.reset wipes the stream ledger: a rebuild-in-place " +
     "followed by a fresh-checkpoint stream re-applies batch 0") {
     val root = tmp("reset")

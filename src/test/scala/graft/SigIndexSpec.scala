@@ -156,6 +156,56 @@ class SigIndexSpec extends SparkSpec {
       s"guardDrift must report the three shared-band buckets: ${drift.toSeq}")
   }
 
+  test("probe-side hot-band guard: a batch clip hitting a hot corpus " +
+    "bucket pulls only the bucket's min-id rep; cold-bucket pairs " +
+    "survive untouched; GuardMeta default applies and is overridable") {
+    import spark.implicits._
+    // corpus: 400 DISTINCT sigs 0..399 share the band 1-3 buckets
+    // (keys 0) — the template-family shape the identical-sig collapse
+    // can't touch — plus one far-away cold doc 500
+    val corpus = ((0L until 400L).map(i => (i, i)) :+ (500L, 1L << 40))
+      .toDF("doc_id", "sig")
+    val idx = tmp("probeguard")
+    SigIndex.build(spark, idx, corpus)
+    // batch doc 1000 (sig 0): band 0 bucket {0} cold, bands 1-3 hot
+    val batch = Seq((1000L, 0L)).toDF("doc_id", "sig")
+    val un = pairs(SigIndex.probe(spark, idx, batch))
+    val g = pairs(SigIndex.probe(spark, idx, batch,
+      maxBandFreq = Some(50L)))
+    assert(un.contains((1000L, 3L, 2)) && un.size > 10,
+      s"unguarded probe must pull the hot bucket's members: $un")
+    // band 0 key 0 is the COLD bucket {0, 500} (sig 1<<40 has zero
+    // low bits), so both its members pair; the hot bands 1-3
+    // contribute only rep 0
+    assert(g == Set((1000L, 0L, 0), (1000L, 500L, 1)),
+      s"guarded probe must keep only cold buckets + the hot rep: $g")
+    assert(g.subsetOf(un), "guarded output must be a verified subset")
+    // a batch clip reaching corpus docs through COLD buckets keeps
+    // those pairs even when its other bands are hot: sig (1<<40)|1
+    // hits {1} via band 0 and {500} via band 2 (both cold), and the
+    // hot bands 1/3 contribute only rep 0
+    val mixed = Seq((1001L, (1L << 40) | 1L)).toDF("doc_id", "sig")
+    assert(pairs(SigIndex.probe(spark, idx, mixed,
+      maxBandFreq = Some(50L))) ==
+      Set((1001L, 0L, 2), (1001L, 1L, 1), (1001L, 500L, 1)),
+      "cold-bucket pairs must survive a cap on the other bands")
+    // the committed GuardMeta default: build-owned, None resolves it,
+    // Some(GuardMeta.Off) forces unguarded, a rebuild without clears
+    SigIndex.build(spark, idx, corpus, guardMaxBandFreq = Some(50L))
+    assert(graft.ops.GuardMeta.get(spark, idx) == Some(50L))
+    assert(pairs(SigIndex.probe(spark, idx, batch)) == g,
+      "probe must resolve the committed default when no knob is given")
+    assert(pairs(SigIndex.probe(spark, idx, batch,
+      maxBandFreq = Some(graft.ops.GuardMeta.Off))) == un,
+      "GuardMeta.Off must force the unguarded read")
+    assert(SigIndex.clusters(spark, idx).count() == 401L,
+      "clusters under the default cap still label every doc")
+    SigIndex.build(spark, idx, corpus)
+    assert(graft.ops.GuardMeta.get(spark, idx).isEmpty &&
+      pairs(SigIndex.probe(spark, idx, batch)) == un,
+      "a rebuild without a guard must clear the predecessor's default")
+  }
+
   test("clusters are crash-window safe: a live duplicate segment " +
     "changes no cluster row and duplicates none (multiset compare)") {
     val sigs = PerceptualHash.videoSignatures(

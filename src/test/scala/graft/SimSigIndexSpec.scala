@@ -195,6 +195,45 @@ class SimSigIndexSpec extends SparkSpec {
       .count() == 0, "no bucket exceeds a cap above the region size")
   }
 
+  test("probe-side hot-band guard: a batch vector landing in a dense " +
+    "committed region pulls one candidate, not the region; cold " +
+    "pairs unchanged; the committed GuardMeta default applies") {
+    import spark.implicits._
+    // committed corpus: the 400-member dense region (identical
+    // signatures — one bucket per band) plus cold background vectors
+    val dense = (1L to 400L).map(i => (i, Seq(1.0, i * 1e-6, 0.0)))
+    val bg = (1000L to 1019L).map(i =>
+      (i, Seq(-1.0, 0.1 * (i - 1000), 1.0)))
+    val idx = tmp("probeguard")
+    SimSigIndex.build(spark, idx, (dense ++ bg).toDF("vec_id", "v"),
+      planes = 64)
+    // batch: one vector inside the dense region, one near the cold
+    // background family
+    val batch = Seq((5000L, Seq(1.0, 0.002, 0.0)),
+      (5001L, Seq(-1.0, 0.0, 1.0))).toDF("vec_id", "v")
+    def ids(cap: Option[Long]) = SimSigIndex.probe(
+      spark, idx, batch, 0.9, 4, maxBandFreq = cap)
+      .collect().map(r => (r.getAs[Long]("vec_new"),
+        r.getAs[Long]("vec_idx"))).toSet
+    val un = ids(None)
+    val g = ids(Some(50L))
+    assert(un.count(_._1 == 5000L) >= 400,
+      s"unguarded probe must pull the whole dense region: ${un.size}")
+    assert(g.filter(_._1 == 5000L) == Set((5000L, 1L)),
+      s"guarded probe must keep only the region's min-id rep: $g")
+    assert(g.subsetOf(un), "guarded output must be a verified subset")
+    assert(g.filter(_._1 == 5001L) == un.filter(_._1 == 5001L) &&
+      un.exists(_._1 == 5001L),
+      "cold-bucket pairs must be untouched by the cap")
+    // build-owned default: None resolves it, GuardMeta.Off forces off
+    SimSigIndex.build(spark, idx, (dense ++ bg).toDF("vec_id", "v"),
+      planes = 64, guardMaxBandFreq = Some(50L))
+    assert(ids(None) == g,
+      "probe must resolve the committed default when no knob is given")
+    assert(ids(Some(graft.ops.GuardMeta.Off)) == un,
+      "GuardMeta.Off must force the unguarded read")
+  }
+
   test("clusters are crash-window safe: a live duplicate segment " +
     "changes no cluster row and duplicates none (multiset compare)") {
     val emb = Similarity.loadWithTwins(spark, sf())
