@@ -1052,8 +1052,13 @@ object SparkEntry {
         sigs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 =!= 0))
       graft.ops.SigIndex.append(s, idx,
         sigs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 === 0))
+      // cache the probe batch: its lineage is an expensive decode+sign
+      // derivation and probe's requireProbeSized precondition is one
+      // extra action over it — exactly the caller-side remedy the
+      // guard documents (the streaming probe bodies do the same; an
+      // r16 binary A/B priced the uncached form at a consistent +16%)
       graft.ops.SigIndex.probe(s, idx,
-        sigs.filter(col("doc_id") % 10 === 0))
+        sigs.filter(col("doc_id") % 10 === 0).cache())
     }),
     // the media probe under a LIVE hot-band star-cap (cap 1 committed
     // as the build-owned GuardMeta default): corpus buckets holding
@@ -1069,8 +1074,9 @@ object SparkEntry {
         guardMaxBandFreq = Some(1L))
       graft.ops.SigIndex.append(s, idx,
         sigs.filter(col("doc_id") % 10 =!= 0 && col("doc_id") % 3 === 0))
+      // cached probe batch — see mm_sig_index_probe
       graft.ops.SigIndex.probe(s, idx,
-        sigs.filter(col("doc_id") % 10 === 0))
+        sigs.filter(col("doc_id") % 10 === 0).cache())
     }),
     // cluster forms answered FROM the committed signature index (the
     // r13 decode-once gap): the corpus is decoded+hashed exactly once

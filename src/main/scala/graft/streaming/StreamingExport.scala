@@ -113,14 +113,17 @@ object StreamingExport {
       maxBatchRows: Long = SigIndex.DefaultMaxProbeBatchRows): Unit = {
     val s = batch.sparkSession
     BatchLedger.appliedOnce(s, snapRoot, batchId) {
-      if (!batch.isEmpty) {
-        // the actionable size precondition before anything touches
-        // the driver ([[SigIndex.requireProbeSized]]'s bounded count)
-        SigIndex.requireProbeSized(batch, maxBatchRows, "StreamingExport")
-        // the batch lineage feeds four legs (ids, LM gate, split,
-        // survivor join) — persist once, release in finally
-        val b = batch.select(col("doc_id"), col("text")).persist()
-        try {
+      // the batch lineage feeds six actions (emptiness, the size
+      // precondition's bounded count, ids, LM gate, split, survivor
+      // join) — persist FIRST so even the preconditions hit the cache
+      // (the ADVICE-r15 ordering: checks before persist re-execute
+      // the lineage once each)
+      val b = batch.select(col("doc_id"), col("text")).persist()
+      try {
+        if (!b.isEmpty) {
+          // the actionable size precondition before anything touches
+          // the driver ([[SigIndex.requireProbeSized]]'s bounded count)
+          SigIndex.requireProbeSized(b, maxBatchRows, "StreamingExport")
           val survivors = b
             .join(dedupKeep(s, clusterIdx, b, lookupMaxIds), Seq("doc_id"))
             .join(Filtering.qualityFilterLmBatch(s, knIdx, b, headMax,
@@ -149,10 +152,10 @@ object StreamingExport {
               }
             }
           }
-        } finally {
-          b.unpersist()
-          ()
         }
+      } finally {
+        b.unpersist()
+        ()
       }
     }
   }
