@@ -33,6 +33,33 @@ final class CacheScope {
   }
 }
 
+/** Parallelism floor for explode-heavy pipelines over small scans —
+  * the guide §2.5 input-skew remedy ("one huge unsplittable file …
+  * repartition immediately after the read"), which this corpus hits in
+  * miniature: `documents.parquet` is a single file with ONE parquet
+  * row group, so every scan plans exactly one task and the expensive
+  * row-local work downstream (tokenize, shingle explode, n-gram
+  * transforms) runs SERIALLY on one core regardless of cluster size
+  * (measured: 3-5 s single-task map stages at sf0.1/32 cores, repeated
+  * once per consumer subtree).
+  *
+  * [[widen]] hash-repartitions on the row key to the session's default
+  * parallelism ONLY when the input plans fewer partitions than that —
+  * on any real corpus (thousands of scan splits) the guard is false
+  * and the call is a NO-OP, so nothing here tunes for local mode at
+  * scale's expense; a keyed repartition (not round-robin) avoids the
+  * sort-before-repartition pass and stays deterministic under task
+  * retry. Callers apply it immediately after a parquet read, before
+  * the explode — `.rdd.getNumPartitions` on a scan-only plan is
+  * driver-side and jobless.
+  */
+private[graft] object Par {
+  def widen(df: DataFrame, key: String = "doc_id"): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
+  }
+}
+
 /** Deduplication operators over the `documents` table — the core of a
   * large-scale training-data pipeline. Core families:
   *
@@ -109,7 +136,7 @@ object Dedup {
       docsDf: DataFrame, n: Int, maxDocFreq: Option[Double],
       scope: CacheScope = new CacheScope
   ): DataFrame = {
-    val base = docsDf
+    val base = Par.widen(docsDf)
       .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col("doc_id"), explode(expr(

@@ -91,14 +91,19 @@ object LanguageModel {
     when(nib <= 13, "train").when(nib === 14, "val").otherwise("test")
   }
 
-  /** One row per predicted position: (doc_id, split, h1..h4, w). */
+  /** One row per predicted position: (doc_id, split, h1..h4, w).
+    * [[Par.widen]]: the tokenize + window explode is the expensive
+    * row-local stage of every KN query — without the parallelism
+    * floor it runs as ONE task over the single-row-group fixture scan
+    * (no-op on real multi-split corpora).
+    */
   private[graft] def positions(d: DataFrame): DataFrame = {
     val toks = filter(split(trim(lower(col("text"))), "\\s+"),
       t => t =!= "")
     val pad = concat(
       array(lit("<s>"), lit("<s>"), lit("<s>"), lit("<s>")),
       toks, array(lit("</s>")))
-    d.select(col("doc_id"), splitCol.as("split"), pad.as("pad"))
+    Par.widen(d).select(col("doc_id"), splitCol.as("split"), pad.as("pad"))
       .select(col("doc_id"), col("split"), explode(expr(
         """transform(sequence(5, size(pad)),
           |  i -> struct(
@@ -183,12 +188,28 @@ object LanguageModel {
     */
   private[graft] def knPerplexityOf(d: DataFrame,
       headMax: Double = HeadMax,
-      middleMax: Double = MiddleMax): DataFrame = {
+      middleMax: Double = MiddleMax,
+      scope: CacheScope = new CacheScope): DataFrame = {
     val pos = positions(d)
+    // cache the 5-gram ROOT of the model chain: all nine lower-order /
+    // context relations (and the scalar bundle) re-derive from c5, and
+    // at score time each arrives as its own broadcast/shuffle subtree —
+    // uncached, every one of those subtrees re-executed the corpus
+    // tokenize + the 5-gram aggregation (measured: 13 concurrent
+    // broadcast builds of 3-4.5 s each at sf0.1, ~45 s of CPU for one
+    // query; the KN family's isolated probes dropped 14-30% with this
+    // cache + the [[Par.widen]] floor). With c5 cached the lower-order
+    // chains re-aggregate type-cardinality rows — caching THEM too was
+    // measured flat-to-worse (the extra materializations serialize the
+    // critical path while the chain recompute ran on otherwise idle
+    // cores). pos itself is cached inside [[scoreWith]] (three
+    // consumers here: the train filter, the type distinct, the
+    // fingerprint carry-back).
     scoreWith(pos,
       train(pos.filter(col("split") === "train")
-        .select("h1", "h2", "h3", "h4", "w")),
-      headMax, middleMax)
+        .select("h1", "h2", "h3", "h4", "w"),
+        (df, name) => if (name == "c5") scope.cache(df) else df),
+      headMax, middleMax, scope)
   }
 
   /** Score a position relation under a (possibly frozen, possibly
@@ -197,14 +218,23 @@ object LanguageModel {
     * is bit-identical to the one-job path.
     */
   private[graft] def scoreWith(pos: DataFrame, m: KnModel,
-      headMax: Double, middleMax: Double): DataFrame = {
+      headMax: Double, middleMax: Double,
+      scope: CacheScope = new CacheScope): DataFrame = {
     import m._
+
+    // The position relation has two consumers in this function (the
+    // type distinct and the fingerprint carry-back join) plus, on the
+    // inline path, the model-training filter — cache it so the
+    // tokenize+explode lineage executes once per query, not once per
+    // consumer subtree. Default MEMORY_AND_DISK: at corpus scale this
+    // spills to local disk, which still beats three corpus scans.
+    val posC = scope.cache(pos)
 
     // Distinct 5-gram types across ALL splits: the nine model joins
     // below run on this (type-cardinality) relation, never on the
     // position relation — at corpus scale the per-order count joins
     // would otherwise each reshuffle one-row-per-token.
-    val types = pos.select("h1", "h2", "h3", "h4", "w").distinct()
+    val types = posC.select("h1", "h2", "h3", "h4", "w").distinct()
     def nz(c: Column): Column = coalesce(c, lit(0L))
     val j = types
       .join(c5.withColumnsRenamed(Map("c" -> "c5c")),
@@ -274,7 +304,7 @@ object LanguageModel {
         round(-log(col("p5")), 12).cast("decimal(28,12)").as("lp"))
     // inner join: `types` is pos's own distinct projection, so every
     // position matches exactly one scored type
-    val scored = pos
+    val scored = posC
       .select(col("doc_id"), col("split"),
         fp1(gramCols: _*).as("gk1"), fp2(gramCols: _*).as("gk2"))
       .join(scoredTypes, Seq("gk1", "gk2"))
