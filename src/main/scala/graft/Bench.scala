@@ -66,6 +66,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // size-based AQE partition coalescing (guide §2.2): with the
+      // default parallelismFirst=true, AQE refuses to coalesce below
+      // defaultParallelism, so every kilobyte-scale reduce stage of the
+      // index/metadata-heavy queries launched `cpus` tasks of pure
+      // scheduling overhead. false is the setting the Spark docs
+      // themselves recommend ("it's recommended to set this config to
+      // false and respect the configured target size") and it is
+      // scale-neutral: real-corpus stages coalesce toward the advisory
+      // size, not toward one task. NOT tuned to local[32] — the knob
+      // changes behavior identically at any core count.
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
