@@ -992,7 +992,7 @@ object Dedup {
     * from these hashes, never from text again.
     */
   private[graft] def windowHashes(in: DataFrame, w: Int): DataFrame =
-    in.select(col("doc_id"),
+    Par.widen(in).select(col("doc_id"),
         split(trim(lower(col("text"))), "\\s+").as("toks"))
       .filter(size(col("toks")) >= w)
       .select(col("doc_id"), posexplode(expr(

@@ -226,8 +226,10 @@ object LanguageModel {
     // type distinct and the fingerprint carry-back join) plus, on the
     // inline path, the model-training filter — cache it so the
     // tokenize+explode lineage executes once per query, not once per
-    // consumer subtree. Default MEMORY_AND_DISK: at corpus scale this
-    // spills to local disk, which still beats three corpus scans.
+    // consumer subtree (isolated A/B: the indexed paths drop ~1-1.2 s
+    // each with this cache; the inline forms are neutral). Default
+    // MEMORY_AND_DISK: at corpus scale this spills to local disk,
+    // which still beats three corpus scans.
     val posC = scope.cache(pos)
 
     // Distinct 5-gram types across ALL splits: the nine model joins
